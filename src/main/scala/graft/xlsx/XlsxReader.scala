@@ -1,0 +1,282 @@
+package graft.xlsx
+
+import java.io.{BufferedInputStream, InputStream}
+import java.util.zip.ZipInputStream
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+import scala.collection.mutable.ArrayBuffer
+
+/** Streaming XLSX reader: shared-strings table and sheet catalog are loaded
+  * up front (they are the file's "dictionary" + metadata, ref:
+  * src/streaming_reader.rs:181-205), then each sheet is scanned row-at-a-time
+  * with a pull parser — constant memory in the number of rows.
+  *
+  * Where the reference hand-scans XML substrings in 32 KB chunks
+  * (ref: src/streaming_reader.rs:523-724), we use the JDK's StAX pull
+  * parser: the same streaming profile, robust to attribute order, and
+  * zero new dependencies.
+  *
+  * `openStream` must produce a fresh stream over the whole .xlsx ZIP on
+  * every call; this makes the reader work identically over local files and
+  * Hadoop filesystem streams (s3a/gs/hdfs), replacing the reference's
+  * bespoke S3 download path (ref: src/cloud/s3_reader.rs:131-199).
+  */
+final class XlsxReader(openStream: () => InputStream) {
+  import XlsxReader._
+
+  /** Sheet names in workbook order, resolved to their part paths
+    * (ref: src/streaming_reader.rs:422-514). */
+  lazy val sheetCatalog: Seq[(String, String)] = {
+    val rels = withEntry("xl/_rels/workbook.xml.rels")(parseRels)
+      .getOrElse(Map.empty)
+    withEntry("xl/workbook.xml") { xr =>
+      val sheets = ArrayBuffer.empty[(String, String)]
+      while (xr.hasNext) {
+        if (xr.next() == XMLStreamConstants.START_ELEMENT && xr.getLocalName == "sheet") {
+          val name = attr(xr, "name").getOrElse("")
+          val rid = attr(xr, "id").getOrElse("") // r:id resolved by local name
+          val target = rels.getOrElse(rid, s"worksheets/sheet${sheets.size + 1}.xml")
+          val path = if (target.startsWith("/")) target.substring(1) else s"xl/$target"
+          sheets += ((name, path))
+        }
+      }
+      sheets.toSeq
+    }.getOrElse(Seq.empty)
+  }
+
+  def sheetNames: Seq[String] = sheetCatalog.map(_._1)
+
+  /** Full SST load including rich-text runs — every <t> inside an <si> is
+    * concatenated (ref: src/streaming_reader.rs:363-416). */
+  lazy val sharedStrings: Vector[String] =
+    withEntry("xl/sharedStrings.xml") { xr =>
+      val out = Vector.newBuilder[String]
+      val sb = new java.lang.StringBuilder
+      var inSi = false
+      while (xr.hasNext) {
+        xr.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            xr.getLocalName match {
+              case "si" => inSi = true; sb.setLength(0)
+              case "t" if inSi => sb.append(xr.getElementText)
+              case _ =>
+            }
+          case XMLStreamConstants.END_ELEMENT if xr.getLocalName == "si" =>
+            out += sb.toString; inSi = false
+          case _ =>
+        }
+      }
+      out.result()
+    }.getOrElse(Vector.empty)
+
+  /** Stream rows of one sheet. The returned iterator owns a stream; it is
+    * closed when exhausted (or call close() on partial reads via the
+    * returned handle's completion). */
+  def rows(sheetName: String): Iterator[Vector[CellValue]] = {
+    val path = sheetCatalog.collectFirst { case (n, p) if n == sheetName => p }
+      .getOrElse(throw new IllegalArgumentException(
+        s"sheet '$sheetName' not found; sheets: ${sheetNames.mkString(", ")}"))
+    rowsAt(path)
+  }
+
+  def rowsByIndex(i: Int): Iterator[Vector[CellValue]] = {
+    require(i >= 0 && i < sheetCatalog.size, s"sheet index $i out of range")
+    rowsAt(sheetCatalog(i)._2)
+  }
+
+  /** Row/column extent by full scan, like the reference's dimensions()
+    * (ref: src/streaming_reader.rs:255-266). */
+  def dimensions(sheetName: String): (Long, Int) = {
+    var nRows = 0L
+    var maxCols = 0
+    rows(sheetName).foreach { r => nRows += 1; maxCols = math.max(maxCols, r.size) }
+    (nRows, maxCols)
+  }
+
+  private def rowsAt(path: String): Iterator[Vector[CellValue]] = {
+    val sst = sharedStrings
+    val (zis, found) = seekEntry(path)
+    if (!found) { zis.close(); return Iterator.empty }
+    val xr = factory.createXMLStreamReader(zis)
+    new RowIterator(xr, zis, sst)
+  }
+
+  // --- ZIP plumbing -------------------------------------------------------
+
+  private def seekEntry(name: String): (ZipInputStream, Boolean) = {
+    val zis = new ZipInputStream(new BufferedInputStream(openStream(), 64 * 1024))
+    var e = zis.getNextEntry
+    while (e != null) {
+      if (e.getName == name) return (zis, true)
+      e = zis.getNextEntry
+    }
+    (zis, false)
+  }
+
+  private def withEntry[T](name: String)(f: XMLStreamReader => T): Option[T] = {
+    val (zis, found) = seekEntry(name)
+    try {
+      if (!found) None
+      else {
+        val xr = factory.createXMLStreamReader(zis)
+        try Some(f(xr)) finally xr.close()
+      }
+    } finally zis.close()
+  }
+
+  private def parseRels(xr: XMLStreamReader): Map[String, String] = {
+    val m = Map.newBuilder[String, String]
+    while (xr.hasNext) {
+      if (xr.next() == XMLStreamConstants.START_ELEMENT && xr.getLocalName == "Relationship") {
+        for (id <- attr(xr, "Id"); t <- attr(xr, "Target")) m += (id -> t)
+      }
+    }
+    m.result()
+  }
+}
+
+object XlsxReader {
+
+  def forFile(path: String): XlsxReader =
+    new XlsxReader(() => new java.io.FileInputStream(path))
+
+  def forBytes(bytes: Array[Byte]): XlsxReader =
+    new XlsxReader(() => new java.io.ByteArrayInputStream(bytes))
+
+  private val factory: XMLInputFactory = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(XMLInputFactory.IS_COALESCING, true)
+    f
+  }
+
+  private def attr(xr: XMLStreamReader, localName: String): Option[String] = {
+    var i = 0
+    while (i < xr.getAttributeCount) {
+      if (xr.getAttributeLocalName(i) == localName) return Some(xr.getAttributeValue(i))
+      i += 1
+    }
+    None
+  }
+
+  /** Style ids our stylesheet uses for dates (CellStyle.DateDefault /
+    * DateTimestamp / DateTimeShort). The reference treats *any* styled
+    * integral numeric in [1, 2958465] as a date
+    * (ref: src/streaming_reader.rs:693-699); restricting to the known date
+    * styles avoids misreading styled plain numbers — a documented
+    * deviation (SURVEY §7.5 spirit). */
+  private val DateStyles = Set(CellStyle.DateDefault, CellStyle.DateTimestamp, CellStyle.DateTimeShort)
+
+  /** Pull-parse `<row>` elements into CellValue vectors with A1-gap
+    * back-fill (ref: src/streaming_reader.rs:593-724). */
+  private final class RowIterator(
+      xr: XMLStreamReader,
+      underlying: java.io.Closeable,
+      sst: Vector[String]
+  ) extends Iterator[Vector[CellValue]] {
+
+    private var nextRow: Vector[CellValue] = _
+    private var done = false
+    advance()
+
+    override def hasNext: Boolean = !done
+    override def next(): Vector[CellValue] = {
+      if (done) throw new NoSuchElementException
+      val r = nextRow
+      advance()
+      r
+    }
+
+    private def advance(): Unit = {
+      try {
+        while (xr.hasNext) {
+          if (xr.next() == XMLStreamConstants.START_ELEMENT && xr.getLocalName == "row") {
+            nextRow = parseRow()
+            return
+          }
+        }
+        finish()
+      } catch {
+        case e: Exception => finish(); throw e
+      }
+    }
+
+    private def finish(): Unit = {
+      done = true
+      try xr.close() finally underlying.close()
+    }
+
+    private def parseRow(): Vector[CellValue] = {
+      val cells = ArrayBuffer.empty[CellValue]
+      var ev = xr.next()
+      while (!(ev == XMLStreamConstants.END_ELEMENT && xr.getLocalName == "row")) {
+        if (ev == XMLStreamConstants.START_ELEMENT && xr.getLocalName == "c") {
+          val ref = attr(xr, "r")
+          val t = attr(xr, "t").getOrElse("")
+          val styleId = attr(xr, "s").flatMap(_.toIntOption)
+          val colIdx = ref.map(A1.parseColumnIndex).getOrElse(cells.size)
+          while (cells.size < colIdx) cells += CellValue.Empty // sparse back-fill
+          cells += parseCell(t, styleId)
+        }
+        ev = xr.next()
+      }
+      cells.toVector
+    }
+
+    /** Collects <v>, inline <is><t>, and <f> children of the current <c>,
+      * then decodes per the reference's type dispatch
+      * (ref: src/streaming_reader.rs:636-717). */
+    private def parseCell(t: String, styleId: Option[Int]): CellValue = {
+      var v: String = null
+      var inlineText: String = null
+      var formula: String = null
+      var ev = xr.next()
+      while (!(ev == XMLStreamConstants.END_ELEMENT && xr.getLocalName == "c")) {
+        if (ev == XMLStreamConstants.START_ELEMENT) {
+          xr.getLocalName match {
+            case "v" => v = xr.getElementText
+            case "t" => inlineText = xr.getElementText
+            case "f" => formula = xr.getElementText
+            case _ =>
+          }
+        }
+        ev = xr.next()
+      }
+      t match {
+        case "inlineStr" =>
+          if (inlineText != null) CellValue.Str(inlineText) else CellValue.Empty
+        case "s" =>
+          v match {
+            case null => CellValue.Empty
+            case s => s.toIntOption.flatMap(sst.lift)
+              .map(CellValue.Str(_): CellValue).getOrElse(CellValue.Empty)
+          }
+        case "b" =>
+          if (v == null) CellValue.Empty else CellValue.BoolVal(v == "1")
+        case "e" =>
+          if (v == null) CellValue.Empty else CellValue.Error(v)
+        case "str" =>
+          if (v != null) CellValue.Str(v)
+          else if (formula != null) CellValue.Formula(formula)
+          else CellValue.Empty
+        case _ => // untyped numeric / date / formula
+          if (v == null) {
+            if (formula != null) CellValue.Formula(formula) else CellValue.Empty
+          } else v.toDoubleOption match {
+            case Some(num) =>
+              // Timestamp styles accept fractional serials (the reference's
+              // integral-only heuristic at src/streaming_reader.rs:699 loses
+              // the time part it wrote itself — deviation, fixed here).
+              val isDateStyle = styleId.exists(DateStyles.contains)
+              if (isDateStyle && num >= ExcelDate.MinSerial && num <= ExcelDate.MaxSerial)
+                CellValue.DateTime(num)
+              else if (num == math.rint(num) && !num.isInfinite &&
+                       num >= Long.MinValue.toDouble && num <= Long.MaxValue.toDouble)
+                CellValue.IntVal(num.toLong)
+              else CellValue.FloatVal(num)
+            case None => CellValue.Str(v)
+          }
+      }
+    }
+  }
+}

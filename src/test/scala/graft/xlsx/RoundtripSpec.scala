@@ -1,0 +1,156 @@
+package graft.xlsx
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.io.ByteArrayOutputStream
+
+/** Writer -> reader roundtrips mirroring the reference's integration tests
+  * (ref: tests/integration_test.rs:1-479; fixtures FIXTURES.md B1-B10). */
+class RoundtripSpec extends AnyFunSuite {
+  import CellValue._
+
+  private def roundtrip(build: XlsxWriter => Unit): XlsxReader = {
+    val bos = new ByteArrayOutputStream()
+    val w = new XlsxWriter(bos)
+    build(w)
+    w.close()
+    XlsxReader.forBytes(bos.toByteArray)
+  }
+
+  test("B1: basic roundtrip with header") {
+    val r = roundtrip { w =>
+      w.addSheet("Sheet1")
+      w.writeHeaderBold(Seq("Name", "Age", "City"))
+      w.writeRow(Seq("Alice", "30", "NYC"))
+      w.writeRow(Seq("Bob", "25", "SF"))
+    }
+    val rows = r.rows("Sheet1").toVector
+    assert(rows.size == 3)
+    assert(rows(0) == Vector[CellValue](Str("Name"), Str("Age"), Str("City")))
+    assert(rows(1) == Vector[CellValue](Str("Alice"), Str("30"), Str("NYC")))
+  }
+
+  test("B2: typed cells") {
+    val r = roundtrip { w =>
+      w.writeRowTyped(Seq(Str("Alice"), IntVal(30), FloatVal(1234.56), BoolVal(true)))
+    }
+    val row = r.rowsByIndex(0).next()
+    assert(row == Vector[CellValue](Str("Alice"), IntVal(30), FloatVal(1234.56), BoolVal(true)))
+  }
+
+  test("B3: multi-sheet workbook") {
+    val r = roundtrip { w =>
+      w.addSheet("Sales"); w.writeRow(Seq("Jan", "100"))
+      w.addSheet("Employees"); w.writeRow(Seq("1", "Ada")); w.writeRow(Seq("2", "Bo"))
+      w.addSheet("Products"); w.writeRow(Seq("SKU-1"))
+    }
+    assert(r.sheetNames == Seq("Sales", "Employees", "Products"))
+    assert(r.rows("Employees").size == 2)
+    assert(r.rows("Products").next().head == Str("SKU-1"))
+  }
+
+  test("B4: unicode sheet names") {
+    val names = Seq("Данные", "数据", "Données")
+    val r = roundtrip { w => names.foreach { n => w.addSheet(n); w.writeRow(Seq("x")) } }
+    assert(r.sheetNames == names)
+    names.foreach(n => assert(r.rows(n).size == 1))
+  }
+
+  test("B5: special characters survive escape/decode") {
+    val row1 = Seq("Text with <xml> tags", "Quote: \"Hello\"", "Ampersand: &", "Apostrophe: '")
+    val row2 = Seq("Emoji: 😀🎉", "Unicode: Ñoño", "Math: ∑∏∫", "Currency: €£¥")
+    val r = roundtrip { w => w.writeRow(row1); w.writeRow(row2) }
+    val rows = r.rowsByIndex(0).toVector
+    assert(rows(0).map(_.asString) == row1)
+    assert(rows(1).map(_.asString) == row2)
+  }
+
+  test("B6: empty/sparse cells back-filled") {
+    val r = roundtrip { w =>
+      w.writeRow(Seq("A", "", "C"))
+      w.writeRowTyped(Seq(Str("X"), Empty, Str("Z")))
+      w.writeRow(Seq("", "mid", ""))
+    }
+    val rows = r.rowsByIndex(0).toVector
+    assert(rows(0) == Vector[CellValue](Str("A"), Empty, Str("C")))
+    assert(rows(1) == Vector[CellValue](Str("X"), Empty, Str("Z")))
+    assert(rows(2) == Vector[CellValue](Empty, Str("mid"), Empty))
+  }
+
+  test("B7: 10k-char strings") {
+    val long = "x" * 10000 + "<&>" + "y" * 100
+    val r = roundtrip { w => w.writeRow(Seq(long, "small")) }
+    assert(r.rowsByIndex(0).next().head.asString == long)
+  }
+
+  test("B8: 1000-row streaming, value = 2*id") {
+    val r = roundtrip { w =>
+      (1 to 1000).foreach(i => w.writeRowTyped(Seq(IntVal(i), IntVal(2L * i))))
+    }
+    val rows = r.rowsByIndex(0).toVector
+    assert(rows.size == 1000)
+    assert(rows(499) == Vector[CellValue](IntVal(500), IntVal(1000)))
+    assert(r.dimensions(r.sheetNames.head) == (1000L, 2))
+  }
+
+  test("B9: styled rows keep values; date styles decode as DateTime") {
+    val r = roundtrip { w =>
+      w.writeRowStyled(Seq(
+        (IntVal(1234567), CellStyle.NumberInteger),
+        (FloatVal(0.42), CellStyle.NumberPercentage),
+        (DateTime(44927.5), CellStyle.DateTimestamp),
+        (DateTime(44927.0), CellStyle.DateDefault)))
+    }
+    val row = r.rowsByIndex(0).next()
+    assert(row(0) == IntVal(1234567)) // non-date style stays numeric
+    assert(row(1) == FloatVal(0.42))
+    assert(row(2) == DateTime(44927.5))
+    assert(row(3) == DateTime(44927.0))
+  }
+
+  test("B10: formulas and errors") {
+    val r = roundtrip { w =>
+      w.writeRowTyped(Seq(IntVal(10), IntVal(20), Formula("=A2+B2")))
+      w.writeRowTyped(Seq(Str("Total"), Empty, Formula("=SUM(C2:C3)")))
+      w.writeRowTyped(Seq(Error("#DIV/0!")))
+    }
+    val rows = r.rowsByIndex(0).toVector
+    assert(rows(0)(2) == Formula("=A2+B2"))
+    assert(rows(1)(2) == Formula("=SUM(C2:C3)"))
+    assert(rows(2)(0) == Error("#DIV/0!"))
+  }
+
+  test("B14: protected sheet roundtrips and contains protection XML") {
+    val bos = new ByteArrayOutputStream()
+    val w = new XlsxWriter(bos)
+    w.addSheet("Locked")
+    w.protectSheet(ProtectionOptions(password = Some("secret123"),
+      selectLockedCells = true, selectUnlockedCells = true))
+    w.writeRow(Seq("data"))
+    w.close()
+    val bytes = bos.toByteArray
+    assert(XlsxReader.forBytes(bytes).rows("Locked").size == 1)
+    // protection element present with inverted-semantics attrs
+    val zis = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+    var xml = ""
+    var e = zis.getNextEntry
+    while (e != null) {
+      if (e.getName == "xl/worksheets/sheet1.xml") xml = new String(zis.readAllBytes())
+      e = zis.getNextEntry
+    }
+    assert(xml.contains(s"""password="${PasswordHash.hash("secret123")}""""))
+    assert(xml.contains("""selectLockedCells="0""""))
+    assert(!xml.contains("formatCells=")) // denied -> attribute absent
+  }
+
+  test("compression levels produce valid files of decreasing size") {
+    def size(level: Int): Int = {
+      val bos = new ByteArrayOutputStream()
+      val w = new XlsxWriter(bos, level)
+      (1 to 2000).foreach(i => w.writeRow(Seq(s"row-$i-payload-payload-payload", i.toString)))
+      w.close()
+      assert(XlsxReader.forBytes(bos.toByteArray).rowsByIndex(0).size == 2000)
+      bos.size()
+    }
+    assert(size(0) > size(1) && size(1) >= size(9))
+  }
+}
