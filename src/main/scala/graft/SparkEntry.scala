@@ -1,13 +1,656 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.GraftFunctions
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: every operator from SURVEY.md §2 (plus the
+  * beyond-reference training-data ops) as a named query with, where
+  * SQL-expressible, a DuckDB oracle over the same parquet tables.
+  *
+  * Conventions:
+  *  - every computed column is aliased identically in the Spark code and
+  *    the oracle SQL (the driver sorts columns by name before hashing);
+  *  - double aggregates are rounded to fixed decimals on both sides;
+  *  - queries that materialize xlsx/csv intermediates write under
+  *    /tmp/graft_work/<sf>/<query> with mode=overwrite (idempotent).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---------------------------------------------------------------- helpers
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def work(dir: String, q: String): String =
+    s"/tmp/graft_work/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$q"
+
+  /** lineitem subset used by the xlsx/csv roundtrip family. */
+  private def li4(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_quantity"), col("l_returnflag"), col("l_shipdate"))
+
+  private def xlsxRoundtrip(s: SparkSession, dir: String, q: String): DataFrame = {
+    val p = work(dir, q)
+    li4(s, dir).repartition(8).write.mode("overwrite")
+      .format("xlsx").option("header", "true").save(p)
+    s.read.format("xlsx").option("header", "true").load(p)
+  }
+
+  /** Corpus with synthetic near-duplicates: each doc plus a copy (id+100000)
+    * with its first word dropped — deterministic, oracle-reproducible. */
+  private def mutatedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+    d.unionByName(d.select((col("id") + 100000).as("id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text")))
+  }
+
+  // ---------------------------------------------------------------- contract
+
+  /** Flagship: xlsx write→read roundtrip of lineitem, then a TPC-H-Q1-style
+    * aggregate — exercises the DSv2 sink, OOXML generation, the DSv2
+    * source, type inference and date handling in one plan (SURVEY §7.1). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("xlsx_roundtrip")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ===== relational layer (SURVEY §2.3/§2.5 — Spark built-ins) =====
+
+    "project_filter" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 30)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          round(col("l_extendedprice"), 2).as("price"))),
+
+    "agg_groupby" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+
+    "join_hash" -> ((s, dir) =>
+      t(s, dir, "orders").join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_orderkey")).as("sum_key"),
+          round(min(col("o_totalprice")), 2).as("min_price"),
+          round(max(col("o_totalprice")), 2).as("max_price"))),
+
+    "join_broadcast" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))),
+
+    "window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice").desc)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice"), 2).as("price"),
+          rank().over(w).as("rnk"))
+        .filter(col("rnk") <= 5)
+    }),
+
+    "sort_limit_topk" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .limit(10)),
+
+    "set_union_except" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        .except(t(s, dir, "orders").select(col("o_custkey").as("custkey")))),
+
+    "set_intersect" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        .intersect(t(s, dir, "orders").select(col("o_custkey").as("custkey")))),
+
+    "distinct_count" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderpriority")).as("n_prio"))),
+
+    "distinct_count_approx" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        approx_count_distinct(col("o_custkey")).as("n_cust_approx"))),
+
+    "semi_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey")).withColumn("has_orders", lit(true))
+      val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey")).withColumn("has_orders", lit(false))
+      semi.unionByName(anti)
+    }),
+
+    "agg_rollup" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("c_acctbal")), 2).as("sum_bal"))),
+
+    // Tumbling-window aggregation — the batch shape of the Structured
+    // Streaming demo (graft.streaming.EventsPipeline uses the same plan
+    // with readStream + watermark).
+    "events_window" -> ((s, dir) => {
+      // events.parquet stores TIMESTAMP(NANOS), which Spark reads only as
+      // long; convert with integer division (micros) — double division
+      // would lose precision at 1e18 nanos.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("hour_start"), col("event_type"),
+          col("cnt"), col("sum_value"))
+    }),
+
+    // ===== scalar/conversion function surface (SURVEY §2.4) =====
+
+    "date_serial_decode" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      t(s, dir, "lineitem")
+        .select((col("l_orderkey") % 3000 + 43000).cast("double").as("serial"))
+        .union(t(s, dir, "lineitem")
+          .select((col("l_orderkey") % 90 + 1).cast("double").as("serial")))
+        .distinct()
+        .selectExpr("serial", "graft_excel_date_decode(serial) AS decoded")
+    }),
+
+    "date_serial_encode" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      t(s, dir, "lineitem")
+        .selectExpr("l_orderkey", "l_linenumber",
+          "graft_excel_date_encode(CAST(l_shipdate AS DATE)) AS serial")
+    }),
+
+    "col_letter" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      t(s, dir, "lineitem").select((col("l_partkey") % 700).as("n")).distinct()
+        .selectExpr("n", "graft_col_letter(CAST(n AS INT)) AS letter")
+    }),
+
+    "col_index" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      t(s, dir, "lineitem").select((col("l_partkey") % 700).as("n")).distinct()
+        .selectExpr("graft_col_letter(CAST(n AS INT)) AS letter",
+          "CAST(n AS INT) AS idx")
+        .selectExpr("letter", "graft_col_index(letter) AS parsed", "idx")
+    }),
+
+    "type_coercion" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      s.sql("""SELECT s, graft_as_bool(s) AS b
+               FROM VALUES ('true'),('YES'),('1'),('No'),('FALSE'),('0'),('maybe'),('2') AS t(s)""")
+    }),
+
+    "xml_escape" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      t(s, dir, "documents")
+        .selectExpr("doc_id",
+          "concat(source, '<&>\"', char(39), lang) AS raw")
+        .selectExpr("doc_id", "graft_xml_escape(raw) AS escaped")
+    }),
+
+    "excel_password_hash" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      // No SQL oracle (legacy bit-rotation hash) — golden values pinned in
+      // CoreSpec; rows-only check here.
+      s.sql("""SELECT pw, graft_password_hash(pw) AS hash
+               FROM VALUES ('password'),('test123'),('абвгд'),('') AS t(pw)""")
+    }),
+
+    // ===== xlsx source/sink family (SURVEY §2.1/§2.2) =====
+
+    "xlsx_scan" -> ((s, dir) => {
+      val p = work(dir, "xlsx_scan")
+      t(s, dir, "nation").coalesce(1).write.mode("overwrite")
+        .format("xlsx").option("header", "true").save(p)
+      s.read.format("xlsx").option("header", "true").load(p)
+    }),
+
+    "xlsx_roundtrip" -> ((s, dir) =>
+      xlsxRoundtrip(s, dir, "xlsx_roundtrip")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"))),
+
+    "xlsx_dimensions" -> ((s, dir) => {
+      val df = xlsxRoundtrip(s, dir, "xlsx_dimensions")
+      df.agg(count(lit(1)).as("nrows")).withColumn("ncols", lit(df.columns.length))
+    }),
+
+    "xlsx_multisheet" -> ((s, dir) => {
+      val p = work(dir, "xlsx_multisheet")
+      t(s, dir, "orders").select(col("o_orderkey")).coalesce(1)
+        .write.mode("overwrite").format("xlsx")
+        .option("header", "true").option("maxRowsPerSheet", "500").save(p)
+      s.read.format("xlsx").option("header", "true").option("allSheets", "true").load(p)
+        .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("sum_key"))
+    }),
+
+    "xlsx_styled_write" -> ((s, dir) => {
+      val p = work(dir, "xlsx_styled_write")
+      t(s, dir, "customer").repartition(4).write.mode("overwrite")
+        .format("xlsx").option("header", "true")
+        .option("protect.password", "graft").save(p)
+      s.read.format("xlsx").option("header", "true").load(p)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+    }),
+
+    "type_inference" -> ((s, dir) => {
+      import s.implicits._
+      val df = xlsxRoundtrip(s, dir, "type_inference")
+      df.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq
+        .toDF("col", "typ")
+    }),
+
+    "excel_to_parquet" -> ((s, dir) => {
+      val p = work(dir, "excel_to_parquet")
+      li4(s, dir).repartition(8).write.mode("overwrite")
+        .format("xlsx").option("header", "true").save(p + "/x")
+      s.read.format("xlsx").option("header", "true").load(p + "/x")
+        .write.mode("overwrite").parquet(p + "/pq")
+      s.read.parquet(p + "/pq")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
+    "parquet_to_excel" -> ((s, dir) => {
+      val p = work(dir, "parquet_to_excel")
+      t(s, dir, "part").repartition(4).write.mode("overwrite")
+        .format("xlsx").option("header", "true").save(p)
+      s.read.format("xlsx").option("header", "true").load(p)
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("p_partkey")).as("sum_key"),
+          round(sum(col("p_retailprice")), 2).as("sum_price"))
+    }),
+
+    "append_rows" -> ((s, dir) => {
+      val p = work(dir, "append_rows")
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      c.coalesce(1).write.mode("overwrite").format("xlsx").option("header", "true").save(p)
+      c.coalesce(1).write.mode("append").format("xlsx").option("header", "true").save(p)
+      s.read.format("xlsx").option("header", "true").load(p)
+        .agg(count(lit(1)).as("cnt"), sum(col("c_custkey")).as("sum_key"))
+    }),
+
+    // ===== CSV parity (SURVEY §2.1 S5 / §2.2 K4 — Spark built-ins) =====
+
+    "csv_roundtrip" -> ((s, dir) => {
+      val p = work(dir, "csv_roundtrip")
+      li4(s, dir).repartition(8).write.mode("overwrite")
+        .option("header", "true").option("sep", ";").option("compression", "gzip")
+        .csv(p)
+      s.read.schema("l_orderkey BIGINT, l_quantity DOUBLE, l_returnflag STRING, l_shipdate TIMESTAMP")
+        .option("header", "true").option("sep", ";").csv(p)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          min(col("l_shipdate").cast("date")).as("min_ship"))
+    }),
+
+    "csv_escaping" -> ((s, dir) => {
+      val p = work(dir, "csv_escaping")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("a,\"b\"\n"), substring(col("text"), 1, 30)).as("s"))
+        .repartition(4).write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        // Spark's CSV writer trims cell whitespace by default; the
+        // reference preserves fields verbatim (ref: src/csv/encoder.rs:19-55).
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(p)
+      s.read.schema("doc_id BIGINT, s STRING")
+        .option("header", "true").option("escape", "\"").option("multiLine", "true")
+        .csv(p)
+    }),
+
+    "parquet_stringify" -> ((s, dir) =>
+      // S6: every value stringified (ref: src/parquet/reader.rs:170-301);
+      // double columns excluded — shortest-roundtrip float formatting is
+      // engine-specific, a documented deviation.
+      t(s, dir, "lineitem").select(
+        col("l_orderkey").cast("string").as("okey"),
+        col("l_linenumber").cast("string").as("lnum"),
+        col("l_returnflag").as("rflag"),
+        col("l_shipdate").cast("string").as("ship"))),
+
+    // ===== beyond-reference: dedup / similarity / text (BASELINE north star) =====
+
+    "dedup_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.exactGroups(d.unionByName(d), "text", "doc_id")
+        .select(col("keep_id"), col("n_copies"))
+    }),
+
+    "dedup_minhash" -> ((s, dir) =>
+      // Approximate by construction (banding recall < 1 near the
+      // threshold) — rows-only check; exact twin below is the oracle.
+      Dedup.minhashNearDups(mutatedCorpus(s, dir), "id", "text")
+        .select(col("id_a"), col("id_b"), col("jaccard"))),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(mutatedCorpus(s, dir), "id", "text", k = 3, threshold = 0.5)),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDups(mutatedCorpus(s, dir), "id", "text", maxHamming = 3)),
+
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDups(
+        t(s, dir, "embeddings").withColumn("e", col("embedding").cast("array<double>")),
+        "vec_id", "e", dim = 64, cosineThreshold = 0.35)),
+
+    "embedding_pairs_exact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val a = e.select(col("vec_id").as("id_a"), col("e").as("e_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("e").as("e_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cosine", Similarity.cosine(col("e_a"), col("e_b")))
+        .filter(col("cosine") >= 0.35)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+    }),
+
+    "ann_bruteforce" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 10), "vec_id", "e", e, "vec_id", "e", k = 5)
+    }),
+
+    "ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      Similarity.lshTopK(
+        e.filter(col("vec_id") < 10), "vec_id", "e", e, "vec_id", "e",
+        dim = 64, k = 5)
+    }),
+
+    "text_stats" -> ((s, dir) =>
+      TextAnalysis.textStats(t(s, dir, "documents"), "doc_id", "text")),
+
+    "doc_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), md5(col("text")).as("md5"))),
+
+    "lang_id" -> ((s, dir) =>
+      // Heuristic classifier — no SQL oracle; accuracy asserted on real
+      // multilingual fixtures in TextAnalysisSpec.
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "multimodal_meta" -> ((s, dir) =>
+      // Binary-column plumbing: payload + size; decode itself is stubbed
+      // (see graft.operators.Multimodal).
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(encode(col("text"), "UTF-8")).as("n_bytes")))
+  )
+
+  /** Headline subset timed by graft.Bench (one per operator family). */
+  val benchQueries: Seq[String] = Seq(
+    "agg_groupby", "join_hash", "join_broadcast", "window_rank",
+    "sort_limit_topk", "agg_rollup", "events_window",
+    "xlsx_roundtrip", "xlsx_multisheet", "csv_roundtrip", "parquet_stringify",
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
+    "text_stats", "doc_fingerprint", "ann_bruteforce", "ann_lsh",
+    "embedding_pairs_exact")
+
+  def oracleSql: Map[String, String] = Map(
+
+    "project_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, round(l_extendedprice, 2) AS price
+         FROM lineitem WHERE l_quantity > 30""",
+
+    "agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base_price,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                round(avg(l_quantity), 4) AS avg_qty,
+                count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "join_hash" ->
+      """SELECT c_mktsegment, count(*) AS cnt, sum(o_orderkey) AS sum_key,
+                round(min(o_totalprice), 2) AS min_price,
+                round(max(o_totalprice), 2) AS max_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+
+    "join_broadcast" ->
+      """SELECT n_name, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name""",
+
+    "window_rank" ->
+      """SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price, CAST(rnk AS INT) AS rnk
+         FROM (SELECT o_orderkey, o_orderpriority, o_totalprice,
+                      rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk
+               FROM orders) WHERE rnk <= 5""",
+
+    "sort_limit_topk" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+         FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""",
+
+    "set_union_except" ->
+      "SELECT c_custkey AS custkey FROM customer EXCEPT SELECT o_custkey FROM orders",
+
+    "set_intersect" ->
+      "SELECT c_custkey AS custkey FROM customer INTERSECT SELECT o_custkey FROM orders",
+
+    "distinct_count" ->
+      """SELECT count(DISTINCT o_custkey) AS n_cust,
+                count(DISTINCT o_orderpriority) AS n_prio FROM orders""",
+
+    "semi_anti_join" ->
+      """SELECT c_custkey, c_custkey IN (SELECT o_custkey FROM orders) AS has_orders
+         FROM customer""",
+
+    "agg_rollup" ->
+      """SELECT r_name, n_name, count(*) AS cnt, round(sum(c_acctbal), 2) AS sum_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)""",
+
+    "events_window" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                count(*) AS cnt, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""",
+
+    "date_serial_decode" ->
+      """WITH serials AS (
+           SELECT DISTINCT CAST(l_orderkey % 3000 + 43000 AS DOUBLE) AS serial FROM lineitem
+           UNION
+           SELECT DISTINCT CAST(l_orderkey % 90 + 1 AS DOUBLE) FROM lineitem)
+         SELECT serial,
+                strftime(CASE WHEN serial >= 60
+                              THEN DATE '1899-12-30' + CAST(serial AS INT)
+                              ELSE DATE '1899-12-31' + CAST(serial AS INT) END,
+                         '%Y-%m-%d') AS decoded
+         FROM serials""",
+
+    "date_serial_encode" ->
+      """SELECT l_orderkey, l_linenumber,
+                CASE WHEN CAST(l_shipdate AS DATE) >= DATE '1900-03-01'
+                     THEN date_diff('day', DATE '1899-12-30', CAST(l_shipdate AS DATE))
+                     ELSE date_diff('day', DATE '1899-12-31', CAST(l_shipdate AS DATE)) END AS serial
+         FROM lineitem""",
+
+    "col_letter" ->
+      """WITH ns AS (SELECT DISTINCT l_partkey % 700 AS n FROM lineitem)
+         SELECT n, CASE WHEN n < 26 THEN chr(65 + CAST(n AS INT))
+                        ELSE chr(65 + CAST((n - 26) // 26 AS INT)) || chr(65 + CAST((n - 26) % 26 AS INT))
+                   END AS letter
+         FROM ns""",
+
+    "col_index" ->
+      """WITH ns AS (SELECT DISTINCT l_partkey % 700 AS n FROM lineitem),
+              ls AS (SELECT CASE WHEN n < 26 THEN chr(65 + CAST(n AS INT))
+                                 ELSE chr(65 + CAST((n - 26) // 26 AS INT)) || chr(65 + CAST((n - 26) % 26 AS INT))
+                            END AS letter,
+                            CAST(n AS INT) AS idx
+                     FROM ns)
+         SELECT letter, idx AS parsed, idx FROM ls""",
+
+    "type_coercion" ->
+      """SELECT s, CASE WHEN lower(s) IN ('true','yes','1') THEN TRUE
+                        WHEN lower(s) IN ('false','no','0') THEN FALSE
+                        ELSE NULL END AS b
+         FROM (VALUES ('true'),('YES'),('1'),('No'),('FALSE'),('0'),('maybe'),('2')) AS t(s)""",
+
+    "xml_escape" ->
+      """SELECT doc_id,
+                replace(replace(replace(replace(replace(
+                  source || '<&>"' || chr(39) || lang,
+                  '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'), chr(39), '&apos;') AS escaped
+         FROM documents""",
+
+    "xlsx_scan" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                CAST(n_regionkey AS BIGINT) AS n_regionkey
+         FROM nation""",
+
+    "xlsx_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
+                min(CAST(l_shipdate AS DATE)) AS min_ship,
+                max(CAST(l_shipdate AS DATE)) AS max_ship
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "xlsx_dimensions" ->
+      "SELECT count(*) AS nrows, 4 AS ncols FROM lineitem",
+
+    "xlsx_multisheet" ->
+      "SELECT count(*) AS cnt, sum(o_orderkey) AS sum_key FROM orders",
+
+    "xlsx_styled_write" ->
+      "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer",
+
+    // l_quantity is integral-valued, so the dynamic cell model degrades it
+    // to int through an xlsx roundtrip — the reference's Rust writer prints
+    // f64 25.0 as "25" and its reader types that Int, identically
+    // (ref: src/streaming_reader.rs:700-707).
+    "type_inference" ->
+      """SELECT 'l_orderkey' AS col, 'bigint' AS typ
+         UNION ALL SELECT 'l_quantity', 'bigint'
+         UNION ALL SELECT 'l_returnflag', 'string'
+         UNION ALL SELECT 'l_shipdate', 'date'""",
+
+    "excel_to_parquet" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "parquet_to_excel" ->
+      """SELECT count(*) AS cnt, sum(p_partkey) AS sum_key,
+                round(sum(p_retailprice), 2) AS sum_price
+         FROM part""",
+
+    "append_rows" ->
+      "SELECT 2 * count(*) AS cnt, 2 * sum(c_custkey) AS sum_key FROM customer",
+
+    "csv_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
+                min(CAST(l_shipdate AS DATE)) AS min_ship
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "csv_escaping" ->
+      """SELECT doc_id, 'a,"b"' || chr(10) || substr(text, 1, 30) AS s
+         FROM documents""",
+
+    "parquet_stringify" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS okey,
+                CAST(l_linenumber AS VARCHAR) AS lnum,
+                l_returnflag AS rflag,
+                CAST(l_shipdate AS VARCHAR) AS ship
+         FROM lineitem""",
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+         GROUP BY text HAVING count(*) > 1""",
+
+    "dedup_ngram_jaccard" ->
+      """WITH corpus AS (
+           SELECT doc_id AS id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, substr(text, position(' ' IN text) + 1) FROM documents),
+         words AS (SELECT id, string_split_regex(text, '\s+') AS w FROM corpus),
+         sh AS (SELECT id,
+                       CASE WHEN len(w) >= 3
+                            THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                                              i -> array_to_string(w[i:i+2], ' ')))
+                            ELSE [] END AS g
+                FROM words),
+         x AS (SELECT id, len(g) AS n, unnest(g) AS gram FROM sh WHERE len(g) > 0),
+         pairs AS (SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b, count(*) AS inter
+                   FROM x a JOIN x b ON a.gram = b.gram AND a.id < b.id
+                   GROUP BY 1, 2, 3, 4)
+         SELECT id_a, id_b,
+                round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 4) AS jaccard
+         FROM pairs
+         WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.5""",
+
+    "embedding_pairs_exact" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings WHERE vec_id < 500)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.35""",
+
+    "ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
+              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                                list_cosine_similarity(q.v, c.v) AS cos
+                         FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
+              ranked AS (SELECT query_id, corpus_id, cos,
+                                row_number() OVER (PARTITION BY query_id
+                                                   ORDER BY cos DESC, corpus_id) AS rnk
+                         FROM scored)
+         SELECT query_id, corpus_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
+         FROM ranked WHERE rnk <= 5""",
+
+    "text_stats" ->
+      """SELECT doc_id,
+                length(text) AS n_chars,
+                len(regexp_extract_all(text, '\w+')) AS n_tokens,
+                len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+                length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS n_letters,
+                round(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                      * (CASE WHEN length(text) > 0
+                              THEN CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE) / length(text)
+                              ELSE 0.0 END)
+                      * (CASE WHEN (CASE WHEN len(regexp_extract_all(text, '\w+')) > 0
+                                         THEN CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE)
+                                              / len(regexp_extract_all(text, '\w+'))
+                                         ELSE 0.0 END) BETWEEN 2.0 AND 12.0
+                              THEN 1.0 ELSE 0.5 END), 4) AS quality
+         FROM documents""",
+
+    "doc_fingerprint" ->
+      "SELECT doc_id, md5(text) AS md5 FROM documents",
+
+    "multimodal_meta" ->
+      "SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents"
+  )
 }

@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All operators are pure DataFrame transforms — no driver-side loops, no
+  * collect — so they scale with partitions. The near-dup family follows the
+  * standard sketch → band → bucket-join → verify shape: the *only* shuffle
+  * on the full corpus is the groupBy on (band, bucket-hash), whose key
+  * space is uniform by construction (hash values), so no salting is needed;
+  * the expensive exact verification runs only on candidate pairs, which are
+  * a tiny fraction of n² at any scale.
+  */
+object Dedup {
+
+  /** Exact dedup: keep one row per distinct `cols` tuple (hash-aggregate,
+    * map-side partial combine for free). */
+  def exact(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.dropDuplicates(cols)
+
+  /** Exact-dup groups: representative id per duplicated key, for audit. */
+  def exactGroups(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+
+  /** Word k-shingles of a text column as a distinct array column.
+    * Documents shorter than k words produce no shingles (matches the
+    * DuckDB-oracle definition: range(1, len-k+2) over word slices). */
+  def shingles(text: Column, k: Int): Column = {
+    val words = split(text, "\\s+")
+    when(size(words) >= k,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(words) - (k - 1)),
+          i => concat_ws(" ", slice(words, i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum xxhash64 over the shingle set — the classic permutation-free
+    * construction (Broder '97). Pure codegen'd expressions, no UDF. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))
+    }: _*)
+
+  /** MinHash + LSH banding near-dup join.
+    *
+    * numHashes = bands * rowsPerBand. Two docs land in the same bucket when
+    * one band of their signatures agrees exactly; candidates are then
+    * verified with exact Jaccard over the shingle sets. With the default
+    * 16×4 geometry the S-curve threshold is ≈ (1/16)^(1/4) ≈ 0.5.
+    *
+    * Scale: the bucket groupBy is the only full-corpus shuffle; the
+    * candidate self-join is on bucket keys (both sides pre-hashed), and
+    * verification touches candidate pairs only.
+    */
+  def minhashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSig = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+    // Explode into (band, bucket) keys: bucket = hash of that band's slice.
+    val banded = withSig.select(
+      col("id"), col("sh"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("sh"), col("bb.band"), col("bb.bucket"))
+
+    // Candidate pairs: same (band, bucket), id_a < id_b; dedup across bands.
+    val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val candidates = left.join(right,
+        left("band") === right("band") && left("bucket") === right("bucket") &&
+          left("id_a") < right("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    // Verify with exact Jaccard.
+    candidates
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens (Charikar '02): each token's
+    * xxhash64 votes ±1 per bit; the sign vector is the fingerprint.
+    * Implemented as a tight scalar UDF (the 64-bit loop has no good
+    * expression form) — one pass per doc, no shuffle. */
+  val simhash64: String => Long = { text =>
+    val counts = new Array[Int](64)
+    for (tok <- text.split("\\s+") if tok.nonEmpty) {
+      // xxhash64-compatible cheap stand-in: FNV-1a, stable across JVMs
+      var h = graft.functions.GraftFunctions.fnv1a64(tok)
+      var b = 0
+      while (b < 64) {
+        if ((h & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        h >>>= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** SimHash near-dups: band the 64-bit fingerprint into four 16-bit
+    * chunks (pigeonhole: hamming distance ≤ 3 ⟹ at least one identical
+    * chunk), bucket-join on chunks, verify true hamming distance. */
+  def simhashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    val sim = udf(simhash64)
+    val pop = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+    val withFp = df.select(col(idCol).as("id"), sim(col(textCol)).as("fp"))
+    val banded = withFp.select(col("id"), col("fp"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"), shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL)).as("val"))
+      }: _*)).as("cb"))
+      .select(col("id"), col("fp"), col("cb.chunk"), col("cb.val"))
+    val l = banded.select(col("chunk"), col("val"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val r = banded.select(col("chunk"), col("val"), col("id").as("id_b"), col("fp").as("fp_b"))
+    l.join(r, l("chunk") === r("chunk") && l("val") === r("val") && l("id_a") < r("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", pop(col("fp_a"), col("fp_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs above a threshold,
+    * via inverted-index join on shingles — no n² cross join: the join
+    * fans out by shared shingle, and the per-shingle fan-out is bounded
+    * for natural text. For 100 TB, add a document-frequency cap (drop
+    * shingles appearing in > dfCap docs — they carry no signal and cause
+    * skew; that's the standard trick). */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      threshold: Double = 0.5,
+      dfCap: Int = 10000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val exploded = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
+    // df-cap: drop ubiquitous shingles (skew + zero signal)
+    val capped = exploded.join(
+      exploded.groupBy("g").agg(count(lit(1)).as("gdf")).filter(col("gdf") <= dfCap),
+      "g")
+    val a = capped.select(col("g"), col("id").as("id_a"), col("n").as("n_a"))
+    val b = capped.select(col("g"), col("id").as("id_b"), col("n").as("n_b"))
+    a.join(b, a("g") === b("g") && a("id_a") < b("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Embedding near-dup: pairs with cosine ≥ threshold. Candidates come
+    * from random-hyperplane LSH (deterministic seeded planes); exact cosine
+    * verifies. See [[Similarity]] for the shared plumbing. */
+  def embeddingNearDups(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      cosineThreshold: Double = 0.95,
+      planes: Int = 16): DataFrame = {
+    val banded = Similarity.hyperplaneBuckets(df, idCol, vecCol, dim, planes, bands = 4)
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, l("band") === r("band") && l("bucket") === r("bucket") && l("id_a") < r("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= cosineThreshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language ID, fingerprinting. Everything except the
+  * language-ID scorer is built from codegen'd SQL functions; the scorer is
+  * a small deterministic UDF (per-row, no state).
+  */
+object TextAnalysis {
+
+  /** Word-ish token count: runs of letters/digits (a BPE-ish pre-token
+    * regex). Expressed with regexp_extract_all so DuckDB can oracle it. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+"), lit(0)))
+
+  /** Whitespace token count (non-whitespace runs — regexp form so the
+    * DuckDB oracle states the identical definition). */
+  def wsTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** Heuristic quality score in [0,1]:
+    * length factor × word-shape factor × (1 − symbol-noise ratio).
+    * The formula is deliberately SQL-only so the DuckDB oracle can
+    * replicate it bit-for-bit. */
+  def qualityScore(text: Column): Column = {
+    val n = length(text)
+    val words = tokenCount(text)
+    val letters = length(regexp_replace(text, "[^\\p{L}]", ""))
+    val lengthFactor = least(n.cast("double") / 200.0d, lit(1.0d))
+    val letterRatio = when(n > 0, letters.cast("double") / n.cast("double")).otherwise(0.0d)
+    val avgWordLen = when(words > 0, letters.cast("double") / words.cast("double")).otherwise(0.0d)
+    val wordShape = when(avgWordLen.between(2.0d, 12.0d), 1.0d).otherwise(0.5d)
+    round(lengthFactor * letterRatio * wordShape, 4)
+  }
+
+  // Tiny per-language stopword profiles — the classic cheap lang-ID
+  // heuristic (top function words are near-disjoint across languages).
+  private val profiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "you", "not"),
+    "de" -> Set("der", "die", "das", "und", "ist", "ich", "nicht", "ein", "mit", "für", "auf", "sie"),
+    "fr" -> Set("le", "la", "les", "et", "est", "je", "pas", "une", "pour", "que", "dans", "vous"),
+    "es" -> Set("el", "la", "los", "las", "y", "es", "no", "una", "por", "que", "para", "con"),
+    "it" -> Set("il", "la", "di", "che", "e", "un", "per", "non", "sono", "con", "una", "mi"),
+    "pt" -> Set("o", "a", "de", "que", "e", "não", "um", "uma", "para", "com", "os", "as")
+  )
+
+  /** Stopword-vote language ID with a CJK/Cyrillic/etc. script check
+    * first. Unknown/ambiguous → "und". Deterministic, dictionary is
+    * compiled into the closure (tiny — no broadcast needed). */
+  val langIdFn: String => String = { text =>
+    if (text == null || text.isEmpty) "und"
+    else {
+      var han = 0; var kana = 0; var hangul = 0; var cyr = 0; var arab = 0; var letters = 0
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (Character.isLetter(c)) {
+          letters += 1
+          val block = Character.UnicodeScript.of(c)
+          block match {
+            case Character.UnicodeScript.HAN => han += 1
+            case Character.UnicodeScript.HIRAGANA | Character.UnicodeScript.KATAKANA => kana += 1
+            case Character.UnicodeScript.HANGUL => hangul += 1
+            case Character.UnicodeScript.CYRILLIC => cyr += 1
+            case Character.UnicodeScript.ARABIC => arab += 1
+            case _ =>
+          }
+        }
+        i += 1
+      }
+      if (letters == 0) "und"
+      else if (kana * 2 > letters) "ja"
+      else if (han * 2 > letters) "zh"
+      else if (hangul * 2 > letters) "ko"
+      else if (cyr * 2 > letters) "ru"
+      else if (arab * 2 > letters) "ar"
+      else {
+        val tokens = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+        if (tokens.isEmpty) "und"
+        else {
+          var best = "und"; var bestScore = 0
+          for ((lang, stops) <- profiles) {
+            val score = tokens.count(stops.contains)
+            if (score > bestScore) { bestScore = score; best = lang }
+          }
+          // demand minimal evidence: ≥2 stopword hits or ≥5% of tokens
+          if (bestScore >= 2 || bestScore * 20 >= tokens.length && bestScore > 0) best else "und"
+        }
+      }
+    }
+  }
+
+  def langId(text: Column): Column = udf(langIdFn).apply(text)
+
+  /** Document fingerprint: cryptographic (md5) and rolling (FNV-1a 64). */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fnv = udf((s: String) => graft.functions.GraftFunctions.fnv1a64(s))
+    df.select(col(idCol), md5(col(textCol)).as("md5"),
+      fnv(col(textCol)).as("fnv1a64"))
+  }
+
+  /** Per-document stats bundle (all SQL-expressible for oracle parity). */
+  def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      length(t).as("n_chars"),
+      tokenCount(t).as("n_tokens"),
+      wsTokenCount(t).as("n_ws_tokens"),
+      length(regexp_replace(t, "[^\\p{L}]", "")).as("n_letters"),
+      qualityScore(t).as("quality"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.sources.xlsx
+
+import graft.xlsx.{CellValue, ExcelDate}
+import org.apache.spark.sql.types._
+
+/** Sample-then-promote schema inference for xlsx sheets, the Spark-idiomatic
+  * replacement for the reference's per-cell dynamic typing
+  * (ref: src/streaming_reader.rs:686-711): each column's observed cell kinds
+  * are merged up a promotion lattice
+  * `Empty < Long < Double < String`, with Boolean / Date / Timestamp as
+  * side branches that fall back to String when mixed with numerics —
+  * the same outcome a user of the reference gets by calling `as_string`.
+  */
+object SchemaInference {
+
+  // Lattice states
+  private val BOTTOM = 0
+  private val LONG = 1
+  private val DOUBLE = 2
+  private val BOOL = 3
+  private val DATE = 4
+  private val TS = 5
+  private val STR = 6
+
+  private def cellKind(c: CellValue): Int = c match {
+    case CellValue.Empty       => BOTTOM
+    case CellValue.IntVal(_)   => LONG
+    case CellValue.FloatVal(_) => DOUBLE
+    case CellValue.BoolVal(_)  => BOOL
+    case CellValue.DateTime(s) =>
+      if (s - math.floor(s) > 0.0001) TS else DATE
+    case _                     => STR // Str / Error / Formula
+  }
+
+  private def merge(a: Int, b: Int): Int = (a, b) match {
+    case _ if a == b                         => a
+    case (BOTTOM, x)                         => x
+    case (x, BOTTOM)                         => x
+    case (LONG, DOUBLE) | (DOUBLE, LONG)     => DOUBLE
+    case (DATE, TS) | (TS, DATE)             => TS
+    case _                                   => STR
+  }
+
+  private def toDataType(k: Int): DataType = k match {
+    case LONG   => LongType
+    case DOUBLE => DoubleType
+    case BOOL   => BooleanType
+    case DATE   => DateType
+    case TS     => TimestampType
+    case _      => StringType // BOTTOM (all-empty column) and STR
+  }
+
+  /** Infer a StructType from sampled rows. When `header` is true the first
+    * row supplies (deduplicated) column names, like Spark's CSV reader. */
+  def infer(rows: Iterator[Vector[CellValue]], header: Boolean, sampleRows: Int): StructType = {
+    var names: Vector[String] = Vector.empty
+    if (header && rows.hasNext) {
+      names = rows.next().map(_.asString)
+    }
+    val kinds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var sampled = 0
+    while (rows.hasNext && sampled < sampleRows) {
+      val row = rows.next()
+      while (kinds.size < row.size) kinds += BOTTOM
+      var i = 0
+      while (i < row.size) {
+        kinds(i) = merge(kinds(i), cellKind(row(i)))
+        i += 1
+      }
+      sampled += 1
+    }
+    val width = math.max(kinds.size, names.size)
+    val fields = (0 until width).map { i =>
+      val name = dedupName(names, i)
+      val k = if (i < kinds.size) kinds(i) else BOTTOM
+      StructField(name, toDataType(k), nullable = true)
+    }
+    StructType(fields)
+  }
+
+  private def dedupName(names: Vector[String], i: Int): String = {
+    val raw = if (i < names.size && names(i).nonEmpty) names(i) else s"_c$i"
+    // Dedup repeated header names positionally (a7 pattern shared with CSV).
+    val priorDups = names.take(i).count(_ == raw)
+    if (i < names.size && priorDups > 0) s"$raw$priorDups" else raw
+  }
+
+  /** Convert one cell to the Catalyst external value for `dt`, leniently
+    * coercing (ref coercions: src/types.rs:101-152); mismatches → null. */
+  def convert(c: CellValue, dt: DataType): Any = c match {
+    case CellValue.Empty => null
+    case _ =>
+      dt match {
+        case StringType => c match {
+          case CellValue.DateTime(s) => ExcelDate.format(s).getOrElse(CellValue.formatDouble(s))
+          case other                 => other.asString
+        }
+        case LongType    => c.asLong.orNull
+        case IntegerType => c.asLong.map(_.toInt).orNull
+        case DoubleType  => c.asDouble.orNull
+        case FloatType   => c.asDouble.map(_.toFloat).orNull
+        case BooleanType => c.asBool.orNull
+        case DateType => serialOf(c).flatMap(ExcelDate.toDate).map(d => java.sql.Date.valueOf(d)).orNull
+        case TimestampType => serialOf(c).flatMap(ExcelDate.toDateTime)
+          .map(dt => java.sql.Timestamp.valueOf(dt)).orNull
+        case _ => c.asString
+      }
+  }
+
+  private def serialOf(c: CellValue): Option[Double] = c match {
+    case CellValue.DateTime(s) => Some(s)
+    case CellValue.IntVal(i)   => Some(i.toDouble)
+    case CellValue.FloatVal(f) => Some(f)
+    case CellValue.Str(s)      => s.toDoubleOption
+    case _                     => None
+  }
+}

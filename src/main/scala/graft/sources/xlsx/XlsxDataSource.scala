@@ -1,0 +1,133 @@
+package graft.sources.xlsx
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import graft.xlsx.XlsxReader
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.SparkContext
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** `spark.read.format("xlsx")` / `df.write.format("xlsx")`.
+  *
+  * A directory of `part-*.xlsx` files is one dataset (Spark-idiomatic; a
+  * single .xlsx is a single ZIP and therefore a single writer stream — see
+  * SURVEY §7.4). Reading accepts a file, a directory, or a glob; every
+  * (file × selected sheet) pair becomes one input partition, so a
+  * 1000-executor cluster scans a 10k-file dataset fully in parallel.
+  *
+  * Replaces the reference's reader/writer pairs for local disk
+  * (ref: src/streaming_reader.rs, src/fast_writer/zero_temp_workbook.rs),
+  * S3 (ref: src/cloud/s3_reader.rs, s3_writer.rs), GCS
+  * (ref: src/cloud/gcs_writer.rs) and HTTP buffers
+  * (ref: src/cloud/http_writer.rs): the Hadoop FileSystem API gives all
+  * of those schemes one code path (file:// s3a:// gs:// hdfs://), with
+  * multipart upload handled by the filesystem connector.
+  */
+final class XlsxDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "xlsx"
+
+  // Spark passes the user schema (or the write schema) instead of calling
+  // inferSchema when this returns true and a schema is available.
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    XlsxTable.inferSchema(options)
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new XlsxTable(schema, XlsxOptions.fromMap(properties), XlsxTable.paths(properties))
+}
+
+object XlsxTable {
+
+  def hadoopConf(): Configuration =
+    SparkContext.getOrCreate().hadoopConfiguration
+
+  def paths(properties: util.Map[String, String]): Seq[String] = {
+    val m = properties.asScala
+    m.get("paths")
+      .map(p => p.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+      .orElse(m.get("path").map(Seq(_)))
+      .getOrElse(Seq.empty)
+  }
+
+  /** Expand files/dirs/globs to concrete .xlsx file paths. */
+  def listFiles(paths: Seq[String], conf: Configuration): Seq[String] = paths.flatMap { p =>
+    val path = new Path(p)
+    val fs = path.getFileSystem(conf)
+    val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+    if (matched.isEmpty && !fs.exists(path))
+      throw new IllegalArgumentException(s"xlsx path does not exist: $p")
+    matched.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.toLowerCase.endsWith(".xlsx") && !f.getPath.getName.startsWith("_"))
+          .map(_.getPath.toString)
+      else Seq(st.getPath.toString)
+    }
+  }.sorted
+
+  def openReader(file: String, conf: Configuration): XlsxReader = {
+    val path = new Path(file)
+    val fs = path.getFileSystem(conf)
+    new XlsxReader(() => fs.open(path))
+  }
+
+  /** Select sheet names for one file per options (default: first sheet,
+    * like the reference's rows_by_index(0) common path). */
+  def selectSheets(reader: XlsxReader, opts: XlsxOptions): Seq[String] = {
+    val names = reader.sheetNames
+    if (names.isEmpty) Seq.empty
+    else if (opts.allSheets) names
+    else opts.sheet match {
+      case Some(s) =>
+        if (!names.contains(s))
+          throw new IllegalArgumentException(s"sheet '$s' not found; sheets: ${names.mkString(", ")}")
+        Seq(s)
+      case None => Seq(names(opts.sheetIndex.getOrElse(0)))
+    }
+  }
+
+  def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val opts = XlsxOptions(options)
+    val conf = hadoopConf()
+    val files = listFiles(paths(options.asCaseSensitiveMap()), conf)
+    require(files.nonEmpty, "no .xlsx files found to infer schema from")
+    val reader = openReader(files.head, conf)
+    val sheets = selectSheets(reader, opts)
+    require(sheets.nonEmpty, s"workbook has no sheets: ${files.head}")
+    SchemaInference.infer(reader.rows(sheets.head), opts.header, opts.inferSchemaRows)
+  }
+}
+
+final class XlsxTable(tableSchema: StructType, opts: XlsxOptions, tablePaths: Seq[String])
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"xlsx(${tablePaths.mkString(",")})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val conf = XlsxTable.hadoopConf()
+    new XlsxScanBuilder(tableSchema, XlsxOptions(options), tablePaths, new SerializableConfiguration(conf))
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(tablePaths.size == 1, "xlsx write requires exactly one output path")
+    new XlsxWriteBuilder(info.schema(), XlsxOptions(info.options()), tablePaths.head,
+      new SerializableConfiguration(XlsxTable.hadoopConf()))
+  }
+}

@@ -1,0 +1,37 @@
+package graft.sources.xlsx
+
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Options for the xlsx DataSource V2, mirroring the reference's builder
+  * surface (ref: src/writer.rs:51-91 compression; src/streaming_reader.rs:345-351
+  * sheet selection; src/csv_reader.rs:166-180 header handling).
+  */
+final case class XlsxOptions(
+    sheet: Option[String],        // read: sheet name; write: base sheet name
+    sheetIndex: Option[Int],      // read: 0-based sheet index
+    allSheets: Boolean,           // read: union every sheet
+    header: Boolean,              // first row is column names (read) / written bold (write)
+    compression: Int,             // deflate level 0-9 (write)
+    inferSchemaRows: Int,         // rows sampled for schema inference (read)
+    maxRowsPerSheet: Long,        // write: rollover before Excel's 1,048,576-row limit
+    protectPassword: Option[String] // write: sheet protection
+) extends Serializable
+
+object XlsxOptions {
+  /** Excel's hard per-sheet row limit. */
+  val ExcelMaxRows = 1048576L
+
+  def apply(m: CaseInsensitiveStringMap): XlsxOptions = XlsxOptions(
+    sheet = Option(m.get("sheet")),
+    sheetIndex = Option(m.get("sheetIndex")).map(_.toInt),
+    allSheets = m.getBoolean("allSheets", false),
+    header = m.getBoolean("header", false),
+    compression = m.getInt("compression", 6),
+    inferSchemaRows = m.getInt("inferSchemaRows", 1000),
+    maxRowsPerSheet = math.min(m.getLong("maxRowsPerSheet", ExcelMaxRows), ExcelMaxRows),
+    protectPassword = Option(m.get("protect.password"))
+  )
+
+  def fromMap(m: java.util.Map[String, String]): XlsxOptions =
+    apply(new CaseInsensitiveStringMap(m))
+}

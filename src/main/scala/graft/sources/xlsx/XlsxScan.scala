@@ -1,0 +1,147 @@
+package graft.sources.xlsx
+
+import graft.xlsx.{CellValue, ExcelDate}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** Scan side of the xlsx DSv2. Column pruning
+  * (`SupportsPushDownRequiredColumns`) skips Catalyst conversion for unread
+  * columns — the reference always materializes every cell
+  * (ref: src/streaming_reader.rs:593-724); we decode only what the plan
+  * needs. One InputPartition per (file, sheet): parallel across files —
+  * the unit of parallelism a directory-of-xlsx dataset is designed around.
+  */
+final class XlsxScanBuilder(
+    fullSchema: StructType,
+    opts: XlsxOptions,
+    paths: Seq[String],
+    conf: SerializableConfiguration
+) extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // Preserve source column order; requiredSchema may reorder.
+    val names = requiredSchema.fieldNames.toSet
+    required = StructType(fullSchema.fields.filter(f => names.contains(f.name)))
+  }
+
+  override def build(): Scan = new XlsxScan(fullSchema, required, opts, paths, conf)
+}
+
+final class XlsxScan(
+    fullSchema: StructType,
+    required: StructType,
+    opts: XlsxOptions,
+    paths: Seq[String],
+    conf: SerializableConfiguration
+) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"xlsx paths=${paths.mkString(",")} columns=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = XlsxTable.listFiles(paths, conf.value)
+    files.flatMap { f =>
+      val sheets = XlsxTable.selectSheets(XlsxTable.openReader(f, conf.value), opts)
+      sheets.map(s => XlsxInputPartition(f, s): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Map each required field to its source column index once, at planning.
+    val srcIdx = required.fields.map(f => fullSchema.fieldIndex(f.name))
+    XlsxReaderFactory(required, srcIdx, opts.header, conf)
+  }
+}
+
+final case class XlsxInputPartition(file: String, sheet: String) extends InputPartition
+
+final case class XlsxReaderFactory(
+    required: StructType,
+    srcIdx: Array[Int],
+    header: Boolean,
+    conf: SerializableConfiguration
+) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[XlsxInputPartition]
+    new XlsxPartitionReader(p.file, p.sheet, required, srcIdx, header, conf.value)
+  }
+}
+
+/** Streams one sheet of one file as InternalRows — constant memory, same
+  * profile as the reference's RowIterator (ref: src/streaming_reader.rs:523-590). */
+final class XlsxPartitionReader(
+    file: String,
+    sheet: String,
+    required: StructType,
+    srcIdx: Array[Int],
+    header: Boolean,
+    conf: org.apache.hadoop.conf.Configuration
+) extends PartitionReader[InternalRow] {
+
+  private val rows: Iterator[Vector[CellValue]] = {
+    val it = XlsxTable.openReader(file, conf).rows(sheet)
+    if (header && it.hasNext) it.next() // skip header row
+    it
+  }
+  private var current: InternalRow = _
+  private val width = srcIdx.length
+  private val converters: Array[CellValue => Any] =
+    required.fields.map(f => XlsxPartitionReader.converter(f.dataType))
+
+  override def next(): Boolean = {
+    if (!rows.hasNext) return false
+    val cells = rows.next()
+    val values = new Array[Any](width)
+    var i = 0
+    while (i < width) {
+      val ci = srcIdx(i)
+      if (ci < cells.size) values(i) = converters(i)(cells(ci))
+      i += 1
+    }
+    current = InternalRow.fromSeq(values.toSeq)
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = () // iterator closes its stream on exhaustion
+}
+
+object XlsxPartitionReader {
+
+  /** CellValue → Catalyst *internal* value for one Spark type; lenient
+    * coercion per the reference (ref: src/types.rs:101-152), mismatch → null. */
+  def converter(dt: DataType): CellValue => Any = dt match {
+    case StringType => {
+      case CellValue.Empty       => null
+      case CellValue.DateTime(s) => UTF8String.fromString(ExcelDate.format(s).getOrElse(CellValue.formatDouble(s)))
+      case c                     => UTF8String.fromString(c.asString)
+    }
+    case LongType    => c => c.asLong.orNull
+    case IntegerType => c => c.asLong.map(_.toInt).orNull
+    case DoubleType  => c => c.asDouble.orNull
+    case FloatType   => c => c.asDouble.map(_.toFloat).orNull
+    case BooleanType => c => c.asBool.orNull
+    case DateType    => c => serialOf(c).flatMap(ExcelDate.toDate).map(d => DateTimeUtils.localDateToDays(d)).orNull
+    case TimestampType => c =>
+      serialOf(c).flatMap(ExcelDate.toDateTime)
+        .map(ldt => DateTimeUtils.localDateTimeToMicros(ldt)).orNull
+    case _ => c => if (c == CellValue.Empty) null else UTF8String.fromString(c.asString)
+  }
+
+  private def serialOf(c: CellValue): Option[Double] = c match {
+    case CellValue.DateTime(s) => Some(s)
+    case CellValue.IntVal(i)   => Some(i.toDouble)
+    case CellValue.FloatVal(f) => Some(f)
+    case CellValue.Str(s)      => s.toDoubleOption
+    case _                     => None
+  }
+}

@@ -1,0 +1,119 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end tests for `format("xlsx")` — the DSv2 replacement for the
+  * reference's reader/writer pairs (mirrors tests/integration_test.rs). */
+class XlsxDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("xlsx-dsv2-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def tmp(): String = Files.createTempDirectory("xlsxspec").toString
+
+  test("typed roundtrip with header: long/double/string/bool/date/timestamp") {
+    val dir = tmp() + "/t1"
+    val df = spark.sql("""
+      SELECT id AS k, id * 1.5 AS v, concat('name-', id) AS s,
+             id % 2 = 0 AS ok,
+             date_add(DATE'2024-01-01', CAST(id AS INT)) AS d,
+             timestamp'2022-01-01 12:00:00' + make_interval(0,0,0,0,0,0,id) AS ts
+      FROM range(100)""")
+    df.write.mode("overwrite").format("xlsx").option("header", "true").save(dir)
+    val back = spark.read.format("xlsx").option("header", "true").load(dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) === Seq(
+      "k" -> LongType, "v" -> DoubleType, "s" -> StringType,
+      "ok" -> BooleanType, "d" -> DateType, "ts" -> TimestampType))
+    assert(back.count() === 100)
+    val row = back.orderBy("k").filter(col("k") === 3).collect()(0)
+    assert(row.getAs[Double]("v") === 4.5)
+    assert(row.getAs[String]("s") === "name-3")
+    assert(row.getAs[Boolean]("ok") === false)
+    assert(row.getAs[java.sql.Date]("d").toString === "2024-01-04")
+    assert(row.getAs[java.sql.Timestamp]("ts").toString === "2022-01-01 12:00:03.0")
+  }
+
+  test("column pruning reaches the scan") {
+    val dir = tmp() + "/t2"
+    spark.range(10).selectExpr("id", "id*2 AS a", "id*3 AS b")
+      .write.mode("overwrite").format("xlsx").option("header", "true").save(dir)
+    val pruned = spark.read.format("xlsx").option("header", "true").load(dir).select("b")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("columns=b"), s"scan not pruned: $scan")
+    assert(pruned.agg(sum("b")).collect()(0).getLong(0) === 135)
+  }
+
+  test("partition-parallel write produces one part file per partition; read unions them") {
+    val dir = tmp() + "/t3"
+    spark.range(1000).repartition(8).write.mode("overwrite").format("xlsx").option("header", "true").save(dir)
+    val parts = new java.io.File(dir).listFiles().count(_.getName.endsWith(".xlsx"))
+    assert(parts === 8)
+    val back = spark.read.format("xlsx").option("header", "true").load(dir)
+    assert(back.agg(sum("id")).collect()(0).getLong(0) === 499500)
+  }
+
+  test("sheet rollover past maxRowsPerSheet; allSheets reads all") {
+    val dir = tmp() + "/t4"
+    spark.range(250).coalesce(1).write.mode("overwrite").format("xlsx")
+      .option("header", "true").option("maxRowsPerSheet", "100").save(dir)
+    val one = spark.read.format("xlsx").option("header", "true").load(dir)
+    assert(one.count() === 99) // first sheet only: 100 rows - header
+    val all = spark.read.format("xlsx").option("header", "true").option("allSheets", "true").load(dir)
+    assert(all.count() === 250)
+    assert(all.agg(sum("id")).collect()(0).getLong(0) === 250L * 249 / 2)
+  }
+
+  test("SaveMode.Overwrite truncates previous part files") {
+    val dir = tmp() + "/t5"
+    spark.range(50).coalesce(1).write.mode("overwrite").format("xlsx").option("header", "true").save(dir)
+    spark.range(10).coalesce(2).write.mode("overwrite").format("xlsx").option("header", "true")
+      .save(dir)
+    val back = spark.read.format("xlsx").option("header", "true").load(dir)
+    assert(back.count() === 10)
+  }
+
+  test("headerless read names columns _c0.. and infers from data") {
+    val dir = tmp() + "/t6"
+    spark.range(5).selectExpr("id", "'x' AS s").coalesce(1)
+      .write.mode("overwrite").format("xlsx").save(dir)
+    val back = spark.read.format("xlsx").load(dir)
+    assert(back.columns.toSeq === Seq("_c0", "_c1"))
+    assert(back.schema.head.dataType === LongType)
+  }
+
+  test("user-supplied schema skips inference and coerces") {
+    val dir = tmp() + "/t7"
+    spark.range(5).selectExpr("id", "id * 1.5 AS v").coalesce(1)
+      .write.mode("overwrite").format("xlsx").option("header", "true").save(dir)
+    val sch = StructType(Seq(StructField("id", StringType), StructField("v", StringType)))
+    val back = spark.read.format("xlsx").option("header", "true").schema(sch).load(dir)
+    assert(back.orderBy("id").collect().map(_.getString(1)).take(2).toSeq === Seq("0", "1.5"))
+  }
+
+  test("mixed-type column degrades to string") {
+    val dir = tmp() + "/t8"
+    spark.sql("SELECT x FROM VALUES ('1'), ('two'), ('3.5') AS t(x)").coalesce(1)
+      .write.mode("overwrite").format("xlsx").option("header", "true").save(dir)
+    val back = spark.read.format("xlsx").option("header", "true").load(dir)
+    assert(back.schema.head.dataType === StringType)
+    assert(back.count() === 3)
+  }
+}
