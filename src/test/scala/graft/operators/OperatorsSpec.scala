@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior tests for the beyond-reference operator family: known-answer
+  * dedup/similarity cases and classifier sanity on real multilingual text. */
+class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("operators-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "text")
+  }
+
+  private val loremA = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5).trim
+  private val loremB = loremA.replace("delta", "DELTA-PRIME") // near-dup of A
+  private val unrelated = "completely different words about spark clusters shuffles and parquet files forever"
+
+  test("minhash near-dups: finds the planted near-duplicate, not the unrelated doc") {
+    val df = docs(1L -> loremA, 2L -> loremB, 3L -> unrelated)
+    val pairs = Dedup.minhashNearDups(df, "id", "text", shingleK = 3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(pairs.head.getAs[Double]("jaccard") > 0.5)
+  }
+
+  test("simhash near-dups: close fingerprint found, unrelated doc not") {
+    // High token diversity keeps per-bit vote counts away from zero, so a
+    // one-token append drifts only a few bits; pick a suffix within
+    // hamming 3 deterministically (drift per token varies).
+    val diverse = (0 until 80).map(i => f"word$i%03d").mkString(" ")
+    val fpA = Dedup.simhash64(diverse)
+    val suffix = Seq("suffixa", "suffixb", "suffixc", "suffixd", "suffixe", "suffixf")
+      .find(s => java.lang.Long.bitCount(fpA ^ Dedup.simhash64(diverse + " " + s)) <= 3)
+    assert(suffix.isDefined, "no suffix yields hamming <= 3; adjust fixture")
+    val near = diverse + " " + suffix.get
+    val df = docs(1L -> diverse, 2L -> near, 3L -> unrelated)
+    val pairs = Dedup.simhashNearDups(df, "id", "text").collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((1L, 2L)))
+    assert(!found.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("ngram jaccard agrees with hand-computed value") {
+    val df = docs(1L -> "a b c d e", 2L -> "a b c d x")
+    // 3-shingles: {abc,bcd,cde} vs {abc,bcd,cdx}: inter=2, union=4 -> 0.5
+    val pairs = Dedup.ngramJaccardPairs(df, "id", "text", k = 3, threshold = 0.4).collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getAs[Double]("jaccard") === 0.5)
+  }
+
+  test("exact dedup keeps one row per key") {
+    val df = docs(1L -> "same", 2L -> "same", 3L -> "other")
+    assert(Dedup.exact(df, Seq("text")).count() === 2)
+    val groups = Dedup.exactGroups(df, "text", "id").collect()
+    assert(groups.length === 1)
+    assert(groups.head.getAs[Long]("keep_id") === 1L)
+    assert(groups.head.getAs[Long]("n_copies") === 2L)
+  }
+
+  test("brute-force topk: self-similar vectors rank first; lsh recalls most of topk") {
+    val s = spark
+    import s.implicits._
+    // 40 corpus vectors in 8-d: four tight clusters around axis bundles.
+    val base = (0 until 40).map { i =>
+      val v = Array.fill(8)(0.05 * ((i * 7 + 3) % 5))
+      v(i % 4) = 1.0
+      v((i % 4 + 4) % 8) = 0.5 + 0.01 * i
+      (i.toLong, v)
+    }
+    val corpus = base.toDF("vec_id", "e")
+    val queries = corpus.filter(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(queries, "vec_id", "e", corpus, "vec_id", "e", k = 5)
+    val exactSet = exact.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.groupBy("query_id").count().collect().forall(_.getLong(1) === 5))
+    // top neighbors of query i share cluster i (mod 4)
+    exactSet.foreach { case (q, c) => assert(c % 4 === q % 4, s"query $q got cross-cluster $c") }
+
+    val approx = Similarity.lshTopK(queries, "vec_id", "e", corpus, "vec_id", "e",
+      dim = 8, k = 5, planes = 16, bands = 8)
+    val approxSet = approx.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exactSet & approxSet).size.toDouble / exactSet.size
+    assert(recall >= 0.6, s"LSH recall too low: $recall")
+  }
+
+  test("lang id on real multilingual text") {
+    val cases = Seq(
+      "the quick brown fox jumps over the lazy dog and it was not the end" -> "en",
+      "der Hund ist nicht mit der Katze und ich bin ein Berliner" -> "de",
+      "je ne pas une baguette pour le petit déjeuner dans la maison" -> "fr",
+      "el perro y el gato no son una familia por la mañana" -> "es",
+      "这是一个中文句子用来测试语言识别" -> "zh",
+      "これは日本語のテストですかな" -> "ja",
+      "Это русский текст для проверки" -> "ru",
+      "12345 67890 !!!" -> "und"
+    )
+    cases.foreach { case (text, expected) =>
+      val got = TextAnalysis.langIdFn(text)
+      assert(got === expected, s"'$text' -> $got, want $expected")
+    }
+  }
+
+  test("quality score ranges and ordering") {
+    val good = "This is a reasonably long and well formed paragraph of ordinary " +
+      "English prose with sensible words and enough length to hit the cap of the factor."
+    val noisy = "@@@ ### $$$ %%% 1 2 3 !!!"
+    val df = docs(1L -> good, 2L -> noisy)
+    val scores = TextAnalysis.textStats(df, "id", "text")
+      .select("id", "quality").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > 0.5)
+    assert(scores(2L) < 0.2)
+    assert(scores.values.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("multimodal: magic-byte metadata + stubbed feature extraction plumbing") {
+    val s = spark
+    import s.implicits._
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2, 3)
+    val jpg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte, 9, 9)
+    val df = Seq((1L, png), (2L, jpg)).toDF("id", "payload")
+    val media = Multimodal.asMedia(df, "payload")
+    val formats = media.select(col("id"), col("media.meta.format")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(formats === Map(1L -> "png", 2L -> "jpeg"))
+    val feats = Multimodal.extractFeatures(media, featureDim = 4).collect()
+    def fvec(r: org.apache.spark.sql.Row): Seq[Float] = r.getSeq[Float](r.fieldIndex("features"))
+    assert(feats.forall(fvec(_).length === 4))
+    // Deterministic stub: same payload -> same features.
+    val again = Multimodal.extractFeatures(media, featureDim = 4).collect()
+    assert(feats.map(fvec).toSeq === again.map(fvec).toSeq)
+    assert(feats.map(_.getAs[Int]("payload_size")).toSet === Set(11, 6))
+  }
+
+  test("simhash64 is deterministic and order-sensitive only through tokens") {
+    val a = Dedup.simhash64("hello world foo bar")
+    val b = Dedup.simhash64("hello world foo bar")
+    val c = Dedup.simhash64("hello world foo baz")
+    assert(a === b)
+    assert(java.lang.Long.bitCount(a ^ c) <= 16) // one token changed -> small drift
+    assert(a !== c)
+  }
+}
