@@ -359,10 +359,17 @@ object SparkEntry {
     "embedding_pairs_exact" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").filter(col("vec_id") < 500)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      val a = e.select(col("vec_id").as("id_a"), col("e").as("e_a"))
-      val b = e.select(col("vec_id").as("id_b"), col("e").as("e_b"))
-      a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cosine", Similarity.cosine(col("e_a"), col("e_b")))
+        .withColumn("nrm", Similarity.l2norm(col("e")))
+      // The streamed side of the broadcast NLJ is one parquet partition;
+      // spread it so pair evaluation uses every core.
+      val a = e.select(col("vec_id").as("id_a"), col("e").as("e_a"), col("nrm").as("n_a"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val b = e.select(col("vec_id").as("id_b"), col("e").as("e_b"), col("nrm").as("n_b"))
+      // broadcast() pins a BroadcastNestedLoopJoin for the non-equi pair
+      // condition — without it the planner can flip to a 32×32-task
+      // CartesianProduct whose scheduling overhead dwarfs the compute.
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("cosine", Similarity.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
         .filter(col("cosine") >= 0.35)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
     }),

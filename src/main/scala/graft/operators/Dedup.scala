@@ -67,31 +67,39 @@ object Dedup {
       rowsPerBand: Int = 4,
       jaccardThreshold: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val withSig = df
+    // Shingle sets are needed twice (signature + verification) and the
+    // banded keys twice (both sides of the self-join); persist both so the
+    // expensive shingle/minhash computation runs once. At 100 TB these
+    // become materialized intermediate tables; MEMORY_AND_DISK spills
+    // gracefully either way.
+    val sh = df
       .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Banding: only (id, band, bucket) travels through the self-join —
+    // never the shingle arrays (they'd dominate shuffle volume).
+    val banded = sh
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Explode into (band, bucket) keys: bucket = hash of that band's slice.
-    val banded = withSig.select(
-      col("id"), col("sh"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band"), col("bb.bucket"))
-
-    // Candidate pairs: same (band, bucket), id_a < id_b; dedup across bands.
-    val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val candidates = left.join(right,
-        left("band") === right("band") && left("bucket") === right("bucket") &&
-          left("id_a") < right("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    // Verify with exact Jaccard.
+    // Verify candidates with exact Jaccard, fetching shingle sets by id.
     candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
@@ -188,11 +196,13 @@ object Dedup {
       cosineThreshold: Double = 0.95,
       planes: Int = 16): DataFrame = {
     val banded = Similarity.hyperplaneBuckets(df, idCol, vecCol, dim, planes, bands = 4)
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
     l.join(r, l("band") === r("band") && l("bucket") === r("bucket") && l("id_a") < r("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .withColumn("cosine", Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cosine") >= cosineThreshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }

