@@ -14,7 +14,8 @@ final case class XlsxOptions(
     compression: Int,             // deflate level 0-9 (write)
     inferSchemaRows: Int,         // rows sampled for schema inference (read)
     maxRowsPerSheet: Long,        // write: rollover before Excel's 1,048,576-row limit
-    protectPassword: Option[String] // write: sheet protection
+    protectPassword: Option[String], // write: sheet protection
+    columnWidths: Seq[Double]     // write: per-column widths, 1:1 with schema order
 ) extends Serializable
 
 object XlsxOptions {
@@ -29,7 +30,9 @@ object XlsxOptions {
     compression = m.getInt("compression", 6),
     inferSchemaRows = m.getInt("inferSchemaRows", 1000),
     maxRowsPerSheet = math.min(m.getLong("maxRowsPerSheet", ExcelMaxRows), ExcelMaxRows),
-    protectPassword = Option(m.get("protect.password"))
+    protectPassword = Option(m.get("protect.password")),
+    columnWidths = Option(m.get("columnWidths")).map(_.split(",").toSeq.map(_.trim.toDouble))
+      .getOrElse(Seq.empty)
   )
 
   def fromMap(m: java.util.Map[String, String]): XlsxOptions =

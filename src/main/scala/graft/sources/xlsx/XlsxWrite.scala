@@ -109,7 +109,8 @@ final class XlsxDataWriter(
 
   private def newSheet(): Unit = {
     sheetNo += 1
-    writer.addSheet(if (sheetNo == 1) baseSheet else s"$baseSheet$sheetNo")
+    writer.addSheet(if (sheetNo == 1) baseSheet else s"$baseSheet$sheetNo",
+      opts.columnWidths.zipWithIndex.map { case (w, i) => (i + 1, w) })
     opts.protectPassword.foreach(p => writer.protectSheet(ProtectionOptions(password = Some(p))))
     if (opts.header) writer.writeHeaderBold(fields.map(_.name))
     rowsInSheet = 0L

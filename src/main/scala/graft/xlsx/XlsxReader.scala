@@ -260,21 +260,29 @@ object XlsxReader {
           else if (formula != null) CellValue.Formula(formula)
           else CellValue.Empty
         case _ => // untyped numeric / date / formula
+          val isDateStyle = styleId.exists(DateStyles.contains)
           if (v == null) {
             if (formula != null) CellValue.Formula(formula) else CellValue.Empty
-          } else v.toDoubleOption match {
-            case Some(num) =>
-              // Timestamp styles accept fractional serials (the reference's
-              // integral-only heuristic at src/streaming_reader.rs:699 loses
-              // the time part it wrote itself — deviation, fixed here).
-              val isDateStyle = styleId.exists(DateStyles.contains)
-              if (isDateStyle && num >= ExcelDate.MinSerial && num <= ExcelDate.MaxSerial)
-                CellValue.DateTime(num)
-              else if (num == math.rint(num) && !num.isInfinite &&
-                       num >= Long.MinValue.toDouble && num <= Long.MaxValue.toDouble)
-                CellValue.IntVal(num.toLong)
-              else CellValue.FloatVal(num)
-            case None => CellValue.Str(v)
+          } else v.toLongOption match {
+            // Exact long parse first: the reference routes every numeric
+            // through f64 (ref: src/streaming_reader.rs:687) and silently
+            // corrupts integers beyond 2^53 — deviation, fixed here.
+            case Some(l) =>
+              if (isDateStyle && l >= 1L && l <= 2958465L) CellValue.DateTime(l.toDouble)
+              else CellValue.IntVal(l)
+            case None => v.toDoubleOption match {
+              case Some(num) =>
+                // Timestamp styles accept fractional serials (the reference's
+                // integral-only heuristic at src/streaming_reader.rs:699 loses
+                // the time part it wrote itself — deviation, fixed here).
+                if (isDateStyle && num >= ExcelDate.MinSerial && num <= ExcelDate.MaxSerial)
+                  CellValue.DateTime(num)
+                else if (num == math.rint(num) && !num.isInfinite &&
+                         num >= Long.MinValue.toDouble && num <= Long.MaxValue.toDouble)
+                  CellValue.IntVal(num.toLong)
+                else CellValue.FloatVal(num)
+              case None => CellValue.Str(v)
+            }
           }
       }
     }

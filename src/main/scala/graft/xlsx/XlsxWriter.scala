@@ -39,13 +39,29 @@ final class XlsxWriter(out: OutputStream, compressionLevel: Int = 6) {
   def sheets: Seq[String] = sheetNames
   def rowsInCurrentSheet: Int = currentRow
 
-  /** Start a new worksheet; finishes the previous one. */
-  def addSheet(name: String): Unit = {
+  /** Start a new worksheet; finishes the previous one.
+    *
+    * `colWidths` emits a real `<cols>` element (1-based column → width in
+    * Excel character units). The reference's `set_column_width` is a
+    * silent no-op stub (ref: src/fast_writer/ultra_low_memory.rs:74-82) —
+    * implemented for real here, a documented deviation (SURVEY §7.5). */
+  def addSheet(name: String, colWidths: Seq[(Int, Double)] = Nil): Unit = {
     finishSheet()
     sheetNames :+= name
     zip.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${sheetNames.size}.xml"))
     write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""")
+    if (colWidths.nonEmpty) {
+      sb.setLength(0)
+      sb.append("<cols>")
+      colWidths.foreach { case (col1, width) =>
+        sb.append("<col min=\"").append(col1).append("\" max=\"").append(col1)
+          .append("\" width=\"").append(width).append("\" customWidth=\"1\"/>")
+      }
+      sb.append("</cols>")
+      write(sb.toString)
+    }
+    write("<sheetData>")
     inSheet = true
     currentRow = 0
     protection = None
