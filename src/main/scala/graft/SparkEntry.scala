@@ -134,6 +134,52 @@ object SparkEntry {
       semi.unionByName(anti)
     }),
 
+    "join_outer" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("sum_price"))),
+
+    "agg_cube" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .cube(col("r_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    "percentiles" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"))),
+
+    "exists_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("v_orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql("""SELECT o_orderkey FROM v_orders
+               WHERE EXISTS (SELECT 1 FROM v_lineitem
+                             WHERE l_orderkey = o_orderkey AND l_quantity > 45)""")
+    }),
+
+    "scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("v_orders2")
+      s.sql("""SELECT o_orderkey, round(o_totalprice, 2) AS price FROM v_orders2
+               WHERE o_totalprice > (SELECT avg(o_totalprice) FROM v_orders2)""")
+    }),
+
+    "pivot_conditional" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          count(when(col("event_type") === "click", 1)).as("n_click"),
+          count(when(col("event_type") === "view", 1)).as("n_view"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+          count(when(col("event_type") === "signup", 1)).as("n_signup"),
+          count(when(col("event_type") === "error", 1)).as("n_error"))
+    }),
+
     "agg_rollup" -> ((s, dir) =>
       t(s, dir, "customer")
         .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
@@ -304,6 +350,20 @@ object SparkEntry {
           min(col("l_shipdate").cast("date")).as("min_ship"))
     }),
 
+    "csv_zstd_roundtrip" -> ((s, dir) => {
+      // .csv.zst parity (ref: src/csv_writer.rs:85-108) via the pure-JVM
+      // zstd codec — Hadoop's needs native libs.
+      graft.sources.csv.ZstdCodec.register(s)
+      val p = work(dir, "csv_zstd_roundtrip")
+      li4(s, dir).repartition(4).write.mode("overwrite")
+        .option("header", "true")
+        .option("compression", graft.sources.csv.ZstdCodec.Name).csv(p)
+      s.read.schema("l_orderkey BIGINT, l_quantity DOUBLE, l_returnflag STRING, l_shipdate TIMESTAMP")
+        .option("header", "true").csv(p)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
     "csv_escaping" -> ((s, dir) => {
       val p = work(dir, "csv_escaping")
       t(s, dir, "documents")
@@ -472,6 +532,43 @@ object SparkEntry {
       """SELECT c_custkey, c_custkey IN (SELECT o_custkey FROM orders) AS has_orders
          FROM customer""",
 
+    "join_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+                round(coalesce(sum(o_totalprice), 0.0), 2) AS sum_price
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey""",
+
+    "agg_cube" ->
+      """SELECT r_name, c_mktsegment, count(*) AS cnt
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY CUBE (r_name, c_mktsegment)""",
+
+    "percentiles" ->
+      """SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+                round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+         FROM orders""",
+
+    "exists_subquery" ->
+      """SELECT o_orderkey FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity > 45)""",
+
+    "scalar_subquery" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""",
+
+    "pivot_conditional" ->
+      """SELECT user_id,
+                count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                count(*) FILTER (WHERE event_type = 'view') AS n_view,
+                count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                count(*) FILTER (WHERE event_type = 'error') AS n_error
+         FROM events GROUP BY user_id""",
+
     "agg_rollup" ->
       """SELECT r_name, n_name, count(*) AS cnt, round(sum(c_acctbal), 2) AS sum_bal
          FROM customer
@@ -577,6 +674,10 @@ object SparkEntry {
     "csv_roundtrip" ->
       """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
                 min(CAST(l_shipdate AS DATE)) AS min_ship
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "csv_zstd_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem GROUP BY l_returnflag""",
 
     "csv_escaping" ->

@@ -63,21 +63,26 @@ object XlsxTable {
       .getOrElse(Seq.empty)
   }
 
-  /** Expand files/dirs/globs to concrete .xlsx file paths. */
-  def listFiles(paths: Seq[String], conf: Configuration): Seq[String] = paths.flatMap { p =>
-    val path = new Path(p)
-    val fs = path.getFileSystem(conf)
-    val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
-    if (matched.isEmpty && !fs.exists(path))
-      throw new IllegalArgumentException(s"xlsx path does not exist: $p")
-    matched.flatMap { st =>
-      if (st.isDirectory)
-        fs.listStatus(st.getPath).toSeq
-          .filter(f => f.isFile && f.getPath.getName.toLowerCase.endsWith(".xlsx") && !f.getPath.getName.startsWith("_"))
-          .map(_.getPath.toString)
-      else Seq(st.getPath.toString)
-    }
-  }.sorted
+  /** Expand files/dirs/globs to concrete .xlsx (path, byteSize) pairs —
+    * sizes come free from the listing and feed scan statistics. */
+  def listFilesWithSize(paths: Seq[String], conf: Configuration): Seq[(String, Long)] =
+    paths.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+      if (matched.isEmpty && !fs.exists(path))
+        throw new IllegalArgumentException(s"xlsx path does not exist: $p")
+      matched.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq
+            .filter(f => f.isFile && f.getPath.getName.toLowerCase.endsWith(".xlsx") && !f.getPath.getName.startsWith("_"))
+            .map(f => (f.getPath.toString, f.getLen))
+        else Seq((st.getPath.toString, st.getLen))
+      }
+    }.sortBy(_._1)
+
+  def listFiles(paths: Seq[String], conf: Configuration): Seq[String] =
+    listFilesWithSize(paths, conf).map(_._1)
 
   def openReader(file: String, conf: Configuration): XlsxReader = {
     val path = new Path(file)

@@ -3,6 +3,8 @@ package graft.sources.xlsx
 import graft.xlsx.{CellValue, ExcelDate}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import java.util.OptionalLong
+
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -40,19 +42,30 @@ final class XlsxScan(
     opts: XlsxOptions,
     paths: Seq[String],
     conf: SerializableConfiguration
-) extends Scan with Batch {
+) extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"xlsx paths=${paths.mkString(",")} columns=${required.fieldNames.mkString(",")}"
 
+  /** Compressed byte size from the file listing (free); XML expands ~5×
+    * over the ZIP, so report that to keep join-side size estimates sane. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val bytes =
+      XlsxTable.listFilesWithSize(paths, conf.value).map(_._2).sum * 5
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
+    // One partition per file; the sheet *spec* (not resolved names) rides
+    // along and executors resolve it when they open the file anyway.
+    // Resolving here would open every ZIP on the driver — 10k files =
+    // 10k driver-side opens before the first task launches.
     val files = XlsxTable.listFiles(paths, conf.value)
-    files.flatMap { f =>
-      val sheets = XlsxTable.selectSheets(XlsxTable.openReader(f, conf.value), opts)
-      sheets.map(s => XlsxInputPartition(f, s): InputPartition)
-    }.toArray
+    files.map(f => XlsxInputPartition(f, opts.sheet, opts.sheetIndex, opts.allSheets): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -62,7 +75,11 @@ final class XlsxScan(
   }
 }
 
-final case class XlsxInputPartition(file: String, sheet: String) extends InputPartition
+final case class XlsxInputPartition(
+    file: String,
+    sheet: Option[String],
+    sheetIndex: Option[Int],
+    allSheets: Boolean) extends InputPartition
 
 final case class XlsxReaderFactory(
     required: StructType,
@@ -72,15 +89,15 @@ final case class XlsxReaderFactory(
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[XlsxInputPartition]
-    new XlsxPartitionReader(p.file, p.sheet, required, srcIdx, header, conf.value)
+    new XlsxPartitionReader(p, required, srcIdx, header, conf.value)
   }
 }
 
-/** Streams one sheet of one file as InternalRows — constant memory, same
-  * profile as the reference's RowIterator (ref: src/streaming_reader.rs:523-590). */
+/** Streams the selected sheets of one file as InternalRows — constant
+  * memory, same profile as the reference's RowIterator
+  * (ref: src/streaming_reader.rs:523-590). */
 final class XlsxPartitionReader(
-    file: String,
-    sheet: String,
+    partition: XlsxInputPartition,
     required: StructType,
     srcIdx: Array[Int],
     header: Boolean,
@@ -88,9 +105,18 @@ final class XlsxPartitionReader(
 ) extends PartitionReader[InternalRow] {
 
   private val rows: Iterator[Vector[CellValue]] = {
-    val it = XlsxTable.openReader(file, conf).rows(sheet)
-    if (header && it.hasNext) it.next() // skip header row
-    it
+    val reader = XlsxTable.openReader(partition.file, conf)
+    val opts = XlsxOptions(
+      sheet = partition.sheet, sheetIndex = partition.sheetIndex,
+      allSheets = partition.allSheets, header = header, compression = 6,
+      inferSchemaRows = 0, maxRowsPerSheet = XlsxOptions.ExcelMaxRows,
+      protectPassword = None, columnWidths = Seq.empty)
+    val sheets = XlsxTable.selectSheets(reader, opts)
+    sheets.iterator.flatMap { s =>
+      val it = reader.rows(s)
+      if (header && it.hasNext) it.next() // skip header row per sheet
+      it
+    }
   }
   private var current: InternalRow = _
   private val width = srcIdx.length

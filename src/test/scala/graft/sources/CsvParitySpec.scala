@@ -1,0 +1,76 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CSV dialect/compression parity with the reference (SURVEY §2.1 S5 /
+  * §2.2 K4): custom delimiter + quote, gzip and zstd containers, quoting
+  * of embedded delimiters/quotes/newlines. All through Spark's built-in
+  * CSV source — the point is to pin that the built-ins cover the
+  * reference's surface. */
+class CsvParitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def roundtrip(compression: Option[String], sep: String = ",", quote: String = "\""): Long = {
+    val dir = Files.createTempDirectory("csvp").toString + "/d"
+    val df = spark.range(100).selectExpr("id", "concat('v;,\"', id) AS s")
+    val w = df.coalesce(1).write.mode("overwrite")
+      .option("header", "true").option("sep", sep).option("quote", quote)
+    compression.fold(w)(c => w.option("compression", c)).csv(dir)
+    val back = spark.read.schema("id BIGINT, s STRING")
+      .option("header", "true").option("sep", sep).option("quote", quote).csv(dir)
+    assert(back.filter(col("s") === concat(lit("v;,\""), col("id"))).count() === 100)
+    back.count()
+  }
+
+  test("plain + custom delimiter/quote (ref: csv_reader delimiter/quote_char builders)") {
+    assert(roundtrip(None) === 100)
+    assert(roundtrip(None, sep = ";", quote = "'") === 100)
+  }
+
+  test("gzip container (ref: .csv.gz, Deflate-6)") {
+    assert(roundtrip(Some("gzip")) === 100)
+  }
+
+  test("zstd container via graft ZstdCodec (ref: .csv.zst, Zstd-3)") {
+    // Hadoop's built-in zstd needs native libhadoop (absent here); the
+    // graft codec wraps Spark's bundled zstd-jni instead.
+    graft.sources.csv.ZstdCodec.register(spark)
+    assert(roundtrip(Some(graft.sources.csv.ZstdCodec.Name)) === 100)
+    // and the files really are .zst
+    val dir = Files.createTempDirectory("csvz").toString + "/d"
+    spark.range(10).coalesce(1).write.mode("overwrite")
+      .option("compression", graft.sources.csv.ZstdCodec.Name).csv(dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".csv.zst")), files.mkString(","))
+    // bytes start with the zstd magic 28 B5 2F FD
+    val zf = new java.io.File(dir).listFiles().find(_.getName.endsWith(".zst")).get
+    val head = java.nio.file.Files.readAllBytes(zf.toPath).take(4)
+    assert(head.map(_ & 0xFF).toSeq === Seq(0x28, 0xB5, 0x2F, 0xFD))
+  }
+
+  test("embedded newline fields need multiLine on read — the reference's line-based reader cannot do this at all (csv_reader.rs:197-252)") {
+    val dir = Files.createTempDirectory("csvml").toString + "/d"
+    spark.sql("SELECT 1 AS id, 'line1\nline2' AS s")
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.schema("id INT, s STRING")
+      .option("header", "true").option("multiLine", "true").csv(dir)
+    assert(back.collect()(0).getString(1) === "line1\nline2")
+  }
+}
