@@ -8,9 +8,51 @@ import graft.xlsx._
   * Usage:
   *   XlsxCli demo <out.xlsx>          write a typed multi-sheet demo file
   *   XlsxCli dump <in.xlsx> [sheet]   print sheets, dimensions and rows
+  *   XlsxCli bench [rows] [cols]      single-thread write+read throughput
+  *                                    (default 1M x 30 — the reference's
+  *                                    own benchmark config,
+  *                                    ref: QUICKSTART.md:187-193)
   */
 object XlsxCli {
   def main(args: Array[String]): Unit = args.toList match {
+    case "bench" :: rest =>
+      val rows = rest.headOption.map(_.toInt).getOrElse(1000000)
+      val cols = rest.lift(1).map(_.toInt).getOrElse(30)
+      val out = java.io.File.createTempFile("graft_bench", ".xlsx")
+      import CellValue._
+      val runtime = Runtime.getRuntime
+      def usedMb: Long = (runtime.totalMemory - runtime.freeMemory) / 1048576
+      System.gc(); val memBefore = usedMb
+      val t0 = System.nanoTime()
+      val w = new XlsxWriter(new java.io.FileOutputStream(out), 6)
+      w.addSheet("bench")
+      val row = new Array[CellValue](cols)
+      var r = 0
+      while (r < rows) {
+        var c = 0
+        while (c < cols) {
+          row(c) = (c % 4: @unchecked) match {
+            case 0 => IntVal(r.toLong * c)
+            case 1 => FloatVal(r * 1.5 + c)
+            case 2 => Str(s"cell-$r-$c")
+            case 3 => BoolVal((r + c) % 2 == 0)
+          }
+          c += 1
+        }
+        w.writeRowTyped(row)
+        r += 1
+      }
+      w.close()
+      val writeSec = (System.nanoTime() - t0) / 1e9
+      val memAfterWrite = usedMb
+      val t1 = System.nanoTime()
+      var readRows = 0L
+      XlsxReader.forFile(out.getPath).rowsByIndex(0).foreach(_ => readRows += 1)
+      val readSec = (System.nanoTime() - t1) / 1e9
+      println(f"write: $rows rows x $cols cols in $writeSec%.2f s = ${rows / writeSec}%.0f rows/s")
+      println(f"read:  $readRows rows in $readSec%.2f s = ${readRows / readSec}%.0f rows/s")
+      println(f"file:  ${out.length() / 1048576.0}%.1f MB; heap delta during write ~${memAfterWrite - memBefore} MB")
+      out.delete()
     case "demo" :: out :: Nil =>
       import CellValue._
       val w = new XlsxWriter(new java.io.FileOutputStream(out), 6)

@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native expressions injected via spark.sql.extensions: values match the
+  * UDF path, constant-folding applies, and codegen doesn't fall back. */
+class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-extensions-spec")
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("excel_serial_decode: goldens incl. the 1900-bug hole and time part") {
+    val rows = spark.sql(
+      """SELECT excel_serial_decode(44562.5) AS a, excel_serial_decode(59.0) AS b,
+                excel_serial_decode(60.0) AS c, excel_serial_decode(0.5) AS d""").collect()(0)
+    assert(rows.getString(0) === "2022-01-01 12:00:00")
+    assert(rows.getString(1) === "1900-02-28")
+    assert(rows.getString(2) === "1900-02-28") // serial 60 = nonexistent 1900-02-29
+    assert(rows.isNullAt(3)) // below valid range
+  }
+
+  test("col_letter and xml_escape work over a column (codegen path)") {
+    val df = spark.range(800).selectExpr(
+      "col_letter(CAST(id AS INT)) AS letter",
+      "xml_escape(concat('a<', id, '>&')) AS esc")
+    val r = df.filter("letter = 'AB'").collect()
+    assert(r.length === 1)
+    assert(r(0).getString(1) === "a&lt;27&gt;&amp;")
+    // whole-stage codegen did not fall back to interpreted mode
+    // (the `*(n)` prefix marks codegen'd spans in the plan string)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan)
+  }
+
+  test("constant folding: literal input folds at optimization time") {
+    val optimized = spark.sql("SELECT excel_serial_decode(44562.0) AS d")
+      .queryExecution.optimizedPlan.toString
+    assert(optimized.contains("2022-01-01"), optimized)
+  }
+
+  test("null propagation") {
+    val r = spark.sql("SELECT excel_serial_decode(CAST(NULL AS DOUBLE)) AS a, col_letter(CAST(NULL AS INT)) AS b").collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+}
