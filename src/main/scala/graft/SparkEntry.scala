@@ -203,6 +203,13 @@ object SparkEntry {
           col("cnt"), col("sum_value"))
     }),
 
+    "sessionize" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val events = t(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      graft.streaming.Sessionize.sessionsBatch(events, gapMinutes = 30)
+    }),
+
     // ===== scalar/conversion function surface (SURVEY §2.4) =====
 
     "date_serial_decode" -> ((s, dir) => {
@@ -580,6 +587,22 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
                 count(*) AS cnt, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    "sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events),
+         numbered AS (
+           SELECT user_id, ts,
+                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, min(ts) AS start_ts, max(ts) AS end_ts,
+                count(*) AS n_events
+         FROM numbered GROUP BY user_id, session_id""",
 
     "date_serial_decode" ->
       """WITH serials AS (

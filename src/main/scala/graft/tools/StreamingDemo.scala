@@ -40,6 +40,22 @@ object StreamingDemo {
       .option("header", "true").option("allSheets", "true").load(out)
     println(s"windows=${result.count()} events_in=${events.count()} " +
       s"events_aggregated=${result.agg(sum("cnt")).collect()(0).getLong(0)}")
+
+    // Stateful sessionization: stream (flatMapGroupsWithState) vs batch twin.
+    val sessStream = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(in)
+    val sq = graft.streaming.Sessionize.sessionsStreaming(spark, sessStream)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/sess_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("demo_sessions").start()
+    sq.awaitTermination(120000)
+    val streamedSessions = spark.table("demo_sessions").count()
+    val batchSessions = graft.streaming.Sessionize.sessionsBatch(events).count()
+    val openSessions = events.select("user_id").distinct().count() // one open per user
+    println(s"sessions_streamed=$streamedSessions sessions_batch=$batchSessions " +
+      s"open_per_user=$openSessions consistent=${streamedSessions == batchSessions - openSessions}")
     spark.stop()
   }
 }
