@@ -478,8 +478,9 @@ object SparkEntry {
 
   /** Headline subset timed by graft.Bench (one per operator family). */
   val benchQueries: Seq[String] = Seq(
-    "agg_groupby", "join_hash", "join_broadcast", "window_rank",
-    "sort_limit_topk", "agg_rollup", "events_window",
+    "agg_groupby", "join_hash", "join_broadcast", "join_outer", "window_rank",
+    "sort_limit_topk", "agg_rollup", "percentiles", "pivot_conditional",
+    "events_window", "sessionize",
     "xlsx_roundtrip", "xlsx_multisheet", "csv_roundtrip", "parquet_stringify",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
     "text_stats", "doc_fingerprint", "ann_bruteforce", "ann_lsh",

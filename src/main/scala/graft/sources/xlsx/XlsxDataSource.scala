@@ -113,7 +113,9 @@ object XlsxTable {
     val reader = openReader(files.head, conf)
     val sheets = selectSheets(reader, opts)
     require(sheets.nonEmpty, s"workbook has no sheets: ${files.head}")
-    SchemaInference.infer(reader.rows(sheets.head), opts.header, opts.inferSchemaRows)
+    val it = reader.rows(sheets.head)
+    try SchemaInference.infer(it, opts.header, opts.inferSchemaRows)
+    finally it.close() // sampling rarely exhausts the sheet
   }
 }
 

@@ -104,6 +104,11 @@ final class XlsxPartitionReader(
     conf: org.apache.hadoop.conf.Configuration
 ) extends PartitionReader[InternalRow] {
 
+  // Track the currently-open sheet iterator so close() can release its
+  // ZIP/XML streams when Spark stops early (LIMIT, task kill) — relying on
+  // exhaustion alone would leak a file descriptor per truncated read.
+  private var openIter: graft.xlsx.XlsxReader.RowIter = _
+
   private val rows: Iterator[Vector[CellValue]] = {
     val reader = XlsxTable.openReader(partition.file, conf)
     val opts = XlsxOptions(
@@ -114,6 +119,7 @@ final class XlsxPartitionReader(
     val sheets = XlsxTable.selectSheets(reader, opts)
     sheets.iterator.flatMap { s =>
       val it = reader.rows(s)
+      openIter = it
       if (header && it.hasNext) it.next() // skip header row per sheet
       it
     }
@@ -138,7 +144,7 @@ final class XlsxPartitionReader(
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = () // iterator closes its stream on exhaustion
+  override def close(): Unit = if (openIter != null) openIter.close()
 }
 
 object XlsxPartitionReader {

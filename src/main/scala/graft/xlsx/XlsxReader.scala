@@ -69,16 +69,16 @@ final class XlsxReader(openStream: () => InputStream) {
     }.getOrElse(Vector.empty)
 
   /** Stream rows of one sheet. The returned iterator owns a stream; it is
-    * closed when exhausted (or call close() on partial reads via the
-    * returned handle's completion). */
-  def rows(sheetName: String): Iterator[Vector[CellValue]] = {
+    * closed automatically on exhaustion. Callers that may stop early
+    * (e.g. LIMIT) must call `close()` — it is idempotent. */
+  def rows(sheetName: String): XlsxReader.RowIter = {
     val path = sheetCatalog.collectFirst { case (n, p) if n == sheetName => p }
       .getOrElse(throw new IllegalArgumentException(
         s"sheet '$sheetName' not found; sheets: ${sheetNames.mkString(", ")}"))
     rowsAt(path)
   }
 
-  def rowsByIndex(i: Int): Iterator[Vector[CellValue]] = {
+  def rowsByIndex(i: Int): XlsxReader.RowIter = {
     require(i >= 0 && i < sheetCatalog.size, s"sheet index $i out of range")
     rowsAt(sheetCatalog(i)._2)
   }
@@ -92,10 +92,10 @@ final class XlsxReader(openStream: () => InputStream) {
     (nRows, maxCols)
   }
 
-  private def rowsAt(path: String): Iterator[Vector[CellValue]] = {
+  private def rowsAt(path: String): XlsxReader.RowIter = {
     val sst = sharedStrings
     val (zis, found) = seekEntry(path)
-    if (!found) { zis.close(); return Iterator.empty }
+    if (!found) { zis.close(); return XlsxReader.RowIter.empty }
     val xr = factory.createXMLStreamReader(zis)
     new RowIterator(xr, zis, sst)
   }
@@ -136,6 +136,18 @@ final class XlsxReader(openStream: () => InputStream) {
 
 object XlsxReader {
 
+  /** Row iterator owning its ZIP/XML streams; close() is idempotent and
+    * called automatically on exhaustion. */
+  trait RowIter extends Iterator[Vector[CellValue]] with AutoCloseable
+
+  object RowIter {
+    val empty: RowIter = new RowIter {
+      override def hasNext: Boolean = false
+      override def next(): Vector[CellValue] = throw new NoSuchElementException
+      override def close(): Unit = ()
+    }
+  }
+
   def forFile(path: String): XlsxReader =
     new XlsxReader(() => new java.io.FileInputStream(path))
 
@@ -173,11 +185,13 @@ object XlsxReader {
       xr: XMLStreamReader,
       underlying: java.io.Closeable,
       sst: Vector[String]
-  ) extends Iterator[Vector[CellValue]] {
+  ) extends RowIter {
 
     private var nextRow: Vector[CellValue] = _
     private var done = false
     advance()
+
+    override def close(): Unit = finish()
 
     override def hasNext: Boolean = !done
     override def next(): Vector[CellValue] = {
@@ -201,9 +215,13 @@ object XlsxReader {
       }
     }
 
+    private var closed = false
     private def finish(): Unit = {
       done = true
-      try xr.close() finally underlying.close()
+      if (!closed) {
+        closed = true
+        try xr.close() finally underlying.close()
+      }
     }
 
     private def parseRow(): Vector[CellValue] = {

@@ -108,6 +108,19 @@ class XlsxDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.orderBy("id").collect().map(_.getString(1)).take(2).toSeq === Seq("0", "1.5"))
   }
 
+  test("early-terminated reads (LIMIT) release file descriptors") {
+    val dir = tmp() + "/t9"
+    spark.range(20000).selectExpr("id", "concat('r', id) AS s").coalesce(1)
+      .write.mode("overwrite").format("xlsx").option("header", "true").save(dir)
+    def openFds(): Int = new java.io.File("/proc/self/fd").list().length
+    val before = openFds()
+    (1 to 30).foreach { _ =>
+      spark.read.format("xlsx").option("header", "true").load(dir).limit(1).collect()
+    }
+    val after = openFds()
+    assert(after - before < 15, s"fd leak: $before -> $after")
+  }
+
   test("mixed-type column degrades to string") {
     val dir = tmp() + "/t8"
     spark.sql("SELECT x FROM VALUES ('1'), ('two'), ('3.5') AS t(x)").coalesce(1)
