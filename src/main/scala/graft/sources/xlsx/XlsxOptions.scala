@@ -15,7 +15,8 @@ final case class XlsxOptions(
     inferSchemaRows: Int,         // rows sampled for schema inference (read)
     maxRowsPerSheet: Long,        // write: rollover before Excel's 1,048,576-row limit
     protectPassword: Option[String], // write: sheet protection
-    columnWidths: Seq[Double]     // write: per-column widths, 1:1 with schema order
+    columnWidths: Seq[Double],    // write: per-column widths, 1:1 with schema order
+    columnStyles: Seq[Int]        // write: per-column style ids, 1:1 with schema order
 ) extends Serializable
 
 object XlsxOptions {
@@ -32,8 +33,37 @@ object XlsxOptions {
     maxRowsPerSheet = math.min(m.getLong("maxRowsPerSheet", ExcelMaxRows), ExcelMaxRows),
     protectPassword = Option(m.get("protect.password")),
     columnWidths = Option(m.get("columnWidths")).map(_.split(",").toSeq.map(_.trim.toDouble))
-      .getOrElse(Seq.empty)
+      .getOrElse(Seq.empty),
+    columnStyles = Option(m.get("columnStyles"))
+      .map(_.split(",").toSeq.map(s => styleByName(s.trim))).getOrElse(Seq.empty)
   )
+
+  /** Style preset names = the reference's CellStyle variants
+    * (ref: src/types.rs:6-45). */
+  private val StyleNames: Map[String, Int] = {
+    import graft.xlsx.CellStyle._
+    Map(
+      "default" -> Default, "headerbold" -> HeaderBold,
+      "numberinteger" -> NumberInteger, "numberdecimal" -> NumberDecimal,
+      "numbercurrency" -> NumberCurrency, "numberpercentage" -> NumberPercentage,
+      "datedefault" -> DateDefault, "datetimestamp" -> DateTimestamp,
+      "datetimeshort" -> DateTimeShort, "textbold" -> TextBold,
+      "textitalic" -> TextItalic, "highlightyellow" -> HighlightYellow,
+      "highlightgreen" -> HighlightGreen, "highlightred" -> HighlightRed,
+      "borderthin" -> BorderThin)
+  }
+
+  def styleByName(name: String): Int = {
+    val id = name.toIntOption.getOrElse(
+      StyleNames.getOrElse(name.toLowerCase,
+        throw new IllegalArgumentException(
+          s"unknown style '$name'; valid: ${StyleNames.keys.toSeq.sorted.mkString(", ")} or a numeric id 0-14")))
+    // styles.xml has exactly 15 cellXfs; an out-of-range s= makes Excel
+    // declare the file corrupt, so reject at option-parse time.
+    require(id >= 0 && id < graft.xlsx.CellStyle.Count,
+      s"style id $id out of range 0-${graft.xlsx.CellStyle.Count - 1}")
+    id
+  }
 
   def fromMap(m: java.util.Map[String, String]): XlsxOptions =
     apply(new CaseInsensitiveStringMap(m))

@@ -115,7 +115,7 @@ final class XlsxPartitionReader(
       sheet = partition.sheet, sheetIndex = partition.sheetIndex,
       allSheets = partition.allSheets, header = header, compression = 6,
       inferSchemaRows = 0, maxRowsPerSheet = XlsxOptions.ExcelMaxRows,
-      protectPassword = None, columnWidths = Seq.empty)
+      protectPassword = None, columnWidths = Seq.empty, columnStyles = Seq.empty)
     val sheets = XlsxTable.selectSheets(reader, opts)
     sheets.iterator.flatMap { s =>
       val it = reader.rows(s)

@@ -103,7 +103,15 @@ final class XlsxDataWriter(
   private val rollover = math.max(1L, opts.maxRowsPerSheet - (if (opts.header) 1 else 0))
   private val fields = schema.fields
   private val getters: Array[InternalRow => (CellValue, Int)] =
-    fields.zipWithIndex.map { case (f, i) => XlsxDataWriter.getter(f.dataType, i) }
+    fields.zipWithIndex.map { case (f, i) =>
+      val base = XlsxDataWriter.getter(f.dataType, i)
+      // Explicit per-column style (reference's write_row_styled surface,
+      // ref: src/writer.rs write_row_styled) overrides the automatic one.
+      opts.columnStyles.lift(i).filter(_ != 0) match {
+        case Some(style) => (r: InternalRow) => (base(r)._1, style)
+        case None        => base
+      }
+    }
 
   newSheet()
 

@@ -19,8 +19,16 @@ import scala.collection.mutable.ArrayBuffer
   * every call; this makes the reader work identically over local files and
   * Hadoop filesystem streams (s3a/gs/hdfs), replacing the reference's
   * bespoke S3 download path (ref: src/cloud/s3_reader.rs:131-199).
+  *
+  * `entryOpener`, when provided, opens one named ZIP entry directly
+  * (random access via the central directory) instead of scanning the
+  * archive from the start — [[XlsxReader.forFile]] wires this with
+  * `java.util.zip.ZipFile`, making repeated sheet access O(entry) rather
+  * than O(archive).
   */
-final class XlsxReader(openStream: () => InputStream) {
+final class XlsxReader(
+    openStream: () => InputStream,
+    entryOpener: Option[String => Option[InputStream]] = None) {
   import XlsxReader._
 
   /** Sheet names in workbook order, resolved to their part paths
@@ -94,34 +102,38 @@ final class XlsxReader(openStream: () => InputStream) {
 
   private def rowsAt(path: String): XlsxReader.RowIter = {
     val sst = sharedStrings
-    val (zis, found) = seekEntry(path)
-    if (!found) { zis.close(); return XlsxReader.RowIter.empty }
-    val xr = factory.createXMLStreamReader(zis)
-    new RowIterator(xr, zis, sst)
+    openEntry(path) match {
+      case None => XlsxReader.RowIter.empty
+      case Some(in) =>
+        val xr = factory.createXMLStreamReader(in)
+        new RowIterator(xr, in, sst)
+    }
   }
 
   // --- ZIP plumbing -------------------------------------------------------
 
-  private def seekEntry(name: String): (ZipInputStream, Boolean) = {
-    val zis = new ZipInputStream(new BufferedInputStream(openStream(), 64 * 1024))
-    var e = zis.getNextEntry
-    while (e != null) {
-      if (e.getName == name) return (zis, true)
-      e = zis.getNextEntry
-    }
-    (zis, false)
+  /** Open one named entry: random access when an entryOpener exists,
+    * scan-from-start otherwise (streaming sources can't seek). */
+  private def openEntry(name: String): Option[InputStream] = entryOpener match {
+    case Some(open) => open(name)
+    case None =>
+      val zis = new ZipInputStream(new BufferedInputStream(openStream(), 64 * 1024))
+      var e = zis.getNextEntry
+      while (e != null) {
+        if (e.getName == name) return Some(zis)
+        e = zis.getNextEntry
+      }
+      zis.close()
+      None
   }
 
-  private def withEntry[T](name: String)(f: XMLStreamReader => T): Option[T] = {
-    val (zis, found) = seekEntry(name)
-    try {
-      if (!found) None
-      else {
-        val xr = factory.createXMLStreamReader(zis)
-        try Some(f(xr)) finally xr.close()
-      }
-    } finally zis.close()
-  }
+  private def withEntry[T](name: String)(f: XMLStreamReader => T): Option[T] =
+    openEntry(name).map { in =>
+      try {
+        val xr = factory.createXMLStreamReader(in)
+        try f(xr) finally xr.close()
+      } finally in.close()
+    }
 
   private def parseRels(xr: XMLStreamReader): Map[String, String] = {
     val m = Map.newBuilder[String, String]
@@ -148,8 +160,22 @@ object XlsxReader {
     }
   }
 
-  def forFile(path: String): XlsxReader =
-    new XlsxReader(() => new java.io.FileInputStream(path))
+  def forFile(path: String): XlsxReader = {
+    // Random access through the ZIP central directory: each entry opens a
+    // fresh ZipFile (cheap — directory read only) whose lifetime is tied
+    // to the returned stream.
+    val opener: String => Option[InputStream] = { name =>
+      val zf = new java.util.zip.ZipFile(path)
+      Option(zf.getEntry(name)) match {
+        case None => zf.close(); None
+        case Some(e) =>
+          Some(new java.io.FilterInputStream(zf.getInputStream(e)) {
+            override def close(): Unit = try super.close() finally zf.close()
+          })
+      }
+    }
+    new XlsxReader(() => new java.io.FileInputStream(path), Some(opener))
+  }
 
   def forBytes(bytes: Array[Byte]): XlsxReader =
     new XlsxReader(() => new java.io.ByteArrayInputStream(bytes))

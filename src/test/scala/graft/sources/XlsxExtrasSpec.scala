@@ -44,6 +44,56 @@ class XlsxExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.count() === 5)
   }
 
+  test("columnStyles option applies reference style presets per column") {
+    val dir = Files.createTempDirectory("xs").toString + "/s"
+    spark.range(3).selectExpr("id", "id * 0.5 AS pct").coalesce(1)
+      .write.mode("overwrite").format("xlsx")
+      .option("header", "true")
+      .option("columnStyles", "HighlightYellow,NumberPercentage").save(dir)
+    val f = new java.io.File(dir).listFiles().find(_.getName.endsWith(".xlsx")).get
+    val zip = new java.util.zip.ZipFile(f)
+    val xml = new String(zip.getInputStream(zip.getEntry("xl/worksheets/sheet1.xml")).readAllBytes())
+    zip.close()
+    assert(xml.contains("s=\"10\""), xml) // HighlightYellow id
+    assert(xml.contains("s=\"5\""), xml)  // NumberPercentage id
+    // values still roundtrip
+    val back = spark.read.format("xlsx").option("header", "true").load(dir)
+    assert(back.count() === 3)
+    // bad style name errors loudly
+    val e = intercept[Exception] {
+      spark.range(1).coalesce(1).write.mode("overwrite").format("xlsx")
+        .option("columnStyles", "NoSuchStyle").save(dir + "2")
+    }
+    assert(e.getMessage.contains("unknown style") || e.getCause.getMessage.contains("unknown style"))
+  }
+
+  test("XlsxAppend: rewrite-based file append preserves sheets, types and date styles") {
+    import graft.xlsx._
+    import CellValue._
+    val f = Files.createTempDirectory("xa").toString + "/wb.xlsx"
+    val w = new XlsxWriter(new java.io.FileOutputStream(f))
+    w.addSheet("data")
+    w.writeRowStyled(Seq((Str("start"), 0), (DateTime(44562.0), CellStyle.DateDefault)))
+    w.addSheet("other")
+    w.writeRowTyped(Seq(IntVal(7)))
+    w.close()
+
+    XlsxAppend.appendRows(f, Seq(Seq(Str("appended"), DateTime(44563.5))), Some("data"))
+
+    val r = XlsxReader.forFile(f)
+    assert(r.sheetNames === Seq("data", "other"))
+    val data = r.rows("data").toVector
+    assert(data.size === 2)
+    assert(data(0) === Vector(Str("start"), DateTime(44562.0)))
+    assert(data(1) === Vector(Str("appended"), DateTime(44563.5))) // date style survived rewrite
+    assert(r.rows("other").toVector === Vector(Vector(IntVal(7))))
+    // appending to a missing sheet errors loudly
+    val e = intercept[IllegalArgumentException] {
+      XlsxAppend.appendRows(f, Seq(Seq(Str("x"))), Some("nope"))
+    }
+    assert(e.getMessage.contains("not found"))
+  }
+
   test("in-memory workbook bytes: the HTTP-response pattern") {
     val df = spark.sql(
       "SELECT id, id * 2.5 AS v, date_add(DATE'2024-01-01', CAST(id AS INT)) AS d FROM range(10)")
