@@ -86,8 +86,15 @@ object XlsxTable {
 
   def openReader(file: String, conf: Configuration): XlsxReader = {
     val path = new Path(file)
-    val fs = path.getFileSystem(conf)
-    new XlsxReader(() => fs.open(path))
+    val uri = path.toUri
+    // Local files get ZIP central-directory random access (no per-entry
+    // archive rescan); remote filesystems stream.
+    if (uri.getScheme == null || uri.getScheme == "file")
+      XlsxReader.forFile(uri.getPath)
+    else {
+      val fs = path.getFileSystem(conf)
+      new XlsxReader(() => fs.open(path))
+    }
   }
 
   /** Select sheet names for one file per options (default: first sheet,
