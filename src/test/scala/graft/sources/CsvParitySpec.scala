@@ -65,6 +65,50 @@ class CsvParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(head.map(_ & 0xFF).toSeq === Seq(0x28, 0xB5, 0x2F, 0xFD))
   }
 
+  test("B12: reference CSV corpus — parser cases roundtrip as values (csv/parser.rs:56-131)") {
+    // Every parsed-value case from the reference's parser tests survives a
+    // Spark CSV write→read roundtrip.
+    val cases = Seq("a", "b", "c", "a,b", "Say \"Hello\"", "world", "",
+      "Line 1\nLine 2", "normal", "b,c", "b;c", "hello")
+    val dir = Files.createTempDirectory("b12").toString + "/d"
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(cases.zipWithIndex.map { case (s, i) =>
+        org.apache.spark.sql.Row(i, s) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType))))
+    df.coalesce(1).write.mode("overwrite").option("header", "true")
+      .option("escape", "\"").csv(dir)
+    val back = spark.read.schema("id INT, s STRING")
+      .option("header", "true").option("escape", "\"").option("multiLine", "true").csv(dir)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case (s, i) =>
+      // Spark reads empty string back as null — the documented builtin
+      // convention (nullValue=""), a deviation from the reference.
+      val expected = if (s.isEmpty) null else s
+      assert(back(i) === expected, s"case $i")
+    }
+  }
+
+  test("B12: reference CSV corpus — encoder wire format (csv/encoder.rs:57-122)") {
+    import graft.sources.xlsx.XlsxInMemory
+    def enc(sep: Char, row: Seq[String]): String = {
+      val df = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(row: _*)),
+        org.apache.spark.sql.types.StructType(
+          row.indices.map(i => org.apache.spark.sql.types.StructField(s"c$i",
+            org.apache.spark.sql.types.StringType))))
+      new String(XlsxInMemory.csvBytes(df, sep = sep, header = false)).stripLineEnd
+    }
+    assert(enc(',', Seq("a", "b", "c")) === "a,b,c")
+    assert(enc(',', Seq("a,b", "c")) === "\"a,b\",c")
+    assert(enc(',', Seq("Say \"Hello\"", "world")) === "\"Say \"\"Hello\"\"\",world")
+    assert(enc(',', Seq("Line 1\nLine 2", "normal")) === "\"Line 1\nLine 2\",normal")
+    assert(enc(',', Seq("a", "", "c")) === "a,,c")
+    assert(enc(',', Seq("", "", "")) === ",,")
+    assert(enc(';', Seq("a", "b;c", "d")) === "a;\"b;c\";d")
+  }
+
   test("embedded newline fields need multiLine on read — the reference's line-based reader cannot do this at all (csv_reader.rs:197-252)") {
     val dir = Files.createTempDirectory("csvml").toString + "/d"
     spark.sql("SELECT 1 AS id, 'line1\nline2' AS s")

@@ -94,6 +94,37 @@ class XlsxExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("not found"))
   }
 
+  test("DSv2 sheet-name selection on a multi-sheet workbook (FIXTURES B3)") {
+    import graft.xlsx._
+    import CellValue._
+    val dir = Files.createTempDirectory("ms").toString
+    val f = s"$dir/book.xlsx"
+    val w = new XlsxWriter(new java.io.FileOutputStream(f))
+    w.addSheet("Sales")
+    w.writeRow(Seq("Month", "Revenue"))
+    w.writeRowTyped(Seq(Str("Jan"), IntVal(100)))
+    w.writeRowTyped(Seq(Str("Feb"), IntVal(200)))
+    w.addSheet("Employees")
+    w.writeRow(Seq("ID", "Name"))
+    w.writeRowTyped(Seq(IntVal(1), Str("Alice")))
+    w.close()
+
+    val sales = spark.read.format("xlsx")
+      .option("header", "true").option("sheet", "Sales").load(f)
+    assert(sales.columns.toSeq === Seq("Month", "Revenue"))
+    assert(sales.agg(sum("Revenue")).collect()(0).getLong(0) === 300)
+    val emp = spark.read.format("xlsx")
+      .option("header", "true").option("sheet", "Employees").load(f)
+    assert(emp.collect().map(_.getString(1)).toSeq === Seq("Alice"))
+    // missing sheet errors with the sheet list
+    val e = intercept[Exception] {
+      spark.read.format("xlsx").option("sheet", "Nope").load(f).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " " + msgs(t.getCause)
+    assert(msgs(e).contains("not found"))
+  }
+
   test("in-memory workbook bytes: the HTTP-response pattern") {
     val df = spark.sql(
       "SELECT id, id * 2.5 AS v, date_add(DATE'2024-01-01', CAST(id AS INT)) AS d FROM range(10)")
