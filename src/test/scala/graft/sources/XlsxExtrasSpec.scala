@@ -9,6 +9,14 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Test-only filesystem: local storage behind a non-"file" scheme, so the
+  * DSv2's Hadoop streaming branch (the s3a:// shape) is exercised without
+  * network. */
+class MockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mockfs:///")
+  override def checkPath(path: org.apache.hadoop.fs.Path): Unit = ()
+}
+
 /** Column widths (<cols>) and in-memory workbook/CSV builders. */
 class XlsxExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -123,6 +131,22 @@ class XlsxExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     def msgs(t: Throwable): String =
       if (t == null) "" else t.getMessage + " " + msgs(t.getCause)
     assert(msgs(e).contains("not found"))
+  }
+
+  test("non-local filesystem scheme goes through the Hadoop streaming path (s3a shape)") {
+    // Register an alias scheme backed by the local FS: exercises the
+    // fs.open streaming branch of openReader plus the Hadoop write path —
+    // the same integration shape as s3a:// / gs:// without network.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mockfs.impl", classOf[MockFs].getName)
+    val dir = Files.createTempDirectory("mockfs").toString + "/d"
+    spark.range(100).selectExpr("id", "concat('v', id) AS s").repartition(2)
+      .write.mode("overwrite").format("xlsx").option("header", "true")
+      .save(s"mockfs:$dir")
+    val back = spark.read.format("xlsx").option("header", "true")
+      .load(s"mockfs:$dir")
+    assert(back.count() === 100)
+    assert(back.agg(sum("id")).collect()(0).getLong(0) === 4950)
   }
 
   test("in-memory workbook bytes: the HTTP-response pattern") {
