@@ -406,6 +406,20 @@ object SparkEntry {
         .select(col("keep_id"), col("n_copies"))
     }),
 
+    "dedup_keep_one" -> ((s, dir) => {
+      // pairs -> connected components -> one survivor per component.
+      // Corpus = documents plus exact copies (id+100000); survivors are
+      // provably the originals, giving a clean oracle.
+      val d = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val corpus = d.unionByName(d.select((col("id") + 100000).as("id"), col("text")))
+      val a = corpus.select(col("id").as("id_a"), col("text"))
+      val b = corpus.select(col("id").as("id_b"), col("text"))
+      val pairs = a.join(b, Seq("text")).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      Dedup.keepOnePerComponent(corpus, "id", pairs)
+        .select(col("id"), length(col("text")).as("n_chars"))
+    }),
+
     "dedup_minhash" -> ((s, dir) =>
       // Approximate by construction (banding recall < 1 near the
       // threshold) — rows-only check; exact twin below is the oracle.
@@ -719,6 +733,9 @@ object SparkEntry {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
          FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
          GROUP BY text HAVING count(*) > 1""",
+
+    "dedup_keep_one" ->
+      "SELECT doc_id AS id, length(text) AS n_chars FROM documents",
 
     "dedup_ngram_jaccard" ->
       """WITH corpus AS (

@@ -185,6 +185,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Connected components over a near-dup pair list by iterative min-label
+    * propagation — the final step of a dedup pipeline: pairs say "these
+    * are the same document"; components decide which single copy
+    * survives (the minimum id). Converges in O(log n) rounds on chain
+    * graphs, 1-2 rounds on the star/clique shapes near-dup pairs actually
+    * form; `maxIters` bounds pathological chains.
+    *
+    * Scale: each round is two shuffles on (node, label); lineage is cut
+    * with localCheckpoint every round so 100-round plans never build up.
+    *
+    * Input: (id_a, id_b) pairs. Output: (id, component) for every id
+    * that appears in any pair; component = min id reachable. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("component"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      // propagate: my new label = min(my label, labels of my neighbors)
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "dst_id"), col("dst") === col("dst_id"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("n_comp"))
+      val next = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"), least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Survivors after near-dup removal: every id in `df` minus non-minimal
+    * members of each near-dup component. */
+  def keepOnePerComponent(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drop = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ threshold. Candidates come
     * from random-hyperplane LSH (deterministic seeded planes); exact cosine
     * verifies. See [[Similarity]] for the shared plumbing. */

@@ -139,7 +139,8 @@ final class XlsxPartitionReader(
       if (ci < cells.size) values(i) = converters(i)(cells(ci))
       i += 1
     }
-    current = InternalRow.fromSeq(values.toSeq)
+    // wrap the array directly — InternalRow.fromSeq would copy it
+    current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
     true
   }
 

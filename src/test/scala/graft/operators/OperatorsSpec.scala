@@ -99,6 +99,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.6, s"LSH recall too low: $recall")
   }
 
+  test("connected components: chains, cliques and singletons resolve to min id") {
+    val s = spark
+    import s.implicits._
+    // components: {1,2,3,4} (chain), {10,11,12} (clique), {20,21} (pair)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // keep-one: corpus {1..4, 10..12, 20, 21, 99}; 99 has no pairs
+    val corpus = (Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 99L)).toDF("id")
+    val kept = Dedup.keepOnePerComponent(corpus, "id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 10L, 20L, 99L))
+  }
+
+  test("minhash pairs -> components -> keep-one end-to-end") {
+    val df = docs(1L -> loremA, 2L -> loremB, 3L -> unrelated)
+    val pairs = Dedup.minhashNearDups(df, "id", "text")
+    val kept = Dedup.keepOnePerComponent(df, "id", pairs.select("id_a", "id_b"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L)) // 2 deduped into 1; unrelated survives
+  }
+
   test("lang id on real multilingual text") {
     val cases = Seq(
       "the quick brown fox jumps over the lazy dog and it was not the end" -> "en",
