@@ -465,9 +465,28 @@ object SparkEntry {
     "ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      // 6 bands x 3 bits: ~0.76 expected recall at cosine ~0.3 (vs 0.42
+      // for 4x4) — top-k wants recall; near-dup dedup keeps the tighter
+      // 4x4 geometry.
       Similarity.lshTopK(
         e.filter(col("vec_id") < 10), "vec_id", "e", e, "vec_id", "e",
-        dim = 64, k = 5)
+        dim = 64, k = 5, planes = 18, bands = 6)
+    }),
+
+    "ann_recall" -> ((s, dir) => {
+      // Self-measuring quality: recall@5 of the LSH path against the
+      // brute-force baseline (rows-only — the value characterizes the
+      // approximation, there is no external truth to oracle against).
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val q = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(q, "vec_id", "e", e, "vec_id", "e", k = 5)
+        .select(col("query_id"), col("corpus_id"))
+      val approx = Similarity.lshTopK(q, "vec_id", "e", e, "vec_id", "e",
+          dim = 64, k = 5, planes = 18, bands = 6)
+        .select(col("query_id"), col("corpus_id"))
+      exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
+        .agg((count(lit(1)).cast("double") / exact.count()).as("recall_at_5"))
     }),
 
     "text_stats" -> ((s, dir) =>
@@ -734,8 +753,10 @@ object SparkEntry {
          FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
          GROUP BY text HAVING count(*) > 1""",
 
+    // min id per distinct text, not simply every doc_id: larger SFs
+    // contain naturally-identical texts, whose components merge.
     "dedup_keep_one" ->
-      "SELECT doc_id AS id, length(text) AS n_chars FROM documents",
+      "SELECT min(doc_id) AS id, length(text) AS n_chars FROM documents GROUP BY text",
 
     "dedup_ngram_jaccard" ->
       """WITH corpus AS (

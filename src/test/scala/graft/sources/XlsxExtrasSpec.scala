@@ -124,6 +124,10 @@ class XlsxExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     val emp = spark.read.format("xlsx")
       .option("header", "true").option("sheet", "Employees").load(f)
     assert(emp.collect().map(_.getString(1)).toSeq === Seq("Alice"))
+    // selection by index matches selection by name
+    val byIdx = spark.read.format("xlsx")
+      .option("header", "true").option("sheetIndex", "1").load(f)
+    assert(byIdx.collect().map(_.getString(1)).toSeq === Seq("Alice"))
     // missing sheet errors with the sheet list
     val e = intercept[Exception] {
       spark.read.format("xlsx").option("sheet", "Nope").load(f).collect()
