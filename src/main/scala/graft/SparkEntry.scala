@@ -274,11 +274,14 @@ object SparkEntry {
       s.read.format("xlsx").option("header", "true").load(p)
     }),
 
+    // l_quantity degrades to bigint through the xlsx cell model (integral
+    // doubles print as "25"); cast the aggregate back to double so the
+    // output type matches the oracle's sum(DOUBLE).
     "xlsx_roundtrip" -> ((s, dir) =>
       xlsxRoundtrip(s, dir, "xlsx_roundtrip")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("cnt"),
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_quantity")).cast("double"), 2).as("sum_qty"),
           min(col("l_shipdate")).as("min_ship"),
           max(col("l_shipdate")).as("max_ship"))),
 
@@ -320,7 +323,9 @@ object SparkEntry {
         .write.mode("overwrite").parquet(p + "/pq")
       s.read.parquet(p + "/pq")
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        // same bigint-through-xlsx degradation as xlsx_roundtrip
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")).cast("double"), 2).as("sum_qty"))
     }),
 
     "parquet_to_excel" -> ((s, dir) => {
@@ -365,6 +370,22 @@ object SparkEntry {
       li4(s, dir).repartition(4).write.mode("overwrite")
         .option("header", "true")
         .option("compression", graft.sources.csv.ZstdCodec.Name).csv(p)
+      s.read.schema("l_orderkey BIGINT, l_quantity DOUBLE, l_returnflag STRING, l_shipdate TIMESTAMP")
+        .option("header", "true").csv(p)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
+    "csv_zip_roundtrip" -> ((s, dir) => {
+      // .csv.zip container parity (ref: src/csv_writer.rs:85-158): one CSV
+      // entry per ZIP archive, desktop-openable; DEFLATE inside (the
+      // reference's zstd-in-zip method 93 is unreadable by java.util.zip
+      // and most desktop tools — documented deviation).
+      graft.sources.csv.ZipCsvCodec.register(s)
+      val p = work(dir, "csv_zip_roundtrip")
+      li4(s, dir).repartition(4).write.mode("overwrite")
+        .option("header", "true")
+        .option("compression", graft.sources.csv.ZipCsvCodec.Name).csv(p)
       s.read.schema("l_orderkey BIGINT, l_quantity DOUBLE, l_returnflag STRING, l_shipdate TIMESTAMP")
         .option("header", "true").csv(p)
         .groupBy(col("l_returnflag"))
@@ -417,7 +438,7 @@ object SparkEntry {
       val pairs = a.join(b, Seq("text")).filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b")
       Dedup.keepOnePerComponent(corpus, "id", pairs)
-        .select(col("id"), length(col("text")).as("n_chars"))
+        .select(col("id"), length(col("text")).cast("bigint").as("n_chars"))
     }),
 
     "dedup_minhash" -> ((s, dir) =>
@@ -506,7 +527,7 @@ object SparkEntry {
       // (see graft.operators.Multimodal).
       t(s, dir, "documents")
         .select(col("doc_id"),
-          octet_length(encode(col("text"), "UTF-8")).as("n_bytes")))
+          octet_length(encode(col("text"), "UTF-8")).cast("bigint").as("n_bytes")))
   )
 
   /** Headline subset timed by graft.Bench (one per operator family). */
@@ -534,8 +555,10 @@ object SparkEntry {
                 count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
 
+    // DuckDB sum(BIGINT) yields HUGEINT (decimal128 in Arrow) — cast back
+    // to BIGINT so the hash compare sees the same physical type as Spark.
     "join_hash" ->
-      """SELECT c_mktsegment, count(*) AS cnt, sum(o_orderkey) AS sum_key,
+      """SELECT c_mktsegment, count(*) AS cnt, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
                 round(min(o_totalprice), 2) AS min_price,
                 round(max(o_totalprice), 2) AS max_price
          FROM orders JOIN customer ON o_custkey = c_custkey
@@ -625,14 +648,17 @@ object SparkEntry {
     "sessionize" ->
       """WITH flagged AS (
            SELECT user_id, ts,
+                  -- floor() both epochs: the Spark twin compares floored
+                  -- seconds (cast(ts as long)), so the oracle must state
+                  -- the same gap rule for sub-second-straddling gaps.
                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                         OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                         OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) > 1800
                        THEN 1 ELSE 0 END AS new_session
            FROM events),
          numbered AS (
            SELECT user_id, ts,
-                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                         ROWS UNBOUNDED PRECEDING) AS session_id
+                  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
            FROM flagged)
          SELECT user_id, session_id, min(ts) AS start_ts, max(ts) AS end_ts,
                 count(*) AS n_events
@@ -701,7 +727,7 @@ object SparkEntry {
       "SELECT count(*) AS nrows, 4 AS ncols FROM lineitem",
 
     "xlsx_multisheet" ->
-      "SELECT count(*) AS cnt, sum(o_orderkey) AS sum_key FROM orders",
+      "SELECT count(*) AS cnt, CAST(sum(o_orderkey) AS BIGINT) AS sum_key FROM orders",
 
     "xlsx_styled_write" ->
       "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer",
@@ -721,12 +747,13 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag""",
 
     "parquet_to_excel" ->
-      """SELECT count(*) AS cnt, sum(p_partkey) AS sum_key,
+      """SELECT count(*) AS cnt, CAST(sum(p_partkey) AS BIGINT) AS sum_key,
                 round(sum(p_retailprice), 2) AS sum_price
          FROM part""",
 
     "append_rows" ->
-      "SELECT 2 * count(*) AS cnt, 2 * sum(c_custkey) AS sum_key FROM customer",
+      """SELECT CAST(2 * count(*) AS BIGINT) AS cnt,
+                CAST(2 * sum(c_custkey) AS BIGINT) AS sum_key FROM customer""",
 
     "csv_roundtrip" ->
       """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
@@ -734,6 +761,10 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag""",
 
     "csv_zstd_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "csv_zip_roundtrip" ->
       """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem GROUP BY l_returnflag""",
 

@@ -177,7 +177,13 @@ object Dedup {
       "g")
     val a = capped.select(col("g"), col("id").as("id_a"), col("n").as("n_a"))
     val b = capped.select(col("g"), col("id").as("id_b"), col("n").as("n_b"))
-    a.join(b, a("g") === b("g") && a("id_a") < b("id_b"))
+    // Length-ratio prefilter: Jaccard >= t forces min(n_a,n_b)/max(n_a,n_b)
+    // >= t (|A∩B| <= min, |A∪B| >= max), so size-mismatched pairs can be
+    // dropped inside the join condition — before the shuffle-heavy groupBy —
+    // cutting candidate fan-out with zero effect on the result set.
+    a.join(b, a("g") === b("g") && a("id_a") < b("id_b")
+        && a("n_a") >= b("n_b") * lit(threshold)
+        && b("n_b") >= a("n_a") * lit(threshold))
       .groupBy("id_a", "id_b", "n_a", "n_b")
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
@@ -185,15 +191,21 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** Connected components over a near-dup pair list by iterative min-label
-    * propagation — the final step of a dedup pipeline: pairs say "these
-    * are the same document"; components decide which single copy
-    * survives (the minimum id). Converges in O(log n) rounds on chain
-    * graphs, 1-2 rounds on the star/clique shapes near-dup pairs actually
-    * form; `maxIters` bounds pathological chains.
+  /** Connected components over a near-dup pair list by min-label
+    * propagation with pointer doubling — the final step of a dedup
+    * pipeline: pairs say "these are the same document"; components decide
+    * which single copy survives (the minimum id).
     *
-    * Scale: each round is two shuffles on (node, label); lineage is cut
-    * with localCheckpoint every round so 100-round plans never build up.
+    * Each round does (1) neighbor propagation (my label := min over my
+    * neighbors' labels) and (2) a label-shortcut join (my label := my
+    * label's label), so the reach roughly doubles per round and
+    * convergence is O(log diameter), not O(diameter) — `maxIters = 20`
+    * covers diameters beyond 2^20. Non-convergence is an error, never a
+    * silent component split: `keepOnePerComponent` downstream would
+    * otherwise quietly keep duplicates.
+    *
+    * Scale: each round is three shuffles on (node, label); lineage is cut
+    * with localCheckpoint every round so long plans never build up.
     *
     * Input: (id_a, id_b) pairs. Output: (id, component) for every id
     * that appears in any pair; component = min id reachable. */
@@ -211,8 +223,16 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst_id"), col("dst") === col("dst_id"))
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("n_comp"))
-      val next = labels.join(viaNeighbor, Seq("id"), "left")
+      val propagated = labels.join(viaNeighbor, Seq("id"), "left")
         .select(col("id"), least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"))
+      // pointer doubling: follow my label to ITS label (labels are node
+      // ids, so every label is a key in `propagated`). This is what turns
+      // chain graphs from one hop per round into doubling reach per round.
+      val shortcut = propagated
+        .select(col("id").as("l_id"), col("component").as("l_comp"))
+      val next = propagated.join(shortcut, propagated("component") === col("l_id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("l_comp"), col("component"))).as("component"))
         .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") =!= col("old")).limit(1).count()
@@ -221,6 +241,9 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters iterations — " +
+        "raise maxIters; refusing to return split components")
     labels
   }
 

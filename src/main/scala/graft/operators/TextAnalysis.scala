@@ -101,15 +101,17 @@ object TextAnalysis {
       fnv(col(textCol)).as("fnv1a64"))
   }
 
-  /** Per-document stats bundle (all SQL-expressible for oracle parity). */
+  /** Per-document stats bundle (all SQL-expressible for oracle parity).
+    * Counts are widened to bigint: SQL engines (and the DuckDB oracle)
+    * type length()/len() as BIGINT, Spark as INT. */
   def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     df.select(
       col(idCol),
-      length(t).as("n_chars"),
-      tokenCount(t).as("n_tokens"),
-      wsTokenCount(t).as("n_ws_tokens"),
-      length(regexp_replace(t, "[^\\p{L}]", "")).as("n_letters"),
+      length(t).cast("bigint").as("n_chars"),
+      tokenCount(t).cast("bigint").as("n_tokens"),
+      wsTokenCount(t).cast("bigint").as("n_ws_tokens"),
+      length(regexp_replace(t, "[^\\p{L}]", "")).cast("bigint").as("n_letters"),
       qualityScore(t).as("quality"))
   }
 }

@@ -53,29 +53,50 @@ object SchemaInference {
   /** Infer a StructType from sampled rows. When `header` is true the first
     * row supplies (deduplicated) column names, like Spark's CSV reader. */
   def infer(rows: Iterator[Vector[CellValue]], header: Boolean, sampleRows: Int): StructType = {
-    var names: Vector[String] = Vector.empty
-    if (header && rows.hasNext) {
-      names = rows.next().map(_.asString)
-    }
-    val kinds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val acc = new Acc(header)
+    acc.add(rows, sampleRows)
+    acc.result()
+  }
+
+  /** Incremental inference across several row sources (sheets/files): merge
+    * every sampled row into one kind lattice, so a column that is
+    * date-shaped in one file and timestamp-shaped in another promotes to
+    * timestamp instead of freezing on whichever file happened to be listed
+    * first. Each source's header row is consumed independently; the first
+    * one supplies the column names. */
+  final class Acc(header: Boolean) {
+    private var names: Vector[String] = Vector.empty
+    private var haveNames = false
+    private val kinds = scala.collection.mutable.ArrayBuffer.empty[Int]
     var sampled = 0
-    while (rows.hasNext && sampled < sampleRows) {
-      val row = rows.next()
-      while (kinds.size < row.size) kinds += BOTTOM
-      var i = 0
-      while (i < row.size) {
-        kinds(i) = merge(kinds(i), cellKind(row(i)))
-        i += 1
+
+    /** Merge rows from one source until `maxRows` total samples. */
+    def add(rows: Iterator[Vector[CellValue]], maxRows: Int): Unit = {
+      if (header && rows.hasNext) {
+        val h = rows.next().map(_.asString)
+        if (!haveNames) { names = h; haveNames = true }
       }
-      sampled += 1
+      while (rows.hasNext && sampled < maxRows) {
+        val row = rows.next()
+        while (kinds.size < row.size) kinds += BOTTOM
+        var i = 0
+        while (i < row.size) {
+          kinds(i) = merge(kinds(i), cellKind(row(i)))
+          i += 1
+        }
+        sampled += 1
+      }
     }
-    val width = math.max(kinds.size, names.size)
-    val fields = (0 until width).map { i =>
-      val name = dedupName(names, i)
-      val k = if (i < kinds.size) kinds(i) else BOTTOM
-      StructField(name, toDataType(k), nullable = true)
+
+    def result(): StructType = {
+      val width = math.max(kinds.size, names.size)
+      val fields = (0 until width).map { i =>
+        val name = dedupName(names, i)
+        val k = if (i < kinds.size) kinds(i) else BOTTOM
+        StructField(name, toDataType(k), nullable = true)
+      }
+      StructType(fields)
     }
-    StructType(fields)
   }
 
   private def dedupName(names: Vector[String], i: Int): String = {

@@ -112,17 +112,37 @@ object XlsxTable {
     }
   }
 
+  /** Infer by sampling up to `inferSchemaRows` data rows, continuing into
+    * subsequent files/sheets while the budget is unspent: with one wide file
+    * that is one footer read; with many tiny part files (a streaming sink's
+    * layout) the sample spans files, so per-file type ambiguities (a
+    * midnight timestamp is date-shaped in isolation) promote correctly in
+    * the lattice. Driver cost is bounded by the row budget, never the
+    * dataset; supply an explicit schema to skip sampling entirely at scale. */
   def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = XlsxOptions(options)
     val conf = hadoopConf()
     val files = listFiles(paths(options.asCaseSensitiveMap()), conf)
     require(files.nonEmpty, "no .xlsx files found to infer schema from")
-    val reader = openReader(files.head, conf)
-    val sheets = selectSheets(reader, opts)
-    require(sheets.nonEmpty, s"workbook has no sheets: ${files.head}")
-    val it = reader.rows(sheets.head)
-    try SchemaInference.infer(it, opts.header, opts.inferSchemaRows)
-    finally it.close() // sampling rarely exhausts the sheet
+    // Budget >= 1 so the first sheet is always opened (header names).
+    val budget = math.max(1, opts.inferSchemaRows)
+    val acc = new SchemaInference.Acc(opts.header)
+    val remaining = files.iterator
+    var first = true
+    while (remaining.hasNext && acc.sampled < budget) {
+      val file = remaining.next()
+      val reader = openReader(file, conf)
+      val sheets = selectSheets(reader, opts)
+      if (first) require(sheets.nonEmpty, s"workbook has no sheets: $file")
+      first = false
+      val sheetIt = sheets.iterator
+      while (sheetIt.hasNext && acc.sampled < budget) {
+        val it = reader.rows(sheetIt.next())
+        try acc.add(it, budget)
+        finally it.close() // sampling rarely exhausts the sheet
+      }
+    }
+    acc.result()
   }
 }
 

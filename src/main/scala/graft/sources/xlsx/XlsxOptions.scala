@@ -1,5 +1,6 @@
 package graft.sources.xlsx
 
+import graft.xlsx.ProtectionOptions
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Options for the xlsx DataSource V2, mirroring the reference's builder
@@ -14,9 +15,10 @@ final case class XlsxOptions(
     compression: Int,             // deflate level 0-9 (write)
     inferSchemaRows: Int,         // rows sampled for schema inference (read)
     maxRowsPerSheet: Long,        // write: rollover before Excel's 1,048,576-row limit
-    protectPassword: Option[String], // write: sheet protection
+    protection: Option[ProtectionOptions], // write: sheet protection + allow flags
     columnWidths: Seq[Double],    // write: per-column widths, 1:1 with schema order
-    columnStyles: Seq[Int]        // write: per-column style ids, 1:1 with schema order
+    columnStyles: Seq[Int],       // write: per-column style ids, 1:1 with schema order
+    sheetColumn: Option[String]   // write: route rows to a sheet named by this column
 ) extends Serializable
 
 object XlsxOptions {
@@ -31,12 +33,36 @@ object XlsxOptions {
     compression = m.getInt("compression", 6),
     inferSchemaRows = m.getInt("inferSchemaRows", 1000),
     maxRowsPerSheet = math.min(m.getLong("maxRowsPerSheet", ExcelMaxRows), ExcelMaxRows),
-    protectPassword = Option(m.get("protect.password")),
+    protection = parseProtection(m),
     columnWidths = Option(m.get("columnWidths")).map(_.split(",").toSeq.map(_.trim.toDouble))
       .getOrElse(Seq.empty),
     columnStyles = Option(m.get("columnStyles"))
-      .map(_.split(",").toSeq.map(s => styleByName(s.trim))).getOrElse(Seq.empty)
+      .map(_.split(",").toSeq.map(s => styleByName(s.trim))).getOrElse(Seq.empty),
+    sheetColumn = Option(m.get("sheetColumn"))
   )
+
+  /** The reference's 12-field protection surface as `protect.*` options
+    * (ref: src/types.rs:265-291): `protect.password` plus eleven boolean
+    * allow-flags; `protect=true` alone gives passwordless protection.
+    * Protection is emitted when any `protect*` option is present. */
+  private def parseProtection(m: CaseInsensitiveStringMap): Option[ProtectionOptions] = {
+    val password = Option(m.get("protect.password"))
+    def f(name: String) = m.getBoolean(s"protect.$name", false)
+    val p = ProtectionOptions(
+      password = password,
+      selectLockedCells = f("selectLockedCells"),
+      selectUnlockedCells = f("selectUnlockedCells"),
+      formatCells = f("formatCells"),
+      formatColumns = f("formatColumns"),
+      formatRows = f("formatRows"),
+      insertColumns = f("insertColumns"),
+      insertRows = f("insertRows"),
+      deleteColumns = f("deleteColumns"),
+      deleteRows = f("deleteRows"),
+      sort = f("sort"),
+      autoFilter = f("autoFilter"))
+    if (p != ProtectionOptions() || m.getBoolean("protect", false)) Some(p) else None
+  }
 
   /** Style preset names = the reference's CellStyle variants
     * (ref: src/types.rs:6-45). */

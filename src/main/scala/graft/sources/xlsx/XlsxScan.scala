@@ -115,7 +115,8 @@ final class XlsxPartitionReader(
       sheet = partition.sheet, sheetIndex = partition.sheetIndex,
       allSheets = partition.allSheets, header = header, compression = 6,
       inferSchemaRows = 0, maxRowsPerSheet = XlsxOptions.ExcelMaxRows,
-      protectPassword = None, columnWidths = Seq.empty, columnStyles = Seq.empty)
+      protection = None, columnWidths = Seq.empty, columnStyles = Seq.empty,
+      sheetColumn = None)
     val sheets = XlsxTable.selectSheets(reader, opts)
     sheets.iterator.flatMap { s =>
       val it = reader.rows(s)

@@ -2,10 +2,12 @@ package graft.sources.xlsx
 
 import java.util.UUID
 
-import graft.xlsx.{CellStyle, CellValue, ExcelDate, ProtectionOptions, XlsxWriter}
+import graft.xlsx.{CellStyle, CellValue, ExcelDate, XlsxWriter}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
 import org.apache.spark.util.SerializableConfiguration
@@ -17,9 +19,18 @@ import org.apache.spark.util.SerializableConfiguration
   * parallel part files (the reference is single-threaded,
   * SURVEY §4.2 "Parallelism: None").
   *
-  * Rows beyond Excel's 1,048,576-per-sheet limit roll into `Sheet2`,
-  * `Sheet3`, … automatically — the reference silently writes invalid
+  * Rows beyond Excel's 1,048,576-per-sheet limit roll into `<base>_2`,
+  * `<base>_3`, … automatically — the reference silently writes invalid
   * files past the limit.
+  *
+  * `sheetColumn=<col>` is the Spark-native form of the reference's
+  * `add_sheet("A"); rows; add_sheet("B"); rows` workflow
+  * (ref: src/writer.rs:283-300, src/fast_writer/zero_temp_workbook.rs:43-70):
+  * the Write declares a clustered distribution + in-partition sort on that
+  * column via [[RequiresDistributionAndOrdering]], so Spark routes each
+  * distinct value to one task in contiguous runs, and the writer opens a
+  * new sheet named by the value whenever it changes — one named sheet per
+  * value, streaming, at any scale.
   *
   * Commit protocol: writers create files directly under the output path
   * with task-unique names; Spark's commit coordinator guarantees a single
@@ -37,8 +48,25 @@ final class XlsxWriteBuilder(
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new XlsxBatchWrite(schema, opts, path, conf, doTruncate)
+  override def build(): Write = {
+    opts.sheetColumn.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"sheetColumn '$c' not in write schema ${schema.fieldNames.mkString("[", ", ", "]")}")
+    }
+    new Write with RequiresDistributionAndOrdering {
+      override def toBatch: BatchWrite = new XlsxBatchWrite(schema, opts, path, conf, doTruncate)
+      // Cluster + sort on sheetColumn so each sheet value reaches exactly
+      // one task as one contiguous run; unspecified (= no-op) otherwise.
+      override def requiredDistribution(): Distribution =
+        opts.sheetColumn
+          .map(c => Distributions.clustered(
+            Array[org.apache.spark.sql.connector.expressions.Expression](Expressions.column(c))))
+          .getOrElse(Distributions.unspecified())
+      override def requiredOrdering(): Array[SortOrder] =
+        opts.sheetColumn
+          .map(c => Array(Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)))
+          .getOrElse(Array.empty[SortOrder])
+    }
   }
 }
 
@@ -66,7 +94,7 @@ final class XlsxBatchWrite(
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(conf.value)
     messages.foreach {
-      case XlsxCommitMessage(file) => fs.delete(new Path(file), false)
+      case XlsxCommitMessage(file) if file != null => fs.delete(new Path(file), false)
       case _ =>
     }
   }
@@ -97,11 +125,22 @@ final class XlsxDataWriter(
   private val fs = file.getFileSystem(conf.value)
   private val writer = new XlsxWriter(fs.create(file, true), opts.compression)
   private val baseSheet = opts.sheet.getOrElse("Sheet1")
-  private var sheetNo = 0
   private var rowsInSheet = 0L
+  private var rowsTotal = 0L
   // Header occupies a row, so data rows per sheet shrink by one.
   private val rollover = math.max(1L, opts.maxRowsPerSheet - (if (opts.header) 1 else 0))
   private val fields = schema.fields
+  // sheetColumn routing: stringified value of the routing column; rows
+  // arrive clustered+sorted on it (RequiresDistributionAndOrdering above),
+  // so a value change is a sheet boundary, never a revisit.
+  private val sheetKeyOf: Option[InternalRow => String] = opts.sheetColumn.map { c =>
+    val i = schema.fieldIndex(c)
+    val dt = schema(i).dataType
+    r => if (r.isNullAt(i)) "null" else String.valueOf(r.get(i, dt))
+  }
+  private var currentKey: String = null
+  // Workbook-unique sheet names (Excel compares case-insensitively).
+  private val usedNames = scala.collection.mutable.Set.empty[String]
   private val getters: Array[InternalRow => (CellValue, Int)] =
     fields.zipWithIndex.map { case (f, i) =>
       val base = XlsxDataWriter.getter(f.dataType, i)
@@ -113,26 +152,56 @@ final class XlsxDataWriter(
       }
     }
 
-  newSheet()
+  // With sheetColumn the first sheet's name comes from the first row, so
+  // sheet creation is deferred to write(); otherwise open the base sheet
+  // immediately (an empty partition still yields a valid empty workbook).
+  if (sheetKeyOf.isEmpty) newSheet(baseSheet)
 
-  private def newSheet(): Unit = {
-    sheetNo += 1
-    writer.addSheet(if (sheetNo == 1) baseSheet else s"$baseSheet$sheetNo",
-      opts.columnWidths.zipWithIndex.map { case (w, i) => (i + 1, w) })
-    opts.protectPassword.foreach(p => writer.protectSheet(ProtectionOptions(password = Some(p))))
+  /** Open a sheet named `name`, sanitized to Excel's rules (<=31 chars, no
+    * []:*?/\) and uniquified within the workbook (`x`, `x_2`, `x_3`, …) —
+    * the same suffixing names rollover continuation sheets. */
+  private def newSheet(name: String): Unit = {
+    val cleaned = {
+      val c = name.replaceAll("""[\[\]:*?/\\]""", "_").take(31)
+      if (c.isEmpty) "Sheet" else c
+    }
+    var candidate = cleaned
+    var n = 2
+    while (usedNames.contains(candidate.toLowerCase)) {
+      val suffix = s"_$n"
+      candidate = cleaned.take(31 - suffix.length) + suffix
+      n += 1
+    }
+    usedNames += candidate.toLowerCase
+    writer.addSheet(candidate, opts.columnWidths.zipWithIndex.map { case (w, i) => (i + 1, w) })
+    opts.protection.foreach(writer.protectSheet)
     if (opts.header) writer.writeHeaderBold(fields.map(_.name))
     rowsInSheet = 0L
   }
 
   override def write(row: InternalRow): Unit = {
-    if (rowsInSheet >= rollover) newSheet()
+    sheetKeyOf match {
+      case Some(keyOf) =>
+        val key = keyOf(row)
+        if (currentKey == null || key != currentKey) { currentKey = key; newSheet(key) }
+        else if (rowsInSheet >= rollover) newSheet(key)
+      case None =>
+        if (rowsInSheet >= rollover) newSheet(baseSheet)
+    }
     writer.writeRowStyled(getters.iterator.map(_(row)))
     rowsInSheet += 1
+    rowsTotal += 1
   }
 
   override def commit(): WriterCommitMessage = {
     writer.close()
-    XlsxCommitMessage(file.toString)
+    // Clustered distribution can leave a task with zero rows; in
+    // sheetColumn mode that file would be a meaningless empty "Sheet1" —
+    // drop it rather than pollute the named-sheet layout.
+    if (rowsTotal == 0 && sheetKeyOf.isDefined) {
+      fs.delete(file, false)
+      XlsxCommitMessage(null)
+    } else XlsxCommitMessage(file.toString)
   }
 
   override def abort(): Unit = {

@@ -31,26 +31,50 @@ object EventsPipeline {
 
   /** File-stream source over a directory of parquet events (the unbounded
     * stand-in: new files arriving = new events), windowed aggregation,
-    * xlsx delivery per micro-batch. Each batch appends one more part file
-    * to `outDir` — the streaming version of the reference's S3 pipeline. */
+    * xlsx delivery per micro-batch.
+    *
+    * Update mode re-emits a key every micro-batch that adds events to
+    * it, so an append sink would duplicate (window, event_type) rows and
+    * overcount downstream. Delivery is therefore idempotent at exactly
+    * the aggregation key: each changed (window, event_type) overwrites
+    * its own `outDir/window=<epochSec>/etype=<event_type>` xlsx. The
+    * granularity matters — a batch's Update rows carry only the keys
+    * that CHANGED, so overwriting a whole window directory would delete
+    * sibling event_types delivered by earlier batches. The collect is
+    * over the changed keys of one micro-batch — post-aggregation,
+    * bounded by hours-per-batch × event-type cardinality, never by
+    * event volume. */
   def run(
       spark: SparkSession,
       inDir: String,
       outDir: String,
       checkpoint: String,
+      maxFilesPerTrigger: Option[Int] = None,
       schemaDDL: String = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
   ): StreamingQuery = {
-    val stream = spark.readStream.schema(schemaDDL).parquet(inDir)
+    val reader = spark.readStream.schema(schemaDDL)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(inDir)
     windowedCounts(stream)
       .writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          batch.write.mode("append").format("xlsx")
-            .option("header", "true").option("sheet", s"batch$batchId")
-            .save(outDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          val changed = b
+            .select(col("hour_start").cast("long"), col("event_type"))
+            .distinct().collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+          changed.foreach { case (h, e) =>
+            b.filter(col("hour_start").cast("long") === h && col("event_type") === e)
+              .coalesce(1)
+              .write.mode("overwrite").format("xlsx")
+              .option("header", "true").option("sheet", "agg")
+              .save(s"$outDir/window=$h/etype=${java.net.URLEncoder.encode(e, "UTF-8")}")
+          }
+        } finally b.unpersist()
       }
       .start()
   }

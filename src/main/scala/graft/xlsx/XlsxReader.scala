@@ -272,14 +272,20 @@ object XlsxReader {
       * (ref: src/streaming_reader.rs:636-717). */
     private def parseCell(t: String, styleId: Option[Int]): CellValue = {
       var v: String = null
-      var inlineText: String = null
+      // Inline rich text is one <t> per run (<is><r><t>a</t></r><r><t>b</t>
+      // </r></is>) — concatenate runs like the SST path does
+      // (ref: src/streaming_reader.rs:766-815); keeping only the last run
+      // loses data on foreign-authored files.
+      var inlineText: StringBuilder = null
       var formula: String = null
       var ev = xr.next()
       while (!(ev == XMLStreamConstants.END_ELEMENT && xr.getLocalName == "c")) {
         if (ev == XMLStreamConstants.START_ELEMENT) {
           xr.getLocalName match {
             case "v" => v = xr.getElementText
-            case "t" => inlineText = xr.getElementText
+            case "t" =>
+              if (inlineText == null) inlineText = new StringBuilder
+              inlineText ++= xr.getElementText
             case "f" => formula = xr.getElementText
             case _ =>
           }
@@ -288,7 +294,7 @@ object XlsxReader {
       }
       t match {
         case "inlineStr" =>
-          if (inlineText != null) CellValue.Str(inlineText) else CellValue.Empty
+          if (inlineText != null) CellValue.Str(inlineText.result()) else CellValue.Empty
         case "s" =>
           v match {
             case null => CellValue.Empty

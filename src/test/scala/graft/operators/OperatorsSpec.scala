@@ -116,6 +116,37 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept === Set(1L, 10L, 20L, 99L))
   }
 
+  test("connected components: 50-edge chain converges to one component") {
+    val s = spark
+    import s.implicits._
+    // path graph 0-1-2-...-50: diameter 50 — min-label-only propagation
+    // with 20 iters would silently split this; pointer doubling must not.
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(comps.length === 51)
+    assert(comps.forall(_._2 === 0L), "chain split into multiple components")
+  }
+
+  test("connected components: non-convergence throws, never splits silently") {
+    val s = spark
+    import s.implicits._
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 2).collect()
+    }
+  }
+
+  test("ngram jaccard length-ratio prefilter drops no qualifying pair") {
+    // sizes 3 vs 30 shingles: ratio 0.1 < 0.5 threshold — prefiltered AND
+    // genuinely below threshold; sizes equal: kept.
+    val big = (0 until 32).map(i => s"w$i").mkString(" ")
+    val df = docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> (big + " a b c d e"))
+    val pairs = Dedup.ngramJaccardPairs(df, "id", "text", k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("minhash pairs -> components -> keep-one end-to-end") {
     val df = docs(1L -> loremA, 2L -> loremB, 3L -> unrelated)
     val pairs = Dedup.minhashNearDups(df, "id", "text")

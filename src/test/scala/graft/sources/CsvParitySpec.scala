@@ -65,6 +65,26 @@ class CsvParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(head.map(_ & 0xFF).toSeq === Seq(0x28, 0xB5, 0x2F, 0xFD))
   }
 
+  test("zip container via graft ZipCsvCodec (ref: .csv.zip, single entry)") {
+    graft.sources.csv.ZipCsvCodec.register(spark)
+    assert(roundtrip(Some(graft.sources.csv.ZipCsvCodec.Name)) === 100)
+    // the files are .csv.zip, a REAL archive: one data.csv entry readable
+    // by plain java.util.zip (the desktop-tool contract)
+    val dir = Files.createTempDirectory("csvzip").toString + "/d"
+    spark.range(10).selectExpr("id").coalesce(1).write.mode("overwrite")
+      .option("header", "true")
+      .option("compression", graft.sources.csv.ZipCsvCodec.Name).csv(dir)
+    val zf = new java.io.File(dir).listFiles().find(_.getName.endsWith(".csv.zip")).get
+    val zip = new java.util.zip.ZipFile(zf)
+    val entries = zip.entries().asIterator()
+    val entry = entries.next()
+    assert(entry.getName === "data.csv")
+    assert(!entries.hasNext)
+    val text = new String(zip.getInputStream(entry).readAllBytes())
+    zip.close()
+    assert(text.startsWith("id\n0\n1\n"))
+  }
+
   test("B12: reference CSV corpus — parser cases roundtrip as values (csv/parser.rs:56-131)") {
     // Every parsed-value case from the reference's parser tests survives a
     // Spark CSV write→read roundtrip.

@@ -75,6 +75,102 @@ class XlsxExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("unknown style") || e.getCause.getMessage.contains("unknown style"))
   }
 
+  test("full sheet-protection flag surface via DSv2 protect.* options") {
+    val dir = Files.createTempDirectory("xp").toString + "/p"
+    spark.range(4).coalesce(1).write.mode("overwrite").format("xlsx")
+      .option("header", "true")
+      .option("protect.password", "pw123")
+      .option("protect.formatCells", "true")
+      .option("protect.sort", "true")
+      .save(dir)
+    val f = new java.io.File(dir).listFiles().find(_.getName.endsWith(".xlsx")).get
+    val zip = new java.util.zip.ZipFile(f)
+    val xml = new String(zip.getInputStream(zip.getEntry("xl/worksheets/sheet1.xml")).readAllBytes())
+    zip.close()
+    assert(xml.contains("<sheetProtection sheet=\"1\""))
+    assert(xml.contains("password=\"" + graft.xlsx.PasswordHash.hash("pw123") + "\""))
+    // allowed actions carry the INVERTED attr (ref: zero_temp_workbook.rs:243-290)
+    assert(xml.contains("formatCells=\"0\""))
+    assert(xml.contains("sort=\"0\""))
+    // denied actions are absent (= protected, the OOXML default)
+    assert(!xml.contains("insertRows="))
+    assert(!xml.contains("deleteColumns="))
+
+    // passwordless protection via protect=true alone
+    val dir2 = dir + "2"
+    spark.range(2).coalesce(1).write.mode("overwrite").format("xlsx")
+      .option("protect", "true").save(dir2)
+    val f2 = new java.io.File(dir2).listFiles().find(_.getName.endsWith(".xlsx")).get
+    val zip2 = new java.util.zip.ZipFile(f2)
+    val xml2 = new String(zip2.getInputStream(zip2.getEntry("xl/worksheets/sheet1.xml")).readAllBytes())
+    zip2.close()
+    assert(xml2.contains("<sheetProtection sheet=\"1\""))
+    assert(!xml2.contains("password="))
+  }
+
+  test("sheetColumn routes rows to one named sheet per distinct value") {
+    import graft.xlsx.CellValue._
+    val dir = Files.createTempDirectory("sc").toString + "/s"
+    val df = spark.createDataFrame(Seq(
+      (1L, "east", 10.0), (2L, "west", 20.0), (3L, "east", 30.0),
+      (4L, "north", 40.0), (5L, "west", 50.0), (6L, "east", 60.0)
+    )).toDF("id", "region", "v")
+    // Deliberately scrambled input: the Write's RequiresDistributionAndOrdering
+    // must re-cluster + sort so each region is one contiguous run in one task.
+    df.repartition(5).write.mode("overwrite").format("xlsx")
+      .option("header", "true").option("sheetColumn", "region").save(dir)
+
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".xlsx"))
+    val sheets = files.flatMap { f =>
+      val r = XlsxReader.forFile(f.getPath)
+      r.sheetNames.map(n => n -> r.rows(n).toVector)
+    }.toMap
+    // one sheet per region across ALL part files, named by the value
+    assert(sheets.keySet === Set("east", "north", "west"))
+    // every row on a sheet carries that sheet's region (col 1 = region)
+    sheets.foreach { case (name, rows) =>
+      assert(rows.head.map(_.asString) === Vector("id", "region", "v")) // header
+      assert(rows.tail.forall(_(1) == Str(name)), s"foreign rows on sheet $name")
+    }
+    assert(sheets("east").size === 4 && sheets("west").size === 3 && sheets("north").size === 2)
+    // DSv2 read with allSheets reconstructs the full dataset
+    val back = spark.read.format("xlsx").option("header", "true")
+      .option("allSheets", "true").load(dir)
+    assert(back.count() === 6)
+    assert(back.agg(sum("id")).collect()(0).getLong(0) === 21)
+    // a sheetColumn missing from the schema errors loudly at planning
+    val e = intercept[Exception] {
+      df.write.mode("overwrite").format("xlsx").option("sheetColumn", "nope").save(dir + "2")
+    }
+    def msgs(t: Throwable): String = if (t == null) "" else t.getMessage + " " + msgs(t.getCause)
+    assert(msgs(e).toLowerCase.contains("nope"))
+  }
+
+  test("sheet names are sanitized, truncated and uniquified; rollover is base_2") {
+    import graft.xlsx.CellValue._
+    val dir = Files.createTempDirectory("sn").toString + "/n"
+    val longName = "x" * 40
+    val df = spark.createDataFrame(Seq(
+      (1L, "a/b:c*d?"), (2L, "a_b_c_d_"), (3L, longName)
+    )).toDF("id", "k")
+    df.write.mode("overwrite").format("xlsx")
+      .option("sheetColumn", "k").save(dir)
+    val names = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".xlsx"))
+      .flatMap(f => XlsxReader.forFile(f.getPath).sheetNames).toSet
+    // 'a/b:c*d?' sanitizes to a_b_c_d_, colliding with the literal value ->
+    // whichever lands second gets the _2 suffix (when they share a task).
+    assert(names.exists(_.startsWith("a_b_c_d_")))
+    assert(names.forall(_.length <= 31))
+    assert(names.contains("x" * 31))
+
+    // rollover continuation sheets: base, base_2, base_3 (VERDICT r2 item 10)
+    val dir2 = dir + "2"
+    spark.range(250).coalesce(1).write.mode("overwrite").format("xlsx")
+      .option("maxRowsPerSheet", "100").option("sheet", "Data").save(dir2)
+    val f2 = new java.io.File(dir2).listFiles().find(_.getName.endsWith(".xlsx")).get
+    assert(XlsxReader.forFile(f2.getPath).sheetNames === Seq("Data", "Data_2", "Data_3"))
+  }
+
   test("XlsxAppend: rewrite-based file append preserves sheets, types and date styles") {
     import graft.xlsx._
     import CellValue._

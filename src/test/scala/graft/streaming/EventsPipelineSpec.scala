@@ -26,7 +26,7 @@ class EventsPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  test("file stream -> windowed agg -> xlsx sink matches the batch plan") {
+  test("multi-batch stream -> windowed agg -> xlsx sink, no duplicate windows") {
     val base = Files.createTempDirectory("events").toString
     val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
 
@@ -34,23 +34,38 @@ class EventsPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    // Single staged file -> single micro-batch, so Update mode emits each
-    // window exactly once with its final value.
-    events.coalesce(1).write.parquet(in)
+    // Three time-ordered slices + maxFilesPerTrigger=1 -> three
+    // micro-batches arriving in event-time order (a random split would
+    // put most of batches 2-3 behind the watermark and drop them). The
+    // hour window straddling each slice boundary is re-emitted by Update
+    // mode — the duplication case the per-window overwrite sink must
+    // absorb. Distinct mod-times keep FileStreamSource's oldest-first
+    // ordering deterministic.
+    val tiled = events.withColumn("tile",
+      ntile(3).over(org.apache.spark.sql.expressions.Window.orderBy("ts")))
+    (1 to 3).foreach { i =>
+      tiled.filter(col("tile") === i).drop("tile")
+        .coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(1100)
+    }
 
-    val q = EventsPipeline.run(spark, in, out, ckpt)
-    q.awaitTermination(120000)
+    val q = EventsPipeline.run(spark, in, out, ckpt, maxFilesPerTrigger = Some(1))
+    q.awaitTermination(180000)
 
     // The streamed result, read back from the xlsx sink, must equal the
     // batch aggregation of the same input.
     val streamed = spark.read.format("xlsx")
-      .option("header", "true").option("allSheets", "true").load(out)
-    val expected = events
+      .option("header", "true").load(s"$out/window=*/etype=*")
+    val batchPlan = events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
-      .count()
-    assert(streamed.count() === expected)
-    // Spot-check one aggregate value end-to-end.
+    assert(streamed.count() === batchPlan.count())
+    // Exactly one row per (window, event_type) after >=2 batches — the
+    // Update-mode re-emissions must not accumulate in the sink.
+    val dups = streamed.groupBy("hour_start", "event_type")
+      .count().filter(col("count") > 1).count()
+    assert(dups === 0)
+    // Every event counted exactly once end-to-end.
     val total = streamed.agg(sum("cnt")).collect()(0).getLong(0)
     assert(total === events.count())
   }

@@ -142,6 +142,32 @@ class RoundtripSpec extends AnyFunSuite {
     assert(!xml.contains("formatCells=")) // denied -> attribute absent
   }
 
+  test("multi-run inline rich text concatenates all runs (foreign-authored files)") {
+    // Hand-built workbook: our writer never emits <is><r><t>..</t></r>..,
+    // but foreign writers do (ref: src/streaming_reader.rs:766-815 tests the
+    // same shapes for the SST path). All runs must concatenate, not keep last.
+    val bos = new ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook><sheets><sheet name="S" sheetId="1" id="rId1"/></sheets></workbook>""")
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships><Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>""")
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData><row r="1">""" +
+        """<c r="A1" t="inlineStr"><is><r><rPr><b/></rPr><t>a</t></r><r><t>b</t></r></is></c>""" +
+        """<c r="B1" t="inlineStr"><is><t>plain</t></is></c>""" +
+        """<c r="C1" t="inlineStr"><is><r><t>x</t></r><r><t xml:space="preserve"> y</t></r><r><t> z</t></r></is></c>""" +
+        """</row></sheetData></worksheet>""")
+    zos.close()
+    val row = XlsxReader.forBytes(bos.toByteArray).rows("S").next()
+    assert(row == Vector[CellValue](Str("ab"), Str("plain"), Str("x y z")))
+  }
+
   test("compression levels produce valid files of decreasing size") {
     def size(level: Int): Int = {
       val bos = new ByteArrayOutputStream()

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB correctness gate.
+
+Usage: python3 tools/oracle_check.py <verify_out_dir> <sf_dir> [query ...]
+
+For each query dir under verify_out_dir: load Spark's parquet result and
+the DuckDB oracle result (oracle_sql.json over the sf parquet tables),
+sort columns by name, sort rows, and compare dtypes + values the way the
+driver's hash compare would see them.
+"""
+import json, sys, glob, math
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    if len(df) and len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    fails = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"{name:24s} NO SPARK OUTPUT")
+            fails += 1
+            continue
+        spark_df = norm(con.sql(
+            f"SELECT * FROM read_parquet({files!r})").df())
+        try:
+            ora_df = norm(con.sql(sql).df())
+        except Exception as e:
+            print(f"{name:24s} ORACLE SQL ERROR: {e}")
+            fails += 1
+            continue
+        problems = []
+        if len(spark_df) != len(ora_df):
+            problems.append(f"rows {len(spark_df)} vs {len(ora_df)}")
+        if list(spark_df.columns) != list(ora_df.columns):
+            problems.append(f"cols {list(spark_df.columns)} vs {list(ora_df.columns)}")
+        else:
+            for c in spark_df.columns:
+                if str(spark_df[c].dtype) != str(ora_df[c].dtype):
+                    problems.append(f"dtype[{c}] {spark_df[c].dtype} vs {ora_df[c].dtype}")
+            if not problems:
+                for c in spark_df.columns:
+                    a, b = spark_df[c], ora_df[c]
+                    if a.dtype.kind == "f":
+                        bad = ~((a.isna() & b.isna()) | (abs(a - b) <= 1e-9))
+                    else:
+                        bad = ~((a.isna() & b.isna()) | (a == b))
+                    n = int(bad.sum())
+                    if n:
+                        i = bad.idxmax()
+                        problems.append(
+                            f"values[{c}] {n} diffs, first@{i}: {a[i]!r} vs {b[i]!r}")
+        if problems:
+            fails += 1
+            print(f"{name:24s} FAIL: " + "; ".join(problems[:4]))
+        else:
+            print(f"{name:24s} ok ({len(spark_df)} rows)")
+    print(f"\n{'ALL GREEN' if fails == 0 else str(fails) + ' FAILURES'}")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
