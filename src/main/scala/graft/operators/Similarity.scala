@@ -116,6 +116,105 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /** Train IVF coarse-quantizer centroids: Lloyd's k-means over a bounded,
+    * deterministic sample (first `maxSample` vectors by id), spherical
+    * variant (centroids re-normalized each round, assignment by dot
+    * product = cosine). Driver-side by design: the sample is bounded
+    * (`maxSample`×dim doubles), so training cost is independent of corpus
+    * size — the standard IVF recipe (train on a sample, assign
+    * distributed). Deterministic: sample order and init (every
+    * (n/nlist)-th sample vector) are id-ordered, no RNG. */
+  def trainIvfCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 8, maxSample: Int = 4096): Array[Array[Double]] = {
+    val sample = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy("id").limit(maxSample)
+      .collect().map(r => normalize(r.getSeq[Double](1).toArray))
+    require(sample.length >= nlist, s"need >= $nlist sample vectors, got ${sample.length}")
+    var cents = Array.tabulate(nlist)(i => sample(i * sample.length / nlist).clone())
+    var it = 0
+    while (it < iters) {
+      val dim = cents(0).length
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Int](nlist)
+      sample.foreach { v =>
+        val cell = nearestCell(v, cents)
+        val s = sums(cell)
+        var j = 0
+        while (j < v.length) { s(j) += v(j); j += 1 }
+        counts(cell) += 1
+      }
+      cents = Array.tabulate(nlist) { c =>
+        if (counts(c) == 0) cents(c) // empty cell keeps its centroid
+        else normalize(sums(c))
+      }
+      it += 1
+    }
+    cents
+  }
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    var acc = 0.0d; var i = 0
+    while (i < v.length) { acc += v(i) * v(i); i += 1 }
+    val n = math.sqrt(acc)
+    if (n == 0) v else { val out = new Array[Double](v.length); i = 0
+      while (i < v.length) { out(i) = v(i) / n; i += 1 }; out }
+  }
+
+  private def nearestCell(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestDot = Double.NegativeInfinity; var c = 0
+    while (c < cents.length) {
+      val ct = cents(c); var acc = 0.0d; var j = 0
+      val n = math.min(v.length, ct.length)
+      while (j < n) { acc += v(j) * ct(j); j += 1 }
+      if (acc > bestDot) { bestDot = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF (inverted-file) approximate top-k — the second scale path next
+    * to LSH: a coarse quantizer (spherical k-means, trained on a bounded
+    * sample) partitions the corpus into `nlist` cells ONCE (write-side
+    * and reusable at scale, like the LSH buckets); each query probes only
+    * its `nprobe` nearest cells, so candidate volume is ~nprobe/nlist of
+    * the corpus and the only shuffle keys on cell ids. Exact cosine
+    * re-ranks candidates. Recall tunes with nprobe (= nlist recovers
+    * brute force). */
+  def ivfTopK(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4,
+      iters: Int = 8, maxSample: Int = 4096): DataFrame = {
+    val cents = trainIvfCentroids(corpus, cId, cVec, nlist, iters, maxSample)
+    // nlist×dim doubles ride the task closure — a few KB, no broadcast needed.
+    val assignUdf = udf { (v: Seq[Double]) => nearestCell(normalize(v.toArray), cents) }
+    val probeUdf = udf { (v: Seq[Double]) =>
+      val x = normalize(v.toArray)
+      val scored = Array.tabulate(cents.length) { c =>
+        val ct = cents(c); var acc = 0.0d; var j = 0
+        val n = math.min(x.length, ct.length)
+        while (j < n) { acc += x(j) * ct(j); j += 1 }
+        (acc, c)
+      }
+      scored.sortBy(-_._1).take(nprobe).map(_._2)
+    }
+    val c = corpus.select(col(cId).as("corpus_id"), col(cVec).as("cv"))
+      .withColumn("cell", assignUdf(col("cv")))
+      .withColumn("cn", l2norm(col("cv")))
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("qv"))
+      .withColumn("cell", explode(probeUdf(col("qv"))))
+      .withColumn("qn", l2norm(col("qv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
+    q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      // a corpus vector lives in exactly one cell -> no candidate dedup needed
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates share at least one
     * hyperplane band with the query; exact cosine re-ranks candidates.
     * The 100 TB path: corpus is bucketed once (write-side, reusable),
