@@ -42,38 +42,47 @@ object Bench {
     // Throughput micro-metrics mapped onto BASELINE.md rows: xlsx write
     // (single writer = per-core vs the reference's 42K rows/s; parallel =
     // the Spark scale win), xlsx read, csv write.
+    // The write metrics time the WRITE, not the input pipeline: inputs are
+    // cached (and the parallel copies pre-shuffled) before the clock starts,
+    // so scan/union/repartition cost can't masquerade as sink throughput.
+    import org.apache.spark.storage.StorageLevel
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nRows = li.count()
+    // At sf0.1 a 32-way split leaves ~19K rows per file and the parallel
+    // measurement is file-open/commit-bound (BENCH_r2 showed parallel CSV
+    // *slower* than single-writer). Replicate the input 8x for the parallel
+    // metrics so each writer streams ~150K rows — the per-task volume a real
+    // cluster sees — and report throughput over the replicated row count.
+    // The JSON key carries the repl factor so cross-round series don't
+    // silently compare different data volumes (rounds 1-2 used 1x).
+    val csvRepl = 8
+    val liPar = (1 to csvRepl).map(_ => li).reduce(_ union _)
+      .repartition(cpus.toInt).persist(StorageLevel.MEMORY_AND_DISK)
+    val nBig = liPar.count()
     def time[A](f: => A): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     def time2(f: => Unit): Double = { val a = time(f); math.min(a, time(f)) }
     val w1 = time2(li.coalesce(1).write.mode("overwrite").format("xlsx")
       .option("header", "true").save("/tmp/graft_bench/x1"))
-    val wp = time2(li.repartition(cpus.toInt).write.mode("overwrite").format("xlsx")
+    val wp = time2(liPar.write.mode("overwrite").format("xlsx")
       .option("header", "true").save("/tmp/graft_bench/xp"))
     val rd = time2(spark.read.format("xlsx").option("header", "true")
       .load("/tmp/graft_bench/xp").agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1))).collect())
     val c1 = time2(li.coalesce(1).write.mode("overwrite")
       .option("header", "true").csv("/tmp/graft_bench/c1"))
-    // At sf0.1 a 32-way split leaves ~19K rows per file and the parallel
-    // measurement is file-open/commit-bound (BENCH_r2 showed parallel CSV
-    // *slower* than single-writer). Replicate the input 8x for the parallel
-    // metric so each writer streams ~150K rows — the per-task volume a real
-    // cluster sees — and report throughput over the replicated row count.
-    val csvRepl = 8
-    val liBig = (1 to csvRepl).map(_ => li).reduce(_ union _)
-    val cw = time2(liBig.repartition(cpus.toInt).write.mode("overwrite")
+    val cw = time2(liPar.write.mode("overwrite")
       .option("header", "true").csv("/tmp/graft_bench/c"))
     val tput =
       f""""xlsx_write_1core_rows_per_sec":${nRows / w1}%.0f,""" +
-      f""""xlsx_write_parallel_rows_per_sec":${nRows / wp}%.0f,""" +
-      f""""xlsx_read_parallel_rows_per_sec":${nRows / rd}%.0f,""" +
+      f""""xlsx_write_parallel_repl${csvRepl}_rows_per_sec":${nBig / wp}%.0f,""" +
+      f""""xlsx_read_parallel_repl${csvRepl}_rows_per_sec":${nBig / rd}%.0f,""" +
       f""""csv_write_1core_rows_per_sec":${nRows / c1}%.0f,""" +
-      f""""csv_write_parallel_rows_per_sec":${nRows * csvRepl / cw}%.0f,""" +
+      f""""csv_write_parallel_repl${csvRepl}_rows_per_sec":${nBig / cw}%.0f,""" +
       f""""throughput_rows":$nRows"""
 
     val qs = (results.map { case (k, v) => "\"" + k + f"\":$v%.3f" } :+ tput)

@@ -494,6 +494,20 @@ object SparkEntry {
         dim = 64, k = 5, planes = 18, bands = 6)
     }),
 
+    "ann_ivf" -> ((s, dir) => {
+      // IVF top-k run exhaustively (nprobe = nlist): every cell is probed,
+      // so the result is exactly the brute-force answer and the DuckDB
+      // oracle applies — this oracle-checks the whole IVF machinery
+      // (sampled k-means training, cell assignment, probe, cosine rerank).
+      // The approximate regime (nprobe < nlist) is covered by the recall
+      // bound in OperatorsSpec.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      Similarity.ivfTopK(
+        e.filter(col("vec_id") < 10), "vec_id", "e", e, "vec_id", "e",
+        k = 5, nlist = 8, nprobe = 8)
+    }),
+
     "ann_recall" -> ((s, dir) => {
       // Self-measuring quality: recall@5 of the LSH path against the
       // brute-force baseline (rows-only — the value characterizes the
@@ -537,7 +551,7 @@ object SparkEntry {
     "events_window", "sessionize",
     "xlsx_roundtrip", "xlsx_multisheet", "csv_roundtrip", "parquet_stringify",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
-    "text_stats", "doc_fingerprint", "ann_bruteforce", "ann_lsh",
+    "text_stats", "doc_fingerprint", "ann_bruteforce", "ann_lsh", "ann_ivf",
     "embedding_pairs_exact")
 
   def oracleSql: Map[String, String] = Map(
@@ -819,6 +833,21 @@ object SparkEntry {
          WHERE list_cosine_similarity(a.v, b.v) >= 0.35""",
 
     "ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
+              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                                list_cosine_similarity(q.v, c.v) AS cos
+                         FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
+              ranked AS (SELECT query_id, corpus_id, cos,
+                                row_number() OVER (PARTITION BY query_id
+                                                   ORDER BY cos DESC, corpus_id) AS rnk
+                         FROM scored)
+         SELECT query_id, corpus_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
+         FROM ranked WHERE rnk <= 5""",
+
+    // Exhaustive IVF (nprobe = nlist) probes every cell, so the exact
+    // brute-force oracle applies verbatim.
+    "ann_ivf" ->
       """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
               c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,

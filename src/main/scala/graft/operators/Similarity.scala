@@ -161,12 +161,21 @@ object Similarity {
       while (i < v.length) { out(i) = v(i) / n; i += 1 }; out }
   }
 
+  /** Dot product requiring equal dimensions — a vector whose length differs
+    * from the centroids' is corrupt input, and truncating would silently
+    * assign it to an arbitrary cell. */
+  private def dotStrict(v: Array[Double], ct: Array[Double]): Double = {
+    require(v.length == ct.length,
+      s"embedding dimension ${v.length} != centroid dimension ${ct.length}")
+    var acc = 0.0d; var j = 0
+    while (j < v.length) { acc += v(j) * ct(j); j += 1 }
+    acc
+  }
+
   private def nearestCell(v: Array[Double], cents: Array[Array[Double]]): Int = {
     var best = 0; var bestDot = Double.NegativeInfinity; var c = 0
     while (c < cents.length) {
-      val ct = cents(c); var acc = 0.0d; var j = 0
-      val n = math.min(v.length, ct.length)
-      while (j < n) { acc += v(j) * ct(j); j += 1 }
+      val acc = dotStrict(v, cents(c))
       if (acc > bestDot) { bestDot = acc; best = c }
       c += 1
     }
@@ -191,12 +200,7 @@ object Similarity {
     val assignUdf = udf { (v: Seq[Double]) => nearestCell(normalize(v.toArray), cents) }
     val probeUdf = udf { (v: Seq[Double]) =>
       val x = normalize(v.toArray)
-      val scored = Array.tabulate(cents.length) { c =>
-        val ct = cents(c); var acc = 0.0d; var j = 0
-        val n = math.min(x.length, ct.length)
-        while (j < n) { acc += x(j) * ct(j); j += 1 }
-        (acc, c)
-      }
+      val scored = Array.tabulate(cents.length)(c => (dotStrict(x, cents(c)), c))
       scored.sortBy(-_._1).take(nprobe).map(_._2)
     }
     val c = corpus.select(col(cId).as("corpus_id"), col(cVec).as("cv"))

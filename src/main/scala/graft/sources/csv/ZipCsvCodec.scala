@@ -53,13 +53,38 @@ final class ZipCsvCodec extends CompressionCodec with Configurable {
 
   override def createInputStream(in: InputStream): CompressionInputStream = {
     val zin = new ZipInputStream(in)
-    // Position at the first file entry (the reference writes exactly one).
-    var e = zin.getNextEntry
-    while (e != null && e.isDirectory) e = zin.getNextEntry
-    require(e != null, "empty ZIP archive: no CSV entry to read")
+    def nextFileEntry(): ZipEntry = {
+      var e = zin.getNextEntry
+      while (e != null && e.isDirectory) e = zin.getNextEntry
+      e
+    }
+    require(nextFileEntry() != null, "empty ZIP archive: no CSV entry to read")
+    // The reference writes exactly one entry, but foreign-produced archives
+    // may hold several CSV parts: chain-read them in archive order instead
+    // of silently truncating to the first entry's rows. Caveat (documented):
+    // with header=true Spark skips only the first line of the whole stream,
+    // so subsequent entries' header lines surface as data rows — multi-entry
+    // archives should be read with header=false.
     new CompressionInputStream(zin) {
-      override def read(b: Array[Byte], off: Int, len: Int): Int = zin.read(b, off, len)
-      override def read(): Int = zin.read()
+      private var lastByte: Int = '\n'
+      // On entry EOF: advance to the next entry; if the finished entry had
+      // no trailing newline, emit one first so its last row can't merge
+      // with the next entry's first row.
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        if (len == 0) return 0
+        var n = zin.read(b, off, len)
+        while (n < 0 && nextFileEntry() != null) {
+          if (lastByte != '\n') { b(off) = '\n'; lastByte = '\n'; return 1 }
+          n = zin.read(b, off, len)
+        }
+        if (n > 0) lastByte = b(off + n - 1) & 0xFF
+        n
+      }
+      override def read(): Int = {
+        val one = new Array[Byte](1)
+        val n = read(one, 0, 1)
+        if (n < 0) -1 else one(0) & 0xFF
+      }
       override def resetState(): Unit = ()
       override def getPos: Long = 0L
     }

@@ -68,11 +68,16 @@ object EventsPipeline {
             .distinct().collect()
             .map(r => (r.getLong(0), r.getString(1)))
           changed.foreach { case (h, e) =>
-            b.filter(col("hour_start").cast("long") === h && col("event_type") === e)
+            // event_type can legitimately be null (it is a grouping key, and
+            // groupBy keeps null groups): use null-safe equality for the
+            // per-key filter and a sentinel path segment — same convention
+            // as XlsxDataWriter.sheetKeyOf — so URLEncoder never sees null.
+            val eSeg = java.net.URLEncoder.encode(if (e == null) "null" else e, "UTF-8")
+            b.filter(col("hour_start").cast("long") === h && (col("event_type") <=> lit(e)))
               .coalesce(1)
               .write.mode("overwrite").format("xlsx")
               .option("header", "true").option("sheet", "agg")
-              .save(s"$outDir/window=$h/etype=${java.net.URLEncoder.encode(e, "UTF-8")}")
+              .save(s"$outDir/window=$h/etype=$eSeg")
           }
         } finally b.unpersist()
       }

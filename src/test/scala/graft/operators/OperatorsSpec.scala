@@ -99,6 +99,46 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.6, s"LSH recall too low: $recall")
   }
 
+  test("ivf topk: exhaustive probe recovers brute force; partial probe has recall; dim mismatch throws") {
+    val s = spark
+    import s.implicits._
+    val base = (0 until 40).map { i =>
+      val v = Array.fill(8)(0.05 * ((i * 7 + 3) % 5))
+      v(i % 4) = 1.0
+      v((i % 4 + 4) % 8) = 0.5 + 0.01 * i
+      (i.toLong, v)
+    }
+    val corpus = base.toDF("vec_id", "e")
+    val queries = corpus.filter(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(queries, "vec_id", "e", corpus, "vec_id", "e", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // nprobe = nlist probes every cell -> bit-identical to brute force
+    val exhaustive = Similarity.ivfTopK(queries, "vec_id", "e", corpus, "vec_id", "e",
+        k = 5, nlist = 4, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(exhaustive === exact)
+    // partial probe: approximate but clustered data keeps recall high
+    val partial = Similarity.ivfTopK(queries, "vec_id", "e", corpus, "vec_id", "e",
+        k = 5, nlist = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exact.map { case (q, c, _, _) => (q, c) }
+    val recall = (exactPairs & partial).size.toDouble / exactPairs.size
+    assert(recall >= 0.6, s"IVF recall too low: $recall")
+    // a corpus vector of the wrong dimension must fail loudly, not be
+    // silently assigned to an arbitrary cell
+    val corrupt = corpus.union(Seq((99L, Array(1.0, 2.0))).toDF("vec_id", "e"))
+    // driver-side (training) -> IllegalArgumentException; executor-side
+    // (assignment) -> wrapped in SparkException: accept either, but the
+    // message must name the dimension mismatch.
+    val ex = intercept[Exception] {
+      Similarity.ivfTopK(queries, "vec_id", "e", corrupt, "vec_id", "e",
+        k = 5, nlist = 4, nprobe = 4).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("dimension"), s"unexpected failure: $msgs")
+  }
+
   test("connected components: chains, cliques and singletons resolve to min id") {
     val s = spark
     import s.implicits._

@@ -85,6 +85,30 @@ class CsvParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(text.startsWith("id\n0\n1\n"))
   }
 
+  test("zip container: foreign multi-entry archive chain-reads every entry") {
+    graft.sources.csv.ZipCsvCodec.register(spark)
+    // A foreign-produced .csv.zip with THREE entries (one lacking a
+    // trailing newline) plus a directory entry must yield all rows — not
+    // silently truncate to the first entry.
+    val dir = Files.createTempDirectory("csvzipmulti").toFile
+    val zf = new java.io.File(dir, "parts.csv.zip")
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(zf))
+    zos.putNextEntry(new java.util.zip.ZipEntry("sub/"))
+    zos.closeEntry()
+    def put(name: String, body: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    put("part-0.csv", "1,a\n2,b\n")
+    put("part-1.csv", "3,c") // no trailing newline: boundary must not merge rows
+    put("part-2.csv", "4,d\n")
+    zos.close()
+    val rows = spark.read.schema("k INT, v STRING").csv(zf.getAbsolutePath)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toSet
+    assert(rows === Set(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d"))
+  }
+
   test("B12: reference CSV corpus — parser cases roundtrip as values (csv/parser.rs:56-131)") {
     // Every parsed-value case from the reference's parser tests survives a
     // Spark CSV write→read roundtrip.

@@ -69,4 +69,31 @@ class EventsPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val total = streamed.agg(sum("cnt")).collect()(0).getLong(0)
     assert(total === events.count())
   }
+
+  test("null event_type survives the xlsx delivery (sentinel path, null-safe filter)") {
+    val base = Files.createTempDirectory("eventsnull").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "2026-01-01 10:05:00", 7L, null.asInstanceOf[String], 1.5, "{}"),
+      (2L, "2026-01-01 10:15:00", 8L, null.asInstanceOf[String], 2.5, "{}"),
+      (3L, "2026-01-01 10:25:00", 9L, "click", 4.0, "{}"))
+      .toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(in)
+    val q = EventsPipeline.run(spark, in, out, ckpt)
+    q.awaitTermination(120000)
+    val streamed = spark.read.format("xlsx")
+      .option("header", "true").load(s"$out/window=*/etype=*")
+    // null group delivered once under the sentinel segment, counted fully
+    assert(streamed.count() === 2)
+    val nullRow = streamed.filter(col("event_type").isNull ||
+      col("event_type") === "").collect()
+    assert(nullRow.length === 1)
+    assert(nullRow.head.getAs[Any]("cnt").toString === "2")
+    assert(new java.io.File(s"$out").listFiles().flatMap(_.listFiles())
+      .exists(_.getName === "etype=null"))
+  }
 }
