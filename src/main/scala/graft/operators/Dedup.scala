@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Spread a poorly-partitioned input across the cluster before per-row
+    * sketch work (shingling, hashing, signatures). A small parquet file
+    * arrives as ONE partition, so without this every interpreted per-doc
+    * computation runs on one core of N (measured 3-4× on the sf0.1 bench).
+    * No-op whenever the input already has enough partitions — i.e. always
+    * at real scale, where inputs arrive in thousands of splits. */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Exact dedup: keep one row per distinct `cols` tuple (hash-aggregate,
     * map-side partial combine for free). */
   def exact(df: DataFrame, cols: Seq[String]): DataFrame =
@@ -72,7 +83,7 @@ object Dedup {
     // expensive shingle/minhash computation runs once. At 100 TB these
     // become materialized intermediate tables; MEMORY_AND_DISK spills
     // gracefully either way.
-    val sh = df
+    val sh = spread(df)
       .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -140,7 +151,7 @@ object Dedup {
     val spark = df.sparkSession
     val sim = udf(simhash64)
     val pop = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
-    val withFp = df.select(col(idCol).as("id"), sim(col(textCol)).as("fp"))
+    val withFp = spread(df).select(col(idCol).as("id"), sim(col(textCol)).as("fp"))
     val banded = withFp.select(col("id"), col("fp"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"), shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL)).as("val"))
@@ -148,7 +159,8 @@ object Dedup {
       .select(col("id"), col("fp"), col("cb.chunk"), col("cb.val"))
     val l = banded.select(col("chunk"), col("val"), col("id").as("id_a"), col("fp").as("fp_a"))
     val r = banded.select(col("chunk"), col("val"), col("id").as("id_b"), col("fp").as("fp_b"))
-    l.join(r, l("chunk") === r("chunk") && l("val") === r("val") && l("id_a") < r("id_b"))
+    l.join(r, Seq("chunk", "val"))
+      .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", pop(col("fp_a"), col("fp_b")))
       .filter(col("hamming") <= maxHamming)
@@ -157,10 +169,22 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for all pairs above a threshold,
     * via inverted-index join on shingles — no n² cross join: the join
-    * fans out by shared shingle, and the per-shingle fan-out is bounded
-    * for natural text. For 100 TB, add a document-frequency cap (drop
-    * shingles appearing in > dfCap docs — they carry no signal and cause
-    * skew; that's the standard trick). */
+    * fans out by shared shingle only. The per-shingle fan-out is bounded
+    * by the document-frequency cap (shingles in > dfCap docs are dropped —
+    * they carry no signal and cause skew; the standard trick).
+    *
+    * The shingled index is persisted — it feeds the df-count, both join
+    * sides, nothing is computed three times (measured 2.4× on the sf0.1
+    * bench; at 100 TB it becomes a materialized intermediate table). The
+    * length-ratio prefilter inside the join condition (J ≥ t forces
+    * min(n_a,n_b)/max(n_a,n_b) ≥ t) drops size-mismatched pairs before the
+    * shuffle-heavy groupBy.
+    *
+    * This all-token variant wins up to mid-size corpora (head-to-head at
+    * sf0.1: 1.6s vs 4.4s for the prefix-filtered plan — the prefix plan
+    * pays a gdf join + per-doc window + verify joins of fixed overhead).
+    * For huge duplicate-dense corpora, where the token-join fan-out itself
+    * is the bottleneck, use [[ngramJaccardPairsPrefix]]. */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -168,24 +192,86 @@ object Dedup {
       k: Int = 3,
       threshold: Double = 0.5,
       dfCap: Int = 10000): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    val sh = spread(df)
+      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
-    val exploded = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
+    val exploded = sh
+      .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // df-cap: drop ubiquitous shingles (skew + zero signal)
     val capped = exploded.join(
-      exploded.groupBy("g").agg(count(lit(1)).as("gdf")).filter(col("gdf") <= dfCap),
+      exploded.groupBy("g").agg(count(lit(1)).as("gdf")).filter(col("gdf") <= dfCap).select("g"),
       "g")
     val a = capped.select(col("g"), col("id").as("id_a"), col("n").as("n_a"))
     val b = capped.select(col("g"), col("id").as("id_b"), col("n").as("n_b"))
-    // Length-ratio prefilter: Jaccard >= t forces min(n_a,n_b)/max(n_a,n_b)
-    // >= t (|A∩B| <= min, |A∪B| >= max), so size-mismatched pairs can be
-    // dropped inside the join condition — before the shuffle-heavy groupBy —
-    // cutting candidate fan-out with zero effect on the result set.
-    a.join(b, a("g") === b("g") && a("id_a") < b("id_b")
-        && a("n_a") >= b("n_b") * lit(threshold)
-        && b("n_b") >= a("n_a") * lit(threshold))
+    a.join(b, Seq("g"))
+      .filter(col("id_a") < col("id_b")
+        && col("n_a") >= col("n_b") * lit(threshold)
+        && col("n_b") >= col("n_a") * lit(threshold))
       .groupBy("id_a", "id_b", "n_a", "n_b")
       .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Prefix-filtered variant of [[ngramJaccardPairs]] (All-Pairs/PPJoin
+    * family) for huge, duplicate-dense corpora — identical result set
+    * (parity-tested; when the df-cap actually triggers the two differ
+    * slightly by construction: this variant's reported jaccard is the
+    * exact full-set value, the all-token variant's excludes capped
+    * shingles from the intersection), different plan:
+    *
+    *  - **Prefix filter**: with shingles in a global total order, two sets
+    *    with J ≥ t must share a token inside both *prefixes* of length
+    *    p(n) = n − ⌈n·t/(1+t)⌉ + 1 (symmetric-join-safe bound: common
+    *    tokens outside either prefix number ≤ (⌈r·n_a⌉−1)+(⌈r·n_b⌉−1) <
+    *    r·(n_a+n_b) ≤ |A∩B| for r = t/(1+t), so at least one shared token
+    *    sits in both prefixes). At t=0.5 only ~2/3 of tokens are indexed,
+    *    and candidate pairs shrink superlinearly (bucket sizes fall too).
+    *  - **Rarest-first order**: tokens sort by (document frequency, token),
+    *    so ubiquitous shingles land *outside* the prefixes — the skew-heavy
+    *    buckets never enter the join at all (the df-cap only matters past
+    *    dfCap; the ordering already buries hot tokens).
+    *  - **Verify**: candidate pairs (a tiny fraction of n²) fetch their
+    *    full shingle sets by id; jaccard is exact.
+    *
+    * Crossover: at sf0.1 (5K docs) this measures 4.4s vs 1.6s for the
+    * all-token plan — the gdf join, per-doc window and verify joins are
+    * fixed overhead. It wins when the all-token join fan-out
+    * (Σ_g count(g)²) dominates, i.e. dense duplication at large n. */
+  def ngramJaccardPairsPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      threshold: Double = 0.5,
+      dfCap: Int = 10000): DataFrame = {
+    val sh = spread(df)
+      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), size(col("sh")).as("n"), col("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = sh.select(col("id"), col("n"), explode(col("sh")).as("g"))
+    val gdf = exploded.groupBy("g").agg(count(lit(1)).as("gdf"))
+    val prefixLen = col("n") - ceil(col("n") * lit(threshold / (1.0d + threshold))) + 1
+    val prefix = exploded
+      .join(gdf.filter(col("gdf") <= dfCap), "g")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("gdf", "g")))
+      .filter(col("rk") <= prefixLen)
+      .select(col("g"), col("id"), col("n"))
+    val candidates = prefix.select(col("g"), col("id").as("id_a"), col("n").as("n_a"))
+      .join(prefix.select(col("g"), col("id").as("id_b"), col("n").as("n_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b")
+        && col("n_a") >= col("n_b") * lit(threshold)
+        && col("n_b") >= col("n_a") * lit(threshold))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -271,7 +357,8 @@ object Dedup {
       col("v").as("v_a"), col("nrm").as("n_a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
       col("v").as("v_b"), col("nrm").as("n_b"))
-    l.join(r, l("band") === r("band") && l("bucket") === r("bucket") && l("id_a") < r("id_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cosine") >= cosineThreshold)

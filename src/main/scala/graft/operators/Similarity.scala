@@ -87,7 +87,7 @@ object Similarity {
         bucket
       }
     }
-    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    Dedup.spread(df).select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", l2norm(col("v")))
       .select(col("id"), col("v"), col("nrm"),
         posexplode(buckets(col("v"))).as(Seq("band", "bucket")))

@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.operators.Dedup
+
+/** Measurement harness behind the plan choice in
+  * [[graft.operators.Dedup.ngramJaccardPairs]] vs
+  * [[graft.operators.Dedup.ngramJaccardPairsPrefix]]: times both variants
+  * on the documents table and asserts result parity. Run:
+  * {{{ sbt "runMain graft.tools.NgramLab /root/testdata/sf0.1" }}}
+  */
+object NgramLab {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.count()
+    def time(name: String)(f: => Long): Unit = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"$name%-14s rows=${ts.head._2} times=${ts.map(t => f"${t._1}%.2f").mkString(",")} min=${ts.map(_._1).min}%.2f")
+    }
+    time("all-token") { Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, 10000).count() }
+    time("prefix") { Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5, 10000).count() }
+    val a = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, 10000)
+      .collect().map(_.toString).sorted
+    val b = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5, 10000)
+      .collect().map(_.toString).sorted
+    println(s"parity: all-token=${a.length} prefix=${b.length} equal:${a.sameElements(b)}")
+    spark.stop()
+  }
+}

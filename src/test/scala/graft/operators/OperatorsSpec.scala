@@ -99,6 +99,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.6, s"LSH recall too low: $recall")
   }
 
+  test("ngram jaccard prefix variant: exact parity with the all-token plan") {
+    // Mixed corpus: exact dup, two near-dup families at different sizes,
+    // disjoint docs, and a short doc below the shingle threshold.
+    val fam1 = (0 until 20).map(i => s"t$i").mkString(" ")
+    val fam2 = (0 until 40).map(i => s"u$i").mkString(" ")
+    val df = docs(
+      1L -> fam1, 2L -> fam1, 3L -> (fam1 + " extra tail words here"),
+      4L -> fam2, 5L -> fam2.replace("u7", "X7").replace("u31", "X31"),
+      6L -> unrelated, 7L -> "too short")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val a = Dedup.ngramJaccardPairs(df, "id", "text", k = 3, threshold = t)
+        .collect().map(_.toString).sorted
+      val b = Dedup.ngramJaccardPairsPrefix(df, "id", "text", k = 3, threshold = t)
+        .collect().map(_.toString).sorted
+      assert(a.sameElements(b), s"threshold $t: ${a.toSeq} vs ${b.toSeq}")
+      assert(t > 0.3 || a.nonEmpty, "fixture produced no pairs at t=0.3")
+    }
+  }
+
   test("ivf topk: exhaustive probe recovers brute force; partial probe has recall; dim mismatch throws") {
     val s = spark
     import s.implicits._
