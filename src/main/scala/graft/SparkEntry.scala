@@ -141,6 +141,35 @@ object SparkEntry {
         .agg(count(col("o_orderkey")).as("n_orders"),
           round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("sum_price"))),
 
+    "join_asof" -> ((s, dir) => {
+      // As-of join (Spark has no native one; graft.operators.AsOfJoin is
+      // the union+window formulation — one shuffle, no range explosion):
+      // each click matched to the user's latest purchase at-or-before it.
+      // DuckDB's native ASOF LEFT JOIN is the oracle.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      // right side unique per (key, ts) for a deterministic match
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("pvalue"))
+      graft.operators.AsOfJoin.leftAsOf(
+        clicks, purchases, Seq("user_id"), "ts", Seq("pvalue"), "p_")
+    }),
+
+    "join_salted" -> ((s, dir) => {
+      // Salted equi-join (structural-skew fallback where AQE can't split
+      // further); the salt is internal, so the plain-join oracle applies.
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+      val ords = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(li, ords, Seq("l_orderkey"), salts = 4)
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
     "agg_cube" -> ((s, dir) =>
       t(s, dir, "customer")
         .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
@@ -546,7 +575,8 @@ object SparkEntry {
 
   /** Headline subset timed by graft.Bench (one per operator family). */
   val benchQueries: Seq[String] = Seq(
-    "agg_groupby", "join_hash", "join_broadcast", "join_outer", "window_rank",
+    "agg_groupby", "join_hash", "join_broadcast", "join_outer", "join_asof",
+    "join_salted", "window_rank",
     "sort_limit_topk", "agg_rollup", "percentiles", "pivot_conditional",
     "events_window", "sessionize",
     "xlsx_roundtrip", "xlsx_multisheet", "csv_roundtrip", "parquet_stringify",
@@ -615,6 +645,26 @@ object SparkEntry {
                 round(coalesce(sum(o_totalprice), 0.0), 2) AS sum_price
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          GROUP BY c_custkey""",
+
+    // DuckDB's native ASOF LEFT JOIN oracles the union+window formulation;
+    // CAST(ts AS TIMESTAMP) truncates TIMESTAMP_NS to micros exactly like
+    // the Spark side's `ts DIV 1000`.
+    "join_asof" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                            event_type, value FROM events),
+              c AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+              p AS (SELECT user_id, ts, max(value) AS pvalue FROM ev
+                    WHERE event_type = 'purchase' GROUP BY user_id, ts)
+         SELECT c.event_id, c.user_id, c.ts, p.ts AS p_ts, p.pvalue AS p_pvalue
+         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""",
+
+    // The salt is internal to the plan; the result is the plain join's.
+    "join_salted" ->
+      """SELECT o_orderpriority,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                count(*) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
 
     "agg_cube" ->
       """SELECT r_name, c_mktsegment, count(*) AS cnt

@@ -158,6 +158,44 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msgs.contains("dimension"), s"unexpected failure: $msgs")
   }
 
+  test("as-of join: latest at-or-before match, ties match, no-match yields nulls") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, 100L, 10L),  // after right ts 5 -> matches v=50
+      (2L, 100L, 5L),   // tie with right ts 5 -> ts >= semantics matches
+      (3L, 100L, 3L),   // before any right row -> nulls
+      (4L, 200L, 99L),  // key with no right rows at all -> nulls
+      (5L, 100L, 20L))  // matches the later right row v=70
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, 5L, 50.0), (100L, 15L, 70.0), (300L, 1L, 9.9))
+      .toDF("user_id", "ts", "v")
+    val out = AsOfJoin.leftAsOf(left, right, Seq("user_id"), "ts", Seq("v"), "p_")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getAs[java.lang.Long]("p_ts")), Option(r.getAs[java.lang.Double]("p_v"))))
+      .toMap
+    assert(out.size === 5)
+    assert(out(1L) === (Some(5L), Some(50.0)))
+    assert(out(2L) === (Some(5L), Some(50.0)))
+    assert(out(3L) === (None, None))
+    assert(out(4L) === (None, None))
+    assert(out(5L) === (Some(15L), Some(70.0)))
+  }
+
+  test("salted join equals the plain join") {
+    val s = spark
+    import s.implicits._
+    // skewed big side: key 1 dominates
+    val big = ((1 to 40).map(i => (1L, i)) ++ Seq((2L, 100), (3L, 200), (9L, 999)))
+      .toDF("k", "payload")
+    val small = Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "name")
+    val salted = Skew.saltedJoin(big, small, Seq("k"), salts = 5)
+      .collect().map(_.toString).sorted
+    val plain = big.join(small, Seq("k")).collect().map(_.toString).sorted
+    assert(salted.sameElements(plain))
+    assert(salted.length === 41) // 40 hits on key 1 + 1 on key 2; keys 3,9,4 drop
+  }
+
   test("connected components: chains, cliques and singletons resolve to min id") {
     val s = spark
     import s.implicits._
