@@ -170,6 +170,24 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    "join_range" -> ((s, dir) => {
+      // Range join via grid bucketing (graft.operators.RangeJoin): for
+      // each order date, how many lineitem ship intervals are open
+      // (interval end synthesized as ship + 5*l_linenumber days — the
+      // testdata has no receipt date). A bare BETWEEN join would plan as
+      // BroadcastNestedLoop.
+      val epoch = to_date(lit("1970-01-01"))
+      val pts = t(s, dir, "orders")
+        .select(to_date(col("o_orderdate")).as("d")).distinct()
+        .withColumn("p", datediff(col("d"), epoch).cast("long"))
+      val iv = t(s, dir, "lineitem").select(
+        datediff(to_date(col("l_shipdate")), epoch).cast("long").as("s0"),
+        (datediff(to_date(col("l_shipdate")), epoch) + col("l_linenumber") * 5)
+          .cast("long").as("e0"))
+      graft.operators.RangeJoin.pointInInterval(pts, "p", iv, "s0", "e0", bucketWidth = 16)
+        .groupBy("d").agg(count(lit(1)).as("n_open"))
+    }),
+
     "agg_cube" -> ((s, dir) =>
       t(s, dir, "customer")
         .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
@@ -576,7 +594,7 @@ object SparkEntry {
   /** Headline subset timed by graft.Bench (one per operator family). */
   val benchQueries: Seq[String] = Seq(
     "agg_groupby", "join_hash", "join_broadcast", "join_outer", "join_asof",
-    "join_salted", "window_rank",
+    "join_salted", "join_range", "window_rank",
     "sort_limit_topk", "agg_rollup", "percentiles", "pivot_conditional",
     "events_window", "sessionize",
     "xlsx_roundtrip", "xlsx_multisheet", "csv_roundtrip", "parquet_stringify",
@@ -657,6 +675,16 @@ object SparkEntry {
                     WHERE event_type = 'purchase' GROUP BY user_id, ts)
          SELECT c.event_id, c.user_id, c.ts, p.ts AS p_ts, p.pvalue AS p_pvalue
          FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""",
+
+    // The grid cells are internal to the plan; the plain BETWEEN join is
+    // the oracle.
+    "join_range" ->
+      """WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+         SELECT d, count(*) AS n_open
+         FROM d JOIN lineitem
+           ON d >= CAST(l_shipdate AS DATE)
+          AND d <= CAST(l_shipdate AS DATE) + l_linenumber * 5
+         GROUP BY d""",
 
     // The salt is internal to the plan; the result is the plain join's.
     "join_salted" ->

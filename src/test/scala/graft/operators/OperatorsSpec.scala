@@ -182,6 +182,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(5L) === (Some(15L), Some(70.0)))
   }
 
+  test("range join: grid-bucketed equals brute-force BETWEEN, boundaries inclusive") {
+    val s = spark
+    import s.implicits._
+    // intervals spanning multiple cells, exactly one cell, and cell edges
+    val iv = Seq((1L, 0L, 5L), (2L, 5L, 5L), (3L, 7L, 40L), (4L, 15L, 16L), (5L, 31L, 33L))
+      .toDF("iv_id", "s0", "e0")
+    val pts = Seq(0L, 5L, 6L, 16L, 32L, 40L, 41L, -1L).toDF("p")
+    for (w <- Seq(1L, 4L, 16L, 100L)) {
+      val grid = RangeJoin.pointInInterval(pts, "p", iv, "s0", "e0", bucketWidth = w)
+        .select("p", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = pts.crossJoin(iv)
+        .filter(col("p") >= col("s0") && col("p") <= col("e0"))
+        .select("p", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(grid === brute, s"bucketWidth $w")
+    }
+    // spot checks: inclusive ends, and the no-match point
+    val g = RangeJoin.pointInInterval(pts, "p", iv, "s0", "e0", 4L)
+      .select("p", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(g.contains((5L, 1L)) && g.contains((5L, 2L)) && g.contains((40L, 3L)))
+    assert(!g.exists(_._1 == 41L) && !g.exists(_._1 == -1L))
+  }
+
   test("salted join equals the plain join") {
     val s = spark
     import s.implicits._
