@@ -59,22 +59,24 @@ object Bench {
     // The JSON key carries the repl factor so cross-round series don't
     // silently compare different data volumes (rounds 1-2 used 1x).
     val csvRepl = 8
-    val liPar = (1 to csvRepl).map(_ => li).reduce(_ union _)
-      .repartition(cpus.toInt).persist(StorageLevel.MEMORY_AND_DISK)
-    val nBig = liPar.count()
     def time[A](f: => A): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     def time2(f: => Unit): Double = { val a = time(f); math.min(a, time(f)) }
+    // Single-writer metrics run BEFORE the 8x replicated cache exists so
+    // its memory pressure can't leak into their timings.
     val w1 = time2(li.coalesce(1).write.mode("overwrite").format("xlsx")
       .option("header", "true").save("/tmp/graft_bench/x1"))
+    val c1 = time2(li.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv("/tmp/graft_bench/c1"))
+    val liPar = (1 to csvRepl).map(_ => li).reduce(_ union _)
+      .repartition(cpus.toInt).persist(StorageLevel.MEMORY_AND_DISK)
+    val nBig = liPar.count()
     val wp = time2(liPar.write.mode("overwrite").format("xlsx")
       .option("header", "true").save("/tmp/graft_bench/xp"))
     val rd = time2(spark.read.format("xlsx").option("header", "true")
       .load("/tmp/graft_bench/xp").agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1))).collect())
-    val c1 = time2(li.coalesce(1).write.mode("overwrite")
-      .option("header", "true").csv("/tmp/graft_bench/c1"))
     val cw = time2(liPar.write.mode("overwrite")
       .option("header", "true").csv("/tmp/graft_bench/c"))
     val tput =
