@@ -170,6 +170,21 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    "topk_heavy" -> ((s, dir) => {
+      // Space-Saving heavy hitters (custom typed Aggregator — map-side
+      // partial aggregation, bounded state). capacity=64 >= distinct
+      // event types, so the sketch is exact here and the plain
+      // GROUP BY ... LIMIT oracle applies; the approximate regime is
+      // property-tested in OperatorsSpec.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val topk = udaf(new graft.operators.HeavyHitters(3, 64),
+        org.apache.spark.sql.Encoders.STRING)
+      t(s, dir, "events")
+        .agg(topk(col("event_type")).as("tk"))
+        .select(explode(col("tk")).as("h"))
+        .select(col("h.key").as("event_type"), col("h.cnt").as("n"))
+    }),
+
     "join_range" -> ((s, dir) => {
       // Range join via grid bucketing (graft.operators.RangeJoin): for
       // each order date, how many lineitem ship intervals are open
@@ -675,6 +690,11 @@ object SparkEntry {
                     WHERE event_type = 'purchase' GROUP BY user_id, ts)
          SELECT c.event_id, c.user_id, c.ts, p.ts AS p_ts, p.pvalue AS p_pvalue
          FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""",
+
+    // Exact regime (capacity >= distinct keys): plain top-k by count.
+    "topk_heavy" ->
+      """SELECT event_type, count(*) AS n FROM events
+         GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3""",
 
     // The grid cells are internal to the plan; the plain BETWEEN join is
     // the oracle.

@@ -204,6 +204,34 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!g.exists(_._1 == 41L) && !g.exists(_._1 == -1L))
   }
 
+  test("heavy hitters sketch: exact when capacity suffices; bounded overestimate when not") {
+    val s = spark
+    import s.implicits._
+    // zipf-ish stream: key i appears 2^(8-i) times, i = 0..7
+    val rows = (0 until 8).flatMap(i => Seq.fill(1 << (8 - i))(s"k$i"))
+    val df = rows.toDF("key").repartition(4) // force multi-partition merges
+    def run(k: Int, cap: Int) = {
+      val agg = udaf(new HeavyHitters(k, cap), org.apache.spark.sql.Encoders.STRING)
+      df.agg(agg(col("key")).as("tk")).select(explode(col("tk")).as("h"))
+        .select("h.key", "h.cnt", "h.err")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    }
+    // exact regime: capacity >= distinct keys -> true counts, zero error
+    val exact = run(3, 16)
+    assert(exact.toSeq === Seq(("k0", 256L, 0L), ("k1", 128L, 0L), ("k2", 64L, 0L)))
+    // approximate regime: capacity 4 < 8 distinct; Space-Saving still
+    // guarantees cnt >= true and cnt - err <= true for reported keys,
+    // and the dominant key must surface
+    val approx = run(3, 4)
+    val trueCounts = rows.groupBy(identity).map { case (key, v) => key -> v.size.toLong }
+    assert(approx.exists(_._1 == "k0"), s"dominant key missing: ${approx.toSeq}")
+    approx.foreach { case (key, cnt, err) =>
+      val t = trueCounts.getOrElse(key, 0L)
+      assert(cnt >= t, s"$key: cnt $cnt < true $t")
+      assert(cnt - err <= t, s"$key: lower bound ${cnt - err} > true $t")
+    }
+  }
+
   test("salted join equals the plain join") {
     val s = spark
     import s.implicits._
