@@ -609,7 +609,7 @@ object SparkEntry {
   /** Headline subset timed by graft.Bench (one per operator family). */
   val benchQueries: Seq[String] = Seq(
     "agg_groupby", "join_hash", "join_broadcast", "join_outer", "join_asof",
-    "join_salted", "join_range", "window_rank",
+    "join_salted", "join_range", "topk_heavy", "window_rank",
     "sort_limit_topk", "agg_rollup", "percentiles", "pivot_conditional",
     "events_window", "sessionize",
     "xlsx_roundtrip", "xlsx_multisheet", "csv_roundtrip", "parquet_stringify",

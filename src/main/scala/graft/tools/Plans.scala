@@ -14,7 +14,8 @@ object Plans {
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("project_filter", "join_broadcast", "agg_groupby", "xlsx_roundtrip",
-        "dedup_minhash", "ann_lsh", "window_rank")
+        "dedup_minhash", "ann_lsh", "window_rank", "join_asof", "join_range",
+        "join_salted", "topk_heavy")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
