@@ -53,10 +53,17 @@ object AsOfJoin {
       keyCols.map(col) ++ Seq(col(tsCol).as("_ts"), lit(1).as("_tag"),
         struct(leftCols.map(col): _*).as("_lrow"),
         lit(null).cast(right.select(payload).schema.head.dataType).as("_rpay")): _*)
-    val r = right.select(
-      keyCols.map(col) ++ Seq(col(tsCol).as("_ts"), lit(0).as("_tag"),
-        lit(null).cast(left.select(struct(leftCols.map(col): _*)).schema.head.dataType).as("_lrow"),
-        payload.as("_rpay")): _*)
+    // SQL join semantics: NULL never matches — a right row with a null key
+    // or null ts must not become anyone's as-of match (window partitioning
+    // would otherwise group null keys together, and a null-ts row sorts
+    // first and gets carried forward). Left rows always survive (left
+    // join); their null keys/ts simply find no match.
+    val r = right
+      .filter((keyCols.map(col(_).isNotNull) :+ col(tsCol).isNotNull).reduce(_ && _))
+      .select(
+        keyCols.map(col) ++ Seq(col(tsCol).as("_ts"), lit(0).as("_tag"),
+          lit(null).cast(left.select(struct(leftCols.map(col): _*)).schema.head.dataType).as("_lrow"),
+          payload.as("_rpay")): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("_ts").asc, col("_tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

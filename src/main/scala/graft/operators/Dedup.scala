@@ -20,10 +20,23 @@ object Dedup {
     * arrives as ONE partition, so without this every interpreted per-doc
     * computation runs on one core of N (measured 3-4× on the sf0.1 bench).
     * No-op whenever the input already has enough partitions — i.e. always
-    * at real scale, where inputs arrive in thousands of splits. */
+    * at real scale, where inputs arrive in thousands of splits.
+    *
+    * The partition probe (`df.rdd.getNumPartitions`) is planning-only for
+    * scan-shaped inputs, but under AQE it eagerly materializes any shuffle
+    * stages in the plan — so frames containing a shuffle-producing
+    * operator are returned untouched: they are already
+    * `spark.sql.shuffle.partitions` wide, only scan-rooted frames can be
+    * single-partition. */
   private[operators] def spread(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val postShuffle = df.queryExecution.optimizedPlan.exists {
+      case _: Join | _: Aggregate | _: Window | _: Sort |
+           _: RepartitionOperation | _: Distinct => true
+      case _ => false
+    }
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    if (!postShuffle && df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
   /** Exact dedup: keep one row per distinct `cols` tuple (hash-aggregate,
@@ -107,16 +120,23 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    // Verify candidates with exact Jaccard, fetching shingle sets by id.
+    verifyJaccard(candidates, sh, jaccardThreshold)
+  }
+
+  /** Shared verification tail of the near-dup joins: fetch full shingle
+    * sets for candidate (id_a, id_b) pairs and keep exact Jaccard ≥ t.
+    * `sh` must carry (id, sh); candidate volume, not corpus volume, drives
+    * the cost. */
+  private def verifyJaccard(
+      candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
     candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
-      .filter(col("jaccard") >= jaccardThreshold)
+      .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-  }
 
   /** 64-bit SimHash over whitespace tokens (Charikar '02): each token's
     * xxhash64 votes ±1 per bit; the sign vector is the fingerprint.
@@ -175,7 +195,10 @@ object Dedup {
     *
     * The shingled index is persisted — it feeds the df-count, both join
     * sides, nothing is computed three times (measured 2.4× on the sf0.1
-    * bench; at 100 TB it becomes a materialized intermediate table). The
+    * bench; at 100 TB it becomes a materialized intermediate table). As
+    * with [[minhashNearDups]], the cache lifecycle is session-owned:
+    * LRU-evicted under pressure, `spark.catalog.clearCache()` drops it
+    * eagerly. The
     * length-ratio prefilter inside the join condition (J ≥ t forces
     * min(n_a,n_b)/max(n_a,n_b) ≥ t) drops size-mismatched pairs before the
     * shuffle-heavy groupBy.
@@ -268,13 +291,7 @@ object Dedup {
         && col("n_b") >= col("n_a") * lit(threshold))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    verifyJaccard(candidates, sh, threshold)
   }
 
   /** Connected components over a near-dup pair list by min-label

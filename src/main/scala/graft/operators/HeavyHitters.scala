@@ -29,17 +29,22 @@ class HeavyHitters(k: Int, capacity: Int)
 
   override def zero: Map[String, (Long, Long)] = Map.empty
 
+  // NULL is its own group, exactly as SQL GROUP BY treats it (merging it
+  // with "" would both miscount and hash-mismatch the oracle). Orderings
+  // must therefore be null-safe: NULL sorts first among equal counts.
+  private def keyOrd(key: String): (Boolean, String) =
+    (key != null, if (key == null) "" else key)
+
   override def reduce(
       b: Map[String, (Long, Long)], key: String): Map[String, (Long, Long)] = {
-    val kk = if (key == null) "" else key
-    b.get(kk) match {
-      case Some((c, e)) => b.updated(kk, (c + 1, e))
-      case None if b.size < capacity => b.updated(kk, (1L, 0L))
+    b.get(key) match {
+      case Some((c, e)) => b.updated(key, (c + 1, e))
+      case None if b.size < capacity => b.updated(key, (1L, 0L))
       case None =>
         // evict the minimum counter; the newcomer inherits its count as
         // the classic overestimate bound
-        val (mk, (mc, _)) = b.minBy { case (key2, (c, _)) => (c, key2) }
-        (b - mk).updated(kk, (mc + 1, mc))
+        val (mk, (mc, _)) = b.minBy { case (key2, (c, _)) => (c, keyOrd(key2)) }
+        (b - mk).updated(key, (mc + 1, mc))
     }
   }
 
@@ -60,12 +65,12 @@ class HeavyHitters(k: Int, capacity: Int)
     }.toMap
     if (merged.size <= capacity) merged
     else merged.toSeq
-      .sortBy { case (key2, (c, _)) => (-c, key2) }
+      .sortBy { case (key2, (c, _)) => (-c, keyOrd(key2)) }
       .take(capacity).toMap
   }
 
   override def finish(b: Map[String, (Long, Long)]): Seq[HeavyHitter] =
-    b.toSeq.sortBy { case (key2, (c, _)) => (-c, key2) }
+    b.toSeq.sortBy { case (key2, (c, _)) => (-c, keyOrd(key2)) }
       .take(k).map { case (key2, (c, e)) => HeavyHitter(key2, c, e) }
 
   override def bufferEncoder: Encoder[Map[String, (Long, Long)]] =

@@ -16,11 +16,14 @@ object Similarity {
   // codegen) and allocate an intermediate array per call — measured ~10×
   // slower than this loop on the pair-join hot path. The summation order
   // (sequential left fold) is identical, so results are bit-equal.
+  // Mismatched dimensions fail loudly everywhere (dot, buckets, IVF):
+  // truncating would silently score/bucket a corrupt vector.
   private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
     val x = a.toArray; val y = b.toArray
-    val n = math.min(x.length, y.length)
+    require(x.length == y.length,
+      s"embedding dimension ${x.length} != ${y.length}")
     var acc = 0.0d; var i = 0
-    while (i < n) { acc += x(i) * y(i); i += 1 }
+    while (i < x.length) { acc += x(i) * y(i); i += 1 }
     acc
   }
 
@@ -71,6 +74,8 @@ object Similarity {
     val mat = planeMatrix(planes, dim)
     val buckets = udf { (v: Seq[Double]) =>
       val arr = v.toArray
+      require(arr.length == dim,
+        s"embedding dimension ${arr.length} != declared dim $dim")
       Array.tabulate(bands) { b =>
         var bucket = 0L
         var bit = 0
@@ -79,8 +84,7 @@ object Similarity {
           val plane = mat(p)
           var acc = 0.0d
           var j = 0
-          val n = math.min(arr.length, plane.length)
-          while (j < n) { acc += arr(j) * plane(j); j += 1 }
+          while (j < dim) { acc += arr(j) * plane(j); j += 1 }
           if (acc >= 0) bucket |= (1L << bit)
           bit += 1
         }

@@ -53,12 +53,28 @@ final class ZipCsvCodec extends CompressionCodec with Configurable {
 
   override def createInputStream(in: InputStream): CompressionInputStream = {
     val zin = new ZipInputStream(in)
+    // Archive-tool metadata is never data (macOS __MACOSX/ + AppleDouble
+    // "._" shadows, .DS_Store, Windows Thumbs.db).
+    def isMetadata(name: String): Boolean = {
+      val base = name.substring(name.lastIndexOf('/') + 1)
+      name.startsWith("__MACOSX/") || base.startsWith("._") ||
+        base == ".DS_Store" || base == "Thumbs.db"
+    }
+    def isCsv(name: String): Boolean = name.toLowerCase.endsWith(".csv")
+    // After the first entry is accepted, chain only .csv siblings — a
+    // README.txt packed next to the parts must not be parsed as rows.
+    var csvMode = false
+    var legacySingle = false // first entry wasn't .csv: read it alone
     def nextFileEntry(): ZipEntry = {
+      if (legacySingle) return null
       var e = zin.getNextEntry
-      while (e != null && e.isDirectory) e = zin.getNextEntry
+      while (e != null && (e.isDirectory || isMetadata(e.getName) ||
+        (csvMode && !isCsv(e.getName)))) e = zin.getNextEntry
       e
     }
-    require(nextFileEntry() != null, "empty ZIP archive: no CSV entry to read")
+    val first = nextFileEntry()
+    require(first != null, "empty ZIP archive: no data entry to read")
+    if (isCsv(first.getName)) csvMode = true else legacySingle = true
     // The reference writes exactly one entry, but foreign-produced archives
     // may hold several CSV parts: chain-read them in archive order instead
     // of silently truncating to the first entry's rows. Caveat (documented):

@@ -70,9 +70,12 @@ object EventsPipeline {
           changed.foreach { case (h, e) =>
             // event_type can legitimately be null (it is a grouping key, and
             // groupBy keeps null groups): use null-safe equality for the
-            // per-key filter and a sentinel path segment — same convention
-            // as XlsxDataWriter.sheetKeyOf — so URLEncoder never sees null.
-            val eSeg = java.net.URLEncoder.encode(if (e == null) "null" else e, "UTF-8")
+            // per-key filter, and keep the null segment collision-free by
+            // prefixing non-null values ("null" the string -> etype=v_null,
+            // NULL the key -> etype=null).
+            val eSeg =
+              if (e == null) "null"
+              else "v_" + java.net.URLEncoder.encode(e, "UTF-8")
             b.filter(col("hour_start").cast("long") === h && (col("event_type") <=> lit(e)))
               .coalesce(1)
               .write.mode("overwrite").format("xlsx")

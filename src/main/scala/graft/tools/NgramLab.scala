@@ -28,12 +28,15 @@ object NgramLab {
       println(f"$name%-14s rows=${ts.head._2} times=${ts.map(t => f"${t._1}%.2f").mkString(",")} min=${ts.map(_._1).min}%.2f")
     }
     time("all-token") { Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, 10000).count() }
+    spark.catalog.clearCache() // each variant persists its shingle index
     time("prefix") { Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5, 10000).count() }
+    spark.catalog.clearCache()
     val a = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, 10000)
       .collect().map(_.toString).sorted
     val b = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5, 10000)
       .collect().map(_.toString).sorted
     println(s"parity: all-token=${a.length} prefix=${b.length} equal:${a.sameElements(b)}")
+    assert(a.sameElements(b), "PARITY BROKEN between ngram variants")
     spark.stop()
   }
 }

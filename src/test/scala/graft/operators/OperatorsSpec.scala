@@ -168,18 +168,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, 200L, 99L),  // key with no right rows at all -> nulls
       (5L, 100L, 20L))  // matches the later right row v=70
       .toDF("event_id", "user_id", "ts")
+      // a left row with a NULL key never matches but must survive
+      .unionByName(spark.sql("SELECT 6L AS event_id, CAST(NULL AS BIGINT) AS user_id, 7L AS ts"))
     val right = Seq((100L, 5L, 50.0), (100L, 15L, 70.0), (300L, 1L, 9.9))
       .toDF("user_id", "ts", "v")
+      // SQL semantics: right rows with NULL key or NULL ts match nothing
+      .unionByName(spark.sql(
+        "SELECT * FROM VALUES (CAST(NULL AS BIGINT), 5L, 88.0), (100L, CAST(NULL AS BIGINT), 99.0) AS t(user_id, ts, v)"))
     val out = AsOfJoin.leftAsOf(left, right, Seq("user_id"), "ts", Seq("v"), "p_")
       .collect().map(r => r.getLong(0) ->
         (Option(r.getAs[java.lang.Long]("p_ts")), Option(r.getAs[java.lang.Double]("p_v"))))
       .toMap
-    assert(out.size === 5)
+    assert(out.size === 6)
     assert(out(1L) === (Some(5L), Some(50.0)))
     assert(out(2L) === (Some(5L), Some(50.0)))
     assert(out(3L) === (None, None))
     assert(out(4L) === (None, None))
     assert(out(5L) === (Some(15L), Some(70.0)))
+    assert(out(6L) === (None, None)) // null key: no match, row kept
   }
 
   test("range join: grid-bucketed equals brute-force BETWEEN, boundaries inclusive") {
@@ -230,6 +236,14 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(cnt >= t, s"$key: cnt $cnt < true $t")
       assert(cnt - err <= t, s"$key: lower bound ${cnt - err} > true $t")
     }
+    // NULL is its own group (SQL GROUP BY semantics), distinct from ""
+    val withNulls = (Seq.fill(5)(null: String) ++ Seq.fill(3)("") ++ Seq.fill(2)("x"))
+      .toDF("key").repartition(2)
+    val agg = udaf(new HeavyHitters(3, 16), org.apache.spark.sql.Encoders.STRING)
+    val nk = withNulls.agg(agg(col("key")).as("tk"))
+      .select(explode(col("tk")).as("h")).select("h.key", "h.cnt")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(nk === Map(None -> 5L, Some("") -> 3L, Some("x") -> 2L))
   }
 
   test("salted join equals the plain join") {
