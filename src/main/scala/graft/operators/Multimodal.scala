@@ -25,24 +25,63 @@ object Multimodal {
     )))
   ))
 
-  /** Wrap a binary column into the media contract, inferring cheap
-    * metadata from magic bytes (real logic — works on actual files). */
+  /** Container format from magic bytes (real logic — works on actual
+    * files; no codec involved). */
+  def sniffFormat(b: Array[Byte]): String =
+    if (b == null || b.length < 4) "unknown"
+    else if (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) "jpeg"
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "gif"
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') "riff"
+    else if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') "mp3"
+    else "unknown"
+
+  /** Pixel dimensions straight from container headers — REAL metadata, no
+    * decoder: PNG IHDR (big-endian at offset 16/20), GIF logical screen
+    * (little-endian at 6/8), JPEG SOFn marker walk. None for other/
+    * truncated payloads. */
+  def imageDims(b: Array[Byte]): Option[(Int, Int)] = sniffFormat(b) match {
+    case "png" if b.length >= 24 =>
+      def be(o: Int) = ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+      Some((be(16), be(20)))
+    case "gif" if b.length >= 10 =>
+      def le(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      Some((le(6), le(8)))
+    case "jpeg" =>
+      // walk marker segments to the first SOFn (C0-CF except C4/C8/CC)
+      var i = 2
+      while (i + 8 < b.length && (b(i) & 0xff) == 0xff) {
+        val m = b(i + 1) & 0xff
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          val h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
+          val w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+          return Some((w, h))
+        }
+        i += 2 + len
+      }
+      None
+    case _ => None
+  }
+
+  /** Wrap a binary column into the media contract. Format and image
+    * dimensions are extracted for real from container headers;
+    * `n_frames` needs a demuxer and stays at the stub boundary. */
   def asMedia(df: DataFrame, binCol: String): DataFrame = {
-    val magic = udf { (b: Array[Byte]) =>
-      if (b == null || b.length < 4) "unknown"
-      else if (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
-      else if (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) "jpeg"
-      else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') "riff"
-      else if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') "mp3"
-      else "unknown"
+    val meta = udf { (b: Array[Byte]) =>
+      val dims = imageDims(b)
+      (sniffFormat(b), dims.map(_._1), dims.map(_._2), None: Option[Int])
     }
-    df.withColumn("media", struct(
-      col(binCol).as("bytes"),
-      struct(
-        magic(col(binCol)).as("format"),
-        lit(null).cast(IntegerType).as("width"),
-        lit(null).cast(IntegerType).as("height"),
-        lit(null).cast(IntegerType).as("n_frames")).as("meta")))
+    df.withColumn("_m", meta(col(binCol)))
+      .withColumn("media", struct(
+        col(binCol).as("bytes"),
+        struct(
+          col("_m._1").as("format"),
+          col("_m._2").as("width"),
+          col("_m._3").as("height"),
+          col("_m._4").as("n_frames")).as("meta")))
+      .drop("_m")
   }
 
   /** ====== STUB ======

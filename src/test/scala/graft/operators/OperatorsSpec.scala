@@ -355,6 +355,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val formats = media.select(col("id"), col("media.meta.format")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(formats === Map(1L -> "png", 2L -> "jpeg"))
+    // Real header-parsed dimensions (no codec): PNG IHDR 640x480 BE,
+    // GIF logical screen 320x200 LE, JPEG SOF0 64x48 after an APP0 skip.
+    val png2 = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 2, 0x80.toByte, 0, 0, 1, 0xE0.toByte) // 640, 480
+    val gif = Array[Byte]('G', 'I', 'F', '8', '9', 'a',
+      0x40, 0x01, 0xC8.toByte, 0x00) // 320 LE, 200 LE
+    val jpgSof = Array[Byte](0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xE0.toByte, 0x00, 0x04, 0x4A, 0x46, // APP0 len 4
+      0xFF.toByte, 0xC0.toByte, 0x00, 0x0B, 0x08,       // SOF0 len 11
+      0x00, 0x30, 0x00, 0x40, 0x03, 0, 0, 0)            // h=48, w=64
+    val dims = Multimodal.asMedia(
+        Seq((1L, png2), (2L, gif), (3L, jpgSof), (4L, Array[Byte](1, 2, 3, 4)))
+          .toDF("id", "payload"), "payload")
+      .select(col("id"), col("media.meta.width"), col("media.meta.height"))
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.getAs[Integer](1)), Option(r.getAs[Integer](2)))).toMap
+    assert(dims(1L) === (Some(640), Some(480)))
+    assert(dims(2L) === (Some(320), Some(200)))
+    assert(dims(3L) === (Some(64), Some(48)))
+    assert(dims(4L) === (None, None))
     val feats = Multimodal.extractFeatures(media, featureDim = 4).collect()
     def fvec(r: org.apache.spark.sql.Row): Seq[Float] = r.getSeq[Float](r.fieldIndex("features"))
     assert(feats.forall(fvec(_).length === 4))
