@@ -21,7 +21,9 @@ object Multimodal {
       StructField("format", StringType),
       StructField("width", IntegerType),
       StructField("height", IntegerType),
-      StructField("n_frames", IntegerType)
+      StructField("n_frames", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_channels", IntegerType)
     )))
   ))
 
@@ -65,13 +67,35 @@ object Multimodal {
     case _ => None
   }
 
-  /** Wrap a binary column into the media contract. Format and image
-    * dimensions are extracted for real from container headers;
-    * `n_frames` needs a demuxer and stays at the stub boundary. */
+  /** WAV audio parameters from the RIFF/WAVE fmt chunk (little-endian
+    * chunk walk) — (sample_rate, n_channels); None for non-WAVE RIFF
+    * (e.g. WEBP) or truncated payloads. */
+  def wavAudio(b: Array[Byte]): Option[(Int, Int)] = {
+    if (sniffFormat(b) != "riff" || b.length < 12) return None
+    if (!(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    def le16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def le32(o: Int) = le16(o) | (le16(o + 2) << 16)
+    var i = 12
+    while (i + 8 <= b.length) {
+      val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
+      val len = le32(i + 4)
+      if (isFmt && i + 16 <= b.length)
+        return Some((le32(i + 12), le16(i + 10)))
+      i += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** Wrap a binary column into the media contract. Format, image
+    * dimensions and WAV audio parameters are extracted for real from
+    * container headers; `n_frames` needs a demuxer and stays at the stub
+    * boundary. */
   def asMedia(df: DataFrame, binCol: String): DataFrame = {
     val meta = udf { (b: Array[Byte]) =>
       val dims = imageDims(b)
-      (sniffFormat(b), dims.map(_._1), dims.map(_._2), None: Option[Int])
+      val audio = wavAudio(b)
+      (sniffFormat(b), dims.map(_._1), dims.map(_._2), None: Option[Int],
+        audio.map(_._1), audio.map(_._2))
     }
     df.withColumn("_m", meta(col(binCol)))
       .withColumn("media", struct(
@@ -80,7 +104,9 @@ object Multimodal {
           col("_m._1").as("format"),
           col("_m._2").as("width"),
           col("_m._3").as("height"),
-          col("_m._4").as("n_frames")).as("meta")))
+          col("_m._4").as("n_frames"),
+          col("_m._5").as("sample_rate"),
+          col("_m._6").as("n_channels")).as("meta")))
       .drop("_m")
   }
 

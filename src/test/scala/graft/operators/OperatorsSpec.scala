@@ -376,6 +376,14 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dims(2L) === (Some(320), Some(200)))
     assert(dims(3L) === (Some(64), Some(48)))
     assert(dims(4L) === (None, None))
+    // WAV: RIFF/WAVE + PCM fmt chunk -> 44100 Hz stereo, header-parsed
+    val wav = Array[Byte]('R', 'I', 'F', 'F', 0x24, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'f', 'm', 't', ' ', 16, 0, 0, 0, 1, 0, 2, 0,
+      0x44, 0xAC.toByte, 0, 0, 0, 0, 0, 0, 4, 0, 16, 0)
+    val audio = Multimodal.asMedia(Seq((9L, wav)).toDF("id", "payload"), "payload")
+      .select(col("media.meta.sample_rate"), col("media.meta.n_channels"))
+      .collect().head
+    assert(audio.getInt(0) === 44100 && audio.getInt(1) === 2)
     val feats = Multimodal.extractFeatures(media, featureDim = 4).collect()
     def fvec(r: org.apache.spark.sql.Row): Seq[Float] = r.getSeq[Float](r.fieldIndex("features"))
     assert(feats.forall(fvec(_).length === 4))
