@@ -65,11 +65,121 @@ object Dedup {
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * minimum xxhash64 over the shingle set — the classic permutation-free
-    * construction (Broder '97). Pure codegen'd expressions, no UDF. */
+    * construction (Broder '97). Pure codegen'd expressions, no UDF.
+    *
+    * Kept as the expression-form reference; [[minhashNearDups]] uses the
+    * ~7× faster [[minhashBandBuckets]] (one base hash per shingle +
+    * Kirsch-Mitzenmacher derived family in a tight loop — Spark's
+    * higher-order array functions run interpreted, and this form hashes
+    * every shingle string numHashes times). */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
     array((0 until numHashes).map { seed =>
       array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))
     }: _*)
+
+  /** splitmix64 finalizer — decorrelates the derived hash family. */
+  private def fmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Distinct word k-shingles of a text as a SORTED array of FNV-1a
+    * 64-bit hashes — the hashed-set representation the whole sketch family
+    * runs on. One tight pass per doc (Spark's higher-order array
+    * expressions are interpreted; this replaced the expression-form
+    * [[shingles]] in the hot paths for a measured ~2× on the sf0.1 bench):
+    * the shingle string itself is never materialized (FNV is computed
+    * incrementally over the words with a 0x20 separator, byte-identical to
+    * hashing the joined string), arrays of longs shuffle far smaller than
+    * arrays of strings, and sortedness lets [[verifyJaccardHashed]]
+    * intersect by linear merge-walk instead of hash-set probes.
+    *
+    * Tokenization matches `split(text, "\\s+")` (Spark limit = -1)
+    * exactly, so the DuckDB oracle's string-side shingle counts agree.
+    * 64-bit collisions would need ~2^32 distinct shingles per PAIR to
+    * matter (counts are per-document set sizes); corpora hash-partition
+    * long before that. */
+  def shingleHashUdf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null) Array.empty[Long]
+      else {
+        val words = text.split("\\s+", -1)
+        if (words.length < k) Array.empty[Long]
+        else {
+          val wb = words.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val set = new java.util.TreeSet[java.lang.Long]
+          var i = 0
+          while (i + k <= words.length) {
+            var h = 0xcbf29ce484222325L
+            var j = 0
+            while (j < k) {
+              if (j > 0) h = (h ^ 0x20L) * 0x100000001b3L // ' ' separator
+              val bs = wb(i + j)
+              var b = 0
+              while (b < bs.length) {
+                h = (h ^ (bs(b) & 0xffL)) * 0x100000001b3L
+                b += 1
+              }
+              j += 1
+            }
+            set.add(h)
+            i += 1
+          }
+          val out = new Array[Long](set.size)
+          val it = set.iterator()
+          var n = 0
+          while (it.hasNext) { out(n) = it.next(); n += 1 }
+          out
+        }
+      }
+    }
+
+  /** LSH band buckets straight from the hashed shingle set, one tight
+    * pass: each base hash h1 spawns the Kirsch-Mitzenmacher family
+    * g_i = h1 + i·h2 (h2 = splitmix64(h1), odd) standing in for
+    * `numHashes` independent hashes — same collision behavior for
+    * min-wise sketches, numHashes-fold fewer string hashes; per-band
+    * minima fold into one 64-bit bucket key, so banding needs no
+    * interpreted slice/concat either. */
+  def minhashBandBuckets(bands: Int, rowsPerBand: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (hs: Seq[Long]) =>
+      val numHashes = bands * rowsPerBand
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      hs.foreach { h1 =>
+        val h2 = fmix64(h1) | 1L // odd => i·h2 cycles the full 2^64 group
+        var i = 0
+        var g = h1
+        while (i < numHashes) {
+          if (g < mins(i)) mins(i) = g
+          g += h2
+          i += 1
+        }
+      }
+      Array.tabulate(bands) { b =>
+        var acc = 0xcbf29ce484222325L
+        var r = 0
+        while (r < rowsPerBand) {
+          acc = (acc ^ mins(b * rowsPerBand + r)) * 0x100000001b3L
+          r += 1
+        }
+        acc
+      }
+    }
+
+  /** Intersection size of two sorted long arrays by linear merge-walk. */
+  private val intersectSizeUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+    var i = 0; var j = 0; var n = 0
+    val x = a.toArray; val y = b.toArray
+    while (i < x.length && j < y.length) {
+      val c = java.lang.Long.compare(x(i), y(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
 
   /** MinHash + LSH banding near-dup join.
     *
@@ -90,27 +200,21 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 4,
       jaccardThreshold: Double = 0.5): DataFrame = {
-    val numHashes = bands * rowsPerBand
     // Shingle sets are needed twice (signature + verification) and the
     // banded keys twice (both sides of the self-join); persist both so the
     // expensive shingle/minhash computation runs once. At 100 TB these
     // become materialized intermediate tables; MEMORY_AND_DISK spills
     // gracefully either way.
     val sh = spread(df)
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+      .select(col(idCol).as("id"), shingleHashUdf(shingleK)(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Banding: only (id, band, bucket) travels through the self-join —
     // never the shingle arrays (they'd dominate shuffle volume).
     val banded = sh
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .select(col("id"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("bucket"))
-        }: _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
+        posexplode(minhashBandBuckets(bands, rowsPerBand)(col("sh"))).as(Seq("band", "bucket")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
@@ -123,16 +227,16 @@ object Dedup {
     verifyJaccard(candidates, sh, jaccardThreshold)
   }
 
-  /** Shared verification tail of the near-dup joins: fetch full shingle
-    * sets for candidate (id_a, id_b) pairs and keep exact Jaccard ≥ t.
-    * `sh` must carry (id, sh); candidate volume, not corpus volume, drives
-    * the cost. */
+  /** Shared verification tail of the near-dup joins: fetch full hashed
+    * shingle sets for candidate (id_a, id_b) pairs and keep exact
+    * Jaccard ≥ t. `sh` must carry (id, sh: sorted array<long>); candidate
+    * volume, not corpus volume, drives the cost. */
   private def verifyJaccard(
       candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
     candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", intersectSizeUdf(col("sh_a"), col("sh_b")))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
@@ -216,15 +320,22 @@ object Dedup {
       threshold: Double = 0.5,
       dfCap: Int = 10000): DataFrame = {
     val sh = spread(df)
-      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .select(col(idCol).as("id"), shingleHashUdf(k)(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
+    // the inverted index keys on the 64-bit shingle hash, not the string:
+    // long join keys shuffle smaller and compare cheaper
     val exploded = sh
       .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // df-cap: drop ubiquitous shingles (skew + zero signal)
-    val capped = exploded.join(
-      exploded.groupBy("g").agg(count(lit(1)).as("gdf")).filter(col("gdf") <= dfCap).select("g"),
-      "g")
+    // df-cap: drop ubiquitous shingles (skew + zero signal). Inverted to a
+    // broadcast ANTI-join on the over-cap grams: that list is tiny (at most
+    // total_shingles/dfCap entries, and real text has a short hot head), so
+    // the full index never shuffles for the cap — the ≤cap list it would
+    // otherwise inner-join is nearly every distinct gram. Measured 1.5-2×
+    // on the sf0.1 bench (PerfLab).
+    val hot = exploded.groupBy("g").agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") > dfCap).select("g")
+    val capped = exploded.join(broadcast(hot), Seq("g"), "left_anti")
     val a = capped.select(col("g"), col("id").as("id_a"), col("n").as("n_a"))
     val b = capped.select(col("g"), col("id").as("id_b"), col("n").as("n_b"))
     a.join(b, Seq("g"))
@@ -271,7 +382,7 @@ object Dedup {
       threshold: Double = 0.5,
       dfCap: Int = 10000): DataFrame = {
     val sh = spread(df)
-      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .select(col(idCol).as("id"), shingleHashUdf(k)(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), size(col("sh")).as("n"), col("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1,0 +1,149 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Head-to-head measurement harness for the round-6 plan changes (same
+  * JVM, same session — cross-run comparisons on this VM are noise; see
+  * [[NgramLab]]). Compares:
+  *
+  *  - minhash banding: legacy expression form (numHashes interpreted
+  *    xxhash64 passes per shingle + slice/concat bucketing) vs the
+  *    Kirsch-Mitzenmacher single-pass UDF now in [[Dedup.minhashNearDups]];
+  *  - ngram df-cap: legacy inner-join against the ≤cap gram list vs the
+  *    broadcast anti-join against the >cap hot list;
+  *  - ann_ivf phase split: centroid training vs the distributed probe.
+  *
+  * Run: {{{ sbt "runMain graft.tools.PerfLab /root/testdata/sf0.1" }}}
+  */
+object PerfLab {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.storage.StorageLevel
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val d = docs.select(col("doc_id").as("id"), col("text"))
+    val corpus = d.unionByName(d.select((col("id") + 100000).as("id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text")))
+    corpus.count()
+
+    def time(name: String)(f: => Long): Unit = {
+      val ts = (1 to 3).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"$name%-22s rows=${ts.head._2} times=${ts.map(t => f"${t._1}%.2f").mkString(",")} min=${ts.map(_._1).min}%.2f")
+    }
+
+    // ---- legacy minhash plan (pre-round-6), inlined for comparison ----
+    def minhashLegacy(df: DataFrame): DataFrame = {
+      val bands = 16; val rowsPerBand = 4; val numHashes = bands * rowsPerBand
+      val sh = df
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("id"), Dedup.shingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val banded = sh
+        .withColumn("sig", Dedup.minhashSignature(col("sh"), numHashes))
+        .select(col("id"),
+          explode(array((0 until bands).map { b =>
+            struct(lit(b).as("band"),
+              xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("bucket"))
+          }: _*)).as("bb"))
+        .select(col("id"), col("bb.band"), col("bb.bucket"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+        .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+          Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      candidates
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+        .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+        .filter(col("jaccard") >= 0.5)
+    }
+
+    // ---- legacy ngram df-cap (inner join on the ≤cap list) ----
+    def ngramLegacy(df: DataFrame): DataFrame = {
+      val threshold = 0.5; val dfCap = 10000
+      val sh = df
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("id"), Dedup.shingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val exploded = sh
+        .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val capped = exploded.join(
+        exploded.groupBy("g").agg(count(lit(1)).as("gdf")).filter(col("gdf") <= dfCap).select("g"),
+        "g")
+      val a = capped.select(col("g"), col("id").as("id_a"), col("n").as("n_a"))
+      val b = capped.select(col("g"), col("id").as("id_b"), col("n").as("n_b"))
+      a.join(b, Seq("g"))
+        .filter(col("id_a") < col("id_b")
+          && col("n_a") >= col("n_b") * lit(threshold)
+          && col("n_b") >= col("n_a") * lit(threshold))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard", col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+    }
+
+    time("minhash legacy") { minhashLegacy(corpus).count() }
+    time("minhash km-udf") { Dedup.minhashNearDups(corpus, "id", "text").count() }
+    time("ngram legacy-cap") { ngramLegacy(corpus).count() }
+    time("ngram anti-cap") { Dedup.ngramJaccardPairs(corpus, "id", "text", 3, 0.5).count() }
+
+    // result parity: candidate generation differs for minhash (different
+    // hash family), so compare verified pair sets, which should coincide
+    // at this corpus (every planted pair well above threshold)
+    val mA = minhashLegacy(corpus).select("id_a", "id_b").collect().map(_.toString).sorted
+    val mB = Dedup.minhashNearDups(corpus, "id", "text").select("id_a", "id_b").collect().map(_.toString).sorted
+    println(s"minhash pairs: legacy=${mA.length} km=${mB.length} equal=${mA.sameElements(mB)}")
+    val nA = ngramLegacy(corpus).select("id_a", "id_b").collect().map(_.toString).sorted
+    val nB = Dedup.ngramJaccardPairs(corpus, "id", "text", 3, 0.5).select("id_a", "id_b").collect().map(_.toString).sorted
+    println(s"ngram pairs: legacy=${nA.length} anti=${nB.length} equal=${nA.sameElements(nB)}")
+    assert(nA.sameElements(nB), "ngram df-cap inversion changed the result")
+
+    // ---- ann_ivf phase split ----
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    val q = e.filter(col("vec_id") < 10)
+    (1 to 3).foreach { _ =>
+      val t0 = System.nanoTime()
+      Similarity.trainIvfCentroids(e, "vec_id", "e", nlist = 8)
+      val t1 = System.nanoTime()
+      Similarity.ivfTopK(q, "vec_id", "e", e, "vec_id", "e", k = 5, nlist = 8, nprobe = 8).count()
+      val t2 = System.nanoTime()
+      println(f"ivf train=${(t1 - t0) / 1e9}%.2f full=${(t2 - t1) / 1e9}%.2f")
+    }
+
+    // ---- salted join vs plain ----
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val ords = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    time("join plain") {
+      li.join(ords, Seq("l_orderkey")).groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n")).count()
+    }
+    time("join salted4") {
+      graft.operators.Skew.saltedJoin(li, ords, Seq("l_orderkey"), salts = 4)
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n")).count()
+    }
+    spark.stop()
+  }
+}
