@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.GraftFunctions
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -603,7 +603,50 @@ object SparkEntry {
       // (see graft.operators.Multimodal).
       t(s, dir, "documents")
         .select(col("doc_id"),
-          octet_length(encode(col("text"), "UTF-8")).cast("bigint").as("n_bytes")))
+          octet_length(encode(col("text"), "UTF-8")).cast("bigint").as("n_bytes"))),
+
+    // ===== beyond-reference: dataset curation (graft.operators.Curation) =====
+
+    "quality_filter" -> ((s, dir) =>
+      TextAnalysis.qualityFilter(t(s, dir, "documents"), "doc_id", "text")),
+
+    "token_count_bpe" -> ((s, dir) => {
+      val n = TextAnalysis.bpeTokenCount(col("text")).cast("bigint")
+      t(s, dir, "documents").select(col("doc_id"), n.as("n_bpe"),
+        when(n > 0, round(length(col("text")).cast("double") / n.cast("double"), 4))
+          .otherwise(0.0d).as("chars_per_token"))
+    }),
+
+    "ngram_counts" -> ((s, dir) =>
+      Curation.ngramStats(t(s, dir, "documents"), "text", k = 3, topK = 20)),
+
+    "decontaminate" -> ((s, dir) => {
+      // Planted contamination: the "benchmark" is a 15-word slice (words
+      // 10..24) of every 10th document — deterministic, so the DuckDB
+      // oracle reproduces the exact contaminated set.
+      val d = t(s, dir, "documents")
+      val bench = d.filter(col("doc_id") % 10 === 0)
+        .select(array_join(slice(split(col("text"), "\\s+"), 10, 15), " ").as("qtext"))
+      Curation.decontaminate(d, "doc_id", "text", bench, "qtext", k = 5)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    "sample_hash" -> ((s, dir) =>
+      Curation.deterministicSample(t(s, dir, "documents"), "doc_id", 0.1)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    "sample_stratified" -> ((s, dir) =>
+      Curation.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id", n = 5)
+        .select(col("doc_id"), col("lang"), col("rk"))),
+
+    "tfidf_topterms" -> ((s, dir) =>
+      Curation.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text", perDoc = 3)
+        .withColumnRenamed("id", "doc_id")),
+
+    "bm25_search" -> ((s, dir) =>
+      Curation.bm25Search(t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "vector", "stream"), topK = 10)
+        .withColumnRenamed("id", "doc_id"))
   )
 
   /** Headline subset timed by graft.Bench (one per operator family). */
@@ -615,7 +658,9 @@ object SparkEntry {
     "xlsx_roundtrip", "xlsx_multisheet", "csv_roundtrip", "parquet_stringify",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
     "text_stats", "doc_fingerprint", "ann_bruteforce", "ann_lsh", "ann_ivf",
-    "embedding_pairs_exact")
+    "embedding_pairs_exact",
+    "quality_filter", "token_count_bpe", "ngram_counts", "decontaminate",
+    "tfidf_topterms", "bm25_search")
 
   def oracleSql: Map[String, String] = Map(
 
@@ -979,6 +1024,113 @@ object SparkEntry {
       "SELECT doc_id, md5(text) AS md5 FROM documents",
 
     "multimodal_meta" ->
-      "SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents"
+      "SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents",
+
+    "quality_filter" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  len(regexp_extract_all(text, '\S+')) AS n_words,
+                  CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE) AS letters,
+                  CAST(length(regexp_replace(text, '[\p{L}\s]', '', 'g')) AS DOUBLE) AS symbols,
+                  length(text) AS n_chars,
+                  (CASE WHEN regexp_matches(text, '\bthe\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(text, '\ba\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(text, '\band\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(text, '\bof\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(text, '\bto\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(text, '\bin\b') THEN 1 ELSE 0 END) AS stop_hits
+           FROM documents)
+         SELECT doc_id, n_words,
+                n_words BETWEEN 30 AND 50000 AS ok_nwords,
+                (CASE WHEN n_words > 0 THEN letters / n_words ELSE 0.0 END) BETWEEN 2.0 AND 12.0 AS ok_wordlen,
+                (CASE WHEN n_chars > 0 THEN symbols / n_chars ELSE 0.0 END) < 0.1 AS ok_symbols,
+                stop_hits >= 2 AS ok_stopwords,
+                (n_words BETWEEN 30 AND 50000)
+                  AND ((CASE WHEN n_words > 0 THEN letters / n_words ELSE 0.0 END) BETWEEN 2.0 AND 12.0)
+                  AND ((CASE WHEN n_chars > 0 THEN symbols / n_chars ELSE 0.0 END) < 0.1)
+                  AND (stop_hits >= 2) AS passes
+         FROM base""",
+
+    "token_count_bpe" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) AS n_bpe,
+                CASE WHEN len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')) > 0
+                     THEN round(CAST(length(text) AS DOUBLE)
+                                / len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]')), 4)
+                     ELSE 0.0 END AS chars_per_token
+         FROM documents""",
+
+    "ngram_counts" ->
+      """WITH words AS (SELECT string_split_regex(text, '\s+') AS w FROM documents),
+              sh AS (SELECT CASE WHEN len(w) >= 3
+                                 THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                                                   i -> array_to_string(w[i:i+2], ' ')))
+                                 ELSE [] END AS g
+                     FROM words)
+         SELECT gram, count(*) AS df
+         FROM (SELECT unnest(g) AS gram FROM sh)
+         GROUP BY gram ORDER BY df DESC, gram LIMIT 20""",
+
+    "decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+              cg AS (SELECT doc_id, unnest(
+                       CASE WHEN len(w) >= 5
+                            THEN list_distinct(list_transform(range(1, len(w) - 3),
+                                                              i -> array_to_string(w[i:i+4], ' ')))
+                            ELSE [] END) AS g
+                     FROM w),
+              bw AS (SELECT (string_split_regex(text, '\s+'))[10:24] AS bw
+                     FROM documents WHERE doc_id % 10 = 0),
+              bg AS (SELECT DISTINCT unnest(
+                       CASE WHEN len(bw) >= 5
+                            THEN list_transform(range(1, len(bw) - 3),
+                                                i -> array_to_string(bw[i:i+4], ' '))
+                            ELSE [] END) AS g
+                     FROM bw)
+         SELECT doc_id, count(*) AS n_shared
+         FROM cg JOIN bg USING (g) GROUP BY doc_id""",
+
+    "sample_hash" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE (doc_id * 2654435761) % 4294967296 < 429496729""",
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+           FROM documents) WHERE rk <= 5""",
+
+    "tfidf_topterms" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+                       FROM documents),
+              tfc AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+              dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+              n AS (SELECT count(*) AS n_docs FROM documents),
+              scored AS (SELECT doc_id, term, tf, df,
+                                tf * ln((n_docs + 1.0) / (df + 1.0)) AS score
+                         FROM tfc JOIN dfc USING (term) CROSS JOIN n),
+              ranked AS (SELECT doc_id, term, tf, df, score,
+                                row_number() OVER (PARTITION BY doc_id
+                                                   ORDER BY score DESC, term) AS rk
+                         FROM scored)
+         SELECT doc_id, term, tf, df, round(score, 4) AS score, CAST(rk AS INT) AS rk
+         FROM ranked WHERE rk <= 3""",
+
+    "bm25_search" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts FROM documents),
+              dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+              stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, term, count(*) AS tf
+                     FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+                     WHERE term IN ('spark', 'vector', 'stream') GROUP BY 1, 2),
+              dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              contrib AS (SELECT tf.doc_id,
+                                 ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                                   * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS c
+                          FROM tf JOIN dfc USING (term)
+                          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
+         SELECT doc_id, round(sum(c), 4) AS score, count(*) AS n_terms_hit
+         FROM contrib GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""
   )
 }

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for training-data pipelines: deterministic
+  * sampling, test-set decontamination, corpus n-gram statistics and
+  * lexical relevance scoring (TF-IDF / BM25).
+  *
+  * Everything here is a pure DataFrame transform built from codegen'd SQL
+  * expressions (oracle-checkable in any ANSI engine) — no RNG, no
+  * driver-side loops, no collect. The reference engine has no analogue
+  * (it is a tabular I/O library); these are the beyond-reference ops a
+  * 100 TB text pipeline needs around the I/O layer.
+  */
+object Curation {
+
+  /** Knuth multiplicative mix of a non-negative integer key into
+    * [0, 2^32): `(key * 2654435761) mod 2^32`. Deterministic, stateless,
+    * and expressible in plain SQL (the multiply stays far inside BIGINT
+    * for any realistic id — overflow-free up to keys of ~3.4e9, and ids
+    * beyond that should be pre-folded with a modulus). Used instead of a
+    * seeded RNG so samples are reproducible across engines AND across
+    * reruns — the property that matters for dataset lineage. */
+  def mixKey(key: Column): Column =
+    pmod(key * lit(2654435761L), lit(4294967296L))
+
+  /** Deterministic fraction sample: keep rows whose mixed key falls below
+    * the fraction threshold. Scale: a pure filter — no shuffle, pushes
+    * past column pruning, and the same row set comes back on every run
+    * and every engine (unlike `df.sample`, whose seed interacts with
+    * partitioning). `fraction` is quantized to 1e-6. */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction out of [0,1]")
+    df.filter(mixKey(col(keyCol)) < lit((fraction * 4294967296.0d).toLong))
+  }
+
+  /** Deterministic stratified sample: the `n` rows with the smallest
+    * mixed key per stratum — every stratum is represented (up to its
+    * size), sampling within a stratum is unbiased in the key, and the
+    * result is stable across runs/engines. One shuffle on the stratum
+    * column; strata with heavy skew rank inside their own partitions.
+    * At scale prefer many strata (the window sorts per stratum). */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol)).orderBy(mixKey(col(keyCol)), col(keyCol))
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
+  }
+
+  /** Test-set decontamination: flag corpus documents sharing at least one
+    * word k-gram with a benchmark/eval corpus (the standard n-gram overlap
+    * rule used for pretraining-data hygiene). Returns (id, n_shared) with
+    * n_shared = number of distinct contaminated k-grams per document.
+    *
+    * Scale shape: benchmark suites are small by nature (10^3..10^6 items
+    * vs 10^9+ corpus docs), so the benchmark gram set is built once,
+    * deduped, and BROADCAST — the corpus never shuffles for the probe; the
+    * only corpus-wide exchange is the final per-doc count, keyed on doc id.
+    * Grams travel as 64-bit hashes ([[Dedup.shingleHashUdf]]), never as
+    * strings. If the benchmark outgrows broadcast (>~100M grams), drop the
+    * hint and let AQE pick a shuffled join — same semantics. */
+  def decontaminate(
+      corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String,
+      k: Int = 5): DataFrame = {
+    val grams = Dedup.shingleHashUdf(k)
+    val corpusGrams = Dedup.spread(corpus)
+      .select(col(idCol).as("id"), explode(grams(col(textCol))).as("g"))
+    val benchGrams = bench
+      .select(explode(grams(col(benchTextCol))).as("g"))
+      .distinct()
+    corpusGrams.join(broadcast(benchGrams), "g")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shared")) // corpus grams are per-doc distinct
+  }
+
+  /** Corpus-wide n-gram document frequency: top `topK` word k-grams by
+    * number of documents containing them (ties broken by gram). The
+    * stats/contamination-analysis twin of the dedup shingle machinery —
+    * kept on STRING grams because the grams themselves are the output.
+    * Scale: explode → hash-aggregate with map-side combine → global top-k
+    * (TakeOrdered — no full sort materialization). */
+  def ngramStats(df: DataFrame, textCol: String, k: Int = 3, topK: Int = 20): DataFrame =
+    Dedup.spread(df)
+      .select(explode(Dedup.shingles(col(textCol), k)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram"))
+      .limit(topK)
+
+  /** Lowercased word tokens (`\w+` runs) of a text column. */
+  private def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("\\w+"), lit(0))
+
+  /** Per-document top TF-IDF terms: score = tf · ln((N+1)/(df+1)), the
+    * smoothed formulation; top `perDoc` terms per document by (score,
+    * term). Two shuffles: term-frequency aggregate and the per-doc window;
+    * document frequency is an aggregate over the tf table (no second scan
+    * of the raw text). N rides a broadcast scalar, not a driver constant. */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String, perDoc: Int = 3): DataFrame = {
+    val tf = Dedup.spread(df)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("id").orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perDoc)
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        round(col("score"), 4).as("score"), col("rk"))
+  }
+
+  /** BM25 relevance of every document against a bag of query terms
+    * (Robertson/Spärck Jones, k1/b defaults). Inputs small (a query),
+    * corpus large: the query-term join is a broadcast; avgdl and N ride a
+    * broadcast scalar row. Returns the `topK` docs by (score desc, id). */
+  def bm25Search(
+      df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], topK: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = Dedup.spread(df).select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+    val dl = toks.select(col("id"), size(col("ts")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks.select(col("id"), explode(col("ts")).as("term"))
+      .join(broadcast(queryTerms.toDF("term")), "term")
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5d)) / (col("df") + lit(0.5d)) + lit(1.0d)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (lit(k1) + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0d) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("id").agg(round(sum(col("contrib")), 4).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+  }
+}

@@ -93,7 +93,7 @@ object Dedup {
     * the shingle string itself is never materialized (FNV is computed
     * incrementally over the words with a 0x20 separator, byte-identical to
     * hashing the joined string), arrays of longs shuffle far smaller than
-    * arrays of strings, and sortedness lets [[verifyJaccardHashed]]
+    * arrays of strings, and sortedness lets the verification tail
     * intersect by linear merge-walk instead of hash-set probes.
     *
     * Tokenization matches `split(text, "\\s+")` (Spark limit = -1)

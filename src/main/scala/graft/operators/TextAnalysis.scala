@@ -94,6 +94,50 @@ object TextAnalysis {
 
   def langId(text: Column): Column = udf(langIdFn).apply(text)
 
+  /** BPE-ish subword pre-tokenization count: letter runs, digit runs, and
+    * single non-alphanumeric symbols — the shape of GPT-style pre-token
+    * regexes, restricted to constructs RE2 and java.util.regex evaluate
+    * identically so the DuckDB oracle states the same definition. The
+    * chars-per-token ratio is the usual quick sanity stat for token-budget
+    * estimation over a corpus. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"), lit(0)))
+
+  /** Gopher-style rule-based quality filter flags (Rae et al. '21 shape):
+    * each rule is an independently-reported boolean so downstream can
+    * re-weigh, plus the conjunction. All rules are plain SQL expressions
+    * (oracle-replicable); thresholds are the conventional ones adapted to
+    * word-level stats:
+    *  - `ok_nwords`:   30 ≤ whitespace-word count ≤ 50000
+    *  - `ok_wordlen`:  mean letters-per-word in [2, 12]
+    *  - `ok_symbols`:  non-letter, non-whitespace chars < 10% of text
+    *  - `ok_stopwords`: contains ≥2 distinct common function words
+    * Output: (id, n_words, the four flags, passes). */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nWords = wsTokenCount(t).cast("bigint")
+    val letters = length(regexp_replace(t, "[^\\p{L}]", "")).cast("double")
+    val symbols = length(regexp_replace(t, "[\\p{L}\\s]", "")).cast("double")
+    val meanWordLen = when(nWords > 0, letters / nWords.cast("double")).otherwise(0.0d)
+    val stopHits = (0 until stopProbe.length)
+      .map(i => when(t.rlike("\\b" + stopProbe(i) + "\\b"), 1).otherwise(0))
+      .reduce(_ + _)
+    df.select(
+      col(idCol),
+      nWords.as("n_words"),
+      nWords.between(30, 50000).as("ok_nwords"),
+      meanWordLen.between(2.0d, 12.0d).as("ok_wordlen"),
+      (when(length(t) > 0, symbols / length(t).cast("double")).otherwise(0.0d) < 0.1d)
+        .as("ok_symbols"),
+      (stopHits >= 2).as("ok_stopwords"))
+      .withColumn("passes",
+        col("ok_nwords") && col("ok_wordlen") && col("ok_symbols") && col("ok_stopwords"))
+  }
+
+  /** Function words probed by the stopword rule (word-boundary regex —
+    * identical semantics in java.util.regex and RE2/DuckDB). */
+  val stopProbe: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
+
   /** Document fingerprint: cryptographic (md5) and rolling (FNV-1a 64). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val fnv = udf((s: String) => graft.functions.GraftFunctions.fnv1a64(s))

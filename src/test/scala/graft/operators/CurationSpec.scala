@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Known-answer tests for the dataset-curation operators (sampling,
+  * decontamination, n-gram stats, TF-IDF/BM25, quality filtering). */
+class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("curation-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "text")
+  }
+
+  test("deterministic sample: reproducible, monotone in fraction, exact at the ends") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 1000L).toDF("id")
+    assert(Curation.deterministicSample(df, "id", 0.0).count() === 0)
+    assert(Curation.deterministicSample(df, "id", 1.0).count() === 1000)
+    val a = Curation.deterministicSample(df, "id", 0.1).collect().map(_.getLong(0)).toSet
+    val b = Curation.deterministicSample(df, "id", 0.1).collect().map(_.getLong(0)).toSet
+    assert(a === b, "same fraction must select the same rows")
+    // Knuth multiplicative mixing is near-uniform: 10% ± a few percent
+    assert(a.size > 60 && a.size < 140, s"10% of 1000 sampled ${a.size}")
+    // monotone: a smaller fraction selects a subset
+    val half = Curation.deterministicSample(df, "id", 0.05).collect().map(_.getLong(0)).toSet
+    assert(half.subsetOf(a))
+  }
+
+  test("stratified sample: n per stratum, deterministic, small strata kept whole") {
+    val s = spark
+    import s.implicits._
+    val df = ((0L until 100L).map(i => (i, "big")) ++ Seq((900L, "tiny"), (901L, "tiny")))
+      .toDF("id", "grp")
+    val out = Curation.stratifiedSample(df, "grp", "id", n = 5)
+      .collect().map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+    assert(out("big").length === 5)
+    assert(out("tiny").length === 2) // stratum smaller than n -> all rows
+    val again = Curation.stratifiedSample(df, "grp", "id", n = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === out.values.flatten.map(_._2).toSet)
+  }
+
+  test("decontaminate: doc sharing a benchmark 5-gram flagged, clean doc not") {
+    val s = spark
+    import s.implicits._
+    val contaminated = "alpha beta gamma delta epsilon zeta eta theta"
+    val clean = "one two three four five six seven eight"
+    val corpus = docs(1L -> contaminated, 2L -> clean)
+    val bench = Seq("xx beta gamma delta epsilon zeta yy").toDF("qtext")
+    val out = Curation.decontaminate(corpus, "id", "text", bench, "qtext", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // shared 5-grams: "beta gamma delta epsilon zeta" only
+    assert(out === Map(1L -> 1L))
+  }
+
+  test("ngram stats: hand-computed document frequencies, ties broken by gram") {
+    val df = docs(1L -> "a b c d", 2L -> "a b c x", 3L -> "a b c d")
+    val out = Curation.ngramStats(df, "text", k = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // "a b c" in all 3 docs; "b c d" in docs 1,3; "b c x" in doc 2
+    assert(out.toSeq === Seq(("a b c", 3L), ("b c d", 2L), ("b c x", 1L)))
+  }
+
+  test("tf-idf: corpus-wide term scores 0, rare term dominates its doc") {
+    val df = docs(
+      1L -> "common common rare",
+      2L -> "common other",
+      3L -> "common thing")
+    val out = Curation.tfIdfTopTerms(df, "id", "text", perDoc = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "common" appears in every doc -> idf = ln(4/4) = 0; the unique term
+    // wins each doc despite tf("common") being higher in doc 1
+    assert(out === Map(1L -> "rare", 2L -> "other", 3L -> "thing"))
+  }
+
+  test("bm25: more query-term mass ranks higher; non-hit docs absent") {
+    val df = docs(
+      1L -> "spark spark vector filler words here",
+      2L -> "spark filler words here again now",
+      3L -> "nothing relevant in this one at all")
+    val out = Curation.bm25Search(df, "id", "text", Seq("spark", "vector"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L)) // doc 3 never scores
+    assert(out(0)._2 > out(1)._2)
+    assert(out(0)._3 === 2L && out(1)._3 === 1L) // terms hit
+  }
+
+  test("quality filter: rule flags fire independently and conjoin") {
+    val good = (("the quick brown fox jumps over a lazy dog and then " * 5) + "end").trim
+    val short = "the a of brief"
+    val noisy = "the a " + ("@#$%^&* " * 30) // symbols >> 10%
+    val df = docs(1L -> good, 2L -> short, 3L -> noisy)
+    val out = TextAnalysis.qualityFilter(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))
+      .toMap
+    val (gN, gW, gS, gStop, gPass) = out(1L)
+    assert(gN && gW && gS && gStop && gPass)
+    assert(!out(2L)._1 && !out(2L)._5) // too few words -> fails
+    assert(!out(3L)._3 && !out(3L)._5) // symbol-noisy -> fails
+  }
+
+  test("bpe-ish token count: letter runs, digit runs, single symbols") {
+    val df = docs(1L -> "hello world42 x-ray 3.14!")
+    // hello | world | 42 | x | - | ray | 3 | . | 14 | !  -> 10
+    val n = df.select(TextAnalysis.bpeTokenCount(col("text"))).collect().head.getInt(0)
+    assert(n === 10)
+  }
+}
