@@ -646,7 +646,24 @@ object SparkEntry {
     "bm25_search" -> ((s, dir) =>
       Curation.bm25Search(t(s, dir, "documents"), "doc_id", "text",
           Seq("spark", "vector", "stream"), topK = 10)
-        .withColumnRenamed("id", "doc_id"))
+        .withColumnRenamed("id", "doc_id")),
+
+    "repetition_stats" -> ((s, dir) =>
+      Curation.repetitionStats(t(s, dir, "documents"), "doc_id", "text", k = 2)
+        .withColumnRenamed("id", "doc_id")),
+
+    "curation_pipeline" -> ((s, dir) => {
+      // End-to-end composition: quality filter -> exact dedup (min id per
+      // text) -> deterministic 50% sample, reported with the doc's lang.
+      val d = t(s, dir, "documents")
+      val passing = TextAnalysis.qualityFilter(d, "doc_id", "text")
+        .filter(col("passes")).select("doc_id")
+      val deduped = d.join(passing, "doc_id")
+        .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      Curation.deterministicSample(deduped, "doc_id", 0.5)
+        .join(d.select("doc_id", "lang"), "doc_id")
+    })
   )
 
   /** Headline subset timed by graft.Bench (one per operator family). */
@@ -660,7 +677,7 @@ object SparkEntry {
     "text_stats", "doc_fingerprint", "ann_bruteforce", "ann_lsh", "ann_ivf",
     "embedding_pairs_exact",
     "quality_filter", "token_count_bpe", "ngram_counts", "decontaminate",
-    "tfidf_topterms", "bm25_search")
+    "tfidf_topterms", "bm25_search", "repetition_stats", "curation_pipeline")
 
   def oracleSql: Map[String, String] = Map(
 
@@ -1131,6 +1148,45 @@ object SparkEntry {
                           FROM tf JOIN dfc USING (term)
                           JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
          SELECT doc_id, round(sum(c), 4) AS score, count(*) AS n_terms_hit
-         FROM contrib GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""
+         FROM contrib GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
+
+    "repetition_stats" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+              g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                                                         i -> array_to_string(w[i:i+1], ' '))) AS g
+                    FROM w WHERE len(w) >= 2),
+              pc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+              agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+                             count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_c
+                      FROM pc GROUP BY 1)
+         SELECT doc_id, n_grams, n_distinct, top_c,
+                round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 4) AS dup_frac,
+                round(CAST(top_c AS DOUBLE) / n_grams, 4) AS top_frac
+         FROM agg""",
+
+    "curation_pipeline" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+                  len(regexp_extract_all(text, '\S+')) AS n_words,
+                  CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE) AS letters,
+                  CAST(length(regexp_replace(text, '[\p{L}\s]', '', 'g')) AS DOUBLE) AS symbols,
+                  length(text) AS n_chars,
+                  (CASE WHEN regexp_matches(text, '\bthe\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(text, '\ba\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(text, '\band\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(text, '\bof\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(text, '\bto\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(text, '\bin\b') THEN 1 ELSE 0 END) AS stop_hits
+           FROM documents),
+         passing AS (
+           SELECT doc_id, text FROM base
+           WHERE (n_words BETWEEN 30 AND 50000)
+             AND ((CASE WHEN n_words > 0 THEN letters / n_words ELSE 0.0 END) BETWEEN 2.0 AND 12.0)
+             AND ((CASE WHEN n_chars > 0 THEN symbols / n_chars ELSE 0.0 END) < 0.1)
+             AND (stop_hits >= 2)),
+         deduped AS (SELECT min(doc_id) AS doc_id FROM passing GROUP BY text),
+         sampled AS (SELECT doc_id FROM deduped
+                     WHERE (doc_id * 2654435761) % 4294967296 < 2147483648)
+         SELECT s.doc_id, d.lang FROM sampled s JOIN documents d USING (doc_id)"""
   )
 }

@@ -87,6 +87,30 @@ object Curation {
       .orderBy(col("df").desc, col("gram"))
       .limit(topK)
 
+  /** Per-document repetition stats — the Gopher repetition rules' raw
+    * material: duplicate word-k-gram fraction (1 − distinct/total) and the
+    * single most frequent k-gram's share of all k-grams. High values mark
+    * boilerplate/spam for downstream filtering. Documents shorter than k
+    * words have no k-grams and are absent from the output. Two map-side
+    * combinable aggregates keyed on (doc, gram) then doc — no joins. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String, k: Int = 2): DataFrame = {
+    val words = split(col(textCol), "\\s+")
+    val grams = when(size(words) >= k,
+      transform(sequence(lit(1), size(words) - (k - 1)),
+        i => concat_ws(" ", slice(words, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    Dedup.spread(df)
+      .select(col(idCol).as("id"), explode(grams).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(
+        sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+      .select(col("id"), col("n_grams"), col("n_distinct"), col("top_c"),
+        round(lit(1.0d) - col("n_distinct").cast("double") / col("n_grams"), 4).as("dup_frac"),
+        round(col("top_c").cast("double") / col("n_grams"), 4).as("top_frac"))
+  }
+
   /** Lowercased word tokens (`\w+` runs) of a text column. */
   private def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("\\w+"), lit(0))

@@ -119,6 +119,38 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out(3L)._3 && !out(3L)._5) // symbol-noisy -> fails
   }
 
+  test("repetition stats: hand-computed duplicate and top-gram fractions") {
+    val df = docs(
+      1L -> "a b a b a b",  // 2-grams: ab,ba,ab,ba,ab -> 5 total, 2 distinct, top 3
+      2L -> "x y z w",      // 3 total, 3 distinct, top 1
+      3L -> "solo")         // <2 words -> absent
+    val out = Curation.repetitionStats(df, "id", "text", k = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === ((5L, 2L, 3L, 0.6d, 0.6d)))
+    assert(out(2L) === ((3L, 3L, 1L, 0.0d, round3(1.0 / 3))))
+  }
+
+  private def round3(x: Double): Double = math.rint(x * 10000) / 10000
+
+  test("curation composition: filter -> dedup -> sample preserves determinism") {
+    val s = spark
+    import s.implicits._
+    val good = ("the and of to in " + ("plain ordinary words flowing onward " * 8)).trim
+    val rows = (0L until 20L).map(i => (i, good)) :+ ((99L, "short a the"))
+    val df = rows.toDF("doc_id", "text")
+    val passing = TextAnalysis.qualityFilter(df, "doc_id", "text")
+      .filter(col("passes")).select("doc_id")
+    // 20 identical passing docs collapse to doc 0; the short doc fails
+    val deduped = df.join(passing, "doc_id")
+      .groupBy("text").agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    assert(deduped.collect().map(_.getLong(0)).toSeq === Seq(0L))
+    val s1 = Curation.deterministicSample(deduped, "doc_id", 1.0).count()
+    assert(s1 === 1L)
+  }
+
   test("bpe-ish token count: letter runs, digit runs, single symbols") {
     val df = docs(1L -> "hello world42 x-ray 3.14!")
     // hello | world | 42 | x | - | ray | 3 | . | 14 | !  -> 10
