@@ -150,12 +150,13 @@ object Curation {
     val toks = Dedup.spread(df).select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
     val dl = toks.select(col("id"), size(col("ts")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val tf = toks.select(col("id"), explode(col("ts")).as("term"))
+    // dl is functionally dependent on id, so carrying it through the tf
+    // aggregate key costs nothing and removes a corpus-sized join
+    val tf = toks.select(col("id"), size(col("ts")).as("dl"), explode(col("ts")).as("term"))
       .join(broadcast(queryTerms.toDF("term")), "term")
-      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "term")
-      .join(dl, "id")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log((col("n_docs") - col("df") + lit(0.5d)) / (col("df") + lit(0.5d)) + lit(1.0d)))
