@@ -64,7 +64,12 @@ object XlsxTable {
   }
 
   /** Expand files/dirs/globs to concrete .xlsx (path, byteSize) pairs —
-    * sizes come free from the listing and feed scan statistics. */
+    * sizes come free from the listing and feed scan statistics.
+    * Directories descend recursively (like Spark's built-in file
+    * sources), so partitioned layouts — `out/window=X/etype=Y/part.xlsx`
+    * from per-key streaming delivery, or any hive-style nesting — read
+    * with a plain `load(out)`; `_`-prefixed names (metadata, markers)
+    * are skipped at every level. */
   def listFilesWithSize(paths: Seq[String], conf: Configuration): Seq[(String, Long)] =
     paths.flatMap { p =>
       val path = new Path(p)
@@ -72,12 +77,19 @@ object XlsxTable {
       val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
       if (matched.isEmpty && !fs.exists(path))
         throw new IllegalArgumentException(s"xlsx path does not exist: $p")
+      def descendDir(st: org.apache.hadoop.fs.FileStatus): Seq[(String, Long)] =
+        fs.listStatus(st.getPath).toSeq
+          .filter(!_.getPath.getName.startsWith("_"))
+          .flatMap { f =>
+            if (f.isDirectory) descendDir(f)
+            else if (f.getPath.getName.toLowerCase.endsWith(".xlsx"))
+              Seq((f.getPath.toString, f.getLen))
+            else Seq.empty
+          }
       matched.flatMap { st =>
-        if (st.isDirectory)
-          fs.listStatus(st.getPath).toSeq
-            .filter(f => f.isFile && f.getPath.getName.toLowerCase.endsWith(".xlsx") && !f.getPath.getName.startsWith("_"))
-            .map(f => (f.getPath.toString, f.getLen))
-        else Seq((st.getPath.toString, st.getLen))
+        // explicitly-matched files are taken as-is (any extension);
+        // directories filter their trees to .xlsx
+        if (st.isDirectory) descendDir(st) else Seq((st.getPath.toString, st.getLen))
       }
     }.sortBy(_._1)
 

@@ -29,12 +29,19 @@ object StreamingDemo {
       .delete(new org.apache.hadoop.fs.Path(base), true)
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    // Bound the demo to a 48-hour event span: xlsx delivery is one tiny
+    // write job per changed (window, event_type) key, and the full
+    // sf-table's ~500 distinct hours make that a ~20-minute wall on this
+    // VM without demonstrating anything extra.
+    val allEvents = spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val cutoff = allEvents.agg(min(col("ts")).cast("long")).collect()(0).getLong(0) + 48 * 3600
+    val events = allEvents.filter(col("ts").cast("long") < cutoff)
     events.coalesce(1).write.parquet(in)
 
     val q = EventsPipeline.run(spark, in, out, ckpt)
-    q.awaitTermination(120000)
+    if (!q.awaitTermination(600000))
+      sys.error("events pipeline did not finish within 10 minutes")
 
     val result = spark.read.format("xlsx")
       .option("header", "true").option("allSheets", "true").load(out)
@@ -51,11 +58,29 @@ object StreamingDemo {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .format("memory").queryName("demo_sessions").start()
     sq.awaitTermination(120000)
+    if (sq.isActive) sq.stop() // don't leave it to race spark.stop()'s teardown
     val streamedSessions = spark.table("demo_sessions").count()
     val batchSessions = graft.streaming.Sessionize.sessionsBatch(events).count()
     val openSessions = events.select("user_id").distinct().count() // one open per user
     println(s"sessions_streamed=$streamedSessions sessions_batch=$batchSessions " +
       s"open_per_user=$openSessions consistent=${streamedSessions == batchSessions - openSessions}")
+
+    // Windowed heavy hitters: Space-Saving sketch as bounded stream state.
+    val hhStream = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(in)
+    val hq = graft.streaming.StreamingTopK.windowedTopK(hhStream, "event_type", "ts",
+        windowLen = "1 hour", watermark = "10 minutes", k = 3, capacity = 64)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/topk_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("demo_topk").start()
+    hq.awaitTermination(120000)
+    if (hq.isActive) hq.stop()
+    val topkRows = spark.table("demo_topk")
+    val closedWindows = topkRows.select("window_start").distinct().count()
+    println(s"topk_rows=${topkRows.count()} topk_closed_windows=$closedWindows " +
+      s"zero_error=${topkRows.filter(col("err") =!= 0).count() == 0}")
     spark.stop()
   }
 }

@@ -70,6 +70,21 @@ class XlsxDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.agg(sum("id")).collect()(0).getLong(0) === 499500)
   }
 
+  test("nested partitioned layout reads recursively with a plain load") {
+    val dir = tmp() + "/nested"
+    // hive-style two-level nesting, as produced by per-key streaming
+    // delivery (out/window=X/etype=Y/part.xlsx)
+    spark.range(0, 10).write.mode("overwrite").format("xlsx")
+      .option("header", "true").save(s"$dir/window=1/etype=a")
+    spark.range(10, 30).write.mode("overwrite").format("xlsx")
+      .option("header", "true").save(s"$dir/window=1/etype=b")
+    spark.range(30, 40).write.mode("overwrite").format("xlsx")
+      .option("header", "true").save(s"$dir/window=2/etype=a")
+    val back = spark.read.format("xlsx").option("header", "true").load(dir)
+    assert(back.count() === 40)
+    assert(back.agg(sum("id")).collect()(0).getLong(0) === (0 until 40).sum)
+  }
+
   test("sheet rollover past maxRowsPerSheet; allSheets reads all") {
     val dir = tmp() + "/t4"
     spark.range(250).coalesce(1).write.mode("overwrite").format("xlsx")
