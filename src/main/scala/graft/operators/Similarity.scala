@@ -11,34 +11,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  // Tight-loop UDFs, not zip_with/aggregate expressions: Spark's
-  // higher-order array functions run interpreted (outside whole-stage
-  // codegen) and allocate an intermediate array per call — measured ~10×
-  // slower than this loop on the pair-join hot path. The summation order
-  // (sequential left fold) is identical, so results are bit-equal.
+  // Native codegen'd Catalyst expressions, not zip_with/aggregate (those
+  // run interpreted, ~10× slower) and not ScalaUDFs (those deserialize
+  // every array into a Scala Seq per call — the graft.plans.VecDot /
+  // VecNorm expressions read UnsafeArrayData in place inside
+  // WholeStageCodegen). The summation order (sequential left fold) is
+  // identical across all three forms, so results are bit-equal.
   // Mismatched dimensions fail loudly everywhere (dot, buckets, IVF):
   // truncating would silently score/bucket a corrupt vector.
-  private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
-    val x = a.toArray; val y = b.toArray
-    require(x.length == y.length,
-      s"embedding dimension ${x.length} != ${y.length}")
-    var acc = 0.0d; var i = 0
-    while (i < x.length) { acc += x(i) * y(i); i += 1 }
-    acc
-  }
-
-  private val l2normUdf = udf { (a: Seq[Double]) =>
-    val x = a.toArray
-    var acc = 0.0d; var i = 0
-    while (i < x.length) { acc += x(i) * x(i); i += 1 }
-    math.sqrt(acc)
-  }
+  private def ex(c: Column) =
+    org.apache.spark.sql.graftshim.ColumnShim.expression(c)
+  private def asCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.graftshim.ColumnShim.column(e)
 
   /** Dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column = dotUdf(a, b)
+  def dot(a: Column, b: Column): Column = asCol(graft.plans.VecDot(ex(a), ex(b)))
 
   /** L2 norm of an array<double> column. */
-  def l2norm(a: Column): Column = l2normUdf(a)
+  def l2norm(a: Column): Column = asCol(graft.plans.VecNorm(ex(a)))
 
   /** Cosine similarity between two array<float|double> columns.
     * In pair joins prefer precomputing [[l2norm]] per vector once and

@@ -3,9 +3,11 @@ package graft.plans
 import graft.xlsx.{A1, ExcelDate, Xml}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -37,6 +39,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("xml_escape"),
       new ExpressionInfo(classOf[XmlEscape].getName, "xml_escape"),
       (children: Seq[Expression]) => XmlEscape(Cast(children.head, StringType))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
+      (children: Seq[Expression]) => VecNorm(children.head)))
   }
 }
 
@@ -50,6 +60,33 @@ object GraftExprs {
 
   def xmlEscape(s: UTF8String): UTF8String =
     UTF8String.fromString(Xml.escape(s.toString))
+
+  /** Dot product straight off ArrayData — no per-row boxing or copy (a
+    * ScalaUDF deserializes each array into a Scala Seq first). Same
+    * left-to-right summation order as the former UDF: bit-equal doubles.
+    * Mismatched dimensions fail loudly — truncating would silently score
+    * a corrupt vector. Null ELEMENTS are not defended (an embedding with
+    * null components is corrupt input; both this and the UDF path treat
+    * that as undefined). */
+  def vecDot(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"embedding dimension $n != ${b.numElements()}")
+    var acc = 0.0d
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  /** L2 norm straight off ArrayData; same fold order as the former UDF. */
+  def vecNorm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0d
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); acc += x * x; i += 1 }
+    math.sqrt(acc)
+  }
 }
 
 private[plans] trait GraftStaticCall { self: UnaryExpression =>
@@ -117,5 +154,48 @@ case class XmlEscape(child: Expression)
   override protected def nullSafeEval(input: Any): Any =
     GraftExprs.xmlEscape(input.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(newChild: Expression): XmlEscape =
+    copy(child = newChild)
+}
+
+/** Beyond-reference: vector dot product over two array<double> columns as
+  * a native codegen'd expression — the ANN/dedup hot path stays inside
+  * WholeStageCodegen and reads UnsafeArrayData in place (the previous
+  * ScalaUDF deserialized both arrays to Scala Seqs per pair). */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftExprs.vecDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.GraftExprs.vecDot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Beyond-reference: L2 norm of an array<double> column, native codegen. */
+case class VecNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_norm"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<double> input, got ${other.simpleString}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    GraftExprs.vecNorm(input.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.GraftExprs.vecNorm($a)")
+  override protected def withNewChildInternal(newChild: Expression): VecNorm =
     copy(child = newChild)
 }

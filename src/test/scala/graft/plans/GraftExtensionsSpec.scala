@@ -57,4 +57,48 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = spark.sql("SELECT excel_serial_decode(CAST(NULL AS DOUBLE)) AS a, col_letter(CAST(NULL AS INT)) AS b").collect()(0)
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
+
+  test("vec_dot / vec_norm: values, codegen span, null and error behavior") {
+    val df = spark.sql(
+      """SELECT vec_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d,
+                vec_norm(array(3.0d, 4.0d)) AS n,
+                vec_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS nl""")
+    val r = df.collect()(0)
+    assert(r.getDouble(0) === 32.0)
+    assert(r.getDouble(1) === 5.0)
+    assert(r.isNullAt(2))
+    // stays inside a whole-stage-codegen span over a column input
+    val colDf = spark.range(1000)
+      .selectExpr("array(CAST(id AS DOUBLE), 2.0d) AS v")
+      .selectExpr("vec_dot(v, v) AS dd")
+    assert(colDf.queryExecution.executedPlan.toString.contains("*("))
+    assert(colDf.agg(org.apache.spark.sql.functions.max("dd")).collect()(0)
+      .getDouble(0) === 999.0 * 999.0 + 4.0)
+    // dimension mismatch fails loudly, and the type check rejects non-double
+    val ex = intercept[Exception] {
+      spark.sql("SELECT vec_dot(array(1.0d), array(1.0d, 2.0d))").collect()
+    }
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("dimension"), msgs)
+    assertThrows[Exception] {
+      spark.sql("SELECT vec_dot(array('x'), array('y'))").collect()
+    }
+  }
+
+  test("Similarity column API runs on the native expressions") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.6, 0.8)))
+      .toDF("id", "v")
+      .select(org.apache.spark.sql.functions.col("id"),
+        graft.operators.Similarity.cosine(
+          org.apache.spark.sql.functions.col("v"),
+          org.apache.spark.sql.functions.array(
+            org.apache.spark.sql.functions.lit(1.0d),
+            org.apache.spark.sql.functions.lit(0.0d))).as("cos"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(1L) === 1.0)
+    assert(math.abs(m(2L) - 0.6) < 1e-12)
+  }
 }
