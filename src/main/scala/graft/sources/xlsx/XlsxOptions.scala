@@ -18,7 +18,8 @@ final case class XlsxOptions(
     protection: Option[ProtectionOptions], // write: sheet protection + allow flags
     columnWidths: Seq[Double],    // write: per-column widths, 1:1 with schema order
     columnStyles: Seq[Int],       // write: per-column style ids, 1:1 with schema order
-    sheetColumn: Option[String]   // write: route rows to a sheet named by this column
+    sheetColumn: Option[String],  // write: route rows to a sheet named by this column
+    formulaPrefix: Option[String] // write: string cells starting with this become formulas
 ) extends Serializable
 
 object XlsxOptions {
@@ -38,7 +39,10 @@ object XlsxOptions {
       .getOrElse(Seq.empty),
     columnStyles = Option(m.get("columnStyles"))
       .map(_.split(",").toSeq.map(s => styleByName(s.trim))).getOrElse(Seq.empty),
-    sheetColumn = Option(m.get("sheetColumn"))
+    sheetColumn = Option(m.get("sheetColumn")),
+    formulaPrefix = Option(m.get("formulaPrefix")).map { p =>
+      require(p.nonEmpty, "formulaPrefix must be non-empty"); p
+    }
   )
 
   /** The reference's 12-field protection surface as `protect.*` options

@@ -116,7 +116,7 @@ final class XlsxPartitionReader(
       allSheets = partition.allSheets, header = header, compression = 6,
       inferSchemaRows = 0, maxRowsPerSheet = XlsxOptions.ExcelMaxRows,
       protection = None, columnWidths = Seq.empty, columnStyles = Seq.empty,
-      sheetColumn = None)
+      sheetColumn = None, formulaPrefix = None)
     val sheets = XlsxTable.selectSheets(reader, opts)
     sheets.iterator.flatMap { s =>
       val it = reader.rows(s)

@@ -143,7 +143,21 @@ final class XlsxDataWriter(
   private val usedNames = scala.collection.mutable.Set.empty[String]
   private val getters: Array[InternalRow => (CellValue, Int)] =
     fields.zipWithIndex.map { case (f, i) =>
-      val base = XlsxDataWriter.getter(f.dataType, i)
+      val base0 = XlsxDataWriter.getter(f.dataType, i)
+      // formulaPrefix: string cells starting with the prefix are written
+      // as formula cells (prefix stripped — OOXML stores formulas without
+      // the leading "="), covering the reference's CellValue::Formula
+      // write surface (ref: src/fast_writer/zero_temp_workbook.rs:208-212)
+      // from the DataFrame API, where no formula type exists.
+      val base = (f.dataType, opts.formulaPrefix) match {
+        case (StringType, Some(p)) => (r: InternalRow) =>
+          base0(r) match {
+            case (CellValue.Str(s), style) if s.startsWith(p) =>
+              (CellValue.Formula(s.substring(p.length)), style)
+            case other => other
+          }
+        case _ => base0
+      }
       // Explicit per-column style (reference's write_row_styled surface,
       // ref: src/writer.rs write_row_styled) overrides the automatic one.
       opts.columnStyles.lift(i).filter(_ != 0) match {

@@ -75,6 +75,33 @@ class XlsxExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("unknown style") || e.getCause.getMessage.contains("unknown style"))
   }
 
+  test("formulaPrefix writes '='-strings as real formula cells") {
+    val dir = Files.createTempDirectory("xf").toString + "/f"
+    spark.range(1, 4).selectExpr("id", "concat('=A', id, '*2') AS calc", "'=notouch' AS plainCol")
+      .selectExpr("id", "calc", "substring(plainCol, 2) AS plain")
+      .coalesce(1).write.mode("overwrite").format("xlsx")
+      .option("header", "true").option("formulaPrefix", "=").save(dir)
+    val f = new java.io.File(dir).listFiles().find(_.getName.endsWith(".xlsx")).get
+    val zip = new java.util.zip.ZipFile(f)
+    val xml = new String(zip.getInputStream(zip.getEntry("xl/worksheets/sheet1.xml")).readAllBytes())
+    zip.close()
+    // prefix stripped, stored as <f> (OOXML keeps formulas without '=')
+    assert(xml.contains("<f>A1*2</f>"), xml)
+    assert(xml.contains("<f>A3*2</f>"), xml)
+    // non-prefixed strings stay inline strings (including the header row)
+    assert(xml.contains("<is><t>notouch</t></is>"), xml)
+    assert(xml.contains("<is><t>calc</t></is>"), xml)
+    // read-side: a formula cell without a cached value surfaces its text
+    val back = spark.read.format("xlsx").option("header", "true").load(dir)
+      .orderBy("id").collect()
+    assert(back.map(_.getString(1)).toSeq === Seq("A1*2", "A2*2", "A3*2"))
+    // without the option, '='-strings roundtrip verbatim as strings
+    spark.sql("SELECT '=A1*2' AS s").coalesce(1)
+      .write.mode("overwrite").format("xlsx").option("header", "true").save(dir + "2")
+    val verbatim = spark.read.format("xlsx").option("header", "true").load(dir + "2")
+    assert(verbatim.collect()(0).getString(0) === "=A1*2")
+  }
+
   test("full sheet-protection flag surface via DSv2 protect.* options") {
     val dir = Files.createTempDirectory("xp").toString + "/p"
     spark.range(4).coalesce(1).write.mode("overwrite").format("xlsx")
