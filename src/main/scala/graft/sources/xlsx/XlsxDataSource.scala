@@ -154,7 +154,18 @@ object XlsxTable {
         finally it.close() // sampling rarely exhausts the sheet
       }
     }
-    acc.result()
+    val inferred = acc.result()
+    // sheetNameColumn: provenance column appended AFTER the data columns,
+    // the DSv2 form of the reference's per-sheet iteration
+    // (sheet_names() + rows(sheet), ref: src/streaming_reader.rs:345-351).
+    opts.sheetNameColumn match {
+      case Some(c) =>
+        require(!inferred.fieldNames.contains(c),
+          s"sheetNameColumn '$c' collides with a data column")
+        inferred.add(org.apache.spark.sql.types.StructField(
+          c, org.apache.spark.sql.types.StringType, nullable = false))
+      case None => inferred
+    }
   }
 }
 

@@ -19,7 +19,8 @@ final case class XlsxOptions(
     columnWidths: Seq[Double],    // write: per-column widths, 1:1 with schema order
     columnStyles: Seq[Int],       // write: per-column style ids, 1:1 with schema order
     sheetColumn: Option[String],  // write: route rows to a sheet named by this column
-    formulaPrefix: Option[String] // write: string cells starting with this become formulas
+    formulaPrefix: Option[String], // write: string cells starting with this become formulas
+    sheetNameColumn: Option[String] // read: append a column carrying the source sheet name
 ) extends Serializable
 
 object XlsxOptions {
@@ -42,7 +43,8 @@ object XlsxOptions {
     sheetColumn = Option(m.get("sheetColumn")),
     formulaPrefix = Option(m.get("formulaPrefix")).map { p =>
       require(p.nonEmpty, "formulaPrefix must be non-empty"); p
-    }
+    },
+    sheetNameColumn = Option(m.get("sheetNameColumn"))
   )
 
   /** The reference's 12-field protection surface as `protect.*` options

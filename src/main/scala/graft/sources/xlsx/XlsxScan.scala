@@ -69,8 +69,16 @@ final class XlsxScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // Map each required field to its source column index once, at planning.
-    val srcIdx = required.fields.map(f => fullSchema.fieldIndex(f.name))
+    // Map each required field to its source CELL index once, at planning.
+    // The sheetNameColumn is virtual (no cell behind it): indexed -1 and
+    // filled by the reader from the sheet being streamed; cell indices
+    // count data columns only, so a user schema placing the virtual
+    // column anywhere still maps the data columns correctly.
+    val cellIdx = fullSchema.fields
+      .filterNot(f => opts.sheetNameColumn.contains(f.name))
+      .zipWithIndex.map { case (f, i) => f.name -> i }.toMap
+    val srcIdx = required.fields.map(f =>
+      if (opts.sheetNameColumn.contains(f.name)) -1 else cellIdx(f.name))
     XlsxReaderFactory(required, srcIdx, opts.header, conf)
   }
 }
@@ -116,15 +124,19 @@ final class XlsxPartitionReader(
       allSheets = partition.allSheets, header = header, compression = 6,
       inferSchemaRows = 0, maxRowsPerSheet = XlsxOptions.ExcelMaxRows,
       protection = None, columnWidths = Seq.empty, columnStyles = Seq.empty,
-      sheetColumn = None, formulaPrefix = None)
+      sheetColumn = None, formulaPrefix = None, sheetNameColumn = None)
     val sheets = XlsxTable.selectSheets(reader, opts)
     sheets.iterator.flatMap { s =>
       val it = reader.rows(s)
       openIter = it
+      currentSheet = UTF8String.fromString(s)
       if (header && it.hasNext) it.next() // skip header row per sheet
       it
     }
   }
+  // Name of the sheet currently being streamed (set as each sheet opens);
+  // backs the virtual sheetNameColumn (srcIdx -1).
+  private var currentSheet: UTF8String = _
   private var current: InternalRow = _
   private val width = srcIdx.length
   private val converters: Array[CellValue => Any] =
@@ -137,7 +149,8 @@ final class XlsxPartitionReader(
     var i = 0
     while (i < width) {
       val ci = srcIdx(i)
-      if (ci < cells.size) values(i) = converters(i)(cells(ci))
+      if (ci == -1) values(i) = currentSheet
+      else if (ci < cells.size) values(i) = converters(i)(cells(ci))
       i += 1
     }
     // wrap the array directly — InternalRow.fromSeq would copy it

@@ -75,6 +75,30 @@ class XlsxExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("unknown style") || e.getCause.getMessage.contains("unknown style"))
   }
 
+  test("sheetNameColumn carries per-row sheet provenance through allSheets") {
+    val dir = Files.createTempDirectory("xsn").toString + "/sn"
+    spark.range(100).selectExpr("id", "CASE WHEN id < 40 THEN 'us' ELSE 'eu' END AS region")
+      .coalesce(1).write.mode("overwrite").format("xlsx")
+      .option("header", "true").option("sheetColumn", "region").save(dir)
+    val back = spark.read.format("xlsx")
+      .option("header", "true").option("allSheets", "true")
+      .option("sheetNameColumn", "_sheet").load(dir)
+    assert(back.columns.toSeq === Seq("id", "region", "_sheet"))
+    val bysheet = back.groupBy("_sheet").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bysheet === Map("eu" -> 60L, "us" -> 40L))
+    // provenance matches the routing column for every row
+    assert(back.filter(col("region") =!= col("_sheet")).count() === 0)
+    // pruning to only the virtual column still works
+    assert(back.select("_sheet").distinct().count() === 2)
+    // collision with a data column fails loudly
+    val e = intercept[Exception] {
+      spark.read.format("xlsx").option("header", "true")
+        .option("sheetNameColumn", "region").load(dir).collect()
+    }
+    assert(e.getMessage.contains("collides"), e.getMessage)
+  }
+
   test("formulaPrefix writes '='-strings as real formula cells") {
     val dir = Files.createTempDirectory("xf").toString + "/f"
     spark.range(1, 4).selectExpr("id", "concat('=A', id, '*2') AS calc", "'=notouch' AS plainCol")
