@@ -151,6 +151,31 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s1 === 1L)
   }
 
+  test("hashed shingles equal fnv1a64 over the expression-form string shingles") {
+    val s = spark
+    import s.implicits._
+    // The DuckDB oracles compute jaccard from STRING shingle sets; the
+    // operators run on hashed sets. This pins the bridge: for texts with
+    // repeats, unicode, varied whitespace and short docs, the hash set is
+    // exactly fnv1a64 of each distinct string shingle.
+    val texts = Seq(
+      "a b c d e", "a a a a", "x", "", "solo pair",
+      "tab\tand  double  spaces here", "Ñoño emoji 😀 mixed 中文 words",
+      ("w1 " * 30).trim, "a b a b a b a b")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val fnv = udf((x: String) => graft.functions.GraftFunctions.fnv1a64(x))
+    val fromStrings = df
+      .select(col("id"), explode(Dedup.shingles(col("text"), 3)).as("g"))
+      .select(col("id"), fnv(col("g")).as("h"))
+      .groupBy("id").agg(sort_array(collect_set(col("h"))).as("hs"))
+    val fromHashes = df
+      .select(col("id"), Dedup.shingleHashUdf(3)(col("text")).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val a = fromStrings.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = fromHashes.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a === b)
+  }
+
   test("bpe-ish token count: letter runs, digit runs, single symbols") {
     val df = docs(1L -> "hello world42 x-ray 3.14!")
     // hello | world | 42 | x | - | ray | 3 | . | 14 | !  -> 10
