@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.GraftFunctions
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Privacy, RuntimeFilter, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -663,6 +663,76 @@ object SparkEntry {
         .select("doc_id")
       Curation.deterministicSample(deduped, "doc_id", 0.5)
         .join(d.select("doc_id", "lang"), "doc_id")
+    }),
+
+    "pii_redact" -> ((s, dir) => {
+      // PII scan+redact over a corpus with synthetic PII planted
+      // deterministically (the raw docs contain none): every doc gets a
+      // phone; even ids an email; ids % 3 == 0 an IPv4 — so zero-count
+      // and multi-category paths are all exercised and the DuckDB oracle
+      // rebuilds the identical input.
+      val id = col("doc_id")
+      val withPii = t(s, dir, "documents").select(id,
+        concat(
+          substring(col("text"), 1, 40),
+          when(id % 2 === 0,
+            concat(lit(" contact user"), id.cast("string"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(id % 3 === 0,
+            concat(lit(" from 10.0."), (id % 256).cast("string"), lit("."),
+              (id % 100).cast("string")))
+            .otherwise(lit("")),
+          lit(" tel 555-010-"), lpad((id % 10000).cast("string"), 4, "0")
+        ).as("text"))
+      Privacy.piiScan(withPii, "doc_id", "text")
+    }),
+
+    "split_assign" -> ((s, dir) =>
+      // Deterministic 90/5/5 train/val/test assignment — zero-shuffle,
+      // rerun- and engine-stable (the mixed-key CASE is plain SQL).
+      Curation.splitAssign(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("split"))),
+
+    "mixture_sample" -> ((s, dir) => {
+      // Corpus-mixture sampling: per-source keep-rates (even-numbered
+      // sources 100%, odd 25%) applied as a deterministic weighted filter.
+      val rate = when(substring(col("source"), 4, 10).cast("int") % 2 === 0,
+        lit(1.0d)).otherwise(lit(0.25d))
+      Curation.weightedSample(t(s, dir, "documents"), "doc_id", rate)
+        .select(col("doc_id"), col("source"), col("lang"))
+    }),
+
+    "bloom_join" -> ((s, dir) => {
+      // Explicit bloom runtime filter: prefilter lineitem against the
+      // urgent-orders key set before the join shuffle. False positives
+      // are cleared by the join itself, so the plain-join oracle checks
+      // the whole machinery end-to-end.
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_extendedprice")
+      RuntimeFilter.bloomPrefilteredJoin(li, "l_orderkey", urgent, "o_orderkey",
+          expectedItems = 200000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice")), 2).as("rev"))
+    }),
+
+    "jsonl_roundtrip" -> ((s, dir) => {
+      // JSONL (gzip) write -> read -> aggregate: the interchange format
+      // most training-data pipelines actually ship. Timestamps survive as
+      // ISO-8601 strings parsed back under an explicit schema.
+      val p = work(dir, "jsonl_roundtrip")
+      li4(s, dir).repartition(8).write.mode("overwrite")
+        .option("compression", "gzip").json(p)
+      s.read.schema("l_orderkey BIGINT, l_quantity DOUBLE, l_returnflag STRING, l_shipdate TIMESTAMP")
+        .json(p)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          min(col("l_shipdate").cast("date")).as("min_ship"))
     })
   )
 
@@ -677,7 +747,8 @@ object SparkEntry {
     "text_stats", "doc_fingerprint", "ann_bruteforce", "ann_lsh", "ann_ivf",
     "embedding_pairs_exact",
     "quality_filter", "token_count_bpe", "ngram_counts", "decontaminate",
-    "tfidf_topterms", "bm25_search", "repetition_stats", "curation_pipeline")
+    "tfidf_topterms", "bm25_search", "repetition_stats", "curation_pipeline",
+    "pii_redact", "split_assign", "bloom_join", "jsonl_roundtrip")
 
   def oracleSql: Map[String, String] = Map(
 
@@ -1187,6 +1258,63 @@ object SparkEntry {
          deduped AS (SELECT min(doc_id) AS doc_id FROM passing GROUP BY text),
          sampled AS (SELECT doc_id FROM deduped
                      WHERE (doc_id * 2654435761) % 4294967296 < 2147483648)
-         SELECT s.doc_id, d.lang FROM sampled s JOIN documents d USING (doc_id)"""
+         SELECT s.doc_id, d.lang FROM sampled s JOIN documents d USING (doc_id)""",
+
+    // The PII patterns live in the Java-regex/RE2 common subset (no
+    // lookaround/backrefs), so both engines match identically; DuckDB
+    // needs the 'g' flag to mirror Spark's replace-all.
+    "pii_redact" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  substr(text, 1, 40)
+                  || CASE WHEN doc_id % 2 = 0
+                          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                          ELSE '' END
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                               || '.' || CAST(doc_id % 100 AS VARCHAR)
+                          ELSE '' END
+                  || ' tel 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+           FROM documents)
+         SELECT doc_id,
+                len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                len(regexp_extract_all(after_ip, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones,
+                len(regexp_extract_all(after_email, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+                len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                  + len(regexp_extract_all(after_ip, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+                  + len(regexp_extract_all(after_email, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_pii,
+                regexp_replace(after_ip, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
+         FROM (SELECT doc_id, text,
+                      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                                     '<EMAIL>', 'g') AS after_email,
+                      regexp_replace(regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS after_ip
+               FROM p)""",
+
+    // Thresholds are the Scala-side (cum * 2^32).toLong literals.
+    "split_assign" ->
+      """SELECT doc_id,
+                CASE WHEN (doc_id * 2654435761) % 4294967296 < 3865470566 THEN 'train'
+                     WHEN (doc_id * 2654435761) % 4294967296 < 4080218931 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents""",
+
+    "mixture_sample" ->
+      """SELECT doc_id, source, lang FROM documents
+         WHERE (doc_id * 2654435761) % 4294967296 <
+               CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                    THEN 4294967296 ELSE 1073741824 END""",
+
+    "bloom_join" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_extendedprice), 2) AS rev
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY l_returnflag""",
+
+    "jsonl_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
+                min(CAST(l_shipdate AS DATE)) AS min_ship
+         FROM lineitem GROUP BY l_returnflag"""
   )
 }

@@ -47,6 +47,44 @@ object Curation {
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
   }
 
+  /** Deterministic train/val/test split assignment: each row gets the
+    * label of the bucket its mixed key falls into, with bucket widths
+    * proportional to the given fractions (which must sum to ≤ 1; any
+    * remainder goes to the last label, so `Seq("train"->0.9, "val"->0.05,
+    * "test"->0.05)` is exact).
+    *
+    * Scale: a pure stateless projection — no shuffle, no RNG, no global
+    * pass. The same row lands in the same split on every engine, every
+    * rerun, and every subset of the data (rows can be assigned
+    * independently on 1000 executors with zero coordination — the
+    * property a 100 TB split job needs). Adding data later never moves an
+    * existing row between splits. */
+  def splitAssign(df: DataFrame, keyCol: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty, "need at least one split")
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
+    val bucket = mixKey(col(keyCol))
+    val cums = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val firstCase: Column = when(
+      bucket < lit((cums.head * 4294967296.0d).toLong), lit(fractions.head._1))
+    val cased = fractions.tail.zip(cums.tail).dropRight(1).foldLeft(firstCase) {
+      case (acc, ((label, _), cum)) =>
+        acc.when(bucket < lit((cum * 4294967296.0d).toLong), lit(label))
+    }
+    val full = if (fractions.size == 1) firstCase.otherwise(lit(fractions.head._1))
+               else cased.otherwise(lit(fractions.last._1))
+    df.withColumn("split", full)
+  }
+
+  /** Per-row weighted (mixture) sampling: keep a row iff its mixed key
+    * falls below `weight` (a column in [0,1], typically a per-source
+    * sampling rate joined or CASE-mapped on). This is the corpus-mixture
+    * primitive: upweight/downweight sources by keep-rate while staying
+    * deterministic and rerun-stable. A pure filter — no shuffle; the
+    * weight lookup should ride a broadcast join or a literal CASE. */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column): DataFrame =
+    df.filter(mixKey(col(keyCol)) < (weight * lit(4294967296.0d)).cast("long"))
+
   /** Test-set decontamination: flag corpus documents sharing at least one
     * word k-gram with a benchmark/eval corpus (the standard n-gram overlap
     * rule used for pretraining-data hygiene). Returns (id, n_shared) with

@@ -182,4 +182,56 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = df.select(TextAnalysis.bpeTokenCount(col("text"))).collect().head.getInt(0)
     assert(n === 10)
   }
+
+  test("split assign: total partition, stable fractions, subset-independent") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 10000L).toDF("id")
+    val out = Curation.splitAssign(df, "id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size === 10000, "every row gets a split")
+    val byLabel = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byLabel.keySet === Set("train", "val", "test"))
+    assert(byLabel("train") > 8700 && byLabel("train") < 9300, s"train=${byLabel("train")}")
+    assert(byLabel("val") > 300 && byLabel("val") < 700, s"val=${byLabel("val")}")
+    assert(byLabel("test") > 300 && byLabel("test") < 700, s"test=${byLabel("test")}")
+    // assignment of a row is independent of what other rows exist:
+    // growing the dataset can never move an existing row between splits
+    val subset = Curation.splitAssign((0L until 100L).toDF("id"), "id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    subset.foreach { case (id, label) => assert(out(id) === label) }
+  }
+
+  test("split assign: single label and remainder-to-last behavior") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 50L).toDF("id")
+    val one = Curation.splitAssign(df, "id", Seq("all" -> 1.0))
+      .select("split").distinct().collect().map(_.getString(0))
+    assert(one.toSeq === Seq("all"))
+    // fractions summing below 1: remainder falls in the last label
+    val skewed = Curation.splitAssign(df, "id", Seq("a" -> 0.1, "b" -> 0.1))
+      .collect().map(r => r.getString(1))
+    assert(skewed.count(_ == "b") > skewed.count(_ == "a"))
+  }
+
+  test("weighted sample: weight 0 drops all, 1 keeps all, rates scale") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "src")
+    val w = when(col("src") === "even", lit(1.0d)).otherwise(lit(0.25d))
+    val kept = Curation.weightedSample(df, "id", w)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.count(_._2 == "even") === 2000, "weight 1.0 keeps everything")
+    val odd = kept.count(_._2 == "odd")
+    assert(odd > 350 && odd < 650, s"0.25 of 2000 kept $odd")
+    assert(Curation.weightedSample(df, "id", lit(0.0d)).count() === 0)
+    // deterministic: kept odd ids are exactly the 0.25-fraction sample
+    val again = Curation.weightedSample(df, "id", w)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again === kept.toSet)
+  }
 }
