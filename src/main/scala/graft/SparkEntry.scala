@@ -720,6 +720,20 @@ object SparkEntry {
           round(sum(col("l_extendedprice")), 2).as("rev"))
     }),
 
+    "line_dedup" -> ((s, dir) =>
+      // Line-level boilerplate removal at word granularity (the synthetic
+      // docs have no newlines): words in >390 of the docs are the
+      // "boilerplate lines"; survivors rejoin in original order.
+      Dedup.lineDedup(t(s, dir, "documents"), "doc_id", "text",
+          sep = " ", maxDf = 390)
+        .withColumnRenamed("id", "doc_id")),
+
+    "shard_assign" -> ((s, dir) =>
+      // Deterministic global shuffle: 8 shards, reproducible in-shard
+      // order — the epoch-0 training-order primitive.
+      Curation.shardAssign(t(s, dir, "documents"), "doc_id", numShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))),
+
     "jsonl_roundtrip" -> ((s, dir) => {
       // JSONL (gzip) write -> read -> aggregate: the interchange format
       // most training-data pipelines actually ship. Timestamps survive as
@@ -748,7 +762,8 @@ object SparkEntry {
     "embedding_pairs_exact",
     "quality_filter", "token_count_bpe", "ngram_counts", "decontaminate",
     "tfidf_topterms", "bm25_search", "repetition_stats", "curation_pipeline",
-    "pii_redact", "split_assign", "bloom_join", "jsonl_roundtrip")
+    "pii_redact", "split_assign", "bloom_join", "jsonl_roundtrip",
+    "line_dedup", "shard_assign")
 
   def oracleSql: Map[String, String] = Map(
 
@@ -1315,6 +1330,26 @@ object SparkEntry {
     "jsonl_roundtrip" ->
       """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
                 min(CAST(l_shipdate AS DATE)) AS min_ship
-         FROM lineitem GROUP BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "line_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              flat AS (SELECT doc_id, l['pos'] AS pos, l['line'] AS line
+                       FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+                                      i -> {'pos': i, 'line': w[i]})) AS l
+                             FROM w)),
+              dfreq AS (SELECT line, count(DISTINCT doc_id) AS df FROM flat GROUP BY line),
+              hot AS (SELECT line FROM dfreq WHERE df > 390)
+         SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text
+         FROM flat ANTI JOIN hot USING (line)
+         GROUP BY doc_id""",
+
+    "shard_assign" ->
+      """SELECT doc_id,
+                CAST((doc_id * 2654435761) % 4294967296 % 8 AS INT) AS shard,
+                CAST(row_number() OVER (
+                       PARTITION BY (doc_id * 2654435761) % 4294967296 % 8
+                       ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS INT) AS pos
+         FROM documents"""
   )
 }

@@ -76,6 +76,22 @@ object Curation {
     df.withColumn("split", full)
   }
 
+  /** Deterministic global shuffle into `numShards` output shards: shard
+    * by mixed key, position within a shard by (mixed key, key). Together
+    * (shard, pos) define a reproducible corpus-wide training order — the
+    * "shuffle the dataset once per epoch" primitive — without any global
+    * sort: the only exchange is the shard partitioning, and each shard
+    * orders independently. Rerun- and engine-stable like all mixed-key
+    * ops. At 100 TB pick numShards ≈ desired output files; each window
+    * sorts one shard (≈ corpus/numShards rows). */
+  def shardAssign(df: DataFrame, keyCol: String, numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val mixed = mixKey(col(keyCol))
+    val w = Window.partitionBy(col("shard")).orderBy(mixed, col(keyCol))
+    df.withColumn("shard", (mixed % numShards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+  }
+
   /** Per-row weighted (mixture) sampling: keep a row iff its mixed key
     * falls below `weight` (a column in [0,1], typically a per-source
     * sampling rate joined or CASE-mapped on). This is the corpus-mixture

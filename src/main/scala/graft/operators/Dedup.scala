@@ -50,6 +50,42 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
 
+  /** Line-level dedup (RefinedWeb-style boilerplate removal): split each
+    * document on `sep`, drop every line occurring in more than `maxDf`
+    * documents corpus-wide (headers, footers, nav chrome, license
+    * blocks), and reassemble the survivors in their original order.
+    * Documents whose lines are ALL boilerplate drop out entirely.
+    *
+    * Scale shape: lines travel as fnv1a64 hashes into the
+    * document-frequency aggregate (map-side combinable, strings never
+    * shuffle); the hot-line set — lines in >maxDf docs — is tiny by
+    * construction at any corpus size, so the removal is a BROADCAST
+    * anti-join; the only other exchange is the per-doc rebuild keyed on
+    * id. Same hash-vs-string oracle equivalence as the shingle family
+    * (pinned in CurationSpec): a 64-bit fnv collision between two
+    * distinct lines of the same corpus is the only divergence mode.
+    *
+    * `sep` is a literal separator, not a regex. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", maxDf: Long = 10): DataFrame = {
+    val hash = udf((s: String) =>
+      java.lang.Long.valueOf(graft.functions.GraftFunctions.fnv1a64(s)))
+    val lines = spread(df).select(col(idCol).as("id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+      .withColumn("h", hash(col("line")))
+    val hot = lines.select("id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("h")
+    lines.join(broadcast(hot), Seq("h"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")),
+        sep).as("clean_text"))
+  }
+
   /** Word k-shingles of a text column as a distinct array column.
     * Documents shorter than k words produce no shingles (matches the
     * DuckDB-oracle definition: range(1, len-k+2) over word slices). */

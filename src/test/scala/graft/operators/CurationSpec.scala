@@ -217,6 +217,26 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(skewed.count(_ == "b") > skewed.count(_ == "a"))
   }
 
+  test("shard assign: partition into shards, dense in-shard positions, stable") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 800L).toDF("id")
+    val out = Curation.shardAssign(df, "id", numShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.length === 800)
+    val byShard = out.groupBy(_._2)
+    assert(byShard.keySet === (0 until 8).toSet)
+    byShard.values.foreach { rows =>
+      // positions are a dense 1..n sequence within each shard
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length).toSeq)
+      // shards are roughly balanced under the multiplicative mix
+      assert(rows.length > 50 && rows.length < 150, s"shard size ${rows.length}")
+    }
+    val again = Curation.shardAssign(df, "id", numShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(again === out.toSet, "shard+pos must be deterministic")
+  }
+
   test("weighted sample: weight 0 drops all, 1 keeps all, rates scale") {
     val s = spark
     import s.implicits._

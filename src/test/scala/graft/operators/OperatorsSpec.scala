@@ -401,4 +401,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(java.lang.Long.bitCount(a ^ c) <= 16) // one token changed -> small drift
     assert(a !== c)
   }
+
+  test("line dedup: boilerplate lines removed, order kept, all-hot doc drops out") {
+    val boiler = "subscribe to our newsletter"
+    val df = docs(
+      1L -> s"real content one\n$boiler\nmore real text",
+      2L -> s"$boiler\nsecond doc body",
+      3L -> s"third doc here\n$boiler",
+      4L -> boiler) // nothing but boilerplate
+    val out = Dedup.lineDedup(df, "id", "text", sep = "\n", maxDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      1L -> "real content one\nmore real text",
+      2L -> "second doc body",
+      3L -> "third doc here"))
+  }
+
+  test("line dedup: threshold is strict (df == maxDf survives)") {
+    val df = docs(1L -> "a\nshared", 2L -> "b\nshared", 3L -> "c")
+    val out = Dedup.lineDedup(df, "id", "text", sep = "\n", maxDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "shared" is in exactly 2 docs = maxDf -> kept
+    assert(out === Map(1L -> "a\nshared", 2L -> "b\nshared", 3L -> "c"))
+  }
 }
