@@ -720,6 +720,29 @@ object SparkEntry {
           round(sum(col("l_extendedprice")), 2).as("rev"))
     }),
 
+    "curation_pipeline2" -> ((s, dir) => {
+      // Round-6 composition: LM-typicality filter -> line-level
+      // boilerplate dedup over the survivors -> deterministic 90/5/5
+      // split. Every stage is individually oracle-checked; this replays
+      // the whole chain in one SQL statement.
+      val d = t(s, dir, "documents")
+      val keep = Curation.charLmScore(d, "doc_id", "text")
+        .filter(col("lm_score") >= -0.81)
+        .select(col("id").as("doc_id"))
+      val cleaned = Dedup.lineDedup(d.join(keep, "doc_id"), "doc_id", "text",
+        sep = " ", maxDf = 240)
+      Curation.splitAssign(cleaned.withColumnRenamed("id", "doc_id"), "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"),
+          length(col("clean_text")).cast("bigint").as("n_chars"), col("split"))
+    }),
+
+    "lm_score" -> ((s, dir) =>
+      // Corpus-trained char-trigram LM typicality (CCNet-style quality
+      // signal); model broadcast, corpus scored in one pass.
+      Curation.charLmScore(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
     "line_dedup" -> ((s, dir) =>
       // Line-level boilerplate removal at word granularity (the synthetic
       // docs have no newlines): words in >390 of the docs are the
@@ -763,7 +786,7 @@ object SparkEntry {
     "quality_filter", "token_count_bpe", "ngram_counts", "decontaminate",
     "tfidf_topterms", "bm25_search", "repetition_stats", "curation_pipeline",
     "pii_redact", "split_assign", "bloom_join", "jsonl_roundtrip",
-    "line_dedup", "shard_assign")
+    "line_dedup", "shard_assign", "lm_score", "curation_pipeline2")
 
   def oracleSql: Map[String, String] = Map(
 
@@ -1331,6 +1354,51 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
                 min(CAST(l_shipdate AS DATE)) AS min_ship
          FROM lineitem GROUP BY l_returnflag""",
+
+    "curation_pipeline2" ->
+      """WITH tri AS (SELECT doc_id, unnest(list_transform(range(1, length(text) - 1),
+                               i -> substr(text, i, 3))) AS g
+                      FROM documents WHERE length(text) >= 3),
+              bi AS (SELECT unnest(list_transform(range(1, length(text)),
+                              i -> substr(text, i, 2))) AS b
+                     FROM documents WHERE length(text) >= 2),
+              c3t AS (SELECT g, count(*) AS c3 FROM tri GROUP BY g),
+              c2t AS (SELECT b, count(*) AS c2 FROM bi GROUP BY b),
+              lm AS (SELECT doc_id, round(avg(ln(CAST(c3 AS DOUBLE) / (c2 + 32))), 4) AS lm_score
+                     FROM tri JOIN c3t USING (g) JOIN c2t ON substr(g, 1, 2) = c2t.b
+                     GROUP BY doc_id),
+              keep AS (SELECT doc_id FROM lm WHERE lm_score >= -0.81),
+              w AS (SELECT d.doc_id, string_split(text, ' ') AS w
+                    FROM documents d JOIN keep USING (doc_id)),
+              flat AS (SELECT doc_id, l['pos'] AS pos, l['line'] AS line
+                       FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+                                      i -> {'pos': i, 'line': w[i]})) AS l
+                             FROM w)),
+              dfreq AS (SELECT line, count(DISTINCT doc_id) AS df FROM flat GROUP BY line),
+              hot AS (SELECT line FROM dfreq WHERE df > 240),
+              rebuilt AS (SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text
+                          FROM flat ANTI JOIN hot USING (line) GROUP BY doc_id)
+         SELECT doc_id, CAST(length(clean_text) AS BIGINT) AS n_chars,
+                CASE WHEN (doc_id * 2654435761) % 4294967296 < 3865470566 THEN 'train'
+                     WHEN (doc_id * 2654435761) % 4294967296 < 4080218931 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM rebuilt""",
+
+    "lm_score" ->
+      """WITH tri AS (SELECT doc_id, unnest(list_transform(range(1, length(text) - 1),
+                               i -> substr(text, i, 3))) AS g
+                      FROM documents WHERE length(text) >= 3),
+              bi AS (SELECT unnest(list_transform(range(1, length(text)),
+                              i -> substr(text, i, 2))) AS b
+                     FROM documents WHERE length(text) >= 2),
+              c3t AS (SELECT g, count(*) AS c3 FROM tri GROUP BY g),
+              c2t AS (SELECT b, count(*) AS c2 FROM bi GROUP BY b)
+         SELECT doc_id, round(avg(ln(CAST(c3 AS DOUBLE) / (c2 + 32))), 4) AS lm_score,
+                count(*) AS n_grams
+         FROM tri
+         JOIN c3t USING (g)
+         JOIN c2t ON substr(g, 1, 2) = c2t.b
+         GROUP BY doc_id""",
 
     "line_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -93,6 +93,15 @@ object GraftFunctions {
       udf.register("graft_fingerprint64",
         (s: String) => if (s == null) null else java.lang.Long.valueOf(fnv1a64(s)))
 
+      // Beyond-reference: PII masking (email -> IPv4 -> phone cascade,
+      // same patterns/order as graft.operators.Privacy.redact).
+      udf.register("graft_redact_pii",
+        (s: String) =>
+          if (s == null) null
+          else s.replaceAll(graft.operators.Privacy.EmailPattern, "<EMAIL>")
+            .replaceAll(graft.operators.Privacy.Ipv4Pattern, "<IP>")
+            .replaceAll(graft.operators.Privacy.PhonePattern, "<PHONE>"))
+
       registered += key
     }
   }

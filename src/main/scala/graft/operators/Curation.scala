@@ -165,6 +165,57 @@ object Curation {
         round(col("top_c").cast("double") / col("n_grams"), 4).as("top_frac"))
   }
 
+  /** Character k-grams at every position (NOT deduped — these are token
+    * occurrences for language-model counts, unlike [[Dedup.shingles]]'
+    * distinct set semantics). Texts shorter than k yield an empty array. */
+  private def charGrams(text: Column, k: Int): Column =
+    when(length(text) >= k,
+      transform(sequence(lit(1), length(text) - (k - 1)),
+        i => text.substr(i, lit(k))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Character-trigram language-model typicality score per document — the
+    * cheap, deterministic stand-in for CCNet's KenLM-perplexity quality
+    * filter: train trigram/bigram counts on the corpus itself, then score
+    * each document by its mean smoothed trigram conditional
+    * log-likelihood `avg(ln(c(abc)/(c(ab) + smoothing)))`. Low scores
+    * mark documents whose character sequences are atypical for the
+    * corpus (mojibake, binary spew, wrong-language contamination); rank
+    * and cut at a chosen quantile.
+    *
+    * The Lidstone-style constant on the CONTEXT count is load-bearing:
+    * raw self-trained MLE would hand unique gibberish a perfect score
+    * (a trigram seen once over a context seen once has ratio 1), whereas
+    * with smoothing a rare context scores ln(1/(1+s)) — strongly
+    * negative — while common text sits near ln(c3/c2). Default s=32 ≈
+    * one alphabet of phantom continuations per context.
+    *
+    * Scale shape: the "model" (both count tables) is bounded by
+    * alphabet³, i.e. tiny — it broadcasts; the corpus is scored in ONE
+    * scored pass (explode → two broadcast joins → per-doc aggregate), and
+    * the count tables themselves are map-side-combinable aggregates.
+    * That is exactly the distributed shape of real LM-filtering: small
+    * model everywhere, one pass over the data. MLE note: bigram counts
+    * include each text's final bigram (which prefixes no trigram), the
+    * standard boundary slop — deterministic and engine-reproducible.
+    * Documents shorter than 3 chars have no trigrams and are absent. */
+  def charLmScore(df: DataFrame, idCol: String, textCol: String,
+      smoothing: Int = 32): DataFrame = {
+    val d = Dedup.spread(df)
+    val tri = d.select(col(idCol).as("id"),
+      explode(charGrams(col(textCol), 3)).as("g"))
+    val triCounts = tri.groupBy("g").agg(count(lit(1)).as("c3"))
+    val biCounts = d.select(explode(charGrams(col(textCol), 2)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c2"))
+    tri.join(broadcast(triCounts), "g")
+      .withColumn("b", substring(col("g"), 1, 2))
+      .join(broadcast(biCounts), "b")
+      .groupBy("id")
+      .agg(round(avg(log(col("c3").cast("double") / (col("c2") + lit(smoothing)))), 4)
+        .as("lm_score"),
+        count(lit(1)).as("n_grams"))
+  }
+
   /** Lowercased word tokens (`\w+` runs) of a text column. */
   private def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("\\w+"), lit(0))

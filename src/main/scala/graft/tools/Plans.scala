@@ -15,7 +15,8 @@ object Plans {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("project_filter", "join_broadcast", "agg_groupby", "xlsx_roundtrip",
         "dedup_minhash", "ann_lsh", "window_rank", "join_asof", "join_range",
-        "join_salted", "topk_heavy")
+        "join_salted", "topk_heavy", "bloom_join", "line_dedup", "split_assign",
+        "pii_redact", "lm_score")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -68,12 +68,20 @@ class GraftFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(4) === GraftFunctions.fnv1a64("hello"))
   }
 
+  test("pii redaction cascade in SQL") {
+    val r = one("""SELECT graft_redact_pii('a@b.io at 1.2.3.4 tel 555-123-4567') AS a,
+                          graft_redact_pii('clean text') AS b""")
+    assert(r.getString(0) === "<EMAIL> at <IP> tel <PHONE>")
+    assert(r.getString(1) === "clean text")
+  }
+
   test("null tolerance across the board") {
     val r = one("""SELECT graft_excel_date_decode(NULL), graft_col_letter(NULL),
                           graft_col_index(NULL), graft_cell_ref(NULL, 1),
                           graft_xml_escape(NULL), graft_as_bool(NULL),
                           graft_password_hash(NULL), graft_fingerprint64(NULL),
-                          graft_excel_date_encode(NULL), graft_is_leap_year(NULL)""")
+                          graft_excel_date_encode(NULL), graft_is_leap_year(NULL),
+                          graft_redact_pii(NULL)""")
     (0 until r.length).foreach(i => assert(r.isNullAt(i), s"position $i"))
   }
 

@@ -217,6 +217,23 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(skewed.count(_ == "b") > skewed.count(_ == "a"))
   }
 
+  test("char-LM score: gibberish scores below typical text; gram counts exact") {
+    val typical = "the cat sat on the mat and the cat sat again"
+    val df = docs(
+      1L -> typical, 2L -> typical, 3L -> typical, 4L -> typical,
+      5L -> "zqxv jkwq pzvx qjzk") // character soup: rare contexts
+    val out = Curation.charLmScore(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // every trigram position counted: len - 2
+    assert(out(1L)._2 === typical.length - 2)
+    assert(out(5L)._2 === "zqxv jkwq pzvx qjzk".length - 2)
+    // smoothing makes rare-context gibberish atypical, not perfect
+    assert(out(5L)._1 < out(1L)._1,
+      s"gibberish ${out(5L)._1} must score below typical ${out(1L)._1}")
+    // identical docs score identically
+    assert(out(1L)._1 === out(2L)._1)
+  }
+
   test("shard assign: partition into shards, dense in-shard positions, stable") {
     val s = spark
     import s.implicits._
