@@ -720,6 +720,12 @@ object SparkEntry {
           round(sum(col("l_extendedprice")), 2).as("rev"))
     }),
 
+    "table_profile" -> ((s, dir) =>
+      // Data-quality profiling of a fresh drop: per-column counts,
+      // exact distincts, stringified min/max in one report.
+      graft.operators.Profile.profile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"))),
+
     "curation_pipeline2" -> ((s, dir) => {
       // Round-6 composition: LM-typicality filter -> line-level
       // boilerplate dedup over the survivors -> deterministic 90/5/5
@@ -786,7 +792,8 @@ object SparkEntry {
     "quality_filter", "token_count_bpe", "ngram_counts", "decontaminate",
     "tfidf_topterms", "bm25_search", "repetition_stats", "curation_pipeline",
     "pii_redact", "split_assign", "bloom_join", "jsonl_roundtrip",
-    "line_dedup", "shard_assign", "lm_score", "curation_pipeline2")
+    "line_dedup", "shard_assign", "lm_score", "curation_pipeline2",
+    "table_profile")
 
   def oracleSql: Map[String, String] = Map(
 
@@ -1354,6 +1361,25 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
                 min(CAST(l_shipdate AS DATE)) AS min_ship
          FROM lineitem GROUP BY l_returnflag""",
+
+    "table_profile" ->
+      """SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
+                count(l_orderkey) AS n_nonnull, count(DISTINCT l_orderkey) AS n_distinct,
+                CAST(min(l_orderkey) AS VARCHAR) AS min_val,
+                CAST(max(l_orderkey) AS VARCHAR) AS max_val
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_linenumber', count(*), count(l_linenumber), count(DISTINCT l_linenumber),
+                CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_returnflag', count(*), count(l_returnflag), count(DISTINCT l_returnflag),
+                CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_quantity', count(*), count(l_quantity), count(DISTINCT l_quantity),
+                CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+         FROM lineitem""",
 
     "curation_pipeline2" ->
       """WITH tri AS (SELECT doc_id, unnest(list_transform(range(1, length(text) - 1),

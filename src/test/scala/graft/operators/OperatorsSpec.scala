@@ -402,6 +402,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a !== c)
   }
 
+  test("profile: null-aware counts, exact distincts, stringified extremes") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Some(1L), Some("x")), (Some(2L), None), (Some(2L), Some("y")), (None, Some("x")))
+      .toDF("k", "v")
+    val out = Profile.profile(df, Seq("k", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(out("k") === ((4L, 3L, 2L, "1", "2")))
+    assert(out("v") === ((4L, 3L, 2L, "x", "y")))
+  }
+
   test("line dedup: boilerplate lines removed, order kept, all-hot doc drops out") {
     val boiler = "subscribe to our newsletter"
     val df = docs(
