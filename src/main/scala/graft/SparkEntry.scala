@@ -720,6 +720,32 @@ object SparkEntry {
           round(sum(col("l_extendedprice")), 2).as("rev"))
     }),
 
+    "incremental_dedup" -> ((s, dir) => {
+      // Per-batch novelty filter: a synthetic "drop" of exact copies
+      // (doc_id % 3 == 0, re-keyed +100000) and genuinely novel docs
+      // (doc_id % 3 == 1, suffixed, re-keyed +200000) probed against the
+      // corpus; only the novel rows survive.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val drop = d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 3 === 1)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" novel "), col("doc_id").cast("string")).as("text")))
+      Dedup.incrementalExact(d, drop, Seq("text"))
+        .select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars"))
+    }),
+
+    "incremental_neardup" -> ((s, dir) => {
+      // Near-dup probe of a mutated drop (first word removed, re-keyed)
+      // against the corpus — approximate by banding construction, so
+      // rows-only; the machinery is known-answer tested in OperatorsSpec.
+      val d = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val drop = d.filter(col("id") % 4 === 0)
+        .select((col("id") + 100000).as("id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      Dedup.incrementalNearDups(d, drop, "id", "text")
+    }),
+
     "table_profile" -> ((s, dir) =>
       // Data-quality profiling of a fresh drop: per-column counts,
       // exact distincts, stringified min/max in one report.
@@ -793,7 +819,7 @@ object SparkEntry {
     "tfidf_topterms", "bm25_search", "repetition_stats", "curation_pipeline",
     "pii_redact", "split_assign", "bloom_join", "jsonl_roundtrip",
     "line_dedup", "shard_assign", "lm_score", "curation_pipeline2",
-    "table_profile")
+    "table_profile", "incremental_dedup", "incremental_neardup")
 
   def oracleSql: Map[String, String] = Map(
 
@@ -1361,6 +1387,15 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
                 min(CAST(l_shipdate AS DATE)) AS min_ship
          FROM lineitem GROUP BY l_returnflag""",
+
+    "incremental_dedup" ->
+      """WITH drp AS (
+           SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id + 200000, text || ' novel ' || CAST(doc_id AS VARCHAR)
+           FROM documents WHERE doc_id % 3 = 1)
+         SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+         FROM drp ANTI JOIN documents USING (text)""",
 
     "table_profile" ->
       """SELECT 'l_orderkey' AS "column", count(*) AS n_rows,

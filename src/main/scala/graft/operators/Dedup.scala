@@ -269,14 +269,63 @@ object Dedup {
     * volume, not corpus volume, drives the cost. */
   private def verifyJaccard(
       candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    verifyJaccard2(candidates, sh, sh, threshold)
+
+  /** Two-sided variant: id_a resolves against `shA`, id_b against `shB`
+    * (for drop-vs-corpus probes where the sides are different frames). */
+  private def verifyJaccard2(
+      candidates: DataFrame, shA: DataFrame, shB: DataFrame,
+      threshold: Double): DataFrame =
     candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(shA.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shB.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", intersectSizeUdf(col("sh_a"), col("sh_b")))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+
+  /** Incremental-ingest exact dedup: rows of `drop` whose `keyCols`
+    * tuple does not already occur in `corpus` — the per-batch novelty
+    * filter a production pipeline runs instead of re-deduping the whole
+    * corpus. One anti-join; at 100 TB put a bloom prefilter
+    * ([[RuntimeFilter.bloomPrefilter]]) or a materialized fingerprint
+    * column on the corpus side to cut the shuffle. */
+  def incrementalExact(corpus: DataFrame, drop: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    drop.join(corpus.select(keyCols.map(col): _*).dropDuplicates(keyCols),
+      keyCols, "left_anti")
+
+  /** Incremental near-dup probe: (id_a = new doc, id_b = existing doc,
+    * jaccard) pairs where a document of `drop` is a near-duplicate of a
+    * document already in `corpus`. Same shingle→minhash→band→verify
+    * machinery as [[minhashNearDups]], but the bucket join is
+    * drop-vs-corpus instead of corpus-vs-corpus: per-batch cost scales
+    * with the DROP, not the corpus. The corpus's banded index is the
+    * reusable artifact — materialize it once, append each accepted batch,
+    * and every future drop probes it. */
+  def incrementalNearDups(
+      corpus: DataFrame, drop: DataFrame,
+      idCol: String, textCol: String,
+      shingleK: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    def prep(df: DataFrame) = spread(df)
+      .select(col(idCol).as("id"), shingleHashUdf(shingleK)(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def band(sh: DataFrame) = sh.select(col("id"),
+      posexplode(minhashBandBuckets(bands, rowsPerBand)(col("sh"))).as(Seq("band", "bucket")))
+    val shC = prep(corpus)
+    val shD = prep(drop)
+    val candidates = band(shD).select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(band(shC).select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccard2(candidates, shD, shC, jaccardThreshold)
+  }
 
   /** 64-bit SimHash over whitespace tokens (Charikar '02): each token's
     * xxhash64 votes ±1 per bit; the sign vector is the fingerprint.

@@ -402,6 +402,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a !== c)
   }
 
+  test("incremental dedup: exact novelty filter and near-dup probe vs corpus") {
+    val corpus = docs(1L -> loremA, 2L -> unrelated)
+    val drop = docs(
+      10L -> loremA,        // exact copy -> filtered by incrementalExact
+      11L -> loremB,        // near-dup of corpus doc 1 -> flagged by the probe
+      12L -> "entirely new content about streaming watermarks and state stores today")
+    val novel = Dedup.incrementalExact(corpus, drop, Seq("text"))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(novel.toSeq === Seq(11L, 12L), "only the non-identical rows survive")
+    val pairs = Dedup.incrementalNearDups(corpus, drop, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((11L, 1L)), "mutated doc must probe-hit its corpus original")
+    assert(pairs.contains((10L, 1L)), "exact copy is trivially a near-dup")
+    assert(!pairs.exists(_._1 == 12L), "novel doc matches nothing")
+    assert(!pairs.exists(p => p._2 == 2L), "unrelated corpus doc draws no pairs")
+  }
+
   test("profile: null-aware counts, exact distincts, stringified extremes") {
     val s = spark
     import s.implicits._
