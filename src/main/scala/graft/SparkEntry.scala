@@ -720,6 +720,21 @@ object SparkEntry {
           round(sum(col("l_extendedprice")), 2).as("rev"))
     }),
 
+    "partitioned_write" -> ((s, dir) => {
+      // Output-layout pattern: write the corpus partitioned by split
+      // (train/val/test directories), read back ONE partition — the
+      // filter prunes to the val directory alone (PartitionFilters in
+      // the scan), which is how a 100 TB dataset serves split-scoped
+      // consumers without scanning the rest.
+      val p = work(dir, "partitioned_write")
+      Curation.splitAssign(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .write.mode("overwrite").partitionBy("split").parquet(p)
+      s.read.parquet(p).filter(col("split") === "val")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("doc_id")).cast("bigint").as("sum_id"))
+    }),
+
     "incremental_dedup" -> ((s, dir) => {
       // Per-batch novelty filter: a synthetic "drop" of exact copies
       // (doc_id % 3 == 0, re-keyed +100000) and genuinely novel docs
@@ -819,7 +834,8 @@ object SparkEntry {
     "tfidf_topterms", "bm25_search", "repetition_stats", "curation_pipeline",
     "pii_redact", "split_assign", "bloom_join", "jsonl_roundtrip",
     "line_dedup", "shard_assign", "lm_score", "curation_pipeline2",
-    "table_profile", "incremental_dedup", "incremental_neardup")
+    "table_profile", "incremental_dedup", "incremental_neardup",
+    "partitioned_write")
 
   def oracleSql: Map[String, String] = Map(
 
@@ -1387,6 +1403,12 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
                 min(CAST(l_shipdate AS DATE)) AS min_ship
          FROM lineitem GROUP BY l_returnflag""",
+
+    "partitioned_write" ->
+      """SELECT count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_id
+         FROM documents
+         WHERE (doc_id * 2654435761) % 4294967296 >= 3865470566
+           AND (doc_id * 2654435761) % 4294967296 < 4080218931""",
 
     "incremental_dedup" ->
       """WITH drp AS (
