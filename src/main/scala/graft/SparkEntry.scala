@@ -720,6 +720,20 @@ object SparkEntry {
           round(sum(col("l_extendedprice")), 2).as("rev"))
     }),
 
+    "orc_roundtrip" -> ((s, dir) => {
+      // Columnar-interchange breadth: ORC (zlib) write -> read ->
+      // aggregate via Spark's native ORC source (vectorized scan,
+      // predicate pushdown — same planner surface as parquet).
+      val p = work(dir, "orc_roundtrip")
+      li4(s, dir).repartition(8).write.mode("overwrite")
+        .option("compression", "zlib").orc(p)
+      s.read.orc(p)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          min(col("l_shipdate").cast("date")).as("min_ship"))
+    }),
+
     "partitioned_write" -> ((s, dir) => {
       // Output-layout pattern: write the corpus partitioned by split
       // (train/val/test directories), read back ONE partition — the
@@ -835,7 +849,7 @@ object SparkEntry {
     "pii_redact", "split_assign", "bloom_join", "jsonl_roundtrip",
     "line_dedup", "shard_assign", "lm_score", "curation_pipeline2",
     "table_profile", "incremental_dedup", "incremental_neardup",
-    "partitioned_write")
+    "partitioned_write", "orc_roundtrip")
 
   def oracleSql: Map[String, String] = Map(
 
@@ -1400,6 +1414,11 @@ object SparkEntry {
          GROUP BY l_returnflag""",
 
     "jsonl_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
+                min(CAST(l_shipdate AS DATE)) AS min_ship
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "orc_roundtrip" ->
       """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
                 min(CAST(l_shipdate AS DATE)) AS min_ship
          FROM lineitem GROUP BY l_returnflag""",
