@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.GraftFunctions
-import graft.operators.{Curation, Dedup, Multimodal, Privacy, RuntimeFilter, Similarity, TextAnalysis}
+import graft.operators.{Chunking, Classify, Curation, Dedup, Multimodal, Privacy, Profile, RuntimeFilter, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -831,7 +831,49 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           min(col("l_shipdate").cast("date")).as("min_ship"))
-    })
+    }),
+
+    // ===== context-window preparation (SURVEY §2.8) =====
+
+    "doc_chunk" -> ((s, dir) =>
+      // Sliding-window word chunks (32-word windows every 24 words):
+      // per-row generator inside codegen, zero shuffle.
+      Chunking.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 32, stride = 24)),
+
+    "sequence_pack" -> ((s, dir) =>
+      // Deterministic greedy packing into 256-token budget blocks over 8
+      // mixed-key shards; output is the pack manifest a loader consumes.
+      Chunking.packSummary(
+        Chunking.packSequences(t(s, dir, "documents"), "doc_id", "text",
+          budget = 256, numShards = 8),
+        "doc_id", budget = 256)),
+
+    "semantic_dedup" -> ((s, dir) => {
+      // SemDeDup over a corpus with planted exact-direction duplicates
+      // (2·v — cosine exactly 1.0, reproducible in any engine): cluster
+      // by 8 seed centroids, pair-search within clusters only.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+      val planted = e.unionByName(
+        e.filter(col("id") < 100).select((col("id") + 100000).as("id"),
+          transform(col("v"), x => x * 2).as("v")))
+      Similarity.semanticDedup(planted, "id", "v", k = 8, threshold = 0.9)
+    }),
+
+    "nb_classify" -> ((s, dir) =>
+      // Corpus-trained multinomial Naive Bayes (the deterministic stand-in
+      // for a fastText-style quality/domain classifier): model = two agg
+      // passes, scoring = one scan + broadcast joins.
+      Classify.nbClassify(t(s, dir, "documents"), "doc_id", "text", "lang")),
+
+    // ===== data-profiling extras (SURVEY §2.8) =====
+
+    "numeric_histogram" -> ((s, dir) =>
+      Profile.histogram(t(s, dir, "lineitem"), "l_extendedprice", buckets = 20)),
+
+    "key_skew" -> ((s, dir) =>
+      Profile.keySkew(t(s, dir, "orders"), "o_custkey", topK = 20))
   )
 
   /** Headline subset timed by graft.Bench (one per operator family). */
@@ -849,7 +891,8 @@ object SparkEntry {
     "pii_redact", "split_assign", "bloom_join", "jsonl_roundtrip",
     "line_dedup", "shard_assign", "lm_score", "curation_pipeline2",
     "table_profile", "incremental_dedup", "incremental_neardup",
-    "partitioned_write", "orc_roundtrip")
+    "partitioned_write", "orc_roundtrip",
+    "doc_chunk", "sequence_pack", "semantic_dedup", "nb_classify")
 
   def oracleSql: Map[String, String] = Map(
 
@@ -1520,6 +1563,107 @@ object SparkEntry {
                 CAST(row_number() OVER (
                        PARTITION BY (doc_id * 2654435761) % 4294967296 % 8
                        ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS INT) AS pos
-         FROM documents"""
+         FROM documents""",
+
+    // range(0, n, stride) = Spark sequence(0, n-1, stride): multiples of
+    // stride strictly below n. list_slice is 1-based inclusive like slice.
+    "doc_chunk" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words,
+                           len(string_split(text, ' ')) AS n FROM documents),
+              s AS (SELECT doc_id, words, n, unnest(range(0, n, 24)) AS start FROM w)
+         SELECT doc_id, CAST(start / 24 AS INT) AS chunk_id,
+                array_to_string(list_slice(words, start + 1, least(start + 32, n)), ' ') AS chunk_text,
+                CAST(least(32, n - start) AS INT) AS n_words
+         FROM s""",
+
+    "sequence_pack" ->
+      """WITH base AS (SELECT doc_id,
+                              len(string_split(text, ' ')) AS n_tokens,
+                              (doc_id * 2654435761) % 4294967296 AS mixed
+                       FROM documents),
+              sharded AS (SELECT *, CAST(mixed % 8 AS INT) AS shard FROM base),
+              cum AS (SELECT shard, doc_id, n_tokens,
+                             sum(n_tokens) OVER (PARTITION BY shard ORDER BY mixed, doc_id
+                                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                      FROM sharded),
+              packed AS (SELECT shard, CAST(floor((cum_tokens - 1) / 256) AS INT) AS pack_id,
+                                doc_id, n_tokens FROM cum)
+         SELECT shard, pack_id, count(doc_id) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS tokens,
+                round(sum(n_tokens) * 100.0 / 256, 2) AS fill_pct
+         FROM packed GROUP BY 1, 2""",
+
+    // Planted duplicates are 2·v — scaling by a power of two is exact in
+    // IEEE double, so cosine(v, 2v) is exactly 1.0 in every engine.
+    "semantic_dedup" ->
+      """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              planted AS (SELECT id, v FROM base
+                          UNION ALL
+                          SELECT id + 100000, list_transform(v, x -> x * 2) FROM base WHERE id < 100),
+              cents AS (SELECT id AS cid, v AS cv FROM planted ORDER BY id LIMIT 8),
+              assign AS (SELECT id, cid AS cluster FROM (
+                           SELECT p.id, c.cid,
+                                  row_number() OVER (PARTITION BY p.id
+                                    ORDER BY list_cosine_similarity(p.v, c.cv) DESC, c.cid) AS rnk
+                           FROM planted p CROSS JOIN cents c) t WHERE rnk = 1),
+              withv AS (SELECT a.id, a.cluster, p.v FROM assign a JOIN planted p ON a.id = p.id),
+              pairs AS (SELECT a.cluster, a.id AS id_a, b.id AS id_b,
+                               list_cosine_similarity(a.v, b.v) AS cos
+                        FROM withv a JOIN withv b ON a.cluster = b.cluster AND a.id < b.id)
+         SELECT cluster, id_a, id_b, round(cos, 4) AS cosine FROM pairs WHERE cos >= 0.9""",
+
+    // Scores round to 6 dp BEFORE the per-doc argmax on both sides, so the
+    // ranking is immune to sub-ulp summation-order differences.
+    "nb_classify" ->
+      """WITH dw AS (SELECT doc_id, lang AS label, unnest(string_split(text, ' ')) AS word FROM documents),
+              wc AS (SELECT label, word, count(*) AS cnt FROM dw GROUP BY 1, 2),
+              ct AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS toks FROM wc GROUP BY 1),
+              pri AS (SELECT lang AS label, count(*) AS ndocs FROM documents GROUP BY 1),
+              tot AS (SELECT count(*) AS nd FROM documents),
+              voc AS (SELECT count(DISTINCT word) AS v FROM dw),
+              grid AS (SELECT dw.doc_id, dw.word, c.label
+                       FROM (SELECT doc_id, word FROM dw) dw
+                       CROSS JOIN (SELECT label FROM pri) c),
+              contrib AS (SELECT g.doc_id, g.label,
+                                 ln((coalesce(wc.cnt, 0) + 1.0) / (ct.toks + voc.v)) AS ll
+                          FROM grid g
+                          LEFT JOIN wc ON wc.label = g.label AND wc.word = g.word
+                          JOIN ct ON ct.label = g.label CROSS JOIN voc),
+              scores AS (SELECT doc_id, label, sum(ll) AS sll FROM contrib GROUP BY 1, 2),
+              scored AS (SELECT s.doc_id, s.label,
+                                round(s.sll + ln(pri.ndocs * 1.0 / tot.nd), 6) AS score
+                         FROM scores s JOIN pri USING (label) CROSS JOIN tot),
+              ranked AS (SELECT doc_id, label, score,
+                                row_number() OVER (PARTITION BY doc_id
+                                                   ORDER BY score DESC, label) AS rnk
+                         FROM scored)
+         SELECT d.doc_id, d.lang, r.label AS pred, r.score
+         FROM ranked r JOIN documents d USING (doc_id) WHERE r.rnk = 1""",
+
+    "numeric_histogram" ->
+      """WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem),
+              binned AS (SELECT CASE WHEN b.hi = b.lo THEN 0
+                                     ELSE CAST(least(floor((l_extendedprice - b.lo) * 20 / (b.hi - b.lo)), 19) AS INT)
+                                END AS bucket, b.lo, b.hi
+                         FROM lineitem CROSS JOIN b)
+         SELECT bucket,
+                round(lo + bucket * (hi - lo) / 20, 4) AS bin_lo,
+                round(lo + (bucket + 1) * (hi - lo) / 20, 4) AS bin_hi,
+                count(*) AS cnt
+         FROM binned GROUP BY bucket, lo, hi""",
+
+    "key_skew" ->
+      """WITH counts AS (SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY 1),
+              tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+              top AS (SELECT key, cnt FROM counts ORDER BY cnt DESC, key LIMIT 20),
+              ranked AS (SELECT key, cnt,
+                                cnt * 1.0 / tot.total AS share,
+                                row_number() OVER (ORDER BY cnt DESC, key) AS rank,
+                                sum(cnt * 1.0 / tot.total) OVER (ORDER BY cnt DESC, key
+                                  ROWS UNBOUNDED PRECEDING) AS cum_share
+                         FROM top CROSS JOIN tot)
+         SELECT CAST(rank AS INT) AS rank, key, cnt,
+                round(share, 6) AS share, round(cum_share, 6) AS cum_share
+         FROM ranked"""
   )
 }

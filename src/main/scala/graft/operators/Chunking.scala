@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Context-window preparation for LLM training: fixed-size sliding-window
+  * document chunking and deterministic sequence packing.
+  *
+  * Both operators are pure narrow/window transformations — chunking is a
+  * per-row explode (no shuffle at all), packing is one shuffle on the
+  * shard key — so they scale linearly with corpus size. Beyond-reference
+  * scope (SURVEY §2.8): the reference engine has no notion of token
+  * windows; these are the operations a training-data pipeline runs after
+  * curation and before tensorization.
+  */
+object Chunking {
+
+  /** Split each document into word-window chunks of `chunkSize` words,
+    * windows starting every `stride` words (overlap = chunkSize − stride).
+    *
+    * Contract (engine-reproducible, no RNG):
+    *  - words are the literal single-space split of `textCol`;
+    *  - chunk starts are 0, stride, 2·stride, … while start < n_words,
+    *    so every word is covered and the final chunk may be short;
+    *  - chunk_id is the start index / stride.
+    *
+    * Scale: `posexplode(sequence(...))` is a generator inside whole-stage
+    * codegen — per-row fan-out with zero shuffle; output size is
+    * ~n/stride rows per doc. The words array stays inside the projection
+    * (never shuffled). */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val words = split(col(textCol), " ")
+    df.select(col(idCol), words.as("words"), size(words).as("n"))
+      .select(col(idCol), col("words"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start"))
+      .select(
+        col(idCol),
+        (col("start") / stride).cast("int").as("chunk_id"),
+        array_join(slice(col("words"), col("start") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"),
+        least(lit(chunkSize), col("n") - col("start")).cast("int").as("n_words"))
+  }
+
+  /** Deterministic offset packing: assign documents to fixed token-budget
+    * packs, greedily and contiguously within a deterministic shard.
+    *
+    * Documents are sharded by the same multiplicative key mixing as
+    * [[Curation.shardAssign]] (reproducible across engines and reruns),
+    * ordered by mixed key within the shard, and a running token total
+    * assigns each document to pack `floor((cumsum − 1) / budget)` — the
+    * budget block in which its last token lands. A document is never
+    * split across packs; a pack may overflow the budget by at most one
+    * document's tokens (the standard greedy-fill trade-off; callers who
+    * need hard caps chunk first with [[chunkDocuments]] at
+    * chunkSize ≤ budget).
+    *
+    * Scale: one hash-partition shuffle on `shard` + one window pass; the
+    * running sum is O(1) state per partition. Shards keep every partition
+    * independent, so 100 TB packs with numShards sized to the cluster. */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Int = 256,
+      numShards: Int = 8): DataFrame = {
+    require(budget > 0 && numShards > 0, "budget and numShards must be positive")
+    val mixed = Curation.mixKey(col(idCol))
+    val toks = size(split(col(textCol), " "))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("mixed"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), toks.as("n_tokens"),
+        mixed.as("mixed"), pmod(mixed, lit(numShards)).cast("int").as("shard"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col("shard"),
+        floor((col("cum_tokens") - 1) / budget).cast("int").as("pack_id"),
+        col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Per-pack summary of [[packSequences]] — the shape a training loader
+    * consumes (pack manifest): document count, token total, and fill rate
+    * against the budget. */
+  def packSummary(packed: DataFrame, idCol: String, budget: Int): DataFrame =
+    packed.groupBy(col("shard"), col("pack_id"))
+      .agg(count(col(idCol)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      .withColumn("fill_pct", round(col("tokens") * 100.0 / budget, 2))
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained text classification — the shape of the fastText-style
+  * quality/domain classifiers training pipelines run over every document
+  * (CCNet, Gopher, LLaMA data prep). Multinomial Naive Bayes with
+  * Laplace smoothing: deterministic (no RNG, no SGD order-dependence),
+  * closed-form trainable in two aggregate passes, and therefore
+  * oracle-checkable in plain SQL — unlike a learned-embedding classifier,
+  * which this slots in for architecturally (same broadcast-model,
+  * one-scan-score plan).
+  *
+  * Scale shape: the trained model is (vocab × classes) smoothed
+  * log-probabilities — a broadcastable artifact (cap the vocab by
+  * document frequency at 100 TB, exactly like the TF-IDF/BM25 df tables).
+  * Scoring is one corpus scan: explode tokens, hash-join the broadcast
+  * model, re-aggregate per (doc, class), argmax. No corpus self-join,
+  * no iteration.
+  */
+object Classify {
+
+  /** Train on the labeled frame and classify every row of it (in-corpus
+    * fit — the standard curation setup where a seed-labeled corpus scores
+    * itself; score a different frame by unioning it in with null labels
+    * upstream). Scores round to 6 dp BEFORE the argmax so ranking is
+    * stable across engines; ties break to the lexicographically smallest
+    * label. Output: (id, label, pred, score). */
+  def nbClassify(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame = {
+    val dw = df.select(col(idCol), col(labelCol).as("label"),
+      explode(split(col(textCol), " ")).as("word"))
+    // model: per-(class, word) occurrence counts + per-class totals,
+    // priors, and vocabulary size — two map-side-combinable aggregates.
+    val wc = dw.groupBy(col("label"), col("word")).agg(count(lit(1)).as("cnt"))
+    val ct = wc.groupBy(col("label")).agg(sum(col("cnt")).as("toks"))
+    val pri = df.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("ndocs"))
+    val nd = df.agg(count(lit(1)).as("nd"))
+    val voc = dw.agg(countDistinct(col("word")).as("v"))
+    // score: every token occurrence × every class, smoothed class-
+    // conditional log-likelihood; the model rides broadcast joins.
+    val grid = dw.select(col(idCol), col("word"))
+      .crossJoin(broadcast(pri.select(col("label"))))
+    val contrib = grid
+      .join(broadcast(wc), Seq("label", "word"), "left")
+      .join(broadcast(ct), Seq("label"))
+      .crossJoin(broadcast(voc))
+      .select(col(idCol), col("label"),
+        log((coalesce(col("cnt"), lit(0L)) + lit(1.0d)) /
+          (col("toks") + col("v"))).as("ll"))
+    val scores = contrib.groupBy(col(idCol), col("label")).agg(sum(col("ll")).as("sll"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("label"))
+    val pred = scores
+      .join(broadcast(pri), Seq("label"))
+      .crossJoin(broadcast(nd))
+      .select(col(idCol),
+        col("label"),
+        round(col("sll") + log(col("ndocs").cast("double") / col("nd")), 6).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col(idCol), col("label").as("pred"), col("score"))
+    df.select(col(idCol), col(labelCol)).join(pred, Seq(idCol))
+  }
+}

@@ -238,4 +238,47 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
   }
+
+  /** SemDeDup-style semantic deduplication: cluster the corpus with a
+    * coarse quantizer, then find near-duplicate pairs only WITHIN each
+    * cluster — the quadratic pair search is bounded by cluster size
+    * instead of corpus size, which is the whole trick at 100 TB.
+    *
+    * Quantizer here = the `k` lowest-id vectors as fixed seed centroids:
+    * deterministic (no RNG, engine-reproducible, oracle-checkable) and
+    * hot-swappable for [[trainIvfCentroids]] output in production — the
+    * downstream plan is identical, only centroid quality changes.
+    *
+    * Plan shape: centroids broadcast (k×dim doubles), assignment is a
+    * map-side-combinable argmax aggregate (the ×k fan-out collapses in
+    * the partial agg — no corpus×k shuffle), then one shuffle on the
+    * cluster id for the within-cluster self-join. Returns (cluster,
+    * id_a, id_b, cosine) pairs at `threshold`+; survivors = ids absent
+    * from id_b (lowest id per duplicate group wins, as in
+    * [[Dedup.keepOnePerComponent]]). */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val cents = broadcast(c.orderBy("id").limit(k)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn")))
+    // argmax cosine over centroids; ties break to the lowest centroid id
+    // via max_by on (cos, -cid) — unique per (id, cid), so deterministic.
+    val assign = c.crossJoin(cents)
+      .withColumn("cos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .groupBy(col("id"))
+      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cluster"))
+    val assigned = c.join(assign, Seq("id"))
+    val a = assigned.select(col("cluster"), col("id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cluster"), col("id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("cluster"), col("id_a"), col("id_b"),
+        round(col("cosine"), 4).as("cosine"))
+  }
 }

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Known-answer tests for context-window preparation (chunking, packing),
+  * semantic dedup, NB classification, and the profiling extras. */
+class ChunkingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("chunking-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "text")
+  }
+
+  test("chunkDocuments: windows cover every word, overlap by chunkSize-stride") {
+    val words = (1 to 10).map(i => s"w$i").mkString(" ") // 10 words
+    val out = Chunking.chunkDocuments(docs((1L, words)), "id", "text",
+      chunkSize = 4, stride = 3).orderBy("chunk_id").collect()
+    // starts 0,3,6,9 -> 4 chunks; last is 1 word
+    assert(out.length === 4)
+    assert(out(0).getAs[String]("chunk_text") === "w1 w2 w3 w4")
+    assert(out(1).getAs[String]("chunk_text") === "w4 w5 w6 w7")
+    assert(out(3).getAs[String]("chunk_text") === "w10")
+    assert(out.map(_.getAs[Int]("n_words")).toSeq === Seq(4, 4, 4, 1))
+    // every word is in at least one chunk
+    val covered = out.flatMap(_.getAs[String]("chunk_text").split(" ")).toSet
+    assert(covered === words.split(" ").toSet)
+  }
+
+  test("chunkDocuments: doc shorter than one chunk yields exactly one chunk") {
+    val out = Chunking.chunkDocuments(docs((1L, "a b")), "id", "text",
+      chunkSize = 64, stride = 48).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[String]("chunk_text") === "a b")
+    assert(out(0).getAs[Int]("n_words") === 2)
+  }
+
+  test("packSequences: packs are contiguous, never split a doc, and overflow by < one doc") {
+    val rows = (0L until 100L).map(i => (i, ("tok " * (5 + (i % 7).toInt)).trim))
+    val packed = Chunking.packSequences(docs(rows: _*), "id", "text",
+      budget = 32, numShards = 4)
+    val out = packed.collect()
+    assert(out.length === 100, "every doc lands in exactly one pack")
+    // within a (shard, pack), cumulative tokens minus the pack's first
+    // doc's predecessor total stays within budget + last doc
+    val byPack = out.groupBy(r => (r.getAs[Int]("shard"), r.getAs[Int]("pack_id")))
+    byPack.foreach { case ((_, _), rs) =>
+      val toks = rs.map(_.getAs[Int]("n_tokens").toLong).sum
+      val maxDoc = rs.map(_.getAs[Int]("n_tokens").toLong).max
+      assert(toks < 32 + maxDoc, "a pack overflows by at most one doc")
+    }
+    // deterministic: rerun gives identical assignment
+    val again = Chunking.packSequences(docs(rows: _*), "id", "text",
+      budget = 32, numShards = 4).collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq ===
+      again.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq)
+  }
+
+  test("semanticDedup: finds planted scaled duplicates, nothing else") {
+    val s = spark
+    import s.implicits._
+    // 3 well-separated direction clusters + one planted duplicate (2*v)
+    val base = Seq(
+      (0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.9, 0.1, 0.0)),
+      (2L, Array(0.0, 1.0, 0.0)), (3L, Array(0.0, 0.9, 0.1)),
+      (4L, Array(0.0, 0.0, 1.0)), (5L, Array(0.1, 0.0, 0.9)),
+      (100L, Array(2.0, 0.0, 0.0))) // 2 * vector 0
+    val df = base.toDF("id", "v")
+    val pairs = Similarity.semanticDedup(df, "id", "v", k = 3, threshold = 0.999)
+      .collect()
+    assert(pairs.length === 1)
+    assert(pairs(0).getAs[Long]("id_a") === 0L)
+    assert(pairs(0).getAs[Long]("id_b") === 100L)
+    assert(pairs(0).getAs[Double]("cosine") === 1.0)
+  }
+
+  test("nbClassify: separable corpus classifies perfectly and deterministically") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "apple banana apple fruit", "fruit"),
+      (2L, "banana fruit apple apple", "fruit"),
+      (3L, "engine wheel brake engine", "car"),
+      (4L, "wheel engine brake brake", "car"))
+    val df = rows.toDF("id", "text", "kind")
+    val out = Classify.nbClassify(df, "id", "text", "kind").collect()
+    assert(out.length === 4)
+    out.foreach(r => assert(r.getAs[String]("pred") === r.getAs[String]("kind"),
+      s"doc ${r.getAs[Long]("id")} misclassified"))
+  }
+
+  test("histogram: bins partition the range, counts total the table") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 100).map(_.toDouble).toDF("x")
+    val h = Profile.histogram(df, "x", buckets = 10).orderBy("bucket").collect()
+    assert(h.length === 10)
+    assert(h.map(_.getAs[Long]("cnt")).sum === 100)
+    // equal-width bins over 0..99: 10 per bin (max folds into last bin)
+    assert(h.map(_.getAs[Long]("cnt")).toSeq === Seq.fill(10)(10L))
+    assert(h(0).getAs[Double]("bin_lo") === 0.0)
+    assert(h(9).getAs[Double]("bin_hi") === 99.0)
+  }
+
+  test("histogram: constant column collapses to a single bin") {
+    val s = spark
+    import s.implicits._
+    val df = Seq.fill(5)(7.0).toDF("x")
+    val h = Profile.histogram(df, "x", buckets = 10).collect()
+    assert(h.length === 1)
+    assert(h(0).getAs[Int]("bucket") === 0)
+    assert(h(0).getAs[Long]("cnt") === 5)
+  }
+
+  test("keySkew: ranks by count desc, shares sum coherently") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold")).toDF("k")
+    val out = Profile.keySkew(df, "k", topK = 2).orderBy("rank").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[String]("key") === "hot")
+    assert(out(0).getAs[Double]("share") === 0.6)
+    assert(out(1).getAs[String]("key") === "warm")
+    assert(out(1).getAs[Double]("cum_share") === 0.9)
+  }
+}
