@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.GraftFunctions
-import graft.operators.{Chunking, Classify, Curation, Dedup, Multimodal, Privacy, Profile, RuntimeFilter, Similarity, TextAnalysis}
+import graft.operators.{Chunking, Classify, Curation, Dedup, Events, Multimodal, Privacy, Profile, RuntimeFilter, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -26,6 +26,14 @@ object SparkEntry {
 
   private def work(dir: String, q: String): String =
     s"/tmp/graft_work/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$q"
+
+  /** events table with its TIMESTAMP(NANOS) column converted to a real
+    * timestamp (Spark only reads parquet nanos as long; integer division
+    * keeps precision — see events_window). */
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
 
   /** lineitem subset used by the xlsx/csv roundtrip family. */
   private def li4(s: SparkSession, dir: String): DataFrame =
@@ -873,7 +881,30 @@ object SparkEntry {
       Profile.histogram(t(s, dir, "lineitem"), "l_extendedprice", buckets = 20)),
 
     "key_skew" -> ((s, dir) =>
-      Profile.keySkew(t(s, dir, "orders"), "o_custkey", topK = 20))
+      Profile.keySkew(t(s, dir, "orders"), "o_custkey", topK = 20)),
+
+    // ===== event analytics + semi-structured parsing (SURVEY §2.8) =====
+
+    "funnel" -> ((s, dir) =>
+      Events.funnelCounts(ev(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))),
+
+    "retention" -> ((s, dir) =>
+      Events.retentionCohorts(ev(s, dir), "user_id", "ts", unitDays = 7)),
+
+    "json_extract" -> ((s, dir) => {
+      // Typed JSON parsing of the props column via from_json (codegen'd,
+      // schema-checked — the semi-structured path every event pipeline
+      // needs); aggregates prove values survive extraction.
+      val k = from_json(col("props"), org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType)))).getField("k")
+      ev(s, dir)
+        .select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    })
   )
 
   /** Headline subset timed by graft.Bench (one per operator family). */
@@ -1664,6 +1695,37 @@ object SparkEntry {
                          FROM top CROSS JOIN tot)
          SELECT CAST(rank AS INT) AS rank, key, cnt,
                 round(share, 6) AS share, round(cum_share, 6) AS cum_share
-         FROM ranked"""
+         FROM ranked""",
+
+    // First-touch funnel: stage k's qualifying event must be strictly
+    // after stage k-1's first qualifying event.
+    "funnel" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+              s2 AS (SELECT e.user_id AS u, min(e.ts) AS t
+                     FROM events e JOIN s1 ON e.user_id = s1.u
+                     WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+              s3 AS (SELECT e.user_id AS u, min(e.ts) AS t
+                     FROM events e JOIN s2 ON e.user_id = s2.u
+                     WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+         SELECT 1 AS step, 'view' AS event_type, count(*) AS users FROM s1
+         UNION ALL SELECT 2, 'click', count(*) FROM s2
+         UNION ALL SELECT 3, 'purchase', count(*) FROM s3""",
+
+    "retention" ->
+      """WITH fs AS (SELECT user_id AS u, min(CAST(ts AS DATE)) AS cohort_date
+                     FROM events GROUP BY 1)
+         SELECT cohort_date,
+                CAST(floor(date_diff('day', cohort_date, CAST(e.ts AS DATE)) / 7) AS INT) AS period,
+                count(DISTINCT e.user_id) AS active_users
+         FROM events e JOIN fs ON e.user_id = fs.u
+         GROUP BY 1, 2""",
+
+    "json_extract" ->
+      """SELECT event_type, count(*) AS cnt,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+                min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+                max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+         FROM events GROUP BY 1"""
   )
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product/event analytics over an event stream table — the funnel and
+  * cohort-retention primitives (ClickHouse `windowFunnel`/`retention`
+  * territory) expressed as plain joins + aggregates so Catalyst owns the
+  * physical plan.
+  *
+  * Scale shape: both operators shuffle on the user key once per stage
+  * and never materialize per-event state; all stage frames are
+  * (user, timestamp) pairs — tiny relative to the event table — and
+  * co-partition on the user key across stages, so AQE coalesces the
+  * chain into back-to-back sort-merge joins without re-shuffles.
+  */
+object Events {
+
+  /** Ordered conversion funnel: stage k counts users whose first
+    * qualifying `steps(k)` event happened strictly AFTER their stage-k−1
+    * qualifying event (first-touch semantics, the standard product
+    * funnel). Returns one row per stage: (step, event_type, users).
+    *
+    * Each stage is events⨝survivors on the user key + a min-timestamp
+    * aggregate — map-side-combinable, no windows, no per-user event
+    * arrays (the collect_list formulation this replaces would haul every
+    * user's history through the shuffle). */
+  def funnelCounts(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stages = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val hits = df.filter(col(typeCol) === step)
+          .select(col(userCol).as("user"), col(tsCol).as("ts"))
+        val qualified = prev match {
+          case None => hits
+          case Some(p) => hits.join(p, Seq("user")).filter(col("ts") > col("t"))
+            .select(col("user"), col("ts"))
+        }
+        Some(qualified.groupBy(col("user")).agg(min(col("ts")).as("t")))
+    }.flatten
+    stages.zip(steps).zipWithIndex.map { case ((stage, step), i) =>
+      stage.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("step"), lit(step).as("event_type"), col("users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Cohort retention: users grouped by first-seen date, activity counted
+    * per `unitDays` period since the cohort date. Returns
+    * (cohort_date, period, active_users) — the retention-triangle table.
+    *
+    * Two shuffles total: first-seen aggregate on the user key, then the
+    * (cohort, period) distinct-count; the events→first-seen join is on
+    * the user key the first aggregate already partitioned on. */
+  def retentionCohorts(df: DataFrame, userCol: String, tsCol: String,
+      unitDays: Int = 7): DataFrame = {
+    require(unitDays > 0, "unitDays must be positive")
+    val firstSeen = df.groupBy(col(userCol).as("user"))
+      .agg(min(to_date(col(tsCol))).as("cohort_date"))
+    df.select(col(userCol).as("user"), to_date(col(tsCol)).as("d"))
+      .join(firstSeen, Seq("user"))
+      .select(col("user"), col("cohort_date"),
+        floor(datediff(col("d"), col("cohort_date")) / unitDays).cast("int").as("period"))
+      .groupBy(col("cohort_date"), col("period"))
+      .agg(countDistinct(col("user")).as("active_users"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Known-answer tests for the event-analytics operators (funnel,
+  * retention cohorts). */
+class EventsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("events-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def events(rows: (Long, String, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (u, e, t) => (u, e, ts(t)) }.toDF("user_id", "event_type", "ts")
+  }
+
+  test("funnel: ordering is enforced — a click before the first view does not convert") {
+    val df = events(
+      // user 1: full ordered funnel
+      (1L, "view", "2024-01-01 10:00:00"), (1L, "click", "2024-01-01 10:05:00"),
+      (1L, "purchase", "2024-01-01 10:10:00"),
+      // user 2: clicked BEFORE viewing — stage 2 must not count them
+      (2L, "click", "2024-01-01 09:00:00"), (2L, "view", "2024-01-01 09:30:00"),
+      // user 3: view + click, no purchase
+      (3L, "view", "2024-01-01 08:00:00"), (3L, "click", "2024-01-01 08:01:00"),
+      // user 4: purchase only — never enters the funnel
+      (4L, "purchase", "2024-01-01 07:00:00"))
+    val out = Events.funnelCounts(df, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase")).orderBy("step").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq((1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
+  test("funnel: first-touch semantics — a later re-view does not reopen the funnel") {
+    val df = events(
+      // first view at 10:00; click at 09:00 is before it; the second
+      // view at 11:00 must NOT re-qualify the 09:00 click
+      (1L, "view", "2024-01-01 10:00:00"), (1L, "click", "2024-01-01 09:00:00"),
+      (1L, "view", "2024-01-01 11:00:00"))
+    val out = Events.funnelCounts(df, "user_id", "event_type", "ts",
+      Seq("view", "click")).orderBy("step").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(1L, 0L))
+  }
+
+  test("retention: cohort by first-seen date, periods in unitDays buckets") {
+    val df = events(
+      (1L, "view", "2024-01-01 10:00:00"), // cohort 2024-01-01
+      (1L, "view", "2024-01-05 10:00:00"), // period 0 (day 4)
+      (1L, "view", "2024-01-09 10:00:00"), // period 1 (day 8)
+      (2L, "view", "2024-01-01 12:00:00"), // same cohort
+      (2L, "view", "2024-01-16 12:00:00"), // period 2 (day 15)
+      (3L, "view", "2024-01-03 12:00:00")) // cohort 2024-01-03, period 0
+    val out = Events.retentionCohorts(df, "user_id", "ts", unitDays = 7)
+      .orderBy("cohort_date", "period").collect()
+    val got = out.map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      ("2024-01-01", 0, 2L), // both users active in week 0
+      ("2024-01-01", 1, 1L),
+      ("2024-01-01", 2, 1L),
+      ("2024-01-03", 0, 1L)))
+  }
+}
