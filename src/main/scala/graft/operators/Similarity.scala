@@ -269,7 +269,11 @@ object Similarity {
       .withColumn("cos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
       .groupBy(col("id"))
       .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cluster"))
+    // both sides of the self-join read `assigned` — persist so the scan +
+    // assignment pipeline runs once, not twice (same session-owned cache
+    // lifecycle as the Dedup family; a materialized table at 100 TB)
     val assigned = c.join(assign, Seq("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cluster"), col("id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = assigned.select(col("cluster"), col("id").as("id_b"),
