@@ -892,6 +892,44 @@ object SparkEntry {
     "retention" -> ((s, dir) =>
       Events.retentionCohorts(ev(s, dir), "user_id", "ts", unitDays = 7)),
 
+    "schema_evolution" -> ((s, dir) => {
+      // Schema-evolution ingest: two drops with different column sets,
+      // read back under mergeSchema — absent columns come back null, and
+      // aggregates over the union prove nothing was dropped or misbound.
+      // The at-100TB shape: additive schema changes need no rewrite of
+      // old data; scans prune to each file's physical columns.
+      val p = work(dir, "schema_evolution")
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_orderkey") % 2 === 0)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite").parquet(s"$p/b1")
+      li.filter(col("l_orderkey") % 2 === 1)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_returnflag"))
+        .write.mode("overwrite").parquet(s"$p/b2")
+      s.read.option("mergeSchema", "true").parquet(s"$p/b1", s"$p/b2")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("l_quantity")).as("n_qty"),
+          count(col("l_extendedprice")).as("n_price"),
+          count(col("l_returnflag")).as("n_flag"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    }),
+
+    "cdc_compact" -> ((s, dir) => {
+      // CDC latest-wins compaction: collapse an event/update log to the
+      // newest row per key (ties broken by event_id — deterministic even
+      // with equal timestamps). One shuffle on the key; at scale this is
+      // the standard log→snapshot materialization.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ev(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("ts").as("last_ts"), col("event_type").as("last_type"),
+          round(col("value"), 4).as("last_value"))
+    }),
+
     "json_extract" -> ((s, dir) => {
       // Typed JSON parsing of the props column via from_json (codegen'd,
       // schema-checked — the semi-structured path every event pipeline
@@ -1720,6 +1758,33 @@ object SparkEntry {
                 count(DISTINCT e.user_id) AS active_users
          FROM events e JOIN fs ON e.user_id = fs.u
          GROUP BY 1, 2""",
+
+    // Replays the two-batch union with NULLs where a column was absent —
+    // exactly what a correct mergeSchema read must produce.
+    "schema_evolution" ->
+      """WITH merged AS (
+           SELECT l_orderkey, l_quantity,
+                  CAST(NULL AS DOUBLE) AS l_extendedprice,
+                  CAST(NULL AS VARCHAR) AS l_returnflag
+           FROM lineitem WHERE l_orderkey % 2 = 0
+           UNION ALL
+           SELECT l_orderkey, CAST(NULL AS DOUBLE), l_extendedprice, l_returnflag
+           FROM lineitem WHERE l_orderkey % 2 = 1)
+         SELECT count(*) AS n_rows,
+                count(l_quantity) AS n_qty,
+                count(l_extendedprice) AS n_price,
+                count(l_returnflag) AS n_flag,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_price
+         FROM merged""",
+
+    "cdc_compact" ->
+      """SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+                event_type AS last_type, round(value, 4) AS last_value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events) t
+         WHERE rn = 1""",
 
     "json_extract" ->
       """SELECT event_type, count(*) AS cnt,
