@@ -892,6 +892,13 @@ object SparkEntry {
     "retention" -> ((s, dir) =>
       Events.retentionCohorts(ev(s, dir), "user_id", "ts", unitDays = 7)),
 
+    "compress_ratio" -> ((s, dir) =>
+      // Deflate-compressibility redundancy signal (rows-only check: zlib
+      // isn't SQL-expressible; known-answer tests in OperatorsSpec).
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.compressRatio(col("text")).as("deflate_ratio"))
+        .withColumn("suspect_boilerplate", col("deflate_ratio") < 0.3d)),
+
     "schema_evolution" -> ((s, dir) => {
       // Schema-evolution ingest: two drops with different column sets,
       // read back under mergeSchema — absent columns come back null, and

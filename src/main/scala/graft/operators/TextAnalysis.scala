@@ -138,6 +138,29 @@ object TextAnalysis {
     * identical semantics in java.util.regex and RE2/DuckDB). */
   val stopProbe: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
 
+  /** Deflate compressibility ratio (compressed/raw bytes, level 6) — the
+    * redundancy signal the Gopher/RefinedWeb pipelines use next to the
+    * duplicate-k-gram fraction: boilerplate and template spam compress
+    * far below natural prose. Pure per-row CPU (zlib on ≤ doc-size
+    * buffers), no shuffle, deterministic for a fixed zlib — but NOT
+    * SQL-expressible, so its query is rows-only checked and the known-
+    * answer tests live in OperatorsSpec. Null/empty → 1.0 (incompressible
+    * by convention, keeps the filter monotone). */
+  def compressRatio(text: Column): Column = udf { (s: String) =>
+    if (s == null || s.isEmpty) 1.0d
+    else {
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      d.end()
+      math.round(total.toDouble / bytes.length * 10000) / 10000.0d
+    }
+  }.apply(text)
+
   /** Document fingerprint: cryptographic (md5) and rolling (FNV-1a 64). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val fnv = udf((s: String) => graft.functions.GraftFunctions.fnv1a64(s))

@@ -454,4 +454,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // "shared" is in exactly 2 docs = maxDf -> kept
     assert(out === Map(1L -> "a\nshared", 2L -> "b\nshared", 3L -> "c"))
   }
+
+  test("compressRatio: repetitive text compresses far below varied text; deterministic") {
+    val s = spark
+    import s.implicits._
+    val boiler = ("buy now click here " * 200).trim
+    val varied = (1 to 200).map(i => s"word$i item${i * 7 % 113} x${i * i}").mkString(" ")
+    val df = Seq((1L, boiler), (2L, varied), (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+        TextAnalysis.compressRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) < 0.1, s"boilerplate should compress hard, got ${out(1L)}")
+    assert(out(2L) > out(1L) * 3, "varied text must compress far less")
+    assert(out(3L) === 1.0 && out(4L) === 1.0, "empty/null -> 1.0 by convention")
+    val again = df.select(TextAnalysis.compressRatio(col("text")))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(again === Seq(out(1L), out(2L), out(3L), out(4L)), "deterministic")
+  }
 }
