@@ -892,6 +892,15 @@ object SparkEntry {
     "retention" -> ((s, dir) =>
       Events.retentionCohorts(ev(s, dir), "user_id", "ts", unitDays = 7)),
 
+    "passage_dedup" -> ((s, dir) => {
+      // Duplicate 32-word windows across docs (50 planted full-doc
+      // copies guarantee hits; natural cross-doc window dups count too).
+      val d = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val planted = d.unionByName(
+        d.filter(col("id") < 50).select((col("id") + 100000).as("id"), col("text")))
+      Chunking.duplicatePassages(planted, "id", "text", chunkSize = 32, stride = 24)
+    }),
+
     "compress_ratio" -> ((s, dir) =>
       // Deflate-compressibility redundancy signal (rows-only check: zlib
       // isn't SQL-expressible; known-answer tests in OperatorsSpec).
@@ -1765,6 +1774,22 @@ object SparkEntry {
                 count(DISTINCT e.user_id) AS active_users
          FROM events e JOIN fs ON e.user_id = fs.u
          GROUP BY 1, 2""",
+
+    "passage_dedup" ->
+      """WITH planted AS (SELECT doc_id AS id, text FROM documents
+                          UNION ALL
+                          SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50),
+              w AS (SELECT id, string_split(text, ' ') AS words,
+                           len(string_split(text, ' ')) AS n FROM planted),
+              s AS (SELECT id, words, n, unnest(range(0, n, 24)) AS start FROM w),
+              chunks AS (SELECT id,
+                                array_to_string(list_slice(words, start + 1, least(start + 32, n)), ' ') AS chunk_text,
+                                least(32, n - start) AS n_words
+                         FROM s)
+         SELECT chunk_text, count(DISTINCT id) AS n_docs, count(*) AS n_occurrences,
+                min(id) AS first_doc
+         FROM chunks WHERE n_words = 32
+         GROUP BY chunk_text HAVING count(DISTINCT id) > 1""",
 
     // Replays the two-batch union with NULLs where a column was absent —
     // exactly what a correct mergeSchema read must produce.

@@ -92,4 +92,31 @@ object Chunking {
     packed.groupBy(col("shard"), col("pack_id"))
       .agg(count(col(idCol)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
       .withColumn("fill_pct", round(col("tokens") * 100.0 / budget, 2))
+
+  /** Cross-document duplicate-passage detection — the window-granular
+    * approximation of exact-substring dedup (Lee et al. '22): two docs
+    * share a passage iff they share a full `chunkSize`-word window at
+    * some stride-aligned offset. Finds template spam and quotation-level
+    * duplication that whole-document dedup misses.
+    *
+    * One chunk explode (narrow) + one map-side-combinable groupBy on the
+    * passage text. Partial tail windows are excluded — they'd flag short
+    * shared sentences, not passages. At 100 TB, shuffle the 8-byte
+    * `xxhash64(chunk_text)` instead of the window string and keep
+    * `min(chunk_text)` as the exemplar (collision odds ~n²·2⁻⁶⁴ —
+    * negligible, and a verify join clears them); the string key here
+    * keeps the operator engine-neutral for the oracle. */
+  def duplicatePassages(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int = 32,
+      stride: Int = 24): DataFrame =
+    chunkDocuments(df, idCol, textCol, chunkSize, stride)
+      .filter(col("n_words") === chunkSize)
+      .groupBy(col("chunk_text"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col(idCol)).as("first_doc"))
+      .filter(col("n_docs") > 1)
 }

@@ -73,6 +73,23 @@ class ChunkingSpec extends AnyFunSuite with BeforeAndAfterAll {
       again.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq)
   }
 
+  test("duplicatePassages: shared full windows found; partial tails and unique text ignored") {
+    val shared = (1 to 8).map(i => s"p$i").mkString(" ") // 8 words
+    val df = docs(
+      (1L, s"$shared unique one two"),   // shares the 8-word window at start 0
+      (2L, s"$shared other tail here"),  // same window, different tail
+      (3L, "totally different text body entirely"))
+    val out = Chunking.duplicatePassages(df, "id", "text", chunkSize = 8, stride = 8)
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[String]("chunk_text") === shared)
+    assert(out(0).getAs[Long]("n_docs") === 2)
+    assert(out(0).getAs[Long]("first_doc") === 1L)
+    // the 3-word tails are partial windows -> never reported even if equal
+    val tails = docs((1L, "a b c"), (2L, "a b c"))
+    assert(Chunking.duplicatePassages(tails, "id", "text", 8, 8).count() === 0)
+  }
+
   test("semanticDedup: finds planted scaled duplicates, nothing else") {
     val s = spark
     import s.implicits._
