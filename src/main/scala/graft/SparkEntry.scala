@@ -892,6 +892,12 @@ object SparkEntry {
     "retention" -> ((s, dir) =>
       Events.retentionCohorts(ev(s, dir), "user_id", "ts", unitDays = 7)),
 
+    "pack_payload" -> ((s, dir) =>
+      // Packed training sequences: texts concatenated in pack order with
+      // an EOS separator — the tensorization-ready payload.
+      Chunking.packPayloads(t(s, dir, "documents"), "doc_id", "text",
+        budget = 256, numShards = 8)),
+
     "passage_dedup" -> ((s, dir) => {
       // Duplicate 32-word windows across docs (50 planted full-doc
       // copies guarantee hits; natural cross-doc window dups count too).
@@ -1774,6 +1780,23 @@ object SparkEntry {
                 count(DISTINCT e.user_id) AS active_users
          FROM events e JOIN fs ON e.user_id = fs.u
          GROUP BY 1, 2""",
+
+    "pack_payload" ->
+      """WITH base AS (SELECT doc_id, text,
+                              len(string_split(text, ' ')) AS n_tokens,
+                              (doc_id * 2654435761) % 4294967296 AS mixed
+                       FROM documents),
+              sharded AS (SELECT *, CAST(mixed % 8 AS INT) AS shard FROM base),
+              cum AS (SELECT shard, doc_id, text, mixed, n_tokens,
+                             sum(n_tokens) OVER (PARTITION BY shard ORDER BY mixed, doc_id
+                                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                      FROM sharded),
+              packed AS (SELECT shard, CAST(floor((cum_tokens - 1) / 256) AS INT) AS pack_id,
+                                doc_id, text, mixed, n_tokens FROM cum)
+         SELECT shard, pack_id, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS tokens,
+                string_agg(text, ' <|eos|> ' ORDER BY mixed, doc_id) AS payload
+         FROM packed GROUP BY 1, 2""",
 
     "passage_dedup" ->
       """WITH planted AS (SELECT doc_id AS id, text FROM documents

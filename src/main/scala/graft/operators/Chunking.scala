@@ -93,6 +93,41 @@ object Chunking {
       .agg(count(col(idCol)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
       .withColumn("fill_pct", round(col("tokens") * 100.0 / budget, 2))
 
+  /** Materialize [[packSequences]] packs as training sequences: document
+    * texts concatenated in pack order with an EOS separator — the last
+    * transform before tensorization, and the payload a sequence-packing
+    * loader actually reads.
+    *
+    * Determinism: in-pack order is (mixed key, id) — the same total
+    * order packSequences assigned by — via a lexicographic struct sort
+    * inside the aggregate, so the payload string is byte-stable across
+    * engines and reruns. Scale: one id-key join (text never enters the
+    * pack window pass) + one groupBy; payload size is bounded by
+    * budget · avg-word-len, i.e. a context window, not a corpus. */
+  def packPayloads(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Int = 256,
+      numShards: Int = 8,
+      sep: String = " <|eos|> "): DataFrame = {
+    val packed = packSequences(df, idCol, textCol, budget, numShards)
+    packed.select(col(idCol), col("shard"), col("pack_id"), col("n_tokens"))
+      .join(df.select(col(idCol), col(textCol)), Seq(idCol))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(
+              Curation.mixKey(col(idCol)).as("m"),
+              col(idCol).as("i"),
+              col(textCol).as("t")))),
+            x => x.getField("t")),
+          sep).as("payload"))
+  }
+
   /** Cross-document duplicate-passage detection — the window-granular
     * approximation of exact-substring dedup (Lee et al. '22): two docs
     * share a passage iff they share a full `chunkSize`-word window at

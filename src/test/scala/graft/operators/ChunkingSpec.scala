@@ -73,6 +73,27 @@ class ChunkingSpec extends AnyFunSuite with BeforeAndAfterAll {
       again.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq)
   }
 
+  test("packPayloads: payload concatenates pack members in pack order with the separator") {
+    val rows = (0L until 20L).map(i => (i, s"doc$i has some words"))
+    val payloads = Chunking.packPayloads(docs(rows: _*), "id", "text",
+      budget = 16, numShards = 2, sep = " <|eos|> ").collect()
+    val manifest = Chunking.packSequences(docs(rows: _*), "id", "text",
+      budget = 16, numShards = 2).collect()
+      .groupBy(r => (r.getAs[Int]("shard"), r.getAs[Int]("pack_id")))
+    payloads.foreach { p =>
+      val key = (p.getAs[Int]("shard"), p.getAs[Int]("pack_id"))
+      val members = manifest(key)
+      assert(p.getAs[Long]("n_docs") === members.length.toLong)
+      val docsInPayload = p.getAs[String]("payload").split(" <\\|eos\\|> ")
+      assert(docsInPayload.length === members.length)
+      // every member's text appears exactly once, in (mixed, id) order
+      val expectedIds = members.map(_.getAs[Long]("id")).sorted // ids 0..19: mixed order differs
+      assert(docsInPayload.map(_.split(" ")(0).drop(3).toLong).sorted.toSeq ===
+        expectedIds.toSeq)
+    }
+    assert(payloads.map(_.getAs[Long]("n_docs")).sum === 20L)
+  }
+
   test("duplicatePassages: shared full windows found; partial tails and unique text ignored") {
     val shared = (1 to 8).map(i => s"p$i").mkString(" ") // 8 words
     val df = docs(
