@@ -983,7 +983,8 @@ object SparkEntry {
     "line_dedup", "shard_assign", "lm_score", "curation_pipeline2",
     "table_profile", "incremental_dedup", "incremental_neardup",
     "partitioned_write", "orc_roundtrip",
-    "doc_chunk", "sequence_pack", "semantic_dedup", "nb_classify")
+    "doc_chunk", "sequence_pack", "semantic_dedup", "nb_classify",
+    "funnel", "cdc_compact", "json_extract", "passage_dedup", "pack_payload")
 
   def oracleSql: Map[String, String] = Map(
 
