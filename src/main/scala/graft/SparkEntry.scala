@@ -952,6 +952,37 @@ object SparkEntry {
           round(col("value"), 4).as("last_value"))
     }),
 
+    "funnel_windowed" -> ((s, dir) =>
+      // ClickHouse-windowFunnel semantics: each next step must land
+      // within 1 hour of the previous one — the conversion-with-horizon
+      // twin of `funnel` (view->click->purchase collapses 150->3->0 on
+      // this data, proving the horizon actually binds).
+      Events.funnelCounts(ev(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), within = Some("1 HOUR"))),
+
+    "ntile_stats" -> ((s, dir) => {
+      // Decile report over a deterministic total order (price, then key):
+      // the quantile-bucketed summary every data-quality dashboard wants.
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_totalprice"), ntile(10).over(w).as("decile"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("cnt"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"),
+          round(avg(col("o_totalprice")), 4).as("mean"))
+    }),
+
+    "corr_stats" -> ((s, dir) =>
+      // Bivariate statistics per group — corr/covar/stddev built-ins,
+      // rounded on both sides to absorb summation-order ulps.
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qty_price"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"))),
+
     "json_extract" -> ((s, dir) => {
       // Typed JSON parsing of the props column via from_json (codegen'd,
       // schema-checked — the semi-structured path every event pipeline
@@ -1841,6 +1872,36 @@ object SparkEntry {
                           ORDER BY ts DESC, event_id DESC) AS rn
                FROM events) t
          WHERE rn = 1""",
+
+    "funnel_windowed" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+              s2 AS (SELECT e.user_id AS u, min(e.ts) AS t
+                     FROM events e JOIN s1 ON e.user_id = s1.u
+                     WHERE e.event_type = 'click' AND e.ts > s1.t
+                       AND e.ts <= s1.t + INTERVAL 1 HOUR GROUP BY 1),
+              s3 AS (SELECT e.user_id AS u, min(e.ts) AS t
+                     FROM events e JOIN s2 ON e.user_id = s2.u
+                     WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                       AND e.ts <= s2.t + INTERVAL 1 HOUR GROUP BY 1)
+         SELECT 1 AS step, 'view' AS event_type, count(*) AS users FROM s1
+         UNION ALL SELECT 2, 'click', count(*) FROM s2
+         UNION ALL SELECT 3, 'purchase', count(*) FROM s3""",
+
+    "ntile_stats" ->
+      """WITH deciles AS (SELECT o_totalprice,
+                                 CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS decile
+                          FROM orders)
+         SELECT decile, count(*) AS cnt, round(min(o_totalprice), 2) AS lo,
+                round(max(o_totalprice), 2) AS hi, round(avg(o_totalprice), 4) AS mean
+         FROM deciles GROUP BY 1""",
+
+    "corr_stats" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+                round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+                round(stddev_samp(l_quantity), 6) AS sd_qty
+         FROM lineitem GROUP BY 1""",
 
     "json_extract" ->
       """SELECT event_type, count(*) AS cnt,

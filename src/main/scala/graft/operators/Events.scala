@@ -26,7 +26,7 @@ object Events {
     * arrays (the collect_list formulation this replaces would haul every
     * user's history through the shuffle). */
   def funnelCounts(df: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, steps: Seq[String]): DataFrame = {
+      tsCol: String, steps: Seq[String], within: Option[String] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val stages = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (step, _)) =>
@@ -34,8 +34,13 @@ object Events {
           .select(col(userCol).as("user"), col(tsCol).as("ts"))
         val qualified = prev match {
           case None => hits
-          case Some(p) => hits.join(p, Seq("user")).filter(col("ts") > col("t"))
-            .select(col("user"), col("ts"))
+          case Some(p) =>
+            // optional horizon (ClickHouse windowFunnel semantics): the
+            // next step must land within `within` of the previous one
+            val horizon = within.map(w => col("ts") <= col("t") + expr(s"INTERVAL $w"))
+              .getOrElse(lit(true))
+            hits.join(p, Seq("user")).filter(col("ts") > col("t") && horizon)
+              .select(col("user"), col("ts"))
         }
         Some(qualified.groupBy(col("user")).agg(min(col("ts")).as("t")))
     }.flatten

@@ -61,6 +61,20 @@ class EventsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_.getLong(2)).toSeq === Seq(1L, 0L))
   }
 
+  test("funnel with horizon: a step outside the window does not convert") {
+    val df = events(
+      // u1 clicks 10 min after viewing (inside 1h), u2 clicks 2h after
+      (1L, "view", "2024-01-01 10:00:00"), (1L, "click", "2024-01-01 10:10:00"),
+      (2L, "view", "2024-01-01 10:00:00"), (2L, "click", "2024-01-01 12:00:00"))
+    val out = Events.funnelCounts(df, "user_id", "event_type", "ts",
+      Seq("view", "click"), within = Some("1 HOUR")).orderBy("step").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(2L, 1L))
+    // without the horizon both convert
+    val open = Events.funnelCounts(df, "user_id", "event_type", "ts",
+      Seq("view", "click")).orderBy("step").collect()
+    assert(open.map(_.getLong(2)).toSeq === Seq(2L, 2L))
+  }
+
   test("retention: cohort by first-seen date, periods in unitDays buckets") {
     val df = events(
       (1L, "view", "2024-01-01 10:00:00"), // cohort 2024-01-01
