@@ -952,6 +952,28 @@ object SparkEntry {
           round(col("value"), 4).as("last_value"))
     }),
 
+    "events_sliding" -> ((s, dir) =>
+      // Sliding (hopping) windows: 2-hour windows every hour — each event
+      // lands in exactly two, the overlap shape tumbling windows can't
+      // express. Same plan as a tumbling agg (the window generator is a
+      // codegen'd explode), one shuffle on (window, type).
+      ev(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("wstart"), col("event_type"),
+          col("cnt"), col("sum_value"))),
+
+    "embedding_stats" -> ((s, dir) =>
+      // Per-dimension embedding health check (dead/degenerate dimension
+      // detection): posexplode to (dim, value), one combinable groupBy
+      // over exactly `dim` groups.
+      t(s, dir, "embeddings")
+        .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("cnt"), round(avg(col("v")), 6).as("mean_v"),
+          round(stddev_samp(col("v")), 6).as("sd_v"),
+          round(min(col("v")), 6).as("min_v"), round(max(col("v")), 6).as("max_v"))),
+
     "funnel_windowed" -> ((s, dir) =>
       // ClickHouse-windowFunnel semantics: each next step must land
       // within 1 hour of the previous one — the conversion-with-horizon
@@ -1872,6 +1894,25 @@ object SparkEntry {
                           ORDER BY ts DESC, event_id DESC) AS rn
                FROM events) t
          WHERE rn = 1""",
+
+    // Each event contributes to the window starting at its truncated hour
+    // and the one an hour earlier — exactly Spark's 2h/1h hopping set
+    // (both engines align windows to the epoch/hour boundary).
+    "events_sliding" ->
+      """WITH w AS (SELECT unnest([date_trunc('hour', ts),
+                                   date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS wstart,
+                           event_type, value FROM events)
+         SELECT wstart, event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+         FROM w GROUP BY 1, 2""",
+
+    "embedding_stats" ->
+      """WITH flat AS (SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                              unnest(CAST(embedding AS DOUBLE[])) AS v
+                       FROM embeddings)
+         SELECT dim, count(*) AS cnt, round(avg(v), 6) AS mean_v,
+                round(stddev_samp(v), 6) AS sd_v,
+                round(min(v), 6) AS min_v, round(max(v), 6) AS max_v
+         FROM flat GROUP BY 1""",
 
     "funnel_windowed" ->
       """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
