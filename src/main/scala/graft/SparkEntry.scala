@@ -952,6 +952,25 @@ object SparkEntry {
           round(col("value"), 4).as("last_value"))
     }),
 
+    "corpus_report" -> ((s, dir) => {
+      // Flagship curation summary: one row a data lead reads before a
+      // training run — volume, dedup rate, quality pass rate, language
+      // mix. Composes qualityFilter with corpus aggregates; one scan +
+      // one broadcast-size join.
+      val d = t(s, dir, "documents")
+      val q = TextAnalysis.qualityFilter(d, "doc_id", "text")
+        .select(col("doc_id"), col("passes"))
+      val toks = TextAnalysis.wsTokenCount(col("text")).cast("bigint")
+      d.join(q, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(toks).as("n_tokens"),
+          countDistinct(col("text")).as("n_unique_texts"),
+          sum(when(col("passes"), 1L).otherwise(0L)).as("n_pass_quality"),
+          round(avg(toks), 4).as("mean_tokens"),
+          round(sum(when(col("lang") === "en", 1.0d).otherwise(0.0d)) / count(lit(1)), 4)
+            .as("pct_en"))
+    }),
+
     "events_sliding" -> ((s, dir) =>
       // Sliding (hopping) windows: 2-hour windows every hour — each event
       // lands in exactly two, the overlap shape tumbling windows can't
@@ -1894,6 +1913,35 @@ object SparkEntry {
                           ORDER BY ts DESC, event_id DESC) AS rn
                FROM events) t
          WHERE rn = 1""",
+
+    "corpus_report" ->
+      """WITH base AS (
+           SELECT doc_id, text, lang,
+                  len(regexp_extract_all(text, '\S+')) AS n_words,
+                  CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE) AS letters,
+                  CAST(length(regexp_replace(text, '[\p{L}\s]', '', 'g')) AS DOUBLE) AS symbols,
+                  length(text) AS n_chars,
+                  (CASE WHEN regexp_matches(text, '\bthe\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(text, '\ba\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(text, '\band\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(text, '\bof\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(text, '\bto\b') THEN 1 ELSE 0 END
+                   + CASE WHEN regexp_matches(text, '\bin\b') THEN 1 ELSE 0 END) AS stop_hits
+           FROM documents),
+           flags AS (
+             SELECT *,
+                    (n_words BETWEEN 30 AND 50000)
+                      AND ((CASE WHEN n_words > 0 THEN letters / n_words ELSE 0.0 END) BETWEEN 2.0 AND 12.0)
+                      AND ((CASE WHEN n_chars > 0 THEN symbols / n_chars ELSE 0.0 END) < 0.1)
+                      AND (stop_hits >= 2) AS passes
+             FROM base)
+         SELECT count(*) AS n_docs,
+                CAST(sum(n_words) AS BIGINT) AS n_tokens,
+                count(DISTINCT text) AS n_unique_texts,
+                CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_quality,
+                round(avg(n_words), 4) AS mean_tokens,
+                round(sum(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) / count(*), 4) AS pct_en
+         FROM flags""",
 
     // Each event contributes to the window starting at its truncated hour
     // and the one an hour earlier — exactly Spark's 2h/1h hopping set
