@@ -952,6 +952,19 @@ object SparkEntry {
           round(col("value"), 4).as("last_value"))
     }),
 
+    "ann_ivf_indexed" -> ((s, dir) => {
+      // The materialize-once IVF path: build the partitionBy(cell) index
+      // on disk, then query it (probed cells pushed as partition
+      // filters). Exhaustive regime (nprobe = nlist) -> the brute-force
+      // oracle applies, checking build + reload + probe end-to-end.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val p = work(dir, "ann_ivf_indexed")
+      Similarity.writeIvfIndex(e, "vec_id", "e", p, nlist = 8)
+      Similarity.ivfTopKIndexed(
+        e.filter(col("vec_id") < 10), "vec_id", "e", p, k = 5, nprobe = 8)
+    }),
+
     "corpus_report" -> ((s, dir) => {
       // Flagship curation summary: one row a data lead reads before a
       // training run — volume, dedup rate, quality pass rate, language
@@ -1387,6 +1400,21 @@ object SparkEntry {
     // Exhaustive IVF (nprobe = nlist) probes every cell, so the exact
     // brute-force oracle applies verbatim.
     "ann_ivf" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
+              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                                list_cosine_similarity(q.v, c.v) AS cos
+                         FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
+              ranked AS (SELECT query_id, corpus_id, cos,
+                                row_number() OVER (PARTITION BY query_id
+                                                   ORDER BY cos DESC, corpus_id) AS rnk
+                         FROM scored)
+         SELECT query_id, corpus_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
+         FROM ranked WHERE rnk <= 5""",
+
+    // Indexed IVF in the exhaustive regime = the same brute-force answer;
+    // this oracle-checks index build + reload + partition-pruned probe.
+    "ann_ivf_indexed" ->
       """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
               c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,

@@ -213,6 +213,67 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /** Persist an IVF index: the corpus, assigned to cells and laid out
+    * `partitionBy("cell")`, plus the centroid table — the materialize-
+    * once artifact the ivfTopK doc promises. Queries against the stored
+    * index read ONLY their probed cells' directories: the probe side is
+    * a small broadcast, so dynamic partition pruning (or the static
+    * IN-filter [[ivfTopKIndexed]] states explicitly) drops every
+    * unprobed cell at the scan — at 100 TB the index costs one
+    * assignment pass to build and each query touches nprobe/nlist of
+    * the data. Norms are precomputed into the index (never recomputed
+    * per query). */
+  def writeIvfIndex(
+      corpus: DataFrame, cId: String, cVec: String, path: String,
+      nlist: Int = 16, iters: Int = 8, maxSample: Int = 4096): Unit = {
+    val spark = corpus.sparkSession
+    val cents = trainIvfCentroids(corpus, cId, cVec, nlist, iters, maxSample)
+    val assignUdf = udf { (v: Seq[Double]) => nearestCell(normalize(v.toArray), cents) }
+    corpus.select(col(cId).as("corpus_id"), col(cVec).cast("array<double>").as("cv"))
+      .withColumn("cell", assignUdf(col("cv")))
+      .withColumn("cn", l2norm(col("cv")))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Query a stored IVF index ([[writeIvfIndex]]). The probed-cell set
+    * is pushed as a literal IN filter on the partition column, so the
+    * scan prunes to those directories statically — visible as
+    * PartitionFilters in the plan. Results are identical to [[ivfTopK]]
+    * with the same parameters. */
+  def ivfTopKIndexed(
+      queries: DataFrame, qId: String, qVec: String,
+      path: String, k: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val np = math.min(nprobe, cents.length)
+    val probeUdf = udf { (v: Seq[Double]) =>
+      val x = normalize(v.toArray)
+      val scored = Array.tabulate(cents.length)(c => (dotStrict(x, cents(c)), c))
+      scored.sortBy(-_._1).take(np).map(_._2)
+    }
+    val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("qv"))
+      .withColumn("cell", explode(probeUdf(col("qv"))))
+      .withColumn("qn", l2norm(col("qv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // literal IN on the partition column -> static directory pruning
+    val probedCells = q.select("cell").distinct().collect().map(_.getInt(0))
+    val c = spark.read.parquet(s"$path/corpus")
+      .filter(col("cell").isin(probedCells.toSeq: _*))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
+    q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates share at least one
     * hyperplane band with the query; exact cosine re-ranks candidates.
     * The 100 TB path: corpus is bucketed once (write-side, reusable),

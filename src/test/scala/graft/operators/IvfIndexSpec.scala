@@ -1,0 +1,63 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The materialize-once IVF path: build → reload → probe equals the
+  * direct in-session ivfTopK, and the probe scan prunes to probed
+  * cells' partitions. */
+class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("ivf-index-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("stored index returns exactly the direct ivfTopK results (exhaustive regime)") {
+    val s = spark
+    import s.implicits._
+    // deterministic synthetic embeddings: 3 dims, 60 vectors
+    val vecs = (0L until 60L).map { i =>
+      (i, Array((i % 7).toDouble + 1, ((i * 3) % 5).toDouble, ((i * 7) % 11).toDouble))
+    }
+    val df = vecs.toDF("id", "v")
+    val q = df.filter(col("id") < 5)
+    val path = Files.createTempDirectory("ivfidx").toString
+
+    Similarity.writeIvfIndex(df, "id", "v", path, nlist = 4)
+    val indexed = Similarity.ivfTopKIndexed(q, "id", "v", path, k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    val direct = Similarity.ivfTopK(q, "id", "v", df, "id", "v",
+      k = 3, nlist = 4, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    assert(indexed.toSeq === direct.toSeq)
+
+    // partition pruning: the probed-cell IN filter must appear as a
+    // partition filter on the index scan (directory pruning, not a
+    // post-scan filter)
+    val pruned = Similarity.ivfTopKIndexed(q, "id", "v", path, k = 3, nprobe = 1)
+    assert(pruned.count() > 0)
+    // (executed plan inspected as a string: AQE wraps the scan nodes, so
+    // a typed collect on the pre-execution plan sees no FileSourceScan)
+    val plan = pruned.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("corpus"))
+    assert(scanLine.isDefined, s"expected a parquet scan of the index corpus in:\n$plan")
+    assert(scanLine.get.contains("PartitionFilters: [cell")
+      || scanLine.get.matches(".*PartitionFilters: \\[.*cell.*"),
+      s"probed cells must prune partitions at the index scan, got: ${scanLine.get}")
+  }
+}
