@@ -952,6 +952,37 @@ object SparkEntry {
           round(col("value"), 4).as("last_value"))
     }),
 
+    "token_entropy" -> ((s, dir) => {
+      // Corpus token entropy + top-token share — the information-theoretic
+      // diversity metric next to the repetition stats. One explode + one
+      // combinable groupBy; the totals row broadcasts back.
+      val freq = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = freq.agg(sum(col("c")).as("n"))
+      val p = col("c").cast("double") / col("n")
+      freq.crossJoin(broadcast(tot))
+        .agg(count(lit(1)).as("vocab"),
+          max(col("n")).as("n_tokens"),
+          round(-sum(p * log(p)), 6).as("entropy_nats"),
+          round(max(p), 6).as("top_share"))
+    }),
+
+    "events_anomaly" -> ((s, dir) => {
+      // Hourly count anomalies per event type (|z| > 3 against that
+      // type's own hourly distribution) — the monitoring query a feed
+      // ingest runs; per-type stats broadcast back onto the hourly frame.
+      val hourly = ev(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(avg(col("cnt")).as("mu"), stddev_samp(col("cnt")).as("sd"))
+      hourly.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", (col("cnt") - col("mu")) / col("sd"))
+        .filter(abs(col("z")) > 3)
+        .select(col("event_type"), col("hour"), col("cnt"), round(col("z"), 4).as("z"))
+    }),
+
     "ann_ivf_indexed" -> ((s, dir) => {
       // The materialize-once IVF path: build the partitionBy(cell) index
       // on disk, then query it (probed cells pushed as partition
@@ -1411,6 +1442,26 @@ object SparkEntry {
                          FROM scored)
          SELECT query_id, corpus_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
          FROM ranked WHERE rnk <= 5""",
+
+    "token_entropy" ->
+      """WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+              freq AS (SELECT w, count(*) AS c FROM words GROUP BY 1),
+              tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM freq)
+         SELECT CAST(count(*) AS BIGINT) AS vocab,
+                (SELECT n FROM tot) AS n_tokens,
+                round(-sum((c * 1.0 / (SELECT n FROM tot)) * ln(c * 1.0 / (SELECT n FROM tot))), 6) AS entropy_nats,
+                round(max(c * 1.0 / (SELECT n FROM tot)), 6) AS top_share
+         FROM freq""",
+
+    "events_anomaly" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt
+                         FROM events GROUP BY 1, 2),
+              stats AS (SELECT event_type, avg(cnt) AS mu, stddev_samp(cnt) AS sd
+                        FROM hourly GROUP BY 1)
+         SELECT h.event_type, h.hour, h.cnt,
+                round((h.cnt - s.mu) / s.sd, 4) AS z
+         FROM hourly h JOIN stats s USING (event_type)
+         WHERE abs((h.cnt - s.mu) / s.sd) > 3""",
 
     // Indexed IVF in the exhaustive regime = the same brute-force answer;
     // this oracle-checks index build + reload + partition-pruned probe.
