@@ -952,6 +952,20 @@ object SparkEntry {
           round(col("value"), 4).as("last_value"))
     }),
 
+    "active_users" -> ((s, dir) => {
+      // Rolling engagement: DAU and 7-day WAU per observed day. WAU via
+      // the explode formulation — each event contributes to the 7 day
+      // buckets it's visible in, so the plan is two combinable
+      // distinct-aggregates, never a per-day range self-join (O(7·events)
+      // beats O(days·events) and AQE handles the fan-out).
+      val e = ev(s, dir).select(to_date(col("ts")).as("d"), col("user_id"))
+      val dau = e.groupBy(col("d")).agg(countDistinct(col("user_id")).as("dau"))
+      val wau = e.select(explode(sequence(col("d"), date_add(col("d"), 6))).as("day"),
+          col("user_id"))
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, dau("d") === wau("day")).select(col("d"), col("dau"), col("wau"))
+    }),
+
     "token_entropy" -> ((s, dir) => {
       // Corpus token entropy + top-token share — the information-theoretic
       // diversity metric next to the repetition stats. One explode + one
@@ -1442,6 +1456,15 @@ object SparkEntry {
                          FROM scored)
          SELECT query_id, corpus_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
          FROM ranked WHERE rnk <= 5""",
+
+    "active_users" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+              dau AS (SELECT d, count(DISTINCT user_id) AS dau FROM e GROUP BY 1),
+              expl AS (SELECT CAST(unnest(generate_series(d, d + 6, INTERVAL 1 DAY)) AS DATE) AS day,
+                              user_id FROM e),
+              wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM expl GROUP BY 1)
+         SELECT dau.d, dau.dau, wau.wau
+         FROM dau JOIN wau ON dau.d = wau.day""",
 
     "token_entropy" ->
       """WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
