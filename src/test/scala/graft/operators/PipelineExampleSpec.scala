@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The README's end-to-end curation pipeline, executed verbatim-shape:
+  * quality filter → near-dup removal → split assignment → sequence
+  * packing. Proves the operators actually compose (column contracts
+  * line up) and the result is deterministic end to end. */
+class PipelineExampleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("pipeline-example-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("README pipeline composes and is deterministic end to end") {
+    val s = spark
+    import s.implicits._
+    // corpus: 40 good docs (long, wordy, stopword-bearing), 1 near-dup
+    // pair inside them, plus junk that the quality filter must drop
+    // each doc: a short shared frame (keeps the stopword rule happy) +
+    // 30 doc-unique letter-only tokens, so distinct docs sit far below
+    // any near-dup threshold while the planted pair sits far above it
+    def prose(i: Int): String = {
+      val a = ('a' + i / 26).toChar; val b = ('a' + i % 26).toChar
+      val unique = (0 until 30)
+        .map(j => s"w$a$b${('a' + j / 26).toChar}${('a' + j % 26).toChar}")
+        .mkString(" ")
+      s"the quick document talks about a data engine and of $unique"
+    }
+    val good = (0L until 40L).map(i => (i, prose(i.toInt)))
+    val nearDup = Seq((100L, good(7)._2 + " tail"))
+    val junk = Seq((200L, "x"), (201L, "@@@@ #### $$$$ %%%%"))
+    val docs = (good ++ nearDup ++ junk).toDF("doc_id", "text")
+
+    def run() = {
+      val quality = TextAnalysis.qualityFilter(docs, "doc_id", "text")
+      val kept = docs.join(quality.where($"passes").select("doc_id"), Seq("doc_id"))
+      val dupPairs = Dedup.minhashNearDups(kept, "doc_id", "text")
+      val survivors = Dedup.keepOnePerComponent(kept, "doc_id", dupPairs)
+      val split = Curation.splitAssign(survivors, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val packed = Chunking.packPayloads(
+        split.where($"split" === "train"), "doc_id", "text",
+        budget = 256, numShards = 2)
+      (kept, survivors, split, packed)
+    }
+
+    val (kept, survivors, split, packed) = run()
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!keptIds.contains(200L) && !keptIds.contains(201L), "junk must be filtered")
+    assert(keptIds.contains(7L) && keptIds.contains(100L))
+
+    val survivorIds = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivorIds.contains(7L) && !survivorIds.contains(100L),
+      "near-dup loses to the lower id")
+
+    val splits = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.values.sum === survivorIds.size.toLong)
+    assert(splits.getOrElse("train", 0L) > 0L)
+
+    val payloads = packed.collect()
+    assert(payloads.nonEmpty)
+    assert(payloads.map(_.getAs[Long]("n_docs")).sum ===
+      splits.getOrElse("train", 0L), "every train doc lands in exactly one pack")
+
+    // end-to-end determinism: a full rerun yields identical payloads
+    val payloadsAgain = run()._4.collect()
+    assert(payloads.map(r => (r.getInt(0), r.getInt(1), r.getAs[String]("payload"))).sortBy(x => (x._1, x._2)).toSeq ===
+      payloadsAgain.map(r => (r.getInt(0), r.getInt(1), r.getAs[String]("payload"))).sortBy(x => (x._1, x._2)).toSeq)
+  }
+}
