@@ -305,10 +305,11 @@ object Similarity {
     * cluster — the quadratic pair search is bounded by cluster size
     * instead of corpus size, which is the whole trick at 100 TB.
     *
-    * Quantizer here = the `k` lowest-id vectors as fixed seed centroids:
-    * deterministic (no RNG, engine-reproducible, oracle-checkable) and
-    * hot-swappable for [[trainIvfCentroids]] output in production — the
-    * downstream plan is identical, only centroid quality changes.
+    * Default quantizer = the `k` lowest-id vectors as fixed seed
+    * centroids: deterministic (no RNG, engine-reproducible,
+    * oracle-checkable). Pass `centroids` (e.g. [[trainIvfCentroids]]
+    * output) to use a trained quantizer instead — the downstream pair
+    * search is identical, only centroid quality changes.
     *
     * Plan shape: centroids broadcast (k×dim doubles), assignment is a
     * map-side-combinable argmax aggregate (the ×k fan-out collapses in
@@ -319,17 +320,27 @@ object Similarity {
     * [[Dedup.keepOnePerComponent]]). */
   def semanticDedup(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, threshold: Double): DataFrame = {
+      k: Int, threshold: Double,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", l2norm(col("v")))
-    val cents = broadcast(c.orderBy("id").limit(k)
-      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn")))
-    // argmax cosine over centroids; ties break to the lowest centroid id
-    // via max_by on (cos, -cid) — unique per (id, cid), so deterministic.
-    val assign = c.crossJoin(cents)
-      .withColumn("cos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .groupBy(col("id"))
-      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cluster"))
+    val assign = centroids match {
+      case Some(cents) =>
+        // trained quantizer (e.g. [[trainIvfCentroids]] output): assign
+        // in one narrow pass, the centroid table rides the task closure
+        val assignUdf = udf { (v: Seq[Double]) => nearestCell(normalize(v.toArray), cents) }
+        c.select(col("id"), assignUdf(col("v")).as("cluster"))
+      case None =>
+        // seed centroids = the k lowest-id vectors; argmax cosine, ties
+        // break to the lowest centroid id via max_by on (cos, -cid) —
+        // unique per (id, cid), so deterministic.
+        val cents = broadcast(c.orderBy("id").limit(k)
+          .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn")))
+        c.crossJoin(cents)
+          .withColumn("cos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+          .groupBy(col("id"))
+          .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cluster"))
+    }
     // both sides of the self-join read `assigned` — persist so the scan +
     // assignment pipeline runs once, not twice (same session-owned cache
     // lifecycle as the Dedup family; a materialized table at 100 TB)

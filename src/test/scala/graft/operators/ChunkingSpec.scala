@@ -129,6 +129,22 @@ class ChunkingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs(0).getAs[Double]("cosine") === 1.0)
   }
 
+  test("semanticDedup: trained-quantizer mode finds the same planted pair") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      (0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.9, 0.1, 0.0)),
+      (2L, Array(0.0, 1.0, 0.0)), (3L, Array(0.0, 0.9, 0.1)),
+      (4L, Array(0.0, 0.0, 1.0)), (5L, Array(0.1, 0.0, 0.9)),
+      (100L, Array(2.0, 0.0, 0.0)))
+    val df = base.toDF("id", "v")
+    val cents = Similarity.trainIvfCentroids(df, "id", "v", nlist = 3)
+    val pairs = Similarity.semanticDedup(df, "id", "v", k = 3, threshold = 0.999,
+      centroids = Some(cents)).collect()
+    assert(pairs.length === 1)
+    assert((pairs(0).getAs[Long]("id_a"), pairs(0).getAs[Long]("id_b")) === (0L, 100L))
+  }
+
   test("nbClassify: separable corpus classifies perfectly and deterministically") {
     val s = spark
     import s.implicits._
