@@ -53,6 +53,21 @@ final class XlsxReader(
 
   def sheetNames: Seq[String] = sheetCatalog.map(_._1)
 
+  /** Mac-legacy 1904 date system (`<workbookPr date1904="1"/>`). Serials
+    * in such workbooks count from 1904-01-01; we normalize them to the
+    * 1900 system at parse time (+1462 days) so every downstream consumer
+    * sees one epoch. Beyond-reference robustness: the reference ignores
+    * the flag and mis-dates foreign Mac files by four years
+    * (no `date1904` handling anywhere in its src/). */
+  lazy val date1904: Boolean = withEntry("xl/workbook.xml") { xr =>
+    var flag = false
+    while (xr.hasNext) {
+      if (xr.next() == XMLStreamConstants.START_ELEMENT && xr.getLocalName == "workbookPr")
+        flag = attr(xr, "date1904").exists(v => v == "1" || v == "true")
+    }
+    flag
+  }.getOrElse(false)
+
   /** Full SST load including rich-text runs — every <t> inside an <si> is
     * concatenated (ref: src/streaming_reader.rs:363-416). */
   lazy val sharedStrings: Vector[String] =
@@ -106,7 +121,7 @@ final class XlsxReader(
       case None => XlsxReader.RowIter.empty
       case Some(in) =>
         val xr = factory.createXMLStreamReader(in)
-        new RowIterator(xr, in, sst)
+        new RowIterator(xr, in, sst, date1904)
     }
   }
 
@@ -210,7 +225,8 @@ object XlsxReader {
   private final class RowIterator(
       xr: XMLStreamReader,
       underlying: java.io.Closeable,
-      sst: Vector[String]
+      sst: Vector[String],
+      date1904: Boolean
   ) extends RowIter {
 
     private var nextRow: Vector[CellValue] = _
@@ -318,7 +334,8 @@ object XlsxReader {
             // through f64 (ref: src/streaming_reader.rs:687) and silently
             // corrupts integers beyond 2^53 — deviation, fixed here.
             case Some(l) =>
-              if (isDateStyle && l >= 1L && l <= 2958465L) CellValue.DateTime(l.toDouble)
+              if (isDateStyle && l >= 1L && l <= 2958465L)
+                CellValue.DateTime(if (date1904) l.toDouble + 1462.0d else l.toDouble)
               else CellValue.IntVal(l)
             case None => v.toDoubleOption match {
               case Some(num) =>
@@ -326,7 +343,7 @@ object XlsxReader {
                 // integral-only heuristic at src/streaming_reader.rs:699 loses
                 // the time part it wrote itself — deviation, fixed here).
                 if (isDateStyle && num >= ExcelDate.MinSerial && num <= ExcelDate.MaxSerial)
-                  CellValue.DateTime(num)
+                  CellValue.DateTime(if (date1904) num + 1462.0d else num)
                 else if (num == math.rint(num) && !num.isInfinite &&
                          num >= Long.MinValue.toDouble && num <= Long.MaxValue.toDouble)
                   CellValue.IntVal(num.toLong)

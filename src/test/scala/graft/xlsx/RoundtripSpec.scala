@@ -168,6 +168,41 @@ class RoundtripSpec extends AnyFunSuite {
     assert(row == Vector[CellValue](Str("ab"), Str("plain"), Str("x y z")))
   }
 
+  test("date1904 workbooks normalize serials to the 1900 epoch (foreign Mac files)") {
+    // our writer always emits the 1900 system, so 1904 inputs are foreign
+    def workbook(date1904: Boolean): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      def entry(name: String, content: String): Unit = {
+        zos.putNextEntry(new java.util.zip.ZipEntry(name))
+        zos.write(content.getBytes("UTF-8"))
+        zos.closeEntry()
+      }
+      val pr = if (date1904) """<workbookPr date1904="1"/>""" else "<workbookPr/>"
+      entry("xl/workbook.xml",
+        s"""<?xml version="1.0"?><workbook>$pr<sheets><sheet name="S" sheetId="1" id="rId1"/></sheets></workbook>""")
+      entry("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0"?><Relationships><Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>""")
+      // the writer's own stylesheet: s="6" = CellStyle.DateDefault
+      entry("xl/styles.xml", XlsxWriter.StylesXml)
+      entry("xl/worksheets/sheet1.xml",
+        """<?xml version="1.0"?><worksheet><sheetData><row r="1">""" +
+          s"""<c r="A1" s="${CellStyle.DateDefault}"><v>100.5</v></c>""" +
+          """</row></sheetData></worksheet>""")
+      zos.close()
+      bos.toByteArray
+    }
+    def serialOf(bytes: Array[Byte]): Double =
+      XlsxReader.forBytes(bytes).rows("S").next().head match {
+        case CellValue.DateTime(s) => s
+        case other => fail(s"expected DateTime, got $other")
+      }
+    val s1900 = serialOf(workbook(date1904 = false))
+    val s1904 = serialOf(workbook(date1904 = true))
+    assert(s1900 === 100.5)
+    assert(s1904 === 100.5 + 1462.0, "1904-system serials shift to the 1900 epoch")
+  }
+
   test("compression levels produce valid files of decreasing size") {
     def size(level: Int): Int = {
       val bos = new ByteArrayOutputStream()
