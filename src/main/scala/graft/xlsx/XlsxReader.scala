@@ -53,6 +53,41 @@ final class XlsxReader(
 
   def sheetNames: Seq[String] = sheetCatalog.map(_._1)
 
+  /** Style indices whose number format is a date/time format, parsed
+    * from xl/styles.xml (numFmts + cellXfs) — so FOREIGN stylesheets
+    * (Excel, openpyxl, arbitrary cellXfs orderings) get correct date
+    * detection, not just our own writer's layout. Built-in date numFmt
+    * ids plus custom codes containing date/time tokens (quoted literals,
+    * [brackets] and escapes stripped first — the standard heuristic).
+    * Falls back to our writer's known indices when styles.xml is absent.
+    * Beyond-reference robustness: the reference keys on raw style id
+    * presence only (src/streaming_reader.rs:693-699). */
+  lazy val dateStyleIds: Set[Int] = withEntry("xl/styles.xml") { xr =>
+    val custom = scala.collection.mutable.Map.empty[Int, String]
+    val xfFmts = ArrayBuffer.empty[Int]
+    var inCellXfs = false
+    while (xr.hasNext) {
+      xr.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          xr.getLocalName match {
+            case "numFmt" =>
+              for (id <- attr(xr, "numFmtId").flatMap(_.toIntOption);
+                   code <- attr(xr, "formatCode")) custom(id) = code
+            case "cellXfs" => inCellXfs = true
+            case "xf" if inCellXfs =>
+              xfFmts += attr(xr, "numFmtId").flatMap(_.toIntOption).getOrElse(0)
+            case _ =>
+          }
+        case XMLStreamConstants.END_ELEMENT if xr.getLocalName == "cellXfs" =>
+          inCellXfs = false
+        case _ =>
+      }
+    }
+    xfFmts.zipWithIndex.collect {
+      case (fmtId, idx) if XlsxReader.isDateFormat(fmtId, custom.get(fmtId)) => idx
+    }.toSet
+  }.getOrElse(DateStyles)
+
   /** Mac-legacy 1904 date system (`<workbookPr date1904="1"/>`). Serials
     * in such workbooks count from 1904-01-01; we normalize them to the
     * 1900 system at parse time (+1462 days) so every downstream consumer
@@ -121,7 +156,7 @@ final class XlsxReader(
       case None => XlsxReader.RowIter.empty
       case Some(in) =>
         val xr = factory.createXMLStreamReader(in)
-        new RowIterator(xr, in, sst, date1904)
+        new RowIterator(xr, in, sst, date1904, dateStyleIds)
     }
   }
 
@@ -220,13 +255,32 @@ object XlsxReader {
     * deviation (SURVEY §7.5 spirit). */
   private val DateStyles = Set(CellStyle.DateDefault, CellStyle.DateTimestamp, CellStyle.DateTimeShort)
 
+  /** OOXML built-in date/time numFmt ids (ECMA-376 §18.8.30). */
+  private val BuiltinDateFmts: Set[Int] =
+    ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
+
+  /** Date-ness of a number format: built-in date id, or a custom code
+    * containing y/m/d/h/s tokens once quoted literals ("..."), bracket
+    * sections ([red], [$USD], [h] keeps its token via the bracket's
+    * *content* being elapsed-time…) and escaped chars are stripped.
+    * Elapsed-time codes like [h]:mm:ss still match via their mm/ss. */
+  private[xlsx] def isDateFormat(id: Int, code: Option[String]): Boolean =
+    BuiltinDateFmts(id) || code.exists { c =>
+      val bare = c.replaceAll("\"[^\"]*\"", "")
+        .replaceAll("\\[[^\\]]*\\]", "")
+        .replaceAll("\\\\.", "")
+      bare.exists(ch => ch == 'y' || ch == 'Y' || ch == 'm' || ch == 'M'
+        || ch == 'd' || ch == 'D' || ch == 'h' || ch == 'H' || ch == 's' || ch == 'S')
+    }
+
   /** Pull-parse `<row>` elements into CellValue vectors with A1-gap
     * back-fill (ref: src/streaming_reader.rs:593-724). */
   private final class RowIterator(
       xr: XMLStreamReader,
       underlying: java.io.Closeable,
       sst: Vector[String],
-      date1904: Boolean
+      date1904: Boolean,
+      dateStyles: Set[Int]
   ) extends RowIter {
 
     private var nextRow: Vector[CellValue] = _
@@ -326,7 +380,7 @@ object XlsxReader {
           else if (formula != null) CellValue.Formula(formula)
           else CellValue.Empty
         case _ => // untyped numeric / date / formula
-          val isDateStyle = styleId.exists(DateStyles.contains)
+          val isDateStyle = styleId.exists(dateStyles.contains)
           if (v == null) {
             if (formula != null) CellValue.Formula(formula) else CellValue.Empty
           } else v.toLongOption match {

@@ -203,6 +203,40 @@ class RoundtripSpec extends AnyFunSuite {
     assert(s1904 === 100.5 + 1462.0, "1904-system serials shift to the 1900 epoch")
   }
 
+  test("foreign stylesheet: date detection follows numFmts, not our style indices") {
+    // openpyxl-style layout: xf 1 = built-in date id 14, xf 2 = custom
+    // date code, xf 3 = custom currency (quoted $ must NOT read as date)
+    val bos = new ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook><sheets><sheet name="S" sheetId="1" id="rId1"/></sheets></workbook>""")
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships><Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>""")
+    entry("xl/styles.xml",
+      """<?xml version="1.0"?><styleSheet>""" +
+        """<numFmts count="2"><numFmt numFmtId="164" formatCode="yyyy\-mm\-dd"/>""" +
+        """<numFmt numFmtId="165" formatCode="&quot;$&quot;#,##0.00"/></numFmts>""" +
+        """<cellXfs count="4">""" +
+        """<xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="164"/><xf numFmtId="165"/>""" +
+        """</cellXfs></styleSheet>""")
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData><row r="1">""" +
+        """<c r="A1" s="1"><v>100</v></c>""" +  // builtin date fmt -> date
+        """<c r="B1" s="2"><v>200</v></c>""" +  // custom date code -> date
+        """<c r="C1" s="3"><v>300</v></c>""" +  // currency -> number
+        """<c r="D1"><v>400</v></c>""" +        // unstyled -> number
+        """</row></sheetData></worksheet>""")
+    zos.close()
+    val row = XlsxReader.forBytes(bos.toByteArray).rows("S").next()
+    assert(row == Vector[CellValue](
+      DateTime(100.0), DateTime(200.0), IntVal(300L), IntVal(400L)))
+  }
+
   test("compression levels produce valid files of decreasing size") {
     def size(level: Int): Int = {
       val bos = new ByteArrayOutputStream()
