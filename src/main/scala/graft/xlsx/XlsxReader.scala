@@ -261,9 +261,9 @@ object XlsxReader {
 
   /** Date-ness of a number format: built-in date id, or a custom code
     * containing y/m/d/h/s tokens once quoted literals ("..."), bracket
-    * sections ([red], [$USD], [h] keeps its token via the bracket's
-    * *content* being elapsed-time…) and escaped chars are stripped.
-    * Elapsed-time codes like [h]:mm:ss still match via their mm/ss. */
+    * sections ([Red], [$USD], conditions) and escaped chars are
+    * stripped. Elapsed-time codes like [h]:mm:ss lose the bracketed [h]
+    * but still match via their mm/ss tokens. */
   private[xlsx] def isDateFormat(id: Int, code: Option[String]): Boolean =
     BuiltinDateFmts(id) || code.exists { c =>
       val bare = c.replaceAll("\"[^\"]*\"", "")
