@@ -1052,10 +1052,11 @@ object SparkEntry {
           round(min(col("v")), 6).as("min_v"), round(max(col("v")), 6).as("max_v"))),
 
     "funnel_windowed" -> ((s, dir) =>
-      // ClickHouse-windowFunnel semantics: each next step must land
-      // within 1 hour of the previous one — the conversion-with-horizon
-      // twin of `funnel` (view->click->purchase collapses 150->3->0 on
-      // this data, proving the horizon actually binds).
+      // Per-step-horizon funnel: each next step must land within 1 hour
+      // of the previous one — the conversion-with-horizon twin of
+      // `funnel` (view->click->purchase collapses 150->3->0 on this
+      // data, proving the horizon actually binds). A pairwise bound, not
+      // windowFunnel's whole-chain-within-window-of-first semantics.
       Events.funnelCounts(ev(s, dir), "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"), within = Some("1 HOUR"))),
 

@@ -35,8 +35,11 @@ object Events {
         val qualified = prev match {
           case None => hits
           case Some(p) =>
-            // optional horizon (ClickHouse windowFunnel semantics): the
-            // next step must land within `within` of the previous one
+            // optional PER-STEP horizon: each step must land within
+            // `within` of the PREVIOUS step's qualifying event. (Note
+            // this is a pairwise bound, not ClickHouse windowFunnel's
+            // whole-chain-within-window-of-first-event semantics — an
+            // n-step chain can span up to (n-1)·within.)
             val horizon = within.map(w => col("ts") <= col("t") + expr(s"INTERVAL $w"))
               .getOrElse(lit(true))
             hits.join(p, Seq("user")).filter(col("ts") > col("t") && horizon)

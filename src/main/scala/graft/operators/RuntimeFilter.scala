@@ -34,11 +34,33 @@ object RuntimeFilter {
       big: DataFrame, bigKey: String,
       small: DataFrame, smallKey: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types._
+    // the probe must hash the same representation the build side put in:
+    // stat.bloomFilter puts integral keys as longs and strings as UTF-8
+    // bytes, so the key families must agree and the probe dispatches on
+    // type — a blanket cast-to-long would silently drop every true match
+    // for string keys (null after cast -> filtered).
+    def family(dt: DataType): String = dt match {
+      case ByteType | ShortType | IntegerType | LongType => "integral"
+      case StringType => "string"
+      case other => throw new IllegalArgumentException(
+        s"bloomPrefilter supports integral and string keys, got $other")
+    }
+    val bigFam = family(big.schema(bigKey).dataType)
+    val smallFam = family(small.schema(smallKey).dataType)
+    require(bigFam == smallFam,
+      s"join key families must match: $bigKey is $bigFam, $smallKey is $smallFam")
     val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
-    // primitive-arg UDF: Spark null-checks the input, so null keys (which
-    // can never equi-join anyway) yield null -> filtered out
-    val mightContain = udf((k: Long) => bf.mightContainLong(k))
-    big.filter(mightContain(col(bigKey).cast("long")))
+    // primitive/String-arg UDFs: Spark null-checks the input, so null keys
+    // (which can never equi-join anyway) yield null -> filtered out
+    bigFam match {
+      case "integral" =>
+        val mightContain = udf((k: Long) => bf.mightContainLong(k))
+        big.filter(mightContain(col(bigKey).cast("long")))
+      case _ =>
+        val mightContain = udf((k: String) => bf.mightContainString(k))
+        big.filter(mightContain(col(bigKey)))
+    }
   }
 
   /** Inner equi-join with a bloom prefilter on the big side. Result is

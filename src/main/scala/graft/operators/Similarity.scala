@@ -24,11 +24,17 @@ object Similarity {
   private def asCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
     org.apache.spark.sql.graftshim.ColumnShim.column(e)
 
-  /** Dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column = asCol(graft.plans.VecDot(ex(a), ex(b)))
+  // array<float> (the common embedding storage type) upcasts here so all
+  // entry points accept float or double vectors; the cast is a no-op in
+  // the plan when the input is already array<double> (SimplifyCasts).
+  private def asDouble(c: Column) = c.cast("array<double>")
 
-  /** L2 norm of an array<double> column. */
-  def l2norm(a: Column): Column = asCol(graft.plans.VecNorm(ex(a)))
+  /** Dot product of two array<float|double> columns. */
+  def dot(a: Column, b: Column): Column =
+    asCol(graft.plans.VecDot(ex(asDouble(a)), ex(asDouble(b))))
+
+  /** L2 norm of an array<float|double> column. */
+  def l2norm(a: Column): Column = asCol(graft.plans.VecNorm(ex(asDouble(a))))
 
   /** Cosine similarity between two array<float|double> columns.
     * In pair joins prefer precomputing [[l2norm]] per vector once and

@@ -164,6 +164,10 @@ case class XmlEscape(child: Expression)
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+  // Strict input check: AbstractDataType is private[sql] in Spark 4, so
+  // third-party expressions can't declare ImplicitCastInputTypes; the
+  // array<float> upcast callers expect lives in Similarity.dot/l2norm,
+  // which wrap inputs with a (no-op-when-already-double) cast.
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
       case ArrayType(DoubleType, _) => true
@@ -171,7 +175,7 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<double> inputs, got " +
+      s"$prettyName requires array<double> inputs (cast array<float> first), got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -190,7 +194,7 @@ case class VecNorm(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires an array<double> input, got ${other.simpleString}")
+      s"$prettyName requires an array<double> input (cast array<float> first), got ${other.simpleString}")
   }
   override protected def nullSafeEval(input: Any): Any =
     GraftExprs.vecNorm(input.asInstanceOf[ArrayData])

@@ -388,16 +388,21 @@ object XlsxReader {
             // through f64 (ref: src/streaming_reader.rs:687) and silently
             // corrupts integers beyond 2^53 — deviation, fixed here.
             case Some(l) =>
-              if (isDateStyle && l >= 1L && l <= 2958465L)
-                CellValue.DateTime(if (date1904) l.toDouble + 1462.0d else l.toDouble)
+              // normalize to the 1900 epoch BEFORE the range gate: 1904
+              // serial 0 (= 1904-01-01) is a valid date at 1462, and the
+              // shifted value must also respect the upper bound
+              val adjL = if (date1904) l + 1462L else l
+              if (isDateStyle && adjL >= 1L && adjL <= 2958465L)
+                CellValue.DateTime(adjL.toDouble)
               else CellValue.IntVal(l)
             case None => v.toDoubleOption match {
               case Some(num) =>
                 // Timestamp styles accept fractional serials (the reference's
                 // integral-only heuristic at src/streaming_reader.rs:699 loses
                 // the time part it wrote itself — deviation, fixed here).
-                if (isDateStyle && num >= ExcelDate.MinSerial && num <= ExcelDate.MaxSerial)
-                  CellValue.DateTime(if (date1904) num + 1462.0d else num)
+                val adj = if (date1904) num + 1462.0d else num
+                if (isDateStyle && adj >= ExcelDate.MinSerial && adj <= ExcelDate.MaxSerial)
+                  CellValue.DateTime(adj)
                 else if (num == math.rint(num) && !num.isInfinite &&
                          num >= Long.MinValue.toDouble && num <= Long.MaxValue.toDouble)
                   CellValue.IntVal(num.toLong)

@@ -111,6 +111,16 @@ class ChunkingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Chunking.duplicatePassages(tails, "id", "text", 8, 8).count() === 0)
   }
 
+  test("vector ops accept array<float> columns (the common embedding storage type)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Array(3.0f, 4.0f))).toDF("id", "v")
+    val out = df.select(Similarity.l2norm(col("v")).as("n"),
+      Similarity.cosine(col("v"), col("v")).as("c")).collect()(0)
+    assert(out.getDouble(0) === 5.0)
+    assert(math.abs(out.getDouble(1) - 1.0) < 1e-12)
+  }
+
   test("semanticDedup: finds planted scaled duplicates, nothing else") {
     val s = spark
     import s.implicits._

@@ -45,6 +45,21 @@ class RuntimeFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bloomed === plain)
   }
 
+  test("string keys probe as strings — every true match survives") {
+    val s = spark
+    import s.implicits._
+    val big = (0 until 2000).map(i => (s"user$i", i)).toDF("k", "v")
+    val small = Seq("user7", "user42", "user1999").toDF("sk")
+    val joined = RuntimeFilter.bloomPrefilteredJoin(big, "k", small, "sk",
+      expectedItems = 10L).select("k").collect().map(_.getString(0)).toSet
+    assert(joined === Set("user7", "user42", "user1999"))
+    // mismatched key families must fail loudly, not silently miss
+    val longs = Seq(1L, 2L).toDF("sk")
+    intercept[IllegalArgumentException] {
+      RuntimeFilter.bloomPrefilter(big, "k", longs, "sk")
+    }
+  }
+
   test("null keys on the big side are dropped, not crashed on") {
     val s = spark
     import s.implicits._

@@ -203,6 +203,31 @@ class RoundtripSpec extends AnyFunSuite {
     assert(s1904 === 100.5 + 1462.0, "1904-system serials shift to the 1900 epoch")
   }
 
+  test("date1904: serial 0 (1904-01-01) is a valid date after normalization") {
+    // the range gate must apply to the NORMALIZED serial — raw 0 is
+    // outside [1, 2958465] but 1904-system 0 means 1904-01-01 = 1462
+    val bos = new ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook><workbookPr date1904="1"/><sheets><sheet name="S" sheetId="1" id="rId1"/></sheets></workbook>""")
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships><Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>""")
+    entry("xl/styles.xml", XlsxWriter.StylesXml)
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData><row r="1">""" +
+        s"""<c r="A1" s="${CellStyle.DateDefault}"><v>0</v></c>""" +
+        s"""<c r="B1" s="${CellStyle.DateDefault}"><v>0.5</v></c>""" +
+        """</row></sheetData></worksheet>""")
+    zos.close()
+    val row = XlsxReader.forBytes(bos.toByteArray).rows("S").next()
+    assert(row == Vector[CellValue](DateTime(1462.0), DateTime(1462.5)))
+  }
+
   test("foreign stylesheet: date detection follows numFmts, not our style indices") {
     // openpyxl-style layout: xf 1 = built-in date id 14, xf 2 = custom
     // date code, xf 3 = custom currency (quoted $ must NOT read as date)
