@@ -38,7 +38,12 @@ object Chunking {
     require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
       s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
     val words = split(col(textCol), " ")
-    df.select(col(idCol), words.as("words"), size(words).as("n"))
+    // null text yields no chunks (size(null) is -1 under default ANSI-off
+    // semantics, and sequence(0, -2, s) THROWS — scraped corpora have
+    // null rows routinely, so guard rather than crash)
+    val n = when(col(textCol).isNull, lit(0)).otherwise(size(words))
+    df.select(col(idCol), words.as("words"), n.as("n"))
+      .filter(col("n") >= 1)
       .select(col(idCol), col("words"), col("n"),
         explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start"))
       .select(
@@ -73,7 +78,10 @@ object Chunking {
       numShards: Int = 8): DataFrame = {
     require(budget > 0 && numShards > 0, "budget and numShards must be positive")
     val mixed = Curation.mixKey(col(idCol))
-    val toks = size(split(col(textCol), " "))
+    // null text counts 0 tokens (size(null) = -1 would walk the running
+    // sum backward and silently shift every later doc's pack id)
+    val toks = when(col(textCol).isNull, lit(0))
+      .otherwise(size(split(col(textCol), " ")))
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("mixed"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

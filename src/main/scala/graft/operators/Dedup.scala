@@ -333,7 +333,10 @@ object Dedup {
     * expression form) — one pass per doc, no shuffle. */
   val simhash64: String => Long = { text =>
     val counts = new Array[Int](64)
-    for (tok <- text.split("\\s+") if tok.nonEmpty) {
+    // null text -> empty fingerprint (String UDF params are NOT
+    // auto-null-checked by Spark; .split on null would NPE the task)
+    val safe = if (text == null) "" else text
+    for (tok <- safe.split("\\s+") if tok.nonEmpty) {
       // xxhash64-compatible cheap stand-in: FNV-1a, stable across JVMs
       var h = graft.functions.GraftFunctions.fnv1a64(tok)
       var b = 0
@@ -357,7 +360,6 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val spark = df.sparkSession
     val sim = udf(simhash64)
     val pop = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
     val withFp = spread(df).select(col(idCol).as("id"), sim(col(textCol)).as("fp"))

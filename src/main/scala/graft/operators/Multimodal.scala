@@ -79,6 +79,9 @@ object Multimodal {
     while (i + 8 <= b.length) {
       val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
       val len = le32(i + 4)
+      // le32 is a signed Int read: a malformed length >= 2^31 comes back
+      // negative and would pin or reverse the walk — treat as corrupt
+      if (len < 0) return None
       if (isFmt && i + 16 <= b.length)
         return Some((le32(i + 12), le16(i + 10)))
       i += 8 + len + (len & 1) // chunks are word-aligned

@@ -52,13 +52,17 @@ object RuntimeFilter {
       s"join key families must match: $bigKey is $bigFam, $smallKey is $smallFam")
     val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
     // primitive/String-arg UDFs: Spark null-checks the input, so null keys
-    // (which can never equi-join anyway) yield null -> filtered out
+    // null keys can never equi-join, so both probes drop them: the Long
+    // path via Spark's automatic primitive null-check (null in -> null
+    // out), the String path via an explicit guard (String is a reference
+    // type — Spark passes null through, and mightContainString(null)
+    // would NPE the task)
     bigFam match {
       case "integral" =>
         val mightContain = udf((k: Long) => bf.mightContainLong(k))
         big.filter(mightContain(col(bigKey).cast("long")))
       case _ =>
-        val mightContain = udf((k: String) => bf.mightContainString(k))
+        val mightContain = udf((k: String) => k != null && bf.mightContainString(k))
         big.filter(mightContain(col(bigKey)))
     }
   }

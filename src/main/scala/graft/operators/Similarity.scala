@@ -97,7 +97,14 @@ object Similarity {
     * per-query window. The corpus side of the join should be the big one;
     * Spark broadcasts the query side when it is small (hint applied).
     * This is the *correctness baseline*: O(|Q|·|C|) — fine for |Q| small,
-    * the standard evaluation harness shape. */
+    * the standard evaluation harness shape.
+    *
+    * Id contract (all top-k variants here): queries are assumed to share
+    * the corpus id namespace (self-search / subset-search), and a
+    * query's own id is excluded from its results. When querying a
+    * DIFFERENT table whose ids may collide with corpus ids, remap one
+    * side first (e.g. negate or offset query ids) or a query will
+    * silently lose the corpus row that shares its id. */
   def bruteForceTopK(
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
@@ -338,14 +345,16 @@ object Similarity {
         c.select(col("id"), assignUdf(col("v")).as("cluster"))
       case None =>
         // seed centroids = the k lowest-id vectors; argmax cosine, ties
-        // break to the lowest centroid id via max_by on (cos, -cid) —
-        // unique per (id, cid), so deterministic.
+        // break to the lowest centroid id via min_by on (-cos, cid) —
+        // unique per (id, cid) so deterministic, and cid never needs
+        // negating (a string id under -cid would cast to null and make
+        // exact-cosine ties nondeterministic).
         val cents = broadcast(c.orderBy("id").limit(k)
           .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn")))
         c.crossJoin(cents)
           .withColumn("cos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
           .groupBy(col("id"))
-          .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cluster"))
+          .agg(min_by(col("cid"), struct(-col("cos"), col("cid"))).as("cluster"))
     }
     // both sides of the self-join read `assigned` — persist so the scan +
     // assignment pipeline runs once, not twice (same session-owned cache

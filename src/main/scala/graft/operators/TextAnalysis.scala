@@ -13,12 +13,14 @@ object TextAnalysis {
   /** Word-ish token count: runs of letters/digits (a BPE-ish pre-token
     * regex). Expressed with regexp_extract_all so DuckDB can oracle it. */
   def tokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("\\w+"), lit(0)))
+    // null text counts 0 tokens (size(null) is -1 under ANSI-off; a -1
+    // would skew every downstream average/sum silently)
+    when(text.isNull, lit(0)).otherwise(size(regexp_extract_all(text, lit("\\w+"), lit(0))))
 
   /** Whitespace token count (non-whitespace runs — regexp form so the
     * DuckDB oracle states the identical definition). */
   def wsTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+    when(text.isNull, lit(0)).otherwise(size(regexp_extract_all(text, lit("\\S+"), lit(0))))
 
   /** Heuristic quality score in [0,1]:
     * length factor × word-shape factor × (1 − symbol-noise ratio).
@@ -163,7 +165,10 @@ object TextAnalysis {
 
   /** Document fingerprint: cryptographic (md5) and rolling (FNV-1a 64). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fnv = udf((s: String) => graft.functions.GraftFunctions.fnv1a64(s))
+    // null-in -> null-out like md5 (String UDF params are not
+    // auto-null-checked; fnv1a64(null).getBytes would NPE)
+    val fnv = udf((s: String) =>
+      if (s == null) null else java.lang.Long.valueOf(graft.functions.GraftFunctions.fnv1a64(s)))
     df.select(col(idCol), md5(col(textCol)).as("md5"),
       fnv(col(textCol)).as("fnv1a64"))
   }

@@ -52,6 +52,20 @@ class ChunkingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0).getAs[Int]("n_words") === 2)
   }
 
+  test("null text: chunking yields no chunks, packing counts 0 tokens — no crash, no skew") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]), (3L, "d e"))
+      .toDF("id", "text")
+    val chunks = Chunking.chunkDocuments(df, "id", "text", chunkSize = 4, stride = 4)
+      .collect()
+    assert(chunks.map(_.getLong(0)).toSet === Set(1L, 3L), "null doc has no chunks")
+    val packed = Chunking.packSequences(df, "id", "text", budget = 8, numShards = 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("n_tokens")).toMap
+    assert(packed(2L) === 0, "null doc counts zero tokens")
+    assert(packed(1L) === 3 && packed(3L) === 2)
+  }
+
   test("packSequences: packs are contiguous, never split a doc, and overflow by < one doc") {
     val rows = (0L until 100L).map(i => (i, ("tok " * (5 + (i % 7).toInt)).trim))
     val packed = Chunking.packSequences(docs(rows: _*), "id", "text",

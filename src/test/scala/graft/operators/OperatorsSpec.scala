@@ -455,6 +455,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Map(1L -> "a\nshared", 2L -> "b\nshared", 3L -> "c"))
   }
 
+  test("null text survives simhash, fingerprints, and token counts") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "real text here"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    // simhashNearDups: must not NPE; the null doc just can't pair
+    assert(Dedup.simhashNearDups(df, "id", "text").count() === 0)
+    val fp = TextAnalysis.fingerprints(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.get(2))).toMap
+    assert(fp(2L) === ((null, null)), "null-in -> null-out for both hashes")
+    assert(fp(1L)._1 != null && fp(1L)._2 != null)
+    val counts = df.select(col("id"),
+        TextAnalysis.tokenCount(col("text")).as("t"),
+        TextAnalysis.wsTokenCount(col("text")).as("w"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(counts(2L) === ((0, 0)), "null counts zero, not -1")
+    assert(counts(1L) === ((3, 3)))
+  }
+
   test("compressRatio: repetitive text compresses far below varied text; deterministic") {
     val s = spark
     import s.implicits._
