@@ -126,8 +126,19 @@ object ZipCsvCodec {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val key = "io.compression.codecs"
-    val existing = Option(conf.get(key)).filter(_.nonEmpty)
-    if (!existing.exists(_.contains(Name)))
-      conf.set(key, (existing.toSeq :+ Name).mkString(","))
+    // When the key is UNSET Hadoop discovers codecs via ServiceLoader;
+    // once set, the listed codecs REPLACE that discovery — so seed the
+    // list with the discovered codecs or a bare custom entry would make
+    // .gz/.bz2/... unreadable for the whole session.
+    val existing = Option(conf.get(key)).filter(_.nonEmpty) match {
+      case Some(list) => list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None =>
+        import scala.jdk.CollectionConverters._
+        java.util.ServiceLoader
+          .load(classOf[org.apache.hadoop.io.compress.CompressionCodec])
+          .iterator().asScala.map(_.getClass.getName).toSeq
+    }
+    if (!existing.contains(Name))
+      conf.set(key, (existing :+ Name).mkString(","))
   }
 }

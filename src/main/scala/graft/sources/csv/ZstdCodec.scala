@@ -32,7 +32,16 @@ final class ZstdCodec extends CompressionCodec with Configurable {
     new CompressionOutputStream(new ZstdOutputStreamNoFinalizer(out, level)) {
       override def write(b: Array[Byte], off: Int, len: Int): Unit = out.write(b, off, len)
       override def write(b: Int): Unit = out.write(b)
-      override def finish(): Unit = out.asInstanceOf[ZstdOutputStreamNoFinalizer].flush()
+      override def finish(): Unit = {
+        // Hadoop contract: finish() completes the compressed output
+        // without closing the stream. A plain flush issues ZSTD_e_flush
+        // and never writes the frame epilogue -> truncated .zst for
+        // callers that close the raw stream themselves.
+        val z = out.asInstanceOf[ZstdOutputStreamNoFinalizer]
+        z.setCloseFrameOnFlush(true)
+        z.flush()
+        z.setCloseFrameOnFlush(false)
+      }
       override def resetState(): Unit = ()
       override def close(): Unit = out.close()
     }
@@ -68,8 +77,19 @@ object ZstdCodec {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val key = "io.compression.codecs"
-    val existing = Option(conf.get(key)).filter(_.nonEmpty)
-    if (!existing.exists(_.contains(Name)))
-      conf.set(key, (existing.toSeq :+ Name).mkString(","))
+    // When the key is UNSET Hadoop discovers codecs via ServiceLoader;
+    // once set, the listed codecs REPLACE that discovery — so seed the
+    // list with the discovered codecs or a bare custom entry would make
+    // .gz/.bz2/... unreadable for the whole session.
+    val existing = Option(conf.get(key)).filter(_.nonEmpty) match {
+      case Some(list) => list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None =>
+        import scala.jdk.CollectionConverters._
+        java.util.ServiceLoader
+          .load(classOf[org.apache.hadoop.io.compress.CompressionCodec])
+          .iterator().asScala.map(_.getClass.getName).toSeq
+    }
+    if (!existing.contains(Name))
+      conf.set(key, (existing :+ Name).mkString(","))
   }
 }

@@ -90,8 +90,24 @@ object SchemaInference {
 
     def result(): StructType = {
       val width = math.max(kinds.size, names.size)
+      // Dedup repeated header names positionally (a la CSV), bumping the
+      // suffix until the candidate collides with neither a raw header
+      // nor an already-assigned name — ["a","a1","a"] must not rename
+      // the third column to the existing "a1".
+      val assigned = scala.collection.mutable.LinkedHashSet.empty[String]
+      val rawNames = (0 until width).map { i =>
+        if (i < names.size && names(i).nonEmpty) names(i) else s"_c$i"
+      }
       val fields = (0 until width).map { i =>
-        val name = dedupName(names, i)
+        val raw = rawNames(i)
+        val name =
+          if (!assigned.contains(raw) && rawNames.indexOf(raw) == i) raw
+          else {
+            var n = 1
+            while (assigned.contains(s"$raw$n") || rawNames.contains(s"$raw$n")) n += 1
+            s"$raw$n"
+          }
+        assigned += name
         val k = if (i < kinds.size) kinds(i) else BOTTOM
         StructField(name, toDataType(k), nullable = true)
       }
@@ -99,40 +115,4 @@ object SchemaInference {
     }
   }
 
-  private def dedupName(names: Vector[String], i: Int): String = {
-    val raw = if (i < names.size && names(i).nonEmpty) names(i) else s"_c$i"
-    // Dedup repeated header names positionally (a7 pattern shared with CSV).
-    val priorDups = names.take(i).count(_ == raw)
-    if (i < names.size && priorDups > 0) s"$raw$priorDups" else raw
-  }
-
-  /** Convert one cell to the Catalyst external value for `dt`, leniently
-    * coercing (ref coercions: src/types.rs:101-152); mismatches → null. */
-  def convert(c: CellValue, dt: DataType): Any = c match {
-    case CellValue.Empty => null
-    case _ =>
-      dt match {
-        case StringType => c match {
-          case CellValue.DateTime(s) => ExcelDate.format(s).getOrElse(CellValue.formatDouble(s))
-          case other                 => other.asString
-        }
-        case LongType    => c.asLong.orNull
-        case IntegerType => c.asLong.map(_.toInt).orNull
-        case DoubleType  => c.asDouble.orNull
-        case FloatType   => c.asDouble.map(_.toFloat).orNull
-        case BooleanType => c.asBool.orNull
-        case DateType => serialOf(c).flatMap(ExcelDate.toDate).map(d => java.sql.Date.valueOf(d)).orNull
-        case TimestampType => serialOf(c).flatMap(ExcelDate.toDateTime)
-          .map(dt => java.sql.Timestamp.valueOf(dt)).orNull
-        case _ => c.asString
-      }
-  }
-
-  private def serialOf(c: CellValue): Option[Double] = c match {
-    case CellValue.DateTime(s) => Some(s)
-    case CellValue.IntVal(i)   => Some(i.toDouble)
-    case CellValue.FloatVal(f) => Some(f)
-    case CellValue.Str(s)      => s.toDoubleOption
-    case _                     => None
-  }
 }

@@ -86,7 +86,12 @@ object XlsxInMemory {
         (CellValue.DateTime(ExcelDate.fromDate(row.getDate(i).toLocalDate).toDouble),
           CellStyle.DateDefault)
       case TimestampType =>
-        (CellValue.DateTime(ExcelDate.fromDateTime(row.getTimestamp(i).toLocalDateTime)),
+        // render the UTC wall-clock, matching the DSv2 writer
+        // (XlsxWrite uses microsToLocalDateTime = UTC) — Timestamp
+        // .toLocalDateTime would use the JVM default zone, making the
+        // two write paths emit different serials for the same instant
+        (CellValue.DateTime(ExcelDate.fromDateTime(
+          row.getTimestamp(i).toInstant.atOffset(java.time.ZoneOffset.UTC).toLocalDateTime)),
           CellStyle.DateTimestamp)
       case BinaryType =>
         (CellValue.Str(java.util.Base64.getEncoder.encodeToString(row.getAs[Array[Byte]](i))), 0)

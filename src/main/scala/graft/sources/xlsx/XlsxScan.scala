@@ -49,23 +49,32 @@ final class XlsxScan(
   override def description(): String =
     s"xlsx paths=${paths.mkString(",")} columns=${required.fieldNames.mkString(",")}"
 
+  // One listing per Scan instance, shared by statistics AND partition
+  // planning — each used to re-list independently (and statistics built
+  // a fresh object per call), so a 10k-file S3 tree paid thousands of
+  // LIST requests two+ times per query.
+  private lazy val listing: Seq[(String, Long)] =
+    XlsxTable.listFilesWithSize(paths, conf.value)
+
   /** Compressed byte size from the file listing (free); XML expands ~5×
     * over the ZIP, so report that to keep join-side size estimates sane. */
-  override def estimateStatistics(): Statistics = new Statistics {
-    private lazy val bytes =
-      XlsxTable.listFilesWithSize(paths, conf.value).map(_._2).sum * 5
-    override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
-    override def numRows(): OptionalLong = OptionalLong.empty()
+  private lazy val stats: Statistics = {
+    val bytes = listing.map(_._2).sum * 5
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+      override def numRows(): OptionalLong = OptionalLong.empty()
+    }
   }
+  override def estimateStatistics(): Statistics = stats
 
   override def planInputPartitions(): Array[InputPartition] = {
     // One partition per file; the sheet *spec* (not resolved names) rides
     // along and executors resolve it when they open the file anyway.
     // Resolving here would open every ZIP on the driver — 10k files =
     // 10k driver-side opens before the first task launches.
-    val files = XlsxTable.listFiles(paths, conf.value)
-    files.map(f => XlsxInputPartition(f, opts.sheet, opts.sheetIndex, opts.allSheets): InputPartition)
-      .toArray
+    listing.map { case (f, _) =>
+      XlsxInputPartition(f, opts.sheet, opts.sheetIndex, opts.allSheets): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -174,13 +183,28 @@ object XlsxPartitionReader {
     }
     case LongType    => c => c.asLong.orNull
     case IntegerType => c => c.asLong.map(_.toInt).orNull
+    case ShortType   => c => c.asLong.map(_.toShort).orNull
+    case ByteType    => c => c.asLong.map(_.toByte).orNull
     case DoubleType  => c => c.asDouble.orNull
     case FloatType   => c => c.asDouble.map(_.toFloat).orNull
     case BooleanType => c => c.asBool.orNull
+    case d: DecimalType => c =>
+      c.asDouble.map(v => org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(v).setScale(d.scale, java.math.RoundingMode.HALF_UP),
+        d.precision, d.scale)).orNull
     case DateType    => c => serialOf(c).flatMap(ExcelDate.toDate).map(d => DateTimeUtils.localDateToDays(d)).orNull
-    case TimestampType => c =>
+    // NTZ and instant timestamps share the serial representation: xlsx
+    // stores wall-clock; the session-zone interpretation happens upstream
+    case TimestampType | TimestampNTZType => c =>
       serialOf(c).flatMap(ExcelDate.toDateTime)
         .map(ldt => DateTimeUtils.localDateTimeToMicros(ldt)).orNull
+    // every supported write-side type must have an internal-format read
+    // converter: the stringly fallback is ONLY valid for string-ish
+    // schemas — returning UTF8String into e.g. a BinaryType slot would
+    // CCE in generated code, so map what we can and null the rest
+    case BinaryType => c =>
+      if (c == CellValue.Empty) null
+      else c.asString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     case _ => c => if (c == CellValue.Empty) null else UTF8String.fromString(c.asString)
   }
 

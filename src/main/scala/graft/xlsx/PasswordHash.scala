@@ -1,8 +1,18 @@
 package graft.xlsx
 
-/** Excel's legacy 16-bit sheet-protection password hash: rotate-left-1 XOR
-  * over the password's chars in reverse, XOR length, XOR 0xCE4B, upper hex
-  * (ref: src/types.rs:391-400).
+/** The reference's legacy 16-bit sheet-protection password hash:
+  * rotate-left-1 XOR over the password's chars in reverse, XOR length,
+  * XOR 0xCE4B, upper hex (ref: src/types.rs:391-400, replicated
+  * byte-for-byte — golden values in CoreSpec).
+  *
+  * NOTE this is the reference's *simplified variant*: genuine Excel
+  * (MS-OSHARED 2.4.2.4) rotates the ACCUMULATING hash each iteration,
+  * so for passwords of length ≥ 2 the two algorithms diverge and Excel
+  * will not accept the password against a hash written by either the
+  * reference or this port. Sheet protection is an honesty lock, not
+  * cryptography; byte parity with the reference is the compatibility
+  * contract chosen here, and files protected by this writer unprotect
+  * correctly in this reader and the reference's.
   */
 object PasswordHash {
   def hash(password: String): String = {

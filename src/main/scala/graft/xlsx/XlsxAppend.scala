@@ -59,7 +59,12 @@ object XlsxAppend {
       }
       w.close()
     } catch {
-      case e: Throwable => tmp.delete(); throw e
+      case e: Throwable =>
+        // close the writer (and its stream) BEFORE deleting: an open
+        // handle makes the delete fail on Windows and leaks the fd
+        try w.close() catch { case _: Throwable => }
+        tmp.delete()
+        throw e
     }
     // atomic replace where the filesystem allows it; don't leak the tmp
     // if the destination is locked by another process

@@ -110,16 +110,22 @@ final class XlsxReader(
       val out = Vector.newBuilder[String]
       val sb = new java.lang.StringBuilder
       var inSi = false
+      var inRPh = false // phonetic (furigana) runs are hints, not cell text
       while (xr.hasNext) {
         xr.next() match {
           case XMLStreamConstants.START_ELEMENT =>
             xr.getLocalName match {
-              case "si" => inSi = true; sb.setLength(0)
-              case "t" if inSi => sb.append(xr.getElementText)
+              case "si" => inSi = true; inRPh = false; sb.setLength(0)
+              case "rPh" => inRPh = true
+              case "t" if inSi && !inRPh => sb.append(xr.getElementText)
               case _ =>
             }
-          case XMLStreamConstants.END_ELEMENT if xr.getLocalName == "si" =>
-            out += sb.toString; inSi = false
+          case XMLStreamConstants.END_ELEMENT =>
+            xr.getLocalName match {
+              case "si" => out += sb.toString; inSi = false
+              case "rPh" => inRPh = false
+              case _ =>
+            }
           case _ =>
         }
       }
@@ -348,17 +354,21 @@ object XlsxReader {
       // loses data on foreign-authored files.
       var inlineText: StringBuilder = null
       var formula: String = null
+      var inRPh = false // skip phonetic runs, as in the SST path
       var ev = xr.next()
       while (!(ev == XMLStreamConstants.END_ELEMENT && xr.getLocalName == "c")) {
         if (ev == XMLStreamConstants.START_ELEMENT) {
           xr.getLocalName match {
             case "v" => v = xr.getElementText
-            case "t" =>
+            case "rPh" => inRPh = true
+            case "t" if !inRPh =>
               if (inlineText == null) inlineText = new StringBuilder
               inlineText ++= xr.getElementText
             case "f" => formula = xr.getElementText
             case _ =>
           }
+        } else if (ev == XMLStreamConstants.END_ELEMENT && xr.getLocalName == "rPh") {
+          inRPh = false
         }
         ev = xr.next()
       }
