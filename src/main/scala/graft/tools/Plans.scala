@@ -16,7 +16,10 @@ object Plans {
       else Seq("project_filter", "join_broadcast", "agg_groupby", "xlsx_roundtrip",
         "dedup_minhash", "ann_lsh", "window_rank", "join_asof", "join_range",
         "join_salted", "topk_heavy", "bloom_join", "line_dedup", "split_assign",
-        "pii_redact", "lm_score")
+        "pii_redact", "lm_score",
+        "doc_chunk", "sequence_pack", "pack_payload", "semantic_dedup",
+        "nb_classify", "funnel", "retention", "cdc_compact", "passage_dedup",
+        "ann_ivf_indexed", "key_skew", "corpus_report")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
