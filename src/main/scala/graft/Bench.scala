@@ -10,6 +10,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // the contract JSON line is built with f"%.3f" interpolations, which
+    // format via the default locale — a comma-decimal locale would emit
+    // invalid JSON and silently zero the round's bench results
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -28,9 +32,10 @@ object Bench {
     // single runs show 2-4x swings on identical plans; the min is the
     // honest capability number.
     def once(name: String): Double = {
-      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      // the Map lookup sits INSIDE the try: a stale benchQueries entry
+      // must record -1 for that query, not abort the whole bench run
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }

@@ -63,7 +63,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("xlsx_roundtrip")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // lazy vals, not defs: Bench/Verify index these maps in loops — a def
+  // would rebuild the whole ~100-entry map per lookup
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ===== relational layer (SURVEY §2.3/§2.5 — Spark built-ins) =====
 
@@ -154,13 +156,11 @@ object SparkEntry {
       // the union+window formulation — one shuffle, no range explosion):
       // each click matched to the user's latest purchase at-or-before it.
       // DuckDB's native ASOF LEFT JOIN is the oracle.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      val clicks = ev.filter(col("event_type") === "click")
+      val events = ev(s, dir)
+      val clicks = events.filter(col("event_type") === "click")
         .select("event_id", "user_id", "ts")
       // right side unique per (key, ts) for a deterministic match
-      val purchases = ev.filter(col("event_type") === "purchase")
+      val purchases = events.filter(col("event_type") === "purchase")
         .groupBy("user_id", "ts").agg(max(col("value")).as("pvalue"))
       graft.operators.AsOfJoin.leftAsOf(
         clicks, purchases, Seq("user_id"), "ts", Seq("pvalue"), "p_")
@@ -264,9 +264,7 @@ object SparkEntry {
       // events.parquet stores TIMESTAMP(NANOS), which Spark reads only as
       // long; convert with integer division (micros) — double division
       // would lose precision at 1e18 nanos.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      t(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      ev(s, dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
         .select(col("window.start").as("hour_start"), col("event_type"),
@@ -274,10 +272,7 @@ object SparkEntry {
     }),
 
     "sessionize" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val events = t(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      graft.streaming.Sessionize.sessionsBatch(events, gapMinutes = 30)
+      graft.streaming.Sessionize.sessionsBatch(ev(s, dir), gapMinutes = 30)
     }),
 
     // ===== scalar/conversion function surface (SURVEY §2.4) =====
@@ -585,8 +580,12 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       val q = e.filter(col("vec_id") < 10)
+      // persist: the denominator count() AND the semi-join both consume
+      // the brute-force frame — uncached it would run the O(|q|·|corpus|)
+      // scoring twice
       val exact = Similarity.bruteForceTopK(q, "vec_id", "e", e, "vec_id", "e", k = 5)
         .select(col("query_id"), col("corpus_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val approx = Similarity.lshTopK(q, "vec_id", "e", e, "vec_id", "e",
           dim = 64, k = 5, planes = 18, bands = 6)
         .select(col("query_id"), col("corpus_id"))
@@ -992,6 +991,10 @@ object SparkEntry {
       val stats = hourly.groupBy(col("event_type"))
         .agg(avg(col("cnt")).as("mu"), stddev_samp(col("cnt")).as("sd"))
       hourly.join(broadcast(stats), Seq("event_type"))
+        // sd > 0 guard on BOTH sides: a constant-count type gives sd=0,
+        // where Spark's divide yields NULL (or throws under ANSI) while
+        // DuckDB's IEEE 0/0 = NaN compares greater-than-anything
+        .filter(col("sd") > 0)
         .withColumn("z", (col("cnt") - col("mu")) / col("sd"))
         .filter(abs(col("z")) > 3)
         .select(col("event_type"), col("hour"), col("cnt"), round(col("z"), 4).as("z"))
@@ -1117,7 +1120,7 @@ object SparkEntry {
     "doc_chunk", "sequence_pack", "semantic_dedup", "nb_classify",
     "funnel", "cdc_compact", "json_extract", "passage_dedup", "pack_payload")
 
-  def oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
 
     "project_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, round(l_extendedprice, 2) AS price
@@ -1485,7 +1488,7 @@ object SparkEntry {
          SELECT h.event_type, h.hour, h.cnt,
                 round((h.cnt - s.mu) / s.sd, 4) AS z
          FROM hourly h JOIN stats s USING (event_type)
-         WHERE abs((h.cnt - s.mu) / s.sd) > 3""",
+         WHERE s.sd > 0 AND abs((h.cnt - s.mu) / s.sd) > 3""",
 
     // Indexed IVF in the exhaustive regime = the same brute-force answer;
     // this oracle-checks index build + reload + partition-pruned probe.

@@ -16,15 +16,12 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftFunctions {
 
-  @volatile private var registered = Set.empty[String]
-
-  /** Idempotent per-session registration. */
+  /** Idempotent per-session registration: spark.udf.register simply
+    * overwrites an existing name, so re-registering is safe and needs no
+    * guard (a previous identity-hash-keyed guard could silently SKIP a
+    * session on hash collision, and leaked one key per session). */
   def register(spark: SparkSession): Unit = {
-    val key = spark.sparkContext.applicationId + "/" + System.identityHashCode(spark)
-    if (registered.contains(key)) return
-    synchronized {
-      if (registered.contains(key)) return
-
+    {
       val udf = spark.udf
 
       // F1: Excel serial -> "yyyy-mm-dd[ hh:mm:ss]" (1900-bug semantics,
@@ -102,7 +99,6 @@ object GraftFunctions {
             .replaceAll(graft.operators.Privacy.Ipv4Pattern, "<IP>")
             .replaceAll(graft.operators.Privacy.PhonePattern, "<PHONE>"))
 
-      registered += key
     }
   }
 
