@@ -1013,6 +1013,22 @@ object SparkEntry {
         e.filter(col("vec_id") < 10), "vec_id", "e", p, k = 5, nprobe = 8)
     }),
 
+    "unicode_normalize" -> ((s, dir) =>
+      // NFC normalization pass: normalized text + already-normalized
+      // flag (NFC must precede any hash-based dedup; CurationSpec holds
+      // the non-ASCII known-answer cases — this corpus is ASCII, so the
+      // oracle checks the plumbing and the flag semantics).
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.nfcNormalize(col("text")).as("norm_text"))
+        .withColumn("n_chars_norm", length(col("norm_text")).cast("bigint"))),
+
+    "zorder_report" -> ((s, dir) =>
+      // Z-order (Morton) layout report over (orderkey, partkey): 256
+      // key-prefix buckets, each with its bounding box in BOTH dims —
+      // the per-file min/max a Z-ordered write hands the scan planner.
+      graft.operators.Layout.zorderReport(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey")),
+
     "corpus_report" -> ((s, dir) => {
       // Flagship curation summary: one row a data lead reads before a
       // training run — volume, dedup rate, quality pass rate, language
@@ -2019,6 +2035,36 @@ object SparkEntry {
                           ORDER BY ts DESC, event_id DESC) AS rn
                FROM events) t
          WHERE rn = 1""",
+
+    "unicode_normalize" ->
+      """SELECT doc_id, nfc_normalize(text) AS norm_text,
+                length(nfc_normalize(text)) AS n_chars_norm
+         FROM documents""",
+
+    // The same magic-number bit spread, unrolled per coordinate; bucket
+    // = top 8 bits of the interleaved key.
+    "zorder_report" ->
+      """WITH c AS (SELECT CAST(l_orderkey % 65536 AS BIGINT) AS x,
+                           CAST(l_partkey % 65536 AS BIGINT) AS y
+                    FROM lineitem),
+              sx AS (SELECT x, y,
+                            ((x | (x << 8)) & 16711935) AS a1,
+                            ((y | (y << 8)) & 16711935) AS b1 FROM c),
+              s2 AS (SELECT x, y,
+                            ((a1 | (a1 << 4)) & 252645135) AS a2,
+                            ((b1 | (b1 << 4)) & 252645135) AS b2 FROM sx),
+              s3 AS (SELECT x, y,
+                            ((a2 | (a2 << 2)) & 858993459) AS a3,
+                            ((b2 | (b2 << 2)) & 858993459) AS b3 FROM s2),
+              s4 AS (SELECT x, y,
+                            ((a3 | (a3 << 1)) & 1431655765) AS xs,
+                            ((b3 | (b3 << 1)) & 1431655765) AS ys FROM s3),
+              keyed AS (SELECT x, y,
+                               CAST((xs | (ys << 1)) >> 24 AS INT) AS bucket FROM s4)
+         SELECT bucket, count(*) AS cnt,
+                min(x) AS min_x, max(x) AS max_x,
+                min(y) AS min_y, max(y) AS max_y
+         FROM keyed GROUP BY 1""",
 
     "corpus_report" ->
       """WITH base AS (

@@ -140,6 +140,16 @@ object TextAnalysis {
     * identical semantics in java.util.regex and RE2/DuckDB). */
   val stopProbe: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
 
+  /** Unicode NFC normalization — the standard first step of text
+    * curation (combining-mark sequences, compatibility variants and
+    * precomposed forms must agree before any hashing/dedup/shingling,
+    * or "é" ≠ "é" splits identical documents). Per-row JDK normalizer
+    * (no expression form exists); null-in → null-out. */
+  def nfcNormalize(text: Column): Column = udf { (s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+  }.apply(text)
+
   /** Deflate compressibility ratio (compressed/raw bytes, level 6) — the
     * redundancy signal the Gopher/RefinedWeb pipelines use next to the
     * duplicate-k-gram fraction: boilerplate and template spam compress
