@@ -1014,10 +1014,9 @@ object SparkEntry {
     }),
 
     "unicode_normalize" -> ((s, dir) =>
-      // NFC normalization pass: normalized text + already-normalized
-      // flag (NFC must precede any hash-based dedup; CurationSpec holds
-      // the non-ASCII known-answer cases — this corpus is ASCII, so the
-      // oracle checks the plumbing and the flag semantics).
+      // NFC normalization pass (must precede any hash-based dedup).
+      // This corpus is ASCII, so the oracle checks the plumbing; the
+      // non-ASCII known-answer cases live in LayoutSpec.
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.nfcNormalize(col("text")).as("norm_text"))
         .withColumn("n_chars_norm", length(col("norm_text")).cast("bigint"))),

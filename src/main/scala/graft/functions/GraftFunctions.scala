@@ -21,7 +21,6 @@ object GraftFunctions {
     * guard (a previous identity-hash-keyed guard could silently SKIP a
     * session on hash collision, and leaked one key per session). */
   def register(spark: SparkSession): Unit = {
-    {
       val udf = spark.udf
 
       // F1: Excel serial -> "yyyy-mm-dd[ hh:mm:ss]" (1900-bug semantics,
@@ -99,7 +98,6 @@ object GraftFunctions {
             .replaceAll(graft.operators.Privacy.Ipv4Pattern, "<IP>")
             .replaceAll(graft.operators.Privacy.PhonePattern, "<PHONE>"))
 
-    }
   }
 
   /** FNV-1a 64-bit over UTF-8 bytes — deterministic rolling hash. */

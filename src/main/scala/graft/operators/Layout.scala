@@ -28,9 +28,9 @@ object Layout {
   }
 
   /** 32-bit Morton key from the low 16 bits of two integral columns:
-    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. Callers
-    * with wider domains fold first (e.g. `pmod(col, 65536)`) or bucket
-    * coarser — the key only needs to be ORDER-defining, not lossless. */
+    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. Wider
+    * domains are folded mod 2^16 internally — the key only needs to be
+    * ORDER-defining, not lossless. */
   def mortonKey(a: Column, b: Column): Column =
     spread16(pmod(a, lit(65536L)).cast("long"))
       .bitwiseOR(shiftleft(spread16(pmod(b, lit(65536L)).cast("long")), 1))
