@@ -1013,6 +1013,24 @@ object SparkEntry {
         e.filter(col("vec_id") < 10), "vec_id", "e", p, k = 5, nprobe = 8)
     }),
 
+    "winsorize" -> ((s, dir) => {
+      // Robust-stats cleaning: clamp a heavy-tailed metric to its
+      // [p01, p99] and report the effect — the outlier-trimming pass
+      // before normalizing any numeric feature. Exact percentiles ride
+      // a broadcast one-row frame; one full scan each side.
+      val b = t(s, dir, "orders").agg(
+        expr("percentile(o_totalprice, 0.01)").as("lo"),
+        expr("percentile(o_totalprice, 0.99)").as("hi"))
+      t(s, dir, "orders").crossJoin(broadcast(b))
+        .select(greatest(least(col("o_totalprice"), col("hi")), col("lo")).as("wv"),
+          (col("o_totalprice") < col("lo") || col("o_totalprice") > col("hi")).as("clipped"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("clipped"), 1L).otherwise(0L)).as("n_clipped"),
+          round(avg(col("wv")), 4).as("mean_winsorized"),
+          round(min(col("wv")), 4).as("min_w"),
+          round(max(col("wv")), 4).as("max_w"))
+    }),
+
     "unicode_normalize" -> ((s, dir) =>
       // NFC normalization pass (must precede any hash-based dedup).
       // This corpus is ASCII, so the oracle checks the plumbing; the
@@ -2034,6 +2052,18 @@ object SparkEntry {
                           ORDER BY ts DESC, event_id DESC) AS rn
                FROM events) t
          WHERE rn = 1""",
+
+    "winsorize" ->
+      """WITH b AS (SELECT quantile_cont(o_totalprice, 0.01) AS lo,
+                           quantile_cont(o_totalprice, 0.99) AS hi FROM orders),
+              w AS (SELECT greatest(least(o_totalprice, b.hi), b.lo) AS wv,
+                           (o_totalprice < b.lo OR o_totalprice > b.hi) AS clipped
+                    FROM orders CROSS JOIN b)
+         SELECT count(*) AS n_rows,
+                CAST(sum(CASE WHEN clipped THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+                round(avg(wv), 4) AS mean_winsorized,
+                round(min(wv), 4) AS min_w, round(max(wv), 4) AS max_w
+         FROM w""",
 
     "unicode_normalize" ->
       """SELECT doc_id, nfc_normalize(text) AS norm_text,
