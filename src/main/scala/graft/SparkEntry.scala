@@ -1889,7 +1889,7 @@ object SparkEntry {
                              sum(n_tokens) OVER (PARTITION BY shard ORDER BY mixed, doc_id
                                                  ROWS UNBOUNDED PRECEDING) AS cum_tokens
                       FROM sharded),
-              packed AS (SELECT shard, CAST(floor((cum_tokens - 1) / 256) AS INT) AS pack_id,
+              packed AS (SELECT shard, CAST(greatest(0, floor((cum_tokens - 1) / 256)) AS INT) AS pack_id,
                                 doc_id, n_tokens FROM cum)
          SELECT shard, pack_id, count(doc_id) AS n_docs,
                 CAST(sum(n_tokens) AS BIGINT) AS tokens,
@@ -2003,7 +2003,7 @@ object SparkEntry {
                              sum(n_tokens) OVER (PARTITION BY shard ORDER BY mixed, doc_id
                                                  ROWS UNBOUNDED PRECEDING) AS cum_tokens
                       FROM sharded),
-              packed AS (SELECT shard, CAST(floor((cum_tokens - 1) / 256) AS INT) AS pack_id,
+              packed AS (SELECT shard, CAST(greatest(0, floor((cum_tokens - 1) / 256)) AS INT) AS pack_id,
                                 doc_id, text, mixed, n_tokens FROM cum)
          SELECT shard, pack_id, count(*) AS n_docs,
                 CAST(sum(n_tokens) AS BIGINT) AS tokens,

@@ -89,7 +89,9 @@ object Chunking {
         mixed.as("mixed"), pmod(mixed, lit(numShards)).cast("int").as("shard"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .select(col(idCol), col("shard"),
-        floor((col("cum_tokens") - 1) / budget).cast("int").as("pack_id"),
+        // clamp: a zero-token doc first in its shard has cum_tokens=0 and
+        // floor(-1/budget) would assign pack_id = -1
+        greatest(lit(0), floor((col("cum_tokens") - 1) / budget)).cast("int").as("pack_id"),
         col("n_tokens"), col("cum_tokens"))
   }
 

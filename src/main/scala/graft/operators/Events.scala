@@ -28,6 +28,12 @@ object Events {
   def funnelCounts(df: DataFrame, userCol: String, typeCol: String,
       tsCol: String, steps: Seq[String], within: Option[String] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // fail a malformed horizon at the API boundary with a clear message,
+    // not an opaque Catalyst parse error at plan time
+    within.foreach { w =>
+      require(w.trim.matches("""(?i)\d+\s+(second|minute|hour|day|week|month|year)s?"""),
+        s"within must look like '<n> <unit>' (e.g. '1 hour', '30 minutes'); got '$w'")
+    }
     val stages = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (step, _)) =>
         val hits = df.filter(col(typeCol) === step)

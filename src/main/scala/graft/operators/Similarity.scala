@@ -270,10 +270,12 @@ object Similarity {
       val scored = Array.tabulate(cents.length)(c => (dotStrict(x, cents(c)), c))
       scored.sortBy(-_._1).take(np).map(_._2)
     }
+    // no persist: the query side is small by contract (it's the probe set,
+    // not the corpus), so recomputing the probe UDF once for the cell list
+    // and once in the join is cheaper than leaking a session cache entry
     val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("qv"))
       .withColumn("cell", explode(probeUdf(col("qv"))))
       .withColumn("qn", l2norm(col("qv")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // literal IN on the partition column -> static directory pruning
     val probedCells = q.select("cell").distinct().collect().map(_.getInt(0))
     val c = spark.read.parquet(s"$path/corpus")

@@ -202,9 +202,18 @@ object XlsxPartitionReader {
     // converter: the stringly fallback is ONLY valid for string-ish
     // schemas — returning UTF8String into e.g. a BinaryType slot would
     // CCE in generated code, so map what we can and null the rest
+    // the write path (XlsxWrite/XlsxInMemory) Base64-encodes binary cells,
+    // so decode here for a lossless roundtrip; foreign files with arbitrary
+    // non-base64 text fall back to the raw UTF-8 bytes of the cell text
     case BinaryType => c =>
       if (c == CellValue.Empty) null
-      else c.asString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      else {
+        val s = c.asString
+        try java.util.Base64.getDecoder.decode(s)
+        catch { case _: IllegalArgumentException =>
+          s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
+      }
     case _ => c => if (c == CellValue.Empty) null else UTF8String.fromString(c.asString)
   }
 

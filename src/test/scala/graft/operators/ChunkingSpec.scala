@@ -66,6 +66,18 @@ class ChunkingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(packed(1L) === 3 && packed(3L) === 2)
   }
 
+  test("packSequences: zero-token doc first in its shard gets pack_id 0, not -1") {
+    val s = spark
+    import s.implicits._
+    // single shard, and choose the null doc's id so its mixed key sorts
+    // first: cum_tokens = 0 at the head would floor((0-1)/budget) to -1
+    val df = Seq((0L, null.asInstanceOf[String]), (1L, "a b"), (2L, "c"))
+      .toDF("id", "text")
+    val packs = Chunking.packSequences(df, "id", "text", budget = 8, numShards = 1)
+      .collect().map(r => r.getAs[Int]("pack_id"))
+    assert(packs.forall(_ >= 0), s"negative pack_id in ${packs.mkString(",")}")
+  }
+
   test("packSequences: packs are contiguous, never split a doc, and overflow by < one doc") {
     val rows = (0L until 100L).map(i => (i, ("tok " * (5 + (i % 7).toInt)).trim))
     val packed = Chunking.packSequences(docs(rows: _*), "id", "text",

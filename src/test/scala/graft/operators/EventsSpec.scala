@@ -75,6 +75,15 @@ class EventsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(open.map(_.getLong(2)).toSeq === Seq(2L, 2L))
   }
 
+  test("funnel: malformed `within` fails fast with a clear argument error") {
+    val df = events((1L, "view", "2024-01-01 10:00:00"))
+    val ex = intercept[IllegalArgumentException] {
+      Events.funnelCounts(df, "user_id", "event_type", "ts",
+        Seq("view", "click"), within = Some("1 hr"))
+    }
+    assert(ex.getMessage.contains("within"))
+  }
+
   test("retention: cohort by first-seen date, periods in unitDays buckets") {
     val df = events(
       (1L, "view", "2024-01-01 10:00:00"), // cohort 2024-01-01

@@ -51,6 +51,24 @@ class XlsxDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[java.sql.Timestamp]("ts").toString === "2022-01-01 12:00:03.0")
   }
 
+  test("BinaryType roundtrip: write base64-encodes, read decodes back to bytes") {
+    val dir = tmp() + "/bin"
+    // includes bytes that are NOT valid UTF-8 text (0xFF, 0x00) — a raw
+    // text-bytes read would corrupt these
+    val df = spark.range(5).select(col("id"),
+      expr("concat(unhex('FF00'), encode(cast(id AS string), 'UTF-8'))").as("payload"))
+    df.write.mode("overwrite").format("xlsx").option("header", "true").save(dir)
+    val schema = StructType(Seq(StructField("id", LongType), StructField("payload", BinaryType)))
+    val back = spark.read.format("xlsx").option("header", "true").schema(schema).load(dir)
+      .orderBy("id").collect()
+    val orig = df.orderBy("id").collect()
+    assert(back.length === 5)
+    back.zip(orig).foreach { case (b, o) =>
+      assert(java.util.Arrays.equals(b.getAs[Array[Byte]]("payload"),
+        o.getAs[Array[Byte]]("payload")), s"binary mismatch at id=${b.getLong(0)}")
+    }
+  }
+
   test("column pruning reaches the scan") {
     val dir = tmp() + "/t2"
     spark.range(10).selectExpr("id", "id*2 AS a", "id*3 AS b")
