@@ -4,7 +4,7 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import graft.xlsx.XlsxReader
+import graft.xlsx.{XlsxReader, ZipRandom}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.SparkContext
@@ -100,12 +100,55 @@ object XlsxTable {
     val path = new Path(file)
     val uri = path.toUri
     // Local files get ZIP central-directory random access (no per-entry
-    // archive rescan); remote filesystems stream.
+    // archive rescan); remote filesystems get the same via ranged reads
+    // over the seekable Hadoop stream (ZipRandom), falling back to a
+    // sequential archive scan only if the central directory won't parse.
     if (uri.getScheme == null || uri.getScheme == "file")
       XlsxReader.forFile(uri.getPath)
     else {
       val fs = path.getFileSystem(conf)
-      new XlsxReader(() => fs.open(path))
+      val seekable = hadoopSeekable(fs, path)
+      val opener = scala.util.Try {
+        val byName = ZipRandom.entries(seekable).map(e => e.name -> e).toMap
+        (name: String) => byName.get(name).map(e => ZipRandom.openEntry(seekable, e))
+      }.toOption
+      new XlsxReader(() => fs.open(path), opener)
+    }
+  }
+
+  /** Positional-read adapter over a Hadoop file: every access is an
+    * independent ranged read (the S3A GET-with-Range pattern), so one
+    * instance may back many concurrent entry streams. */
+  private def hadoopSeekable(fs: FileSystem, path: Path): ZipRandom.SeekableInput =
+    new ZipRandom.SeekableInput {
+      override val length: Long = fs.getFileStatus(path).getLen
+      override def readFully(pos: Long, buf: Array[Byte], off: Int, len: Int): Unit = {
+        val in = fs.open(path)
+        try in.readFully(pos, buf, off, len) finally in.close()
+      }
+      override def openAt(pos: Long): java.io.InputStream = {
+        val in = fs.open(path)
+        in.seek(pos)
+        in
+      }
+    }
+
+  /** Decompressed sizes of the ZIP entries of one xlsx — the planning input
+    * for sheet splitting. Central-directory read only (cheap). */
+  def entrySizes(file: String, conf: Configuration): Map[String, Long] = {
+    val path = new Path(file)
+    val uri = path.toUri
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      val zf = new java.util.zip.ZipFile(uri.getPath)
+      try {
+        val it = zf.entries()
+        val b = Map.newBuilder[String, Long]
+        while (it.hasMoreElements) { val e = it.nextElement(); b += (e.getName -> e.getSize) }
+        b.result()
+      } finally zf.close()
+    } else {
+      val fs = path.getFileSystem(conf)
+      ZipRandom.entries(hadoopSeekable(fs, path)).map(e => e.name -> e.uncompressedSize).toMap
     }
   }
 

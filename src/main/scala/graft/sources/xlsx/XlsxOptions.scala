@@ -20,12 +20,19 @@ final case class XlsxOptions(
     columnStyles: Seq[Int],       // write: per-column style ids, 1:1 with schema order
     sheetColumn: Option[String],  // write: route rows to a sheet named by this column
     formulaPrefix: Option[String], // write: string cells starting with this become formulas
-    sheetNameColumn: Option[String] // read: append a column carrying the source sheet name
+    sheetNameColumn: Option[String], // read: append a column carrying the source sheet name
+    splitSheets: Boolean,         // read: fan large sheets out over multiple tasks
+    splitBytes: Long              // read: target decompressed XML bytes per task
 ) extends Serializable
 
 object XlsxOptions {
   /** Excel's hard per-sheet row limit. */
   val ExcelMaxRows = 1048576L
+
+  /** Default decompressed-XML bytes per read task (mirrors the spirit of
+    * `spark.sql.files.maxPartitionBytes`: large enough that task overhead
+    * amortizes, small enough that one big sheet spreads over a cluster). */
+  val DefaultSplitBytes: Long = 128L * 1024 * 1024
 
   def apply(m: CaseInsensitiveStringMap): XlsxOptions = XlsxOptions(
     sheet = Option(m.get("sheet")),
@@ -44,7 +51,12 @@ object XlsxOptions {
     formulaPrefix = Option(m.get("formulaPrefix")).map { p =>
       require(p.nonEmpty, "formulaPrefix must be non-empty"); p
     },
-    sheetNameColumn = Option(m.get("sheetNameColumn"))
+    sheetNameColumn = Option(m.get("sheetNameColumn")),
+    splitSheets = m.getBoolean("splitSheets", true),
+    splitBytes = {
+      val b = m.getLong("splitBytes", DefaultSplitBytes)
+      require(b >= 64 * 1024, s"splitBytes must be >= 64 KiB, got $b"); b
+    }
   )
 
   /** The reference's 12-field protection surface as `protect.*` options

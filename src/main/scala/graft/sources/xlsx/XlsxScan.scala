@@ -68,13 +68,52 @@ final class XlsxScan(
   override def estimateStatistics(): Statistics = stats
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // One partition per file; the sheet *spec* (not resolved names) rides
-    // along and executors resolve it when they open the file anyway.
-    // Resolving here would open every ZIP on the driver — 10k files =
-    // 10k driver-side opens before the first task launches.
-    listing.map { case (f, _) =>
-      XlsxInputPartition(f, opts.sheet, opts.sheetIndex, opts.allSheets): InputPartition
+    // Default: one partition per file; the sheet *spec* (not resolved
+    // names) rides along and executors resolve it when they open the file
+    // anyway. Resolving here would open every ZIP on the driver — 10k
+    // files = 10k driver-side opens before the first task launches.
+    //
+    // Large files additionally split each selected sheet into positional
+    // row ranges, so a single multi-GB sheet fans out over the cluster
+    // instead of serializing into one task (the reference is single-
+    // threaded here, ref: src/streaming_reader.rs:523-590). The driver-side
+    // cost is paid ONLY for files above the split threshold, and is one
+    // central-directory read + one bounded row-density sample per file.
+    listing.flatMap { case (f, zipSize) =>
+      val whole = Seq(XlsxInputPartition(f, opts.sheet, opts.sheetIndex, opts.allSheets))
+      // cheap pre-filter on the compressed size: XML deflates ~5x, so a
+      // zip below splitBytes/5 cannot contain a splittable sheet
+      if (!opts.splitSheets || zipSize * 5L <= opts.splitBytes) whole
+      else scala.util.Try(planSplits(f)).getOrElse(whole)
     }.toArray
+  }
+
+  /** Split plan for one large file: resolve sheets, split any sheet whose
+    * decompressed XML exceeds splitBytes into contiguous row ranges sized
+    * from a sampled rows-per-byte density. Ranges partition [0, ∞) — the
+    * last is open-ended — so a density misestimate skews range sizes but
+    * can never lose or duplicate a row. */
+  private def planSplits(f: String): Seq[XlsxInputPartition] = {
+    val reader = XlsxTable.openReader(f, conf.value)
+    val sheets = XlsxTable.selectSheets(reader, opts)
+    val byName = reader.sheetCatalog.toMap
+    val sizes = XlsxTable.entrySizes(f, conf.value)
+    sheets.flatMap { s =>
+      val entryBytes = byName.get(s).flatMap(sizes.get).getOrElse(0L)
+      val nSplits = math.min(entryBytes / opts.splitBytes + 1, 4096L).toInt
+      val estRows = if (nSplits > 1) reader.estimateRows(s, entryBytes).getOrElse(0L) else 0L
+      if (nSplits <= 1 || estRows < 2L * nSplits)
+        Seq(XlsxInputPartition(f, opts.sheet, opts.sheetIndex, allSheets = false,
+          resolvedSheet = Some(s)))
+      else {
+        val rowsPerSplit = math.max(1L, estRows / nSplits + 1)
+        (0 until nSplits).map { i =>
+          XlsxInputPartition(f, opts.sheet, opts.sheetIndex, allSheets = false,
+            resolvedSheet = Some(s), rowStart = i * rowsPerSplit,
+            rowEnd = if (i == nSplits - 1) Long.MaxValue else (i + 1) * rowsPerSplit)
+        }
+      }
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -92,11 +131,18 @@ final class XlsxScan(
   }
 }
 
+/** One read task. Default = every selected sheet of one file. When
+  * `resolvedSheet` is set the task reads exactly that sheet, restricted to
+  * physical row indexes `[rowStart, rowEnd)` — the split form planned for
+  * large sheets. */
 final case class XlsxInputPartition(
     file: String,
     sheet: Option[String],
     sheetIndex: Option[Int],
-    allSheets: Boolean) extends InputPartition
+    allSheets: Boolean,
+    resolvedSheet: Option[String] = None,
+    rowStart: Long = 0L,
+    rowEnd: Long = Long.MaxValue) extends InputPartition
 
 final case class XlsxReaderFactory(
     required: StructType,
@@ -128,18 +174,25 @@ final class XlsxPartitionReader(
 
   private val rows: Iterator[Vector[CellValue]] = {
     val reader = XlsxTable.openReader(partition.file, conf)
-    val opts = XlsxOptions(
-      sheet = partition.sheet, sheetIndex = partition.sheetIndex,
-      allSheets = partition.allSheets, header = header, compression = 6,
-      inferSchemaRows = 0, maxRowsPerSheet = XlsxOptions.ExcelMaxRows,
-      protection = None, columnWidths = Seq.empty, columnStyles = Seq.empty,
-      sheetColumn = None, formulaPrefix = None, sheetNameColumn = None)
-    val sheets = XlsxTable.selectSheets(reader, opts)
+    val sheets = partition.resolvedSheet match {
+      case Some(s) => Seq(s) // split partitions resolved sheets at planning
+      case None =>
+        val opts = XlsxOptions(
+          sheet = partition.sheet, sheetIndex = partition.sheetIndex,
+          allSheets = partition.allSheets, header = header, compression = 6,
+          inferSchemaRows = 0, maxRowsPerSheet = XlsxOptions.ExcelMaxRows,
+          protection = None, columnWidths = Seq.empty, columnStyles = Seq.empty,
+          sheetColumn = None, formulaPrefix = None, sheetNameColumn = None,
+          splitSheets = false, splitBytes = XlsxOptions.DefaultSplitBytes)
+        XlsxTable.selectSheets(reader, opts)
+    }
     sheets.iterator.flatMap { s =>
-      val it = reader.rows(s)
+      val it = reader.rows(s, partition.rowStart, partition.rowEnd)
       openIter = it
       currentSheet = UTF8String.fromString(s)
-      if (header && it.hasNext) it.next() // skip header row per sheet
+      // the header row is physical row 0, so only the range containing it
+      // skips one row; later splits start directly on data rows
+      if (header && partition.rowStart == 0L && it.hasNext) it.next()
       it
     }
   }

@@ -135,16 +135,26 @@ final class XlsxReader(
   /** Stream rows of one sheet. The returned iterator owns a stream; it is
     * closed automatically on exhaustion. Callers that may stop early
     * (e.g. LIMIT) must call `close()` — it is idempotent. */
-  def rows(sheetName: String): XlsxReader.RowIter = {
+  def rows(sheetName: String): XlsxReader.RowIter = rows(sheetName, 0L, Long.MaxValue)
+
+  /** Stream a positional row range `[startRow, endRow)` of one sheet
+    * (0-based physical `<row>` index, header included). Rows before
+    * `startRow` are skimmed at the XML-token level — no cell parse, no SST
+    * lookups, no allocation — and the stream closes as soon as `endRow` is
+    * reached, so a task reading an early slice never inflates the tail.
+    * This is what lets one large sheet fan out across many Spark tasks:
+    * each task pays inflate+tokenize for its prefix but full decode only
+    * for its own slice. */
+  def rows(sheetName: String, startRow: Long, endRow: Long): XlsxReader.RowIter = {
     val path = sheetCatalog.collectFirst { case (n, p) if n == sheetName => p }
       .getOrElse(throw new IllegalArgumentException(
         s"sheet '$sheetName' not found; sheets: ${sheetNames.mkString(", ")}"))
-    rowsAt(path)
+    rowsAt(path, startRow, endRow)
   }
 
   def rowsByIndex(i: Int): XlsxReader.RowIter = {
     require(i >= 0 && i < sheetCatalog.size, s"sheet index $i out of range")
-    rowsAt(sheetCatalog(i)._2)
+    rowsAt(sheetCatalog(i)._2, 0L, Long.MaxValue)
   }
 
   /** Row/column extent by full scan, like the reference's dimensions()
@@ -156,13 +166,43 @@ final class XlsxReader(
     (nRows, maxCols)
   }
 
-  private def rowsAt(path: String): XlsxReader.RowIter = {
+  private def rowsAt(path: String, startRow: Long, endRow: Long): XlsxReader.RowIter = {
     val sst = sharedStrings
     openEntry(path) match {
       case None => XlsxReader.RowIter.empty
       case Some(in) =>
         val xr = factory.createXMLStreamReader(in)
-        new RowIterator(xr, in, sst, date1904, dateStyleIds)
+        new RowIterator(xr, in, sst, date1904, dateStyleIds, startRow, endRow)
+    }
+  }
+
+  /** Planning aid for sheet splitting: estimate the number of `<row>`
+    * elements from a bounded sample of the decompressed sheet XML. Reads at
+    * most `sampleBytes`; if the whole entry fits in the sample the count is
+    * exact, otherwise it extrapolates by `entrySize` (the decompressed size
+    * from the ZIP central directory). Raw-byte scan, no XML parse — `<row`
+    * as markup can't appear inside text content (it would be escaped) and
+    * ASCII never occurs inside UTF-8 multi-byte sequences. */
+  def estimateRows(sheetName: String, entrySize: Long, sampleBytes: Int = 256 * 1024): Option[Long] = {
+    val path = sheetCatalog.collectFirst { case (n, p) if n == sheetName => p }
+    path.flatMap(openEntry).map { in =>
+      try {
+        val buf = new Array[Byte](sampleBytes)
+        var read = 0
+        var n = in.read(buf, 0, sampleBytes)
+        while (n > 0 && read + n < sampleBytes) { read += n; n = in.read(buf, read, sampleBytes - read) }
+        if (n > 0) read += n
+        var count = 0L
+        var i = 0
+        while (i + 4 < read) {
+          if (buf(i) == '<' && buf(i + 1) == 'r' && buf(i + 2) == 'o' && buf(i + 3) == 'w' &&
+              (buf(i + 4) == ' ' || buf(i + 4) == '>' || buf(i + 4) == '/')) count += 1
+          i += 1
+        }
+        val exhausted = read < sampleBytes
+        if (exhausted || read == 0) count
+        else math.max(count, count * entrySize / read)
+      } finally in.close()
     }
   }
 
@@ -280,17 +320,22 @@ object XlsxReader {
     }
 
   /** Pull-parse `<row>` elements into CellValue vectors with A1-gap
-    * back-fill (ref: src/streaming_reader.rs:593-724). */
+    * back-fill (ref: src/streaming_reader.rs:593-724). `[startRow, endRow)`
+    * bounds by 0-based physical row index: earlier rows are skimmed without
+    * cell parsing, and the stream closes the moment `endRow` is reached. */
   private final class RowIterator(
       xr: XMLStreamReader,
       underlying: java.io.Closeable,
       sst: Vector[String],
       date1904: Boolean,
-      dateStyles: Set[Int]
+      dateStyles: Set[Int],
+      startRow: Long = 0L,
+      endRow: Long = Long.MaxValue
   ) extends RowIter {
 
     private var nextRow: Vector[CellValue] = _
     private var done = false
+    private var rowIdx = -1L
     advance()
 
     override def close(): Unit = finish()
@@ -307,13 +352,27 @@ object XlsxReader {
       try {
         while (xr.hasNext) {
           if (xr.next() == XMLStreamConstants.START_ELEMENT && xr.getLocalName == "row") {
-            nextRow = parseRow()
-            return
+            rowIdx += 1
+            if (rowIdx >= endRow) { finish(); return }
+            if (rowIdx >= startRow) { nextRow = parseRow(); return }
+            skipRow() // before the range: skim the subtree, no cell decode
           }
         }
         finish()
       } catch {
         case e: Exception => finish(); throw e
+      }
+    }
+
+    /** Consume the current `<row>` subtree without materializing cells. */
+    private def skipRow(): Unit = {
+      var depth = 1
+      while (depth > 0) {
+        xr.next() match {
+          case XMLStreamConstants.START_ELEMENT => depth += 1
+          case XMLStreamConstants.END_ELEMENT   => depth -= 1
+          case _ =>
+        }
       }
     }
 

@@ -79,6 +79,35 @@ class XlsxDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.agg(sum("b")).collect()(0).getLong(0) === 135)
   }
 
+  test("large single sheet splits into multiple input partitions with identical results") {
+    val dir = tmp() + "/split"
+    // one part file, one sheet, enough rows that a small splitBytes forces
+    // several row-range partitions
+    spark.range(20000).selectExpr("id", "concat('name-', id) AS s", "id * 1.5 AS v")
+      .coalesce(1)
+      .write.mode("overwrite").format("xlsx").option("header", "true").save(dir)
+    def read(split: Boolean) = spark.read.format("xlsx")
+      .option("header", "true")
+      .option("splitSheets", split.toString)
+      .option("splitBytes", 64 * 1024) // 64 KiB -> many splits for ~1 MB of XML
+      .load(dir)
+    val whole = read(split = false)
+    val split = read(split = true)
+    assert(whole.rdd.getNumPartitions === 1, "unsplit read should be one task")
+    assert(split.rdd.getNumPartitions > 1,
+      s"expected >1 partition, got ${split.rdd.getNumPartitions}")
+    // identical content: same count, same sum, no lost/duplicated rows
+    assert(split.count() === 20000L)
+    assert(split.agg(sum("id")).collect()(0).getLong(0) ===
+      whole.agg(sum("id")).collect()(0).getLong(0))
+    assert(split.select("id").except(whole.select("id")).count() === 0L)
+    assert(whole.select("id").except(split.select("id")).count() === 0L)
+    // a row lands with its full cells intact across a split boundary
+    val r = split.filter(col("id") === 12345).collect()(0)
+    assert(r.getAs[String]("s") === "name-12345")
+    assert(r.getAs[Double]("v") === 18517.5)
+  }
+
   test("partition-parallel write produces one part file per partition; read unions them") {
     val dir = tmp() + "/t3"
     spark.range(1000).repartition(8).write.mode("overwrite").format("xlsx").option("header", "true").save(dir)

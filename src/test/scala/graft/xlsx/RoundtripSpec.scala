@@ -92,6 +92,39 @@ class RoundtripSpec extends AnyFunSuite {
     assert(r.dimensions(r.sheetNames.head) == (1000L, 2))
   }
 
+  test("row ranges: disjoint slices concatenate to the full sheet; skim skips cell decode") {
+    val r = roundtrip { w =>
+      (0 until 2000).foreach(i => w.writeRowTyped(Seq(IntVal(i), Str(s"v$i"))))
+    }
+    val sheet = r.sheetNames.head
+    val all = r.rows(sheet).toVector
+    assert(all.size == 2000)
+    val sliced = Vector((0L, 700L), (700L, 1500L), (1500L, Long.MaxValue))
+      .flatMap { case (a, b) => r.rows(sheet, a, b).toVector }
+    assert(sliced == all, "range concat differs from whole-sheet read")
+    // an empty and an out-of-range slice are empty, not errors
+    assert(r.rows(sheet, 5, 5).toVector.isEmpty)
+    assert(r.rows(sheet, 5000, 6000).toVector.isEmpty)
+    // mid-sheet slice starts exactly at its positional index
+    assert(r.rows(sheet, 1234, 1235).next() == Vector[CellValue](IntVal(1234), Str("v1234")))
+  }
+
+  test("estimateRows: exact when the sample covers the sheet; extrapolation scales with entrySize") {
+    val r = roundtrip { w =>
+      (0 until 3000).foreach(i => w.writeRowTyped(Seq(IntVal(i), Str(s"value-$i"))))
+    }
+    val sheet = r.sheetNames.head
+    // sample big enough to cover the whole entry -> exact count, entrySize ignored
+    val exact = r.estimateRows(sheet, entrySize = 1L << 30, sampleBytes = 1 << 26)
+    assert(exact.contains(3000L))
+    // truncated sample -> linear extrapolation in entrySize (the mechanics
+    // under test; absolute accuracy depends on row-size uniformity)
+    val est1 = r.estimateRows(sheet, entrySize = 100000L, sampleBytes = 8 * 1024).get
+    val est2 = r.estimateRows(sheet, entrySize = 200000L, sampleBytes = 8 * 1024).get
+    assert(est1 > 0L)
+    assert(math.abs(est2 - 2 * est1) <= 1L, s"est2=$est2 not ~2x est1=$est1")
+  }
+
   test("B9: styled rows keep values; date styles decode as DateTime") {
     val r = roundtrip { w =>
       w.writeRowStyled(Seq(
