@@ -339,6 +339,22 @@ object SparkEntry {
       s.read.format("xlsx").option("header", "true").load(p)
     }),
 
+    // Filter pushdown + sheet splitting exercised together: one part file
+    // forced to split into many row-range tasks, each pre-skipping rows on
+    // the pushed predicates before Catalyst conversion.
+    "xlsx_scan_filtered" -> ((s, dir) => {
+      val p = work(dir, "xlsx_scan_filtered")
+      li4(s, dir).coalesce(1).write.mode("overwrite")
+        .format("xlsx").option("header", "true").save(p)
+      s.read.format("xlsx").option("header", "true")
+        .option("splitBytes", 64 * 1024).load(p)
+        .filter(col("l_quantity") >= 30 && col("l_returnflag") === "A")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_orderkey")).as("sum_key"),
+          sum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // l_quantity degrades to bigint through the xlsx cell model (integral
     // doubles print as "25"); cast the aggregate back to double so the
     // output type matches the oracle's sum(DOUBLE).
@@ -1364,6 +1380,13 @@ object SparkEntry {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                 CAST(n_regionkey AS BIGINT) AS n_regionkey
          FROM nation""",
+
+    "xlsx_scan_filtered" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+                CAST(sum(l_orderkey) AS BIGINT) AS sum_key,
+                CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+         FROM lineitem WHERE l_quantity >= 30 AND l_returnflag = 'A'
+         GROUP BY l_returnflag""",
 
     "xlsx_roundtrip" ->
       """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,

@@ -23,9 +23,10 @@ final class XlsxScanBuilder(
     opts: XlsxOptions,
     paths: Seq[String],
     conf: SerializableConfiguration
-) extends ScanBuilder with SupportsPushDownRequiredColumns {
+) extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = fullSchema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // Preserve source column order; requiredSchema may reorder.
@@ -33,7 +34,18 @@ final class XlsxScanBuilder(
     required = StructType(fullSchema.fields.filter(f => names.contains(f.name)))
   }
 
-  override def build(): Scan = new XlsxScan(fullSchema, required, opts, paths, conf)
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(XlsxFilters.supported(_, fullSchema))
+    // return EVERY filter as residual: the scan-side evaluation is a row
+    // pre-skip (cells -> skip before Catalyst conversion), and keeping the
+    // residual means it only ever has to be sound, not complete
+    filters
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  override def build(): Scan = new XlsxScan(fullSchema, required, opts, paths, conf, pushed)
 }
 
 final class XlsxScan(
@@ -41,13 +53,17 @@ final class XlsxScan(
     required: StructType,
     opts: XlsxOptions,
     paths: Seq[String],
-    conf: SerializableConfiguration
+    conf: SerializableConfiguration,
+    pushedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 ) extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String =
-    s"xlsx paths=${paths.mkString(",")} columns=${required.fieldNames.mkString(",")}"
+  override def description(): String = {
+    val f = if (pushedFilters.isEmpty) ""
+            else s" PushedFilters: [${pushedFilters.mkString(", ")}]"
+    s"xlsx paths=${paths.mkString(",")} columns=${required.fieldNames.mkString(",")}$f"
+  }
 
   // One listing per Scan instance, shared by statistics AND partition
   // planning — each used to re-list independently (and statistics built
@@ -127,7 +143,7 @@ final class XlsxScan(
       .zipWithIndex.map { case (f, i) => f.name -> i }.toMap
     val srcIdx = required.fields.map(f =>
       if (opts.sheetNameColumn.contains(f.name)) -1 else cellIdx(f.name))
-    XlsxReaderFactory(required, srcIdx, opts.header, conf)
+    XlsxReaderFactory(required, srcIdx, opts.header, conf, pushedFilters)
   }
 }
 
@@ -148,11 +164,12 @@ final case class XlsxReaderFactory(
     required: StructType,
     srcIdx: Array[Int],
     header: Boolean,
-    conf: SerializableConfiguration
+    conf: SerializableConfiguration,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[XlsxInputPartition]
-    new XlsxPartitionReader(p, required, srcIdx, header, conf.value)
+    new XlsxPartitionReader(p, required, srcIdx, header, conf.value, filters)
   }
 }
 
@@ -164,7 +181,8 @@ final class XlsxPartitionReader(
     required: StructType,
     srcIdx: Array[Int],
     header: Boolean,
-    conf: org.apache.hadoop.conf.Configuration
+    conf: org.apache.hadoop.conf.Configuration,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 ) extends PartitionReader[InternalRow] {
 
   // Track the currently-open sheet iterator so close() can release its
@@ -203,21 +221,52 @@ final class XlsxPartitionReader(
   private val width = srcIdx.length
   private val converters: Array[CellValue => Any] =
     required.fields.map(f => XlsxPartitionReader.converter(f.dataType))
+  // pushed-filter predicates over converted values; rows failing one are
+  // skipped BEFORE the remaining columns convert and the row allocates
+  private val compiled: Array[XlsxFilters.Compiled] =
+    XlsxFilters.compile(filters.toSeq, required)
+  private val filtered: Array[Boolean] = {
+    val a = new Array[Boolean](width)
+    compiled.foreach(c => a(c.pos) = true)
+    a
+  }
+
+  private def convertAt(i: Int, cells: Vector[CellValue]): Any = {
+    val ci = srcIdx(i)
+    if (ci == -1) currentSheet
+    else if (ci < cells.size) converters(i)(cells(ci))
+    else null
+  }
+
+  // scratch for phase-1 filter values: skipped rows allocate nothing
+  private val scratch = new Array[Any](width)
 
   override def next(): Boolean = {
-    if (!rows.hasNext) return false
-    val cells = rows.next()
-    val values = new Array[Any](width)
-    var i = 0
-    while (i < width) {
-      val ci = srcIdx(i)
-      if (ci == -1) values(i) = currentSheet
-      else if (ci < cells.size) values(i) = converters(i)(cells(ci))
-      i += 1
+    while (rows.hasNext) {
+      val cells = rows.next()
+      // phase 1: convert only filter columns, test, skip row on failure
+      var ok = true
+      var f = 0
+      while (ok && f < compiled.length) {
+        val c = compiled(f)
+        scratch(c.pos) = convertAt(c.pos, cells)
+        ok = c.test(scratch(c.pos))
+        f += 1
+      }
+      if (ok) {
+        // phase 2: convert the remaining columns into the row's own array
+        val values = new Array[Any](width)
+        var i = 0
+        while (i < width) {
+          values(i) = if (filtered(i)) scratch(i) else convertAt(i, cells)
+          i += 1
+        }
+        // wrap the array directly — InternalRow.fromSeq would copy it
+        current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+        return true
+      }
     }
-    // wrap the array directly — InternalRow.fromSeq would copy it
-    current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
-    true
+    false
   }
 
   override def get(): InternalRow = current

@@ -79,6 +79,27 @@ class XlsxDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.agg(sum("b")).collect()(0).getLong(0) === 135)
   }
 
+  test("filter pushdown: pushed filters reach the scan and results stay exact") {
+    val dir = tmp() + "/filt"
+    spark.range(1000).selectExpr("id", "concat('name-', id) AS s", "id * 2.0 AS v")
+      .write.mode("overwrite").format("xlsx").option("header", "true").save(dir)
+    val df = spark.read.format("xlsx").option("header", "true").load(dir)
+      .filter(col("id") >= 990 && col("s").startsWith("name-99"))
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters"), s"no pushed filters in scan: $scan")
+    assert(scan.contains("GreaterThanOrEqual(id,990)"), s"missing filter in: $scan")
+    val got = df.select("id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === (990L to 999L))
+    // disjunctions are residual-only (not pushed) but still correct
+    val or = spark.read.format("xlsx").option("header", "true").load(dir)
+      .filter(col("id") === 5 || col("id") === 998)
+    assert(or.count() === 2)
+    // IsNull pushdown keeps rows with genuinely missing cells
+    val nulls = spark.read.format("xlsx").option("header", "true").load(dir)
+      .filter(col("v").isNull)
+    assert(nulls.count() === 0)
+  }
+
   test("large single sheet splits into multiple input partitions with identical results") {
     val dir = tmp() + "/split"
     // one part file, one sheet, enough rows that a small splitBytes forces
