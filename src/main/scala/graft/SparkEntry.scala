@@ -884,6 +884,23 @@ object SparkEntry {
       Similarity.semanticDedup(planted, "id", "v", k = 8, threshold = 0.9)
     }),
 
+    // End-to-end IVF-trained SemDeDup (the production path): Lloyd-trained
+    // centroids, map-side assignment, within-cluster pair search. The
+    // oracle can't replay k-means, so the threshold (0.95) sits far above
+    // the corpus's max natural cosine (~0.51 at sf0.01) — the qualifying
+    // set is exactly the planted 2·v duplicates, which normalize
+    // identically and therefore co-cluster under ANY quantizer; cluster id
+    // is excluded from the output because it depends on training.
+    "semantic_dedup_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+      val planted = e.unionByName(
+        e.filter(col("id") < 100).select((col("id") + 100000).as("id"),
+          transform(col("v"), x => x * 2).as("v")))
+      Similarity.semanticDedupIvf(planted, "id", "v", nlist = 8, threshold = 0.95)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    }),
+
     "nb_classify" -> ((s, dir) =>
       // Corpus-trained multinomial Naive Bayes (the deterministic stand-in
       // for a fastText-style quality/domain classifier): model = two agg
@@ -1937,6 +1954,20 @@ object SparkEntry {
                                list_cosine_similarity(a.v, b.v) AS cos
                         FROM withv a JOIN withv b ON a.cluster = b.cluster AND a.id < b.id)
          SELECT cluster, id_a, id_b, round(cos, 4) AS cosine FROM pairs WHERE cos >= 0.9""",
+
+    // The IVF-trained variant can't replay k-means in SQL; at threshold
+    // 0.95 (>> max natural cosine ~0.51) the qualifying pairs are exactly
+    // the planted 2·v duplicates, which co-cluster under any quantizer —
+    // so a brute-force pair scan IS the exact oracle (cluster id omitted).
+    "semantic_dedup_ivf" ->
+      """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              planted AS (SELECT id, v FROM base
+                          UNION ALL
+                          SELECT id + 100000, list_transform(v, x -> x * 2) FROM base WHERE id < 100)
+         SELECT a.id AS id_a, b.id AS id_b,
+                round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+         FROM planted a JOIN planted b ON a.id < b.id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.95""",
 
     // Scores round to 6 dp BEFORE the per-doc argmax on both sides, so the
     // ranking is immune to sub-ulp summation-order differences.

@@ -333,6 +333,18 @@ object Similarity {
     * id_a, id_b, cosine) pairs at `threshold`+; survivors = ids absent
     * from id_b (lowest id per duplicate group wins, as in
     * [[Dedup.keepOnePerComponent]]). */
+  /** Production SemDeDup entry point: train an IVF quantizer on a bounded
+    * sample ([[trainIvfCentroids]]), then run [[semanticDedup]] with the
+    * trained centroids — assignment is a map-side argmax over a broadcast
+    * centroid table, so the only shuffle is the within-cluster self-join.
+    * The seed-centroid default of [[semanticDedup]] remains as the
+    * SQL-replicable oracle twin; this is the path a 100 TB corpus runs. */
+  def semanticDedupIvf(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, threshold: Double, iters: Int = 8): DataFrame =
+    semanticDedup(corpus, idCol, vecCol, nlist, threshold,
+      Some(trainIvfCentroids(corpus, idCol, vecCol, nlist, iters)))
+
   def semanticDedup(
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, threshold: Double,

@@ -22,7 +22,8 @@ final case class XlsxOptions(
     formulaPrefix: Option[String], // write: string cells starting with this become formulas
     sheetNameColumn: Option[String], // read: append a column carrying the source sheet name
     splitSheets: Boolean,         // read: fan large sheets out over multiple tasks
-    splitBytes: Long              // read: target decompressed XML bytes per task
+    splitBytes: Long,             // read: target decompressed XML bytes per task
+    rowHeight: Option[Double]     // write: default row height (points) for every sheet
 ) extends Serializable
 
 object XlsxOptions {
@@ -56,6 +57,10 @@ object XlsxOptions {
     splitBytes = {
       val b = m.getLong("splitBytes", DefaultSplitBytes)
       require(b >= 64 * 1024, s"splitBytes must be >= 64 KiB, got $b"); b
+    },
+    rowHeight = Option(m.get("rowHeight")).map { h =>
+      val v = h.toDouble
+      require(v > 0, s"rowHeight must be positive, got $h"); v
     }
   )
 

@@ -201,7 +201,8 @@ final class XlsxPartitionReader(
           inferSchemaRows = 0, maxRowsPerSheet = XlsxOptions.ExcelMaxRows,
           protection = None, columnWidths = Seq.empty, columnStyles = Seq.empty,
           sheetColumn = None, formulaPrefix = None, sheetNameColumn = None,
-          splitSheets = false, splitBytes = XlsxOptions.DefaultSplitBytes)
+          splitSheets = false, splitBytes = XlsxOptions.DefaultSplitBytes,
+          rowHeight = None)
         XlsxTable.selectSheets(reader, opts)
     }
     sheets.iterator.flatMap { s =>

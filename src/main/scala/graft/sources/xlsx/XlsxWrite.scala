@@ -187,7 +187,9 @@ final class XlsxDataWriter(
       n += 1
     }
     usedNames += candidate.toLowerCase
-    writer.addSheet(candidate, opts.columnWidths.zipWithIndex.map { case (w, i) => (i + 1, w) })
+    writer.addSheet(candidate,
+      opts.columnWidths.zipWithIndex.map { case (w, i) => (i + 1, w) },
+      opts.rowHeight)
     opts.protection.foreach(writer.protectSheet)
     if (opts.header) writer.writeHeaderBold(fields.map(_.name))
     rowsInSheet = 0L

@@ -43,15 +43,22 @@ final class XlsxWriter(out: OutputStream, compressionLevel: Int = 6) {
   /** Start a new worksheet; finishes the previous one.
     *
     * `colWidths` emits a real `<cols>` element (1-based column → width in
-    * Excel character units). The reference's `set_column_width` is a
-    * silent no-op stub (ref: src/fast_writer/ultra_low_memory.rs:74-82) —
+    * Excel character units). `defaultRowHeight` emits `<sheetFormatPr>` so
+    * every row of the sheet renders at that height without per-row cost.
+    * The reference's `set_column_width` / `set_next_row_height` are silent
+    * no-op stubs (ref: src/fast_writer/ultra_low_memory.rs:74-82) —
     * implemented for real here, a documented deviation (SURVEY §7.5). */
-  def addSheet(name: String, colWidths: Seq[(Int, Double)] = Nil): Unit = {
+  def addSheet(name: String, colWidths: Seq[(Int, Double)] = Nil,
+      defaultRowHeight: Option[Double] = None): Unit = {
     finishSheet()
     sheetNames :+= name
     zip.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${sheetNames.size}.xml"))
     write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""")
+    // schema order: sheetFormatPr precedes cols precedes sheetData
+    defaultRowHeight.foreach { h =>
+      write(s"""<sheetFormatPr defaultRowHeight="$h" customHeight="1"/>""")
+    }
     if (colWidths.nonEmpty) {
       sb.setLength(0)
       sb.append("<cols>")
@@ -135,11 +142,26 @@ final class XlsxWriter(out: OutputStream, compressionLevel: Int = 6) {
   def writeHeaderBold(names: IterableOnce[String]): Unit =
     writeRowStyled(names.iterator.map(n => (CellValue.Str(n): CellValue, CellStyle.HeaderBold)))
 
+  /** Explicit height (points) for the NEXT row written — the working
+    * equivalent of the reference's `set_next_row_height` stub
+    * (ref: src/fast_writer/ultra_low_memory.rs:74-82). One-shot: applies
+    * to the single following writeRow/writeRowStyled/writeRowTyped call. */
+  def setNextRowHeight(points: Double): Unit = {
+    require(points > 0, s"row height must be positive, got $points")
+    nextRowHeight = points
+  }
+  private var nextRowHeight: Double = -1
+
   private def startRow(): Unit = {
     if (!inSheet) addSheet("Sheet1")
     currentRow += 1
     sb.setLength(0)
-    sb.append("<row r=\"").append(currentRow).append("\">")
+    sb.append("<row r=\"").append(currentRow).append('"')
+    if (nextRowHeight > 0) {
+      sb.append(" ht=\"").append(nextRowHeight).append("\" customHeight=\"1\"")
+      nextRowHeight = -1
+    }
+    sb.append('>')
   }
 
   private def openCell(col: Int): Unit = {

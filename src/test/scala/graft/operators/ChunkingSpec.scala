@@ -179,6 +179,11 @@ class ChunkingSpec extends AnyFunSuite with BeforeAndAfterAll {
       centroids = Some(cents)).collect()
     assert(pairs.length === 1)
     assert((pairs(0).getAs[Long]("id_a"), pairs(0).getAs[Long]("id_b")) === (0L, 100L))
+    // the one-call production wrapper (train + dedup) finds the same pair
+    val viaIvf = Similarity.semanticDedupIvf(df, "id", "v", nlist = 3, threshold = 0.999)
+      .collect()
+    assert(viaIvf.length === 1)
+    assert((viaIvf(0).getAs[Long]("id_a"), viaIvf(0).getAs[Long]("id_b")) === (0L, 100L))
   }
 
   test("nbClassify: separable corpus classifies perfectly and deterministically") {

@@ -52,6 +52,38 @@ class XlsxExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.count() === 5)
   }
 
+  test("rowHeight option emits sheetFormatPr; setNextRowHeight emits per-row ht") {
+    val dir = Files.createTempDirectory("xh").toString + "/h"
+    spark.range(3).coalesce(1)
+      .write.mode("overwrite").format("xlsx")
+      .option("header", "true").option("rowHeight", "25.5").save(dir)
+    val f = new java.io.File(dir).listFiles().find(_.getName.endsWith(".xlsx")).get
+    val zip = new java.util.zip.ZipFile(f)
+    val xml = new String(zip.getInputStream(zip.getEntry("xl/worksheets/sheet1.xml")).readAllBytes())
+    zip.close()
+    assert(xml.contains("""<sheetFormatPr defaultRowHeight="25.5" customHeight="1"/>"""))
+    assert(xml.indexOf("sheetFormatPr") < xml.indexOf("<sheetData>"))
+    assert(spark.read.format("xlsx").option("header", "true").load(dir).count() === 3)
+
+    // per-row height through the core writer (the reference's stub, working)
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new graft.xlsx.XlsxWriter(bos)
+    w.addSheet("H")
+    w.setNextRowHeight(30)
+    w.writeRow(Seq("tall"))
+    w.writeRow(Seq("normal"))
+    w.close()
+    val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bos.toByteArray))
+    var sheetXml = ""
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (e.getName == "xl/worksheets/sheet1.xml") sheetXml = new String(zin.readAllBytes())
+      e = zin.getNextEntry
+    }
+    assert(sheetXml.contains("""<row r="1" ht="30.0" customHeight="1">"""))
+    assert(sheetXml.contains("""<row r="2">"""), "height must be one-shot")
+  }
+
   test("columnStyles option applies reference style presets per column") {
     val dir = Files.createTempDirectory("xs").toString + "/s"
     spark.range(3).selectExpr("id", "id * 0.5 AS pct").coalesce(1)
