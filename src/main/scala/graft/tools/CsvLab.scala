@@ -15,6 +15,12 @@ import org.apache.spark.storage.StorageLevel
   * custom CSV sink: the builtin writer is the fast path, and the gap to
   * BASELINE.md's 1.2M rows/s claim is hardware, not plan shape.
   *
+  * Tuning decomposition (round 7, same-JVM, later-in-session so equally
+  * warm): builtin 646K, +1MiB stream buffer 656K, +escapeQuotes=false
+  * 627K — all within run-to-run noise. Neither knob moves the ceiling;
+  * an earlier run that showed +27% for the combo was warm-up ordering
+  * (builtin measured first/coldest). Adjudication lives in BASELINE.md.
+  *
   * Run: {{{ sbt "runMain graft.tools.CsvLab /root/testdata/sf0.1" }}}
   */
 object CsvLab {
@@ -50,8 +56,21 @@ object CsvLab {
     val fastIso = best(li.select(line2.as("value")).coalesce(1)
       .write.mode("overwrite").text("/tmp/csvlab/fast_iso"))
 
+    // tuned variants: isolate buffer vs quote-detection effects
+    val bufOnly = {
+      spark.sparkContext.hadoopConfiguration.setInt("io.file.buffer.size", 1 << 20)
+      best(li.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv("/tmp/csvlab/buf"))
+    }
+    spark.sparkContext.hadoopConfiguration.setInt("io.file.buffer.size", 1 << 20)
+    val tuned = best(li.coalesce(1).write.mode("overwrite")
+      .option("header", "true").option("escapeQuotes", "false")
+      .csv("/tmp/csvlab/tuned"))
+
     println(f"rows=$n")
     println(f"builtin_univocity: $builtin%.3f s  (${n / builtin}%.0f rows/s)")
+    println(f"buf_1MB_only:      $bufOnly%.3f s  (${n / bufOnly}%.0f rows/s)")
+    println(f"tuned_noquote_1MB: $tuned%.3f s  (${n / tuned}%.0f rows/s)")
     println(f"fast_concat_text:  $fast%.3f s  (${n / fast}%.0f rows/s)")
     println(f"fast_iso_ts:       $fastIso%.3f s  (${n / fastIso}%.0f rows/s)")
     spark.stop()

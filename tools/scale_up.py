@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Synthesize an sf1-scale dataset (10x sf0.1) for scale testing.
+
+The driver ships sf{0.001,0.01,0.1}; the scale audit (VERDICT r6 #2) wants
+the suite proven at 10x. This replicates every large sf0.1 table 10 times
+with per-replica key offsets chosen so referential integrity holds within
+each replica (lineitem->orders->customer, lineitem->part/supplier,
+documents<->embeddings ids), while nation/region (tiny dims, fixed key
+domain) are copied as-is. Non-key attributes are left untouched, so value
+distributions match the driver's generator exactly; only key cardinality
+and row count scale.
+
+events.parquet stores TIMESTAMP(NANOS); it goes through pyarrow (DuckDB
+would truncate to micros and silently change the type Spark's nanosAsLong
+path depends on). Everything else goes through DuckDB SQL.
+
+Usage: python3 tools/scale_up.py [src=/root/testdata/sf0.1] [dst=/tmp/sf1]
+"""
+import sys
+
+import duckdb
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+R = 10  # replicas
+
+# per-key-family offsets (one replica stride); large enough that replica
+# key ranges never collide, small enough to stay far from 2^53
+OFF = {
+    "custkey": 10_000_000,
+    "orderkey": 100_000_000,
+    "partkey": 10_000_000,
+    "suppkey": 1_000_000,
+    "doc_id": 1_000_000,
+    "vec_id": 1_000_000,
+    "event_id": 1_000_000_000,
+    "user_id": 1_000_000,
+}
+
+# table -> {column: key family}; unlisted columns copy through
+KEYED = {
+    "customer": {"c_custkey": "custkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {"l_orderkey": "orderkey", "l_partkey": "partkey",
+                 "l_suppkey": "suppkey"},
+    "documents": {"doc_id": "doc_id"},
+    "embeddings": {"vec_id": "vec_id"},
+}
+COPY = ["region", "nation"]
+
+
+def scale_sql(table: str) -> None:
+    keys = KEYED[table]
+    con = duckdb.connect()
+    cols = [c[0] for c in
+            con.sql(f"DESCRIBE SELECT * FROM '{SRC}/{table}.parquet'").fetchall()]
+    selects = []
+    for r in range(R):
+        exprs = []
+        for c in cols:
+            if c in keys:
+                exprs.append(f"{c} + {r * OFF[keys[c]]} AS {c}")
+            else:
+                exprs.append(c)
+        selects.append(f"SELECT {', '.join(exprs)} FROM '{SRC}/{table}.parquet'")
+    union = " UNION ALL ".join(selects)
+    con.sql(f"COPY ({union}) TO '{DST}/{table}.parquet' (FORMAT PARQUET)")
+    n = con.sql(f"SELECT count(*) FROM '{DST}/{table}.parquet'").fetchone()[0]
+    print(f"{table}: {n} rows")
+
+
+def scale_events() -> None:
+    t = pq.read_table(f"{SRC}/events.parquet")
+    parts = []
+    for r in range(R):
+        cols = {}
+        for name in t.column_names:
+            col = t.column(name)
+            if name == "event_id":
+                col = pc.add(col, r * OFF["event_id"])
+            elif name == "user_id":
+                col = pc.add(col, r * OFF["user_id"])
+            cols[name] = col
+        parts.append(pa.table(cols, schema=t.schema))
+    out = pa.concat_tables(parts)
+    # version 2.6 + no coercion keeps TIMESTAMP(NANOS) exactly as stored
+    pq.write_table(out, f"{DST}/events.parquet", version="2.6",
+                   coerce_timestamps=None)
+    print(f"events: {out.num_rows} rows (nanos preserved: "
+          f"{out.schema.field('ts').type})")
+
+
+def main() -> None:
+    import os
+    os.makedirs(DST, exist_ok=True)
+    for tbl in COPY:
+        duckdb.sql(f"COPY (SELECT * FROM '{SRC}/{tbl}.parquet') "
+                   f"TO '{DST}/{tbl}.parquet' (FORMAT PARQUET)")
+        print(f"{tbl}: copied")
+    for tbl in KEYED:
+        scale_sql(tbl)
+    scale_events()
+
+
+if __name__ == "__main__":
+    main()
