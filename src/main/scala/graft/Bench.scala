@@ -84,10 +84,22 @@ object Bench {
         org.apache.spark.sql.functions.lit(1))).collect())
     val cw = time2(liPar.write.mode("overwrite")
       .option("header", "true").csv("/tmp/graft_bench/c"))
+    // ONE part file read with vs without sheet splitting: the round-7
+    // row-range fan-out vs the old one-task-per-file bound, same data
+    // (/tmp/graft_bench/x1 was written by the single-writer metric above)
+    def readOne(split: Boolean): Unit = spark.read.format("xlsx")
+      .option("header", "true").option("splitSheets", split.toString)
+      .option("splitBytes", 4 * 1024 * 1024)
+      .load("/tmp/graft_bench/x1").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1))).collect()
+    val r1 = time2(readOne(split = false))
+    val rs = time2(readOne(split = true))
     val tput =
       f""""xlsx_write_1core_rows_per_sec":${nRows / w1}%.0f,""" +
       f""""xlsx_write_parallel_repl${csvRepl}_rows_per_sec":${nBig / wp}%.0f,""" +
       f""""xlsx_read_parallel_repl${csvRepl}_rows_per_sec":${nBig / rd}%.0f,""" +
+      f""""xlsx_read_1file_unsplit_rows_per_sec":${nRows / r1}%.0f,""" +
+      f""""xlsx_read_1file_split_rows_per_sec":${nRows / rs}%.0f,""" +
       f""""csv_write_1core_rows_per_sec":${nRows / c1}%.0f,""" +
       f""""csv_write_parallel_repl${csvRepl}_rows_per_sec":${nBig / cw}%.0f,""" +
       f""""throughput_rows":$nRows"""

@@ -346,8 +346,12 @@ object SparkEntry {
       val p = work(dir, "xlsx_scan_filtered")
       li4(s, dir).coalesce(1).write.mode("overwrite")
         .format("xlsx").option("header", "true").save(p)
+      // allSheets: at sf1 the single part file exceeds Excel's row limit
+      // and rolls over to multiple sheets — reading only sheet 1 silently
+      // drops data (caught by the sf1 oracle audit, round 7)
       s.read.format("xlsx").option("header", "true")
-        .option("splitBytes", 64 * 1024).load(p)
+        .option("allSheets", "true")
+        .option("splitBytes", 2 * 1024 * 1024).load(p)
         .filter(col("l_quantity") >= 30 && col("l_returnflag") === "A")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("cnt"),
