@@ -87,9 +87,12 @@ object Bench {
     // ONE part file read with vs without sheet splitting: the round-7
     // row-range fan-out vs the old one-task-per-file bound, same data
     // (/tmp/graft_bench/x1 was written by the single-writer metric above)
+    // allSheets: past sf0.1 the single file rolls over Excel's sheet row
+    // limit; without it the metric silently reads only sheet 1
     def readOne(split: Boolean): Unit = spark.read.format("xlsx")
-      .option("header", "true").option("splitSheets", split.toString)
-      .option("splitBytes", 4 * 1024 * 1024)
+      .option("header", "true").option("allSheets", "true")
+      .option("splitSheets", split.toString)
+      .option("splitBytes", 16 * 1024 * 1024)
       .load("/tmp/graft_bench/x1").agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1))).collect()
     val r1 = time2(readOne(split = false))
