@@ -346,11 +346,12 @@ object SparkEntry {
       val p = work(dir, "xlsx_scan_filtered")
       li4(s, dir).coalesce(1).write.mode("overwrite")
         .format("xlsx").option("header", "true").save(p)
-      // allSheets: at sf1 the single part file exceeds Excel's row limit
-      // and rolls over to multiple sheets — reading only sheet 1 silently
-      // drops data (caught by the sf1 oracle audit, round 7)
+      // at sf1 the single part file exceeds Excel's row limit and rolls
+      // over to multiple sheets; the DEFAULT read follows rollover
+      // continuations (round-7 fix after the sf1 audit caught the silent
+      // truncation), so no allSheets is needed — and this query now gates
+      // that default end-to-end
       s.read.format("xlsx").option("header", "true")
-        .option("allSheets", "true")
         .option("splitBytes", 2 * 1024 * 1024).load(p)
         .filter(col("l_quantity") >= 30 && col("l_returnflag") === "A")
         .groupBy(col("l_returnflag"))

@@ -31,8 +31,9 @@ object Events {
     // fail a malformed horizon at the API boundary with a clear message,
     // not an opaque Catalyst parse error at plan time
     within.foreach { w =>
-      require(w.trim.matches("""(?i)\d+\s+(second|minute|hour|day|week|month|year)s?"""),
-        s"within must look like '<n> <unit>' (e.g. '1 hour', '30 minutes'); got '$w'")
+      val unit = """\d+\s+(microsecond|millisecond|second|minute|hour|day|week|month|year)s?"""
+      require(w.trim.matches(s"(?i)$unit(\\s+$unit)*"),
+        s"within must be '<n> <unit>' terms (e.g. '1 hour', '1 hour 30 minutes'); got '$w'")
     }
     val stages = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (step, _)) =>

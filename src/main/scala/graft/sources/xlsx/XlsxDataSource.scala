@@ -153,7 +153,18 @@ object XlsxTable {
   }
 
   /** Select sheet names for one file per options (default: first sheet,
-    * like the reference's rows_by_index(0) common path). */
+    * like the reference's rows_by_index(0) common path — PLUS any rollover
+    * continuations our own writer produced for it).
+    *
+    * The writer silently rolls rows past `maxRowsPerSheet` into
+    * `<base>_2`, `<base>_3`, …; a default read that stopped at the first
+    * sheet would silently drop everything past sheet 1 (caught by the sf1
+    * scale audit, round 7). Continuations are recognized by exact
+    * `base_<k>` names in an unbroken k=2,3,… run, so a foreign workbook
+    * with an unrelated second sheet (different name, or a gap in the run)
+    * reads exactly its first sheet as before. An explicit `sheet` /
+    * `sheetIndex` selection stays single-sheet: naming one sheet is an
+    * explicit request for that sheet only. */
   def selectSheets(reader: XlsxReader, opts: XlsxOptions): Seq[String] = {
     val names = reader.sheetNames
     if (names.isEmpty) Seq.empty
@@ -163,7 +174,13 @@ object XlsxTable {
         if (!names.contains(s))
           throw new IllegalArgumentException(s"sheet '$s' not found; sheets: ${names.mkString(", ")}")
         Seq(s)
-      case None => Seq(names(opts.sheetIndex.getOrElse(0)))
+      case None if opts.sheetIndex.isDefined => Seq(names(opts.sheetIndex.get))
+      case None =>
+        val base = names.head
+        val present = names.toSet
+        val continuations = Iterator.from(2).map(k => s"${base}_$k")
+          .takeWhile(present.contains).toSeq
+        base +: continuations
     }
   }
 

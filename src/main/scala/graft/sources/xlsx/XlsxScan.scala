@@ -97,9 +97,12 @@ final class XlsxScan(
     // central-directory read + one bounded row-density sample per file.
     listing.flatMap { case (f, zipSize) =>
       val whole = Seq(XlsxInputPartition(f, opts.sheet, opts.sheetIndex, opts.allSheets))
-      // cheap pre-filter on the compressed size: XML deflates ~5x, so a
-      // zip below splitBytes/5 cannot contain a splittable sheet
-      if (!opts.splitSheets || zipSize * 5L <= opts.splitBytes) whole
+      // cheap pre-filter on the compressed size so small files never cost
+      // a driver-side open; 20x is a deliberately generous deflate-ratio
+      // bound (numeric-heavy sheet XML compresses 10-20x) — files past it
+      // get their TRUE decompressed sizes from the central directory in
+      // planSplits, which makes the final split decision
+      if (!opts.splitSheets || zipSize * 20L <= opts.splitBytes) whole
       else scala.util.Try(planSplits(f)).getOrElse(whole)
     }.toArray
   }
@@ -307,7 +310,11 @@ object XlsxPartitionReader {
     // CCE in generated code, so map what we can and null the rest
     // the write path (XlsxWrite/XlsxInMemory) Base64-encodes binary cells,
     // so decode here for a lossless roundtrip; foreign files with arbitrary
-    // non-base64 text fall back to the raw UTF-8 bytes of the cell text
+    // non-base64 text fall back to the raw UTF-8 bytes of the cell text.
+    // Inherent ambiguity, accepted: foreign text that happens to BE valid
+    // base64 ("cafe") decodes to different bytes — xlsx has no type marker
+    // to distinguish; schema-as-binary on foreign text columns is the
+    // caller asserting the cells hold encoded bytes
     case BinaryType => c =>
       if (c == CellValue.Empty) null
       else {

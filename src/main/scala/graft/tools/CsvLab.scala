@@ -62,7 +62,7 @@ object CsvLab {
       best(li.coalesce(1).write.mode("overwrite")
         .option("header", "true").csv("/tmp/csvlab/buf"))
     }
-    spark.sparkContext.hadoopConfiguration.setInt("io.file.buffer.size", 1 << 20)
+    // buffer already at 1 MiB from the bufOnly block (process-global conf)
     val tuned = best(li.coalesce(1).write.mode("overwrite")
       .option("header", "true").option("escapeQuotes", "false")
       .csv("/tmp/csvlab/tuned"))

@@ -184,7 +184,13 @@ final class XlsxReader(
         ByteSkim.skipToRow(in, startRow) match {
           case None => XlsxReader.RowIter.empty
           case Some(positioned) =>
-            val xr = factory.createXMLStreamReader(positioned)
+            // non-namespace-aware parse: the synthetic prolog carries no
+            // xmlns declarations, and Excel-authored rows have prefixed
+            // ATTRIBUTES (x14ac:dyDescent) that a namespace-aware parser
+            // would reject as unbound. Prefixed ELEMENTS (<x:row>) never
+            // reach here — the byte pattern wouldn't match them, so such
+            // sheets estimate 0 rows and are never given split partitions.
+            val xr = factoryRaw.createXMLStreamReader(positioned)
             new RowIterator(xr, positioned, sst, date1904, dateStyleIds,
               0L, if (endRow == Long.MaxValue) Long.MaxValue else endRow - startRow)
         }
@@ -202,19 +208,9 @@ final class XlsxReader(
     val path = sheetCatalog.collectFirst { case (n, p) if n == sheetName => p }
     path.flatMap(openEntry).map { in =>
       try {
-        val buf = new Array[Byte](sampleBytes)
-        var read = 0
-        var n = in.read(buf, 0, sampleBytes)
-        while (n > 0 && read + n < sampleBytes) { read += n; n = in.read(buf, read, sampleBytes - read) }
-        if (n > 0) read += n
-        var count = 0L
-        var i = 0
-        while (i + 4 < read) {
-          if (buf(i) == '<' && buf(i + 1) == 'r' && buf(i + 2) == 'o' && buf(i + 3) == 'w' &&
-              (buf(i + 4) == ' ' || buf(i + 4) == '>' || buf(i + 4) == '/')) count += 1
-          i += 1
-        }
-        val exhausted = read < sampleBytes
+        // same comment/CDATA-aware scanner the split reader positions with,
+        // so planning counts and read-time offsets can never disagree
+        val (count, read, exhausted) = ByteSkim.countRows(in, sampleBytes)
         if (exhausted || read == 0) count
         else math.max(count, count * entrySize / read)
       } finally in.close()
@@ -260,49 +256,128 @@ final class XlsxReader(
 /** Raw-byte positioning inside decompressed sheet XML: find the n-th
   * `<row` element start without XML parsing. Safe because markup can't
   * appear escaped-free inside text content, ASCII never occurs inside
-  * UTF-8 multi-byte sequences, and the only other `<row...` element in a
-  * worksheet (`<rowBreaks>`, after sheetData) fails the 5th-byte check. */
+  * UTF-8 multi-byte sequences, the only other `<row...` element in a
+  * worksheet (`<rowBreaks>`, after sheetData) fails the 5th-byte check,
+  * and `<row` bytes inside comments / CDATA sections are excluded by the
+  * scanner's state machine (both entry points share it, so planning-time
+  * counts and read-time positions can never disagree about what a row is). */
 private[xlsx] object ByteSkim {
 
   private val Prolog = "<worksheet><sheetData>"
     .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
+  private val Chunk = 256 * 1024
+  // carry 8 bytes across chunk boundaries: the longest token that must not
+  // be split undetected is "<![CDATA[" (9 bytes, 8 may dangle)
+  private val Carry = 8
+
+  /** Comment/CDATA-aware scan state. */
+  private final class State { var mode: Int = 0 } // 0 text, 1 comment, 2 cdata
+
+  private def startsWith(b: Array[Byte], i: Int, tok: String): Boolean = {
+    if (i + tok.length > b.length) return false
+    var k = 0
+    while (k < tok.length) { if (b(i + k) != tok.charAt(k)) return false; k += 1 }
+    true
+  }
+
+  /** Scan `win` up to index `limit` (exclusive start positions), calling at
+    * most ONE action: returns the index of the row-start whose 0-based
+    * ordinal equals `stopAt`, or -1 when not found in this window. `seen`
+    * is read/updated via the returned count in `seenOut(0)`. */
+  private def scanWindow(win: Array[Byte], limit: Int, st: State,
+      seen0: Long, stopAt: Long, seenOut: Array[Long]): Int = {
+    var seen = seen0
+    var i = 0
+    while (i < limit) {
+      st.mode match {
+        case 0 =>
+          if (startsWith(win, i, "<!--")) { st.mode = 1; i += 4 }
+          else if (startsWith(win, i, "<![CDATA[")) { st.mode = 2; i += 9 }
+          else if (i + 5 <= win.length &&
+              win(i) == '<' && win(i + 1) == 'r' && win(i + 2) == 'o' && win(i + 3) == 'w' &&
+              (win(i + 4) == ' ' || win(i + 4) == '>' || win(i + 4) == '/')) {
+            if (seen == stopAt) { seenOut(0) = seen; return i }
+            seen += 1
+            i += 4
+          } else i += 1
+        case 1 =>
+          if (startsWith(win, i, "-->")) { st.mode = 0; i += 3 } else i += 1
+        case 2 =>
+          if (startsWith(win, i, "]]>")) { st.mode = 0; i += 3 } else i += 1
+      }
+    }
+    seenOut(0) = seen
+    -1
+  }
+
   /** Consume `in` up to the start of row index `target` (0-based `<row`
-    * occurrence). Returns a stream that parses as a well-formed worksheet
-    * whose first row is that row (the sheet's own closing tags match the
-    * synthetic prolog). None = fewer than target+1 rows; `in` is closed. */
+    * occurrence outside comments/CDATA). Returns a stream that parses as a
+    * well-formed worksheet whose first row is that row (the sheet's own
+    * closing tags match the synthetic prolog). None = fewer than target+1
+    * rows; `in` is closed. */
   def skipToRow(in: InputStream, target: Long): Option[InputStream] = {
-    val CH = 256 * 1024
+    val st = new State
+    val seenOut = new Array[Long](1)
     var seen = 0L
-    var prev = Array.emptyByteArray // up to 4 trailing bytes of last chunk
+    var prev = Array.emptyByteArray
     while (true) {
-      val chunk = new Array[Byte](CH)
-      val m = in.read(chunk, 0, CH)
+      val chunk = new Array[Byte](Chunk)
+      val m = in.read(chunk, 0, Chunk)
       if (m <= 0) { in.close(); return None }
       val win = new Array[Byte](prev.length + m)
       System.arraycopy(prev, 0, win, 0, prev.length)
       System.arraycopy(chunk, 0, win, prev.length, m)
-      var i = 0
-      val last = win.length - 5 // match needs bytes i..i+4
-      while (i <= last) {
-        if (win(i) == '<' && win(i + 1) == 'r' && win(i + 2) == 'o' && win(i + 3) == 'w' &&
-            (win(i + 4) == ' ' || win(i + 4) == '>' || win(i + 4) == '/')) {
-          if (seen == target) {
-            val rest = new java.io.ByteArrayInputStream(win, i, win.length - i)
-            val parts = java.util.List.of[InputStream](
-              new java.io.ByteArrayInputStream(Prolog), rest, in)
-            return Some(new java.io.SequenceInputStream(
-              java.util.Collections.enumeration(parts)))
-          }
-          seen += 1
-          i += 4
-        } else i += 1
+      // positions in the final Carry bytes may start a token that needs the
+      // next chunk to complete; defer them (state changes there would be
+      // re-applied — scanWindow never advances mode on a partial token)
+      val limit = math.max(0, win.length - Carry)
+      val hit = scanWindow(win, limit, st, seen, target, seenOut)
+      if (hit >= 0) {
+        val rest = new java.io.ByteArrayInputStream(win, hit, win.length - hit)
+        val parts = java.util.List.of[InputStream](
+          new java.io.ByteArrayInputStream(Prolog), rest, in)
+        return Some(new java.io.SequenceInputStream(
+          java.util.Collections.enumeration(parts)))
       }
-      // a match starting in the last 4 bytes can't have completed; carry
-      // them so boundary-straddling patterns are seen exactly once
-      prev = java.util.Arrays.copyOfRange(win, math.max(0, win.length - 4), win.length)
+      seen = seenOut(0)
+      prev = java.util.Arrays.copyOfRange(win, limit, win.length)
     }
     None // unreachable
+  }
+
+  /** Count row starts in at most `sampleBytes` of `in` (same state machine
+    * as [[skipToRow]]). Returns (rows counted, bytes consumed, exhausted). */
+  def countRows(in: InputStream, sampleBytes: Int): (Long, Long, Boolean) = {
+    val st = new State
+    val seenOut = new Array[Long](1)
+    var seen = 0L
+    var read = 0L
+    var prev = Array.emptyByteArray
+    var m = 0
+    while (read < sampleBytes && m >= 0) {
+      val chunk = new Array[Byte](Chunk)
+      m = in.read(chunk, 0, math.min(Chunk.toLong, sampleBytes - read).toInt)
+      if (m > 0) {
+        read += m
+        val win = new Array[Byte](prev.length + m)
+        System.arraycopy(prev, 0, win, 0, prev.length)
+        System.arraycopy(chunk, 0, win, prev.length, m)
+        // final window: no more bytes will complete a dangling token, so
+        // scan to the end when the budget is reached or EOF follows
+        val limit = if (read >= sampleBytes) win.length else math.max(0, win.length - Carry)
+        scanWindow(win, limit, st, seen, -1L, seenOut)
+        seen = seenOut(0)
+        prev = java.util.Arrays.copyOfRange(win, limit, win.length)
+      }
+    }
+    // drain check: exhausted when EOF arrived within budget
+    val exhausted = m < 0 || (read < sampleBytes)
+    if (prev.nonEmpty && exhausted) {
+      scanWindow(prev, prev.length, st, seen, -1L, seenOut)
+      seen = seenOut(0)
+    }
+    (seen, read, exhausted)
   }
 }
 
@@ -345,6 +420,17 @@ object XlsxReader {
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
     f.setProperty(XMLInputFactory.IS_COALESCING, true)
+    f
+  }
+
+  /** Non-namespace-aware twin of [[factory]], for ByteSkim-positioned split
+    * streams whose synthetic prolog carries no xmlns declarations. */
+  private val factoryRaw: XMLInputFactory = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(XMLInputFactory.IS_COALESCING, true)
+    f.setProperty(XMLInputFactory.IS_NAMESPACE_AWARE, false)
     f
   }
 

@@ -76,12 +76,14 @@ object ZipRandom {
     val scanLen = math.min(fileLen, MaxEocdScan.toLong).toInt
     val tail = new Array[Byte](scanLen)
     in.readFully(fileLen - scanLen, tail, 0, scanLen)
-    // scan backwards for the EOCD signature (comment may contain anything,
-    // so take the LAST occurrence = the first found scanning backwards)
+    // scan backwards for the EOCD signature; the comment may itself contain
+    // the signature bytes, so a candidate only counts if its comment-length
+    // field is self-consistent (record + comment reach exactly file end —
+    // the same disambiguation the JDK applies)
     var eocd = -1
     var i = scanLen - 22
     while (i >= 0 && eocd < 0) {
-      if (u32(tail, i) == EocdSig) eocd = i
+      if (u32(tail, i) == EocdSig && i + 22 + u16(tail, i + 20) == scanLen) eocd = i
       i -= 1
     }
     if (eocd < 0) throw new IOException("not a ZIP archive: no end-of-central-directory record")

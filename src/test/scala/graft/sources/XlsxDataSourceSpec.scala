@@ -153,15 +153,31 @@ class XlsxDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.agg(sum("id")).collect()(0).getLong(0) === (0 until 40).sum)
   }
 
-  test("sheet rollover past maxRowsPerSheet; allSheets reads all") {
+  test("sheet rollover past maxRowsPerSheet: default read follows continuations") {
     val dir = tmp() + "/t4"
     spark.range(250).coalesce(1).write.mode("overwrite").format("xlsx")
       .option("header", "true").option("maxRowsPerSheet", "100").save(dir)
-    val one = spark.read.format("xlsx").option("header", "true").load(dir)
-    assert(one.count() === 99) // first sheet only: 100 rows - header
+    // the DEFAULT read must see every rolled-over row — reading only sheet
+    // 1 was silent data loss (caught by the sf1 audit, round 7)
+    val dflt = spark.read.format("xlsx").option("header", "true").load(dir)
+    assert(dflt.count() === 250)
+    assert(dflt.agg(sum("id")).collect()(0).getLong(0) === 250L * 249 / 2)
+    // explicit single-sheet selections stay single-sheet
+    val byIndex = spark.read.format("xlsx").option("header", "true")
+      .option("sheetIndex", "0").load(dir)
+    assert(byIndex.count() === 99) // 100 rows - header
     val all = spark.read.format("xlsx").option("header", "true").option("allSheets", "true").load(dir)
     assert(all.count() === 250)
-    assert(all.agg(sum("id")).collect()(0).getLong(0) === 250L * 249 / 2)
+  }
+
+  test("default read does NOT union an unrelated second sheet (no rollover naming)") {
+    val dir = tmp() + "/t4b"
+    spark.range(10).selectExpr("id", "concat('s', id) AS k").coalesce(1)
+      .withColumn("sheet", expr("IF(id < 5, 'Data', 'Other')"))
+      .write.mode("overwrite").format("xlsx")
+      .option("header", "true").option("sheetColumn", "sheet").save(dir)
+    val dflt = spark.read.format("xlsx").option("header", "true").load(dir)
+    assert(dflt.count() === 5, "only the first sheet; 'Other' is not Data_2")
   }
 
   test("SaveMode.Overwrite truncates previous part files") {

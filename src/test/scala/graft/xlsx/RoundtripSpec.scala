@@ -125,6 +125,50 @@ class RoundtripSpec extends AnyFunSuite {
     assert(math.abs(est2 - 2 * est1) <= 1L, s"est2=$est2 not ~2x est1=$est1")
   }
 
+  // foreign-authored workbook bytes: Excel-style namespace-prefixed
+  // attributes on rows, plus a comment inside sheetData
+  private def foreignWorkbook(rows: Int): XlsxReader = {
+    val sheet = new StringBuilder
+    sheet ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:x14ac="http://schemas.microsoft.com/office/spreadsheetml/2009/9/ac">
+<sheetData><!-- generator note: <row> layout v2 -->"""
+    (1 to rows).foreach { r =>
+      sheet ++= s"""<row r="$r" x14ac:dyDescent="0.25"><c r="A$r" t="inlineStr"><is><t>v$r</t></is></c><c r="B$r"><v>$r</v></c></row>"""
+    }
+    sheet ++= "</sheetData></worksheet>"
+    val bos = new ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    def entry(name: String, content: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(content.getBytes("UTF-8")); z.closeEntry()
+    }
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="Data" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    entry("xl/worksheets/sheet1.xml", sheet.toString)
+    z.close()
+    XlsxReader.forBytes(bos.toByteArray)
+  }
+
+  test("foreign namespace-prefixed rows: split ranges parse and ignore the comment") {
+    val r = foreignWorkbook(100)
+    val all = r.rows("Data").toVector
+    assert(all.size == 100)
+    // a mid-sheet range exercises ByteSkim + the non-namespace-aware parser;
+    // the <!-- <row> --> comment must not shift positions
+    val slice = r.rows("Data", 40, 45).toVector
+    assert(slice.size == 5)
+    assert(slice.head == Vector[CellValue](Str("v41"), IntVal(41)))
+    assert(slice.last == Vector[CellValue](Str("v45"), IntVal(45)))
+    // sliced union still equals the whole sheet
+    val stitched = Vector((0L, 33L), (33L, 66L), (66L, Long.MaxValue))
+      .flatMap { case (a, b) => r.rows("Data", a, b).toVector }
+    assert(stitched == all)
+    // the comment is also invisible to the planning-side row estimate
+    assert(r.estimateRows("Data", entrySize = 1L << 30, sampleBytes = 1 << 24).contains(100L))
+  }
+
   test("B9: styled rows keep values; date styles decode as DateTime") {
     val r = roundtrip { w =>
       w.writeRowStyled(Seq(

@@ -57,8 +57,9 @@ class ZipRandomSpec extends AnyFunSuite {
     val d = new ZipEntry("deflated.txt")
     zos.putNextEntry(d); zos.write(payload); zos.closeEntry()
     // a comment shifts the EOCD away from the file tail — the backward scan
-    // must still find it
-    zos.setComment("trailing comment with fake sig bytes PK inside")
+    // must still find the REAL record: the embedded decoy signature sits in
+    // scan range but fails the comment-length self-consistency check
+    zos.setComment("decoy EOCD sig PK\u0005\u0006 followed by enough trailing text that the backward scan reaches it before the real record")
     zos.close()
     val seek = ZipRandom.SeekableInput.forFile(f)
     val got = ZipRandom.entries(seek).map(x => x.name -> x).toMap
