@@ -129,6 +129,23 @@ class XlsxDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Double]("v") === 18517.5)
   }
 
+  test("split read + sheetNameColumn + rollover: provenance survives row-range tasks") {
+    val dir = tmp() + "/splitmeta"
+    spark.range(5000).coalesce(1).write.mode("overwrite").format("xlsx")
+      .option("header", "true").option("maxRowsPerSheet", "2000").save(dir)
+    val df = spark.read.format("xlsx").option("header", "true")
+      .option("sheetNameColumn", "_sheet")
+      .option("splitBytes", 64 * 1024)
+      .load(dir)
+    assert(df.rdd.getNumPartitions > 1)
+    assert(df.count() === 5000)
+    // every row carries the sheet it physically lives in (rollover names)
+    val bySheet = df.groupBy("_sheet").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySheet.values.sum === 5000L)
+    assert(bySheet.size === 3, s"expected 3 rollover sheets, got $bySheet")
+  }
+
   test("partition-parallel write produces one part file per partition; read unions them") {
     val dir = tmp() + "/t3"
     spark.range(1000).repartition(8).write.mode("overwrite").format("xlsx").option("header", "true").save(dir)

@@ -105,4 +105,29 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("row-range slicing: arbitrary cut points + hostile cell text partition the sheet exactly") {
+    // strings engineered to look like row markers once XML-escaped they
+    // cannot match ByteSkim's raw-byte pattern — the law must hold anyway
+    val hostile = Gen.oneOf("<row>", "</row>", "<row r=\"9\">", "plain",
+      "a<row b", "]]>", "<!--", "-->", "x" * 50)
+    val nRows = 257 // crosses no chunk boundary; cuts do the work
+    forAll(Gen.listOfN(3, Gen.choose(0L, nRows + 20L)), n = 40) { cutsRaw =>
+      val bos = new ByteArrayOutputStream()
+      val w = new XlsxWriter(bos, 1)
+      val texts = Gen.listOfN(nRows, hostile)
+        .apply(Gen.Parameters.default, Seed(cutsRaw.hashCode.toLong)).get
+      texts.zipWithIndex.foreach { case (t, i) =>
+        w.writeRowTyped(Seq(CellValue.IntVal(i), CellValue.Str(t))) }
+      w.close()
+      val r = XlsxReader.forBytes(bos.toByteArray)
+      val sheet = r.sheetNames.head
+      val all = r.rows(sheet).toVector
+      assert(all.size === nRows)
+      val cuts = (cutsRaw.sorted :+ Long.MaxValue).distinct
+      val slices = (0L +: cuts).zip(cuts)
+      val stitched = slices.flatMap { case (a, b) => r.rows(sheet, a, b).toVector }
+      assert(stitched === all, s"cuts $cuts broke the partition law")
+    }
+  }
 }
