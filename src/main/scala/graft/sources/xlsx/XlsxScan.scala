@@ -225,13 +225,16 @@ final class XlsxPartitionReader(
   private val width = srcIdx.length
   private val converters: Array[CellValue => Any] =
     required.fields.map(f => XlsxPartitionReader.converter(f.dataType))
-  // pushed-filter predicates over converted values; rows failing one are
-  // skipped BEFORE the remaining columns convert and the row allocates
-  private val compiled: Array[XlsxFilters.Compiled] =
+  // pushed-filter predicate trees over converted values; rows failing one
+  // are skipped BEFORE the remaining columns convert and the row allocates
+  private val compiled: Array[XlsxFilters.Pred] =
     XlsxFilters.compile(filters.toSeq, required)
+  // positions each predicate needs, and the union (phase-2 skip set)
+  private val predPositions: Array[Array[Int]] =
+    compiled.map(_.positions.toArray)
   private val filtered: Array[Boolean] = {
     val a = new Array[Boolean](width)
-    compiled.foreach(c => a(c.pos) = true)
+    predPositions.foreach(_.foreach(p => a(p) = true))
     a
   }
 
@@ -242,19 +245,30 @@ final class XlsxPartitionReader(
     else null
   }
 
-  // scratch for phase-1 filter values: skipped rows allocate nothing
+  // scratch for phase-1 filter values: skipped rows allocate nothing.
+  // stamp array memoizes which positions are converted for the CURRENT row
+  // (early predicate failure leaves later predicates' columns unconverted)
   private val scratch = new Array[Any](width)
+  private val stamp = new Array[Long](width)
+  private var rowStamp = 0L
 
   override def next(): Boolean = {
     while (rows.hasNext) {
       val cells = rows.next()
-      // phase 1: convert only filter columns, test, skip row on failure
+      rowStamp += 1
+      // phase 1: convert each predicate's columns on demand, skip row on
+      // the first failing predicate
       var ok = true
       var f = 0
       while (ok && f < compiled.length) {
-        val c = compiled(f)
-        scratch(c.pos) = convertAt(c.pos, cells)
-        ok = c.test(scratch(c.pos))
+        val ps = predPositions(f)
+        var k = 0
+        while (k < ps.length) {
+          val p = ps(k)
+          if (stamp(p) != rowStamp) { scratch(p) = convertAt(p, cells); stamp(p) = rowStamp }
+          k += 1
+        }
+        ok = compiled(f).eval(scratch)
         f += 1
       }
       if (ok) {
@@ -262,7 +276,9 @@ final class XlsxPartitionReader(
         val values = new Array[Any](width)
         var i = 0
         while (i < width) {
-          values(i) = if (filtered(i)) scratch(i) else convertAt(i, cells)
+          values(i) =
+            if (filtered(i) && stamp(i) == rowStamp) scratch(i)
+            else convertAt(i, cells)
           i += 1
         }
         // wrap the array directly — InternalRow.fromSeq would copy it

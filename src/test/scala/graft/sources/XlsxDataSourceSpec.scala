@@ -90,10 +90,12 @@ class XlsxDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scan.contains("GreaterThanOrEqual(id,990)"), s"missing filter in: $scan")
     val got = df.select("id").collect().map(_.getLong(0)).sorted
     assert(got.toSeq === (990L to 999L))
-    // disjunctions are residual-only (not pushed) but still correct
+    // disjunctions push too (keep-biased leaves compose soundly through Or)
     val or = spark.read.format("xlsx").option("header", "true").load(dir)
-      .filter(col("id") === 5 || col("id") === 998)
-    assert(or.count() === 2)
+      .filter(col("id") === 5 || col("s") === "name-998")
+    val orScan = or.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(orScan.contains("Or(EqualTo(id,5),EqualTo(s,name-998))"), s"Or not pushed: $orScan")
+    assert(or.select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(5L, 998L))
     // IsNull pushdown keeps rows with genuinely missing cells
     val nulls = spark.read.format("xlsx").option("header", "true").load(dir)
       .filter(col("v").isNull)
