@@ -104,24 +104,26 @@ object XlsxTable {
     // over the seekable Hadoop stream (ZipRandom), falling back to a
     // sequential archive scan only if the central directory won't parse.
     if (uri.getScheme == null || uri.getScheme == "file")
-      XlsxReader.forFile(uri.getPath)
+      XlsxReader.forFile(uri.getPath, useSstCache = true)
     else {
       val fs = path.getFileSystem(conf)
-      val seekable = hadoopSeekable(fs, path)
+      val status = fs.getFileStatus(path)
+      val seekable = hadoopSeekable(fs, path, status.getLen)
       val opener = scala.util.Try {
         val byName = ZipRandom.entries(seekable).map(e => e.name -> e).toMap
         (name: String) => byName.get(name).map(e => ZipRandom.openEntry(seekable, e))
       }.toOption
-      new XlsxReader(() => fs.open(path), opener)
+      new XlsxReader(() => fs.open(path), opener,
+        Some(s"$file:${status.getLen}:${status.getModificationTime}"))
     }
   }
 
   /** Positional-read adapter over a Hadoop file: every access is an
     * independent ranged read (the S3A GET-with-Range pattern), so one
     * instance may back many concurrent entry streams. */
-  private def hadoopSeekable(fs: FileSystem, path: Path): ZipRandom.SeekableInput =
+  private def hadoopSeekable(fs: FileSystem, path: Path, len: Long): ZipRandom.SeekableInput =
     new ZipRandom.SeekableInput {
-      override val length: Long = fs.getFileStatus(path).getLen
+      override val length: Long = len
       override def readFully(pos: Long, buf: Array[Byte], off: Int, len: Int): Unit = {
         val in = fs.open(path)
         try in.readFully(pos, buf, off, len) finally in.close()
@@ -148,7 +150,8 @@ object XlsxTable {
       } finally zf.close()
     } else {
       val fs = path.getFileSystem(conf)
-      ZipRandom.entries(hadoopSeekable(fs, path)).map(e => e.name -> e.uncompressedSize).toMap
+      ZipRandom.entries(hadoopSeekable(fs, path, fs.getFileStatus(path).getLen))
+        .map(e => e.name -> e.uncompressedSize).toMap
     }
   }
 

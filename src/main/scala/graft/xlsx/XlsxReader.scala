@@ -28,7 +28,8 @@ import scala.collection.mutable.ArrayBuffer
   */
 final class XlsxReader(
     openStream: () => InputStream,
-    entryOpener: Option[String => Option[InputStream]] = None) {
+    entryOpener: Option[String => Option[InputStream]] = None,
+    sstCacheKey: Option[String] = None) {
   import XlsxReader._
 
   /** Sheet names in workbook order, resolved to their part paths
@@ -104,8 +105,17 @@ final class XlsxReader(
   }.getOrElse(false)
 
   /** Full SST load including rich-text runs — every <t> inside an <si> is
-    * concatenated (ref: src/streaming_reader.rs:363-416). */
-  lazy val sharedStrings: Vector[String] =
+    * concatenated (ref: src/streaming_reader.rs:363-416). With an
+    * `sstCacheKey`, the parsed table is shared process-wide (soft refs) so
+    * N split tasks of one foreign file parse its SST once per executor JVM
+    * instead of once per task — our own writer emits inline strings (no
+    * SST), so this only matters for foreign-authored files. */
+  lazy val sharedStrings: Vector[String] = sstCacheKey match {
+    case Some(key) => SstCache.getOrLoad(key, loadSharedStrings())
+    case None => loadSharedStrings()
+  }
+
+  private def loadSharedStrings(): Vector[String] =
     withEntry("xl/sharedStrings.xml") { xr =>
       val out = Vector.newBuilder[String]
       val sb = new java.lang.StringBuilder
@@ -381,6 +391,31 @@ private[xlsx] object ByteSkim {
   }
 }
 
+/** Process-wide SST cache: soft references let the GC reclaim tables under
+  * pressure; keys carry file length + modification time so a rewritten
+  * file can never serve a stale table. */
+private[xlsx] object SstCache {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[Vector[String]]]
+
+  def getOrLoad(key: String, load: => Vector[String]): Vector[String] = {
+    val ref = cache.get(key)
+    val hit = if (ref == null) null else ref.get()
+    if (hit != null) hit
+    else {
+      val v = load
+      cache.put(key, new java.lang.ref.SoftReference(v))
+      // opportunistic sweep of GC-cleared refs so the map can't grow
+      // unboundedly over a long-lived executor
+      if (cache.size() > 256) {
+        val it = cache.entrySet().iterator()
+        while (it.hasNext) if (it.next().getValue.get() == null) it.remove()
+      }
+      v
+    }
+  }
+}
+
 object XlsxReader {
 
   /** Row iterator owning its ZIP/XML streams; close() is idempotent and
@@ -395,7 +430,9 @@ object XlsxReader {
     }
   }
 
-  def forFile(path: String): XlsxReader = {
+  def forFile(path: String): XlsxReader = forFile(path, useSstCache = false)
+
+  def forFile(path: String, useSstCache: Boolean): XlsxReader = {
     // Random access through the ZIP central directory: each entry opens a
     // fresh ZipFile (cheap — directory read only) whose lifetime is tied
     // to the returned stream.
@@ -409,7 +446,11 @@ object XlsxReader {
           })
       }
     }
-    new XlsxReader(() => new java.io.FileInputStream(path), Some(opener))
+    val key = if (useSstCache) {
+      val f = new java.io.File(path)
+      Some(s"$path:${f.length}:${f.lastModified}")
+    } else None
+    new XlsxReader(() => new java.io.FileInputStream(path), Some(opener), key)
   }
 
   def forBytes(bytes: Array[Byte]): XlsxReader =

@@ -169,6 +169,39 @@ class RoundtripSpec extends AnyFunSuite {
     assert(r.estimateRows("Data", entrySize = 1L << 30, sampleBytes = 1 << 24).contains(100L))
   }
 
+  test("SST cache: split tasks of one file share the parsed table; rewrite invalidates") {
+    // foreign-style workbook with an SST (t="s" cells) — our writer never
+    // emits one, so hand-assemble the package
+    def sstWorkbook(path: String, v0: String): Unit = {
+      val z = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+      def entry(name: String, content: String): Unit = {
+        z.putNextEntry(new java.util.zip.ZipEntry(name))
+        z.write(content.getBytes("UTF-8")); z.closeEntry()
+      }
+      entry("xl/workbook.xml",
+        """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+      entry("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+      entry("xl/sharedStrings.xml",
+        s"""<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="2" uniqueCount="2"><si><t>$v0</t></si><si><t>two</t></si></sst>""")
+      entry("xl/worksheets/sheet1.xml",
+        """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row></sheetData></worksheet>""")
+      z.close()
+    }
+    val f = java.nio.file.Files.createTempFile("sstcache", ".xlsx").toString
+    sstWorkbook(f, "one")
+    val a = XlsxReader.forFile(f, useSstCache = true)
+    val b = XlsxReader.forFile(f, useSstCache = true)
+    assert(a.rows("S").next() == Vector[CellValue](Str("one"), Str("two")))
+    // same parsed Vector instance = the cache was shared, not re-parsed
+    assert(a.sharedStrings eq b.sharedStrings)
+    // rewrite with different content (and size) -> new key -> fresh table
+    Thread.sleep(5)
+    sstWorkbook(f, "uno-rewritten")
+    val c = XlsxReader.forFile(f, useSstCache = true)
+    assert(c.rows("S").next().head == Str("uno-rewritten"))
+  }
+
   test("B9: styled rows keep values; date styles decode as DateTime") {
     val r = roundtrip { w =>
       w.writeRowStyled(Seq(
