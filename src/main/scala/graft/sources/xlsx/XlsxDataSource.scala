@@ -109,12 +109,15 @@ object XlsxTable {
       val fs = path.getFileSystem(conf)
       val status = fs.getFileStatus(path)
       val seekable = hadoopSeekable(fs, path, status.getLen)
-      val opener = scala.util.Try {
-        val byName = ZipRandom.entries(seekable).map(e => e.name -> e).toMap
-        (name: String) => byName.get(name).map(e => ZipRandom.openEntry(seekable, e))
-      }.toOption
+      val meta = scala.util.Try(
+        ZipRandom.entries(seekable).map(e => e.name -> e).toMap).toOption
+      val opener = meta.map(byName =>
+        (name: String) => byName.get(name).map(e => ZipRandom.openEntry(seekable, e)))
+      // SST CRC from the central directory pins content: a same-length
+      // rewrite within mtime granularity (1 s on S3) can't serve stale text
+      val sstCrc = meta.flatMap(_.get("xl/sharedStrings.xml")).map(_.crc).getOrElse(-1L)
       new XlsxReader(() => fs.open(path), opener,
-        Some(s"$file:${status.getLen}:${status.getModificationTime}"))
+        Some(s"$file:${status.getLen}:${status.getModificationTime}:$sstCrc"))
     }
   }
 
@@ -160,13 +163,20 @@ object XlsxTable {
     * continuations our own writer produced for it).
     *
     * The writer silently rolls rows past `maxRowsPerSheet` into
-    * `<base>_2`, `<base>_3`, …; a default read that stopped at the first
-    * sheet would silently drop everything past sheet 1 (caught by the sf1
-    * scale audit, round 7). Continuations are recognized by exact
-    * `base_<k>` names in an unbroken k=2,3,… run, so a foreign workbook
-    * with an unrelated second sheet (different name, or a gap in the run)
-    * reads exactly its first sheet as before. An explicit `sheet` /
-    * `sheetIndex` selection stays single-sheet: naming one sheet is an
+    * continuation sheets; a default read that stopped at the first sheet
+    * would silently drop everything past sheet 1 (caught by the sf1 scale
+    * audit, round 7). Continuation detection is deliberately narrow:
+    * it applies ONLY to workbooks stamped `<Application>graft</Application>`
+    * in docProps/app.xml (our own writer's mark), and probes names with
+    * the writer's EXACT naming rule — `cleaned.take(31 - "_k".length)`
+    * + `"_k"` for k = 2, 3, … in an unbroken run, which also matches
+    * long bases whose continuations truncate. Foreign workbooks always
+    * read exactly their first sheet, whatever their second sheet is
+    * named. Residual ambiguity inside our own files: a `sheetColumn`
+    * write whose KEYS are literally "X" and "X_2" unions under the
+    * default read — sheetColumn datasets should be read with
+    * allSheets + sheetNameColumn, which is lossless. An explicit `sheet`
+    * / `sheetIndex` selection stays single-sheet: naming one sheet is an
     * explicit request for that sheet only. */
   def selectSheets(reader: XlsxReader, opts: XlsxOptions): Seq[String] = {
     val names = reader.sheetNames
@@ -180,10 +190,14 @@ object XlsxTable {
       case None if opts.sheetIndex.isDefined => Seq(names(opts.sheetIndex.get))
       case None =>
         val base = names.head
-        val present = names.toSet
-        val continuations = Iterator.from(2).map(k => s"${base}_$k")
-          .takeWhile(present.contains).toSeq
-        base +: continuations
+        if (!reader.application.contains("graft")) Seq(base)
+        else {
+          val present = names.toSet
+          val continuations = Iterator.from(2)
+            .map { k => val suffix = s"_$k"; base.take(31 - suffix.length) + suffix }
+            .takeWhile(present.contains).toSeq
+          base +: continuations
+        }
     }
   }
 

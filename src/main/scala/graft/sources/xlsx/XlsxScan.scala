@@ -72,10 +72,15 @@ final class XlsxScan(
   private lazy val listing: Seq[(String, Long)] =
     XlsxTable.listFilesWithSize(paths, conf.value)
 
-  /** Compressed byte size from the file listing (free); XML expands ~5×
-    * over the ZIP, so report that to keep join-side size estimates sane. */
+  /** Compressed byte size from the file listing (free). Sheet XML deflates
+    * 5-20x; materialized rows shed the XML tag overhead again, so 10x is
+    * the safe middle for sizeInBytes — underestimating here can flip a
+    * join to broadcast and OOM the driver, overestimating merely misses a
+    * broadcast. (The split planner uses TRUE decompressed sizes from the
+    * central directory; statistics stay listing-only so a 10k-file scan
+    * costs no extra driver I/O.) */
   private lazy val stats: Statistics = {
-    val bytes = listing.map(_._2).sum * 5
+    val bytes = listing.map(_._2).sum * 10
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
       override def numRows(): OptionalLong = OptionalLong.empty()

@@ -89,6 +89,18 @@ final class XlsxReader(
     }.toSet
   }.getOrElse(DateStyles)
 
+  /** `<Application>` name from docProps/app.xml, when present. Used to
+    * recognize workbooks written by THIS library (rollover-continuation
+    * detection is only safe against our own writer's naming rule). */
+  lazy val application: Option[String] = withEntry("docProps/app.xml") { xr =>
+    var app: Option[String] = None
+    while (xr.hasNext) {
+      if (xr.next() == XMLStreamConstants.START_ELEMENT && xr.getLocalName == "Application")
+        app = Some(xr.getElementText)
+    }
+    app
+  }.flatten
+
   /** Mac-legacy 1904 date system (`<workbookPr date1904="1"/>`). Serials
     * in such workbooks count from 1904-01-01; we normalize them to the
     * 1900 system at parse time (+1462 days) so every downstream consumer
@@ -334,7 +346,14 @@ private[xlsx] object ByteSkim {
     while (true) {
       val chunk = new Array[Byte](Chunk)
       val m = in.read(chunk, 0, Chunk)
-      if (m <= 0) { in.close(); return None }
+      if (m < 0) { in.close(); return None }
+      // read()==0 violates the InputStream contract (we never pass len 0);
+      // returning None here would silently empty a split partition, so
+      // fail loudly instead of losing rows
+      if (m == 0) {
+        in.close()
+        throw new java.io.IOException("stream returned 0 bytes mid-skip (non-conforming InputStream)")
+      }
       val win = new Array[Byte](prev.length + m)
       System.arraycopy(prev, 0, win, 0, prev.length)
       System.arraycopy(chunk, 0, win, prev.length, m)
@@ -364,8 +383,10 @@ private[xlsx] object ByteSkim {
     var seen = 0L
     var read = 0L
     var prev = Array.emptyByteArray
-    var m = 0
-    while (read < sampleBytes && m >= 0) {
+    var m = 1
+    // m == 0 (contract-violating stream) exits too: for an ESTIMATE an
+    // undercount is harmless, and looping forever on no progress is not
+    while (read < sampleBytes && m > 0) {
       val chunk = new Array[Byte](Chunk)
       m = in.read(chunk, 0, math.min(Chunk.toLong, sampleBytes - read).toInt)
       if (m > 0) {
@@ -446,9 +467,17 @@ object XlsxReader {
           })
       }
     }
+    // key carries the SST entry's CRC-32 (free from the central directory)
+    // so a same-length rewrite inside the mtime granularity window can
+    // never serve a stale string table
     val key = if (useSstCache) {
       val f = new java.io.File(path)
-      Some(s"$path:${f.length}:${f.lastModified}")
+      val crc = {
+        val zf = new java.util.zip.ZipFile(path)
+        try Option(zf.getEntry("xl/sharedStrings.xml")).map(_.getCrc).getOrElse(-1L)
+        finally zf.close()
+      }
+      Some(s"$path:${f.length}:${f.lastModified}:$crc")
     } else None
     new XlsxReader(() => new java.io.FileInputStream(path), Some(opener), key)
   }

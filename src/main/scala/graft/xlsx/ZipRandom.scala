@@ -26,6 +26,7 @@ object ZipRandom {
   final case class Entry(
       name: String,
       method: Int, // 0 = stored, 8 = deflate
+      crc: Long, // CRC-32 of the uncompressed data (content fingerprint)
       compressedSize: Long,
       uncompressedSize: Long,
       localHeaderOffset: Long)
@@ -115,6 +116,7 @@ object ZipRandom {
     var n = 0L
     while (n < totalEntries && p + 46 <= cdLen && u32(cd, p) == CenSig) {
       val method = u16(cd, p + 10)
+      val crc = u32(cd, p + 16)
       var csize: Long = u32(cd, p + 20)
       var usize: Long = u32(cd, p + 24)
       val nameLen = u16(cd, p + 28)
@@ -136,7 +138,7 @@ object ZipRandom {
         }
         ep += 4 + sz
       }
-      out += Entry(name, method, csize, usize, lho)
+      out += Entry(name, method, crc, csize, usize, lho)
       p += 46 + nameLen + extraLen + commentLen
       n += 1
     }

@@ -189,6 +189,41 @@ class XlsxDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.count() === 250)
   }
 
+  test("rollover continuations follow the writer's truncation rule for long sheet names") {
+    val dir = tmp() + "/longname"
+    val base = "B" * 31 // writer truncates continuations to fit the suffix
+    spark.range(250).coalesce(1).write.mode("overwrite").format("xlsx")
+      .option("header", "true").option("sheet", base)
+      .option("maxRowsPerSheet", "100").save(dir)
+    val dflt = spark.read.format("xlsx").option("header", "true").load(dir)
+    assert(dflt.count() === 250, "continuations of a truncated base must be followed")
+  }
+
+  test("foreign workbook with base_2-shaped names: default read stays first-sheet-only") {
+    // no <Application>graft</Application> marker -> continuation union off,
+    // even though the names look exactly like our rollover pattern
+    val dir = tmp() + "/foreign"
+    new java.io.File(dir).mkdirs()
+    val z = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(s"$dir/f.xlsx"))
+    def entry(name: String, content: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(content.getBytes("UTF-8")); z.closeEntry()
+    }
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="Data" sheetId="1" r:id="rId1"/><sheet name="Data_2" sheetId="2" r:id="rId2"/></sheets></workbook>""")
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/><Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/></Relationships>""")
+    def sheetXml(v: String) =
+      s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>col</t></is></c></row><row r="2"><c r="A2" t="inlineStr"><is><t>$v</t></is></c></row></sheetData></worksheet>"""
+    entry("xl/worksheets/sheet1.xml", sheetXml("first"))
+    entry("xl/worksheets/sheet2.xml", sheetXml("second"))
+    z.close()
+    val back = spark.read.format("xlsx").option("header", "true").load(s"$dir/f.xlsx")
+    val vals = back.collect().map(_.getString(0))
+    assert(vals.toSeq === Seq("first"), s"foreign Data_2 must not union: ${vals.toSeq}")
+  }
+
   test("default read does NOT union an unrelated second sheet (no rollover naming)") {
     val dir = tmp() + "/t4b"
     spark.range(10).selectExpr("id", "concat('s', id) AS k").coalesce(1)

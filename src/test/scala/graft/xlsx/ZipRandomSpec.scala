@@ -36,6 +36,7 @@ class ZipRandomSpec extends AnyFunSuite {
         val m = got.getOrElse(e.getName, fail(s"entry ${e.getName} missing from ZipRandom"))
         assert(m.uncompressedSize === e.getSize, e.getName)
         assert(m.compressedSize === e.getCompressedSize, e.getName)
+        assert(m.crc === e.getCrc, e.getName)
         val expect = readAll(zf.getInputStream(e))
         val actual = readAll(ZipRandom.openEntry(seek, m))
         assert(java.util.Arrays.equals(actual, expect), s"bytes differ for ${e.getName}")
