@@ -14,6 +14,7 @@ object Plans {
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("project_filter", "join_broadcast", "agg_groupby", "xlsx_roundtrip",
+        "xlsx_scan_filtered", "semantic_dedup_ivf",
         "dedup_minhash", "ann_lsh", "window_rank", "join_asof", "join_range",
         "join_salted", "topk_heavy", "bloom_join", "line_dedup", "split_assign",
         "pii_redact", "lm_score",
