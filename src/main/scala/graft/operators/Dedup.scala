@@ -460,7 +460,13 @@ object Dedup {
     * Crossover: at sf0.1 (5K docs) this measures 4.4s vs 1.6s for the
     * all-token plan — the gdf join, per-doc window and verify joins are
     * fixed overhead. It wins when the all-token join fan-out
-    * (Σ_g count(g)²) dominates, i.e. dense duplication at large n. */
+    * (Σ_g count(g)²) dominates, i.e. dense duplication at large n.
+    * Re-measured round 7 on a 10x-replicated corpus (sf1: 50K docs, every
+    * doc x10 identical copies — far denser than organic growth): all-token
+    * STILL wins, 15.0s vs 24.1s (NgramLab, parity green). The df-cap +
+    * length-ratio prefilter absorb that much duplication; the crossover
+    * needs larger n yet, so all-token stays the default and no
+    * density-based auto-dispatch is warranted at measured scales. */
   def ngramJaccardPairsPrefix(
       df: DataFrame,
       idCol: String,
