@@ -332,6 +332,22 @@ class XlsxExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.agg(sum("id")).collect()(0).getLong(0) === 4950)
   }
 
+  test("remote-scheme split planning: row-range tasks through ZipRandom ranged reads") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mockfs.impl", classOf[MockFs].getName)
+    val dir = Files.createTempDirectory("mockfs-split").toString + "/d"
+    spark.range(20000).selectExpr("id", "concat('name-', id) AS s").coalesce(1)
+      .write.mode("overwrite").format("xlsx").option("header", "true")
+      .save(s"mockfs:$dir")
+    // small splitBytes forces planSplits down the remote (ZipRandom
+    // central-directory) branch: entry sizes, row estimate, ranged opens
+    val split = spark.read.format("xlsx").option("header", "true")
+      .option("splitBytes", 64 * 1024).load(s"mockfs:$dir")
+    assert(split.rdd.getNumPartitions > 1, "remote file did not split")
+    assert(split.count() === 20000)
+    assert(split.agg(sum("id")).collect()(0).getLong(0) === 20000L * 19999 / 2)
+  }
+
   test("in-memory workbook bytes: the HTTP-response pattern") {
     val df = spark.sql(
       "SELECT id, id * 2.5 AS v, date_add(DATE'2024-01-01', CAST(id AS INT)) AS d FROM range(10)")
