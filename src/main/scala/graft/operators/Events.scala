@@ -31,7 +31,10 @@ object Events {
     // fail a malformed horizon at the API boundary with a clear message,
     // not an opaque Catalyst parse error at plan time
     within.foreach { w =>
-      val unit = """\d+\s+(microsecond|millisecond|second|minute|hour|day|week|month|year)s?"""
+      // Spark's multi-unit interval syntax admits a fractional quantity on
+      // the seconds term only ('1.5 seconds' parses, '1.5 hours' raises
+      // INVALID_INTERVAL_FORMAT.INVALID_FRACTION) — mirror that here
+      val unit = """(\d+\s+(microsecond|millisecond|second|minute|hour|day|week|month|year)s?|\d+\.\d+\s+seconds?)"""
       require(w.trim.matches(s"(?i)$unit(\\s+$unit)*"),
         s"within must be '<n> <unit>' terms (e.g. '1 hour', '1 hour 30 minutes'); got '$w'")
     }

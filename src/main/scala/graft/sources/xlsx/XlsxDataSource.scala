@@ -165,19 +165,23 @@ object XlsxTable {
     * The writer silently rolls rows past `maxRowsPerSheet` into
     * continuation sheets; a default read that stopped at the first sheet
     * would silently drop everything past sheet 1 (caught by the sf1 scale
-    * audit, round 7). Continuation detection is deliberately narrow:
-    * it applies ONLY to workbooks stamped `<Application>graft</Application>`
-    * in docProps/app.xml (our own writer's mark), and probes names with
-    * the writer's EXACT naming rule — `cleaned.take(31 - "_k".length)`
-    * + `"_k"` for k = 2, 3, … in an unbroken run, which also matches
-    * long bases whose continuations truncate. Foreign workbooks always
-    * read exactly their first sheet, whatever their second sheet is
-    * named. Residual ambiguity inside our own files: a `sheetColumn`
-    * write whose KEYS are literally "X" and "X_2" unions under the
-    * default read — sheetColumn datasets should be read with
-    * allSheets + sheetNameColumn, which is lossless. An explicit `sheet`
-    * / `sheetIndex` selection stays single-sheet: naming one sheet is an
-    * explicit request for that sheet only. */
+    * audit, round 7). Continuation detection, in preference order:
+    *
+    *  1. The explicit write-time stamp (docProps/custom.xml property
+    *     `graftRollover`, round 8): the default read is sheet 0 plus the
+    *     unbroken run of sheets stamped as continuations. Exact — a user
+    *     sheet literally named "X_2" cannot spoof a chain, and a
+    *     uniquifier-skipped "_3" continuation is still followed.
+    *  2. Legacy fallback for pre-stamp graft files only (stamped
+    *     `<Application>graft</Application>` but no custom part): probe
+    *     names with the writer's naming rule — `cleaned.take(31 -
+    *     "_k".length)` + `"_k"` for k = 2, 3, … in an unbroken run.
+    *
+    * Foreign workbooks always read exactly their first sheet, whatever
+    * their second sheet is named. sheetColumn datasets should be read
+    * with allSheets + sheetNameColumn, which is lossless. An explicit
+    * `sheet` / `sheetIndex` selection stays single-sheet: naming one
+    * sheet is an explicit request for that sheet only. */
   def selectSheets(reader: XlsxReader, opts: XlsxOptions): Seq[String] = {
     val names = reader.sheetNames
     if (names.isEmpty) Seq.empty
@@ -191,12 +195,19 @@ object XlsxTable {
       case None =>
         val base = names.head
         if (!reader.application.contains("graft")) Seq(base)
-        else {
-          val present = names.toSet
-          val continuations = Iterator.from(2)
-            .map { k => val suffix = s"_$k"; base.take(31 - suffix.length) + suffix }
-            .takeWhile(present.contains).toSeq
-          base +: continuations
+        else reader.rolloverContinuations match {
+          case Some(stamped) =>
+            // sheet 0's chain = the unbroken run of stamped continuations
+            // immediately after it (a non-stamped sheet ends the chain)
+            val run = Iterator.from(1).takeWhile(i => i < names.size && stamped(i))
+              .map(names).toSeq
+            base +: run
+          case None =>
+            val present = names.toSet
+            val continuations = Iterator.from(2)
+              .map { k => val suffix = s"_$k"; base.take(31 - suffix.length) + suffix }
+              .takeWhile(present.contains).toSeq
+            base +: continuations
         }
     }
   }

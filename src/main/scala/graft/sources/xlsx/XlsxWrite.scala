@@ -173,8 +173,11 @@ final class XlsxDataWriter(
 
   /** Open a sheet named `name`, sanitized to Excel's rules (<=31 chars, no
     * []:*?/\) and uniquified within the workbook (`x`, `x_2`, `x_3`, …) —
-    * the same suffixing names rollover continuation sheets. */
-  private def newSheet(name: String): Unit = {
+    * the same suffixing names rollover continuation sheets. Rollover
+    * sheets are additionally stamped into docProps/custom.xml (via
+    * `continuation = true`) so the read side keys on the stamp, not the
+    * reconstructed naming rule. */
+  private def newSheet(name: String, continuation: Boolean = false): Unit = {
     val cleaned = {
       val c = name.replaceAll("""[\[\]:*?/\\]""", "_").take(31)
       if (c.isEmpty) "Sheet" else c
@@ -189,7 +192,7 @@ final class XlsxDataWriter(
     usedNames += candidate.toLowerCase
     writer.addSheet(candidate,
       opts.columnWidths.zipWithIndex.map { case (w, i) => (i + 1, w) },
-      opts.rowHeight)
+      opts.rowHeight, continuation)
     opts.protection.foreach(writer.protectSheet)
     if (opts.header) writer.writeHeaderBold(fields.map(_.name))
     rowsInSheet = 0L
@@ -200,9 +203,9 @@ final class XlsxDataWriter(
       case Some(keyOf) =>
         val key = keyOf(row)
         if (currentKey == null || key != currentKey) { currentKey = key; newSheet(key) }
-        else if (rowsInSheet >= rollover) newSheet(key)
+        else if (rowsInSheet >= rollover) newSheet(key, continuation = true)
       case None =>
-        if (rowsInSheet >= rollover) newSheet(baseSheet)
+        if (rowsInSheet >= rollover) newSheet(baseSheet, continuation = true)
     }
     writer.writeRowStyled(getters.iterator.map(_(row)))
     rowsInSheet += 1

@@ -48,11 +48,29 @@ object XlsxAppend {
       case v => (v, CellStyle.Default)
     }
 
+    // Carry the rollover-continuation stamp through the rewrite (the new
+    // package always gets a stamp, so losing it here would silently break
+    // the default read's chain reassembly). Pre-stamp graft files get
+    // their sheet-0 chain reconstructed from the writer's naming rule —
+    // the last place that rule is consulted; from then on the file is
+    // stamped explicitly.
+    val stamped: Set[Int] = reader.rolloverContinuations.getOrElse {
+      if (!reader.application.contains("graft")) Set.empty
+      else {
+        val base = sheetNames.head
+        val present = sheetNames.toSet
+        val chainNames = Iterator.from(2)
+          .map { k => val suffix = s"_$k"; base.take(31 - suffix.length) + suffix }
+          .takeWhile(present.contains).toSet
+        sheetNames.indices.filter(i => chainNames.contains(sheetNames(i))).toSet
+      }
+    }
+
     val tmp = File.createTempFile("xlsx_append", ".xlsx", src.getParentFile)
     val w = new XlsxWriter(new FileOutputStream(tmp))
     try {
-      for (name <- sheetNames) {
-        w.addSheet(name)
+      for ((name, idx) <- sheetNames.zipWithIndex) {
+        w.addSheet(name, continuation = stamped.contains(idx))
         val it = reader.rows(name)
         try it.foreach(r => w.writeRowStyled(styledRow(r))) finally it.close()
         if (name == target) rows.foreach(r => w.writeRowStyled(styledRow(r)))

@@ -101,6 +101,33 @@ final class XlsxReader(
     app
   }.flatten
 
+  /** Rollover-continuation stamp from docProps/custom.xml: the 0-based
+    * indices of sheets our writer created by rolling past maxRowsPerSheet
+    * (property `graftRollover`, comma-separated). `None` = part or
+    * property absent (foreign file, or a graft file from before the stamp
+    * existed); `Some(empty)` = stamped workbook with no rollover. Keying
+    * the default read on this instead of the `_k` naming rule means a user
+    * sheet literally named "X_2" can no longer spoof a continuation. */
+  lazy val rolloverContinuations: Option[Set[Int]] =
+    withEntry("docProps/custom.xml") { xr =>
+      var stamp: Option[String] = None
+      var inRollover = false
+      while (xr.hasNext) {
+        xr.next() match {
+          case XMLStreamConstants.START_ELEMENT if xr.getLocalName == "property" =>
+            inRollover = attr(xr, "name").contains("graftRollover")
+          case XMLStreamConstants.START_ELEMENT if inRollover && xr.getLocalName == "lpwstr" =>
+            stamp = Some(xr.getElementText)
+            inRollover = false
+          case _ =>
+        }
+      }
+      stamp
+    }.flatten.map { s =>
+      s.split(',').iterator.map(_.trim).filter(t => t.nonEmpty && t.forall(_.isDigit))
+        .map(_.toInt).toSet
+    }
+
   /** Mac-legacy 1904 date system (`<workbookPr date1904="1"/>`). Serials
     * in such workbooks count from 1904-01-01; we normalize them to the
     * 1900 system at parse time (+1462 days) so every downstream consumer
@@ -293,8 +320,8 @@ private[xlsx] object ByteSkim {
   // be split undetected is "<![CDATA[" (9 bytes, 8 may dangle)
   private val Carry = 8
 
-  /** Comment/CDATA-aware scan state. */
-  private final class State { var mode: Int = 0 } // 0 text, 1 comment, 2 cdata
+  /** Comment/CDATA/PI-aware scan state. */
+  private final class State { var mode: Int = 0 } // 0 text, 1 comment, 2 cdata, 3 PI
 
   private def startsWith(b: Array[Byte], i: Int, tok: String): Boolean = {
     if (i + tok.length > b.length) return false
@@ -316,6 +343,10 @@ private[xlsx] object ByteSkim {
         case 0 =>
           if (startsWith(win, i, "<!--")) { st.mode = 1; i += 4 }
           else if (startsWith(win, i, "<![CDATA[")) { st.mode = 2; i += 9 }
+          // processing instructions may legally contain literal '<row ' in
+          // their content (e.g. '<?gen <row v2?>') — without this state the
+          // byte-level row count desyncs from the XML parser's view
+          else if (startsWith(win, i, "<?")) { st.mode = 3; i += 2 }
           else if (i + 5 <= win.length &&
               win(i) == '<' && win(i + 1) == 'r' && win(i + 2) == 'o' && win(i + 3) == 'w' &&
               (win(i + 4) == ' ' || win(i + 4) == '>' || win(i + 4) == '/')) {
@@ -327,6 +358,8 @@ private[xlsx] object ByteSkim {
           if (startsWith(win, i, "-->")) { st.mode = 0; i += 3 } else i += 1
         case 2 =>
           if (startsWith(win, i, "]]>")) { st.mode = 0; i += 3 } else i += 1
+        case 3 =>
+          if (startsWith(win, i, "?>")) { st.mode = 0; i += 2 } else i += 1
       }
     }
     seenOut(0) = seen

@@ -32,6 +32,7 @@ final class XlsxWriter(out: OutputStream, compressionLevel: Int = 6) {
   // Column letters repeat every row — compute each once per writer.
   private val letterCache = new scala.collection.mutable.ArrayBuffer[String](64)
   private var sheetNames = Vector.empty[String]
+  private var continuations = Vector.empty[Int] // 0-based rollover sheet indices
   private var inSheet = false
   private var currentRow = 0 // 1-based row counter within current sheet
   private var protection: Option[ProtectionOptions] = None
@@ -47,11 +48,21 @@ final class XlsxWriter(out: OutputStream, compressionLevel: Int = 6) {
     * every row of the sheet renders at that height without per-row cost.
     * The reference's `set_column_width` / `set_next_row_height` are silent
     * no-op stubs (ref: src/fast_writer/ultra_low_memory.rs:74-82) —
-    * implemented for real here, a documented deviation (SURVEY §7.5). */
+    * implemented for real here, a documented deviation (SURVEY §7.5).
+    *
+    * `continuation` marks this sheet as a rollover continuation of the
+    * sheet before it (rows past maxRowsPerSheet). The indices are stamped
+    * into docProps/custom.xml at close so readers can reassemble the
+    * logical sheet WITHOUT inferring chains from the `_k` naming rule
+    * (which a user sheet literally named "X_2" would spoof). */
   def addSheet(name: String, colWidths: Seq[(Int, Double)] = Nil,
-      defaultRowHeight: Option[Double] = None): Unit = {
+      defaultRowHeight: Option[Double] = None, continuation: Boolean = false): Unit = {
     finishSheet()
     sheetNames :+= name
+    if (continuation) {
+      require(sheetNames.size > 1, "first sheet cannot be a rollover continuation")
+      continuations :+= sheetNames.size - 1
+    }
     zip.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${sheetNames.size}.xml"))
     write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""")
@@ -200,6 +211,7 @@ final class XlsxWriter(out: OutputStream, compressionLevel: Int = 6) {
     entry("xl/sharedStrings.xml", XlsxWriter.EmptySst)
     entry("docProps/app.xml", XlsxWriter.AppProps)
     entry("docProps/core.xml", XlsxWriter.CoreProps)
+    entry("docProps/custom.xml", XlsxWriter.customProps(continuations))
     zip.finish()
     zip.close()
     closed = true
@@ -228,7 +240,8 @@ object XlsxWriter {
 <Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>
 <Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>
 <Override PartName="/docProps/core.xml" ContentType="application/vnd.openxmlformats-package.core-properties+xml"/>
-<Override PartName="/docProps/app.xml" ContentType="application/vnd.openxmlformats-officedocument.extended-properties+xml"/>""")
+<Override PartName="/docProps/app.xml" ContentType="application/vnd.openxmlformats-officedocument.extended-properties+xml"/>
+<Override PartName="/docProps/custom.xml" ContentType="application/vnd.openxmlformats-officedocument.custom-properties+xml"/>""")
     (1 to nSheets).foreach { i =>
       sb.append(s"""\n<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
     }
@@ -242,6 +255,7 @@ object XlsxWriter {
 <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
 <Relationship Id="rId2" Type="http://schemas.openxmlformats.org/package/2006/relationships/metadata/core-properties" Target="docProps/core.xml"/>
 <Relationship Id="rId3" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/extended-properties" Target="docProps/app.xml"/>
+<Relationship Id="rId4" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/custom-properties" Target="docProps/custom.xml"/>
 </Relationships>"""
 
   def workbookXml(sheetNames: Seq[String]): String = {
@@ -325,6 +339,16 @@ object XlsxWriter {
     """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <Properties xmlns="http://schemas.openxmlformats.org/officeDocument/2006/extended-properties">
 <Application>graft</Application>
+</Properties>"""
+
+  /** Custom file properties (standard OOXML part). `graftRollover` lists
+    * the 0-based indices of rollover continuation sheets, comma-separated —
+    * present (possibly empty) in every workbook this writer produces, so a
+    * reader can tell "stamped, no rollover" from "legacy/foreign file". */
+  def customProps(continuations: Seq[Int]): String =
+    s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Properties xmlns="http://schemas.openxmlformats.org/officeDocument/2006/custom-properties" xmlns:vt="http://schemas.openxmlformats.org/officeDocument/2006/docPropsVTypes">
+<property fmtid="{D5CDD505-2E9C-101B-9397-08002B2CF9AE}" pid="2" name="graftRollover"><vt:lpwstr>${continuations.mkString(",")}</vt:lpwstr></property>
 </Properties>"""
 
   val CoreProps: String =

@@ -154,27 +154,44 @@ object ZipRandom {
     if (u32(lh, 0) != LocSig)
       throw new IOException(s"bad local header signature for ZIP entry ${e.name}")
     val dataStart = e.localHeaderOffset + 30 + u16(lh, 26) + u16(lh, 28)
-    val raw = new BoundedStream(in.openAt(dataStart), e.compressedSize)
     e.method match {
-      case 0 => raw
-      case 8 => new InflaterInputStream(raw, new Inflater(true), 64 * 1024) {
+      case 0 => new BoundedStream(in.openAt(dataStart), e.compressedSize, padByte = false)
+      case 8 =>
+        // nowrap Inflaters need one extra dummy byte after the compressed
+        // data (Inflater javadoc; java.util.zip.ZipFile injects buf[0]=0 in
+        // fill() for the same reason) or InflaterInputStream can throw
+        // "Unexpected end of ZLIB input stream" on valid entries
+        val raw = new BoundedStream(in.openAt(dataStart), e.compressedSize, padByte = true)
+        new InflaterInputStream(raw, new Inflater(true), 64 * 1024) {
         // release the Inflater's native buffers deterministically
         override def close(): Unit = try super.close() finally inf.end()
       }
-      case m => raw.close(); throw new IOException(s"unsupported ZIP method $m for entry ${e.name}")
+      case m => throw new IOException(s"unsupported ZIP method $m for entry ${e.name}")
     }
   }
 
-  /** Reads at most `limit` bytes from `in`, closing it with this stream. */
-  private final class BoundedStream(in: InputStream, limit: Long) extends InputStream {
+  /** Reads at most `limit` bytes from `in`, closing it with this stream.
+    * With `padByte`, yields a single extra 0x00 after the limit (required by
+    * nowrap [[Inflater]]s — see [[openEntry]]). */
+  private final class BoundedStream(in: InputStream, limit: Long, padByte: Boolean)
+      extends InputStream {
     private var remaining = limit
+    private var padded = false
+    private def pad(): Int =
+      if (padByte && !padded) { padded = true; 0 } else -1
     override def read(): Int =
-      if (remaining <= 0) -1
-      else { val b = in.read(); if (b >= 0) remaining -= 1; b }
+      if (remaining <= 0) pad()
+      else { val b = in.read(); if (b >= 0) remaining -= 1 else remaining = 0; b }
     override def read(b: Array[Byte], off: Int, len: Int): Int = {
-      if (remaining <= 0) return -1
+      if (len == 0) return 0
+      if (remaining <= 0) {
+        val p = pad()
+        if (p < 0) return -1
+        b(off) = 0
+        return 1
+      }
       val n = in.read(b, off, math.min(len.toLong, remaining).toInt)
-      if (n > 0) remaining -= n
+      if (n > 0) remaining -= n else remaining = 0
       n
     }
     override def close(): Unit = in.close()

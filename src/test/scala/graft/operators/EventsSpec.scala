@@ -75,6 +75,24 @@ class EventsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(open.map(_.getLong(2)).toSeq === Seq(2L, 2L))
   }
 
+  test("funnel: fractional seconds `within` is a valid interval term") {
+    // Spark's interval syntax allows a fraction on the seconds term only
+    val df = events(
+      // u1 clicks 1h after viewing (inside 5400.5s), u2 clicks 2h after
+      (1L, "view", "2024-01-01 10:00:00"), (1L, "click", "2024-01-01 11:00:00"),
+      (2L, "view", "2024-01-01 10:00:00"), (2L, "click", "2024-01-01 12:00:00"))
+    val out = Events.funnelCounts(df, "user_id", "event_type", "ts",
+      Seq("view", "click"), within = Some("1 hour 1800.5 seconds")).orderBy("step").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(2L, 1L))
+    // fractions on non-second units are rejected at the API boundary with
+    // a clear message (Spark itself raises INVALID_FRACTION at plan time)
+    val ex = intercept[IllegalArgumentException] {
+      Events.funnelCounts(df, "user_id", "event_type", "ts",
+        Seq("view", "click"), within = Some("1.5 hours"))
+    }
+    assert(ex.getMessage.contains("within"))
+  }
+
   test("funnel: malformed `within` fails fast with a clear argument error") {
     val df = events((1L, "view", "2024-01-01 10:00:00"))
     val ex = intercept[IllegalArgumentException] {

@@ -234,6 +234,34 @@ class XlsxDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dflt.count() === 5, "only the first sheet; 'Other' is not Data_2")
   }
 
+  test("stamped workbooks: a user sheet literally named 'X_2' cannot spoof a continuation") {
+    // pre-round-8 this unioned under the default read (name-rule inference);
+    // the write-time rollover stamp makes the default read exact
+    val dir = tmp() + "/spoof"
+    spark.range(10).selectExpr("id").coalesce(1)
+      .withColumn("sheet", expr("IF(id < 5, 'X', 'X_2')"))
+      .write.mode("overwrite").format("xlsx")
+      .option("header", "true").option("sheetColumn", "sheet").save(dir)
+    val dflt = spark.read.format("xlsx").option("header", "true").load(dir)
+    assert(dflt.count() === 5, "'X_2' is a user sheet, not a rollover continuation")
+    // while a REAL chain whose continuation names collide with a user
+    // sheet is still followed exactly: keys sort Y first, its rollover
+    // continuations claim Y_2/Y_3, and the user's literal 'Y_2' key is
+    // uniquified to Y_2_2 — the stamp keeps the default read on the chain
+    val dir2 = tmp() + "/skip2"
+    spark.range(10).selectExpr("id").coalesce(1)
+      .withColumn("sheet", expr("IF(id < 3, 'Y_2', 'Y')"))
+      .write.mode("overwrite").format("xlsx").option("header", "true")
+      .option("sheetColumn", "sheet").option("maxRowsPerSheet", "4").save(dir2)
+    val all = spark.read.format("xlsx").option("header", "true")
+      .option("allSheets", "true").option("sheetNameColumn", "_sheet").load(dir2)
+    val names = all.select("_sheet").distinct().collect().map(_.getString(0)).toSet
+    assert(names === Set("Y", "Y_2", "Y_3", "Y_2_2"), s"unexpected sheet layout: $names")
+    val dflt2 = spark.read.format("xlsx").option("header", "true").load(dir2)
+    assert(dflt2.count() === 7, "chain Y→Y_2→Y_3 followed; user sheet (now Y_2_2) excluded")
+    assert(dflt2.agg(sum("id")).collect()(0).getLong(0) === (3 to 9).sum.toLong)
+  }
+
   test("SaveMode.Overwrite truncates previous part files") {
     val dir = tmp() + "/t5"
     spark.range(50).coalesce(1).write.mode("overwrite").format("xlsx").option("header", "true").save(dir)

@@ -281,6 +281,25 @@ class XlsxExtrasSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("not found"))
   }
 
+  test("XlsxAppend: the rollover-continuation stamp survives the rewrite") {
+    import graft.xlsx._
+    import CellValue._
+    val f = Files.createTempDirectory("xa2").toString + "/wb.xlsx"
+    val w = new XlsxWriter(new java.io.FileOutputStream(f))
+    w.addSheet("big"); w.writeRowTyped(Seq(IntVal(1)))
+    w.addSheet("big_2", continuation = true); w.writeRowTyped(Seq(IntVal(2)))
+    w.addSheet("side"); w.writeRowTyped(Seq(IntVal(3)))
+    w.close()
+    assert(XlsxReader.forFile(f).rolloverContinuations === Some(Set(1)))
+
+    XlsxAppend.appendRows(f, Seq(Seq(IntVal(9))), Some("side"))
+    val r = XlsxReader.forFile(f)
+    assert(r.rolloverContinuations === Some(Set(1)),
+      "append rewrite must not drop the chain stamp")
+    assert(r.rows("big_2").toVector === Vector(Vector(IntVal(2))))
+    assert(r.rows("side").toVector === Vector(Vector(IntVal(3)), Vector(IntVal(9))))
+  }
+
   test("DSv2 sheet-name selection on a multi-sheet workbook (FIXTURES B3)") {
     import graft.xlsx._
     import CellValue._

@@ -372,6 +372,39 @@ class RoundtripSpec extends AnyFunSuite {
       DateTime(100.0), DateTime(200.0), IntVal(300L), IntVal(400L)))
   }
 
+  test("ByteSkim: '<row ' inside a processing instruction is not a row") {
+    // a PI may legally contain literal '<row ' in its content; without a PI
+    // state the byte scanner would desync from the XML parser's row view
+    val xml = """<?xml version="1.0"?><worksheet><sheetData>""" +
+      """<?gen <row v2?>""" +
+      """<row r="1"><c r="A1" t="n"><v>1</v></c></row>""" +
+      """<?x <row ?  <row > ?>""" +
+      """<row r="2"><c r="A2" t="n"><v>2</v></c></row>""" +
+      """</sheetData></worksheet>"""
+    val bytes = xml.getBytes("UTF-8")
+    val (count, _, exhausted) =
+      ByteSkim.countRows(new java.io.ByteArrayInputStream(bytes), bytes.length + 16)
+    assert(exhausted && count === 2, s"PI content miscounted as rows: $count")
+    val in = ByteSkim.skipToRow(new java.io.ByteArrayInputStream(bytes), 1L).get
+    val text = new String(in.readAllBytes(), "UTF-8")
+    assert(text.contains("<row r=\"2\"") && !text.contains("<row r=\"1\""))
+  }
+
+  test("rollover stamp: continuation indices survive the write/read cycle") {
+    val bos = new ByteArrayOutputStream()
+    val w = new XlsxWriter(bos)
+    w.addSheet("Data"); w.writeRow(Seq("a"))
+    w.addSheet("Data_2", continuation = true); w.writeRow(Seq("b"))
+    w.addSheet("Other"); w.writeRow(Seq("c"))
+    w.close()
+    val r = XlsxReader.forBytes(bos.toByteArray)
+    assert(r.rolloverContinuations === Some(Set(1)))
+    // a workbook with no rollover is stamped with the EMPTY set (so readers
+    // can tell "stamped, no rollover" from "legacy/foreign")
+    val r2 = roundtrip { w2 => w2.addSheet("One"); w2.writeRow(Seq("x")) }
+    assert(r2.rolloverContinuations === Some(Set.empty[Int]))
+  }
+
   test("compression levels produce valid files of decreasing size") {
     def size(level: Int): Int = {
       val bos = new ByteArrayOutputStream()
