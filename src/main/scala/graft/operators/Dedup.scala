@@ -44,6 +44,63 @@ object Dedup {
   def exact(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
 
+  /** Exact-duplicate pre-collapse for the near-dup family: group byte-
+    * identical texts by 64-bit content fingerprint and hand ONE
+    * representative per group to the sketch machinery; member pairs are
+    * reconstructed afterwards ([[expandRepPairs]]).
+    *
+    * Why: candidate pairs inside a group of m identical copies grow as
+    * C(m,2) — the one superlinear term the round-7 sf1 audit measured
+    * (dedup_ngram_jaccard 21.5× for 10× data on a 10×-replicated corpus).
+    * Collapsing makes the sketch/join cost a function of DISTINCT texts;
+    * duplicate density only affects the final expansion, whose size is the
+    * output's own cardinality. At 100 TB this is the standard first stage
+    * of every production near-dup pipeline.
+    *
+    * Returns (reps, members): reps = (id, text, gsize) one row per distinct
+    * text (id = min member id); members = (id, rep_id, gsize) for every
+    * input row. A 64-bit fingerprint collision between two distinct texts
+    * would merge their groups — the same accepted 2^-64-per-pair risk class
+    * as the hashed-shingle oracle equivalence (see [[shingleHashUdf]]). */
+  private def collapseByText(df: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("fp")
+    val members = spread(df)
+      .select(col(idCol).as("id"), col(textCol).as("text"),
+        xxhash64(col(textCol)).as("fp"))
+      .withColumn("rep_id", min("id").over(w))
+      .withColumn("gsize", count(lit(1)).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = members.filter(col("id") === col("rep_id"))
+      .select(col("id"), col("text"), col("gsize"))
+    (reps, members.select(col("id"), col("rep_id"), col("gsize")))
+  }
+
+  /** Expansion tail of the pre-collapsed near-dup joins: representative
+    * pairs fan back out to member pairs (canonicalized id_a < id_b), and
+    * intra-group pairs — identical texts, similarity known in closed form —
+    * are emitted directly from `intra` = (rep_id, value columns), one row
+    * per duplicate group that qualifies. Both joins move only ids and the
+    * similarity value; the C(m,2) intra fan-out IS the output cardinality,
+    * not an intermediate. */
+  private def expandRepPairs(repPairs: DataFrame, intra: DataFrame,
+      members: DataFrame, valueCols: Seq[String]): DataFrame = {
+    val vals = valueCols.map(col)
+    val cross = repPairs
+      .join(members.select(col("rep_id").as("id_a"), col("id").as("ma")), "id_a")
+      .join(members.select(col("rep_id").as("id_b"), col("id").as("mb")), "id_b")
+      .select(least(col("ma"), col("mb")).as("id_a") +:
+        greatest(col("ma"), col("mb")).as("id_b") +: vals: _*)
+    val dupM = members.filter(col("gsize") > 1)
+    val intraPairs = dupM.select(col("rep_id"), col("id").as("ma"))
+      .join(dupM.select(col("rep_id"), col("id").as("mb")), "rep_id")
+      .filter(col("ma") < col("mb"))
+      .join(intra, "rep_id")
+      .select(col("ma").as("id_a") +: col("mb").as("id_b") +: vals: _*)
+    cross.union(intraPairs)
+  }
+
   /** Exact-dup groups: representative id per duplicated key, for audit. */
   def exactGroups(df: DataFrame, keyCol: String, idCol: String): DataFrame =
     df.groupBy(col(keyCol))
@@ -226,8 +283,11 @@ object Dedup {
     *
     * Scale: the bucket groupBy is the only full-corpus shuffle; the
     * candidate self-join is on bucket keys (both sides pre-hashed), and
-    * verification touches candidate pairs only.
-    */
+    * verification touches candidate pairs only. With `collapseExact` (the
+    * default) byte-identical texts collapse to one representative first
+    * ([[collapseByText]]) — identical copies always share every bucket and
+    * verify at jaccard 1.0, so running them through the sketch is pure
+    * C(m,2) candidate blow-up; the pair output is identical either way. */
   def minhashNearDups(
       df: DataFrame,
       idCol: String,
@@ -235,14 +295,21 @@ object Dedup {
       shingleK: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 4,
-      jaccardThreshold: Double = 0.5): DataFrame = {
+      jaccardThreshold: Double = 0.5,
+      collapseExact: Boolean = true): DataFrame = {
+    val (input, expansion) =
+      if (collapseExact) {
+        val (reps, members) = collapseByText(df, idCol, textCol)
+        (reps, Some(members))
+      } else (spread(df).select(col(idCol).as("id"), col(textCol).as("text")), None)
+
     // Shingle sets are needed twice (signature + verification) and the
     // banded keys twice (both sides of the self-join); persist both so the
     // expensive shingle/minhash computation runs once. At 100 TB these
     // become materialized intermediate tables; MEMORY_AND_DISK spills
     // gracefully either way.
-    val sh = spread(df)
-      .select(col(idCol).as("id"), shingleHashUdf(shingleK)(col(textCol)).as("sh"))
+    val sh = input
+      .select(col("id"), shingleHashUdf(shingleK)(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -260,7 +327,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    verifyJaccard(candidates, sh, jaccardThreshold)
+    val repPairs = verifyJaccard(candidates, sh, jaccardThreshold)
+    expansion match {
+      case None => repPairs
+      case Some(members) =>
+        // intra-group pairs: identical texts verify at exactly 1.0 — but
+        // only when the doc shingles at all (< k words never pairs in the
+        // direct path either), hence the qualifying groups come from `sh`
+        val intra = sh.select(col("id").as("rep_id"))
+          .withColumn("jaccard", round(lit(1.0), 4))
+          .filter(lit(1.0) >= jaccardThreshold)
+        expandRepPairs(repPairs, intra, members, Seq("jaccard"))
+    }
   }
 
   /** Shared verification tail of the near-dup joins: fetch full hashed
@@ -359,10 +437,16 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      collapseExact: Boolean = true): DataFrame = {
     val sim = udf(simhash64)
     val pop = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
-    val withFp = spread(df).select(col(idCol).as("id"), sim(col(textCol)).as("fp"))
+    val (input, expansion) =
+      if (collapseExact) {
+        val (reps, members) = collapseByText(df, idCol, textCol)
+        (reps, Some(members))
+      } else (spread(df).select(col(idCol).as("id"), col(textCol).as("text")), None)
+    val withFp = input.select(col("id"), sim(col("text")).as("fp"))
     val banded = withFp.select(col("id"), col("fp"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"), shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL)).as("val"))
@@ -370,12 +454,22 @@ object Dedup {
       .select(col("id"), col("fp"), col("cb.chunk"), col("cb.val"))
     val l = banded.select(col("chunk"), col("val"), col("id").as("id_a"), col("fp").as("fp_a"))
     val r = banded.select(col("chunk"), col("val"), col("id").as("id_b"), col("fp").as("fp_b"))
-    l.join(r, Seq("chunk", "val"))
+    val repPairs = l.join(r, Seq("chunk", "val"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", pop(col("fp_a"), col("fp_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+    expansion match {
+      case None => repPairs
+      case Some(members) =>
+        // identical texts have identical fingerprints: hamming 0, and
+        // simhash excludes nothing (even the empty text fingerprints)
+        val intra = members.filter(col("gsize") > 1)
+          .select(col("rep_id")).distinct()
+          .withColumn("hamming", lit(0))
+        expandRepPairs(repPairs, intra, members, Seq("hamming"))
+    }
   }
 
   /** Exact n-gram Jaccard similarity for all pairs above a threshold,
@@ -405,27 +499,38 @@ object Dedup {
       textCol: String,
       k: Int = 3,
       threshold: Double = 0.5,
-      dfCap: Int = 10000): DataFrame = {
-    val sh = spread(df)
-      .select(col(idCol).as("id"), shingleHashUdf(k)(col(textCol)).as("sh"))
+      dfCap: Int = 10000,
+      collapseExact: Boolean = true): DataFrame = {
+    val (input, expansion) =
+      if (collapseExact) {
+        val (reps, members) = collapseByText(df, idCol, textCol)
+        (reps, Some(members))
+      } else (spread(df).select(col(idCol).as("id"), col(textCol).as("text"),
+        lit(1L).as("gsize")), None)
+    val sh = input
+      .select(col("id"), col("gsize"), shingleHashUdf(k)(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
     // the inverted index keys on the 64-bit shingle hash, not the string:
     // long join keys shuffle smaller and compare cheaper
     val exploded = sh
-      .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
+      .select(col("id"), col("gsize"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // df-cap: drop ubiquitous shingles (skew + zero signal). Inverted to a
     // broadcast ANTI-join on the over-cap grams: that list is tiny (at most
     // total_shingles/dfCap entries, and real text has a short hot head), so
     // the full index never shuffles for the cap — the ≤cap list it would
     // otherwise inner-join is nearly every distinct gram. Measured 1.5-2×
-    // on the sf0.1 bench (PerfLab).
-    val hot = exploded.groupBy("g").agg(count(lit(1)).as("gdf"))
+    // on the sf0.1 bench (PerfLab). Under pre-collapse the count is
+    // weighted by group size, so the cap fires on exactly the same grams
+    // as it would over the uncollapsed corpus — required for the
+    // collapsed/direct parity contract.
+    val hot = exploded.groupBy("g").agg(sum("gsize").as("gdf"))
       .filter(col("gdf") > dfCap).select("g")
     val capped = exploded.join(broadcast(hot), Seq("g"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = capped.select(col("g"), col("id").as("id_a"), col("n").as("n_a"))
     val b = capped.select(col("g"), col("id").as("id_b"), col("n").as("n_b"))
-    a.join(b, Seq("g"))
+    val repPairs = a.join(b, Seq("g"))
       .filter(col("id_a") < col("id_b")
         && col("n_a") >= col("n_b") * lit(threshold)
         && col("n_b") >= col("n_a") * lit(threshold))
@@ -434,6 +539,22 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    expansion match {
+      case None => repPairs
+      case Some(members) =>
+        // intra-group similarity in this variant's capped formula: identical
+        // texts share exactly their u uncapped grams, so the reported value
+        // is u/(2n−u) — NOT a blanket 1.0 — keeping collapsed output equal
+        // to the direct path pair for pair. Groups whose grams are all
+        // capped (u = 0) vanish here just as they produce no join rows.
+        val intra = capped.groupBy("id")
+          .agg(count(lit(1)).as("u"), max(col("n")).as("n"))
+          .withColumn("jaccard",
+            col("u").cast("double") / (lit(2) * col("n") - col("u")))
+          .filter(col("jaccard") >= threshold)
+          .select(col("id").as("rep_id"), round(col("jaccard"), 4).as("jaccard"))
+        expandRepPairs(repPairs, intra, members, Seq("jaccard"))
+    }
   }
 
   /** Prefix-filtered variant of [[ngramJaccardPairs]] (All-Pairs/PPJoin

@@ -27,16 +27,34 @@ object NgramLab {
       }
       println(f"$name%-14s rows=${ts.head._2} times=${ts.map(t => f"${t._1}%.2f").mkString(",")} min=${ts.map(_._1).min}%.2f")
     }
-    time("all-token") { Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, 10000).count() }
+    time("all-token") { Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, 10000,
+      collapseExact = false).count() }
     spark.catalog.clearCache() // each variant persists its shingle index
+    time("collapsed") { Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, 10000).count() }
+    spark.catalog.clearCache()
     time("prefix") { Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5, 10000).count() }
     spark.catalog.clearCache()
-    val a = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, 10000)
-      .collect().map(_.toString).sorted
+    time("minhash-direct") { Dedup.minhashNearDups(docs, "doc_id", "text",
+      collapseExact = false).count() }
+    spark.catalog.clearCache()
+    time("minhash-coll") { Dedup.minhashNearDups(docs, "doc_id", "text").count() }
+    spark.catalog.clearCache()
+    val a = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, 10000,
+      collapseExact = false).collect().map(_.toString).sorted
     val b = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5, 10000)
       .collect().map(_.toString).sorted
-    println(s"parity: all-token=${a.length} prefix=${b.length} equal:${a.sameElements(b)}")
+    val c = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, 10000)
+      .collect().map(_.toString).sorted
+    println(s"parity: all-token=${a.length} prefix=${b.length} collapsed=${c.length} " +
+      s"prefixEq:${a.sameElements(b)} collapseEq:${a.sameElements(c)}")
     assert(a.sameElements(b), "PARITY BROKEN between ngram variants")
+    assert(a.sameElements(c), "PARITY BROKEN between direct and collapsed paths")
+    val md = Dedup.minhashNearDups(docs, "doc_id", "text", collapseExact = false)
+      .collect().map(_.toString).sorted
+    val mc = Dedup.minhashNearDups(docs, "doc_id", "text")
+      .collect().map(_.toString).sorted
+    println(s"minhash parity: direct=${md.length} collapsed=${mc.length} equal:${md.sameElements(mc)}")
+    assert(md.sameElements(mc), "PARITY BROKEN between minhash direct and collapsed paths")
     spark.stop()
   }
 }

@@ -118,6 +118,59 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("exact-dup pre-collapse: collapsed output equals the direct path pair for pair") {
+    // dup-dense fixture exercising every expansion case: a 4-copy group,
+    // a 3-copy group near-dup to it, duplicated short docs (< k words,
+    // which must NOT pair in the shingle family), an empty-text pair, a
+    // null-text doc, and a singleton
+    val fam = (0 until 20).map(i => s"w$i").mkString(" ")
+    val famNear = fam.replace("w7", "X7")
+    val df = docs(
+      1L -> fam, 2L -> fam, 3L -> fam, 4L -> fam,
+      5L -> famNear, 6L -> famNear, 7L -> famNear,
+      8L -> "too short", 9L -> "too short",
+      10L -> "", 11L -> "", 12L -> null.asInstanceOf[String],
+      13L -> unrelated)
+    def rows(p: DataFrame): Seq[String] = p.collect().map(_.toString).sorted.toSeq
+    for (t <- Seq(0.3, 0.5)) {
+      val direct = rows(Dedup.ngramJaccardPairs(df, "id", "text", k = 3,
+        threshold = t, collapseExact = false))
+      val collapsed = rows(Dedup.ngramJaccardPairs(df, "id", "text", k = 3,
+        threshold = t, collapseExact = true))
+      assert(collapsed === direct, s"ngram parity broke at t=$t")
+      assert(collapsed.nonEmpty)
+    }
+    assert(rows(Dedup.minhashNearDups(df, "id", "text", collapseExact = true)) ===
+      rows(Dedup.minhashNearDups(df, "id", "text", collapseExact = false)))
+    assert(rows(Dedup.simhashNearDups(df, "id", "text", collapseExact = true)) ===
+      rows(Dedup.simhashNearDups(df, "id", "text", collapseExact = false)))
+    // the intra-group expansion emits every pair of a 4-copy group at 1.0
+    val mh = Dedup.minhashNearDups(df, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    for (a <- 1L to 4L; b <- (a + 1) to 4L) assert(mh((a, b)) === 1.0)
+    // duplicated sub-k docs never pair in the shingle family
+    assert(!mh.keySet.exists { case (a, b) => a >= 8L && b <= 12L })
+  }
+
+  test("ngram jaccard weighted df-cap: collapse fires the cap on full-corpus frequency") {
+    // 6 copies of one doc + 1 distinct near-dup; dfCap=5 means every gram
+    // of the duplicated doc is over the cap corpus-wide (df=6 or 7) even
+    // though only 2 DISTINCT texts carry it — an unweighted collapsed
+    // count (2) would miss the cap and diverge from the direct path
+    val fam = (0 until 12).map(i => s"z$i").mkString(" ")
+    val near = fam.replace("z5", "Y5")
+    val df = docs((1L to 6L).map(_ -> fam) :+ (7L -> near): _*)
+    for (cap <- Seq(5, 100)) {
+      val direct = Dedup.ngramJaccardPairs(df, "id", "text", k = 3,
+        threshold = 0.3, dfCap = cap, collapseExact = false)
+        .collect().map(_.toString).sorted.toSeq
+      val collapsed = Dedup.ngramJaccardPairs(df, "id", "text", k = 3,
+        threshold = 0.3, dfCap = cap, collapseExact = true)
+        .collect().map(_.toString).sorted.toSeq
+      assert(collapsed === direct, s"dfCap=$cap parity broke")
+    }
+  }
+
   test("ivf topk: exhaustive probe recovers brute force; partial probe has recall; dim mismatch throws") {
     val s = spark
     import s.implicits._
