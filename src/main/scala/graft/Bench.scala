@@ -72,6 +72,11 @@ object Bench {
     // its memory pressure can't leak into their timings.
     val w1 = time2(li.coalesce(1).write.mode("overwrite").format("xlsx")
       .option("header", "true").save("/tmp/graft_bench/x1"))
+    // ONE workbook out, N partition writers (round-8 stitch) vs the w1
+    // single-writer path above — same data, same deliverable
+    val ws = time2(li.repartition(cpus.toInt).write.mode("overwrite").format("xlsx")
+      .option("header", "true").option("singleFile", "true")
+      .save("/tmp/graft_bench/x1s/book.xlsx"))
     val c1 = time2(li.coalesce(1).write.mode("overwrite")
       .option("header", "true").csv("/tmp/graft_bench/c1"))
     val liPar = (1 to csvRepl).map(_ => li).reduce(_ union _)
@@ -99,6 +104,7 @@ object Bench {
     val rs = time2(readOne(split = true))
     val tput =
       f""""xlsx_write_1core_rows_per_sec":${nRows / w1}%.0f,""" +
+      f""""xlsx_write_1file_stitched_rows_per_sec":${nRows / ws}%.0f,""" +
       f""""xlsx_write_parallel_repl${csvRepl}_rows_per_sec":${nBig / wp}%.0f,""" +
       f""""xlsx_read_parallel_repl${csvRepl}_rows_per_sec":${nBig / rd}%.0f,""" +
       f""""xlsx_read_1file_unsplit_rows_per_sec":${nRows / r1}%.0f,""" +

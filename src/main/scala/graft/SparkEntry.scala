@@ -376,6 +376,23 @@ object SparkEntry {
       df.agg(count(lit(1)).as("nrows")).withColumn("ncols", lit(df.columns.length))
     }),
 
+    // Parallel single-workbook write (round 8): 8 partition writers deflate
+    // their own sheet payloads, the driver stitches ONE .xlsx at commit
+    // (XlsxSingleFile), the stamped rollover chain makes the default read
+    // reassemble it — results must equal a directory-of-parts roundtrip.
+    "xlsx_single_file" -> ((s, dir) => {
+      val p = work(dir, "xlsx_single_file") + "/book.xlsx"
+      li4(s, dir).repartition(8).write.mode("overwrite")
+        .format("xlsx").option("header", "true")
+        .option("singleFile", "true").save(p)
+      s.read.format("xlsx").option("header", "true").load(p)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")).cast("double"), 2).as("sum_qty"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"))
+    }),
+
     "xlsx_multisheet" -> ((s, dir) => {
       val p = work(dir, "xlsx_multisheet")
       t(s, dir, "orders").select(col("o_orderkey")).coalesce(1)
@@ -1178,7 +1195,8 @@ object SparkEntry {
     "join_salted", "join_range", "topk_heavy", "window_rank",
     "sort_limit_topk", "agg_rollup", "percentiles", "pivot_conditional",
     "events_window", "sessionize",
-    "xlsx_roundtrip", "xlsx_multisheet", "csv_roundtrip", "parquet_stringify",
+    "xlsx_roundtrip", "xlsx_multisheet", "xlsx_single_file", "csv_roundtrip",
+    "parquet_stringify",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
     "text_stats", "doc_fingerprint", "ann_bruteforce", "ann_lsh", "ann_ivf",
     "embedding_pairs_exact",
@@ -1418,6 +1436,12 @@ object SparkEntry {
 
     "xlsx_dimensions" ->
       "SELECT count(*) AS nrows, 4 AS ncols FROM lineitem",
+
+    "xlsx_single_file" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
+                min(CAST(l_shipdate AS DATE)) AS min_ship,
+                max(CAST(l_shipdate AS DATE)) AS max_ship
+         FROM lineitem GROUP BY l_returnflag""",
 
     "xlsx_multisheet" ->
       "SELECT count(*) AS cnt, CAST(sum(o_orderkey) AS BIGINT) AS sum_key FROM orders",

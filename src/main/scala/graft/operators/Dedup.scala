@@ -64,17 +64,24 @@ object Dedup {
     * as the hashed-shingle oracle equivalence (see [[shingleHashUdf]]). */
   private def collapseByText(df: DataFrame, idCol: String, textCol: String)
       : (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("fp")
-    val members = spread(df)
+    // Shuffle shape matters here: a window over fp would haul every text
+    // through the exchange. The groupBy form is map-side combinable —
+    // duplicate texts collapse to one (fp, text) pair per map partition
+    // BEFORE the shuffle (min_by keeps the text of the minimal id, i.e.
+    // the representative's own bytes even under a fingerprint collision),
+    // and the membership map then joins on (fp) moving only id-width rows.
+    val withFp = spread(df)
       .select(col(idCol).as("id"), col(textCol).as("text"),
         xxhash64(col(textCol)).as("fp"))
-      .withColumn("rep_id", min("id").over(w))
-      .withColumn("gsize", count(lit(1)).over(w))
+    val reps = withFp.groupBy("fp")
+      .agg(min("id").as("id"), min_by(col("text"), col("id")).as("text"),
+        count(lit(1)).as("gsize"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val reps = members.filter(col("id") === col("rep_id"))
-      .select(col("id"), col("text"), col("gsize"))
-    (reps, members.select(col("id"), col("rep_id"), col("gsize")))
+    val members = withFp.select(col("id"), col("fp"))
+      .join(reps.select(col("fp"), col("id").as("rep_id"), col("gsize")), "fp")
+      .select(col("id"), col("rep_id"), col("gsize"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (reps.select(col("id"), col("text"), col("gsize")), members)
   }
 
   /** Expansion tail of the pre-collapsed near-dup joins: representative

@@ -23,7 +23,8 @@ final case class XlsxOptions(
     sheetNameColumn: Option[String], // read: append a column carrying the source sheet name
     splitSheets: Boolean,         // read: fan large sheets out over multiple tasks
     splitBytes: Long,             // read: target decompressed XML bytes per task
-    rowHeight: Option[Double]     // write: default row height (points) for every sheet
+    rowHeight: Option[Double],    // write: default row height (points) for every sheet
+    singleFile: Boolean           // write: stitch all partitions into ONE workbook
 ) extends Serializable
 
 object XlsxOptions {
@@ -61,7 +62,8 @@ object XlsxOptions {
     rowHeight = Option(m.get("rowHeight")).map { h =>
       val v = h.toDouble
       require(v > 0, s"rowHeight must be positive, got $h"); v
-    }
+    },
+    singleFile = m.getBoolean("singleFile", false)
   )
 
   /** The reference's 12-field protection surface as `protect.*` options

@@ -210,7 +210,7 @@ final class XlsxPartitionReader(
           protection = None, columnWidths = Seq.empty, columnStyles = Seq.empty,
           sheetColumn = None, formulaPrefix = None, sheetNameColumn = None,
           splitSheets = false, splitBytes = XlsxOptions.DefaultSplitBytes,
-          rowHeight = None)
+          rowHeight = None, singleFile = false)
         XlsxTable.selectSheets(reader, opts)
     }
     sheets.iterator.flatMap { s =>

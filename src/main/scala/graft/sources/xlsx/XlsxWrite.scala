@@ -79,28 +79,174 @@ final class XlsxBatchWrite(
 ) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(conf.value)
-    if (truncate && fs.exists(dir)) {
-      fs.listStatus(dir).foreach { st =>
-        if (st.isFile && st.getPath.getName.endsWith(".xlsx")) fs.delete(st.getPath, false)
+    if (opts.singleFile) {
+      val target = XlsxSingleFile.target(path)
+      val fs = target.getFileSystem(conf.value)
+      val parent = Option(target.getParent).getOrElse(new Path("."))
+      fs.mkdirs(parent)
+      if (truncate && fs.exists(target)) fs.delete(target, false)
+      // sweep leftovers of a crashed earlier attempt
+      if (fs.exists(parent)) fs.listStatus(parent).foreach { st =>
+        if (st.isFile && st.getPath.getName.startsWith(XlsxSingleFile.fragPrefix(target)))
+          fs.delete(st.getPath, false)
       }
+    } else {
+      val dir = new Path(path)
+      val fs = dir.getFileSystem(conf.value)
+      if (truncate && fs.exists(dir)) {
+        fs.listStatus(dir).foreach { st =>
+          if (st.isFile && st.getPath.getName.endsWith(".xlsx")) fs.delete(st.getPath, false)
+        }
+      }
+      fs.mkdirs(dir)
     }
-    fs.mkdirs(dir)
     XlsxWriterFactory(schema, opts, path, conf)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    if (opts.singleFile)
+      XlsxSingleFile.stitch(path, opts, schema,
+        messages.collect { case m: XlsxFragMessage if m.file != null => m }, conf)
+
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(conf.value)
     messages.foreach {
       case XlsxCommitMessage(file) if file != null => fs.delete(new Path(file), false)
+      case XlsxFragMessage(file, _, _) if file != null => fs.delete(new Path(file), false)
       case _ =>
     }
   }
 }
 
 final case class XlsxCommitMessage(file: String) extends WriterCommitMessage
+
+/** Commit metadata of one singleFile fragment: where the task's payload
+  * bytes live plus the per-sheet catalog needed to stitch them. */
+final case class XlsxFragMessage(
+    file: String,
+    partitionId: Int,
+    sheets: Seq[graft.xlsx.FragmentSheet]) extends WriterCommitMessage
+
+/** Driver-side stitch of the parallel single-workbook write: tasks have
+  * already deflated their worksheet XML into fragment files
+  * ([[graft.xlsx.XlsxFragmentSink]]); the commit copies those raw byte
+  * ranges into ONE .xlsx as independent ZIP entries ([[graft.xlsx.RawZipWriter]]),
+  * generates the package parts for the final sheet catalog, and writes the
+  * central directory. O(bytes copied) driver work, zero recompression —
+  * the compression cost (the expensive part) stayed on the executors.
+  *
+  * Sheet layout: without `sheetColumn`, every partition's sheets chain
+  * into one logical sheet — named `base, base_2, …` and stamped as
+  * rollover continuations (docProps/custom.xml), so the default read
+  * reassembles exactly the written row order across partitions. With
+  * `sheetColumn`, sheets keep their task-assigned key names (uniquified
+  * across tasks) and only task-internal rollovers are stamped. */
+private[xlsx] object XlsxSingleFile {
+
+  /** The one output workbook: `path` itself when it names a .xlsx file,
+    * else `<path>/workbook.xlsx`. */
+  def target(path: String): Path = {
+    val p = new Path(path)
+    if (p.getName.toLowerCase.endsWith(".xlsx")) p else new Path(p, "workbook.xlsx")
+  }
+
+  def fragPrefix(target: Path): String = "." + target.getName + ".frag-"
+
+  def stitch(path: String, opts: XlsxOptions, schema: StructType,
+      frags: Array[XlsxFragMessage], conf: SerializableConfiguration): Unit = {
+    val out = target(path)
+    val fs = out.getFileSystem(conf.value)
+    val ordered = frags.sortBy(_.partitionId)
+    val headerRows = if (opts.header) 1 else 0
+    // sheets with no data rows (an idle partition's base sheet) are dropped
+    val kept = ordered.flatMap(f => f.sheets.filter(_.rows > headerRows).map((f.file, _)))
+    if (kept.isEmpty) {
+      // still produce a valid workbook: one empty sheet (header row only,
+      // matching what a coalesce(1) write of an empty frame produces)
+      val w = new XlsxWriter(fs.create(out, true), opts.compression)
+      w.addSheet(sanitize(opts.sheet.getOrElse("Sheet1")))
+      if (opts.header) w.writeHeaderBold(schema.fieldNames)
+      w.close()
+      cleanup(fs, ordered); return
+    }
+    val defaultMode = opts.sheetColumn.isEmpty
+    val base = sanitize(opts.sheet.getOrElse("Sheet1"))
+    val used = scala.collection.mutable.Set.empty[String]
+    val names = Seq.newBuilder[String]
+    val continuations = Seq.newBuilder[Int]
+    val zw = new graft.xlsx.RawZipWriter(fs.create(out, true))
+    var idx = 0
+    val buf = new Array[Byte](256 * 1024)
+    ordered.foreach { frag =>
+      val sheets = frag.sheets.filter(_.rows > headerRows)
+      if (sheets.nonEmpty) {
+        val in = fs.open(new Path(frag.file))
+        try sheets.foreach { s =>
+          val name =
+            if (defaultMode) uniquify(used, if (idx == 0) base else withSuffix(base, idx + 1))
+            else uniquify(used, s.name)
+          names += name
+          // default mode: the whole file is one logical sheet, so every
+          // sheet after the first continues the chain; sheetColumn mode:
+          // only task-internal rollovers do
+          if (if (defaultMode) idx > 0 else s.continuation) continuations += idx
+          zw.addRawEntry(s"xl/worksheets/sheet${idx + 1}.xml", 8,
+            s.crc, s.compressedSize, s.uncompressedSize)
+          in.seek(s.offset)
+          var left = s.compressedSize
+          while (left > 0) {
+            val n = in.read(buf, 0, math.min(buf.length.toLong, left).toInt)
+            require(n > 0, s"fragment ${frag.file} truncated at ${s.offset + s.compressedSize - left}")
+            zw.writePayload(buf, 0, n)
+            left -= n
+          }
+          idx += 1
+        } finally in.close()
+      }
+    }
+    val sheetNames = names.result()
+    def part(name: String, content: String): Unit =
+      zw.addDeflated(name, content.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        opts.compression)
+    part("[Content_Types].xml", XlsxWriter.contentTypes(sheetNames.size))
+    part("_rels/.rels", XlsxWriter.RootRels)
+    part("xl/workbook.xml", XlsxWriter.workbookXml(sheetNames))
+    part("xl/_rels/workbook.xml.rels", XlsxWriter.workbookRels(sheetNames.size))
+    part("xl/styles.xml", XlsxWriter.StylesXml)
+    part("xl/sharedStrings.xml", XlsxWriter.EmptySst)
+    part("docProps/app.xml", XlsxWriter.AppProps)
+    part("docProps/core.xml", XlsxWriter.CoreProps)
+    part("docProps/custom.xml", XlsxWriter.customProps(continuations.result()))
+    zw.finish()
+    zw.close()
+    cleanup(fs, ordered)
+  }
+
+  private def cleanup(fs: org.apache.hadoop.fs.FileSystem, frags: Array[XlsxFragMessage]): Unit =
+    frags.foreach(f => if (f.file != null) fs.delete(new Path(f.file), false))
+
+  /** Same sanitation rule as the task-side writer. */
+  private def sanitize(name: String): String = {
+    val c = name.replaceAll("""[\[\]:*?/\\]""", "_").take(31)
+    if (c.isEmpty) "Sheet" else c
+  }
+
+  private def withSuffix(base: String, k: Int): String = {
+    val suffix = s"_$k"
+    base.take(31 - suffix.length) + suffix
+  }
+
+  private def uniquify(used: scala.collection.mutable.Set[String], requested: String): String = {
+    var candidate = requested
+    var n = 2
+    while (used.contains(candidate.toLowerCase)) {
+      candidate = withSuffix(requested, n)
+      n += 1
+    }
+    used += candidate.toLowerCase
+    candidate
+  }
+}
 
 final case class XlsxWriterFactory(
     schema: StructType,
@@ -121,9 +267,24 @@ final class XlsxDataWriter(
     taskId: Long
 ) extends DataWriter[InternalRow] {
 
-  private val file = new Path(path, f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.xlsx")
+  // singleFile: this task emits a FRAGMENT (bare deflated sheet payloads,
+  // dot-prefixed so directory listings and globs skip it) that the
+  // driver's commit stitches into the one target workbook.
+  private val file =
+    if (opts.singleFile) {
+      val target = XlsxSingleFile.target(path)
+      new Path(Option(target.getParent).getOrElse(new Path(".")),
+        f"${XlsxSingleFile.fragPrefix(target)}p$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}")
+    } else
+      new Path(path, f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.xlsx")
   private val fs = file.getFileSystem(conf.value)
-  private val writer = new XlsxWriter(fs.create(file, true), opts.compression)
+  private val fragSink: Option[graft.xlsx.XlsxFragmentSink] =
+    if (opts.singleFile) Some(new graft.xlsx.XlsxFragmentSink(fs.create(file, true), opts.compression))
+    else None
+  private val writer = fragSink match {
+    case Some(sink) => new XlsxWriter(sink)
+    case None       => new XlsxWriter(fs.create(file, true), opts.compression)
+  }
   private val baseSheet = opts.sheet.getOrElse("Sheet1")
   private var rowsInSheet = 0L
   private var rowsTotal = 0L
@@ -214,13 +375,21 @@ final class XlsxDataWriter(
 
   override def commit(): WriterCommitMessage = {
     writer.close()
-    // Clustered distribution can leave a task with zero rows; in
-    // sheetColumn mode that file would be a meaningless empty "Sheet1" —
-    // drop it rather than pollute the named-sheet layout.
-    if (rowsTotal == 0 && sheetKeyOf.isDefined) {
-      fs.delete(file, false)
-      XlsxCommitMessage(null)
-    } else XlsxCommitMessage(file.toString)
+    fragSink match {
+      case Some(sink) =>
+        if (rowsTotal == 0) { // empty fragments carry nothing to stitch
+          fs.delete(file, false)
+          XlsxFragMessage(null, partitionId, Nil)
+        } else XlsxFragMessage(file.toString, partitionId, sink.result())
+      case None =>
+        // Clustered distribution can leave a task with zero rows; in
+        // sheetColumn mode that file would be a meaningless empty "Sheet1" —
+        // drop it rather than pollute the named-sheet layout.
+        if (rowsTotal == 0 && sheetKeyOf.isDefined) {
+          fs.delete(file, false)
+          XlsxCommitMessage(null)
+        } else XlsxCommitMessage(file.toString)
+    }
   }
 
   override def abort(): Unit = {

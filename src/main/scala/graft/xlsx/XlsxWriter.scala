@@ -23,11 +23,15 @@ import java.nio.charset.StandardCharsets.UTF_8
   * FSDataOutputStream (s3a/gs/hdfs — multipart streaming handled by the
   * filesystem layer, replacing ref: src/cloud/s3_writer.rs).
   */
-final class XlsxWriter(out: OutputStream, compressionLevel: Int = 6) {
-  require(compressionLevel >= 0 && compressionLevel <= 9, "compression level 0-9")
+final class XlsxWriter private[graft] (sink: XlsxWriter.WorkbookSink) {
 
-  private val zip = new ZipOutputStream(out, UTF_8)
-  zip.setLevel(compressionLevel)
+  /** Standard form: a complete .xlsx package streamed to `out`. The sink
+    * indirection exists for the parallel single-workbook write, where each
+    * partition streams bare pre-compressed sheet payloads instead
+    * ([[XlsxFragmentSink]]) and the driver stitches the package at commit. */
+  def this(out: OutputStream, compressionLevel: Int = 6) =
+    this(new XlsxWriter.ZipStreamSink(out, compressionLevel))
+
   private val sb = new java.lang.StringBuilder(4096) // reused row buffer
   // Column letters repeat every row — compute each once per writer.
   private val letterCache = new scala.collection.mutable.ArrayBuffer[String](64)
@@ -63,7 +67,7 @@ final class XlsxWriter(out: OutputStream, compressionLevel: Int = 6) {
       require(sheetNames.size > 1, "first sheet cannot be a rollover continuation")
       continuations :+= sheetNames.size - 1
     }
-    zip.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${sheetNames.size}.xml"))
+    sink.startSheet(sheetNames.size)
     write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""")
     // schema order: sheetFormatPr precedes cols precedes sheetData
@@ -192,7 +196,7 @@ final class XlsxWriter(out: OutputStream, compressionLevel: Int = 6) {
       write("</sheetData>")
       protection.foreach(p => write(p.toXml))
       write("</worksheet>")
-      zip.closeEntry()
+      sink.endSheet(currentRow)
       inSheet = false
     }
   }
@@ -203,32 +207,61 @@ final class XlsxWriter(out: OutputStream, compressionLevel: Int = 6) {
     if (closed) return
     if (sheetNames.isEmpty) addSheet("Sheet1")
     finishSheet()
-    entry("[Content_Types].xml", XlsxWriter.contentTypes(sheetNames.size))
-    entry("_rels/.rels", XlsxWriter.RootRels)
-    entry("xl/workbook.xml", XlsxWriter.workbookXml(sheetNames))
-    entry("xl/_rels/workbook.xml.rels", XlsxWriter.workbookRels(sheetNames.size))
-    entry("xl/styles.xml", XlsxWriter.StylesXml)
-    entry("xl/sharedStrings.xml", XlsxWriter.EmptySst)
-    entry("docProps/app.xml", XlsxWriter.AppProps)
-    entry("docProps/core.xml", XlsxWriter.CoreProps)
-    entry("docProps/custom.xml", XlsxWriter.customProps(continuations))
-    zip.finish()
-    zip.close()
+    sink.finishPackage(sheetNames, continuations)
     closed = true
-  }
-
-  private def entry(name: String, content: String): Unit = {
-    zip.putNextEntry(new ZipEntry(name))
-    write(content)
-    zip.closeEntry()
   }
 
   // String.getBytes(UTF_8) is a JIT intrinsic over compact strings —
   // measured as fast as hand-rolled encoder chains here, and simpler.
-  private def write(s: String): Unit = zip.write(s.getBytes(UTF_8))
+  private def write(s: String): Unit = {
+    val b = s.getBytes(UTF_8)
+    sink.write(b, 0, b.length)
+  }
 }
 
 object XlsxWriter {
+
+  /** Where a workbook's bytes go. [[ZipStreamSink]] = the normal complete
+    * .xlsx package; [[XlsxFragmentSink]] = bare pre-compressed sheet
+    * payloads for the parallel single-file stitch. */
+  private[graft] trait WorkbookSink {
+    def startSheet(oneBasedIndex: Int): Unit
+    def write(b: Array[Byte], off: Int, len: Int): Unit
+    /** `rows` = rows written to the sheet being closed (headers included). */
+    def endSheet(rows: Int): Unit
+    /** Called once at workbook close with the final sheet catalog. */
+    def finishPackage(sheetNames: Seq[String], continuations: Seq[Int]): Unit
+  }
+
+  /** The standard sink: a complete OOXML package through ZipOutputStream. */
+  private[graft] final class ZipStreamSink(out: OutputStream, level: Int)
+      extends WorkbookSink {
+    require(level >= 0 && level <= 9, "compression level 0-9")
+    private val zip = new ZipOutputStream(out, UTF_8)
+    zip.setLevel(level)
+    override def startSheet(i: Int): Unit =
+      zip.putNextEntry(new ZipEntry(s"xl/worksheets/sheet$i.xml"))
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = zip.write(b, off, len)
+    override def endSheet(rows: Int): Unit = zip.closeEntry()
+    override def finishPackage(sheetNames: Seq[String], continuations: Seq[Int]): Unit = {
+      def entry(name: String, content: String): Unit = {
+        zip.putNextEntry(new ZipEntry(name))
+        zip.write(content.getBytes(UTF_8))
+        zip.closeEntry()
+      }
+      entry("[Content_Types].xml", contentTypes(sheetNames.size))
+      entry("_rels/.rels", RootRels)
+      entry("xl/workbook.xml", workbookXml(sheetNames))
+      entry("xl/_rels/workbook.xml.rels", workbookRels(sheetNames.size))
+      entry("xl/styles.xml", StylesXml)
+      entry("xl/sharedStrings.xml", EmptySst)
+      entry("docProps/app.xml", AppProps)
+      entry("docProps/core.xml", CoreProps)
+      entry("docProps/custom.xml", customProps(continuations))
+      zip.finish()
+      zip.close()
+    }
+  }
 
   def contentTypes(nSheets: Int): String = {
     val sb = new java.lang.StringBuilder(
