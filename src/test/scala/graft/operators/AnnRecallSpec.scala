@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall floors for the approximate ANN paths, pinned against the exact
+  * brute-force baseline on the driver-generated embeddings fixture.
+  *
+  * Every input here is deterministic (seeded hyperplanes, sampled k-means,
+  * fixed fixture), so recall is a reproducible constant — the floors sit a
+  * few points under the measured values (AnnLab, sf0.001: LSH 18x6 = 0.68,
+  * LSH 16x8 = 0.94, IVF nprobe=4/8 = 0.76) purely to absorb float
+  * tie-breaks. A silent quality regression in the banding or probe logic
+  * (the one failure mode the oracle gate cannot see, since approximate
+  * paths have no SQL truth) fails this spec instead of staying green. */
+class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val fixture = "/root/testdata/sf0.001/embeddings.parquet"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("ann-recall-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private lazy val corpus: DataFrame = spark.read.parquet(fixture)
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    .persist()
+  private lazy val queries: DataFrame = corpus.filter(col("vec_id") < 20)
+  private lazy val exact: DataFrame =
+    Similarity.bruteForceTopK(queries, "vec_id", "e", corpus, "vec_id", "e", k = 5)
+      .select("query_id", "corpus_id").persist()
+
+  private def recallOf(approx: DataFrame): Double =
+    exact.join(approx.select("query_id", "corpus_id"),
+      Seq("query_id", "corpus_id"), "left_semi").count().toDouble / exact.count()
+
+  test("LSH top-k at the production 18x6 geometry holds its recall floor") {
+    val r = recallOf(Similarity.lshTopK(queries, "vec_id", "e", corpus, "vec_id", "e",
+      dim = 64, k = 5, planes = 18, bands = 6))
+    assert(r >= 0.60, f"recall@5 regressed to $r%.3f (measured 0.68 at pin time)")
+  }
+
+  test("LSH top-k at the high-recall 16x8 geometry holds its recall floor") {
+    val r = recallOf(Similarity.lshTopK(queries, "vec_id", "e", corpus, "vec_id", "e",
+      dim = 64, k = 5, planes = 16, bands = 8))
+    assert(r >= 0.88, f"recall@5 regressed to $r%.3f (measured 0.94 at pin time)")
+  }
+
+  test("IVF top-k at half probe (nprobe=4 of nlist=8) holds its recall floor") {
+    val r = recallOf(Similarity.ivfTopK(queries, "vec_id", "e", corpus, "vec_id", "e",
+      k = 5, nlist = 8, nprobe = 4))
+    assert(r >= 0.70, f"recall@5 regressed to $r%.3f (measured 0.76 at pin time)")
+  }
+
+  test("IVF top-k at full probe is exactly brute force") {
+    val r = recallOf(Similarity.ivfTopK(queries, "vec_id", "e", corpus, "vec_id", "e",
+      k = 5, nlist = 8, nprobe = 8))
+    assert(r === 1.0, f"exhaustive probe must equal brute force, got $r%.3f")
+  }
+}
