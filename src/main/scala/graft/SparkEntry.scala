@@ -1056,14 +1056,18 @@ object SparkEntry {
     }),
 
     "ann_ivf_indexed" -> ((s, dir) => {
-      // The materialize-once IVF path: build the partitionBy(cell) index
-      // on disk, then query it (probed cells pushed as partition
-      // filters). Exhaustive regime (nprobe = nlist) -> the brute-force
-      // oracle applies, checking build + reload + probe end-to-end.
+      // The materialize-once IVF path, built INCREMENTALLY (round 8):
+      // train + write on the first half of the corpus, assign-only append
+      // of the second half against the stored centroids (no retrain),
+      // then query (probed cells pushed as partition filters). Exhaustive
+      // regime (nprobe = nlist) -> the brute-force oracle applies,
+      // checking build + append + reload + probe end-to-end.
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val mid = e.agg(expr("percentile(vec_id, 0.5)")).collect()(0).getDouble(0)
       val p = work(dir, "ann_ivf_indexed")
-      Similarity.writeIvfIndex(e, "vec_id", "e", p, nlist = 8)
+      Similarity.writeIvfIndex(e.filter(col("vec_id") <= mid), "vec_id", "e", p, nlist = 8)
+      Similarity.appendIvfIndex(e.filter(col("vec_id") > mid), "vec_id", "e", p)
       Similarity.ivfTopKIndexed(
         e.filter(col("vec_id") < 10), "vec_id", "e", p, k = 5, nprobe = 8)
     }),

@@ -160,7 +160,7 @@ object Similarity {
     cents
   }
 
-  private def normalize(v: Array[Double]): Array[Double] = {
+  private[operators] def normalize(v: Array[Double]): Array[Double] = {
     var acc = 0.0d; var i = 0
     while (i < v.length) { acc += v(i) * v(i); i += 1 }
     val n = math.sqrt(acc)
@@ -179,7 +179,7 @@ object Similarity {
     acc
   }
 
-  private def nearestCell(v: Array[Double], cents: Array[Array[Double]]): Int = {
+  private[operators] def nearestCell(v: Array[Double], cents: Array[Array[Double]]): Int = {
     var best = 0; var bestDot = Double.NegativeInfinity; var c = 0
     while (c < cents.length) {
       val acc = dotStrict(v, cents(c))
@@ -250,6 +250,33 @@ object Similarity {
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Incremental append into a stored IVF index ([[writeIvfIndex]]):
+    * assign the batch's vectors against the index's EXISTING centroids
+    * (loaded from `path`, no retrain) and append them into the same
+    * `partitionBy("cell")` layout — the ANN counterpart of
+    * [[Dedup.incrementalExact]]: per-batch cost is one assignment pass
+    * over the BATCH, never a corpus rebuild.
+    *
+    * Drift bound: the quantizer stays the one trained at build time, so
+    * recall at a given nprobe degrades only as far as the appended
+    * distribution drifts from the training sample's — cells get fuller,
+    * never re-centered. For stationary corpora (the common ingest case)
+    * results are exactly what a fresh build with those centroids would
+    * produce; at nprobe = nlist results are ALWAYS exact regardless of
+    * drift, because every cell is probed. Retrain by rebuilding when a
+    * drift monitor (e.g. mean distance-to-centroid per batch) degrades. */
+  def appendIvfIndex(batch: DataFrame, cId: String, cVec: String, path: String): Unit = {
+    val spark = batch.sparkSession
+    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val assignUdf = udf { (v: Seq[Double]) => nearestCell(normalize(v.toArray), cents) }
+    batch.select(col(cId).as("corpus_id"), col(cVec).cast("array<double>").as("cv"))
+      .withColumn("cell", assignUdf(col("cv")))
+      .withColumn("cn", l2norm(col("cv")))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
   }
 
   /** Query a stored IVF index ([[writeIvfIndex]]). The probed-cell set

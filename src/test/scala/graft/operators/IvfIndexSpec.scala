@@ -60,4 +60,48 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       || scanLine.get.matches(".*PartitionFilters: \\[.*cell.*"),
       s"probed cells must prune partitions at the index scan, got: ${scanLine.get}")
   }
+
+  test("incremental append: build-half + append-half equals one full build") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0L until 60L).map { i =>
+      (i, Array((i % 7).toDouble + 1, ((i * 3) % 5).toDouble, ((i * 7) % 11).toDouble))
+    }
+    val df = vecs.toDF("id", "v")
+    val first = df.filter(col("id") < 30)
+    val batch = df.filter(col("id") >= 30)
+    val q = df.filter(col("id") < 5)
+
+    val appended = Files.createTempDirectory("ivfapp").toString
+    Similarity.writeIvfIndex(first, "id", "v", appended, nlist = 4)
+    Similarity.appendIvfIndex(batch, "id", "v", appended)
+
+    // every vector landed in exactly one cell, assigned by the STORED
+    // centroids (no retrain): rebuilding the assignment from the stored
+    // centroid table must reproduce the index's cell column bit for bit
+    val idx = spark.read.parquet(s"$appended/corpus")
+    assert(idx.count() === 60)
+    assert(idx.select("corpus_id").distinct().count() === 60)
+    val cents = spark.read.parquet(s"$appended/centroids").orderBy("cell")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val reassign = udf { (v: Seq[Double]) =>
+      Similarity.nearestCell(Similarity.normalize(v.toArray), cents)
+    }
+    assert(idx.filter(reassign(col("cv")) =!= col("cell")).count() === 0,
+      "append must assign against the stored centroids")
+
+    // exhaustive probe over the appended index = brute force over A∪B
+    // (and therefore = a fresh full build queried the same way)
+    val viaAppend = Similarity.ivfTopKIndexed(q, "id", "v", appended, k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    val brute = Similarity.bruteForceTopK(q, "id", "v", df, "id", "v", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    assert(viaAppend.toSeq === brute.toSeq)
+
+    // partial probe: appended vectors are probe-reachable (cells fill,
+    // never re-center — querying an appended id's own neighborhood finds it)
+    val partial = Similarity.ivfTopKIndexed(df.filter(col("id") === 45), "id", "v",
+      appended, k = 3, nprobe = 2)
+    assert(partial.count() === 3)
+  }
 }
