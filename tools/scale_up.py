@@ -14,7 +14,15 @@ events.parquet stores TIMESTAMP(NANOS); it goes through pyarrow (DuckDB
 would truncate to micros and silently change the type Spark's nanosAsLong
 path depends on). Everything else goes through DuckDB SQL.
 
-Usage: python3 tools/scale_up.py [src=/root/testdata/sf0.1] [dst=/tmp/sf1]
+With --mutate, document replicas are perturbed (~1 token in 20 replaced,
+deterministically per replica) so they are NEAR-duplicates of their base
+doc instead of exact copies — the organic-density regime: a 10x corpus
+whose duplication looks like real crawl growth rather than pure
+replication. Exact-replication mode (the default) remains the worst case
+for the near-dup family (C(10,2) pairs per base doc); mutate mode is the
+expected case. Everything else scales identically in both modes.
+
+Usage: python3 tools/scale_up.py [src=/root/testdata/sf0.1] [dst=/tmp/sf1] [--mutate]
 """
 import sys
 
@@ -23,8 +31,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+MUTATE = "--mutate" in sys.argv
+ARGS = [a for a in sys.argv[1:] if a != "--mutate"]
+SRC = ARGS[0] if len(ARGS) > 0 else "/root/testdata/sf0.1"
+DST = ARGS[1] if len(ARGS) > 1 else "/tmp/sf1"
 R = 10  # replicas
 
 # per-key-family offsets (one replica stride); large enough that replica
@@ -74,6 +84,37 @@ def scale_sql(table: str) -> None:
     print(f"{table}: {n} rows")
 
 
+def mutate_text(text: str, r: int) -> str:
+    """Replace every 20th token (replica-dependent phase) with a replica-
+    tagged token — deterministic, no RNG; jaccard(base, replica) at 3-gram
+    shingles stays high (~0.7-0.8) but never 1.0."""
+    toks = text.split(" ")
+    phase = (r * 7) % 20
+    for i in range(phase, len(toks), 20):
+        toks[i] = f"m{r}v{i % 97}"
+    return " ".join(toks)
+
+
+def scale_documents_mutated() -> None:
+    t = pq.read_table(f"{SRC}/documents.parquet")
+    parts = []
+    for r in range(R):
+        cols = {}
+        for name in t.column_names:
+            col = t.column(name)
+            if name == "doc_id":
+                col = pc.add(col, r * OFF["doc_id"])
+            elif name == "text" and r > 0:
+                col = pa.array(
+                    [mutate_text(v.as_py(), r) for v in t.column("text")],
+                    type=col.type)
+            cols[name] = col
+        parts.append(pa.table(cols, schema=t.schema))
+    out = pa.concat_tables(parts)
+    pq.write_table(out, f"{DST}/documents.parquet")
+    print(f"documents: {out.num_rows} rows (mutated replicas)")
+
+
 def scale_events() -> None:
     t = pq.read_table(f"{SRC}/events.parquet")
     parts = []
@@ -103,7 +144,10 @@ def main() -> None:
                    f"TO '{DST}/{tbl}.parquet' (FORMAT PARQUET)")
         print(f"{tbl}: copied")
     for tbl in KEYED:
-        scale_sql(tbl)
+        if tbl == "documents" and MUTATE:
+            scale_documents_mutated()
+        else:
+            scale_sql(tbl)
     scale_events()
 
 
