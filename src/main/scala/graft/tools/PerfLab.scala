@@ -144,6 +144,45 @@ object PerfLab {
       graft.operators.Skew.saltedJoin(li, ords, Seq("l_orderkey"), salts = 4)
         .groupBy("o_orderpriority").agg(count(lit(1)).as("n")).count()
     }
+
+    // ---- xlsx throughput A/B: the two bench numbers that drifted ±10 %
+    // between the driver's and builder's runs in rounds 6-7. Interleaved
+    // A/B/A/B/A in ONE JVM with per-run times and medians, so the
+    // published number carries its own variance instead of depending on
+    // which VM ran it (the CsvLab discipline).
+    // same 8 columns as graft.Bench's throughput metrics, so these
+    // medians correspond 1:1 to the bench JSON keys
+    val li4 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nRows = li4.count()
+    def t1(f: => Unit): Double = { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+    val runs = 5
+    val w1 = Seq.newBuilder[Double]; val ws = Seq.newBuilder[Double]
+    (1 to runs).foreach { _ =>
+      w1 += t1(li4.coalesce(1).write.mode("overwrite").format("xlsx")
+        .option("header", "true").save("/tmp/graft_perflab/x1"))
+      ws += t1(li4.repartition(32).write.mode("overwrite").format("xlsx")
+        .option("header", "true").option("singleFile", "true")
+        .save("/tmp/graft_perflab/x1s/book.xlsx"))
+    }
+    def row(name: String, xs: Seq[Double]): Unit =
+      println(f"$name%-22s rows/s med=${nRows / med(xs)}%.0f " +
+        f"spread=[${nRows / xs.max}%.0f..${nRows / xs.min}%.0f] times=${xs.map(x => f"$x%.2f").mkString(",")}")
+    row("xlsx write 1core", w1.result())
+    row("xlsx write stitched", ws.result())
+    def readOne(split: Boolean): Unit = spark.read.format("xlsx")
+      .option("header", "true").option("allSheets", "true")
+      .option("splitSheets", split.toString)
+      .option("splitBytes", 16 * 1024 * 1024)
+      .load("/tmp/graft_perflab/x1")
+      .agg(count(lit(1))).collect()
+    val ru = Seq.newBuilder[Double]; val rs = Seq.newBuilder[Double]
+    (1 to runs).foreach { _ => ru += t1(readOne(false)); rs += t1(readOne(true)) }
+    row("xlsx read unsplit", ru.result())
+    row("xlsx read split", rs.result())
     spark.stop()
   }
 }
