@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.GraftFunctions
-import graft.operators.{Chunking, Classify, Curation, Dedup, Events, Multimodal, Privacy, Profile, RuntimeFilter, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Chunking, Classify, Curation, Dedup, Events, Multimodal, Privacy, Profile, RuntimeFilter, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -495,6 +495,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
     }),
 
+    // K4 at scale: ONE .csv.gz out with N parallel partition encoders —
+    // parts byte-concatenate at commit (gzip members, RFC 1952 §2.2), so
+    // the one-file deliverable no longer funnels through one core.
+    "csv_single_file" -> ((s, dir) => {
+      val p = work(dir, "csv_single_file") + "/data.csv.gz"
+      graft.sources.csv.CsvSingleFile.write(
+        li4(s, dir).repartition(8), p,
+        Map("header" -> "true", "sep" -> ";", "compression" -> "gzip"))
+      s.read.schema("l_orderkey BIGINT, l_quantity DOUBLE, l_returnflag STRING, l_shipdate TIMESTAMP")
+        .option("header", "true").option("sep", ";").csv(p)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          min(col("l_shipdate").cast("date")).as("min_ship"))
+    }),
+
     "csv_escaping" -> ((s, dir) => {
       val p = work(dir, "csv_escaping")
       t(s, dir, "documents")
@@ -683,6 +699,29 @@ object SparkEntry {
     "sample_stratified" -> ((s, dir) =>
       Curation.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id", n = 5)
         .select(col("doc_id"), col("lang"), col("rk"))),
+
+    "sample_weighted" -> ((s, dir) =>
+      // Efraimidis–Spirakis weighted-without-replacement top-k: weight =
+      // document length, draw = the Knuth-mixed doc_id — deterministic,
+      // so the oracle replays the identical arithmetic in SQL.
+      Curation.weightedSampleTopK(t(s, dir, "documents"), "doc_id",
+          length(col("text")).cast("double"), k = 50)
+        .select(col("doc_id"), col("source"), col("es_key"))),
+
+    // BPE tokenizer training: merge learning is an iterative argmax loop —
+    // not SQL-expressible (lang_id/compress_ratio precedent); pinned by
+    // known-answer + lossless-segmentation tests in BpeSpec. The corpus-
+    // scale work is the one word-frequency pass; the merge loop runs on
+    // the bounded top-50K word table.
+    "bpe_train" -> ((s, dir) =>
+      Bpe.trainDf(s, t(s, dir, "documents"), "text",
+        numMerges = 150, maxWords = 50000)),
+
+    "bpe_encode" -> ((s, dir) => {
+      val merges = Bpe.trainMerges(t(s, dir, "documents"), "text",
+        numMerges = 150, maxWords = 50000)
+      Bpe.tokenStats(t(s, dir, "documents"), "doc_id", "text", merges, topK = 30)
+    }),
 
     "tfidf_topterms" -> ((s, dir) =>
       Curation.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text", perDoc = 3)
@@ -1200,11 +1239,13 @@ object SparkEntry {
     "sort_limit_topk", "agg_rollup", "percentiles", "pivot_conditional",
     "events_window", "sessionize",
     "xlsx_roundtrip", "xlsx_multisheet", "xlsx_single_file", "csv_roundtrip",
+    "csv_single_file",
     "parquet_stringify",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
     "text_stats", "doc_fingerprint", "ann_bruteforce", "ann_lsh", "ann_ivf",
     "embedding_pairs_exact",
-    "quality_filter", "token_count_bpe", "ngram_counts", "decontaminate",
+    "quality_filter", "token_count_bpe", "bpe_train", "bpe_encode",
+    "ngram_counts", "decontaminate",
     "tfidf_topterms", "bm25_search", "repetition_stats", "curation_pipeline",
     "pii_redact", "split_assign", "bloom_join", "jsonl_roundtrip",
     "line_dedup", "shard_assign", "lm_score", "curation_pipeline2",
@@ -1481,6 +1522,11 @@ object SparkEntry {
                 min(CAST(l_shipdate AS DATE)) AS min_ship
          FROM lineitem GROUP BY l_returnflag""",
 
+    "csv_single_file" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
+                min(CAST(l_shipdate AS DATE)) AS min_ship
+         FROM lineitem GROUP BY l_returnflag""",
+
     "csv_zstd_roundtrip" ->
       """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem GROUP BY l_returnflag""",
@@ -1708,6 +1754,13 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY lang
                                      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
            FROM documents) WHERE rk <= 5""",
+
+    "sample_weighted" ->
+      """SELECT doc_id, source,
+                round(ln(((doc_id * 2654435761) % 4294967296 + 1) / 4294967297.0)
+                      / length(text), 9) AS es_key
+         FROM documents
+         ORDER BY es_key DESC, doc_id LIMIT 50""",
 
     "tfidf_topterms" ->
       """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term

@@ -101,6 +101,30 @@ object Curation {
   def weightedSample(df: DataFrame, keyCol: String, weight: Column): DataFrame =
     df.filter(mixKey(col(keyCol)) < (weight * lit(4294967296.0d)).cast("long"))
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis '06): each
+    * row draws u uniform in (0,1) and the k largest u^(1/w) form an exact
+    * weighted-without-replacement sample. u comes from the same Knuth mix
+    * as every other sampler here, so the draw is deterministic, rerun- and
+    * engine-stable (the oracle replays the identical arithmetic in SQL).
+    *
+    * Ordering happens on ln(u)/w — monotone in u^(1/w), cheaper, and with
+    * magnitudes where a 9-dp round kills cross-engine libm ulps; `keyCol`
+    * tiebreaks any rounding-induced ties. Rows with w <= 0 have selection
+    * probability zero and are excluded up front.
+    *
+    * Scale shape: a pure per-row expression + one TakeOrdered top-k — the
+    * corpus never shuffles, no RNG state, no driver pass. */
+  def weightedSampleTopK(df: DataFrame, keyCol: String, weight: Column,
+                         k: Int): DataFrame = {
+    // mixKey in [0, 2^32) → (mix+1)/(2^32+1) ∈ (0,1): never 0 (ln blows
+    // up) and never 1 (key would saturate at 0 regardless of weight)
+    val u = (mixKey(col(keyCol)) + lit(1L)).cast("double") / lit(4294967297.0d)
+    df.filter(weight > lit(0.0d))
+      .withColumn("es_key", round(log(u) / weight, 9))
+      .orderBy(desc("es_key"), col(keyCol))
+      .limit(k)
+  }
+
   /** Test-set decontamination: flag corpus documents sharing at least one
     * word k-gram with a benchmark/eval corpus (the standard n-gram overlap
     * rule used for pretraining-data hygiene). Returns (id, n_shared) with

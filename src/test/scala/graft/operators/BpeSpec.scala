@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE merge learning + encoding. The known answers are hand-computed on
+  * the classic low/lower/newest/widest corpus (Sennrich et al. '16 §3.2
+  * without the word-end marker): pair counts give es(9) -> est(9) ->
+  * lo(7) -> low(7) as the first four merges under the count-desc /
+  * pair-asc tiebreak. */
+class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("bpe-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val classicTable: Array[(String, Long)] =
+    Array(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+
+  test("classic corpus learns es, est, lo, low first") {
+    val merges = Bpe.learn(classicTable, numMerges = 4)
+    assert(merges.map(m => (m.left, m.right)) ==
+      Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+    assert(merges.map(_.rank) == Seq(0, 1, 2, 3))
+  }
+
+  test("merge loop stops when no pair repeats") {
+    val merges = Bpe.learn(Array(("ab", 1L), ("cd", 1L)), numMerges = 10)
+    assert(merges.isEmpty)
+  }
+
+  test("encodeWord applies lowest rank first: lowest -> [low, est]") {
+    val ranks = Bpe.learn(classicTable, 4)
+      .map(m => (m.left, m.right) -> m.rank).toMap
+    assert(Bpe.encodeWord("lowest", ranks).toSeq == Seq("low", "est"))
+    assert(Bpe.encodeWord("newest", ranks).toSeq == Seq("n", "e", "w", "est"))
+    assert(Bpe.encodeWord("x", ranks).toSeq == Seq("x"))
+    assert(Bpe.encodeWord("low", ranks).toSeq == Seq("low"))
+  }
+
+  test("zero merges = character segmentation") {
+    assert(Bpe.encodeWord("abc", Map.empty).toSeq == Seq("a", "b", "c"))
+  }
+
+  test("distributed train matches the driver loop on the same table") {
+    val sp = spark; import sp.implicits._
+    // corpus whose word frequencies reproduce classicTable exactly
+    val docs = classicTable.flatMap { case (w, c) =>
+      Seq.fill(c.toInt)(w)
+    }.grouped(4).map(_.mkString(" ")).toSeq.toDF("text")
+    val merges = Bpe.trainMerges(docs, "text", numMerges = 4)
+    assert(merges.map(m => (m.left, m.right)) ==
+      Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+  }
+
+  test("encode is lossless: tokens concatenate back to the pre-tokens") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "the lowest newest widest, lower!"),
+      (2L, "abc123 def-ghi"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs.na.drop(Seq("text")), "text", 20)
+    val enc = Bpe.encode(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), concat_ws("", col("tokens")).as("joined"),
+        col("n_tokens"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    // pre-tokens of doc 1 concatenated (whitespace is never a token)
+    assert(enc(1L)._1 == "thelowestnewestwidest,lower!")
+    assert(enc(2L)._1 == "abc123def-ghi")
+    assert(enc(3L) == (("", 0)))
+    assert(enc(4L) == (("", 0)))
+    // merges reduce token count strictly below character segmentation
+    assert(enc(1L)._2 < "thelowestnewestwidest,lower!".length)
+  }
+
+  test("tokenStats is deterministic and ordered (count desc, token asc)") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "low low low lower"), (2L, "lowest low")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "text", 10)
+    val stats = Bpe.tokenStats(docs, "doc_id", "text", merges, topK = 5).collect()
+    assert(stats.nonEmpty)
+    val counts = stats.map(_.getLong(1)).toSeq
+    assert(counts == counts.sorted.reverse, "must be ordered by count desc")
+    // "low" is merged by construction and is the most frequent token
+    assert(stats.head.getString(0) == "low")
+  }
+}
