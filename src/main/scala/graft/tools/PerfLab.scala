@@ -183,6 +183,34 @@ object PerfLab {
     (1 to runs).foreach { _ => ru += t1(readOne(false)); rs += t1(readOne(true)) }
     row("xlsx read unsplit", ru.result())
     row("xlsx read split", rs.result())
+
+    // ---- csv single-FILE A/B: coalesce(1) funnel vs the round-8 stitch,
+    // same plain codec, input pre-shuffled so only the sink is timed
+    val liRe = li4.repartition(32).persist(StorageLevel.MEMORY_AND_DISK)
+    liRe.count()
+    val cf = Seq.newBuilder[Double]; val cS = Seq.newBuilder[Double]
+    (1 to runs).foreach { _ =>
+      cf += t1(li4.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv("/tmp/graft_perflab/c1"))
+      cS += t1(graft.sources.csv.CsvSingleFile.write(
+        liRe, "/tmp/graft_perflab/c1s/data.csv", Map("header" -> "true")))
+    }
+    row("csv write 1core", cf.result())
+    row("csv write stitched", cS.result())
+    // at 600K rows the stitch is fixed-overhead-bound (32 tiny tasks);
+    // the 8x frame shows the per-task volume a real cluster sees — this
+    // row corresponds to the bench's csv_write_1file_stitched_repl8 key
+    val li8 = (1 to 8).map(_ => li4).reduce(_ union _)
+      .repartition(32).persist(StorageLevel.MEMORY_AND_DISK)
+    val n8 = li8.count()
+    val c8 = Seq.newBuilder[Double]
+    (1 to runs).foreach { _ =>
+      c8 += t1(graft.sources.csv.CsvSingleFile.write(
+        li8, "/tmp/graft_perflab/c8s/data.csv", Map("header" -> "true")))
+    }
+    val xs8 = c8.result()
+    println(f"csv write stitched r8  rows/s med=${n8 / med(xs8)}%.0f " +
+      f"spread=[${n8 / xs8.max}%.0f..${n8 / xs8.min}%.0f] times=${xs8.map(x => f"$x%.2f").mkString(",")}")
     spark.stop()
   }
 }
