@@ -778,6 +778,17 @@ object SparkEntry {
           Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .select(col("doc_id"), col("split"))),
 
+    "split_leakage_safe" -> ((s, dir) => {
+      // Duplicate-group-aware 90/5/5: the corpus is the documents table
+      // with a shifted-id copy (every text has 2 ids), and both copies
+      // must land in the SAME split via the min-id representative.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val c = d.unionByName(d.withColumn("doc_id", col("doc_id") + 100000))
+      Curation.leakageSafeSplit(c, "doc_id", "text",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("rep_id"), col("split"))
+    }),
+
     "mixture_sample" -> ((s, dir) => {
       // Corpus-mixture sampling: per-source keep-rates (even-numbered
       // sources 100%, odd 25%) applied as a deterministic weighted filter.
@@ -1247,7 +1258,8 @@ object SparkEntry {
     "quality_filter", "token_count_bpe", "bpe_train", "bpe_encode",
     "ngram_counts", "decontaminate",
     "tfidf_topterms", "bm25_search", "repetition_stats", "curation_pipeline",
-    "pii_redact", "split_assign", "bloom_join", "jsonl_roundtrip",
+    "pii_redact", "split_assign", "split_leakage_safe", "bloom_join",
+    "jsonl_roundtrip",
     "line_dedup", "shard_assign", "lm_score", "curation_pipeline2",
     "table_profile", "incremental_dedup", "incremental_neardup",
     "partitioned_write", "orc_roundtrip",
@@ -1872,6 +1884,18 @@ object SparkEntry {
                      WHEN (doc_id * 2654435761) % 4294967296 < 4080218931 THEN 'val'
                      ELSE 'test' END AS split
          FROM documents""",
+
+    // groups by text where Spark groups by xxhash64(text): identical
+    // groups barring a 64-bit collision, which the corpus doesn't have
+    "split_leakage_safe" ->
+      """WITH c AS (SELECT doc_id, text FROM documents
+                    UNION ALL SELECT doc_id + 100000, text FROM documents),
+              r AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep_id FROM c)
+         SELECT doc_id, rep_id,
+                CASE WHEN (rep_id * 2654435761) % 4294967296 < 3865470566 THEN 'train'
+                     WHEN (rep_id * 2654435761) % 4294967296 < 4080218931 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM r""",
 
     "mixture_sample" ->
       """SELECT doc_id, source, lang FROM documents

@@ -76,6 +76,25 @@ object Curation {
     df.withColumn("split", full)
   }
 
+  /** Leakage-safe train/val/test assignment: identical documents share a
+    * fate. The split key is the duplicate-group REPRESENTATIVE (min id
+    * over each content group), so copies of one text can never straddle
+    * train and test — the guard a per-doc [[splitAssign]] cannot give
+    * (one leaked duplicate invalidates the eval). For near-dup safety
+    * compute the connected-component survivor id ([[Dedup.components]])
+    * and call [[splitAssign]] on that instead.
+    *
+    * Scale shape: one window over xxhash64(text) — the 64-bit content key
+    * travels through the single shuffle, never the text. A hash collision
+    * merges two groups into one fate: conservative (never causes leakage,
+    * only an infinitesimal mixture shift). Output adds (rep_id, split). */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                       fractions: Seq[(String, Double)]): DataFrame = {
+    val w = Window.partitionBy(xxhash64(col(textCol)))
+    splitAssign(df.withColumn("rep_id", min(col(idCol)).over(w)),
+      "rep_id", fractions)
+  }
+
   /** Deterministic global shuffle into `numShards` output shards: shard
     * by mixed key, position within a shard by (mixed key, key). Together
     * (shard, pos) define a reproducible corpus-wide training order — the

@@ -217,6 +217,28 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(skewed.count(_ == "b") > skewed.count(_ == "a"))
   }
 
+  test("leakage-safe split: duplicate texts share a fate; rep = min id") {
+    val df = docs(
+      1L -> "alpha beta gamma", 4L -> "alpha beta gamma", 9L -> "alpha beta gamma",
+      2L -> "delta epsilon", 7L -> "delta epsilon",
+      3L -> "unique text here")
+    val out = Curation.leakageSafeSplit(df, "id", "text",
+        Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toList
+    val byId = out.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byId(1L)._1 == 1L && byId(4L)._1 == 1L && byId(9L)._1 == 1L)
+    assert(byId(2L)._1 == 2L && byId(7L)._1 == 2L)
+    assert(byId(3L)._1 == 3L)
+    // the leakage invariant: one split per duplicate group
+    assert(Set(byId(1L)._2, byId(4L)._2, byId(9L)._2).size == 1)
+    assert(byId(2L)._2 == byId(7L)._2)
+    // representative's split equals what splitAssign gives the rep key
+    val direct = Curation.splitAssign(docs(1L -> "x", 2L -> "x", 3L -> "x"), "id",
+        Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byId(1L)._2 == direct(1L) && byId(2L)._2 == direct(2L))
+  }
+
   test("char-LM score: gibberish scores below typical text; gram counts exact") {
     val typical = "the cat sat on the mat and the cat sat again"
     val df = docs(
