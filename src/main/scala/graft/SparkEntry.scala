@@ -723,6 +723,21 @@ object SparkEntry {
       Bpe.tokenStats(t(s, dir, "documents"), "doc_id", "text", merges, topK = 30)
     }),
 
+    "cdc_dedup" -> ((s, dir) => {
+      // Shift-robust duplicate detection: the corpus is documents plus a
+      // one-word-prepended copy of every text (ids +100000). Stride-
+      // aligned windows would miss every pair (all offsets shift); CDC
+      // chunk hashes survive the shift, so every base doc shares chunks
+      // with its edited copy. Gear fingerprinting isn't SQL-expressible —
+      // rows-only; boundary/robustness laws are spec-tested (ChunkingSpec).
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val edited = d.withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(lit("PREFIX "), col("text")))
+      Chunking.cdcDuplicateChunks(d.unionByName(edited), "doc_id", "text",
+        avgSize = 64, minSize = 16, maxSize = 256)
+        .orderBy(col("chunk_hash"))
+    }),
+
     "tfidf_topterms" -> ((s, dir) =>
       Curation.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text", perDoc = 3)
         .withColumnRenamed("id", "doc_id")),
@@ -1258,8 +1273,8 @@ object SparkEntry {
     "quality_filter", "token_count_bpe", "bpe_train", "bpe_encode",
     "ngram_counts", "decontaminate",
     "tfidf_topterms", "bm25_search", "repetition_stats", "curation_pipeline",
-    "pii_redact", "split_assign", "split_leakage_safe", "bloom_join",
-    "jsonl_roundtrip",
+    "pii_redact", "split_assign", "split_leakage_safe", "sample_weighted",
+    "bloom_join", "jsonl_roundtrip",
     "line_dedup", "shard_assign", "lm_score", "curation_pipeline2",
     "table_profile", "incremental_dedup", "incremental_neardup",
     "partitioned_write", "orc_roundtrip",

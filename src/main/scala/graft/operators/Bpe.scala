@@ -200,4 +200,69 @@ object Bpe {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("token"))
       .limit(topK)
+
+  /** Complete tokenizer artifact: merges + the base character alphabet
+    * seen at train time. Token ids are deterministic: base chars sorted
+    * ascending get 0..B-1, merged tokens follow in rank order. */
+  final case class Model(merges: Seq[Merge], baseChars: Seq[String]) {
+    /** (token, id) for every encodable token. */
+    lazy val vocab: Map[String, Int] = {
+      val base = baseChars.sorted.zipWithIndex
+      val merged = merges.sortBy(_.rank)
+        .map(m => m.left + m.right).zipWithIndex
+        .map { case (t, i) => (t, i + baseChars.length) }
+      (base ++ merged).toMap
+    }
+  }
+
+  /** Train the full artifact: one distributed word-frequency pass feeds
+    * both the merge loop and the base alphabet. */
+  def trainModel(df: DataFrame, textCol: String,
+                 numMerges: Int, maxWords: Int = 65536): Model = {
+    val table = wordFrequencies(df, textCol, maxWords).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val chars = table.iterator.flatMap(_._1.iterator)
+      .map(_.toString).toSet.toSeq.sorted
+    Model(learn(table, numMerges), chars)
+  }
+
+  /** Model as a DataFrame (token_id, token) — the persistable vocab. */
+  def vocabDf(spark: SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    model.vocab.toSeq.map { case (t, i) => (i, t) }
+      .sortBy(_._1).toDF("token_id", "token")
+  }
+
+  /** Distributed encode to token IDS — tensorization-ready. Tokens whose
+    * characters were never seen at train time map to -1 (UNK); callers
+    * count them via `n_unk`. Output: (id, token_ids, n_tokens, n_unk). */
+  def encodeIds(df: DataFrame, idCol: String, textCol: String,
+                model: Model): DataFrame = {
+    val spark = df.sparkSession
+    val bcRanks = spark.sparkContext.broadcast(
+      model.merges.map(m => (m.left, m.right) -> m.rank).toMap)
+    val bcVocab = spark.sparkContext.broadcast(model.vocab)
+    val pat = java.util.regex.Pattern.compile(PreToken)
+    val toIds = udf { (text: String) =>
+      if (text == null) Array.empty[Int]
+      else {
+        val rk = bcRanks.value; val vb = bcVocab.value
+        val key = System.identityHashCode(rk)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val m = pat.matcher(text)
+        while (m.find()) {
+          val w = m.group()
+          var toks = memo.get((key, w))
+          if (toks == null) { toks = encodeWord(w, rk); memo.put((key, w), toks) }
+          var i = 0
+          while (i < toks.length) { out += vb.getOrElse(toks(i), -1); i += 1 }
+        }
+        out.toArray
+      }
+    }
+    df.select(col(idCol), toIds(col(textCol)).as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")))
+      .withColumn("n_unk",
+        size(filter(col("token_ids"), (c: org.apache.spark.sql.Column) => c === lit(-1))))
+  }
 }

@@ -164,4 +164,91 @@ object Chunking {
         count(lit(1)).as("n_occurrences"),
         min(col(idCol)).as("first_doc"))
       .filter(col("n_docs") > 1)
+
+  // Gear table for content-defined chunking: 256 pseudorandom 64-bit
+  // constants derived from the byte value via the splitmix64 finalizer —
+  // deterministic, seedless, engine-independent.
+  private val gear: Array[Long] = Array.tabulate(256) { b =>
+    var z = b.toLong + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Content-defined chunk boundaries (FastCDC-shaped gear hash, Xia et
+    * al. '16): a boundary falls where the rolling gear fingerprint masks
+    * to zero, so boundaries depend only on LOCAL content. Unlike the
+    * stride-aligned windows above, an insertion or deletion re-chunks
+    * only its own neighborhood — every downstream chunk hash survives —
+    * which is what makes chunk-hash dedup robust to shifted/edited
+    * near-duplicates (the rsync/storage-dedup trick applied to text).
+    *
+    * `avgSize` must be a power of two (the boundary mask); `minSize`
+    * suppresses pathological tiny chunks, `maxSize` forces a cut. The
+    * per-doc loop is a tight byte-wise UDF (the minhash-banding
+    * justification); chunking is embarrassingly parallel, no shuffle.
+    * Output: one row per chunk — (id, chunk_idx, chunk_text, chunk_hash)
+    * with chunk_hash = xxhash64(chunk_text) for downstream group-bys. */
+  def cdcChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      avgSize: Int = 256,
+      minSize: Int = 64,
+      maxSize: Int = 1024): DataFrame = {
+    require(avgSize >= 2 && (avgSize & (avgSize - 1)) == 0,
+      s"avgSize must be a power of two, got $avgSize")
+    require(minSize >= 1 && minSize < avgSize && avgSize <= maxSize,
+      s"need 1 <= minSize < avgSize <= maxSize")
+    val mask = (avgSize - 1).toLong
+    val g = gear
+    val cut = udf { (text: String) =>
+      if (text == null || text.isEmpty) Array.empty[String]
+      else {
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var start = 0
+        var i = 0
+        var fp = 0L
+        while (i < bytes.length) {
+          fp = (fp << 1) + g(bytes(i) & 0xFF)
+          val len = i - start + 1
+          if ((len >= minSize && (fp & mask) == 0L) || len >= maxSize) {
+            // never split inside a UTF-8 multibyte sequence: extend to
+            // the next char boundary (continuation bytes are 10xxxxxx)
+            var e = i + 1
+            while (e < bytes.length && (bytes(e) & 0xC0) == 0x80) e += 1
+            out += e; start = e; i = e; fp = 0L
+          } else i += 1
+        }
+        if (start < bytes.length) out += bytes.length
+        val cuts = out.toArray
+        val chunks = new Array[String](cuts.length)
+        var s = 0; var j = 0
+        while (j < cuts.length) {
+          chunks(j) = new String(bytes, s, cuts(j) - s,
+            java.nio.charset.StandardCharsets.UTF_8)
+          s = cuts(j); j += 1
+        }
+        chunks
+      }
+    }
+    df.select(col(idCol),
+        posexplode(cut(col(textCol))).as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("chunk_hash", xxhash64(col("chunk_text")))
+  }
+
+  /** Shift-robust duplicate-content report over CDC chunks: content
+    * shared across docs groups on the chunk hash even when it sits at
+    * different offsets after edits — the failure mode of stride-aligned
+    * [[duplicatePassages]]. Only the 8-byte hash shuffles. */
+  def cdcDuplicateChunks(
+      df: DataFrame, idCol: String, textCol: String,
+      avgSize: Int = 256, minSize: Int = 64, maxSize: Int = 1024): DataFrame =
+    cdcChunks(df, idCol, textCol, avgSize, minSize, maxSize)
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col(idCol)).as("first_doc"))
+      .filter(col("n_docs") > 1)
 }

@@ -86,6 +86,38 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(enc(1L)._2 < "thelowestnewestwidest,lower!".length)
   }
 
+  test("model: vocab ids are deterministic (chars sorted, then merges by rank)") {
+    val sp = spark; import sp.implicits._
+    val docs = classicTable.flatMap { case (w, c) => Seq.fill(c.toInt)(w) }
+      .toSeq.toDF("text")
+    val model = Bpe.trainModel(docs, "text", numMerges = 4)
+    // base alphabet of low/lower/newest/widest
+    val chars = "deilnorstw".map(_.toString)
+    chars.zipWithIndex.foreach { case (ch, i) => assert(model.vocab(ch) == i) }
+    assert(model.vocab("es") == chars.length)     // rank 0
+    assert(model.vocab("est") == chars.length + 1)
+    assert(model.vocab("lo") == chars.length + 2)
+    assert(model.vocab("low") == chars.length + 3)
+  }
+
+  test("encodeIds: ids roundtrip through the vocab; unseen chars are UNK") {
+    val sp = spark; import sp.implicits._
+    val train = Seq("low lower lowest", "newest widest low").toDF("text")
+    val model = Bpe.trainModel(train, "text", numMerges = 6)
+    val docs = Seq((1L, "lowest"), (2L, "zzz")).toDF("doc_id", "text")
+    val out = Bpe.encodeIds(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1), r.getInt(2), r.getInt(3)))).toMap
+    val inv = model.vocab.map(_.swap)
+    // doc 1: every id maps back to a token whose concat is the word
+    val (ids1, n1, unk1) = out(1L)
+    assert(unk1 == 0 && n1 == ids1.length)
+    assert(ids1.map(inv).mkString("") == "lowest")
+    // doc 2: 'z' never seen at train time -> all UNK
+    val (ids2, _, unk2) = out(2L)
+    assert(ids2.forall(_ == -1) && unk2 == ids2.length)
+  }
+
   test("tokenStats is deterministic and ordered (count desc, token asc)") {
     val sp = spark; import sp.implicits._
     val docs = Seq((1L, "low low low lower"), (2L, "lowest low")).toDF("doc_id", "text")

@@ -137,6 +137,55 @@ class ChunkingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Chunking.duplicatePassages(tails, "id", "text", 8, 8).count() === 0)
   }
 
+  test("cdcChunks: lossless, bounded sizes, deterministic") {
+    val text = ("the quick brown fox jumps over the lazy dog. " * 60).trim
+    val out = Chunking.cdcChunks(docs(1L -> text), "id", "text",
+        avgSize = 64, minSize = 16, maxSize = 256)
+      .orderBy("chunk_idx").collect()
+    assert(out.length > 1, "long doc must split")
+    val chunks = out.map(_.getString(2))
+    assert(chunks.mkString("") == text, "chunks must concatenate back to the text")
+    val byteLens = chunks.map(_.getBytes("UTF-8").length)
+    assert(byteLens.dropRight(1).forall(l => l >= 16 && l <= 256),
+      s"interior chunks within [min,max]: ${byteLens.mkString(",")}")
+    val again = Chunking.cdcChunks(docs(1L -> text), "id", "text",
+        avgSize = 64, minSize = 16, maxSize = 256)
+      .orderBy("chunk_idx").collect().map(_.getString(2))
+    assert(again.toSeq == chunks.toSeq, "chunking is deterministic")
+  }
+
+  test("cdcChunks: boundaries are shift-robust — an edit re-chunks only its neighborhood") {
+    val base = (1 to 400).map(i => s"word$i").mkString(" ")
+    val edited = "INSERTED " + base
+    val h1 = Chunking.cdcChunks(docs(1L -> base), "id", "text",
+        avgSize = 64, minSize = 16, maxSize = 256)
+      .select("chunk_hash").collect().map(_.getLong(0)).toSet
+    val h2 = Chunking.cdcChunks(docs(1L -> edited), "id", "text",
+        avgSize = 64, minSize = 16, maxSize = 256)
+      .select("chunk_hash").collect().map(_.getLong(0)).toSet
+    val shared = h1.intersect(h2).size
+    assert(shared >= (h1.size * 3) / 4,
+      s"most chunk hashes must survive a front edit: shared=$shared of ${h1.size}")
+  }
+
+  test("cdcChunks: never splits inside a multibyte character") {
+    val text = "héllo wörld ünïcode " * 50
+    val out = Chunking.cdcChunks(docs(1L -> text), "id", "text",
+        avgSize = 32, minSize = 8, maxSize = 64)
+      .orderBy("chunk_idx").collect().map(_.getString(2))
+    assert(out.mkString("") == text, "UTF-8 boundaries preserved")
+    assert(!out.exists(_.contains('�')), "no replacement chars from split sequences")
+  }
+
+  test("cdcDuplicateChunks: finds shifted copies that stride windows miss") {
+    val base = (1 to 300).map(i => s"tok$i").mkString(" ")
+    val corpus = docs(1L -> base, 2L -> ("SHIFT " + base), 3L -> "totally unrelated text")
+    val dup = Chunking.cdcDuplicateChunks(corpus, "id", "text",
+        avgSize = 64, minSize = 16, maxSize = 256).collect()
+    assert(dup.nonEmpty, "shared content must be found despite the shift")
+    assert(dup.forall(_.getLong(1) == 2L), "only docs 1 and 2 share chunks")
+  }
+
   test("vector ops accept array<float> columns (the common embedding storage type)") {
     val s = spark
     import s.implicits._
