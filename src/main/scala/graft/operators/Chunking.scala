@@ -138,6 +138,49 @@ object Chunking {
           sep).as("payload"))
   }
 
+  /** Token-ID training sequences — [[packPayloads]] taken the last mile:
+    * [[Bpe.encodeIds]] supplies REAL tokenizer counts (not the
+    * whitespace estimate), packs are assigned by those counts, and the
+    * payload is the flattened id sequence in pack order with `eosId`
+    * appended after every document — the `input_ids` a tensorization
+    * loader consumes directly.
+    *
+    * Same determinism and scale shape as packPayloads: in-pack order is
+    * (mixed key, id) via the struct sort, id arrays join in AFTER the
+    * pack window pass, payload size is one context window. */
+  def packTokenIds(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: Bpe.Model,
+      budget: Int = 256,
+      numShards: Int = 8,
+      eosId: Int = -9): DataFrame = {
+    val enc = Bpe.encodeIds(df, idCol, textCol, model)
+    val mixed = Curation.mixKey(col(idCol))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("mixed"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = enc
+      .select(col(idCol), col("n_tokens"), mixed.as("mixed"),
+        pmod(mixed, lit(numShards)).cast("int").as("shard"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col("shard"),
+        greatest(lit(0), floor((col("cum_tokens") - 1) / budget)).cast("int").as("pack_id"),
+        col("n_tokens"))
+    packed.join(enc.select(col(idCol), col("token_ids")), Seq(idCol))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        flatten(transform(
+          array_sort(collect_list(struct(
+            Curation.mixKey(col(idCol)).as("m"),
+            col(idCol).as("i"),
+            concat(col("token_ids"), array(lit(eosId))).as("t")))),
+          x => x.getField("t"))).as("input_ids"))
+  }
+
   /** Cross-document duplicate-passage detection — the window-granular
     * approximation of exact-substring dedup (Lee et al. '22): two docs
     * share a passage iff they share a full `chunkSize`-word window at

@@ -80,6 +80,67 @@ class ChunkingPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cdc laws: lossless, bounded, deterministic, edit-local on random corpora") {
+    val rnd = new Random(11L)
+    val texts = (0 until 40).map { _ =>
+      val n = 1 + rnd.nextInt(300)
+      (0 until n).map(_ => s"w${rnd.nextInt(400)}").mkString(" ") +
+        (if (rnd.nextBoolean()) " héllo ünïcode" else "")
+    }
+    val s = spark
+    import s.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val out = Chunking.cdcChunks(df, "id", "text", avgSize = 64, minSize = 16, maxSize = 256)
+      .collect().groupBy(_.getLong(0))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val cs = out(i.toLong).sortBy(_.getInt(1)).map(_.getString(2))
+      assert(cs.mkString("") == t, s"doc $i lossless")
+      val lens = cs.map(_.getBytes("UTF-8").length)
+      assert(lens.dropRight(1).forall(l => l >= 16 && l <= 256), s"doc $i bounds")
+      assert(lens.last <= 256, s"doc $i tail bound")
+    }
+    // edit locality across the whole corpus: per doc, >=half the chunk
+    // hashes survive a front insertion (short docs may be 1 chunk)
+    val edited = texts.zipWithIndex.map { case (t, i) => (i.toLong, "EDIT " + t) }.toDF("id", "text")
+    val h0 = Chunking.cdcChunks(df, "id", "text", 64, 16, 256)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(3)).toSet).toMap
+    val h1 = Chunking.cdcChunks(edited, "id", "text", 64, 16, 256)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(3)).toSet).toMap
+    val survived = texts.indices.count { i =>
+      val a = h0(i.toLong); val b = h1(i.toLong)
+      a.size <= 2 || a.intersect(b).size * 2 >= a.size
+    }
+    assert(survived >= texts.size * 9 / 10,
+      s"edit locality must hold for nearly all docs: $survived/${texts.size}")
+  }
+
+  test("packTokenIds: id conservation, one EOS per doc, byte-stable order") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 30L).map(i =>
+      (i, (0 to (i % 7).toInt).map(j => s"tok${(i + j) % 9}").mkString(" "))).toDF("id", "text")
+    val model = Bpe.trainModel(docs, "text", numMerges = 10)
+    val out = Chunking.packTokenIds(docs, "id", "text", model,
+      budget = 16, numShards = 3, eosId = -9)
+    val rows = out.collect()
+    val enc = Bpe.encodeIds(docs, "id", "text", model).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // conservation: total flattened length = total tokens + one EOS per doc
+    val totalIds = rows.map(_.getSeq[Int](4).length).sum
+    val totalToks = enc.values.map(_.length).sum
+    assert(totalIds == totalToks + 30, s"ids=$totalIds toks=$totalToks")
+    // every payload ends with EOS and contains exactly n_docs EOS markers
+    rows.foreach { r =>
+      val ids = r.getSeq[Int](4)
+      assert(ids.last == -9)
+      assert(ids.count(_ == -9) == r.getLong(2), "one EOS per doc")
+    }
+    // determinism: a second run yields identical payloads
+    val again = Chunking.packTokenIds(docs, "id", "text", model,
+      budget = 16, numShards = 3, eosId = -9).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("nb classify: invariant under row order and partitioning") {
     val df = randomCorpus(seed = 13L, nDocs = 40)
       .withColumn("label", (col("id") % 3).cast("string"))
