@@ -233,6 +233,30 @@ object Bpe {
       .sortBy(_._1).toDF("token_id", "token")
   }
 
+  /** Persist the tokenizer artifact: merges and base alphabet as two
+    * small parquet tables under `path` — train once on the 100 TB
+    * corpus, encode many ingest batches against the same vocabulary
+    * (the [[Similarity]] persisted-IVF-index discipline). */
+  def saveModel(model: Model, spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    model.merges.map(m => (m.rank, m.left, m.right))
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    model.baseChars.toDF("ch")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/chars")
+  }
+
+  /** Reload a persisted model; token ids are identical to the trained
+    * one's (vocab assignment is deterministic in rank/char order). */
+  def loadModel(spark: SparkSession, path: String): Model = {
+    val merges = spark.read.parquet(s"$path/merges")
+      .orderBy("rank").collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    val chars = spark.read.parquet(s"$path/chars")
+      .collect().map(_.getString(0)).toSeq.sorted
+    Model(merges, chars)
+  }
+
   /** Distributed encode to token IDS — tensorization-ready. Tokens whose
     * characters were never seen at train time map to -1 (UNK); callers
     * count them via `n_unk`. Output: (id, token_ids, n_tokens, n_unk). */

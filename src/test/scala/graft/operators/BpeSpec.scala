@@ -118,6 +118,21 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids2.forall(_ == -1) && unk2 == ids2.length)
   }
 
+  test("model persistence: save -> load roundtrips merges, vocab, and encodings") {
+    val sp = spark; import sp.implicits._
+    val train = Seq("low lower lowest", "newest widest low").toDF("text")
+    val model = Bpe.trainModel(train, "text", numMerges = 6)
+    val path = java.nio.file.Files.createTempDirectory("bpe").toString + "/model"
+    Bpe.saveModel(model, spark, path)
+    val back = Bpe.loadModel(spark, path)
+    assert(back.merges == model.merges)
+    assert(back.vocab == model.vocab)
+    val docs = Seq((1L, "lowest newest")).toDF("doc_id", "text")
+    val a = Bpe.encodeIds(docs, "doc_id", "text", model).collect()(0).getSeq[Int](1)
+    val b = Bpe.encodeIds(docs, "doc_id", "text", back).collect()(0).getSeq[Int](1)
+    assert(a == b)
+  }
+
   test("tokenStats is deterministic and ordered (count desc, token asc)") {
     val sp = spark; import sp.implicits._
     val docs = Seq((1L, "low low low lower"), (2L, "lowest low")).toDF("doc_id", "text")
