@@ -1279,7 +1279,8 @@ object SparkEntry {
     "table_profile", "incremental_dedup", "incremental_neardup",
     "partitioned_write", "orc_roundtrip",
     "doc_chunk", "sequence_pack", "semantic_dedup", "nb_classify",
-    "funnel", "cdc_compact", "json_extract", "passage_dedup", "pack_payload")
+    "funnel", "cdc_compact", "json_extract", "passage_dedup", "cdc_dedup",
+    "pack_payload")
 
   lazy val oracleSql: Map[String, String] = Map(
 

@@ -117,6 +117,25 @@ class CsvSingleFileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("not stitchable"))
   }
 
+  test("remote scheme (s3a shape): stitch through the Hadoop FS path") {
+    // alias scheme backed by the local FS — same integration shape as
+    // s3a:// / gs:// without network: fs.create target, fs.open parts,
+    // fs.delete tmp all go through the Hadoop FileSystem API
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mockfs.impl", classOf[MockFs].getName)
+    val dir = Files.createTempDirectory("mockcsv").toString
+    val p = s"mockfs:$dir/out.csv.gz"
+    CsvSingleFile.write(sample(300).repartition(4), p,
+      Map("header" -> "true", "compression" -> "gzip"))
+    assert(Files.isRegularFile(Paths.get(s"$dir/out.csv.gz")))
+    assert(Files.list(Paths.get(dir)).toArray.length == 1,
+      "tmp stitch directory must be cleaned up")
+    val back = spark.read.option("header", "true")
+      .schema("id BIGINT, name STRING, score DOUBLE").csv(p)
+    assert(back.count() == 300)
+    assert(back.agg(sum("id")).head.getLong(0) == 300L * 301 / 2)
+  }
+
   test("row order equals partition order (matches a directory read)") {
     val p = tmp() + "/out.csv"
     val df = sample(100).repartition(4, col("id"))
