@@ -82,4 +82,44 @@ class PipelineExampleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(payloads.map(r => (r.getInt(0), r.getInt(1), r.getAs[String]("payload"))).sortBy(x => (x._1, x._2)).toSeq ===
       payloadsAgain.map(r => (r.getInt(0), r.getInt(1), r.getAs[String]("payload"))).sortBy(x => (x._1, x._2)).toSeq)
   }
+
+  test("tokenizer pipeline: leakage-safe split -> train BPE on train ONLY -> token-id packs") {
+    val s = spark
+    import s.implicits._
+    // corpus with planted exact duplicates — the split must give each
+    // duplicate group one fate before the tokenizer trains on train-only
+    def prose(i: Int): String =
+      (0 until 25).map(j => s"tok${(i * 7 + j) % 40}").mkString(" ")
+    val base = (0L until 30L).map(i => (i, prose(i.toInt)))
+    val copies = base.take(10).map { case (i, t) => (i + 1000L, t) }
+    val docs = (base ++ copies).toDF("doc_id", "text")
+
+    val split = Curation.leakageSafeSplit(docs, "doc_id", "text",
+      Seq("train" -> 0.7, "val" -> 0.15, "test" -> 0.15))
+    // leakage invariant feeds the tokenizer: exact copies are never
+    // split across train/eval, so training on the train slice cannot
+    // see eval text even through a duplicate
+    val byRep = split.select("rep_id", "split").distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert(byRep.values.forall(_.size == 1), "one split per duplicate group")
+
+    val train = split.where($"split" === "train").select($"doc_id", $"text")
+    val model = Bpe.trainModel(train, "text", numMerges = 30)
+    val packs = Chunking.packTokenIds(train, "doc_id", "text", model,
+      budget = 64, numShards = 2, eosId = -9)
+    val rows = packs.collect()
+    val nTrain = train.count()
+    assert(rows.map(_.getLong(2)).sum === nTrain, "every train doc packed once")
+    // eval slices encode against the SAME frozen model — characters the
+    // train alphabet never saw ('zebra!' appended here) become counted
+    // UNKs instead of silently extending the vocabulary
+    val eval = split.where($"split" =!= "train")
+      .withColumn("text", concat($"text", lit(" zebra!")))
+      .select($"doc_id", $"text")
+    val enc = Bpe.encodeIds(eval, "doc_id", "text", model)
+    val nEval = eval.count()
+    assert(enc.agg(sum("n_unk")).head.getLong(0) >= nEval,
+      "every eval doc carries at least one UNK from the unseen chars")
+    assert(enc.where($"n_tokens" === 0).count() === 0L)
+  }
 }
