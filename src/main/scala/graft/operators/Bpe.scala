@@ -167,20 +167,25 @@ object Bpe {
     val ranks: Map[(String, String), Int] =
       merges.map(m => (m.left, m.right) -> m.rank).toMap
     val bc = spark.sparkContext.broadcast(ranks)
+    // content-derived cache key, computed ONCE on the driver: identity
+    // hashes of deserialized broadcast values can be reused across model
+    // lifetimes in a long-lived executor, which would serve stale
+    // segmentations; content hashes only collide between models that
+    // (almost surely) segment identically anyway
+    val modelKey = ranks.hashCode()
     val pat = java.util.regex.Pattern.compile(PreToken)
     val tokenize = udf { (text: String) =>
       if (text == null) Array.empty[String]
       else {
         val rk = bc.value
-        val key = System.identityHashCode(rk)
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
         val m = pat.matcher(text)
         while (m.find()) {
           val w = m.group()
-          var toks = memo.get((key, w))
+          var toks = memo.get((modelKey, w))
           if (toks == null) {
             toks = encodeWord(w, rk)
-            memo.put((key, w), toks)
+            memo.put((modelKey, w), toks)
           }
           out ++= toks
         }
@@ -263,21 +268,22 @@ object Bpe {
   def encodeIds(df: DataFrame, idCol: String, textCol: String,
                 model: Model): DataFrame = {
     val spark = df.sparkSession
-    val bcRanks = spark.sparkContext.broadcast(
-      model.merges.map(m => (m.left, m.right) -> m.rank).toMap)
+    val ranksMap = model.merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val bcRanks = spark.sparkContext.broadcast(ranksMap)
     val bcVocab = spark.sparkContext.broadcast(model.vocab)
     val pat = java.util.regex.Pattern.compile(PreToken)
+    // same content-derived memo key rationale as in encode()
+    val modelKey = ranksMap.hashCode()
     val toIds = udf { (text: String) =>
       if (text == null) Array.empty[Int]
       else {
         val rk = bcRanks.value; val vb = bcVocab.value
-        val key = System.identityHashCode(rk)
         val out = scala.collection.mutable.ArrayBuffer.empty[Int]
         val m = pat.matcher(text)
         while (m.find()) {
           val w = m.group()
-          var toks = memo.get((key, w))
-          if (toks == null) { toks = encodeWord(w, rk); memo.put((key, w), toks) }
+          var toks = memo.get((modelKey, w))
+          if (toks == null) { toks = encodeWord(w, rk); memo.put((modelKey, w), toks) }
           var i = 0
           while (i < toks.length) { out += vb.getOrElse(toks(i), -1); i += 1 }
         }
