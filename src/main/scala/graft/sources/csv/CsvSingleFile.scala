@@ -99,7 +99,12 @@ object CsvSingleFile {
           .filter(_.getName.startsWith("part-")).sortBy(_.getName).toSeq
       }
       val ordered = parts("header") ++ parts("data")
-      val out = fs.create(target, overwrite)
+      // stitch into the tmp dir first, rename into place last: a driver
+      // failure mid-copy leaves no partial target (rename is atomic on
+      // HDFS/local; on object stores it degrades to copy — same as any
+      // committer there)
+      val staged = new Path(tmp, "stitched")
+      val out = fs.create(staged, true)
       try {
         val buf = new Array[Byte](1 << 20)
         ordered.foreach { p =>
@@ -110,6 +115,8 @@ object CsvSingleFile {
           } finally in.close()
         }
       } finally out.close()
+      if (fs.exists(target)) fs.delete(target, false)
+      require(fs.rename(staged, target), s"rename to $path failed")
     } finally fs.delete(tmp, true)
   }
 }

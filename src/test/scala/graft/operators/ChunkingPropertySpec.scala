@@ -96,8 +96,9 @@ class ChunkingPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       val cs = out(i.toLong).sortBy(_.getInt(1)).map(_.getString(2))
       assert(cs.mkString("") == t, s"doc $i lossless")
       val lens = cs.map(_.getBytes("UTF-8").length)
-      assert(lens.dropRight(1).forall(l => l >= 16 && l <= 256), s"doc $i bounds")
-      assert(lens.last <= 256, s"doc $i tail bound")
+      // +3: a forced maxSize cut extends past UTF-8 continuation bytes
+      assert(lens.dropRight(1).forall(l => l >= 16 && l <= 259), s"doc $i bounds")
+      assert(lens.last <= 259, s"doc $i tail bound")
     }
     // edit locality across the whole corpus: per doc, >=half the chunk
     // hashes survive a front insertion (short docs may be 1 chunk)
