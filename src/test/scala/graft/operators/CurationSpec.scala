@@ -217,6 +217,32 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(skewed.count(_ == "b") > skewed.count(_ == "a"))
   }
 
+  test("weighted sample w/o replacement: heavier rows dominate; exact at the ends") {
+    // the DuckDB oracle replays the same arithmetic, so it cannot catch a
+    // semantic error in the formula itself (a flipped sign would pass both
+    // sides) — this spec pins the actual Efraimidis-Spirakis property
+    val s = spark
+    import s.implicits._
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) 10.0 else 1.0))
+      .toDF("id", "w")
+    val picked = Curation.weightedSampleTopK(df, "id", col("w"), k = 200)
+      .collect().map(_.getLong(0))
+    assert(picked.length == 200)
+    val heavy = picked.count(_ % 2 == 0)
+    // with 10:1 weights the heavy class must dominate the sample strongly
+    // (deterministic draw -> this is a fixed, not statistical, outcome)
+    assert(heavy > 3 * (200 - heavy), s"heavy=$heavy of 200")
+    // k = n selects everything with positive weight; w <= 0 never selected
+    val withZero = df.withColumn("w", when($"id" < 10, lit(0.0)).otherwise($"w"))
+    val all = Curation.weightedSampleTopK(withZero, "id", col("w"), k = 2000)
+      .collect().map(_.getLong(0)).toSet
+    assert(all.size == 990 && (0L until 10L).forall(!all.contains(_)))
+    // determinism: reruns pick the identical set in the identical order
+    val again = Curation.weightedSampleTopK(df, "id", col("w"), k = 200)
+      .collect().map(_.getLong(0))
+    assert(picked.toSeq == again.toSeq)
+  }
+
   test("leakage-safe split: duplicate texts share a fate; rep = min id") {
     val df = docs(
       1L -> "alpha beta gamma", 4L -> "alpha beta gamma", 9L -> "alpha beta gamma",
