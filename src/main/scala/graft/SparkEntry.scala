@@ -511,6 +511,25 @@ object SparkEntry {
           min(col("l_shipdate").cast("date")).as("min_ship"))
     }),
 
+    // Same one-file stitch through bzip2: members still concatenate
+    // (multi-stream bz2 is the basis of pbzip2 output), AND Hadoop's
+    // Bzip2Codec is a SplittableCompressionCodec — readers resync on the
+    // 48-bit block magic — so the ONE deliverable file also re-ingests in
+    // parallel. Closes the last single-task funnel from SCALE.md 8b: the
+    // gzip variant's read half was one task by the container's nature.
+    "csv_single_file_bz2" -> ((s, dir) => {
+      val p = work(dir, "csv_single_file_bz2") + "/data.csv.bz2"
+      graft.sources.csv.CsvSingleFile.write(
+        li4(s, dir).repartition(8), p,
+        Map("header" -> "true", "compression" -> "bzip2"))
+      s.read.schema("l_orderkey BIGINT, l_quantity DOUBLE, l_returnflag STRING, l_shipdate TIMESTAMP")
+        .option("header", "true").csv(p)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          min(col("l_shipdate").cast("date")).as("min_ship"))
+    }),
+
     "csv_escaping" -> ((s, dir) => {
       val p = work(dir, "csv_escaping")
       t(s, dir, "documents")
@@ -1265,7 +1284,7 @@ object SparkEntry {
     "sort_limit_topk", "agg_rollup", "percentiles", "pivot_conditional",
     "events_window", "sessionize",
     "xlsx_roundtrip", "xlsx_multisheet", "xlsx_single_file", "csv_roundtrip",
-    "csv_single_file",
+    "csv_single_file", "csv_single_file_bz2",
     "parquet_stringify",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
     "text_stats", "doc_fingerprint", "ann_bruteforce", "ann_lsh", "ann_ivf",
@@ -1551,6 +1570,11 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag""",
 
     "csv_single_file" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
+                min(CAST(l_shipdate AS DATE)) AS min_ship
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "csv_single_file_bz2" ->
       """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty,
                 min(CAST(l_shipdate AS DATE)) AS min_ship
          FROM lineitem GROUP BY l_returnflag""",

@@ -82,6 +82,32 @@ class CsvSingleFileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.agg(sum("id")).head.getLong(0) == 400L * 401 / 2)
   }
 
+  test("bzip2: ONE file out, and the read back SPLITS across tasks") {
+    val p = tmp() + "/out.csv.bz2"
+    CsvSingleFile.write(sample(20000).repartition(6), p,
+      Map("header" -> "true", "compression" -> "bzip2"))
+    assert(Files.isRegularFile(Paths.get(p)), "exactly one regular file expected")
+    // bz2 is the splittable container: Hadoop's Bzip2Codec resyncs on the
+    // 48-bit block magic, so even a single stitched file scans in parallel.
+    // Force small splits so this test-sized file exercises >1 read task.
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try {
+      val back = spark.read.option("header", "true")
+        .schema("id BIGINT, name STRING, score DOUBLE").csv(p)
+      assert(back.rdd.getNumPartitions > 1,
+        s"single .csv.bz2 must split into >1 read task, got ${back.rdd.getNumPartitions}")
+      assert(back.count() == 20000)
+      assert(back.agg(sum("id")).head.getLong(0) == 20000L * 20001 / 2)
+      assert(back.where(col("id") === 1).head.getString(1) == "name_1")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    }
+  }
+
   test("quoting/sep options flow through; header uses the same encoding") {
     val sp = spark; import sp.implicits._
     val p = tmp() + "/out.csv"
