@@ -111,15 +111,18 @@ class PipelineExampleSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nTrain = train.count()
     assert(rows.map(_.getLong(2)).sum === nTrain, "every train doc packed once")
     // eval slices encode against the SAME frozen model — characters the
-    // train alphabet never saw ('zebra!' appended here) become counted
-    // UNKs instead of silently extending the vocabulary
+    // train alphabet never saw ('zebra!' appended here) take the byte
+    // fallback (counted in n_fallback) instead of silently extending the
+    // vocabulary; n_unk stays structurally zero
     val eval = split.where($"split" =!= "train")
       .withColumn("text", concat($"text", lit(" zebra!")))
       .select($"doc_id", $"text")
     val enc = Bpe.encodeIds(eval, "doc_id", "text", model)
     val nEval = eval.count()
-    assert(enc.agg(sum("n_unk")).head.getLong(0) >= nEval,
-      "every eval doc carries at least one UNK from the unseen chars")
+    assert(enc.agg(sum("n_unk")).head.getLong(0) == 0L,
+      "byte fallback leaves no UNK sentinel")
+    assert(enc.where($"n_fallback" >= lit(6)).count() === nEval,
+      "every eval doc routes the 6 unseen 'zebra!' chars through bytes")
     assert(enc.where($"n_tokens" === 0).count() === 0L)
   }
 }
