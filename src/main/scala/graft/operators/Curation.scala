@@ -84,14 +84,23 @@ object Curation {
     * compute the connected-component survivor id ([[Dedup.components]])
     * and call [[splitAssign]] on that instead.
     *
-    * Scale shape: one window over xxhash64(text) — the 64-bit content key
-    * travels through the single shuffle, never the text. A hash collision
-    * merges two groups into one fate: conservative (never causes leakage,
-    * only an infinitesimal mixture shift). Output adds (rep_id, split). */
+    * Scale shape (the [[Dedup]] collapseByText discipline — a window over
+    * xxhash64(text) would haul full rows through its exchange): the
+    * representative comes from a map-side-combinable groupBy over the
+    * (id, fp) projection — that exchange carries 16-byte rows — and rides
+    * back on an fp join. When the caller prunes the text column from the
+    * output (the usual assignment-manifest shape), Catalyst prunes it
+    * below the join exchange too, so no exchange moves text at all;
+    * keeping text costs the one unavoidable content-bearing shuffle. A
+    * hash collision merges two groups into one fate: conservative (never
+    * causes leakage, only an infinitesimal mixture shift). Output adds
+    * (rep_id, split). */
   def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
                        fractions: Seq[(String, Double)]): DataFrame = {
-    val w = Window.partitionBy(xxhash64(col(textCol)))
-    splitAssign(df.withColumn("rep_id", min(col(idCol)).over(w)),
+    val withFp = df.withColumn("__fp", xxhash64(col(textCol)))
+    val reps = withFp.select(col(idCol), col("__fp"))
+      .groupBy("__fp").agg(min(col(idCol)).as("rep_id"))
+    splitAssign(withFp.join(reps, Seq("__fp")).drop("__fp"),
       "rep_id", fractions)
   }
 

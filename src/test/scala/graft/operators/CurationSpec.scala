@@ -265,6 +265,27 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byId(1L)._2 == direct(1L) && byId(2L)._2 == direct(2L))
   }
 
+  test("leakage-safe split: text stays out of the agg exchange; pruned output drops it from the join too") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val df = docs(1L -> "alpha beta", 2L -> "alpha beta", 3L -> "gamma")
+    val pruned = Curation.leakageSafeSplit(df, "id", "text",
+        Seq("train" -> 0.8, "test" -> 0.2))
+      .select("id", "rep_id", "split")
+    val opt = pruned.queryExecution.optimizedPlan
+    // representative aggregation must consume the (id, fp) projection only
+    val aggs = opt.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty)
+    aggs.foreach(a => assert(a.child.output.forall(_.name != "text"),
+      s"agg input must be id-width: ${a.child.output.map(_.name)}"))
+    // with text pruned from the output, NO side of the join carries it —
+    // the whole assignment runs on 16-byte rows
+    val joins = opt.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    joins.foreach(j => j.children.foreach(c =>
+      assert(c.output.forall(_.name != "text"),
+        s"join input must be pruned: ${c.output.map(_.name)}")))
+  }
+
   test("char-LM score: gibberish scores below typical text; gram counts exact") {
     val typical = "the cat sat on the mat and the cat sat again"
     val df = docs(
