@@ -15,6 +15,43 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // ---- persist lifecycle -------------------------------------------------
+  // The near-dup operators pin intermediates (shingle sets, banded keys,
+  // inverted indexes) that the returned LAZY frames depend on, so they
+  // cannot unpersist before the caller's action. Per-query that is fine
+  // (the ContextCleaner reclaims them eventually), but a long-lived 100 TB
+  // session accumulates blocks in executor storage memory. Every persist
+  // below is therefore REGISTERED per session; after the action boundary
+  // the caller releases them all with [[unpersistAll]].
+  private val pinnedBySession =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
+
+  private implicit class TrackedPersist(private val df: DataFrame) {
+    /** persist(MEMORY_AND_DISK) + register for [[unpersistAll]]. */
+    def trackedPersist(): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinnedBySession.computeIfAbsent(df.sparkSession,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()).add(p)
+      p
+    }
+  }
+
+  /** Release every intermediate this object pinned for `spark`. Call AFTER
+    * the consuming action (count/write/collect) — the returned frames are
+    * lazy and recompute from scratch if drained early. Unpersist is
+    * non-blocking and idempotent. Returns the number of frames released. */
+  def unpersistAll(spark: org.apache.spark.sql.SparkSession): Int = {
+    val q = pinnedBySession.remove(spark)
+    if (q == null) 0
+    else {
+      var n = 0
+      val it = q.iterator()
+      while (it.hasNext) { it.next().unpersist(blocking = false); n += 1 }
+      n
+    }
+  }
+
   /** Spread a poorly-partitioned input across the cluster before per-row
     * sketch work (shingling, hashing, signatures). A small parquet file
     * arrives as ONE partition, so without this every interpreted per-doc
@@ -76,11 +113,11 @@ object Dedup {
     val reps = withFp.groupBy("fp")
       .agg(min("id").as("id"), min_by(col("text"), col("id")).as("text"),
         count(lit(1)).as("gsize"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val members = withFp.select(col("id"), col("fp"))
       .join(reps.select(col("fp"), col("id").as("rep_id"), col("gsize")), "fp")
       .select(col("id"), col("rep_id"), col("gsize"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     (reps.select(col("id"), col("text"), col("gsize")), members)
   }
 
@@ -318,14 +355,14 @@ object Dedup {
     val sh = input
       .select(col("id"), shingleHashUdf(shingleK)(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
 
     // Banding: only (id, band, bucket) travels through the self-join —
     // never the shingle arrays (they'd dominate shuffle volume).
     val banded = sh
       .select(col("id"),
         posexplode(minhashBandBuckets(bands, rowsPerBand)(col("sh"))).as(Seq("band", "bucket")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
 
     val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
@@ -399,7 +436,7 @@ object Dedup {
     def prep(df: DataFrame) = spread(df)
       .select(col(idCol).as("id"), shingleHashUdf(shingleK)(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     def band(sh: DataFrame) = sh.select(col("id"),
       posexplode(minhashBandBuckets(bands, rowsPerBand)(col("sh"))).as(Seq("band", "bucket")))
     val shC = prep(corpus)
@@ -521,7 +558,7 @@ object Dedup {
     // long join keys shuffle smaller and compare cheaper
     val exploded = sh
       .select(col("id"), col("gsize"), size(col("sh")).as("n"), explode(col("sh")).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     // df-cap: drop ubiquitous shingles (skew + zero signal). Inverted to a
     // broadcast ANTI-join on the over-cap grams: that list is tiny (at most
     // total_shingles/dfCap entries, and real text has a short hot head), so
@@ -534,7 +571,7 @@ object Dedup {
     val hot = exploded.groupBy("g").agg(sum("gsize").as("gdf"))
       .filter(col("gdf") > dfCap).select("g")
     val capped = exploded.join(broadcast(hot), Seq("g"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val a = capped.select(col("g"), col("id").as("id_a"), col("n").as("n_a"))
     val b = capped.select(col("g"), col("id").as("id_b"), col("n").as("n_b"))
     val repPairs = a.join(b, Seq("g"))
@@ -606,7 +643,7 @@ object Dedup {
       .select(col(idCol).as("id"), shingleHashUdf(k)(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), size(col("sh")).as("n"), col("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     val exploded = sh.select(col("id"), col("n"), explode(col("sh")).as("g"))
     val gdf = exploded.groupBy("g").agg(count(lit(1)).as("gdf"))
     val prefixLen = col("n") - ceil(col("n") * lit(threshold / (1.0d + threshold))) + 1
@@ -647,7 +684,7 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .trackedPersist()
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("component"))
     var iter = 0

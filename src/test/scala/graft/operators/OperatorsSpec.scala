@@ -40,6 +40,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.head.getAs[Double]("jaccard") > 0.5)
   }
 
+  test("persist lifecycle: unpersistAll drains every intermediate Dedup pinned") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val df = docs(1L -> loremA, 2L -> loremB, 3L -> unrelated, 4L -> loremA)
+    Dedup.minhashNearDups(df, "id", "text").count()
+    Dedup.ngramJaccardPairs(df, "id", "text", 3, 0.5).count()
+    val during = sc.getPersistentRDDs.keySet -- before
+    assert(during.nonEmpty, "the near-dup operators pin intermediates by design")
+    val released = Dedup.unpersistAll(spark)
+    assert(released >= 4, s"expected the registered pins back, got $released")
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"persisted RDDs leaked past unpersistAll: $leaked")
+    // idempotent: a second drain finds nothing
+    assert(Dedup.unpersistAll(spark) == 0)
+  }
+
   test("simhash near-dups: close fingerprint found, unrelated doc not") {
     // High token diversity keeps per-bit vote counts away from zero, so a
     // one-token append drifts only a few bits; pick a suffix within
