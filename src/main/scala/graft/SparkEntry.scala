@@ -591,6 +591,23 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDups(mutatedCorpus(s, dir), "id", "text", maxHamming = 3)),
 
+    // The consumer-facing tail of the near-dup pipeline: pairs → connected
+    // components → min-id survivor. Pair output grows quadratically in
+    // clique size (the r8 organic audit: 881× more pairs for 5.5× more
+    // runtime); the downstream consumer almost always wants survivors,
+    // which stay LINEAR in corpus size. Exact regime makes it oracle-
+    // checkable: at threshold 1.0 a pair means identical distinct-shingle
+    // SETS — an equivalence relation, so the transitive closure is exactly
+    // its classes and DuckDB replays them by grouping on the sorted gram
+    // list (same hash-vs-string equivalence as dedup_ngram_jaccard).
+    "neardup_survivors" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val corpus = d.unionByName(d.select((col("id") + 100000).as("id"), col("text")))
+      val pairs = Dedup.ngramJaccardPairs(corpus, "id", "text", k = 3, threshold = 1.0)
+      Dedup.keepOnePerComponent(corpus, "id", pairs)
+        .select(col("id").as("doc_id"))
+    }),
+
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDups(
         t(s, dir, "embeddings").withColumn("e", col("embedding").cast("array<double>")),
@@ -1287,6 +1304,7 @@ object SparkEntry {
     "csv_single_file", "csv_single_file_bz2",
     "parquet_stringify",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
+    "neardup_survivors",
     "text_stats", "doc_fingerprint", "ann_bruteforce", "ann_lsh", "ann_ivf",
     "embedding_pairs_exact",
     "quality_filter", "token_count_bpe", "bpe_train", "bpe_encode",
@@ -1628,6 +1646,25 @@ object SparkEntry {
                 round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 4) AS jaccard
          FROM pairs
          WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.5""",
+
+    "neardup_survivors" ->
+      """WITH corpus AS (
+           SELECT doc_id AS id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text FROM documents),
+         words AS (SELECT id, string_split_regex(text, '\s+') AS w FROM corpus),
+         sh AS (SELECT id,
+                       CASE WHEN len(w) >= 3
+                            THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                                              i -> array_to_string(w[i:i+2], ' ')))
+                            ELSE [] END AS g
+                FROM words),
+         keyed AS (SELECT id, array_to_string(list_sort(g), chr(31)) AS sig,
+                          len(g) AS ng
+                   FROM sh)
+         SELECT id AS doc_id FROM keyed WHERE ng = 0
+         UNION ALL
+         SELECT min(id) AS doc_id FROM keyed WHERE ng > 0 GROUP BY sig""",
 
     "embedding_pairs_exact" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
