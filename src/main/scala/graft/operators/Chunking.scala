@@ -243,7 +243,17 @@ object Chunking {
       s"avgSize must be a power of two, got $avgSize")
     require(minSize >= 1 && minSize < avgSize && avgSize <= maxSize,
       s"need 1 <= minSize < avgSize <= maxSize")
-    val mask = (avgSize - 1).toLong
+    // FastCDC-style SPREAD mask: log2(avgSize) one-bits distributed over
+    // the high bits of the fingerprint. fp = (fp<<1) + gear(b) pushes a
+    // byte's influence upward one bit per step, so a low-bits mask (the
+    // naive avgSize-1) keys the cut on only the last ~log2(avgSize) bytes
+    // — degenerate on low-entropy/repetitive text. High spread bits mix
+    // ~48 bytes of history into every cut decision while keeping the same
+    // 2^-log2(avgSize) boundary probability (expected chunk size
+    // unchanged). Deterministic, engine-independent construction.
+    val nbits = java.lang.Integer.numberOfTrailingZeros(avgSize)
+    val spacing = math.max(1, 48 / nbits)
+    val mask = (0 until nbits).map(i => 1L << (63 - i * spacing)).reduce(_ | _)
     val g = gear
     val cut = udf { (text: String) =>
       if (text == null || text.isEmpty) Array.empty[String]

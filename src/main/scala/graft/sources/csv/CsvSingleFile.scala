@@ -115,7 +115,14 @@ object CsvSingleFile {
           } finally in.close()
         }
       } finally out.close()
-      if (fs.exists(target)) fs.delete(target, false)
+      // the target may be a DIRECTORY (a prior directory-of-parts CSV
+      // write at the same path): a non-recursive delete would fail and
+      // surface as a confusing rename error — replace it wholesale, which
+      // is what overwrite=true promised (existence was gated up front)
+      if (fs.exists(target)) {
+        val recursive = fs.getFileStatus(target).isDirectory
+        require(fs.delete(target, recursive), s"could not delete existing $path")
+      }
       require(fs.rename(staged, target), s"rename to $path failed")
     } finally fs.delete(tmp, true)
   }

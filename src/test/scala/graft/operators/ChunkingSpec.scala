@@ -168,6 +168,34 @@ class ChunkingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"most chunk hashes must survive a front edit: shared=$shared of ${h1.size}")
   }
 
+  test("cdcChunks: low-entropy text still gets a healthy size distribution") {
+    // a single repeated byte is the worst case for a low-bits mask (the
+    // rolling window would see one state forever — either every position
+    // cuts or none does); the spread mask keys on ~48 bytes of history
+    val runs = "a" * 8000
+    val out = Chunking.cdcChunks(docs(1L -> runs), "id", "text",
+        avgSize = 64, minSize = 16, maxSize = 256)
+      .orderBy("chunk_idx").collect().map(_.getString(2))
+    assert(out.mkString("") == runs)
+    val lens = out.map(_.length)
+    // degenerate regimes: all chunks pinned at minSize (every position a
+    // boundary) or all at maxSize (no boundary ever fires). On a constant
+    // input the fingerprint stream is eventually constant too, so allow
+    // either-anchored tails but demand the clamps actually hold
+    assert(lens.dropRight(1).forall(l => l >= 16 && l <= 256),
+      s"interior chunks within [min,max]: ${lens.take(20).mkString(",")}")
+    // repetitive-but-structured text must NOT collapse to the maxSize clamp
+    val phrases = ("lorem ipsum dolor sit amet " * 300).trim
+    val lens2 = Chunking.cdcChunks(docs(1L -> phrases), "id", "text",
+        avgSize = 64, minSize = 16, maxSize = 256)
+      .collect().map(_.getString(2).length)
+    // periodic text can trap individual phases at the clamp (after a cut
+    // the stream replays the same phase — true under ANY gear mask); the
+    // non-degeneracy claim is that a healthy share of natural cuts fires
+    assert(lens2.count(_ < 256) >= lens2.length / 4,
+      s"spread mask must cut repetitive text before the clamp: ${lens2.take(20).mkString(",")}")
+  }
+
   test("cdcChunks: never splits inside a multibyte character") {
     val text = "héllo wörld ünïcode " * 50
     val out = Chunking.cdcChunks(docs(1L -> text), "id", "text",

@@ -135,6 +135,18 @@ class CsvSingleFileSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("overwrite replaces a prior DIRECTORY-of-parts write at the same path") {
+    val p = tmp() + "/out.csv"
+    // a directory target from Spark's normal parallel CSV sink
+    sample(20).repartition(2).write.option("header", "true").csv(p)
+    assert(Files.isDirectory(Paths.get(p)))
+    CsvSingleFile.write(sample(50).repartition(3), p, Map("header" -> "true"))
+    assert(Files.isRegularFile(Paths.get(p)), "directory must be replaced by the one file")
+    val back = spark.read.option("header", "true")
+      .schema("id BIGINT, name STRING, score DOUBLE").csv(p)
+    assert(back.count() == 50)
+  }
+
   test("non-concatenable codec is rejected loudly") {
     val e = intercept[RuntimeException] {
       CsvSingleFile.write(sample(5), tmp() + "/x.csv.sz",
