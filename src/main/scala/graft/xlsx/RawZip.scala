@@ -21,8 +21,18 @@ import java.util.zip.{CRC32, Deflater}
   *
   * The reference has no equivalent: its single-workbook writer is one
   * sequential `ZipWriter` stream (ref: src/fast_writer/zero_temp_workbook.rs:77-130).
+  *
+  * The ZIP64 switch-over points are injectable (`zip64SizeThreshold`,
+  * `zip64CountThreshold`) so tests can drive the >4 GiB / >65 535-entry
+  * branch without multi-GiB fixtures; the SENTINEL values written into
+  * saturated format fields stay 0xFFFFFFFF / 0xFFFF regardless — that is
+  * what tells any APPNOTE-conforming reader (incl. [[ZipRandom]]) to
+  * consult the 0x0001 extra / ZIP64 EOCD. Production uses the defaults,
+  * i.e. the real field-capacity limits.
   */
-final class RawZipWriter(out: OutputStream) {
+final class RawZipWriter(out: OutputStream,
+    zip64SizeThreshold: Long = 0xFFFFFFFFL,
+    zip64CountThreshold: Int = 0xFFFF) {
   import RawZipWriter.Cen
 
   private val dir = scala.collection.mutable.ArrayBuffer.empty[Cen]
@@ -41,7 +51,7 @@ final class RawZipWriter(out: OutputStream) {
     require(!finished, "ZIP already finished")
     require(pendingPayload == 0, s"previous entry short by $pendingPayload payload bytes")
     val nameB = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val zip64 = csize >= Max32 || usize >= Max32
+    val zip64 = csize >= zip64SizeThreshold || usize >= zip64SizeThreshold
     dir += Cen(nameB, method, crc, csize, usize, pos)
     w32(0x04034b50L)
     w16(if (zip64) 45 else 20) // version needed
@@ -92,9 +102,9 @@ final class RawZipWriter(out: OutputStream) {
     require(pendingPayload == 0, s"open entry short by $pendingPayload payload bytes")
     val cdStart = pos
     dir.foreach { e =>
-      val needU = e.usize >= Max32
-      val needC = e.csize >= Max32
-      val needO = e.offset >= Max32
+      val needU = e.usize >= zip64SizeThreshold
+      val needC = e.csize >= zip64SizeThreshold
+      val needO = e.offset >= zip64SizeThreshold
       val extraLen = { val n = Seq(needU, needC, needO).count(identity); if (n > 0) 4 + 8 * n else 0 }
       w32(0x02014b50L)
       w16(if (extraLen > 0) 45 else 20) // version made by
@@ -121,7 +131,8 @@ final class RawZipWriter(out: OutputStream) {
       }
     }
     val cdSize = pos - cdStart
-    val zip64 = dir.length > Max16 || cdStart >= Max32 || cdSize >= Max32
+    val zip64 = dir.length > zip64CountThreshold ||
+      cdStart >= zip64SizeThreshold || cdSize >= zip64SizeThreshold
     if (zip64) {
       val z64Pos = pos
       w32(0x06064b50L) // ZIP64 EOCD record
@@ -137,10 +148,10 @@ final class RawZipWriter(out: OutputStream) {
     }
     w32(0x06054b50L) // EOCD
     w16(0); w16(0)
-    w16(if (dir.length > Max16) Max16 else dir.length)
-    w16(if (dir.length > Max16) Max16 else dir.length)
-    w32(if (cdSize >= Max32) Max32 else cdSize)
-    w32(if (cdStart >= Max32) Max32 else cdStart)
+    w16(if (dir.length > zip64CountThreshold) Max16 else dir.length)
+    w16(if (dir.length > zip64CountThreshold) Max16 else dir.length)
+    w32(if (cdSize >= zip64SizeThreshold) Max32 else cdSize)
+    w32(if (cdStart >= zip64SizeThreshold) Max32 else cdStart)
     w16(0) // comment length
     out.flush()
     finished = true
