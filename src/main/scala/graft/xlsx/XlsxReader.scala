@@ -341,14 +341,17 @@ private[xlsx] object ByteSkim {
     while (i < limit) {
       st.mode match {
         case 0 =>
-          if (startsWith(win, i, "<!--")) { st.mode = 1; i += 4 }
+          // every token this mode cares about starts with '<'; gating on it
+          // keeps the per-byte cost of ordinary content to one compare
+          if (win(i) != '<') i += 1
+          else if (startsWith(win, i, "<!--")) { st.mode = 1; i += 4 }
           else if (startsWith(win, i, "<![CDATA[")) { st.mode = 2; i += 9 }
           // processing instructions may legally contain literal '<row ' in
           // their content (e.g. '<?gen <row v2?>') — without this state the
           // byte-level row count desyncs from the XML parser's view
           else if (startsWith(win, i, "<?")) { st.mode = 3; i += 2 }
           else if (i + 5 <= win.length &&
-              win(i) == '<' && win(i + 1) == 'r' && win(i + 2) == 'o' && win(i + 3) == 'w' &&
+              win(i + 1) == 'r' && win(i + 2) == 'o' && win(i + 3) == 'w' &&
               (win(i + 4) == ' ' || win(i + 4) == '>' || win(i + 4) == '/')) {
             if (seen == stopAt) { seenOut(0) = seen; return i }
             seen += 1
