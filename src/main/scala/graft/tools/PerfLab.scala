@@ -16,10 +16,15 @@ import graft.operators.{Dedup, Similarity}
   *  - ann_ivf phase split: centroid training vs the distributed probe.
   *
   * Run: {{{ sbt "runMain graft.tools.PerfLab /root/testdata/sf0.1" }}}
+  * An optional second arg limits the run to one section (`dedup`,
+  * `throughput`) — the throughput A/B is the one re-pinned per round and
+  * shouldn't cost a dedup suite to refresh.
   */
 object PerfLab {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val section = if (args.length > 1) args(1) else "all"
+    def in(s: String): Boolean = section == "all" || section == s
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -29,11 +34,13 @@ object PerfLab {
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.storage.StorageLevel
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val d = docs.select(col("doc_id").as("id"), col("text"))
-    val corpus = d.unionByName(d.select((col("id") + 100000).as("id"),
-      expr("substring(text, instr(text, ' ') + 1)").as("text")))
-    corpus.count()
+    lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    lazy val d = docs.select(col("doc_id").as("id"), col("text"))
+    lazy val corpus = {
+      val c = d.unionByName(d.select((col("id") + 100000).as("id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text")))
+      c.count(); c
+    }
 
     def time(name: String)(f: => Long): Unit = {
       val ts = (1 to 3).map { _ =>
@@ -100,50 +107,57 @@ object PerfLab {
         .filter(col("jaccard") >= threshold)
     }
 
-    time("minhash legacy") { minhashLegacy(corpus).count() }
-    time("minhash km-udf") { Dedup.minhashNearDups(corpus, "id", "text").count() }
-    time("ngram legacy-cap") { ngramLegacy(corpus).count() }
-    time("ngram anti-cap") { Dedup.ngramJaccardPairs(corpus, "id", "text", 3, 0.5).count() }
+    if (in("dedup")) {
+      time("minhash legacy") { minhashLegacy(corpus).count() }
+      time("minhash km-udf") { Dedup.minhashNearDups(corpus, "id", "text").count() }
+      time("ngram legacy-cap") { ngramLegacy(corpus).count() }
+      time("ngram anti-cap") { Dedup.ngramJaccardPairs(corpus, "id", "text", 3, 0.5).count() }
 
-    // result parity: candidate generation differs for minhash (different
-    // hash family), so compare verified pair sets, which should coincide
-    // at this corpus (every planted pair well above threshold)
-    val mA = minhashLegacy(corpus).select("id_a", "id_b").collect().map(_.toString).sorted
-    val mB = Dedup.minhashNearDups(corpus, "id", "text").select("id_a", "id_b").collect().map(_.toString).sorted
-    println(s"minhash pairs: legacy=${mA.length} km=${mB.length} equal=${mA.sameElements(mB)}")
-    val nA = ngramLegacy(corpus).select("id_a", "id_b").collect().map(_.toString).sorted
-    val nB = Dedup.ngramJaccardPairs(corpus, "id", "text", 3, 0.5).select("id_a", "id_b").collect().map(_.toString).sorted
-    println(s"ngram pairs: legacy=${nA.length} anti=${nB.length} equal=${nA.sameElements(nB)}")
-    assert(nA.sameElements(nB), "ngram df-cap inversion changed the result")
-
-    // ---- ann_ivf phase split ----
-    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count()
-    val q = e.filter(col("vec_id") < 10)
-    (1 to 3).foreach { _ =>
-      val t0 = System.nanoTime()
-      Similarity.trainIvfCentroids(e, "vec_id", "e", nlist = 8)
-      val t1 = System.nanoTime()
-      Similarity.ivfTopK(q, "vec_id", "e", e, "vec_id", "e", k = 5, nlist = 8, nprobe = 8).count()
-      val t2 = System.nanoTime()
-      println(f"ivf train=${(t1 - t0) / 1e9}%.2f full=${(t2 - t1) / 1e9}%.2f")
+      // result parity: candidate generation differs for minhash (different
+      // hash family), so compare verified pair sets, which should coincide
+      // at this corpus (every planted pair well above threshold)
+      val mA = minhashLegacy(corpus).select("id_a", "id_b").collect().map(_.toString).sorted
+      val mB = Dedup.minhashNearDups(corpus, "id", "text").select("id_a", "id_b").collect().map(_.toString).sorted
+      println(s"minhash pairs: legacy=${mA.length} km=${mB.length} equal=${mA.sameElements(mB)}")
+      val nA = ngramLegacy(corpus).select("id_a", "id_b").collect().map(_.toString).sorted
+      val nB = Dedup.ngramJaccardPairs(corpus, "id", "text", 3, 0.5).select("id_a", "id_b").collect().map(_.toString).sorted
+      println(s"ngram pairs: legacy=${nA.length} anti=${nB.length} equal=${nA.sameElements(nB)}")
+      assert(nA.sameElements(nB), "ngram df-cap inversion changed the result")
     }
 
-    // ---- salted join vs plain ----
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .select("l_orderkey", "l_extendedprice", "l_discount")
-    val ords = spark.read.parquet(s"$sfDir/orders.parquet")
-      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-    time("join plain") {
-      li.join(ords, Seq("l_orderkey")).groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n")).count()
+    if (in("ivf")) {
+      // ---- ann_ivf phase split ----
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      val q = e.filter(col("vec_id") < 10)
+      (1 to 3).foreach { _ =>
+        val t0 = System.nanoTime()
+        Similarity.trainIvfCentroids(e, "vec_id", "e", nlist = 8)
+        val t1 = System.nanoTime()
+        Similarity.ivfTopK(q, "vec_id", "e", e, "vec_id", "e", k = 5, nlist = 8, nprobe = 8).count()
+        val t2 = System.nanoTime()
+        println(f"ivf train=${(t1 - t0) / 1e9}%.2f full=${(t2 - t1) / 1e9}%.2f")
+      }
     }
-    time("join salted4") {
-      graft.operators.Skew.saltedJoin(li, ords, Seq("l_orderkey"), salts = 4)
-        .groupBy("o_orderpriority").agg(count(lit(1)).as("n")).count()
+
+    if (in("join")) {
+      // ---- salted join vs plain ----
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val ords = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      time("join plain") {
+        li.join(ords, Seq("l_orderkey")).groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n")).count()
+      }
+      time("join salted4") {
+        graft.operators.Skew.saltedJoin(li, ords, Seq("l_orderkey"), salts = 4)
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n")).count()
+      }
     }
+    if (!in("throughput")) { spark.stop(); return }
 
     // ---- xlsx throughput A/B: the two bench numbers that drifted ±10 %
     // between the driver's and builder's runs in rounds 6-7. Interleaved
