@@ -695,20 +695,23 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst_id"), col("dst") === col("dst_id"))
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("n_comp"))
+      // the pre-round label rides along as `old`, so convergence detection
+      // below is a filter over the checkpointed rows instead of a shuffle
+      // join back against the previous iteration
       val propagated = labels.join(viaNeighbor, Seq("id"), "left")
-        .select(col("id"), least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"))
+        .select(col("id"), col("component").as("old"),
+          least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"))
       // pointer doubling: follow my label to ITS label (labels are node
       // ids, so every label is a key in `propagated`). This is what turns
       // chain graphs from one hop per round into doubling reach per round.
       val shortcut = propagated
         .select(col("id").as("l_id"), col("component").as("l_comp"))
       val next = propagated.join(shortcut, propagated("component") === col("l_id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("old"),
           least(col("component"), coalesce(col("l_comp"), col("component"))).as("component"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("component") =!= col("old")).limit(1).count()
+      labels = next.drop("old")
       converged = changed == 0
       iter += 1
     }

@@ -47,6 +47,19 @@ object SurvivorLab {
     println(f"docs=$nDocs pairs=$nPairs (${tPairs}%.1f s) " +
       f"survivors=$nSurv (${tSurv}%.1f s) " +
       f"pairs/doc=${nPairs.toDouble / nDocs}%.2f survivors/doc=${nSurv.toDouble / nDocs}%.3f")
+
+    // the bench query's exact-regime shape (corpus ∪ shifted copy,
+    // threshold 1.0): min of 3 so closure-overhead changes show through
+    // the container's noise
+    val corpus = docs.unionByName(docs.select((col("id") + 100000).as("id"), col("text")))
+    val ts = (1 to 3).map { _ =>
+      Dedup.unpersistAll(spark)
+      timed {
+        val pairs = Dedup.ngramJaccardPairs(corpus, "id", "text", 3, 1.0)
+        Dedup.keepOnePerComponent(corpus, "id", pairs).count()
+      }
+    }
+    println(f"exact-regime survivors=${ts.head._1} times=${ts.map(t => f"${t._2}%.2f").mkString(",")} min=${ts.map(_._2).min}%.2f")
     spark.stop()
   }
 }
