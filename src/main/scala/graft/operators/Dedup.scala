@@ -682,8 +682,14 @@ object Dedup {
     * Input: (id_a, id_b) pairs. Output: (id, component) for every id
     * that appears in any pair; component = min id reachable. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Both edge directions from ONE scan of `pairs`: a union of two
+    // selects would execute the (expensive, possibly unpersisted) pair
+    // pipeline twice before this cache populates.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .trackedPersist()
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("component"))
