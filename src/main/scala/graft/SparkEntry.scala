@@ -936,8 +936,12 @@ object SparkEntry {
       val keep = Curation.charLmScore(d, "doc_id", "text")
         .filter(col("lm_score") >= -0.81)
         .select(col("id").as("doc_id"))
+      // Corpus-relative boilerplate cut (0.78 of the keep set) — the old
+      // absolute maxDf=240 was calibrated on ~300 keep docs and at 10x the
+      // corpus every common word crossed it, emptying the whole output
+      // (caught by the sf1 organic oracle replay).
       val cleaned = Dedup.lineDedup(d.join(keep, "doc_id"), "doc_id", "text",
-        sep = " ", maxDf = 240)
+        sep = " ", maxDfFrac = 0.78)
       Curation.splitAssign(cleaned.withColumnRenamed("id", "doc_id"), "doc_id",
           Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .select(col("doc_id"),
@@ -952,10 +956,12 @@ object SparkEntry {
 
     "line_dedup" -> ((s, dir) =>
       // Line-level boilerplate removal at word granularity (the synthetic
-      // docs have no newlines): words in >390 of the docs are the
-      // "boilerplate lines"; survivors rejoin in original order.
+      // docs have no newlines): words in more than 78% of the docs are the
+      // "boilerplate lines"; survivors rejoin in original order. The cut
+      // is corpus-RELATIVE (at sf0.01's 500 docs it equals the old
+      // absolute 390) so the operator means the same thing at every scale.
       Dedup.lineDedup(t(s, dir, "documents"), "doc_id", "text",
-          sep = " ", maxDf = 390)
+          sep = " ", maxDfFrac = 0.78)
         .withColumnRenamed("id", "doc_id")),
 
     "shard_assign" -> ((s, dir) =>
@@ -2050,7 +2056,8 @@ object SparkEntry {
                                       i -> {'pos': i, 'line': w[i]})) AS l
                              FROM w)),
               dfreq AS (SELECT line, count(DISTINCT doc_id) AS df FROM flat GROUP BY line),
-              hot AS (SELECT line FROM dfreq WHERE df > 240),
+              hot AS (SELECT line FROM dfreq
+                      WHERE df > 0.78 * (SELECT count(DISTINCT doc_id) FROM flat)),
               rebuilt AS (SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text
                           FROM flat ANTI JOIN hot USING (line) GROUP BY doc_id)
          SELECT doc_id, CAST(length(clean_text) AS BIGINT) AS n_chars,
@@ -2082,7 +2089,8 @@ object SparkEntry {
                                       i -> {'pos': i, 'line': w[i]})) AS l
                              FROM w)),
               dfreq AS (SELECT line, count(DISTINCT doc_id) AS df FROM flat GROUP BY line),
-              hot AS (SELECT line FROM dfreq WHERE df > 390)
+              hot AS (SELECT line FROM dfreq
+                      WHERE df > 0.78 * (SELECT count(DISTINCT doc_id) FROM flat))
          SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text
          FROM flat ANTI JOIN hot USING (line)
          GROUP BY doc_id""",

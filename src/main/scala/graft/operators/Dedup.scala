@@ -168,16 +168,27 @@ object Dedup {
     *
     * `sep` is a literal separator, not a regex. */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
-      sep: String = "\n", maxDf: Long = 10): DataFrame = {
+      sep: String = "\n", maxDf: Long = 10, maxDfFrac: Double = 0.0): DataFrame = {
     val hash = udf((s: String) =>
       java.lang.Long.valueOf(graft.functions.GraftFunctions.fnv1a64(s)))
     val lines = spread(df).select(col(idCol).as("id"),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "line")))
       .withColumn("h", hash(col("line")))
-    val hot = lines.select("id", "h").distinct()
+    val dfs = lines.select("id", "h").distinct()
       .groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf)
+    // An absolute df cap silently degrades as the corpus grows (at 10x the
+    // docs, every common line crosses it and whole documents vanish as
+    // "boilerplate" — caught by the sf1 organic audit). maxDfFrac > 0
+    // switches to a corpus-relative cut: hot = line present in more than
+    // that fraction of the input documents, with the count computed inside
+    // the plan (one-row aggregate, broadcast) so the operator stays a pure
+    // transform.
+    val hot = (if (maxDfFrac > 0) {
+      val nDocs = lines.select(countDistinct(col("id")).as("n_docs"))
+      dfs.crossJoin(broadcast(nDocs))
+        .filter(col("df") > col("n_docs") * lit(maxDfFrac))
+    } else dfs.filter(col("df") > maxDf))
       .select("h")
     lines.join(broadcast(hot), Seq("h"), "left_anti")
       .groupBy(col("id"))

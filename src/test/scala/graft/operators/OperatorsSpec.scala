@@ -524,6 +524,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Map(1L -> "a\nshared", 2L -> "b\nshared", 3L -> "c"))
   }
 
+  test("line dedup: relative cap equals the matching absolute cap, and is replication-invariant") {
+    val base = Seq(
+      1L -> "hot one\nunique a", 2L -> "hot one\nunique b",
+      3L -> "hot one\nunique c", 4L -> "rare pair\nunique d",
+      5L -> "rare pair\nunique e")
+    val df = docs(base: _*)
+    def m(out: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // frac 0.5 over 5 docs = cut at 2.5: "hot one" (df 3) removed,
+    // "rare pair" (df 2) kept — same as absolute maxDf = 2
+    val rel = m(Dedup.lineDedup(df, "id", "text", sep = "\n", maxDfFrac = 0.5))
+    val abs = m(Dedup.lineDedup(df, "id", "text", sep = "\n", maxDf = 2))
+    assert(rel === abs)
+    // replicate the corpus 3x with distinct ids: every df triples but so
+    // does the doc count, so the RELATIVE verdicts are unchanged — the
+    // invariance the absolute cap lacks (at 10x every common line crosses
+    // a fixed cap and whole docs vanish; caught by the sf1 organic audit)
+    val rep = docs((0 until 3).flatMap(r =>
+      base.map { case (id, tx) => (id + 10L * r) -> tx }): _*)
+    val relRep = m(Dedup.lineDedup(rep, "id", "text", sep = "\n", maxDfFrac = 0.5))
+    assert(relRep.size === 15 &&
+      relRep.forall { case (id, tx) => rel(((id - 1) % 10) + 1) === tx })
+  }
+
   test("null text survives simhash, fingerprints, and token counts") {
     val s = spark
     import s.implicits._
