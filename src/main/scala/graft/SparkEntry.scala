@@ -27,12 +27,13 @@ object SparkEntry {
   private def work(dir: String, q: String): String =
     s"/tmp/graft_work/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$q"
 
-  /** events table with its TIMESTAMP(NANOS) column converted to a real
-    * timestamp (Spark only reads parquet nanos as long; integer division
-    * keeps precision — see events_window). */
+  /** events table with its `ts` column normalized to a real timestamp —
+    * schema-adaptive because the driver's generator has shipped both
+    * TIMESTAMP(NANOS) (read as long) and timestamp[us] (read as NTZ);
+    * see [[graft.operators.Events.eventTs]]. */
   private def ev(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.operators.Events.eventTs(t(s, dir, "events"))
   }
 
   /** lineitem subset used by the xlsx/csv roundtrip family. */
@@ -261,9 +262,6 @@ object SparkEntry {
     // Streaming demo (graft.streaming.EventsPipeline uses the same plan
     // with readStream + watermark).
     "events_window" -> ((s, dir) => {
-      // events.parquet stores TIMESTAMP(NANOS), which Spark reads only as
-      // long; convert with integer division (micros) — double division
-      // would lose precision at 1e18 nanos.
       ev(s, dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))

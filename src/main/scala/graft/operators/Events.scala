@@ -16,6 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** Normalize the events table's `ts` column to a session-zone
+    * TimestampType regardless of how the parquet encoded it: the driver's
+    * generator has shipped it both as TIMESTAMP(NANOS) — which Spark only
+    * reads as a nanosecond long (`nanosAsLong`) — and as a plain
+    * timestamp[us] (read back as TIMESTAMP_NTZ). Integer division keeps
+    * precision on the nanos path (double division would round at 1e18);
+    * the NTZ cast is instant-preserving because every entry point pins
+    * `spark.sql.session.timeZone=UTC`. */
+  def eventTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      case _ => df
+    }
+
   /** Ordered conversion funnel: stage k counts users whose first
     * qualifying `steps(k)` event happened strictly AFTER their stage-k−1
     * qualifying event (first-touch semantics, the standard product

@@ -33,8 +33,8 @@ object StreamingDemo {
     // write job per changed (window, event_type) key, and the full
     // sf-table's ~500 distinct hours make that a ~20-minute wall on this
     // VM without demonstrating anything extra.
-    val allEvents = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val allEvents = graft.operators.Events.eventTs(
+      spark.read.parquet(s"$sfDir/events.parquet"))
     val cutoff = allEvents.agg(min(col("ts")).cast("long")).collect()(0).getLong(0) + 48 * 3600
     val events = allEvents.filter(col("ts").cast("long") < cutoff)
     events.coalesce(1).write.parquet(in)

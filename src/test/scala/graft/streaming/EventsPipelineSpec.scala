@@ -30,10 +30,11 @@ class EventsPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val base = Files.createTempDirectory("events").toString
     val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
 
-    // Stage the events table as the "arriving" files (nanos ts -> micros).
+    // Stage the events table as the "arriving" files (ts normalized to a
+    // session-zone timestamp whatever the parquet encoding).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val events = graft.operators.Events.eventTs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     // Three time-ordered slices + maxFilesPerTrigger=1 -> three
     // micro-batches arriving in event-time order (a random split would
     // put most of batches 2-3 behind the watermark and drop them). The

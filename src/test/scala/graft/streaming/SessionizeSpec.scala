@@ -44,8 +44,8 @@ class SessionizeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("streaming flatMapGroupsWithState emits every session the batch twin closes") {
     val base = Files.createTempDirectory("sess").toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val events = graft.operators.Events.eventTs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     events.coalesce(1).write.parquet(s"$base/in")
 
     val stream = spark.readStream
