@@ -606,6 +606,22 @@ object SparkEntry {
         .select(col("id").as("doc_id"))
     }),
 
+    // Exact substring dedup (duplicated-span removal, Lee et al. '21):
+    // every character covered by a 40-char window whose text occurs >= 2
+    // times anywhere in the corpus is cut. Corpus = documents plus partial
+    // copies (unique "COPY n: " prefix + first 120 chars) so the oracle
+    // exercises partial-span removal, not just whole-doc wipes; the
+    // documents table also carries NATURAL duplicated 40-grams, which both
+    // engines must find identically.
+    "dedup_substring" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("COPY "), col("doc_id").cast("string"), lit(": "),
+            substring(col("text"), 1, 120)).as("text"))
+      Dedup.substringDedup(d.unionByName(planted), "doc_id", "text", k = 40)
+    }),
+
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDups(
         t(s, dir, "embeddings").withColumn("e", col("embedding").cast("array<double>")),
@@ -1308,7 +1324,7 @@ object SparkEntry {
     "csv_single_file", "csv_single_file_bz2",
     "parquet_stringify",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
-    "neardup_survivors",
+    "neardup_survivors", "dedup_substring",
     "text_stats", "doc_fingerprint", "ann_bruteforce", "ann_lsh", "ann_ivf",
     "embedding_pairs_exact",
     "quality_filter", "token_count_bpe", "bpe_train", "bpe_encode",
@@ -1669,6 +1685,35 @@ object SparkEntry {
          SELECT id AS doc_id FROM keyed WHERE ng = 0
          UNION ALL
          SELECT min(id) AS doc_id FROM keyed WHERE ng > 0 GROUP BY sig""",
+
+    // Exact substring dedup: stride-1 windows make the window multiset
+    // equivalent to Spark's hash-then-verify path, so DuckDB can replay it
+    // with substr grams; the per-character anti-join rebuilds clean_text.
+    "dedup_substring" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id,
+                  'COPY ' || CAST(doc_id AS VARCHAR) || ': ' || substr(text, 1, 120) AS text
+           FROM documents WHERE doc_id < 50),
+         w AS (SELECT doc_id, text,
+                      unnest(generate_series(1, length(text) - 39)) AS i FROM corpus),
+         g AS (SELECT doc_id, i, substr(text, i, 40) AS gram FROM w),
+         dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         cov AS (SELECT DISTINCT c.doc_id, c.i + js.j AS pos
+                 FROM (SELECT g.doc_id, g.i FROM g JOIN dup USING (gram)) c
+                 CROSS JOIN (SELECT unnest(generate_series(0, 39)) AS j) js),
+         ch AS (SELECT doc_id, unnest(generate_series(1, length(text))) AS pos, text
+                FROM corpus),
+         kept AS (SELECT ch.doc_id, ch.pos, substr(ch.text, ch.pos, 1) AS c
+                  FROM ch ANTI JOIN cov USING (doc_id, pos))
+         SELECT corpus.doc_id,
+                coalesce(k.clean_text, '') AS clean_text,
+                CAST(length(corpus.text) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+         FROM corpus LEFT JOIN (
+           SELECT doc_id, string_agg(c, '' ORDER BY pos) AS clean_text,
+                  count(*) AS n_kept
+           FROM kept GROUP BY doc_id) k USING (doc_id)""",
 
     "embedding_pairs_exact" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -770,4 +770,134 @@ object Dedup {
       .filter(col("cosine") >= cosineThreshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
+
+  // ---- exact substring dedup (duplicated-span removal) -------------------
+
+  /** Exact substring deduplication: remove from every document each
+    * character position covered by a length-`k` window whose text occurs
+    * at `minCount`+ positions anywhere in the corpus (other documents OR
+    * elsewhere in the same one — self-repetition counts). This is the
+    * span-removal dedup of Lee et al. '21 ("Deduplicating Training Data
+    * Makes Language Models Better"), re-expressed as dataframe passes
+    * instead of a corpus-wide suffix array: stride-1 windows make the
+    * window-multiset equivalent to the suffix-array formulation for
+    * duplicated substrings of length ≥ k, with removal granularity k.
+    *
+    * Scale shape (the suffix array would need a global sort of every
+    * corpus position — the one shape to avoid):
+    *  1. window pass: per-position 64-bit `xxhash64` of the k-char gram,
+    *     computed in codegen off a `sequence`+`explode` generator; ONLY
+    *     (id, i, hash) reaches the aggregate — 16-ish-byte rows, map-side
+    *     combinable count per hash.
+    *  2. candidate join back on duplicated hashes; gram STRINGS
+    *     materialize only for candidate windows (the near-dup family's
+    *     verify discipline), and travel one exchange grouped by gram to
+    *     confirm exact multiplicity — hash collisions cannot remove text.
+    *  3. covered windows merge to disjoint spans per doc with one
+    *     id-partitioned window pass (gaps-and-islands), id-width rows.
+    *  4. one join puts spans next to their documents; the cut is a tight
+    *     per-doc loop (UDF, code-point-aware slicing).
+    * The corpus is scanned twice (hash pass + candidate re-extraction) —
+    * deliberate: persisting the position table would cache ~16 bytes per
+    * corpus character, far worse than a rescan at 100 TB.
+    *
+    * `sampleMod` > 1 is the scale knob: windows are kept when
+    * `hash % sampleMod == 0` — content-based (Rabin/Manber "0 mod p"
+    * fingerprint sampling), so both copies of a duplicated substring keep
+    * the SAME windows regardless of alignment, unlike positional striding.
+    * Expected window density 1/sampleMod (shuffle shrinks by that factor);
+    * duplicated spans ≳ k·sampleMod chars are still caught whp, with
+    * boundary precision coarsened to the sampled windows' coverage.
+    * `sampleMod = 1` is exact and oracle-checkable.
+    *
+    * Returns (idCol, clean_text, n_removed); docs shorter than `k` or
+    * containing no duplicated window pass through unchanged. */
+  def substringDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 40,
+      sampleMod: Int = 1,
+      minCount: Int = 2): DataFrame = {
+    require(k >= 2, "window length k must be >= 2")
+    require(sampleMod >= 1, "sampleMod must be >= 1")
+    require(minCount >= 2, "minCount must be >= 2")
+    val d = spread(df.select(col(idCol), col(textCol))).trackedPersist()
+
+    // 1. per-position window hashes; only (id, i, h) survives projection
+    def windows: DataFrame = {
+      val w = d.select(col(idCol).as("id"), col(textCol).as("t"))
+        .select(col("id"), col("t"),
+          explode(when(length(col("t")) >= k,
+            sequence(lit(1), length(col("t")) - (k - 1)))
+            .otherwise(array().cast("array<int>"))).as("i"))
+        .select(col("id"), col("i"),
+          xxhash64(col("t").substr(col("i"), lit(k))).as("h"))
+      if (sampleMod > 1) w.filter(pmod(col("h"), lit(sampleMod.toLong)) === 0L)
+      else w
+    }
+    val dupHash = windows.groupBy("h")
+      .agg(count(lit(1)).as("c")).filter(col("c") >= minCount).select("h")
+
+    // 2. candidate windows -> exact gram verification. Group the candidate
+    //    positions per doc BEFORE touching text so a heavily-duplicated
+    //    document joins its text once, not once per window; the explode
+    //    after the join is pipelined and only (id, i, gram) reaches the
+    //    verify exchange.
+    val candPos = windows.join(dupHash, "h")
+      .groupBy("id").agg(collect_list(col("i")).as("is"))
+    val candGrams = candPos
+      .join(d.select(col(idCol).as("id"), col(textCol).as("t")), "id")
+      .select(col("id"), explode(col("is")).as("i"), col("t"))
+      .select(col("id"), col("i"), col("t").substr(col("i"), lit(k)).as("gram"))
+      .trackedPersist()
+    val dupGram = candGrams.groupBy("gram")
+      .agg(count(lit(1)).as("c")).filter(col("c") >= minCount).select("gram")
+    val covered = candGrams.join(dupGram, "gram").select(col("id"), col("i"))
+
+    // 3. gaps-and-islands merge of [i, i+k-1] windows into disjoint spans
+    val wSpec = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("i")
+    val running = wSpec.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val spans = covered
+      .withColumn("e", col("i") + (k - 1))
+      .withColumn("prev_e", max(col("e")).over(running))
+      .withColumn("new_island",
+        when(col("prev_e").isNull || col("i") > col("prev_e") + 1, 1).otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(
+        wSpec.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("id", "island").agg(min(col("i")).as("s"), max(col("e")).as("e"))
+      .groupBy("id").agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+
+    // 4. cut: spans are sorted, disjoint, 1-based inclusive code-point
+    //    offsets (Spark substr counts code points, so multibyte text
+    //    needs code-point-aware slicing, not Java char arithmetic)
+    d.join(spans.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("clean_text",
+        when(col("spans").isNull, col(textCol))
+          .otherwise(cutSpansUdf(col(textCol), col("spans"))))
+      .withColumn("n_removed",
+        (length(col(textCol)) - length(col("clean_text"))).cast("long"))
+      .select(col(idCol), col("clean_text"), col("n_removed"))
+  }
+
+  private val cutSpansUdf = udf { (text: String, spans: Seq[org.apache.spark.sql.Row]) =>
+    // code-point slice [fromCp, toCp], 1-based inclusive
+    def slice(fromCp: Int, toCp: Int): String = {
+      val a = text.offsetByCodePoints(0, fromCp - 1)
+      val b = text.offsetByCodePoints(a, toCp - fromCp + 1)
+      text.substring(a, b)
+    }
+    val nCp = text.codePointCount(0, text.length)
+    val sb = new java.lang.StringBuilder
+    var cur = 1
+    spans.foreach { r =>
+      val s = r.getInt(0); val e = r.getInt(1)
+      if (s > cur) sb.append(slice(cur, s - 1))
+      cur = math.max(cur, e + 1)
+    }
+    if (cur <= nCp) sb.append(slice(cur, nCp))
+    sb.toString
+  }
 }
