@@ -742,6 +742,17 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // Span-level decontamination: character spans covered by a 40-char
+    // window appearing verbatim in the benchmark slice are CUT, the doc
+    // survives. Bench = chars 21..120 of every (doc_id % 10 == 3) doc —
+    // interior slices, so removal is partial spans, not whole docs.
+    "decontaminate_spans" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") % 10 === 3)
+        .select(substring(col("text"), 21, 100).as("bench_text"))
+      Curation.scrubSpans(d, "doc_id", "text", bench, "bench_text", k = 40)
+    }),
+
     "sample_hash" -> ((s, dir) =>
       Curation.deterministicSample(t(s, dir, "documents"), "doc_id", 0.1)
         .select(col("doc_id"), col("lang"), col("source"))),
@@ -1881,6 +1892,31 @@ object SparkEntry {
                      FROM bw)
          SELECT doc_id, count(*) AS n_shared
          FROM cg JOIN bg USING (g) GROUP BY doc_id""",
+
+    "decontaminate_spans" ->
+      """WITH bench AS (SELECT substr(text, 21, 100) AS btext
+                        FROM documents WHERE doc_id % 10 = 3),
+              bw AS (SELECT btext, unnest(generate_series(1, length(btext) - 39)) AS i
+                     FROM bench),
+              bg AS (SELECT DISTINCT substr(btext, i, 40) AS gram FROM bw),
+              w AS (SELECT doc_id, text,
+                           unnest(generate_series(1, length(text) - 39)) AS i
+                    FROM documents),
+              g AS (SELECT doc_id, i, substr(text, i, 40) AS gram FROM w),
+              cov AS (SELECT DISTINCT c.doc_id, c.i + js.j AS pos
+                      FROM (SELECT g.doc_id, g.i FROM g JOIN bg USING (gram)) c
+                      CROSS JOIN (SELECT unnest(generate_series(0, 39)) AS j) js),
+              ch AS (SELECT doc_id, unnest(generate_series(1, length(text))) AS pos, text
+                     FROM documents),
+              kept AS (SELECT ch.doc_id, ch.pos, substr(ch.text, ch.pos, 1) AS c
+                       FROM ch ANTI JOIN cov USING (doc_id, pos))
+         SELECT documents.doc_id,
+                coalesce(k.clean_text, '') AS clean_text,
+                CAST(length(documents.text) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+         FROM documents LEFT JOIN (
+           SELECT doc_id, string_agg(c, '' ORDER BY pos) AS clean_text,
+                  count(*) AS n_kept
+           FROM kept GROUP BY doc_id) k USING (doc_id)""",
 
     "sample_hash" ->
       """SELECT doc_id, lang, source FROM documents

@@ -165,6 +165,48 @@ object Curation {
     * Grams travel as 64-bit hashes ([[Dedup.shingleHashUdf]]), never as
     * strings. If the benchmark outgrows broadcast (>~100M grams), drop the
     * hint and let AQE pick a shuffled join — same semantics. */
+  /** Span-level decontamination: REMOVE every character span of a corpus
+    * document covered by a `k`-char window that appears verbatim anywhere
+    * in the benchmark set, and return the cleaned text — the surgical
+    * sibling of [[decontaminate]] (which flags whole documents). Use it
+    * when a doc is valuable apart from one leaked benchmark passage.
+    *
+    * Scale shape: the benchmark gram set (distinct k-char windows,
+    * character-granular this time) is deduped and BROADCAST; corpus
+    * window grams are computed in codegen on the streamed side and never
+    * shuffle — the first corpus-wide exchange is the id-width span merge
+    * inside [[Dedup.cutCoveredWindows]]. The join is on exact gram
+    * STRINGS, so there is no hash-collision removal class at all.
+    * `sampleMod` applies the same content-keyed "0 mod p" window sampling
+    * as [[Dedup.substringDedup]] to BOTH sides — identical selection for
+    * identical text, so detection survives sampling alignment-free, at
+    * 1/sampleMod the broadcast and probe cost and coarser span edges.
+    *
+    * Returns (idCol, clean_text, n_removed). */
+  def scrubSpans(
+      corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String,
+      k: Int = 40, sampleMod: Int = 1): DataFrame = {
+    require(k >= 2, "window length k must be >= 2")
+    require(sampleMod >= 1, "sampleMod must be >= 1")
+    def sampled(df: DataFrame): DataFrame =
+      if (sampleMod > 1)
+        df.filter(pmod(xxhash64(col("gram")), lit(sampleMod.toLong)) === 0L)
+      else df
+    val d = Dedup.spread(corpus.select(col(idCol), col(textCol)))
+    val benchGrams = sampled(bench.select(col(benchTextCol).as("t"))
+      .select(explode(Dedup.windowStarts(col("t"), k)).as("i"), col("t"))
+      .select(col("t").substr(col("i"), lit(k)).as("gram")))
+      .distinct()
+    val corpusWindows = sampled(
+      d.select(col(idCol).as("id"), col(textCol).as("t"))
+        .select(col("id"), col("t"), explode(Dedup.windowStarts(col("t"), k)).as("i"))
+        .select(col("id"), col("i"), col("t").substr(col("i"), lit(k)).as("gram")))
+    val covered = corpusWindows.join(broadcast(benchGrams), "gram")
+      .select(col("id"), col("i"))
+    Dedup.cutCoveredWindows(d, idCol, textCol, covered, k)
+  }
+
   def decontaminate(
       corpus: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String,

@@ -827,10 +827,7 @@ object Dedup {
     // 1. per-position window hashes; only (id, i, h) survives projection
     def windows: DataFrame = {
       val w = d.select(col(idCol).as("id"), col(textCol).as("t"))
-        .select(col("id"), col("t"),
-          explode(when(length(col("t")) >= k,
-            sequence(lit(1), length(col("t")) - (k - 1)))
-            .otherwise(array().cast("array<int>"))).as("i"))
+        .select(col("id"), col("t"), explode(windowStarts(col("t"), k)).as("i"))
         .select(col("id"), col("i"),
           xxhash64(col("t").substr(col("i"), lit(k))).as("h"))
       if (sampleMod > 1) w.filter(pmod(col("h"), lit(sampleMod.toLong)) === 0L)
@@ -855,7 +852,24 @@ object Dedup {
       .agg(count(lit(1)).as("c")).filter(col("c") >= minCount).select("gram")
     val covered = candGrams.join(dupGram, "gram").select(col("id"), col("i"))
 
-    // 3. gaps-and-islands merge of [i, i+k-1] windows into disjoint spans
+    cutCoveredWindows(d, idCol, textCol, covered, k)
+  }
+
+  /** Per-position length-`k` window starts (1-based) as a generator
+    * column; empty below `k` characters. Shared by the span-removal
+    * family ([[substringDedup]], [[Curation.scrubSpans]]). */
+  private[operators] def windowStarts(t: Column, k: Int): Column =
+    when(length(t) >= k, sequence(lit(1), length(t) - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+
+  /** Tail of the span-removal family: merge covered windows (id, i) —
+    * each covering [i, i+k-1] — into disjoint spans (one id-partitioned
+    * gaps-and-islands window pass over id-width rows) and cut each doc
+    * once. Returns (idCol, clean_text, n_removed); docs with no covered
+    * window pass through unchanged. */
+  private[operators] def cutCoveredWindows(
+      d: DataFrame, idCol: String, textCol: String,
+      covered: DataFrame, k: Int): DataFrame = {
     val wSpec = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("i")
     val running = wSpec.rowsBetween(
@@ -870,9 +884,9 @@ object Dedup {
       .groupBy("id", "island").agg(min(col("i")).as("s"), max(col("e")).as("e"))
       .groupBy("id").agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
 
-    // 4. cut: spans are sorted, disjoint, 1-based inclusive code-point
-    //    offsets (Spark substr counts code points, so multibyte text
-    //    needs code-point-aware slicing, not Java char arithmetic)
+    // cut: spans are sorted, disjoint, 1-based inclusive code-point
+    // offsets (Spark substr counts code points, so multibyte text needs
+    // code-point-aware slicing, not Java char arithmetic)
     d.join(spans.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("clean_text",
         when(col("spans").isNull, col(textCol))

@@ -121,6 +121,44 @@ class SubstringDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L)._1.startsWith(rand("i", 56)) && out(2L)._1.endsWith(rand("j", 16)))
   }
 
+  test("scrubSpans: leaked benchmark passage cut, everything else intact") {
+    val passage = rand("bench", 80)
+    val a = rand("a", 50) + passage + rand("b", 50) // leaked in the middle
+    val clean = rand("c", 180)                      // no overlap with bench
+    val s = spark
+    import s.implicits._
+    val bench = Seq(passage, rand("other-bench", 60)).toDF("btext")
+    val out = Curation.scrubSpans(docs(1L -> a, 2L -> clean), "id", "text",
+        bench, "btext", k = 40)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((rand("a", 50) + rand("b", 50), 80L)))
+    assert(out(2L) === ((clean, 0L)))
+  }
+
+  test("scrubSpans: bench snippets shorter than k scrub nothing") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq("tiny", rand("bb", 39)).toDF("btext")
+    val t = rand("dd", 120) + rand("bb", 39) // contains the short snippet!
+    val out = Curation.scrubSpans(docs(1L -> t), "id", "text", bench, "btext", k = 40)
+      .collect()
+    assert(out.head.getString(1) === t && out.head.getLong(2) === 0L)
+  }
+
+  test("scrubSpans: sampleMod selects the same windows on both sides") {
+    val passage = rand("leak", 400)
+    val s = spark
+    import s.implicits._
+    val bench = Seq(passage).toDF("btext")
+    val t = rand("e", 37) + passage + rand("f", 23) // alignment differs from bench
+    val out = Curation.scrubSpans(docs(1L -> t), "id", "text", bench, "btext",
+        k = 40, sampleMod = 4)
+      .collect().head
+    assert(out.getLong(2) > 300L, s"expected most of the passage cut, got ${out.getLong(2)}")
+    assert(out.getString(1).startsWith(rand("e", 37)))
+    assert(out.getString(1).endsWith(rand("f", 23)))
+  }
+
   test("n_removed is always length(text) - length(clean_text)") {
     val shared = "0123456789" * 5
     val df = docs(1L -> (rand("a", 40) + shared), 2L -> (shared + rand("b", 40)),
