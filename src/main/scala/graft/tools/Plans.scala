@@ -22,7 +22,8 @@ object Plans {
         "nb_classify", "funnel", "retention", "cdc_compact", "passage_dedup",
         "ann_ivf_indexed", "key_skew", "corpus_report",
         "sample_weighted", "split_leakage_safe", "cdc_dedup", "bpe_encode",
-        "csv_single_file_bz2", "neardup_survivors")
+        "csv_single_file_bz2", "neardup_survivors",
+        "dedup_substring", "decontaminate_spans")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
