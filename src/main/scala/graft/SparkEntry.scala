@@ -753,6 +753,19 @@ object SparkEntry {
       Curation.scrubSpans(d, "doc_id", "text", bench, "bench_text", k = 40)
     }),
 
+    // The incremental-ingest twin: a small incoming batch (doc_id < 100)
+    // scrubbed against the big resident corpus (the rest) WITHOUT
+    // broadcasting it — hashes meet in the shuffle, strings verify.
+    // Natural cross-doc 40-gram overlap in the documents table drives the
+    // removals; both engines must find the identical spans.
+    "incremental_scrub" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      Curation.scrubSpans(
+        d.filter(col("doc_id") < 100), "doc_id", "text",
+        d.filter(col("doc_id") >= 100), "text",
+        k = 40, broadcastBench = false)
+    }),
+
     "sample_hash" -> ((s, dir) =>
       Curation.deterministicSample(t(s, dir, "documents"), "doc_id", 0.1)
         .select(col("doc_id"), col("lang"), col("source"))),
@@ -1917,6 +1930,31 @@ object SparkEntry {
            SELECT doc_id, string_agg(c, '' ORDER BY pos) AS clean_text,
                   count(*) AS n_kept
            FROM kept GROUP BY doc_id) k USING (doc_id)""",
+
+    "incremental_scrub" ->
+      """WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+              corp AS (SELECT text FROM documents WHERE doc_id >= 100),
+              bw AS (SELECT text, unnest(generate_series(1, length(text) - 39)) AS i
+                     FROM corp),
+              bg AS (SELECT DISTINCT substr(text, i, 40) AS gram FROM bw),
+              w AS (SELECT doc_id, text,
+                           unnest(generate_series(1, length(text) - 39)) AS i
+                    FROM batch),
+              g AS (SELECT doc_id, i, substr(text, i, 40) AS gram FROM w),
+              cov AS (SELECT DISTINCT c.doc_id, c.i + js.j AS pos
+                      FROM (SELECT g.doc_id, g.i FROM g JOIN bg USING (gram)) c
+                      CROSS JOIN (SELECT unnest(generate_series(0, 39)) AS j) js),
+              ch AS (SELECT doc_id, unnest(generate_series(1, length(text))) AS pos, text
+                     FROM batch),
+              kept AS (SELECT ch.doc_id, ch.pos, substr(ch.text, ch.pos, 1) AS c
+                       FROM ch ANTI JOIN cov USING (doc_id, pos))
+         SELECT batch.doc_id,
+                coalesce(kk.clean_text, '') AS clean_text,
+                CAST(length(batch.text) - coalesce(kk.n_kept, 0) AS BIGINT) AS n_removed
+         FROM batch LEFT JOIN (
+           SELECT doc_id, string_agg(c, '' ORDER BY pos) AS clean_text,
+                  count(*) AS n_kept
+           FROM kept GROUP BY doc_id) kk USING (doc_id)""",
 
     "sample_hash" ->
       """SELECT doc_id, lang, source FROM documents

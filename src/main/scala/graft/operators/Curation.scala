@@ -182,11 +182,19 @@ object Curation {
     * identical text, so detection survives sampling alignment-free, at
     * 1/sampleMod the broadcast and probe cost and coarser span edges.
     *
+    * `broadcastBench = false` flips to the incremental-ingest shape:
+    * `bench` is a huge EXISTING corpus and `corpus` the small incoming
+    * batch — 8-byte window hashes meet in the only large exchange and
+    * gram strings re-extract for matched hashes only (both sides), so
+    * probing cost scales with the BATCH and the match volume, never with
+    * the resident corpus's text.
+    *
     * Returns (idCol, clean_text, n_removed). */
   def scrubSpans(
       corpus: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String,
-      k: Int = 40, sampleMod: Int = 1): DataFrame = {
+      k: Int = 40, sampleMod: Int = 1,
+      broadcastBench: Boolean = true): DataFrame = {
     require(k >= 2, "window length k must be >= 2")
     require(sampleMod >= 1, "sampleMod must be >= 1")
     def sampled(df: DataFrame): DataFrame =
@@ -194,16 +202,35 @@ object Curation {
         df.filter(pmod(xxhash64(col("gram")), lit(sampleMod.toLong)) === 0L)
       else df
     val d = Dedup.spread(corpus.select(col(idCol), col(textCol)))
-    val benchGrams = sampled(bench.select(col(benchTextCol).as("t"))
+    def benchGrams: DataFrame = sampled(bench.select(col(benchTextCol).as("t"))
       .select(explode(Dedup.windowStarts(col("t"), k)).as("i"), col("t"))
       .select(col("t").substr(col("i"), lit(k)).as("gram")))
-      .distinct()
     val corpusWindows = sampled(
       d.select(col(idCol).as("id"), col(textCol).as("t"))
         .select(col("id"), col("t"), explode(Dedup.windowStarts(col("t"), k)).as("i"))
         .select(col("id"), col("i"), col("t").substr(col("i"), lit(k)).as("gram")))
-    val covered = corpusWindows.join(broadcast(benchGrams), "gram")
-      .select(col("id"), col("i"))
+    val covered =
+      if (broadcastBench)
+        corpusWindows.join(broadcast(benchGrams.distinct()), "gram")
+          .select(col("id"), col("i"))
+      else {
+        // Incremental-ingest shape: the "bench" is a huge EXISTING corpus
+        // and `corpus` is the small incoming batch — nothing broadcasts.
+        // Same discipline as [[Dedup.substringDedup]]: 8-byte hashes meet
+        // in the only big exchange, gram strings re-extract on BOTH sides
+        // for the matched hashes only, and exact string equality confirms
+        // (a hash collision cannot scrub text).
+        val benchHashes = benchGrams
+          .select(xxhash64(col("gram")).as("h")).distinct()
+        val candidates = corpusWindows
+          .withColumn("h", xxhash64(col("gram")))
+          .join(benchHashes, "h")
+        val matchedBenchGrams = benchGrams
+          .withColumn("h", xxhash64(col("gram")))
+          .join(candidates.select("h").distinct(), "h")
+          .select("gram").distinct()
+        candidates.join(matchedBenchGrams, "gram").select(col("id"), col("i"))
+      }
     Dedup.cutCoveredWindows(d, idCol, textCol, covered, k)
   }
 

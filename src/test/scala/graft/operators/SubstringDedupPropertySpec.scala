@@ -123,6 +123,12 @@ class SubstringDedupPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
           bench.toDF("btext"), "btext", k = 20)
         .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
       assert(got === expected, s"seed=$seed")
+      // the non-broadcast (incremental-ingest) path must be semantically
+      // identical: hashes meet in the shuffle, strings verify
+      val gotShuffled = Curation.scrubSpans(docs.toDF("id", "text"), "id", "text",
+          bench.toDF("btext"), "btext", k = 20, broadcastBench = false)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(gotShuffled === expected, s"seed=$seed (broadcastBench=false)")
     }
   }
 }
