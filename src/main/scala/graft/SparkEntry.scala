@@ -622,6 +622,19 @@ object SparkEntry {
       Dedup.substringDedup(d.unionByName(planted), "doc_id", "text", k = 40)
     }),
 
+    // keepFirst policy (the Lee et al. paper's actual behavior): each
+    // duplicated gram's canonical occurrence (min doc_id, i) survives, so
+    // originals keep their text and the copies are cut.
+    "dedup_substring_keepfirst" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("COPY "), col("doc_id").cast("string"), lit(": "),
+            substring(col("text"), 1, 120)).as("text"))
+      Dedup.substringDedup(d.unionByName(planted), "doc_id", "text", k = 40,
+        keepFirst = true)
+    }),
+
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDups(
         t(s, dir, "embeddings").withColumn("e", col("embedding").cast("array<double>")),
@@ -1726,6 +1739,35 @@ object SparkEntry {
          dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
          cov AS (SELECT DISTINCT c.doc_id, c.i + js.j AS pos
                  FROM (SELECT g.doc_id, g.i FROM g JOIN dup USING (gram)) c
+                 CROSS JOIN (SELECT unnest(generate_series(0, 39)) AS j) js),
+         ch AS (SELECT doc_id, unnest(generate_series(1, length(text))) AS pos, text
+                FROM corpus),
+         kept AS (SELECT ch.doc_id, ch.pos, substr(ch.text, ch.pos, 1) AS c
+                  FROM ch ANTI JOIN cov USING (doc_id, pos))
+         SELECT corpus.doc_id,
+                coalesce(k.clean_text, '') AS clean_text,
+                CAST(length(corpus.text) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+         FROM corpus LEFT JOIN (
+           SELECT doc_id, string_agg(c, '' ORDER BY pos) AS clean_text,
+                  count(*) AS n_kept
+           FROM kept GROUP BY doc_id) k USING (doc_id)""",
+
+    "dedup_substring_keepfirst" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id,
+                  'COPY ' || CAST(doc_id AS VARCHAR) || ': ' || substr(text, 1, 120) AS text
+           FROM documents WHERE doc_id < 50),
+         w AS (SELECT doc_id, text,
+                      unnest(generate_series(1, length(text) - 39)) AS i FROM corpus),
+         g AS (SELECT doc_id, i, substr(text, i, 40) AS gram FROM w),
+         occ AS (SELECT doc_id, i,
+                        count(*) OVER (PARTITION BY gram) AS c,
+                        row_number() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rk
+                 FROM g),
+         cov AS (SELECT DISTINCT o.doc_id, o.i + js.j AS pos
+                 FROM (SELECT doc_id, i FROM occ WHERE c >= 2 AND rk > 1) o
                  CROSS JOIN (SELECT unnest(generate_series(0, 39)) AS j) js),
          ch AS (SELECT doc_id, unnest(generate_series(1, length(text))) AS pos, text
                 FROM corpus),

@@ -810,6 +810,13 @@ object Dedup {
     * boundary precision coarsened to the sampled windows' coverage.
     * `sampleMod = 1` is exact and oracle-checkable.
     *
+    * `keepFirst = true` keeps each duplicated gram's CANONICAL occurrence
+    * (minimum (id, i)) uncut — the paper's actual policy (one copy of
+    * duplicated text survives). For a full-copy doc pair this yields
+    * survivor semantics: the lower id keeps all its text (every window's
+    * canonical occurrence), the copy is wiped. Default `false` removes
+    * every occurrence — the stricter hygiene some pipelines want.
+    *
     * Returns (idCol, clean_text, n_removed); docs shorter than `k` or
     * containing no duplicated window pass through unchanged. */
   def substringDedup(
@@ -818,7 +825,8 @@ object Dedup {
       textCol: String,
       k: Int = 40,
       sampleMod: Int = 1,
-      minCount: Int = 2): DataFrame = {
+      minCount: Int = 2,
+      keepFirst: Boolean = false): DataFrame = {
     require(k >= 2, "window length k must be >= 2")
     require(sampleMod >= 1, "sampleMod must be >= 1")
     require(minCount >= 2, "minCount must be >= 2")
@@ -850,7 +858,19 @@ object Dedup {
       .trackedPersist()
     val dupGram = candGrams.groupBy("gram")
       .agg(count(lit(1)).as("c")).filter(col("c") >= minCount).select("gram")
-    val covered = candGrams.join(dupGram, "gram").select(col("id"), col("i"))
+    val occurrences = candGrams.join(dupGram, "gram")
+    val covered =
+      if (!keepFirst) occurrences.select(col("id"), col("i"))
+      else
+        // canonical occurrence per gram survives: rank occurrences within
+        // the gram (candidate-volume shuffle, never corpus-volume) and cut
+        // only the non-canonical ones
+        occurrences
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("gram").orderBy("id", "i")))
+          .filter(col("rk") > 1)
+          .select(col("id"), col("i"))
 
     cutCoveredWindows(d, idCol, textCol, covered, k)
   }

@@ -61,6 +61,28 @@ class SubstringDedupPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }.toMap
   }
 
+  /** Brute-force keepFirst variant: the first occurrence of each
+    * duplicated gram in (id, position) order stays uncut. */
+  private def naiveKeepFirst(docs: Seq[(Long, String)], k: Int): Map[Long, (String, Long)] = {
+    val counts = mutable.Map.empty[String, Int].withDefaultValue(0)
+    for ((_, t) <- docs; i <- 0 to t.length - k) counts(t.substring(i, i + k)) += 1
+    val canonical = mutable.Map.empty[String, (Long, Int)]
+    for ((id, t) <- docs.sortBy(_._1); i <- 0 to t.length - k) {
+      val g = t.substring(i, i + k)
+      if (!canonical.contains(g)) canonical(g) = (id, i)
+    }
+    docs.map { case (id, t) =>
+      val covered = Array.fill(t.length)(false)
+      for (i <- 0 to t.length - k) {
+        val g = t.substring(i, i + k)
+        if (counts(g) >= 2 && canonical(g) != ((id, i)))
+          for (j <- i until i + k) covered(j) = true
+      }
+      val clean = t.indices.collect { case j if !covered(j) => t.charAt(j) }.mkString
+      id -> ((clean, (t.length - clean.length).toLong))
+    }.toMap
+  }
+
   /** Brute-force scrubSpans: mark coverage by bench-window membership. */
   private def naiveScrub(docs: Seq[(Long, String)], bench: Seq[String],
       k: Int): Map[Long, (String, Long)] = {
@@ -94,6 +116,29 @@ class SubstringDedupPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     for (seed <- 20L to 23L) {
       val docs = corpus(seed, nDocs = 8)
       assert(runOp(docs, k = 7) === naiveDedup(docs, k = 7), s"seed=$seed")
+    }
+  }
+
+  test("keepFirst equals the naive canonical-occurrence reference") {
+    val s = spark
+    import s.implicits._
+    for (seed <- 80L to 85L) {
+      val docs = corpus(seed, nDocs = 12)
+      val expected = naiveKeepFirst(docs, k = 20)
+      val got = Dedup.substringDedup(docs.toDF("id", "text"), "id", "text",
+          k = 20, keepFirst = true)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
+  test("keepFirst removal is a subset of remove-all") {
+    for (seed <- 90L to 93L) {
+      val docs = corpus(seed, nDocs = 10)
+      val all = naiveDedup(docs, k = 20)
+      val kept = naiveKeepFirst(docs, k = 20)
+      for ((id, (_, nAll)) <- all)
+        assert(kept(id)._2 <= nAll, s"seed=$seed id=$id")
     }
   }
 

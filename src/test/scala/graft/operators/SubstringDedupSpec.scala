@@ -74,6 +74,26 @@ class SubstringDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) === (("", 96L)))
   }
 
+  test("keepFirst: full-copy pair keeps the lower id intact, wipes the copy") {
+    val t = rand("z", 96)
+    val out = Dedup.substringDedup(docs(1L -> t, 2L -> t), "id", "text",
+        k = 40, keepFirst = true)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((t, 0L)), "canonical copy must survive untouched")
+    assert(out(2L) === (("", 96L)), "the duplicate must be wiped")
+  }
+
+  test("keepFirst: shared interior span survives only in the lower id") {
+    val shared = "0123456789" * 4
+    val a = rand("a", 48) + shared + rand("b", 48)
+    val b = rand("c", 48) + shared + rand("d", 48)
+    val out = Dedup.substringDedup(docs(1L -> a, 2L -> b), "id", "text",
+        k = 40, keepFirst = true)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((a, 0L)))
+    assert(out(2L) === ((rand("c", 48) + rand("d", 48), 40L)))
+  }
+
   test("self-repetition inside one document is removed") {
     val phrase = "the same forty characters repeat here!!!" // 40 chars
     assert(phrase.length === 40)
