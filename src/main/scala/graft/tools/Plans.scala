@@ -23,7 +23,8 @@ object Plans {
         "ann_ivf_indexed", "key_skew", "corpus_report",
         "sample_weighted", "split_leakage_safe", "cdc_dedup", "bpe_encode",
         "csv_single_file_bz2", "neardup_survivors",
-        "dedup_substring", "decontaminate_spans")
+        "dedup_substring", "dedup_substring_keepfirst", "decontaminate_spans",
+        "incremental_scrub")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
