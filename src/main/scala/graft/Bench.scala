@@ -37,6 +37,10 @@ object Bench {
       // must record -1 for that query, not abort the whole bench run
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); return -1.0 }
+      // release this query's tracked persists before the clock stops so
+      // their storage can't squeeze later queries' shuffles; the unpersist
+      // itself is non-blocking and costs microseconds
+      finally graft.operators.Dedup.unpersistAll(spark)
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.benchQueries.map { name =>

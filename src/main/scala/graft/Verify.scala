@@ -25,6 +25,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drain the dedup/curation persist registry after each query's
+      // action: a 126-query replay otherwise pins every sketch
+      // intermediate simultaneously (MEMORY_AND_DISK — degrades, not OOMs,
+      // but there's no reason to carry them)
+      finally graft.operators.Dedup.unpersistAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

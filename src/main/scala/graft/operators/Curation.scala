@@ -153,18 +153,6 @@ object Curation {
       .limit(k)
   }
 
-  /** Test-set decontamination: flag corpus documents sharing at least one
-    * word k-gram with a benchmark/eval corpus (the standard n-gram overlap
-    * rule used for pretraining-data hygiene). Returns (id, n_shared) with
-    * n_shared = number of distinct contaminated k-grams per document.
-    *
-    * Scale shape: benchmark suites are small by nature (10^3..10^6 items
-    * vs 10^9+ corpus docs), so the benchmark gram set is built once,
-    * deduped, and BROADCAST — the corpus never shuffles for the probe; the
-    * only corpus-wide exchange is the final per-doc count, keyed on doc id.
-    * Grams travel as 64-bit hashes ([[Dedup.shingleHashUdf]]), never as
-    * strings. If the benchmark outgrows broadcast (>~100M grams), drop the
-    * hint and let AQE pick a shuffled join — same semantics. */
   /** Span-level decontamination: REMOVE every character span of a corpus
     * document covered by a `k`-char window that appears verbatim anywhere
     * in the benchmark set, and return the cleaned text — the surgical
@@ -222,18 +210,40 @@ object Curation {
         // (a hash collision cannot scrub text).
         val benchHashes = benchGrams
           .select(xxhash64(col("gram")).as("h")).distinct()
-        val candidates = corpusWindows
+        // persisted: referenced by matchedBenchGrams AND the final verify
+        // join — without it the big hash join + both gram extractions run
+        // twice. Released by Dedup.unpersistAll after the caller's action.
+        val candidates = Dedup.pin(corpusWindows
           .withColumn("h", xxhash64(col("gram")))
-          .join(benchHashes, "h")
+          .join(benchHashes, "h"))
+        // matchedBenchGrams is DISTINCT grams that matched a batch window
+        // — bounded by the batch's own distinct-gram count, small in the
+        // incremental regime by definition. Broadcasting it makes the
+        // final verify join skew-proof: a boilerplate gram with 10^6
+        // occurrences in `candidates` never shuffles on the gram key
+        // (the hot-partition hazard the substringDedup skew guard bounds).
         val matchedBenchGrams = benchGrams
           .withColumn("h", xxhash64(col("gram")))
           .join(candidates.select("h").distinct(), "h")
           .select("gram").distinct()
-        candidates.join(matchedBenchGrams, "gram").select(col("id"), col("i"))
+        candidates.join(broadcast(matchedBenchGrams), "gram")
+          .select(col("id"), col("i"))
       }
     Dedup.cutCoveredWindows(d, idCol, textCol, covered, k)
   }
 
+  /** Test-set decontamination: flag corpus documents sharing at least one
+    * word k-gram with a benchmark/eval corpus (the standard n-gram overlap
+    * rule used for pretraining-data hygiene). Returns (id, n_shared) with
+    * n_shared = number of distinct contaminated k-grams per document.
+    *
+    * Scale shape: benchmark suites are small by nature (10^3..10^6 items
+    * vs 10^9+ corpus docs), so the benchmark gram set is built once,
+    * deduped, and BROADCAST — the corpus never shuffles for the probe; the
+    * only corpus-wide exchange is the final per-doc count, keyed on doc id.
+    * Grams travel as 64-bit hashes ([[Dedup.shingleHashUdf]]), never as
+    * strings. If the benchmark outgrows broadcast (>~100M grams), drop the
+    * hint and let AQE pick a shuffled join — same semantics. */
   def decontaminate(
       corpus: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String,

@@ -37,6 +37,10 @@ object Dedup {
     }
   }
 
+  /** [[TrackedPersist.trackedPersist]] for sibling operators (Curation's
+    * span scrub shares this registry so one `unpersistAll` drains both). */
+  private[operators] def pin(df: DataFrame): DataFrame = df.trackedPersist()
+
   /** Release every intermediate this object pinned for `spark`. Call AFTER
     * the consuming action (count/write/collect) — the returned frames are
     * lazy and recompute from scratch if drained early. Unpersist is
@@ -152,23 +156,33 @@ object Dedup {
       .filter(col("n_copies") > 1)
 
   /** Line-level dedup (RefinedWeb-style boilerplate removal): split each
-    * document on `sep`, drop every line occurring in more than `maxDf`
-    * documents corpus-wide (headers, footers, nav chrome, license
-    * blocks), and reassemble the survivors in their original order.
-    * Documents whose lines are ALL boilerplate drop out entirely.
+    * document on `sep`, drop every "hot" line (headers, footers, nav
+    * chrome, license blocks), and reassemble the survivors in their
+    * original order. Documents whose lines are ALL boilerplate drop out
+    * entirely.
+    *
+    * The DEFAULT cut is corpus-RELATIVE: a line is boilerplate when it
+    * appears in more than `maxDfFrac` of the input documents. The sf1
+    * audit proved an absolute document-frequency cap is a replication
+    * trap — at 10× the docs every common line crosses a fixed cap and
+    * whole documents vanish — so the absolute form is opt-in: passing
+    * `maxDf > 0` explicitly switches to "df > maxDf" and overrides the
+    * fraction (for calibrated-corpus uses that genuinely want a count).
     *
     * Scale shape: lines travel as fnv1a64 hashes into the
     * document-frequency aggregate (map-side combinable, strings never
-    * shuffle); the hot-line set — lines in >maxDf docs — is tiny by
-    * construction at any corpus size, so the removal is a BROADCAST
-    * anti-join; the only other exchange is the per-doc rebuild keyed on
-    * id. Same hash-vs-string oracle equivalence as the shingle family
-    * (pinned in CurationSpec): a 64-bit fnv collision between two
-    * distinct lines of the same corpus is the only divergence mode.
+    * shuffle); the hot-line set is tiny by construction at any corpus
+    * size, so the removal is a BROADCAST anti-join; the only other
+    * exchange is the per-doc rebuild keyed on id. Same hash-vs-string
+    * oracle equivalence as the shingle family (pinned in CurationSpec): a
+    * 64-bit fnv collision between two distinct lines of the same corpus
+    * is the only divergence mode.
     *
     * `sep` is a literal separator, not a regex. */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
-      sep: String = "\n", maxDf: Long = 10, maxDfFrac: Double = 0.0): DataFrame = {
+      sep: String = "\n", maxDf: Long = 0, maxDfFrac: Double = 0.5): DataFrame = {
+    require(maxDf > 0 || maxDfFrac > 0,
+      "need a boilerplate cut: maxDfFrac > 0 (corpus-relative, default) or explicit maxDf > 0")
     val hash = udf((s: String) =>
       java.lang.Long.valueOf(graft.functions.GraftFunctions.fnv1a64(s)))
     val lines = spread(df).select(col(idCol).as("id"),
@@ -177,18 +191,16 @@ object Dedup {
       .withColumn("h", hash(col("line")))
     val dfs = lines.select("id", "h").distinct()
       .groupBy("h").agg(count(lit(1)).as("df"))
-    // An absolute df cap silently degrades as the corpus grows (at 10x the
-    // docs, every common line crosses it and whole documents vanish as
-    // "boilerplate" — caught by the sf1 organic audit). maxDfFrac > 0
-    // switches to a corpus-relative cut: hot = line present in more than
-    // that fraction of the input documents, with the count computed inside
-    // the plan (one-row aggregate, broadcast) so the operator stays a pure
-    // transform.
-    val hot = (if (maxDfFrac > 0) {
+    // Relative cut: the doc count is computed inside the plan (one-row
+    // aggregate, broadcast) so the operator stays a pure transform. An
+    // explicit maxDf > 0 takes precedence — its default is 0/unset, so it
+    // can only be here because the caller asked for the absolute form.
+    val hot = (if (maxDf > 0) dfs.filter(col("df") > maxDf)
+    else {
       val nDocs = lines.select(countDistinct(col("id")).as("n_docs"))
       dfs.crossJoin(broadcast(nDocs))
         .filter(col("df") > col("n_docs") * lit(maxDfFrac))
-    } else dfs.filter(col("df") > maxDf))
+    })
       .select("h")
     lines.join(broadcast(hot), Seq("h"), "left_anti")
       .groupBy(col("id"))
@@ -817,6 +829,12 @@ object Dedup {
     * canonical occurrence), the copy is wiped. Default `false` removes
     * every occurrence — the stricter hygiene some pipelines want.
     *
+    * `hotGramCap` is the skew guard: grams duplicated more than this many
+    * times take a broadcast path for their occurrence join (see the
+    * in-body comment). It changes the PHYSICAL plan only — output is
+    * identical at any cap — so the default is a partition-size bound
+    * (~100K × ~60 B rows ≈ 6 MB per gram partition), not a tuning burden.
+    *
     * Returns (idCol, clean_text, n_removed); docs shorter than `k` or
     * containing no duplicated window pass through unchanged. */
   def substringDedup(
@@ -826,10 +844,12 @@ object Dedup {
       k: Int = 40,
       sampleMod: Int = 1,
       minCount: Int = 2,
-      keepFirst: Boolean = false): DataFrame = {
+      keepFirst: Boolean = false,
+      hotGramCap: Long = 100000L): DataFrame = {
     require(k >= 2, "window length k must be >= 2")
     require(sampleMod >= 1, "sampleMod must be >= 1")
     require(minCount >= 2, "minCount must be >= 2")
+    require(hotGramCap >= 2, "hotGramCap must be >= 2")
     val d = spread(df.select(col(idCol), col(textCol))).trackedPersist()
 
     // 1. per-position window hashes; only (id, i, h) survives projection
@@ -849,6 +869,12 @@ object Dedup {
     //    document joins its text once, not once per window; the explode
     //    after the join is pipelined and only (id, i, gram) reaches the
     //    verify exchange.
+    // (the hash-level join shuffles 16-byte rows; a hot hash's partition
+    // is an AQE skew-join split candidate — inner SMJ, splittable — and
+    // the immediately-following aggregate re-keys on id, so no downstream
+    // stage inherits the hash key. The string-gram stages below, where
+    // rows are wider and a rank window used to sit, get the structural
+    // guard instead.)
     val candPos = windows.join(dupHash, "h")
       .groupBy("id").agg(collect_list(col("i")).as("is"))
     val candGrams = candPos
@@ -856,21 +882,41 @@ object Dedup {
       .select(col("id"), explode(col("is")).as("i"), col("t"))
       .select(col("id"), col("i"), col("t").substr(col("i"), lit(k)).as("gram"))
       .trackedPersist()
-    val dupGram = candGrams.groupBy("gram")
-      .agg(count(lit(1)).as("c")).filter(col("c") >= minCount).select("gram")
-    val occurrences = candGrams.join(dupGram, "gram")
+    // Skew guard (the n-gram family's dfCap lesson, adapted): every
+    // gram-keyed stage here is structurally bounded, so one ubiquitous
+    // boilerplate gram (a page header duplicated 10^6×) cannot create an
+    // unbounded hot partition at 100×:
+    //  - the two counts (dupGram here, dupHash above) are hash aggregates
+    //    with map-side partial combine — each task emits ONE row per gram
+    //    before the exchange, whatever the occurrence count;
+    //  - the occurrence join splits on `hotGramCap`: warm grams (count ≤
+    //    cap) shuffle-join with a per-gram partition bound of cap rows;
+    //    hot grams — few by construction, ≤ totalWindows/cap of them —
+    //    BROADCAST, so their million-row occurrence sets never move;
+    //  - keepFirst's canonical pick is a combinable min(struct(id, i))
+    //    aggregate + near-unique-key anti-join, NOT a rank window (a
+    //    window over partitionBy(gram) is the one shape AQE cannot split).
+    // `hotGramCap` is purely physical — results are identical on both
+    // sides of the split — so oracle semantics are unchanged at any cap.
+    val dupGramC = candGrams.groupBy("gram")
+      .agg(count(lit(1)).as("c")).filter(col("c") >= minCount)
+    val warmGram = dupGramC.filter(col("c") <= hotGramCap).select("gram")
+    val hotGram = dupGramC.filter(col("c") > hotGramCap).select("gram")
+    val occurrences = candGrams.join(warmGram, "gram")
+      .unionByName(candGrams.join(broadcast(hotGram), "gram"))
     val covered =
       if (!keepFirst) occurrences.select(col("id"), col("i"))
-      else
-        // canonical occurrence per gram survives: rank occurrences within
-        // the gram (candidate-volume shuffle, never corpus-volume) and cut
-        // only the non-canonical ones
-        occurrences
-          .withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("gram").orderBy("id", "i")))
-          .filter(col("rk") > 1)
+      else {
+        // canonical (minimum (id, i)) occurrence per gram survives; the
+        // aggregate is map-side combinable and the anti-join key
+        // (gram, id, i) is near-unique — candidate-volume work, zero skew
+        val canon = occurrences.groupBy("gram")
+          .agg(min(struct(col("id"), col("i"))).as("m"))
+          .select(col("gram"), col("m").getField("id").as("id"),
+            col("m").getField("i").as("i"))
+        occurrences.join(canon, Seq("gram", "id", "i"), "left_anti")
           .select(col("id"), col("i"))
+      }
 
     cutCoveredWindows(d, idCol, textCol, covered, k)
   }

@@ -30,7 +30,13 @@ object Events {
         df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol DIV 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn(tsCol, col(tsCol).cast("timestamp"))
-      case _ => df
+      case org.apache.spark.sql.types.TimestampType => df
+      case other =>
+        // a third encoding from the generator must fail loudly here, not
+        // mis-aggregate silently three operators downstream
+        throw new IllegalArgumentException(
+          s"events.$tsCol has unsupported type $other; expected " +
+            "LongType (nanos), TimestampNTZType, or TimestampType")
     }
 
   /** Ordered conversion funnel: stage k counts users whose first

@@ -56,6 +56,29 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.unpersistAll(spark) == 0)
   }
 
+  test("persist lifecycle: Verify/Bench-style replay drains after EVERY query, including Curation's pins") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val df = docs(1L -> loremA, 2L -> loremB, 3L -> unrelated, 4L -> loremA)
+    val bench = docs(10L -> loremA.take(60))
+    // the three pin-heavy families, run the way Verify/Bench now run them:
+    // action then drain, every iteration — nothing may accumulate across
+    // queries in a long replay session
+    val queries: Seq[() => Long] = Seq(
+      () => Dedup.minhashNearDups(df, "id", "text").count(),
+      () => Dedup.substringDedup(df, "id", "text", k = 20).count(),
+      // broadcastBench=false exercises the Curation pin through the shared
+      // registry (ADVICE r9: `candidates` is double-referenced)
+      () => Curation.scrubSpans(df, "id", "text", bench, "text", k = 20,
+        broadcastBench = false).count())
+    queries.foreach { q =>
+      q()
+      Dedup.unpersistAll(spark)
+      val leaked = sc.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty, s"pins survived a per-query drain: $leaked")
+    }
+  }
+
   test("simhash near-dups: close fingerprint found, unrelated doc not") {
     // High token diversity keeps per-bit vote counts away from zero, so a
     // one-token append drifts only a few bits; pick a suffix within
@@ -546,6 +569,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val relRep = m(Dedup.lineDedup(rep, "id", "text", sep = "\n", maxDfFrac = 0.5))
     assert(relRep.size === 15 &&
       relRep.forall { case (id, tx) => rel(((id - 1) % 10) + 1) === tx })
+  }
+
+  test("line dedup: DEFAULT is the corpus-relative cut (replication-invariant), absolute is opt-in") {
+    // 4 docs, "hot" in 3 of them (75% > default frac 0.5) -> removed;
+    // "pair" in 2 (50%, not strictly above) -> kept
+    val base = Seq(1L -> "hot\na", 2L -> "hot\nb", 3L -> "hot\npair", 4L -> "pair\nc")
+    def m(out: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rel = m(Dedup.lineDedup(docs(base: _*), "id", "text"))
+    assert(rel === Map(1L -> "a", 2L -> "b", 3L -> "pair", 4L -> "pair\nc"))
+    // defaults survive 5x replication unchanged — the property the old
+    // absolute default (maxDf = 10) violated at scale
+    val rep = docs((0 until 5).flatMap(r =>
+      base.map { case (id, tx) => (id + 10L * r) -> tx }): _*)
+    val repOut = m(Dedup.lineDedup(rep, "id", "text"))
+    assert(repOut.size === 20 &&
+      repOut.forall { case (id, tx) => rel(((id - 1) % 10) + 1) === tx })
+    // explicit maxDf still means the absolute cut: maxDf = 3 keeps "hot"
+    // in the base corpus (df 3 is not > 3)
+    val abs = m(Dedup.lineDedup(docs(base: _*), "id", "text", maxDf = 3))
+    assert(abs === base.toMap.map { case (k, v) => k -> v })
   }
 
   test("null text survives simhash, fingerprints, and token counts") {
