@@ -889,34 +889,53 @@ object Dedup {
     //  - the two counts (dupGram here, dupHash above) are hash aggregates
     //    with map-side partial combine — each task emits ONE row per gram
     //    before the exchange, whatever the occurrence count;
-    //  - the occurrence join splits on `hotGramCap`: warm grams (count ≤
-    //    cap) shuffle-join with a per-gram partition bound of cap rows;
-    //    hot grams — few by construction, ≤ totalWindows/cap of them —
-    //    BROADCAST, so their million-row occurrence sets never move;
+    //  - the occurrence join splits on `hotGramCap`: hot grams — few by
+    //    construction, ≤ totalWindows/cap of them — resolve through a
+    //    map-side BROADCAST join, and the warm shuffle join's probe side
+    //    is anti-broadcast-filtered FIRST, so a hot gram's million
+    //    occurrence rows never enter a gram-keyed exchange at all (the
+    //    filter must precede the shuffle: an unmatched probe row still
+    //    shuffles) — per-gram partition load is then ≤ cap rows;
     //  - keepFirst's canonical pick is a combinable min(struct(id, i))
-    //    aggregate + near-unique-key anti-join, NOT a rank window (a
-    //    window over partitionBy(gram) is the one shape AQE cannot split).
+    //    aggregate + anti-join, NOT a rank window (a window over
+    //    partitionBy(gram) is the one shape AQE cannot split); the
+    //    anti-join is per-branch — cap-bounded for warm grams, broadcast
+    //    for hot — see the comment at the definition.
     // `hotGramCap` is purely physical — results are identical on both
     // sides of the split — so oracle semantics are unchanged at any cap.
+    // persisted: the warm filter and both hot-gram broadcasts read it —
+    // one row per duplicated gram, far smaller than candGrams
     val dupGramC = candGrams.groupBy("gram")
       .agg(count(lit(1)).as("c")).filter(col("c") >= minCount)
+      .trackedPersist()
     val warmGram = dupGramC.filter(col("c") <= hotGramCap).select("gram")
     val hotGram = dupGramC.filter(col("c") > hotGramCap).select("gram")
-    val occurrences = candGrams.join(warmGram, "gram")
-      .unionByName(candGrams.join(broadcast(hotGram), "gram"))
+    val warmOcc = candGrams
+      .join(broadcast(hotGram), Seq("gram"), "left_anti")
+      .join(warmGram, "gram")
+    val hotOcc = candGrams.join(broadcast(hotGram), "gram")
+    // canonical (minimum (id, i)) occurrence per gram; the aggregate is
+    // map-side combinable in both branches. Computed PER BRANCH (a gram is
+    // warm or hot, never both, so branch-local minima are global) because
+    // the anti-join below inherits the aggregate's hash(gram) partitioning
+    // through EnsureRequirements' subset-key matching — the warm branch is
+    // bounded by the cap there, and the hot branch must not take a
+    // gram-keyed exchange at all: its canonical set is ≤ one row per hot
+    // gram (≤ totalWindows/cap rows by construction), so it broadcasts.
+    def canonOf(occ: DataFrame): DataFrame = occ.groupBy("gram")
+      .agg(min(struct(col("id"), col("i"))).as("m"))
+      .select(col("gram"), col("m").getField("id").as("id"),
+        col("m").getField("i").as("i"))
+    def nonCanonical(occ: DataFrame, canon: DataFrame): DataFrame =
+      occ.join(canon, Seq("gram", "id", "i"), "left_anti")
+        .select(col("id"), col("i"))
     val covered =
-      if (!keepFirst) occurrences.select(col("id"), col("i"))
-      else {
-        // canonical (minimum (id, i)) occurrence per gram survives; the
-        // aggregate is map-side combinable and the anti-join key
-        // (gram, id, i) is near-unique — candidate-volume work, zero skew
-        val canon = occurrences.groupBy("gram")
-          .agg(min(struct(col("id"), col("i"))).as("m"))
-          .select(col("gram"), col("m").getField("id").as("id"),
-            col("m").getField("i").as("i"))
-        occurrences.join(canon, Seq("gram", "id", "i"), "left_anti")
-          .select(col("id"), col("i"))
-      }
+      if (!keepFirst)
+        warmOcc.select(col("id"), col("i"))
+          .unionByName(hotOcc.select(col("id"), col("i")))
+      else
+        nonCanonical(warmOcc, canonOf(warmOcc))
+          .unionByName(nonCanonical(hotOcc, broadcast(canonOf(hotOcc))))
 
     cutCoveredWindows(d, idCol, textCol, covered, k)
   }

@@ -189,4 +189,28 @@ class SubstringDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("n_removed") =!= col("n0") - col("n1"))
     assert(joined.count() === 0)
   }
+
+  test("hotGramCap is physical-only: hot-path, warm-path, and mixed outputs are identical") {
+    // "hotgram" appears in 6 docs (hot at cap 2, warm at cap MAX), "pair"
+    // in 2 (always warm) — so cap=4 exercises the warm and hot branches
+    // SIMULTANEOUSLY, including keepFirst's per-branch canonical pick
+    val hotSpan = rand("H", 60)
+    val pairSpan = rand("P", 55)
+    val df = docs(
+      (1L to 6L).map(i => i -> (rand(s"u$i", 30) + hotSpan + rand(s"v$i", 25))) ++
+        Seq(7L -> (rand("w", 41) + pairSpan), 8L -> (pairSpan + rand("x", 47))): _*)
+    for (keep <- Seq(false, true)) {
+      def m(cap: Long): Map[Long, (String, Long)] =
+        Dedup.substringDedup(df, "id", "text", k = 40, keepFirst = keep,
+            hotGramCap = cap)
+          .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      val allHot = m(2L)
+      val mixed = m(4L)
+      val allWarm = m(Long.MaxValue)
+      assert(allHot === allWarm, s"keepFirst=$keep: hot path diverged from warm")
+      assert(mixed === allWarm, s"keepFirst=$keep: mixed cap diverged")
+      // sanity: the operator actually cut something in this corpus
+      assert(allWarm.values.map(_._2).sum > 0)
+    }
+  }
 }
