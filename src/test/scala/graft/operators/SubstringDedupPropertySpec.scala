@@ -154,6 +154,45 @@ class SubstringDedupPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sampleMod coverage bound: duplicated spans >= k*(sampleMod+1) chars are caught, symmetrically") {
+    // The documented 100 TB guarantee (Dedup.substringDedup scaladoc): with
+    // content-keyed "0 mod p" window sampling, a duplicated span of length
+    // L >= k*(p+1) contains W = L-k+1 >= k*p fully-interior duplicated
+    // windows, each kept with density 1/p under a uniform 64-bit hash, so
+    // P(miss) <= (1-1/p)^(k*p) ~= e^-k — astronomically small for k = 20
+    // (~2e-9). A miss here is a bug, not bad luck. Coverage of the span's
+    // interior is also near-total: an interior char escapes only if none
+    // of its k containing windows is sampled, P <= (1-1/p)^k.
+    val k = 20
+    for (p <- Seq(4, 16)) {
+      val coverages = (1L to 15L).map { seed =>
+        val rnd = new Random(1000 * p + seed)
+        def run(n: Int, alpha: Char): String =
+          (0 until n).map(_ => (alpha + rnd.nextInt(26)).toChar).mkString
+        val L = k * (p + 1) + rnd.nextInt(40)
+        val span = run(L, 'a')
+        // distinct alignments and distinct unique flanks in the two docs
+        val docs = Seq(
+          1L -> (run(5 + rnd.nextInt(30), 'A') + span + run(15, 'A')),
+          2L -> (run(11 + rnd.nextInt(17), 'A') + span + run(9, 'A')))
+        val got = runOp(docs, k = k, sampleMod = p)
+        val (r1, r2) = (got(1L)._2, got(2L)._2)
+        assert(r1 > 0 && r2 > 0, s"p=$p seed=$seed: planted span of $L chars MISSED")
+        // content-keyed selection is alignment-free: both copies lose the
+        // same sampled windows, so removal is symmetric
+        assert(r1 === r2, s"p=$p seed=$seed: asymmetric removal $r1 vs $r2")
+        r1.toDouble / L
+      }
+      // per-span coverage fluctuates (sampled windows can cluster — a 46%
+      // span was observed at p=16), so the coverage claim is about the
+      // MEAN: expected interior coverage is 1-(1-1/p)^k (~99.7% at p=4,
+      // ~72% at p=16) minus boundary coarsening; 0.6 fails on any
+      // structural sampling bug while admitting the honest low tail
+      val mean = coverages.sum / coverages.size
+      assert(mean >= 0.6, f"p=$p: mean span coverage $mean%.2f below 0.6")
+    }
+  }
+
   test("scrubSpans equals the naive reference on randomized corpora") {
     val s = spark
     import s.implicits._
