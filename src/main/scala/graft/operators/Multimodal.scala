@@ -5,12 +5,15 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video payloads travel as opaque
-  * `binary` columns with a typed metadata struct. The Spark-side shape —
-  * schema, partition-parallel batch processing, feature extraction — is
-  * real and tested; the codec itself is STUBBED with a deterministic fake
-  * (this container has no image/audio libraries), clearly marked below.
-  * Swap `decodeStub` for a real decoder (e.g. javax.imageio / ffmpeg via
-  * mapPartitions, or a Pandas UDF in PySpark) without touching callers.
+  * `binary` columns with a typed metadata struct. Since r10 the IMAGE path
+  * is fully real: PNG/JPEG/GIF decode through the JDK's javax.imageio
+  * ([[decodeImage]]), features are luminance histograms over actual pixels
+  * ([[imageFeatures]]), and [[resizeMedia]] produces real bilinear
+  * thumbnails. Audio sample/video frame decoding still needs ffmpeg-class
+  * codecs this container doesn't have — those payloads fall back to the
+  * clearly-marked deterministic [[decodeStub]], swappable for a real
+  * demuxer (e.g. via mapPartitions or a Pandas UDF) without touching
+  * callers.
   */
 object Multimodal {
 
@@ -113,12 +116,80 @@ object Multimodal {
       .drop("_m")
   }
 
-  /** ====== STUB ======
-    * Deterministic fake "decode + feature extraction": a real
-    * implementation would decode pixels/samples here. The fake derives a
+  /** REAL pixel decode for PNG/JPEG/GIF via the JDK's javax.imageio — no
+    * external codec library needed. None when the payload is not a
+    * decodable image (wrong format, truncated, or an ImageIO failure —
+    * a corrupt byte stream must degrade to the stub path, not kill the
+    * task). */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    sniffFormat(bytes) match {
+      case "png" | "jpeg" | "gif" =>
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: Exception => None }
+      case _ => None
+    }
+
+  /** Pixel features from a decoded image: a luminance histogram with
+    * `featureDim` equal-width bins, L1-normalized — deterministic,
+    * resolution-independent, and comparable across images, which is what
+    * the downstream similarity joins need. Rec.601 luma on the sRGB
+    * bytes. */
+  def imageFeatures(img: java.awt.image.BufferedImage, featureDim: Int): Array[Float] = {
+    val out = new Array[Float](featureDim)
+    val w = img.getWidth; val h = img.getHeight
+    val n = w.toLong * h
+    if (n == 0) return out
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        val bin = math.min(featureDim - 1, (lum / 256.0 * featureDim).toInt)
+        out(bin) += 1.0f
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < featureDim) { out(i) /= n.toFloat; i += 1 }
+    out
+  }
+
+  /** Real image resize (bilinear, via Graphics2D) + PNG re-encode: the
+    * thumbnail/normalize step of an image-curation pipeline, pure JDK. */
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    decodeImage(bytes).map { img =>
+      val dst = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", bos)
+      bos.toByteArray
+    }
+
+  /** Resize every decodable image payload in the media column to w x h
+    * (PNG out); non-image payloads pass through as null thumbnails.
+    * Per-row pure function — partition-parallel, constant memory. */
+  def resizeMedia(df: DataFrame, w: Int, h: Int): DataFrame = {
+    val rz = udf((b: Array[Byte]) => resizeImage(b, w, h))
+    df.withColumn("thumbnail", rz(col("media.bytes")))
+  }
+
+  /** ====== STUB (audio/video only, since r10) ======
+    * Deterministic fake "decode + feature extraction" for payloads the
+    * JDK cannot decode (audio samples, video frames — those need ffmpeg-
+    * class codecs this container doesn't have). The fake derives a
     * fixed-length feature vector from a rolling hash of the payload so the
     * pipeline (schema, batching, partition parallelism, downstream
-    * similarity joins) is fully exercisable and reproducible. */
+    * similarity joins) is fully exercisable and reproducible. Images no
+    * longer hit this path — [[decodeImage]]/[[imageFeatures]] are real. */
   def decodeStub(bytes: Array[Byte], featureDim: Int): Array[Float] = {
     val out = new Array[Float](featureDim)
     if (bytes == null) return out
@@ -133,11 +204,17 @@ object Multimodal {
   }
 
   /** Batch feature extraction over the media column: runs per-partition,
-    * constant memory, parallel across the cluster. The stub stands in for
-    * the decoder; the plumbing (mapPartitions over binary payloads,
-    * typed output schema) is the real article. */
+    * constant memory, parallel across the cluster. Image payloads
+    * (PNG/JPEG/GIF) decode for REAL via javax.imageio and yield a
+    * luminance histogram; everything else (audio/video) falls back to the
+    * deterministic stub until a real demuxer is wired in. */
   def extractFeatures(df: DataFrame, featureDim: Int = 16): DataFrame = {
-    val extract = udf((b: Array[Byte]) => decodeStub(b, featureDim))
+    val extract = udf { (b: Array[Byte]) =>
+      decodeImage(b) match {
+        case Some(img) => imageFeatures(img, featureDim)
+        case None => decodeStub(b, featureDim)
+      }
+    }
     df.withColumn("features", extract(col("media.bytes")))
       .withColumn("payload_size", octet_length(col("media.bytes")))
   }

@@ -485,6 +485,55 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feats.map(_.getAs[Int]("payload_size")).toSet === Set(11, 6))
   }
 
+  test("multimodal: REAL pixel decode (javax.imageio) — known-answer histograms and resize") {
+    val s = spark
+    import s.implicits._
+    def encodePng(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // 4x4 PNG, left half black (bin 0 of 4), right half white (bin 3)
+    val halves = encodePng(4, 4, (x, _) => if (x < 2) 0x000000 else 0xFFFFFF)
+    val black = encodePng(4, 4, (_, _) => 0x000000)
+    val img = Multimodal.decodeImage(halves)
+    assert(img.isDefined && img.get.getWidth === 4)
+    assert(Multimodal.imageFeatures(img.get, 4).toSeq === Seq(0.5f, 0f, 0f, 0.5f))
+    assert(Multimodal.imageFeatures(Multimodal.decodeImage(black).get, 4)
+      .toSeq === Seq(1f, 0f, 0f, 0f))
+    // JPEG roundtrip: uniform mid-gray decodes near 128 (lossy but flat)
+    val gimg = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) gimg.setRGB(x, y, 0x808080)
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gimg, "jpg", jbos)
+    // JPEG quantization may land 128 at 127 — flat image, so all mass
+    // sits in ONE of the two bins straddling mid-gray
+    val jfeat = Multimodal.imageFeatures(Multimodal.decodeImage(jbos.toByteArray).get, 4)
+    assert(jfeat(1) + jfeat(2) > 0.9f, s"mid-gray mass not near bin 1/2: ${jfeat.toSeq}")
+    // resize: 8x8 black -> 2x2, still decodable, still black
+    val small = Multimodal.resizeImage(encodePng(8, 8, (_, _) => 0), 2, 2).get
+    val simg = Multimodal.decodeImage(small).get
+    assert(simg.getWidth === 2 && simg.getHeight === 2)
+    assert(Multimodal.imageFeatures(simg, 4).toSeq === Seq(1f, 0f, 0f, 0f))
+    // end-to-end: extractFeatures takes the REAL path for images (the
+    // known histogram, not the payload-hash stub) and the stub path for
+    // non-images, inside one DataFrame pass; resizeMedia nulls non-images
+    val df = Seq((1L, halves), (2L, Array[Byte](9, 9, 9, 9))).toDF("id", "payload")
+    val out = Multimodal.extractFeatures(Multimodal.asMedia(df, "payload"), 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](r.fieldIndex("features"))).toMap
+    assert(out(1L) === Seq(0.5f, 0f, 0f, 0.5f))
+    assert(out(2L) === Multimodal.decodeStub(Array[Byte](9, 9, 9, 9), 4).toSeq)
+    val thumbs = Multimodal.resizeMedia(Multimodal.asMedia(df, "payload"), 2, 2)
+      .select(col("id"), col("thumbnail")).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Array[Byte]](1))).toMap
+    assert(thumbs(1L).isDefined && Multimodal.decodeImage(thumbs(1L).get).isDefined)
+    assert(thumbs(2L).isEmpty)
+  }
+
   test("simhash64 is deterministic and order-sensitive only through tokens") {
     val a = Dedup.simhash64("hello world foo bar")
     val b = Dedup.simhash64("hello world foo bar")
