@@ -43,6 +43,25 @@ object Bench {
       finally graft.operators.Dedup.unpersistAll(spark)
       (System.nanoTime() - t0) / 1e9
     }
+    // Cold pass FIRST (before the min-of-2 loop warms anything): the ten
+    // historically most expensive queries, one run each, persist registry
+    // + cache manager drained before the clock starts — the QueryLab
+    // discipline, reproduced in the driver artifact so round-over-round
+    // diffs can separate plan changes from warm-cache/corpus noise (the
+    // r9 +8.6% drift was unattributable from min-of-2 numbers alone).
+    // The list is STATIC on purpose: a stable series beats a per-round
+    // "current top 10" that reshuffles membership.
+    val coldList = Seq("neardup_survivors", "csv_single_file_bz2",
+      "dedup_ngram_jaccard", "xlsx_roundtrip", "curation_pipeline",
+      "csv_single_file", "xlsx_single_file", "dedup_substring",
+      "line_dedup", "nb_classify")
+    val colds = coldList.map { name =>
+      graft.operators.Dedup.unpersistAll(spark)
+      spark.sharedState.cacheManager.clearCache()
+      name -> once(name)
+    }
+    spark.sharedState.cacheManager.clearCache()
+
     val results = SparkEntry.benchQueries.map { name =>
       val a = once(name)
       val b = once(name)
@@ -125,7 +144,8 @@ object Bench {
       f""""csv_write_parallel_repl${csvRepl}_rows_per_sec":${nBig / cw}%.0f,""" +
       f""""throughput_rows":$nRows"""
 
-    val qs = (results.map { case (k, v) => "\"" + k + f"\":$v%.3f" } :+ tput)
+    val qs = (results.map { case (k, v) => "\"" + k + f"\":$v%.3f" } ++
+      colds.map { case (k, v) => "\"cold_" + k + f"\":$v%.3f" } :+ tput)
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -762,22 +762,50 @@ object Dedup {
 
   /** Embedding near-dup: pairs with cosine ≥ threshold. Candidates come
     * from random-hyperplane LSH (deterministic seeded planes); exact cosine
-    * verifies. See [[Similarity]] for the shared plumbing. */
+    * verifies. See [[Similarity]] for the shared plumbing.
+    *
+    * `planes`/`bands` set the bucket geometry, and they are the SCALE
+    * knob: bits per band = planes/bands, so the default 16×4 (4 bits, 16
+    * buckets per band) is right for small or sparse corpora but
+    * concentrates dense corpora into huge buckets — the candidate join is
+    * quadratic IN THE BUCKET, and each candidate pair carries two
+    * dim-width vectors through the exchange (measured: 20 K clustered
+    * 256-wide vectors under 16×4 ran 12+ minutes and died; 64×8 — 8 bits,
+    * 256 buckets per band, ~0.99 expected recall at 0.95 cosine — runs in
+    * seconds, see SCALE.md r10). Rule of thumb: pick planes/bands so
+    * 2^(planes/bands) ≫ corpus_size / tolerable_bucket_size, then add
+    * bands to recover recall (P(hit) = 1-(1-0.9^bits)^bands at 0.95
+    * cosine). */
   def embeddingNearDups(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       dim: Int,
       cosineThreshold: Double = 0.95,
-      planes: Int = 16): DataFrame = {
-    val banded = Similarity.hyperplaneBuckets(df, idCol, vecCol, dim, planes, bands = 4)
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"),
-      col("v").as("v_a"), col("nrm").as("n_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
-      col("v").as("v_b"), col("nrm").as("n_b"))
-    l.join(r, Seq("band", "bucket"))
+      planes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val banded = Similarity.hyperplaneBuckets(df, idCol, vecCol, dim, planes, bands)
+    // The bucket self-join moves ID-WIDTH rows only (column pruning drops
+    // the vector before the per-band explode), and pairs dedupe BEFORE
+    // vectors attach — so a pair colliding in all `bands` bands costs one
+    // dot product, not `bands`, and the quadratic-in-bucket exchange never
+    // carries dim-width payloads. Measured (20 K clustered 256-wide, 64×8):
+    // 135 s with vectors riding the bucket join → 16 s this way.
+    val slim = banded.select(col("band"), col("bucket"), col("id"))
+    val pairs = slim.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(slim.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    // vectors re-derive from the input (not from `banded`, whose explode
+    // holds `bands` copies of every vector — deduping those would shuffle
+    // dim-width rows bands times over)
+    val vecs = df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.l2norm(col("v")))
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), "id_b")
       .withColumn("cosine", Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cosine") >= cosineThreshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))

@@ -67,4 +67,46 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
       k = 5, nlist = 8, nprobe = 8))
     assert(r === 1.0, f"exhaustive probe must equal brute force, got $r%.3f")
   }
+
+  // ---- production dimensionality (256) ------------------------------------
+  // The driver fixture is 64-wide; real embeddings are 256-1024-wide and
+  // every ANN cost scales with dim. Floors pinned on the deterministic
+  // EmbedSynth clustered corpus at noise=4.0 — the hardness regime where
+  // the same geometries land near their 64-dim fixture values (AnnLab
+  // --synth 2000 --dim 256 --noise 4.0: LSH 18x6 = 0.67, 16x8 = 0.95,
+  // IVF nprobe=4 = 0.71) — so a dim-dependent quality regression (plane
+  // matrix, probe math, normalize) fails here even while the 64-dim
+  // fixture stays green.
+
+  private lazy val corpus256: DataFrame =
+    graft.tools.EmbedSynth.corpus(spark, 2000, 256, noise = 4.0).persist()
+  private lazy val queries256: DataFrame = corpus256.filter(col("vec_id") < 20)
+  private lazy val exact256: DataFrame =
+    Similarity.bruteForceTopK(queries256, "vec_id", "e", corpus256, "vec_id", "e", k = 5)
+      .select("query_id", "corpus_id").persist()
+
+  private def recall256(approx: DataFrame): Double =
+    exact256.join(approx.select("query_id", "corpus_id"),
+      Seq("query_id", "corpus_id"), "left_semi").count().toDouble / exact256.count()
+
+  test("dim 256: LSH 18x6 holds its recall floor") {
+    val r = recall256(Similarity.lshTopK(queries256, "vec_id", "e", corpus256,
+      "vec_id", "e", dim = 256, k = 5, planes = 18, bands = 6))
+    assert(r >= 0.60, f"recall@5 regressed to $r%.3f (measured 0.67 at pin time)")
+  }
+
+  test("dim 256: LSH 16x8 holds its recall floor") {
+    val r = recall256(Similarity.lshTopK(queries256, "vec_id", "e", corpus256,
+      "vec_id", "e", dim = 256, k = 5, planes = 16, bands = 8))
+    assert(r >= 0.88, f"recall@5 regressed to $r%.3f (measured 0.95 at pin time)")
+  }
+
+  test("dim 256: IVF at half probe holds its recall floor, full probe is exact") {
+    val half = recall256(Similarity.ivfTopK(queries256, "vec_id", "e", corpus256,
+      "vec_id", "e", k = 5, nlist = 8, nprobe = 4))
+    assert(half >= 0.64, f"recall@5 regressed to $half%.3f (measured 0.71 at pin time)")
+    val full = recall256(Similarity.ivfTopK(queries256, "vec_id", "e", corpus256,
+      "vec_id", "e", k = 5, nlist = 8, nprobe = 8))
+    assert(full === 1.0, f"exhaustive probe must equal brute force, got $full%.3f")
+  }
 }

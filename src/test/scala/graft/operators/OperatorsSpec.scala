@@ -79,6 +79,33 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("embedding near-dups: verified subset of brute force, planted copy always found, geometry-invariant") {
+    val s = spark
+    import s.implicits._
+    val base = graft.tools.EmbedSynth.corpus(spark, 60, 16, nClusters = 6, noise = 0.3)
+    // exact copy of vector 0 under a new id: identical sign signature ->
+    // collides in EVERY band at ANY geometry, cosine exactly 1.0
+    val copy = base.filter(col("vec_id") === 0).select(lit(1000L).as("vec_id"), col("e"))
+    val corpus = base.unionByName(copy)
+    val exact = corpus.select(col("vec_id").as("id_a"), col("e").as("va"))
+      .crossJoin(corpus.select(col("vec_id").as("id_b"), col("e").as("vb")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("c", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("c") >= 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for ((p, b) <- Seq((16, 4), (32, 8))) {
+      val got = Dedup.embeddingNearDups(corpus, "vec_id", "e", dim = 16,
+          cosineThreshold = 0.95, planes = p, bands = b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // exact-cosine verification means NO false positives at any geometry
+      assert(got.forall { case (a, bb, _) => exact((a, bb)) },
+        s"geometry ${p}x$b reported a sub-threshold pair")
+      val planted = got.find(t => t._1 == 0L && t._2 == 1000L)
+      assert(planted.isDefined, s"geometry ${p}x$b missed the identical copy")
+      assert(planted.get._3 === 1.0)
+    }
+  }
+
   test("simhash near-dups: close fingerprint found, unrelated doc not") {
     // High token diversity keeps per-bit vote counts away from zero, so a
     // one-token append drifts only a few bits; pick a suffix within
