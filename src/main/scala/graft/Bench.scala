@@ -50,7 +50,10 @@ object Bench {
     // diffs can separate plan changes from warm-cache/corpus noise (the
     // r9 +8.6% drift was unattributable from min-of-2 numbers alone).
     // The list is STATIC on purpose: a stable series beats a per-round
-    // "current top 10" that reshuffles membership.
+    // "current top 10" that reshuffles membership. Known bias, accepted
+    // for series consistency: the FIRST entry absorbs the dedup stack's
+    // JIT/codegen (measured ~2x on neardup_survivors) — identical every
+    // round, so deltas still isolate plan changes.
     val coldList = Seq("neardup_survivors", "csv_single_file_bz2",
       "dedup_ngram_jaccard", "xlsx_roundtrip", "curation_pipeline",
       "csv_single_file", "xlsx_single_file", "dedup_substring",
