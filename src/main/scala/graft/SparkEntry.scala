@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.GraftFunctions
-import graft.operators.{Bpe, Chunking, Classify, Curation, Dedup, Events, Multimodal, Privacy, Profile, RuntimeFilter, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Chunking, Classify, Curation, Dedup, Events, Multimodal, Pq, Privacy, Profile, RuntimeFilter, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -710,6 +710,48 @@ object SparkEntry {
         .agg((count(lit(1)).cast("double") / exact.count()).as("recall_at_5"))
     }),
 
+    "ann_ivfpq" -> ((s, dir) => {
+      // IVF-ADC over one-byte PQ codes with exact re-rank of the ADC
+      // shortlist (Jégou et al. '11) — approximate by design (the ADC
+      // pruning has no SQL truth); quality is pinned by ann_pq_recall
+      // here and the AnnRecallSpec floors at both 64 and 256 dims.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      Pq.ivfPqTopK(e.filter(col("vec_id") < 10), "vec_id", "e", e, "vec_id", "e",
+        k = 5, nlist = 8, nprobe = 8, m = 8, ksub = 256, refine = 8)
+    }),
+
+    "ann_pq_recall" -> ((s, dir) => {
+      // recall@5 of the IVFPQ path against brute force (rows-only, like
+      // ann_recall: the value characterizes the approximation itself).
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val q = e.filter(col("vec_id") < 10)
+      // persist: the denominator count() AND the semi-join both consume
+      // the brute-force frame (same rationale as ann_recall)
+      val exact = Similarity.bruteForceTopK(q, "vec_id", "e", e, "vec_id", "e", k = 5)
+        .select(col("query_id"), col("corpus_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val approx = Pq.ivfPqTopK(q, "vec_id", "e", e, "vec_id", "e",
+          k = 5, nlist = 8, nprobe = 8, m = 8, ksub = 256, refine = 8)
+        .select(col("query_id"), col("corpus_id"))
+      exact.join(approx, Seq("query_id", "corpus_id"), "left_semi")
+        .agg((count(lit(1)).cast("double") / exact.count()).as("recall_at_5"))
+    }),
+
+    "embed_quantize" -> ((s, dir) =>
+      // int8 scalar-quantization audit: per-vector scale + dequant error
+      // bounds — the check a pipeline runs before switching its ANN
+      // payload to a quantized format. Pure SQL HOF expressions.
+      Pq.int8QuantStats(t(s, dir, "embeddings"), "vec_id", "embedding")),
+
+    "epoch_shuffle" -> ((s, dir) =>
+      // Per-epoch deterministic reshuffle (epoch 3): same (shard, pos)
+      // contract as shard_assign, a different permutation each epoch,
+      // each epoch reproducible in isolation.
+      Curation.epochShuffle(t(s, dir, "documents"), "doc_id", numShards = 8, epoch = 3L)
+        .select(col("doc_id"), col("shard"), col("pos"))),
+
     "text_stats" -> ((s, dir) =>
       TextAnalysis.textStats(t(s, dir, "documents"), "doc_id", "text")),
 
@@ -1230,6 +1272,28 @@ object SparkEntry {
         e.filter(col("vec_id") < 10), "vec_id", "e", p, k = 5, nprobe = 8)
     }),
 
+    "ann_ivfpq_indexed" -> ((s, dir) => {
+      // The materialize-once IVFPQ path (round 10): train + write the
+      // cell-partitioned codes/vectors layout on the first half,
+      // model-reusing append of the second half, then query. Exhaustive
+      // regime: nprobe = nlist AND a corpus-covering shortlist
+      // (refine = ceil(n/k), computed from the corpus so the regime
+      // survives any scale-up replay) -> exactly brute force, so the
+      // oracle checks build + append + reload + ADC + re-rank
+      // end-to-end. The approximate regime's quality is pinned by
+      // ann_pq_recall and the AnnRecallSpec floors.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val mid = e.agg(expr("percentile(vec_id, 0.5)")).collect()(0).getDouble(0)
+      val p = work(dir, "ann_ivfpq_indexed")
+      Pq.writePqIndex(e.filter(col("vec_id") <= mid), "vec_id", "e", p,
+        nlist = 8, m = 8, ksub = 128)
+      Pq.appendPqIndex(e.filter(col("vec_id") > mid), "vec_id", "e", p)
+      val n = e.count()
+      Pq.pqTopKIndexed(e.filter(col("vec_id") < 10), "vec_id", "e", p,
+        k = 5, nprobe = 8, refine = (n / 5 + 1).toInt)
+    }),
+
     "winsorize" -> ((s, dir) => {
       // Robust-stats cleaning: clamp a heavy-tailed metric to its
       // [p01, p99] and report the effect — the outlier-trimming pass
@@ -1363,7 +1427,7 @@ object SparkEntry {
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
     "neardup_survivors", "dedup_substring",
     "text_stats", "doc_fingerprint", "ann_bruteforce", "ann_lsh", "ann_ivf",
-    "embedding_pairs_exact",
+    "ann_ivfpq", "embedding_pairs_exact", "embed_quantize",
     "quality_filter", "token_count_bpe", "bpe_train", "bpe_encode",
     "ngram_counts", "decontaminate",
     "tfidf_topterms", "bm25_search", "repetition_stats", "curation_pipeline",
@@ -1817,6 +1881,30 @@ object SparkEntry {
          SELECT query_id, corpus_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
          FROM ranked WHERE rnk <= 5""",
 
+    // floor(x/scale + 0.5) is the tie-stable nearest-int both engines
+    // evaluate identically; zero vectors are excluded on both sides.
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              s AS (SELECT vec_id, v,
+                           list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+                    FROM e),
+              r AS (SELECT vec_id, scale, len(v) AS nd,
+                           list_transform(v, x -> abs(x - floor(x / scale + 0.5) * scale)) AS errs
+                    FROM s WHERE scale > 0)
+         SELECT vec_id, round(scale, 6) AS scale,
+                round(list_max(errs), 6) AS max_err,
+                round(list_sum(errs) / nd, 6) AS mean_err
+         FROM r""",
+
+    // epoch 3: seed offset = 3 * 1000003.
+    "epoch_shuffle" ->
+      """SELECT doc_id,
+                CAST(((doc_id + 3000009) * 2654435761) % 4294967296 % 8 AS INT) AS shard,
+                CAST(row_number() OVER (
+                       PARTITION BY ((doc_id + 3000009) * 2654435761) % 4294967296 % 8
+                       ORDER BY ((doc_id + 3000009) * 2654435761) % 4294967296, doc_id) AS INT) AS pos
+         FROM documents""",
+
     "active_users" ->
       """WITH e AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
               dau AS (SELECT d, count(DISTINCT user_id) AS dau FROM e GROUP BY 1),
@@ -1849,6 +1937,21 @@ object SparkEntry {
     // Indexed IVF in the exhaustive regime = the same brute-force answer;
     // this oracle-checks index build + reload + partition-pruned probe.
     "ann_ivf_indexed" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
+              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                                list_cosine_similarity(q.v, c.v) AS cos
+                         FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
+              ranked AS (SELECT query_id, corpus_id, cos,
+                                row_number() OVER (PARTITION BY query_id
+                                                   ORDER BY cos DESC, corpus_id) AS rnk
+                         FROM scored)
+         SELECT query_id, corpus_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
+         FROM ranked WHERE rnk <= 5""",
+
+    // Exhaustive IVFPQ: full probe + corpus-covering refine shortlist
+    // -> the exact brute-force oracle applies verbatim.
+    "ann_ivfpq_indexed" ->
       """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
               c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,

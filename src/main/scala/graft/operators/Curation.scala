@@ -112,9 +112,29 @@ object Curation {
     * orders independently. Rerun- and engine-stable like all mixed-key
     * ops. At 100 TB pick numShards ≈ desired output files; each window
     * sorts one shard (≈ corpus/numShards rows). */
-  def shardAssign(df: DataFrame, keyCol: String, numShards: Int): DataFrame = {
+  def shardAssign(df: DataFrame, keyCol: String, numShards: Int): DataFrame =
+    epochShuffle(df, keyCol, numShards, epoch = 0L)
+
+  /** Seeded [[mixKey]]: shifts the key by `seed · 1000003` (a prime
+    * stride) before mixing, so each seed induces an independent-looking
+    * but fully deterministic permutation. Same SQL-replicable arithmetic
+    * and the same overflow-free envelope: (key + seed·1000003) must stay
+    * under ~3.4e9 — epochs are small integers and huge id spaces should
+    * be pre-folded, as with [[mixKey]]. */
+  def mixKeySeeded(key: Column, seed: Long): Column =
+    pmod((key + lit(seed * 1000003L)) * lit(2654435761L), lit(4294967296L))
+
+  /** Per-epoch deterministic reshuffle: [[shardAssign]]'s (shard, pos)
+    * training order, re-drawn under a per-epoch seed — "reshuffle the
+    * corpus each epoch" without RNG state, rerun- and engine-stable, and
+    * each epoch's order reproducible in isolation (resume a run at epoch
+    * 17 without replaying 16 shuffles). Epoch 0 is exactly
+    * [[shardAssign]]. Scale shape is unchanged: one exchange on the
+    * shard key, each window sorts ≈ corpus/numShards rows, no global
+    * sort anywhere. */
+  def epochShuffle(df: DataFrame, keyCol: String, numShards: Int, epoch: Long): DataFrame = {
     require(numShards > 0, "numShards must be positive")
-    val mixed = mixKey(col(keyCol))
+    val mixed = mixKeySeeded(col(keyCol), epoch)
     val w = Window.partitionBy(col("shard")).orderBy(mixed, col(keyCol))
     df.withColumn("shard", (mixed % numShards).cast("int"))
       .withColumn("pos", row_number().over(w))

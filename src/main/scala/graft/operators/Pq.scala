@@ -1,0 +1,423 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization for nearest-neighbor search (Jégou, Douze &
+  * Schmid, TPAMI 2011) — the memory side of the 100 TB ANN story that
+  * IVF/LSH alone do not cover.
+  *
+  * A 256-dim float corpus costs ~1 KB/vector; at 10^11 vectors the raw
+  * vectors cannot ride any exchange, and even the IVF candidate join is
+  * dominated by vector width. PQ splits each (normalized) vector into
+  * `m` subvectors, k-means-quantizes every subspace independently into
+  * `ksub` ≤ 256 centroids, and stores each vector as `m` one-byte codes:
+  * 256-dim × 8 B = 2 048 B becomes m = 16–32 B — a 64–128× payload cut
+  * at 0.92–0.97 top-k recall even on the adversarial noise-4.0 synth
+  * corpus, and recall 1.00 at 64× on the 64-dim fixture, once the ADC
+  * shortlist is exactly re-ranked (PqLab grid; floors in AnnRecallSpec).
+  *
+  * Search is asymmetric distance computation (ADC): the query stays
+  * exact, each subspace contributes a table of `ksub` partial inner
+  * products, and a candidate's estimated cosine is `m` table lookups —
+  * no per-pair float math at all. The shortlist (top `k·refine` by ADC)
+  * is then re-ranked by exact cosine, so approximation error only costs
+  * recall, never a wrong score on a surviving row.
+  *
+  * Spark shape (the part that matters at scale):
+  *  - codebooks train driver-side on a bounded deterministic sample
+  *    (same discipline as [[Similarity.trainIvfCentroids]]): m × ksub ×
+  *    dsub doubles, a few hundred KB at production shapes, rides task
+  *    closures;
+  *  - the corpus index frame is (cell, corpus_id, codes BINARY(m)) —
+  *    id-width rows through the one shuffle of the candidate join;
+  *  - exact vectors are touched ONLY by the final re-rank join, which
+  *    moves `k·refine` rows per query.
+  *
+  * Reference analogue: none — the reference engine has no vector
+  * search; this extends the ANN family ([[Similarity]]) along the
+  * published IVF-ADC design.
+  */
+object Pq {
+
+  /** Trained product quantizer: `codebooks(j)(c)` is the `dsub`-wide
+    * centroid `c` of subspace `j`. `ksub` ≤ 256 so a code is one byte. */
+  final case class PqModel(m: Int, ksub: Int, dsub: Int,
+      codebooks: Array[Array[Array[Double]]]) {
+    def dim: Int = m * dsub
+  }
+
+  private def nearestSubL2(sub: Array[Double], cb: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cb.length) {
+      val ct = cb(c); var d = 0.0d; var j = 0
+      while (j < sub.length) { val t = sub(j) - ct(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Lloyd's k-means under L2 on one subspace. Deterministic: init =
+    * every (n/k)-th sample subvector in id order, no RNG; an empty cell
+    * keeps its centroid (mirrors [[Similarity.trainIvfCentroids]]). */
+  private def kmeansL2(xs: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val dsub = xs(0).length
+    var cents = Array.tabulate(k)(i => xs(i * xs.length / k).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dsub))
+      val counts = new Array[Int](k)
+      xs.foreach { v =>
+        val c = nearestSubL2(v, cents)
+        val s = sums(c); var j = 0
+        while (j < dsub) { s(j) += v(j); j += 1 }
+        counts(c) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else { val s = sums(c); Array.tabulate(dsub)(j => s(j) / counts(c)) }
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Train a PQ codebook set on a bounded deterministic sample (first
+    * `maxSample` vectors by id — cost independent of corpus size, the
+    * standard recipe). Vectors are L2-normalized before splitting, so
+    * ADC inner products estimate cosine directly. */
+  def trainPq(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int = 256, iters: Int = 8, maxSample: Int = 4096): PqModel = {
+    require(ksub >= 2 && ksub <= 256, s"ksub must be in [2, 256], got $ksub (one-byte codes)")
+    val sample = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy("id").limit(maxSample)
+      .collect().map(r => Similarity.normalize(r.getSeq[Double](1).toArray))
+    require(sample.length >= ksub, s"need >= $ksub sample vectors to train, got ${sample.length}")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim must divide evenly into m=$m subspaces")
+    val dsub = dim / m
+    val codebooks = Array.tabulate(m) { j =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      kmeansL2(subs, ksub, iters)
+    }
+    PqModel(m, ksub, dsub, codebooks)
+  }
+
+  /** One vector → `m` one-byte codes (on the normalized vector). */
+  private[operators] def encode(model: PqModel, v0: Array[Double]): Array[Byte] = {
+    require(v0.length == model.dim,
+      s"embedding dimension ${v0.length} != model dimension ${model.dim}")
+    val v = Similarity.normalize(v0)
+    val out = new Array[Byte](model.m)
+    var j = 0
+    while (j < model.m) {
+      val sub = java.util.Arrays.copyOfRange(v, j * model.dsub, (j + 1) * model.dsub)
+      out(j) = nearestSubL2(sub, model.codebooks(j)).toByte
+      j += 1
+    }
+    out
+  }
+
+  /** Reconstruct the (normalized) vector a code represents — spec /
+    * diagnostics surface for the quantization error bound. */
+  private[operators] def decode(model: PqModel, codes: Array[Byte]): Array[Double] = {
+    val out = new Array[Double](model.dim)
+    var j = 0
+    while (j < model.m) {
+      val ct = model.codebooks(j)(codes(j) & 0xFF)
+      System.arraycopy(ct, 0, out, j * model.dsub, model.dsub)
+      j += 1
+    }
+    out
+  }
+
+  /** Corpus → (id, codes BINARY(m)): the persistable compressed index
+    * payload — m bytes per vector instead of 8·dim. */
+  def encodePq(corpus: DataFrame, idCol: String, vecCol: String, model: PqModel): DataFrame = {
+    val enc = udf { (v: Seq[Double]) => encode(model, v.toArray) }
+    corpus.select(col(idCol),
+      enc(col(vecCol).cast("array<double>")).as("codes"))
+  }
+
+  /** Symmetric per-vector int8 scalar-quantization audit — the simpler
+    * sibling of PQ (4× over float32, 8× over the float64 compute type,
+    * exactly preserved direction per element up to scale/2): scale =
+    * max|x|/127, code = nearest-int(x/scale) ∈ [-127, 127]. Returns per
+    * vector (id, scale, max_err, mean_err) where err is the absolute
+    * dequantization error — the audit a pipeline runs before switching
+    * its ANN index to a quantized payload. Every step is a plain SQL
+    * higher-order-function expression (nearest int spelled
+    * floor(x/scale + 0.5) so Spark and any ANSI oracle agree on ties),
+    * fully codegen'd, no UDF, no shuffle. Zero vectors (scale = 0) are
+    * excluded: they carry no direction to preserve. */
+  def int8QuantStats(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.select(col(idCol), v.as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / lit(127.0d))
+      .filter(col("scale") > 0.0d)
+      .withColumn("errs", transform(col("v"),
+        x => abs(x - floor(x / col("scale") + lit(0.5d)) * col("scale"))))
+      .select(col(idCol),
+        round(col("scale"), 6).as("scale"),
+        round(array_max(col("errs")), 6).as("max_err"),
+        round(aggregate(col("errs"), lit(0.0d), (a, x) => a + x)
+          / size(col("errs")), 6).as("mean_err"))
+  }
+
+  /** IVF-ADC top-k (IVFPQ): coarse quantizer prunes to `nprobe` of
+    * `nlist` cells, ADC over one-byte codes ranks candidates, exact
+    * cosine re-ranks the top `k·refine` shortlist.
+    *
+    * Plan: the index side of the candidate join is (cell, corpus_id,
+    * codes) — id-width rows; each query row carries its flattened
+    * m×ksub lookup table (built once per query, a few KB), so candidate
+    * scoring is m array lookups per pair inside one projection. The
+    * only joins touching full vectors move `|queries|` and
+    * `k·refine·|queries|` rows. Recall tunes with (nprobe, ksub,
+    * refine) — PqLab grid: at the FAISS-conventional ksub=256 (8-bit
+    * codes), m=8/refine=8 recovers recall 1.00 on the 64-dim fixture
+    * (8 B/vec = 64× cut) and m=16/refine=16 recovers 0.92 on the
+    * adversarial 256-dim noise-4.0 synth (16 B = 128× cut; m=32 buys
+    * 0.97). Floors pinned in AnnRecallSpec at both dims. */
+  def ivfPqTopK(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 256, refine: Int = 8,
+      iters: Int = 8, maxSample: Int = 4096): DataFrame = {
+    require(refine >= 1, "refine must be >= 1")
+    val cents = Similarity.trainIvfCentroids(corpus, cId, cVec, nlist, iters, maxSample)
+    val model = trainPq(corpus, cId, cVec, m, ksub, iters, maxSample)
+    val np = math.min(nprobe, cents.length)
+
+    val assignUdf = udf { (v: Seq[Double]) =>
+      Similarity.nearestCell(Similarity.normalize(v.toArray), cents)
+    }
+    val probeUdf = udf { (v: Seq[Double]) =>
+      val x = Similarity.normalize(v.toArray)
+      val scored = Array.tabulate(cents.length) { c =>
+        var acc = 0.0d; var j = 0
+        while (j < x.length) { acc += x(j) * cents(c)(j); j += 1 }
+        (acc, c)
+      }
+      scored.sortBy(-_._1).take(np).map(_._2)
+    }
+    // flattened ADC table: lut(j*ksub + c) = <q_sub_j, codebook_j(c)>
+    val lutUdf = udf { (v: Seq[Double]) =>
+      val x = Similarity.normalize(v.toArray)
+      require(x.length == model.dim,
+        s"query dimension ${x.length} != model dimension ${model.dim}")
+      val lut = new Array[Double](model.m * model.ksub)
+      var j = 0
+      while (j < model.m) {
+        val cb = model.codebooks(j); val base = j * model.dsub
+        var c = 0
+        while (c < model.ksub) {
+          val ct = cb(c); var acc = 0.0d; var d = 0
+          while (d < model.dsub) { acc += x(base + d) * ct(d); d += 1 }
+          lut(j * model.ksub + c) = acc
+          c += 1
+        }
+        j += 1
+      }
+      lut
+    }
+    val adcUdf = udf { (codes: Array[Byte], lut: Seq[Double]) =>
+      var acc = 0.0d; var j = 0
+      while (j < codes.length) { acc += lut(j * model.ksub + (codes(j) & 0xFF)); j += 1 }
+      acc
+    }
+    val encUdf = udf { (v: Seq[Double]) => encode(model, v.toArray) }
+
+    val c0 = corpus.select(col(cId).as("corpus_id"), col(cVec).cast("array<double>").as("cv"))
+    // the index frame: id-width rows + m code bytes; vectors do NOT ride
+    val cIdx = c0
+      .withColumn("cell", assignUdf(col("cv")))
+      .select(col("cell"), col("corpus_id"), encUdf(col("cv")).as("codes"))
+    val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("qv"))
+      .withColumn("cell", explode(probeUdf(col("qv"))))
+      .withColumn("lut", lutUdf(col("qv")))
+      .select("query_id", "cell", "lut")
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("corpus_id"))
+    val shortlist = q.join(cIdx, Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("adc", adcUdf(col("codes"), col("lut")))
+      .withColumn("r", row_number().over(wAdc))
+      .filter(col("r") <= k * refine)
+      .select("query_id", "corpus_id")
+
+    // exact re-rank: vectors attach to the k·refine-per-query shortlist
+    // only — the query side is small by contract and broadcasts
+    val qv = broadcast(queries
+      .select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("qv"))
+      .withColumn("qn", Similarity.l2norm(col("qv"))))
+    val cvn = c0.withColumn("cn", Similarity.l2norm(col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
+    shortlist.join(cvn, Seq("corpus_id"))
+      .join(qv, Seq("query_id"))
+      .withColumn("cosine",
+        Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  // ---- persisted IVFPQ index --------------------------------------------
+  // The materialize-once artifact ([[Similarity.writeIvfIndex]]'s PQ
+  // sibling): `codes/` is the HOT table — (corpus_id, codes BINARY(m))
+  // partitionBy(cell), m+8 bytes a row, the only thing the ADC scan
+  // reads; `vectors/` is the COLD table — same partitioning, raw vectors
+  // + norms, touched only by the k·refine-per-query re-rank join and
+  // prunable to the same probed cells. `model/` holds the coarse
+  // centroids and the m×ksub codebooks. At 100 TB the hot table is
+  // 64–128× smaller than the corpus — the difference between an index
+  // that fits in cluster memory and one that doesn't.
+
+  private def loadModel(spark: SparkSession, path: String): (Array[Array[Double]], PqModel) = {
+    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/model/centroids")
+      .orderBy("cell").collect().map(r => r.getSeq[Double](1).toArray)
+    val cb = spark.read.parquet(s"$path/model/codebooks")
+      .orderBy("j", "c").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = cb.map(_._1).max + 1
+    val ksub = cb.map(_._2).max + 1
+    val dsub = cb(0)._3.length
+    val books = Array.ofDim[Array[Double]](m, ksub)
+    cb.foreach { case (j, c, v) => books(j)(c) = v }
+    (cents, PqModel(m, ksub, dsub, books.map(_.toArray)))
+  }
+
+  /** Build and persist an IVFPQ index: train the coarse quantizer and
+    * the PQ codebooks on a bounded sample, then lay the corpus out as a
+    * cell-partitioned codes table + a cell-partitioned vectors table
+    * (norms precomputed). One assignment+encode pass over the corpus. */
+  def writePqIndex(corpus: DataFrame, cId: String, cVec: String, path: String,
+      nlist: Int = 16, m: Int = 8, ksub: Int = 256,
+      iters: Int = 8, maxSample: Int = 4096): Unit = {
+    val spark = corpus.sparkSession
+    val cents = Similarity.trainIvfCentroids(corpus, cId, cVec, nlist, iters, maxSample)
+    val model = trainPq(corpus, cId, cVec, m, ksub, iters, maxSample)
+    writeModel(spark, path, cents, model)
+    writeRows(corpus, cId, cVec, path, cents, model, "overwrite")
+  }
+
+  private def writeModel(spark: SparkSession, path: String,
+      cents: Array[Array[Double]], model: PqModel): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/model/centroids")
+    (for (j <- 0 until model.m; c <- 0 until model.ksub)
+      yield (j, c, model.codebooks(j)(c).toSeq)).toDF("j", "c", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/model/codebooks")
+  }
+
+  private def writeRows(batch: DataFrame, cId: String, cVec: String, path: String,
+      cents: Array[Array[Double]], model: PqModel, mode: String): Unit = {
+    val assignUdf = udf { (v: Seq[Double]) =>
+      Similarity.nearestCell(Similarity.normalize(v.toArray), cents)
+    }
+    val encUdf = udf { (v: Seq[Double]) => encode(model, v.toArray) }
+    val b = batch.select(col(cId).as("corpus_id"), col(cVec).cast("array<double>").as("cv"))
+      .withColumn("cell", assignUdf(col("cv")))
+      // both writes below consume the assignment — persist so the scan +
+      // nearest-cell pass runs once, not once per output table
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      b.select(col("cell"), col("corpus_id"), encUdf(col("cv")).as("codes"))
+        .write.mode(mode).partitionBy("cell").parquet(s"$path/codes")
+      b.withColumn("cn", Similarity.l2norm(col("cv")))
+        .select(col("cell"), col("corpus_id"), col("cv"), col("cn"))
+        .write.mode(mode).partitionBy("cell").parquet(s"$path/vectors")
+    } finally b.unpersist()
+  }
+
+  /** Incremental append: assign + encode the batch against the STORED
+    * model (no retrain — same drift contract as
+    * [[Similarity.appendIvfIndex]]) and append into both layouts. */
+  def appendPqIndex(batch: DataFrame, cId: String, cVec: String, path: String): Unit = {
+    val (cents, model) = loadModel(batch.sparkSession, path)
+    writeRows(batch, cId, cVec, path, cents, model, "append")
+  }
+
+  /** Query a stored IVFPQ index: probed cells push as partition filters
+    * on BOTH the codes scan and the re-rank vectors scan (directory
+    * pruning — each query touches nprobe/nlist of the index), ADC over
+    * the codes table shortlists, exact cosine re-ranks. Results are
+    * identical to [[ivfPqTopK]] with the same parameters (spec-pinned). */
+  def pqTopKIndexed(
+      queries: DataFrame, qId: String, qVec: String,
+      path: String, k: Int, nprobe: Int, refine: Int = 8): DataFrame = {
+    require(refine >= 1, "refine must be >= 1")
+    val spark = queries.sparkSession
+    val (cents, model) = loadModel(spark, path)
+    val np = math.min(nprobe, cents.length)
+    val probeUdf = udf { (v: Seq[Double]) =>
+      val x = Similarity.normalize(v.toArray)
+      val scored = Array.tabulate(cents.length) { c =>
+        var acc = 0.0d; var j = 0
+        while (j < x.length) { acc += x(j) * cents(c)(j); j += 1 }
+        (acc, c)
+      }
+      scored.sortBy(-_._1).take(np).map(_._2)
+    }
+    val lutUdf = udf { (v: Seq[Double]) =>
+      val x = Similarity.normalize(v.toArray)
+      require(x.length == model.dim,
+        s"query dimension ${x.length} != model dimension ${model.dim}")
+      val lut = new Array[Double](model.m * model.ksub)
+      var j = 0
+      while (j < model.m) {
+        val cb = model.codebooks(j); val base = j * model.dsub
+        var c = 0
+        while (c < model.ksub) {
+          val ct = cb(c); var acc = 0.0d; var d = 0
+          while (d < model.dsub) { acc += x(base + d) * ct(d); d += 1 }
+          lut(j * model.ksub + c) = acc
+          c += 1
+        }
+        j += 1
+      }
+      lut
+    }
+    val adcUdf = udf { (codes: Array[Byte], lut: Seq[Double]) =>
+      var acc = 0.0d; var j = 0
+      while (j < codes.length) { acc += lut(j * model.ksub + (codes(j) & 0xFF)); j += 1 }
+      acc
+    }
+    val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("qv"))
+      .withColumn("cell", explode(probeUdf(col("qv"))))
+      .withColumn("lut", lutUdf(col("qv")))
+      .select("query_id", "cell", "lut")
+    // literal IN on the partition column -> static directory pruning on
+    // both index scans (same discipline as ivfTopKIndexed)
+    val probedCells = q.select("cell").distinct().collect().map(_.getInt(0))
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probedCells.toSeq: _*))
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("corpus_id"))
+    val shortlist = q.join(codes, Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("adc", adcUdf(col("codes"), col("lut")))
+      .withColumn("r", row_number().over(wAdc))
+      .filter(col("r") <= k * refine)
+      .select("query_id", "corpus_id")
+    val vectors = spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(probedCells.toSeq: _*))
+      .select("corpus_id", "cv", "cn")
+    val qv = broadcast(queries
+      .select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("qv"))
+      .withColumn("qn", Similarity.l2norm(col("qv"))))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
+    shortlist.join(vectors, Seq("corpus_id"))
+      .join(qv, Seq("query_id"))
+      .withColumn("cosine",
+        Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+}

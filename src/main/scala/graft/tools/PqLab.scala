@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Pq, Similarity}
+
+/** Recall / payload / wall-time grid for the IVFPQ path — the data
+  * behind the PQ floors in AnnRecallSpec and the SCALE.md rows. Run:
+  * {{{
+  *   sbt "runMain graft.tools.PqLab /root/testdata/sf0.01"
+  *   sbt "runMain graft.tools.PqLab --synth 20000 --dim 256 --noise 4.0"
+  * }}}
+  * Grid axes: ksub (codebook size per subspace — distortion), refine
+  * (ADC shortlist depth — how much exact re-rank work buys back the
+  * quantization error), m (codes per vector — compressed payload
+  * bytes). Everything deterministic, so the numbers reproduce. */
+object PqLab {
+  def main(args: Array[String]): Unit = {
+    var sfDir = "/root/testdata/sf0.01"
+    var synthN = 0L
+    var dim = 64
+    var noise = 0.25
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--synth" => synthN = args(i + 1).toLong; i += 2
+        case "--dim" => dim = args(i + 1).toInt; i += 2
+        case "--noise" => noise = args(i + 1).toDouble; i += 2
+        case d => sfDir = d; i += 1
+      }
+    }
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val e = (if (synthN > 0) EmbedSynth.corpus(spark, synthN, dim, noise = noise)
+    else spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
+      .persist()
+    val n = e.count()
+    val q = e.filter(col("vec_id") < 20).persist()
+    val k = 5
+    val exact = Similarity.bruteForceTopK(q, "vec_id", "e", e, "vec_id", "e", k = k)
+      .select("query_id", "corpus_id").persist()
+    val nExact = exact.count()
+    println(s"corpus=$n dim=$dim queries=${q.count()} k=$k raw_payload=${8 * dim}B/vec")
+
+    def recallOf(approx: DataFrame): Double =
+      exact.join(approx.select("query_id", "corpus_id"),
+        Seq("query_id", "corpus_id"), "left_semi").count().toDouble / nExact
+
+    println("\nIVFPQ grid (nlist=8, full probe isolates the PQ approximation):")
+    println("   m ksub refine  codesB  recall   sec")
+    for (m <- Seq(8, 16, 32); if dim % m == 0 && (m < 32 || dim >= 256);
+         ksub <- Seq(16, 64, 256); if ksub <= n;
+         refine <- Seq(4, 8, 16)) {
+      val t0 = System.nanoTime()
+      val r = recallOf(Pq.ivfPqTopK(q, "vec_id", "e", e, "vec_id", "e",
+        k = k, nlist = 8, nprobe = 8, m = m, ksub = ksub, refine = refine))
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"  $m%2d $ksub%4d $refine%6d  $m%5dB  $r%.3f  $sec%5.1f")
+    }
+
+    println("\nIVFPQ pruned probe (the production regime, best grid point):")
+    for (nprobe <- Seq(2, 4, 8)) {
+      val r = recallOf(Pq.ivfPqTopK(q, "vec_id", "e", e, "vec_id", "e",
+        k = k, nlist = 8, nprobe = nprobe, m = math.min(16, dim / 4), ksub = 256,
+        refine = 8))
+      println(f"  nprobe=$nprobe%d: recall=$r%.3f")
+    }
+    spark.stop()
+  }
+}

@@ -68,6 +68,15 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r === 1.0, f"exhaustive probe must equal brute force, got $r%.3f")
   }
 
+  test("IVFPQ (m=8, ksub=256, refine=8) holds its recall floor at full probe") {
+    // full coarse probe isolates the PQ/ADC approximation itself: any
+    // recall lost here is lost to code quantization + shortlist pruning.
+    // 8 one-byte codes vs 512 B of raw float64 = a 64x payload cut.
+    val r = recallOf(Pq.ivfPqTopK(queries, "vec_id", "e", corpus, "vec_id", "e",
+      k = 5, nlist = 8, nprobe = 8, m = 8, ksub = 256, refine = 8))
+    assert(r >= 0.92, f"recall@5 regressed to $r%.3f (measured 1.00 at pin time)")
+  }
+
   // ---- production dimensionality (256) ------------------------------------
   // The driver fixture is 64-wide; real embeddings are 256-1024-wide and
   // every ANN cost scales with dim. Floors pinned on the deterministic
@@ -108,5 +117,14 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     val full = recall256(Similarity.ivfTopK(queries256, "vec_id", "e", corpus256,
       "vec_id", "e", k = 5, nlist = 8, nprobe = 8))
     assert(full === 1.0, f"exhaustive probe must equal brute force, got $full%.3f")
+  }
+
+  test("dim 256: IVFPQ (m=16, ksub=256, refine=16) holds its recall floor") {
+    // 16 one-byte codes vs 2 KB of raw float64: a 128x candidate-payload
+    // cut; noise 4.0 is the adversarial near-uniform regime, so this is
+    // the WORST-case quantization recall (m=32 buys 0.97 at 64x)
+    val r = recall256(Pq.ivfPqTopK(queries256, "vec_id", "e", corpus256,
+      "vec_id", "e", k = 5, nlist = 8, nprobe = 8, m = 16, ksub = 256, refine = 16))
+    assert(r >= 0.84, f"recall@5 regressed to $r%.3f (measured 0.92 at pin time)")
   }
 }

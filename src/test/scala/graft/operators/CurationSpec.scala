@@ -323,6 +323,33 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again === out.toSet, "shard+pos must be deterministic")
   }
 
+  test("epoch shuffle: epoch 0 == shardAssign; epochs permute; each epoch valid") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 800L).toDF("id")
+    def orderOf(epoch: Long): Map[Long, (Int, Int)] =
+      Curation.epochShuffle(df, "id", numShards = 8, epoch)
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val e0 = orderOf(0L)
+    val base = Curation.shardAssign(df, "id", numShards = 8)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(e0 === base, "epoch 0 must be exactly shardAssign")
+    val e1 = orderOf(1L); val e2 = orderOf(2L)
+    // different epochs genuinely reshuffle (most rows move)
+    def moved(a: Map[Long, (Int, Int)], b: Map[Long, (Int, Int)]): Int =
+      a.count { case (k, v) => b(k) != v }
+    assert(moved(e0, e1) > 400, s"epoch 1 moved only ${moved(e0, e1)} of 800")
+    assert(moved(e1, e2) > 400, s"epoch 2 moved only ${moved(e1, e2)} of 800")
+    // every epoch is a valid training order: dense 1..n positions per shard
+    Seq(e1, e2).foreach { e =>
+      e.groupBy(_._2._1).values.foreach { rows =>
+        assert(rows.values.map(_._2).toSeq.sorted === (1 to rows.size).toSeq)
+      }
+    }
+    // and reproducible in isolation
+    assert(orderOf(1L) === e1, "an epoch's order must be rerun-stable")
+  }
+
   test("weighted sample: weight 0 drops all, 1 keeps all, rates scale") {
     val s = spark
     import s.implicits._

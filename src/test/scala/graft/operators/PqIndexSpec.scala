@@ -1,0 +1,85 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The materialize-once IVFPQ path: build → reload → probe equals the
+  * direct in-session ivfPqTopK (training is deterministic, so the
+  * stored model is bit-identical to a fresh one), appends are findable,
+  * and BOTH index scans (hot codes + cold vectors) prune to the probed
+  * cells' partitions. */
+class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("pq-index-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def synth(n: Int, dim: Int) = {
+    val gen = udf((id: Long) => graft.tools.EmbedSynth.vector(id, dim, 4, 0.3))
+    spark.range(n).select(col("id").as("vec_id"), gen(col("id")).as("e"))
+  }
+
+  test("stored index returns exactly the direct ivfPqTopK results") {
+    val df = synth(200, 16)
+    val q = df.filter(col("vec_id") < 5)
+    val path = Files.createTempDirectory("pqidx").toString
+    Pq.writePqIndex(df, "vec_id", "e", path, nlist = 4, m = 4, ksub = 16)
+    val indexed = Pq.pqTopKIndexed(q, "vec_id", "e", path, k = 3, nprobe = 4, refine = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    val direct = Pq.ivfPqTopK(q, "vec_id", "e", df, "vec_id", "e",
+      k = 3, nlist = 4, nprobe = 4, m = 4, ksub = 16, refine = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    assert(indexed.toSeq === direct.toSeq)
+  }
+
+  test("both index scans prune to the probed cells' partitions") {
+    val df = synth(200, 16)
+    val q = df.filter(col("vec_id") < 2)
+    val path = Files.createTempDirectory("pqidx").toString
+    Pq.writePqIndex(df, "vec_id", "e", path, nlist = 4, m = 4, ksub = 16)
+    val pruned = Pq.pqTopKIndexed(q, "vec_id", "e", path, k = 3, nprobe = 1, refine = 4)
+    assert(pruned.count() > 0)
+    val plan = pruned.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    val codesScan = scans.find(_.contains("codes"))
+    val vecScan = scans.find(_.contains("vectors"))
+    assert(codesScan.isDefined && vecScan.isDefined,
+      s"expected codes + vectors scans in:\n$plan")
+    Seq(codesScan.get, vecScan.get).foreach { line =>
+      assert(line.matches(".*PartitionFilters: \\[.*cell.*"),
+        s"expected a cell partition filter on:\n$line")
+    }
+  }
+
+  test("appended vectors are findable; full probe + deep refine == brute force over the union") {
+    val base = synth(120, 16)
+    val gen = udf((id: Long) => graft.tools.EmbedSynth.vector(id, 16, 4, 0.3))
+    val extra = spark.range(120, 160)
+      .select(col("id").as("vec_id"), gen(col("id")).as("e"))
+    val path = Files.createTempDirectory("pqidx").toString
+    Pq.writePqIndex(base, "vec_id", "e", path, nlist = 4, m = 4, ksub = 16)
+    Pq.appendPqIndex(extra, "vec_id", "e", path)
+    val all = base.union(extra)
+    val q = all.filter(col("vec_id").isin(0L, 150L))
+    val got = Pq.pqTopKIndexed(q, "vec_id", "e", path, k = 3, nprobe = 4, refine = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    val want = Similarity.bruteForceTopK(q, "vec_id", "e", all, "vec_id", "e", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    assert(got.toSeq === want.toSeq,
+      "full probe + shortlist covering the corpus must equal brute force")
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product-quantization laws.
+  *
+  * The exactness law uses a corpus of exactly `ksub` vectors: the
+  * deterministic k-means init places every sample subvector on a
+  * centroid and Lloyd's cannot move a centroid that owns exactly one
+  * point, so encoding is LOSSLESS — reconstruction equals the
+  * normalized input and the full IVFPQ pipeline must reproduce brute
+  * force bit-for-bit. Recall floors at production-ish shapes are pinned
+  * in AnnRecallSpec (64-dim fixture and 256-dim synth). */
+class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("pq-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def synthCorpus(n: Int, dim: Int): DataFrame = {
+    val gen = udf((id: Long) => graft.tools.EmbedSynth.vector(id, dim, 4, 0.3))
+    spark.range(n).select(col("id").as("vec_id"), gen(col("id")).as("e"))
+  }
+
+  test("encode/decode is lossless when every sample vector seeds a centroid") {
+    val c = synthCorpus(8, 8)
+    val model = Pq.trainPq(c, "vec_id", "e", m = 2, ksub = 8, iters = 4)
+    assert(model.dsub == 4 && model.codebooks.length == 2)
+    val rows = c.orderBy("vec_id").collect()
+    rows.foreach { r =>
+      val v = Similarity.normalize(r.getSeq[Double](1).toArray)
+      val rec = Pq.decode(model, Pq.encode(model, r.getSeq[Double](1).toArray))
+      v.zip(rec).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    }
+  }
+
+  test("lossless regime: ivfPqTopK == bruteForceTopK exactly") {
+    val c = synthCorpus(8, 8)
+    val q = c.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(q, "vec_id", "e", c, "vec_id", "e", k = 3)
+      .orderBy("query_id", "rank").collect()
+    val pq = Pq.ivfPqTopK(q, "vec_id", "e", c, "vec_id", "e",
+      k = 3, nlist = 2, nprobe = 2, m = 2, ksub = 8, refine = 3)
+      .orderBy("query_id", "rank").collect()
+    assert(pq.toSeq == exact.toSeq)
+  }
+
+  test("codes are m bytes and deterministic across runs") {
+    val c = synthCorpus(64, 16)
+    val model = Pq.trainPq(c, "vec_id", "e", m = 4, ksub = 8)
+    val enc1 = Pq.encodePq(c, "vec_id", "e", model).orderBy("vec_id").collect()
+    val enc2 = Pq.encodePq(c, "vec_id", "e", model).orderBy("vec_id").collect()
+    enc1.zip(enc2).foreach { case (a, b) =>
+      val ba = a.getAs[Array[Byte]]("codes"); val bb = b.getAs[Array[Byte]]("codes")
+      assert(ba.length == 4)
+      assert(java.util.Arrays.equals(ba, bb))
+    }
+  }
+
+  test("quantization error shrinks as ksub grows (more centroids per subspace)") {
+    val c = synthCorpus(512, 16)
+    def meanErr(ksub: Int): Double = {
+      val model = Pq.trainPq(c, "vec_id", "e", m = 4, ksub = ksub, iters = 8)
+      val rows = c.collect()
+      rows.map { r =>
+        val v = Similarity.normalize(r.getSeq[Double](1).toArray)
+        val rec = Pq.decode(model, Pq.encode(model, r.getSeq[Double](1).toArray))
+        math.sqrt(v.zip(rec).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.sum / rows.length
+    }
+    val e4 = meanErr(4); val e32 = meanErr(32)
+    assert(e32 < e4, f"ksub=32 err $e32%.4f not below ksub=4 err $e4%.4f")
+  }
+
+  test("dimension mismatch fails loudly, corrupt vectors never encode") {
+    val c = synthCorpus(16, 8)
+    val model = Pq.trainPq(c, "vec_id", "e", m = 2, ksub = 8)
+    val bad = Array.fill(12)(0.5d)
+    val ex = intercept[IllegalArgumentException](Pq.encode(model, bad))
+    assert(ex.getMessage.contains("dimension"))
+  }
+}
