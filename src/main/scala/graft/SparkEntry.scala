@@ -942,6 +942,14 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("lang"))
     }),
 
+    "mixture_temperature" -> ((s, dir) =>
+      // Temperature-flattened mixture (alpha=0.5, half the corpus kept):
+      // keep-rates derived in-plan from source counts, no hand-tuned
+      // weights — the standard multilingual-pretraining rebalance.
+      Curation.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
+          alpha = 0.5, targetFrac = 0.5)
+        .select(col("doc_id"), col("source"), col("rate"))),
+
     "bloom_join" -> ((s, dir) => {
       // Explicit bloom runtime filter: prefilter lineitem against the
       // urgent-orders key set before the join shuffle. False positives
@@ -2247,6 +2255,20 @@ object SparkEntry {
          WHERE (doc_id * 2654435761) % 4294967296 <
                CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
                     THEN 4294967296 ELSE 1073741824 END""",
+
+    // floor threshold: truncation == floor on non-negative rates, so the
+    // Spark cast and this CAST(floor(...)) agree row-for-row; 9-dp round
+    // absorbs cross-engine pow ulps before the threshold forms.
+    "mixture_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+              t AS (SELECT sum(n_s) AS n_total, sum(pow(n_s, 0.5)) AS z FROM c),
+              r AS (SELECT source,
+                           round(least(1.0, pow(n_s, 0.5) / z * 0.5 * n_total / n_s), 9) AS rate
+                    FROM c CROSS JOIN t)
+         SELECT d.doc_id, d.source, r.rate
+         FROM documents d JOIN r ON d.source = r.source
+         WHERE (d.doc_id * 2654435761) % 4294967296 <
+               CAST(floor(r.rate * 4294967296.0) AS BIGINT)""",
 
     "bloom_join" ->
       """SELECT l_returnflag, count(*) AS cnt, round(sum(l_extendedprice), 2) AS rev

@@ -149,6 +149,39 @@ object Curation {
   def weightedSample(df: DataFrame, keyCol: String, weight: Column): DataFrame =
     df.filter(mixKey(col(keyCol)) < (weight * lit(4294967296.0d)).cast("long"))
 
+  /** Temperature-flattened corpus mixture (the multilingual-pretraining
+    * recipe, XLM-R-style): per-source keep-rates computed IN-PLAN from
+    * the source counts so that kept mass ∝ n_s^alpha — alpha = 1 keeps
+    * natural proportions, alpha → 0 equalizes sources; `targetFrac`
+    * scales the overall kept fraction. Rates are derived, rounded to 9
+    * dp (absorbing cross-engine pow ulps), and applied as the same
+    * deterministic mixed-key filter as [[weightedSample]] (floor
+    * threshold — truncation and floor agree on non-negative rates, so
+    * any ANSI oracle replays the exact row set).
+    *
+    * Scale shape: one map-side-combinable count by source (source
+    * cardinality is tiny by nature), a one-row total, rates broadcast
+    * back — the corpus itself never shuffles; the sample is a pure
+    * filter. Rates cap at 1 (a source can't up-sample beyond itself;
+    * the standard cap in temperature sampling without replication).
+    * Returns the kept rows + their source's `rate`. */
+  def temperatureSample(df: DataFrame, keyCol: String, srcCol: String,
+      alpha: Double, targetFrac: Double): DataFrame = {
+    require(alpha > 0.0d && alpha <= 1.0d, "alpha must be in (0, 1]")
+    require(targetFrac > 0.0d && targetFrac <= 1.0d, "targetFrac must be in (0, 1]")
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n_s"))
+    val tot = counts.agg(sum(col("n_s")).as("n_total"),
+      sum(pow(col("n_s"), lit(alpha))).as("z"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("rate", round(
+        least(lit(1.0d), pow(col("n_s"), lit(alpha)) / col("z")
+          * lit(targetFrac) * col("n_total") / col("n_s")), 9))
+      .select(col(srcCol), col("rate"))
+    df.join(broadcast(rates), Seq(srcCol))
+      .filter(mixKey(col(keyCol)) <
+        floor(col("rate") * lit(4294967296.0d)).cast("long"))
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis '06): each
     * row draws u uniform in (0,1) and the k largest u^(1/w) form an exact
     * weighted-without-replacement sample. u comes from the same Knuth mix

@@ -350,6 +350,32 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(orderOf(1L) === e1, "an epoch's order must be rerun-stable")
   }
 
+  test("temperature sample: alpha=1 keeps natural shares, alpha<1 flattens") {
+    val s = spark
+    import s.implicits._
+    // skewed corpus: big source 8000 rows, small source 800
+    val df = ((0L until 8000L).map(i => (i, "big")) ++
+      (8000L until 8800L).map(i => (i, "small"))).toDF("id", "src")
+    def sharesAt(alpha: Double): (Double, Double) = {
+      val kept = Curation.temperatureSample(df, "id", "src", alpha, targetFrac = 0.5)
+        .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      (kept.getOrElse("big", 0L).toDouble / 8000.0,
+        kept.getOrElse("small", 0L).toDouble / 800.0)
+    }
+    val (b1, s1) = sharesAt(1.0)
+    // alpha=1: both sources sampled at ~the same rate (natural mixture)
+    assert(math.abs(b1 - s1) < 0.07, f"alpha=1 rates diverged: big $b1%.3f small $s1%.3f")
+    val (b5, s5) = sharesAt(0.5)
+    // alpha=0.5 upweights the small source's keep-rate over the big one's
+    assert(s5 > b5 + 0.3, f"alpha=0.5 must favor the small source: big $b5%.3f small $s5%.3f")
+    // determinism
+    val once = Curation.temperatureSample(df, "id", "src", 0.5, 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val again = Curation.temperatureSample(df, "id", "src", 0.5, 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(once === again)
+  }
+
   test("weighted sample: weight 0 drops all, 1 keeps all, rates scale") {
     val s = spark
     import s.implicits._
