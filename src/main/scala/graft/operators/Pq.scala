@@ -98,10 +98,17 @@ object Pq {
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim must divide evenly into m=$m subspaces")
     val dsub = dim / m
-    val codebooks = Array.tabulate(m) { j =>
-      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
-      kmeansL2(subs, ksub, iters)
-    }
+    // subspaces train independently — fan them across driver cores
+    // (the m × ksub × maxSample Lloyd's loops are the dominant cold
+    // cost of the whole operator at production ksub=256; training
+    // stays bounded and corpus-size-independent either way)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val codebooks = Await.result(
+      Future.sequence((0 until m).map { j => Future {
+        val subs = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+        kmeansL2(subs, ksub, iters)
+      }}), scala.concurrent.duration.Duration.Inf).toArray
     PqModel(m, ksub, dsub, codebooks)
   }
 
