@@ -350,6 +350,34 @@ object Pq {
     writeRows(batch, cId, cVec, path, cents, model, "append")
   }
 
+  /** The drift monitor the append contract promises: quantization health
+    * of a batch under a STORED index's model, one row per batch —
+    * compare against the build-time batch's row to decide when to
+    * retrain. `coarse_fit` = mean cosine between a (normalized) vector
+    * and its nearest coarse centroid (falls as the batch's cluster
+    * structure drifts from the training sample's); `pq_err` = mean L2
+    * reconstruction error of the PQ codes (rises as subspace
+    * distributions drift). One narrow pass over the BATCH, two scalar
+    * aggregates — cost is independent of the resident index. */
+  def indexDriftStats(batch: DataFrame, idCol: String, vecCol: String,
+      path: String): DataFrame = {
+    val (cents, model) = loadModel(batch.sparkSession, path)
+    val statsUdf = udf { (v0: Seq[Double]) =>
+      val v = Similarity.normalize(v0.toArray)
+      val cell = Similarity.nearestCell(v, cents)
+      var fit = 0.0d; var j = 0
+      while (j < v.length) { fit += v(j) * cents(cell)(j); j += 1 }
+      val rec = decode(model, encode(model, v0.toArray))
+      var err = 0.0d; j = 0
+      while (j < v.length) { val d = v(j) - rec(j); err += d * d; j += 1 }
+      (fit, math.sqrt(err))
+    }
+    batch.select(statsUdf(col(vecCol).cast("array<double>")).as("s"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("s._1")), 6).as("coarse_fit"),
+        round(avg(col("s._2")), 6).as("pq_err"))
+  }
+
   /** Query a stored IVFPQ index: probed cells push as partition filters
     * on BOTH the codes scan and the re-rank vectors scan (directory
     * pruning — each query touches nprobe/nlist of the index), ADC over

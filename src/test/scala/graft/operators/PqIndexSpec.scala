@@ -82,4 +82,25 @@ class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq === want.toSeq,
       "full probe + shortlist covering the corpus must equal brute force")
   }
+
+  test("drift monitor: in-distribution batch fits; shifted batch degrades both stats") {
+    val base = synth(200, 16)
+    val path = Files.createTempDirectory("pqidx").toString
+    Pq.writePqIndex(base, "vec_id", "e", path, nlist = 4, m = 4, ksub = 16)
+    def statsOf(df: org.apache.spark.sql.DataFrame): (Long, Double, Double) = {
+      val r = Pq.indexDriftStats(df, "vec_id", "e", path).collect()(0)
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    }
+    // same distribution: later ids from the same generator
+    val gen = udf((id: Long) => graft.tools.EmbedSynth.vector(id, 16, 4, 0.3))
+    val inDist = spark.range(200, 300).select(col("id").as("vec_id"), gen(col("id")).as("e"))
+    // drifted: a different cluster layout the quantizer never saw
+    val genShift = udf((id: Long) => graft.tools.EmbedSynth.vector(id + 1000000, 16, 11, 2.5))
+    val shifted = spark.range(200, 300).select(col("id").as("vec_id"), genShift(col("id")).as("e"))
+    val (n1, fit1, err1) = statsOf(inDist)
+    val (n2, fit2, err2) = statsOf(shifted)
+    assert(n1 === 100L && n2 === 100L)
+    assert(fit1 > fit2 + 0.05, f"coarse fit must degrade under drift: $fit1%.4f vs $fit2%.4f")
+    assert(err2 > err1 + 0.05, f"pq error must rise under drift: $err1%.4f vs $err2%.4f")
+  }
 }
