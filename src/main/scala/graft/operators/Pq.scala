@@ -48,6 +48,17 @@ object Pq {
     def dim: Int = m * dsub
   }
 
+  /** ADC scoring as the native codegen'd [[graft.plans.AdcScore]]
+    * expression — the per-candidate hot path stays inside
+    * WholeStageCodegen (a ScalaUDF would deserialize the m×ksub lut to
+    * a Scala Seq per candidate row). */
+  private def adcCol(codes: org.apache.spark.sql.Column,
+      lut: org.apache.spark.sql.Column, ksub: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.plans.AdcScore(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(codes),
+        org.apache.spark.sql.graftshim.ColumnShim.expression(lut), ksub))
+
   private def nearestSubL2(sub: Array[Double], cb: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue; var c = 0
     while (c < cb.length) {
@@ -231,11 +242,6 @@ object Pq {
       }
       lut
     }
-    val adcUdf = udf { (codes: Array[Byte], lut: Seq[Double]) =>
-      var acc = 0.0d; var j = 0
-      while (j < codes.length) { acc += lut(j * model.ksub + (codes(j) & 0xFF)); j += 1 }
-      acc
-    }
     val encUdf = udf { (v: Seq[Double]) => encode(model, v.toArray) }
 
     val c0 = corpus.select(col(cId).as("corpus_id"), col(cVec).cast("array<double>").as("cv"))
@@ -250,7 +256,7 @@ object Pq {
     val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("corpus_id"))
     val shortlist = q.join(cIdx, Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("adc", adcUdf(col("codes"), col("lut")))
+      .withColumn("adc", adcCol(col("codes"), col("lut"), model.ksub))
       .withColumn("r", row_number().over(wAdc))
       .filter(col("r") <= k * refine)
       .select("query_id", "corpus_id")
@@ -418,11 +424,6 @@ object Pq {
       }
       lut
     }
-    val adcUdf = udf { (codes: Array[Byte], lut: Seq[Double]) =>
-      var acc = 0.0d; var j = 0
-      while (j < codes.length) { acc += lut(j * model.ksub + (codes(j) & 0xFF)); j += 1 }
-      acc
-    }
     val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("qv"))
       .withColumn("cell", explode(probeUdf(col("qv"))))
       .withColumn("lut", lutUdf(col("qv")))
@@ -435,7 +436,7 @@ object Pq {
     val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("corpus_id"))
     val shortlist = q.join(codes, Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("adc", adcUdf(col("codes"), col("lut")))
+      .withColumn("adc", adcCol(col("codes"), col("lut"), model.ksub))
       .withColumn("r", row_number().over(wAdc))
       .filter(col("r") <= k * refine)
       .select("query_id", "corpus_id")

@@ -47,6 +47,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
       (children: Seq[Expression]) => VecNorm(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("adc_score"),
+      new ExpressionInfo(classOf[AdcScore].getName, "adc_score"),
+      (children: Seq[Expression]) => {
+        val ksub = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"adc_score ksub must be an integer literal, got $other")
+        }
+        AdcScore(children(0), children(1), ksub)
+      }))
   }
 }
 
@@ -86,6 +97,22 @@ object GraftExprs {
     var i = 0
     while (i < n) { val x = a.getDouble(i); acc += x * x; i += 1 }
     math.sqrt(acc)
+  }
+
+  /** IVFPQ asymmetric-distance score: sum the per-subspace lookup-table
+    * entries the candidate's one-byte codes select — the inner loop of
+    * the PQ candidate scan, m lookups per pair, reading the lut
+    * ArrayData in place (the former ScalaUDF deserialized the m×ksub
+    * table to a Scala Seq per CANDIDATE ROW). Same fold order as the
+    * UDF: bit-equal doubles. */
+  def adcScore(codes: Array[Byte], lut: ArrayData, ksub: Int): Double = {
+    var acc = 0.0d
+    var j = 0
+    while (j < codes.length) {
+      acc += lut.getDouble(j * ksub + (codes(j) & 0xFF))
+      j += 1
+    }
+    acc
   }
 }
 
@@ -184,6 +211,33 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     defineCodeGen(ctx, ev, (a, b) => s"graft.plans.GraftExprs.vecDot($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Beyond-reference: the IVFPQ ADC inner loop as a native codegen'd
+  * expression — (codes BINARY, lut array<double>) → estimated inner
+  * product via m one-byte table lookups. This is the projection every
+  * PQ candidate row passes through, so it stays inside
+  * WholeStageCodegen with the lut read in place. `ksub` is a plan-time
+  * constant (the codebook size), baked into the generated code. */
+case class AdcScore(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_score"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(DoubleType, _)) if ksub >= 2 && ksub <= 256 =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary codes, array<double> lut) and ksub in [2, 256], got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}, ksub=$ksub")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftExprs.adcScore(a.asInstanceOf[Array[Byte]], b.asInstanceOf[ArrayData], ksub)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.GraftExprs.adcScore($a, $b, $ksub)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcScore =
     copy(left = newLeft, right = newRight)
 }
 

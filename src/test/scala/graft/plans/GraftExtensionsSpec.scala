@@ -86,6 +86,27 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("adc_score: known values, codegen span, literal-ksub guard") {
+    // codes [0, 2] over ksub=4: lut[0*4+0] + lut[1*4+2] = 10.0 + 61.0
+    val r = spark.sql(
+      """SELECT adc_score(X'0002',
+                array(10.0d, 11.0d, 12.0d, 13.0d,
+                      50.0d, 51.0d, 61.0d, 53.0d), 4) AS s""").collect()(0)
+    assert(r.getDouble(0) === 71.0)
+    // stays inside whole-stage codegen over column inputs
+    val colDf = spark.range(100)
+      .selectExpr("CAST(CONCAT(CHAR(id % 4)) AS BINARY) AS codes",
+        "array(1.0d, 2.0d, 3.0d, 4.0d) AS lut")
+      .selectExpr("adc_score(codes, lut, 4) AS s")
+    assert(colDf.queryExecution.executedPlan.toString.contains("*("))
+    assert(colDf.agg(org.apache.spark.sql.functions.sum("s")).collect()(0)
+      .getDouble(0) === (1.0 + 2.0 + 3.0 + 4.0) * 25)
+    // ksub must be a literal (it is baked into the generated code)
+    assertThrows[Exception] {
+      spark.sql("SELECT adc_score(X'00', array(1.0d), CAST(id AS INT)) FROM range(1)").collect()
+    }
+  }
+
   test("Similarity column API runs on the native expressions") {
     val s = spark
     import s.implicits._
