@@ -29,6 +29,11 @@ def main():
     only = set(sys.argv[3:])
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
+    # Let big oracle intermediates (the 10x near-dup pair SQL) spill to
+    # disk instead of dying on the in-memory default — the oracle must be
+    # able to STATE the answer even when it needs more than RAM to do so.
+    con.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    con.sql("SET max_temp_directory_size='40GiB'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     fails = 0
