@@ -35,6 +35,17 @@ import org.apache.spark.sql.functions._
   *  - exact vectors are touched ONLY by the final re-rank join, which
   *    moves `k·refine` rows per query.
   *
+  * Design choice: codes quantize the RAW normalized vector, not the
+  * residual (x − coarse centroid) of classic IVFADC. Residual encoding
+  * buys recall only where the PQ distortion dominates; here the
+  * measured pruned-probe loss is coarse-quantizer-bound (nprobe=4 of 8
+  * scores 0.61 with PQ vs 0.61 for plain IVF on the dim-256 synth —
+  * identical), while full-probe recall is already 0.92–1.00, so the
+  * residual variant's extra moving part (a per-probed-cell lookup
+  * table, m×ksub×nprobe per query) isn't paying for anything at these
+  * shapes. Revisit if a future corpus shows full-probe recall sagging
+  * below the refine budget.
+  *
   * Reference analogue: none — the reference engine has no vector
   * search; this extends the ANN family ([[Similarity]]) along the
   * published IVF-ADC design.
