@@ -279,7 +279,11 @@ object Pq {
       .withColumn("qn", Similarity.l2norm(col("qv"))))
     val cvn = c0.withColumn("cn", Similarity.l2norm(col("cv")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
-    shortlist.join(cvn, Seq("corpus_id"))
+    // the shortlist is k·refine·|queries| id-width rows — broadcast it so
+    // the corpus NEVER shuffles on corpus_id for the re-rank (without the
+    // hint the planner broadcasts whichever side fits, which at real
+    // scale could flip to a corpus-wide sort-merge exchange)
+    broadcast(shortlist).join(cvn, Seq("corpus_id"))
       .join(qv, Seq("query_id"))
       .withColumn("cosine",
         Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
@@ -458,7 +462,9 @@ object Pq {
       .select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("qv"))
       .withColumn("qn", Similarity.l2norm(col("qv"))))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
-    shortlist.join(vectors, Seq("corpus_id"))
+    // same discipline as ivfPqTopK: the cold vectors table streams (cell-
+    // pruned), the id-width shortlist broadcasts
+    broadcast(shortlist).join(vectors, Seq("corpus_id"))
       .join(qv, Seq("query_id"))
       .withColumn("cosine",
         Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
