@@ -42,25 +42,43 @@ object PqLab {
     val n = e.count()
     val q = e.filter(col("vec_id") < 20).persist()
     val k = 5
-    val exact = Similarity.bruteForceTopK(q, "vec_id", "e", e, "vec_id", "e", k = k)
-      .select("query_id", "corpus_id").persist()
+    val exactFull = Similarity.bruteForceTopK(q, "vec_id", "e", e, "vec_id", "e", k = k)
+      .persist()
+    val exact = exactFull.select("query_id", "corpus_id")
     val nExact = exact.count()
+    // true 5th-best cosine per query: the epsilon-recall yardstick
+    val kth = exactFull.filter(col("rank") === k)
+      .select(col("query_id"), col("cosine").as("ck"))
     println(s"corpus=$n dim=$dim queries=${q.count()} k=$k raw_payload=${8 * dim}B/vec")
 
     def recallOf(approx: DataFrame): Double =
       exact.join(approx.select("query_id", "corpus_id"),
         Seq("query_id", "corpus_id"), "left_semi").count().toDouble / nExact
 
+    // epsilon-recall (the FAISS-style quality metric for margin-less
+    // regimes): an approximate neighbor counts if its TRUE cosine is
+    // within eps of the true k-th best — strict recall measures
+    // sub-margin ranking among interchangeable neighbors, eps-recall
+    // measures whether the search returned equivalent-quality results.
+    // Sound here because ivfPqTopK's output cosine is the exact re-rank.
+    def epsRecallOf(approx: DataFrame, eps: Double): Double =
+      approx.join(kth, Seq("query_id"))
+        .filter(col("cosine") >= col("ck") - eps).count().toDouble / nExact
+
     println("\nIVFPQ grid (nlist=8, full probe isolates the PQ approximation):")
-    println("   m ksub refine  codesB  recall   sec")
+    println("   m ksub refine  codesB  recall  eps-recall@0.01  sec")
     for (m <- Seq(8, 16, 32); if dim % m == 0 && (m < 32 || dim >= 256);
          ksub <- Seq(16, 64, 256); if ksub <= n;
          refine <- Seq(4, 8, 16)) {
       val t0 = System.nanoTime()
-      val r = recallOf(Pq.ivfPqTopK(q, "vec_id", "e", e, "vec_id", "e",
-        k = k, nlist = 8, nprobe = 8, m = m, ksub = ksub, refine = refine))
+      val approx = Pq.ivfPqTopK(q, "vec_id", "e", e, "vec_id", "e",
+        k = k, nlist = 8, nprobe = 8, m = m, ksub = ksub, refine = refine)
+        .persist()
+      val r = recallOf(approx)
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"  $m%2d $ksub%4d $refine%6d  $m%5dB  $r%.3f  $sec%5.1f")
+      val re = epsRecallOf(approx, 0.01)
+      approx.unpersist()
+      println(f"  $m%2d $ksub%4d $refine%6d  $m%5dB  $r%.3f  eps01=$re%.3f  $sec%5.1f")
     }
 
     println("\nIVFPQ pruned probe (the production regime, best grid point):")
