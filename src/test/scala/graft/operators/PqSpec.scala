@@ -85,6 +85,36 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e32 < e4, f"ksub=32 err $e32%.4f not below ksub=4 err $e4%.4f")
   }
 
+  test("ADC identity: table-lookup score == <normalized query, decoded codes>") {
+    // By construction, summing the per-subspace LUT entries a code
+    // selects IS the inner product with the code's reconstruction — an
+    // exact algebraic identity (up to summation-order ulps). Pinning it
+    // catches LUT layout bugs (j*ksub+c index mix-ups, subspace offset
+    // slips) deterministically, where recall floors would only catch
+    // them statistically.
+    val c = synthCorpus(64, 16)
+    val model = Pq.trainPq(c, "vec_id", "e", m = 4, ksub = 16)
+    val vecs = c.orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+    val queries = vecs.take(8).map(Similarity.normalize)
+    val codes = vecs.drop(8).take(16).map(x => Pq.encode(model, x))
+    for (q <- queries; cd <- codes) {
+      // LUT exactly as ivfPqTopK builds it
+      val lut = new Array[Double](model.m * model.ksub)
+      for (j <- 0 until model.m; cc <- 0 until model.ksub) {
+        val ct = model.codebooks(j)(cc)
+        var acc = 0.0d
+        for (d <- 0 until model.dsub) acc += q(j * model.dsub + d) * ct(d)
+        lut(j * model.ksub + cc) = acc
+      }
+      val adc = graft.plans.GraftExprs.adcScore(cd,
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(lut), model.ksub)
+      val rec = Pq.decode(model, cd)
+      var dot = 0.0d
+      for (d <- 0 until model.dim) dot += q(d) * rec(d)
+      assert(math.abs(adc - dot) < 1e-9, s"ADC $adc != <q, decode> $dot")
+    }
+  }
+
   test("dimension mismatch fails loudly, corrupt vectors never encode") {
     val c = synthCorpus(16, 8)
     val model = Pq.trainPq(c, "vec_id", "e", m = 2, ksub = 8)
