@@ -1114,6 +1114,22 @@ object SparkEntry {
       Similarity.semanticDedup(planted, "id", "v", k = 8, threshold = 0.9)
     }),
 
+    "semantic_dedup_pq" -> ((s, dir) => {
+      // The quantized-pair-scan twin (round 10): identical clusters and
+      // identical output to semantic_dedup — the SDC prefilter under the
+      // per-row Cauchy-Schwarz error bound only cuts exchange payload
+      // (codes, not vectors, ride the quadratic self-join) and can never
+      // drop a qualifying pair; exact cosine states every surviving
+      // pair, so semantic_dedup's oracle applies verbatim.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+      val planted = e.unionByName(
+        e.filter(col("id") < 100).select((col("id") + 100000).as("id"),
+          transform(col("v"), x => x * 2).as("v")))
+      Pq.semanticDedupPq(planted, "id", "v", k = 8, threshold = 0.9,
+        m = 8, ksub = 256)
+    }),
+
     // End-to-end IVF-trained SemDeDup (the production path): Lloyd-trained
     // centroids, map-side assignment, within-cluster pair search. The
     // oracle can't replay k-means, so the threshold (0.95) sits far above
@@ -2418,6 +2434,26 @@ object SparkEntry {
     // Planted duplicates are 2·v — scaling by a power of two is exact in
     // IEEE double, so cosine(v, 2v) is exactly 1.0 in every engine.
     "semantic_dedup" ->
+      """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              planted AS (SELECT id, v FROM base
+                          UNION ALL
+                          SELECT id + 100000, list_transform(v, x -> x * 2) FROM base WHERE id < 100),
+              cents AS (SELECT id AS cid, v AS cv FROM planted ORDER BY id LIMIT 8),
+              assign AS (SELECT id, cid AS cluster FROM (
+                           SELECT p.id, c.cid,
+                                  row_number() OVER (PARTITION BY p.id
+                                    ORDER BY list_cosine_similarity(p.v, c.cv) DESC, c.cid) AS rnk
+                           FROM planted p CROSS JOIN cents c) t WHERE rnk = 1),
+              withv AS (SELECT a.id, a.cluster, p.v FROM assign a JOIN planted p ON a.id = p.id),
+              pairs AS (SELECT a.cluster, a.id AS id_a, b.id AS id_b,
+                               list_cosine_similarity(a.v, b.v) AS cos
+                        FROM withv a JOIN withv b ON a.cluster = b.cluster AND a.id < b.id)
+         SELECT cluster, id_a, id_b, round(cos, 4) AS cosine FROM pairs WHERE cos >= 0.9""",
+
+    // semantic_dedup_pq emits the SAME answer as semantic_dedup (the SDC
+    // prefilter is payload-only under its margin), so the oracle is the
+    // same statement.
+    "semantic_dedup_pq" ->
       """WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               planted AS (SELECT id, v FROM base
                           UNION ALL

@@ -293,6 +293,108 @@ object Pq {
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /** SemDeDup with a QUANTIZED pair scan — PROVABLY the same output as
+    * [[Similarity.semanticDedup]] (same clusters via the shared
+    * assignment, exact cosine states every surviving pair), but the
+    * within-cluster self-join carries (cluster, id, codes BINARY(m),
+    * one error float) instead of full vectors: at dim 256 that's ~32 B
+    * against ~2 KB per row through the quadratic-in-cluster exchange —
+    * the missing piece that makes SemDeDup's pair term storable at
+    * 10^11 vectors.
+    *
+    * Mechanics: symmetric distance (SDC) — per-subspace
+    * codebook×codebook inner-product tables (m·ksub² doubles, a few MB,
+    * broadcast) score each candidate pair with m table lookups,
+    * estimating cos(a, b) ≈ ⟨rec_a, rec_b⟩. The prefilter keeps a pair
+    * unless it is IMPOSSIBLE for its exact cosine to reach `threshold`:
+    * writing a = rec_a + e_a with per-row reconstruction error norms
+    * stored at encode time, Cauchy–Schwarz gives
+    * |cos − sdc| ≤ ‖e_a‖ + ‖e_b‖ + 3‖e_a‖‖e_b‖, so dropping pairs with
+    * sdc < threshold − that bound can never drop a qualifying pair —
+    * no tuned margin, exactness is data-independent (a fixed margin
+    * measured at one scale silently broke at 10×; the bound can't).
+    * Survivors re-attach vectors (two id-keyed joins, pair volume only)
+    * and exact cosine decides. `extraSlack` only widens the prefilter
+    * further (never needed for correctness). Equality law spec-pinned;
+    * the oracle query replays the exact answer. */
+  def semanticDedupPq(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, threshold: Double, extraSlack: Double = 0.0d,
+      m: Int = 8, ksub: Int = 256,
+      centroids: Option[Array[Array[Double]]] = None,
+      iters: Int = 8, maxSample: Int = 4096): DataFrame = {
+    require(extraSlack >= 0.0d, "extraSlack must be non-negative")
+    val spark = corpus.sparkSession
+    val model = trainPq(corpus, idCol, vecCol, m, ksub, iters, maxSample)
+    // SDC tables: sdc(j)(c1*ksub + c2) = <codebook_j(c1), codebook_j(c2)>
+    val sdcFlat: Array[Array[Double]] = Array.tabulate(model.m) { j =>
+      val cb = model.codebooks(j)
+      val t = new Array[Double](model.ksub * model.ksub)
+      var c1 = 0
+      while (c1 < model.ksub) {
+        var c2 = 0
+        while (c2 < model.ksub) {
+          var acc = 0.0d; var d = 0
+          while (d < model.dsub) { acc += cb(c1)(d) * cb(c2)(d); d += 1 }
+          t(c1 * model.ksub + c2) = acc
+          c2 += 1
+        }
+        c1 += 1
+      }
+      t
+    }
+    val bcSdc = spark.sparkContext.broadcast(sdcFlat)
+    val ksubLocal = model.ksub
+    val sdcUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
+      val tables = bcSdc.value
+      var acc = 0.0d; var j = 0
+      while (j < a.length) {
+        acc += tables(j)((a(j) & 0xFF) * ksubLocal + (b(j) & 0xFF))
+        j += 1
+      }
+      acc
+    }
+    // codes + the row's reconstruction-error NORM (the bound's input),
+    // both computed in one pass
+    val encErrUdf = udf { (v: Seq[Double]) =>
+      val x = Similarity.normalize(v.toArray)
+      val cds = encode(model, v.toArray)
+      val rec = decode(model, cds)
+      var e = 0.0d; var i = 0
+      while (i < x.length) { val d = x(i) - rec(i); e += d * d; i += 1 }
+      (cds, math.sqrt(e))
+    }
+
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", Similarity.l2norm(col("v")))
+    val assign = Similarity.clusterAssign(c, k, centroids)
+    // both the code frame and the verify join-backs consume this —
+    // persist via the session registry (released by unpersistAll)
+    val assigned = Dedup.pin(c.join(assign, Seq("id")))
+    val codes = assigned
+      .select(col("cluster"), col("id"), encErrUdf(col("v")).as("ce"))
+      .select(col("cluster"), col("id"),
+        col("ce._1").as("codes"), col("ce._2").as("qerr"))
+    val a = codes.select(col("cluster"), col("id").as("id_a"),
+      col("codes").as("ca"), col("qerr").as("ea"))
+    val b = codes.select(col("cluster"), col("id").as("id_b"),
+      col("codes").as("cb"), col("qerr").as("eb"))
+    // keep unless cos >= threshold is IMPOSSIBLE under the error bound
+    val bound = col("ea") + col("eb") + lit(3.0d) * col("ea") * col("eb") + lit(extraSlack)
+    val candidates = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(sdcUdf(col("ca"), col("cb")) >= lit(threshold) - bound)
+      .select(col("cluster"), col("id_a"), col("id_b"))
+    val va = assigned.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val vb = assigned.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    candidates.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .withColumn("cosine",
+        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("cluster"), col("id_a"), col("id_b"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   // ---- persisted IVFPQ index --------------------------------------------
   // The materialize-once artifact ([[Similarity.writeIvfIndex]]'s PQ
   // sibling): `codes/` is the HOT table — (corpus_id, codes BINARY(m))

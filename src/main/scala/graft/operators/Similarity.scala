@@ -372,31 +372,38 @@ object Similarity {
     semanticDedup(corpus, idCol, vecCol, nlist, threshold,
       Some(trainIvfCentroids(corpus, idCol, vecCol, nlist, iters)))
 
+  /** The SemDeDup cluster assignment, shared by the exact pair search
+    * ([[semanticDedup]]) and the PQ-prefiltered one
+    * ([[Pq.semanticDedupPq]]) so both see IDENTICAL clusters. Input `c`
+    * must carry (id, v, nrm). */
+  private[operators] def clusterAssign(c: DataFrame, k: Int,
+      centroids: Option[Array[Array[Double]]]): DataFrame = centroids match {
+    case Some(cents) =>
+      // trained quantizer (e.g. [[trainIvfCentroids]] output): assign
+      // in one narrow pass, the centroid table rides the task closure
+      val assignUdf = udf { (v: Seq[Double]) => nearestCell(normalize(v.toArray), cents) }
+      c.select(col("id"), assignUdf(col("v")).as("cluster"))
+    case None =>
+      // seed centroids = the k lowest-id vectors; argmax cosine, ties
+      // break to the lowest centroid id via min_by on (-cos, cid) —
+      // unique per (id, cid) so deterministic, and cid never needs
+      // negating (a string id under -cid would cast to null and make
+      // exact-cosine ties nondeterministic).
+      val cents = broadcast(c.orderBy("id").limit(k)
+        .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn")))
+      c.crossJoin(cents)
+        .withColumn("cos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .groupBy(col("id"))
+        .agg(min_by(col("cid"), struct(-col("cos"), col("cid"))).as("cluster"))
+  }
+
   def semanticDedup(
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, threshold: Double,
       centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", l2norm(col("v")))
-    val assign = centroids match {
-      case Some(cents) =>
-        // trained quantizer (e.g. [[trainIvfCentroids]] output): assign
-        // in one narrow pass, the centroid table rides the task closure
-        val assignUdf = udf { (v: Seq[Double]) => nearestCell(normalize(v.toArray), cents) }
-        c.select(col("id"), assignUdf(col("v")).as("cluster"))
-      case None =>
-        // seed centroids = the k lowest-id vectors; argmax cosine, ties
-        // break to the lowest centroid id via min_by on (-cos, cid) —
-        // unique per (id, cid) so deterministic, and cid never needs
-        // negating (a string id under -cid would cast to null and make
-        // exact-cosine ties nondeterministic).
-        val cents = broadcast(c.orderBy("id").limit(k)
-          .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn")))
-        c.crossJoin(cents)
-          .withColumn("cos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-          .groupBy(col("id"))
-          .agg(min_by(col("cid"), struct(-col("cos"), col("cid"))).as("cluster"))
-    }
+    val assign = clusterAssign(c, k, centroids)
     // both sides of the self-join read `assigned` — persist so the scan +
     // assignment pipeline runs once, not twice (same session-owned cache
     // lifecycle as the Dedup family; a materialized table at 100 TB)

@@ -115,6 +115,26 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("semanticDedupPq == semanticDedup exactly (Cauchy-Schwarz prefilter bound)") {
+    val s = spark
+    import s.implicits._
+    val base = synthCorpus(300, 16)
+    // planted exact-direction duplicates (cosine exactly 1.0)
+    val planted = base.unionByName(
+      base.filter(col("vec_id") < 30).select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("e"), x => x * 2).as("e")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2, t._3))
+    val exact = rows(Similarity.semanticDedup(planted, "vec_id", "e", k = 6, threshold = 0.9))
+    val pq = rows(Pq.semanticDedupPq(planted, "vec_id", "e", k = 6, threshold = 0.9,
+      m = 4, ksub = 32))
+    Dedup.unpersistAll(spark)
+    assert(pq.toSeq === exact.toSeq,
+      s"PQ-prefiltered SemDeDup must equal the exact pair search (${pq.length} vs ${exact.length})")
+    assert(exact.nonEmpty, "planted duplicates must produce pairs")
+  }
+
   test("dimension mismatch fails loudly, corrupt vectors never encode") {
     val c = synthCorpus(16, 8)
     val model = Pq.trainPq(c, "vec_id", "e", m = 2, ksub = 8)
