@@ -293,30 +293,34 @@ object Pq {
         round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
-  /** SemDeDup with a QUANTIZED pair scan — PROVABLY the same output as
-    * [[Similarity.semanticDedup]] (same clusters via the shared
-    * assignment, exact cosine states every surviving pair), but the
-    * within-cluster self-join carries (cluster, id, codes BINARY(m),
-    * one error float) instead of full vectors: at dim 256 that's ~32 B
-    * against ~2 KB per row through the quadratic-in-cluster exchange —
-    * the missing piece that makes SemDeDup's pair term storable at
-    * 10^11 vectors.
+  /** SemDeDup with an SDC-prefiltered pair scan — PROVABLY the same
+    * output as [[Similarity.semanticDedup]] (same clusters via the
+    * shared assignment, exact cosine states every surviving pair): the
+    * m-lookup symmetric-distance bound test runs before the dim-width
+    * dot inside the same pipelined self-join, and drops a pair only
+    * when Cauchy–Schwarz (per-row reconstruction-error norms stored at
+    * encode time: |cos − sdc| ≤ ‖e_a‖ + ‖e_b‖ + 3‖e_a‖‖e_b‖) proves
+    * its exact cosine cannot reach `threshold` — no tuned margin,
+    * exactness is data-independent (a fixed margin measured at sf0.01
+    * silently broke at 10×; the bound can't). `extraSlack` only widens
+    * the prefilter. Equality law spec-pinned; the oracle replays the
+    * exact answer at all four audit corpora.
     *
-    * Mechanics: symmetric distance (SDC) — per-subspace
-    * codebook×codebook inner-product tables (m·ksub² doubles, a few MB,
-    * broadcast) score each candidate pair with m table lookups,
-    * estimating cos(a, b) ≈ ⟨rec_a, rec_b⟩. The prefilter keeps a pair
-    * unless it is IMPOSSIBLE for its exact cosine to reach `threshold`:
-    * writing a = rec_a + e_a with per-row reconstruction error norms
-    * stored at encode time, Cauchy–Schwarz gives
-    * |cos − sdc| ≤ ‖e_a‖ + ‖e_b‖ + 3‖e_a‖‖e_b‖, so dropping pairs with
-    * sdc < threshold − that bound can never drop a qualifying pair —
-    * no tuned margin, exactness is data-independent (a fixed margin
-    * measured at one scale silently broke at 10×; the bound can't).
-    * Survivors re-attach vectors (two id-keyed joins, pair volume only)
-    * and exact cosine decides. `extraSlack` only widens the prefilter
-    * further (never needed for correctness). Equality law spec-pinned;
-    * the oracle query replays the exact answer. */
+    * **Measured verdict (PqLab A/B, SCALE.md): prefer the exact
+    * [[Similarity.semanticDedup]] at dim ≤ 256.** Three architectures
+    * were measured; this one (prefilter pipelined in the join) is the
+    * best of them and still trails the exact scan ~2× at every
+    * feasible shape, for two structural reasons worth recording:
+    * (1) Spark's self-join shuffle is LINEAR — the quadratic pair term
+    * never materializes or shuffles, so there is no "payload win" to
+    * collect, only per-pair compute; and (2) ADC's trick does not
+    * transfer to pair scans — a per-QUERY lookup table is m·ksub
+    * entries (L1-resident), but a pair table is m·ksub² entries
+    * (megabytes), and random lookups into L3 lose to a vectorized
+    * ≤256-wide dot. The operator stays because it is correct, bounds
+    * are novel, and super-wide embeddings (dim ≳ 1024, where the dot
+    * outgrows the lookup cost) may yet flip the verdict — measure
+    * before choosing it. */
   def semanticDedupPq(
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, threshold: Double, extraSlack: Double = 0.0d,
@@ -324,7 +328,6 @@ object Pq {
       centroids: Option[Array[Array[Double]]] = None,
       iters: Int = 8, maxSample: Int = 4096): DataFrame = {
     require(extraSlack >= 0.0d, "extraSlack must be non-negative")
-    val spark = corpus.sparkSession
     val model = trainPq(corpus, idCol, vecCol, m, ksub, iters, maxSample)
     // SDC tables: sdc(j)(c1*ksub + c2) = <codebook_j(c1), codebook_j(c2)>
     val sdcFlat: Array[Array[Double]] = Array.tabulate(model.m) { j =>
@@ -343,17 +346,20 @@ object Pq {
       }
       t
     }
-    val bcSdc = spark.sparkContext.broadcast(sdcFlat)
-    val ksubLocal = model.ksub
-    val sdcUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
-      val tables = bcSdc.value
-      var acc = 0.0d; var j = 0
-      while (j < a.length) {
-        acc += tables(j)((a(j) & 0xFF) * ksubLocal + (b(j) & 0xFF))
-        j += 1
-      }
-      acc
+    // flatten to the SdcScore layout: j*ksub^2 + c1*ksub + c2
+    val sdcTables = new Array[Double](model.m * model.ksub * model.ksub)
+    var jj = 0
+    while (jj < model.m) {
+      System.arraycopy(sdcFlat(jj), 0, sdcTables,
+        jj * model.ksub * model.ksub, model.ksub * model.ksub)
+      jj += 1
     }
+    def sdcCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graftshim.ColumnShim.column(
+        graft.plans.SdcScore(
+          org.apache.spark.sql.graftshim.ColumnShim.expression(a),
+          org.apache.spark.sql.graftshim.ColumnShim.expression(b),
+          sdcTables, model.ksub))
     // codes + the row's reconstruction-error NORM (the bound's input),
     // both computed in one pass
     val encErrUdf = udf { (v: Seq[Double]) =>
@@ -368,26 +374,28 @@ object Pq {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", Similarity.l2norm(col("v")))
     val assign = Similarity.clusterAssign(c, k, centroids)
-    // both the code frame and the verify join-backs consume this —
-    // persist via the session registry (released by unpersistAll)
-    val assigned = Dedup.pin(c.join(assign, Seq("id")))
-    val codes = assigned
-      .select(col("cluster"), col("id"), encErrUdf(col("v")).as("ce"))
-      .select(col("cluster"), col("id"),
-        col("ce._1").as("codes"), col("ce._2").as("qerr"))
-    val a = codes.select(col("cluster"), col("id").as("id_a"),
-      col("codes").as("ca"), col("qerr").as("ea"))
-    val b = codes.select(col("cluster"), col("id").as("id_b"),
-      col("codes").as("cb"), col("qerr").as("eb"))
-    // keep unless cos >= threshold is IMPOSSIBLE under the error bound
+    // both sides of the self-join consume this — persist via the
+    // session registry (released by unpersistAll)
+    val assigned = Dedup.pin(c.join(assign, Seq("id"))
+      .withColumn("ce", encErrUdf(col("v")))
+      .select(col("cluster"), col("id"), col("v"), col("nrm"),
+        col("ce._1").as("codes"), col("ce._2").as("qerr")))
+    val a = assigned.select(col("cluster"), col("id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"), col("codes").as("ca"), col("qerr").as("ea"))
+    val b = assigned.select(col("cluster"), col("id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"), col("codes").as("cb"), col("qerr").as("eb"))
+    // keep unless cos >= threshold is IMPOSSIBLE under the error bound;
+    // the two filters stay separate Column predicates so the m-lookup
+    // bound test runs BEFORE the dim-width dot in the generated code —
+    // the whole pair term is pipelined inside the self-join, nothing
+    // quadratic ever materializes or shuffles (the first cut staged a
+    // candidate frame through two id-keyed join-backs, which lost to
+    // the exact scan at EVERY shape measured: pair volume through a
+    // shuffle is the one thing this operator must never create)
     val bound = col("ea") + col("eb") + lit(3.0d) * col("ea") * col("eb") + lit(extraSlack)
-    val candidates = a.join(b, Seq("cluster"))
+    a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
-      .filter(sdcUdf(col("ca"), col("cb")) >= lit(threshold) - bound)
-      .select(col("cluster"), col("id_a"), col("id_b"))
-    val va = assigned.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val vb = assigned.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    candidates.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .filter(sdcCol(col("ca"), col("cb")) >= lit(threshold) - bound)
       .withColumn("cosine",
         Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)

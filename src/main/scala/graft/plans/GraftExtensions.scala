@@ -99,6 +99,19 @@ object GraftExprs {
     math.sqrt(acc)
   }
 
+  /** IVFPQ symmetric-distance score (code vs code): per-subspace
+    * codebook-pair tables, flattened j·ksub² + c1·ksub + c2 — the inner
+    * loop of the quantized SemDeDup pair scan, m lookups per pair. */
+  def sdcScore(a: Array[Byte], b: Array[Byte], tables: Array[Double], ksub: Int): Double = {
+    var acc = 0.0d
+    var j = 0
+    while (j < a.length) {
+      acc += tables(j * ksub * ksub + (a(j) & 0xFF) * ksub + (b(j) & 0xFF))
+      j += 1
+    }
+    acc
+  }
+
   /** IVFPQ asymmetric-distance score: sum the per-subspace lookup-table
     * entries the candidate's one-byte codes select — the inner loop of
     * the PQ candidate scan, m lookups per pair, reading the lut
@@ -238,6 +251,40 @@ case class AdcScore(left: Expression, right: Expression, ksub: Int)
     defineCodeGen(ctx, ev, (a, b) => s"graft.plans.GraftExprs.adcScore($a, $b, $ksub)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): AdcScore =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Beyond-reference: the quantized-SemDeDup SDC inner loop as a native
+  * codegen'd expression — (codesA BINARY, codesB BINARY) → estimated
+  * inner product via m table lookups. The flattened m·ksub² table rides
+  * the plan as a codegen reference object (shipped once per stage in
+  * the task binary — a few MB at ksub=256), so the per-pair hot path is
+  * pure array indexing inside WholeStageCodegen; the previous ScalaUDF
+  * deserialized both byte arrays per PAIR, which made the quantized
+  * scan slower than the exact one it replaces. */
+case class SdcScore(left: Expression, right: Expression,
+    tables: Array[Double], ksub: Int) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sdc_score"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType)
+        if ksub >= 2 && ksub <= 256 && tables.length % (ksub * ksub) == 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, binary) codes, ksub in [2, 256] and a " +
+          s"m*ksub^2 table, got ${left.dataType.simpleString}, " +
+          s"${right.dataType.simpleString}, ksub=$ksub, tables=${tables.length}")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftExprs.sdcScore(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
+      tables, ksub)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sdcTables", tables, "double[]")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.GraftExprs.sdcScore($a, $b, $ref, $ksub)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SdcScore =
     copy(left = newLeft, right = newRight)
 }
 

@@ -20,12 +20,14 @@ object PqLab {
     var synthN = 0L
     var dim = 64
     var noise = 0.25
+    var abOnly = false
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--synth" => synthN = args(i + 1).toLong; i += 2
         case "--dim" => dim = args(i + 1).toInt; i += 2
         case "--noise" => noise = args(i + 1).toDouble; i += 2
+        case "--ab-only" => abOnly = true; i += 1
         case d => sfDir = d; i += 1
       }
     }
@@ -67,7 +69,7 @@ object PqLab {
 
     println("\nIVFPQ grid (nlist=8, full probe isolates the PQ approximation):")
     println("   m ksub refine  codesB  recall  eps-recall@0.01  sec")
-    for (m <- Seq(8, 16, 32); if dim % m == 0 && (m < 32 || dim >= 256);
+    for (m <- Seq(8, 16, 32); if !abOnly && dim % m == 0 && (m < 32 || dim >= 256);
          ksub <- Seq(16, 64, 256); if ksub <= n;
          refine <- Seq(4, 8, 16)) {
       val t0 = System.nanoTime()
@@ -82,11 +84,38 @@ object PqLab {
     }
 
     println("\nIVFPQ pruned probe (the production regime, best grid point):")
-    for (nprobe <- Seq(2, 4, 8)) {
+    for (nprobe <- Seq(2, 4, 8); if !abOnly) {
       val r = recallOf(Pq.ivfPqTopK(q, "vec_id", "e", e, "vec_id", "e",
         k = k, nlist = 8, nprobe = nprobe, m = math.min(16, dim / 4), ksub = 256,
         refine = 8))
       println(f"  nprobe=$nprobe%d: recall=$r%.3f")
+    }
+
+    // SemDeDup pair-scan A/B: the quadratic pair term paid in dim-width
+    // dot products + 2x8·dim bytes of per-pair traffic (exact) vs m
+    // table lookups + 2·m+16 bytes (quantized). The k axis sets cluster
+    // size and therefore pair count — the quantized scan's fixed costs
+    // (train, encode) are linear, so it pays off as pairs/corpus grows.
+    // Identical outputs asserted at every point.
+    println("\nSemDeDup pair-scan A/B (threshold 0.95):")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    for (kc <- Seq(32, 8, 4)) {
+      val (exactPairs, tExact) = timed {
+        Similarity.semanticDedup(e, "vec_id", "e", k = kc, threshold = 0.95).count()
+      }
+      graft.operators.Dedup.unpersistAll(spark)
+      spark.sharedState.cacheManager.clearCache()
+      val (pqPairs, tPq) = timed {
+        Pq.semanticDedupPq(e, "vec_id", "e", k = kc, threshold = 0.95,
+          m = math.min(16, dim / 4), ksub = math.min(256, n.toInt)).count()
+      }
+      graft.operators.Dedup.unpersistAll(spark)
+      spark.sharedState.cacheManager.clearCache()
+      println(f"  k=$kc%2d (~${n / kc} per cluster): exact $tExact%6.1f s, " +
+        f"quantized $tPq%6.1f s ($exactPairs pairs)")
+      assert(pqPairs == exactPairs, s"A/B outputs diverged: $pqPairs vs $exactPairs")
     }
     spark.stop()
   }
