@@ -376,6 +376,33 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(once === again)
   }
 
+  test("temperature sample: kept mass tracks targetFrac across shapes (mass law)") {
+    val s = spark
+    import s.implicits._
+    // three corpora with different skew shapes; expected kept mass is
+    // the operator's own contract: per source min(n_s, q_s·frac·N) with
+    // q_s = n_s^alpha / Σ n^alpha (the cap binds when a small source
+    // can't up-sample past itself — e.g. 9000/500/500 at frac 0.6)
+    val shapes = Seq(
+      Seq(6000, 3000, 1000),
+      Seq(9000, 500, 500),
+      Seq(4000, 3000, 2000, 1000))
+    for (sizes <- shapes; alpha <- Seq(0.5, 0.7); frac <- Seq(0.3, 0.6)) {
+      var off = 0L
+      val rows = sizes.zipWithIndex.flatMap { case (nS, si) =>
+        val r = (off until off + nS).map(i => (i, s"s$si")); off += nS; r
+      }
+      val df = rows.toDF("id", "src")
+      val n = rows.size
+      val z = sizes.map(math.pow(_, alpha)).sum
+      val expected = sizes.map(nS =>
+        math.min(nS.toDouble, math.pow(nS, alpha) / z * frac * n)).sum
+      val kept = Curation.temperatureSample(df, "id", "src", alpha, frac).count()
+      assert(math.abs(kept - expected) < 0.04 * n,
+        s"sizes=$sizes alpha=$alpha frac=$frac: kept $kept, expected ~$expected")
+    }
+  }
+
   test("weighted sample: weight 0 drops all, 1 keeps all, rates scale") {
     val s = spark
     import s.implicits._
