@@ -786,6 +786,18 @@ object SparkEntry {
     "ngram_counts" -> ((s, dir) =>
       Curation.ngramStats(t(s, dir, "documents"), "text", k = 3, topK = 20)),
 
+    "decontam_report" -> ((s, dir) => {
+      // Per-benchmark attribution: three synthetic "benchmarks" carved
+      // from every 10th document's word slice (same planted-contamination
+      // recipe as `decontaminate`), named by doc_id div 10 mod 3 — the
+      // report a pretraining hygiene pass publishes per eval suite.
+      val d = t(s, dir, "documents")
+      val benches = d.filter(col("doc_id") % 10 === 0)
+        .select(concat(lit("bench_"), expr("doc_id div 10 % 3")).as("bench"),
+          array_join(slice(split(col("text"), "\\s+"), 10, 15), " ").as("qtext"))
+      Curation.contaminationReport(d, "doc_id", "text", benches, "bench", "qtext", k = 5)
+    }),
+
     "decontaminate" -> ((s, dir) => {
       // Planted contamination: the "benchmark" is a 15-word slice (words
       // 10..24) of every 10th document — deterministic, so the DuckDB
@@ -2055,6 +2067,27 @@ object SparkEntry {
          SELECT gram, count(*) AS df
          FROM (SELECT unnest(g) AS gram FROM sh)
          GROUP BY gram ORDER BY df DESC, gram LIMIT 20""",
+
+    "decontam_report" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+              cg AS (SELECT doc_id, unnest(
+                       CASE WHEN len(w) >= 5
+                            THEN list_distinct(list_transform(range(1, len(w) - 3),
+                                                              i -> array_to_string(w[i:i+4], ' ')))
+                            ELSE [] END) AS g
+                     FROM w),
+              bw AS (SELECT 'bench_' || CAST((doc_id // 10) % 3 AS VARCHAR) AS bench,
+                            (string_split_regex(text, '\s+'))[10:24] AS bw
+                     FROM documents WHERE doc_id % 10 = 0),
+              bg AS (SELECT DISTINCT bench, unnest(
+                       CASE WHEN len(bw) >= 5
+                            THEN list_transform(range(1, len(bw) - 3),
+                                                i -> array_to_string(bw[i:i+4], ' '))
+                            ELSE [] END) AS g
+                     FROM bw)
+         SELECT bench, count(DISTINCT doc_id) AS docs_hit,
+                count(DISTINCT g) AS grams_hit, count(*) AS n_hits
+         FROM cg JOIN bg USING (g) GROUP BY bench""",
 
     "decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),

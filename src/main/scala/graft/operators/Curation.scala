@@ -312,6 +312,33 @@ object Curation {
       .agg(count(lit(1)).as("n_shared")) // corpus grams are per-doc distinct
   }
 
+  /** Multi-benchmark contamination report — the per-benchmark
+    * attribution a pretraining hygiene pass publishes (contamination vs
+    * each eval suite separately, not one pooled number): for every
+    * benchmark name, how many corpus documents share at least one word
+    * k-gram with it, how many distinct benchmark grams were hit, and
+    * the total hit volume. Same scale shape as [[decontaminate]]:
+    * benchmark gram sets are small by nature and BROADCAST as 64-bit
+    * hashes tagged with their bench name; the corpus never shuffles for
+    * the probe, and the per-bench aggregate keys on a tiny name space.
+    * Returns (bench, docs_hit, grams_hit, n_hits). */
+  def contaminationReport(
+      corpus: DataFrame, idCol: String, textCol: String,
+      benches: DataFrame, benchNameCol: String, benchTextCol: String,
+      k: Int = 5): DataFrame = {
+    val grams = Dedup.shingleHashUdf(k)
+    val corpusGrams = Dedup.spread(corpus)
+      .select(col(idCol).as("id"), explode(grams(col(textCol))).as("g"))
+    val benchGrams = benches
+      .select(col(benchNameCol).as("bench"), explode(grams(col(benchTextCol))).as("g"))
+      .distinct()
+    corpusGrams.join(broadcast(benchGrams), Seq("g"))
+      .groupBy("bench")
+      .agg(countDistinct(col("id")).as("docs_hit"),
+        countDistinct(col("g")).as("grams_hit"),
+        count(lit(1)).as("n_hits"))
+  }
+
   /** Corpus-wide n-gram document frequency: top `topK` word k-grams by
     * number of documents containing them (ties broken by gram). The
     * stats/contamination-analysis twin of the dedup shingle machinery —

@@ -376,6 +376,29 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(once === again)
   }
 
+  test("contamination report: per-benchmark attribution, hand-computed") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),      // hits bench A (2 grams)
+      (2L, "alpha beta gamma delta epsilon other"),     // hits bench A (1 gram)
+      (3L, "one two three four five six seven"),        // hits bench B
+      (4L, "nothing shared here at all today friend")   // clean
+    ).toDF("doc_id", "text")
+    val benches = Seq(
+      ("A", "alpha beta gamma delta epsilon zeta"),
+      ("B", "zero one two three four five six")
+    ).toDF("bench", "qtext")
+    val out = Curation.contaminationReport(docs, "doc_id", "text",
+        benches, "bench", "qtext", k = 5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // bench A: docs 1 (grams "a b g d e","b g d e z") and 2 ("a b g d e")
+    assert(out("A") === ((2L, 2L, 3L)), s"A was ${out("A")}")
+    // bench B: doc 3 shares "one two three four five" and "two three four five six"
+    assert(out("B") === ((1L, 2L, 2L)), s"B was ${out("B")}")
+    assert(out.size === 2, "clean docs and unmatched benches produce no rows")
+  }
+
   test("temperature sample: kept mass tracks targetFrac across shapes (mass law)") {
     val s = spark
     import s.implicits._
