@@ -70,6 +70,35 @@ class StreamingScrubSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byId(4L)._3 === 0L && byId(5L)._3 === 0L)
   }
 
+  test("scrubOne equals a naive set-based model on random multibyte corpora") {
+    // independent oracle: brute-force covered-index set, no interval
+    // bookkeeping — catches off-by-ones in the filledTo fast path.
+    def naive(text: String, grams: Set[String], k: Int): (String, Long) = {
+      val cps = text.codePoints.toArray
+      val covered = scala.collection.mutable.Set[Int]()
+      for (i <- 0 to cps.length - k; if grams.contains(new String(cps, i, k)))
+        (i until i + k).foreach(covered += _)
+      val sb = new java.lang.StringBuilder
+      cps.indices.filterNot(covered).foreach(j => sb.appendCodePoint(cps(j)))
+      (sb.toString, covered.size.toLong)
+    }
+    // small alphabet (repeats guaranteed) incl. an astral-plane char so
+    // code-point arithmetic is exercised, not just BMP chars
+    val alphabet = Array("a", "b", "c", " ", "é", new String(Character.toChars(0x1D11E)))
+    val rnd = new scala.util.Random(42)
+    def randText(n: Int): String =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    for (trial <- 0 until 200) {
+      val k = 2 + rnd.nextInt(4)
+      val text = randText(rnd.nextInt(40))
+      val gramSource = randText(30)
+      val grams = StreamingScrub.windowsOf(gramSource, k).toSet
+      val got = StreamingScrub.scrubOne(text, grams, k)
+      val want = naive(text, grams, k)
+      assert(got === want, s"trial $trial k=$k text='$text'")
+    }
+  }
+
   test("batch fast-path: same operator on a batch frame, zero shuffle plan") {
     val s = spark
     import s.implicits._
