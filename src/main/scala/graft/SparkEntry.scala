@@ -764,6 +764,21 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
 
+    "image_neardup" -> ((s, dir) => {
+      // Real-decode image near-dup: 50 deterministic test-card classes
+      // synthesized in-plan (PNG encode -> imageio decode -> dHash ->
+      // banded Hamming join); members of a class render at two
+      // resolutions, so every class yields cross-resolution near-dup
+      // pairs through the REAL pixel path. Rows-only (pixel decode is
+      // not SQL); hash laws + the A/B in ImageDHashSpec.
+      val render = udf { (id: Long) =>
+        Multimodal.renderTestCard((id % 50).toInt, if ((id / 50) % 2 == 0) 1 else 3)
+      }
+      val d = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), render(col("doc_id")).as("img"))
+      Multimodal.imageNearDups(d, "doc_id", "img", maxHamming = 4)
+    }),
+
     "multimodal_meta" -> ((s, dir) =>
       // Binary-column plumbing: payload + size; decode itself is stubbed
       // (see graft.operators.Multimodal).

@@ -219,6 +219,98 @@ object Multimodal {
       .withColumn("payload_size", octet_length(col("media.bytes")))
   }
 
+  /** Deterministic synthetic image fixture: an 8×8 block pattern drawn
+    * from the bits of a mixed `cls`, rendered at `16·scale` square and
+    * PNG-encoded. The driver testdata has no image column, so the
+    * image_neardup query synthesizes its corpus in-plan with this —
+    * same class ⇒ the same picture (near-identical dHash across
+    * scales), different class ⇒ a different random-looking pattern
+    * (~32 expected dHash bits apart). */
+  def renderTestCard(cls: Int, scale: Int): Array[Byte] = {
+    var x0 = cls.toLong + 0x9E3779B97F4A7C15L
+    x0 = (x0 ^ (x0 >>> 30)) * 0xBF58476D1CE4E5B9L
+    x0 = (x0 ^ (x0 >>> 27)) * 0x94D049BB133111EBL
+    val bits = x0 ^ (x0 >>> 31)
+    val wh = 16 * scale
+    val img = new java.awt.image.BufferedImage(wh, wh,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < wh) {
+      var x = 0
+      while (x < wh) {
+        val b = (y * 8 / wh) * 8 + (x * 8 / wh)
+        val v = if (((bits >>> b) & 1L) == 1L) 230 else 25
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Perceptual difference-hash (dHash, 64-bit): bilinear-resize the
+    * decoded image to 9×8 grayscale and emit the horizontal luminance
+    * gradient's sign bits — the standard cheap near-duplicate image
+    * fingerprint (robust to re-encode, resize, mild color shifts; a
+    * flipped/cropped image is a different hash by design). None for
+    * payloads the JDK cannot decode. */
+  def dHash(bytes: Array[Byte]): Option[Long] =
+    decodeImage(bytes).map { img =>
+      val dst = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 9, 8, null)
+      g.dispose()
+      def lum(x: Int, y: Int): Double = {
+        val rgb = dst.getRGB(x, y)
+        0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+      }
+      var bits = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (lum(x, y) > lum(x + 1, y)) bits |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      bits
+    }
+
+  /** Near-duplicate images by dHash Hamming distance ≤ `maxHamming`,
+    * without an all-pairs scan: the 64-bit hash splits into 8 one-byte
+    * bands; by pigeonhole, two hashes within Hamming 7 share at least
+    * one exact band, so candidates come from band-bucket equi-joins on
+    * id-width rows (the SimHash recipe, [[Dedup]]) and popcount
+    * verifies exactly. Undecodable payloads drop out up front. Returns
+    * (id_a, id_b, hamming). Scale: the only shuffle keys on (band,
+    * bucket) — bucket skew means many literally-similar images, which
+    * is the signal itself, and the band value is one byte. */
+  def imageNearDups(df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 4): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming must be in [0, 7] (8 one-byte bands guarantee recall there), got $maxHamming")
+    val hashUdf = udf { (b: Array[Byte]) => dHash(b) }
+    val hashed = df.select(col(idCol).as("id"), hashUdf(col(binCol)).as("h"))
+      .filter(col("h").isNotNull)
+    val banded = hashed.select(col("id"), col("h"),
+      explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("bucket", expr("shiftright(h, band * 8) & 255"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("h").as("ha"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("h").as("hb"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+  }
+
   /** Frame sampling contract for video payloads: every `stride`-th frame
     * index up to `maxFrames` — index plumbing is real; frame extraction
     * is the same stub boundary. */
