@@ -34,6 +34,12 @@ def main():
     # able to STATE the answer even when it needs more than RAM to do so.
     con.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
     con.sql("SET max_temp_directory_size='40GiB'")
+    # Cap the memory budget well under physical RAM: DuckDB sizes its
+    # default limit off total memory at startup, so a replay racing a
+    # Spark JVM for the same RAM dies with "failed to allocate" instead
+    # of spilling (seen on the 10x pair SQL). A fixed cap makes it plan
+    # out-of-core from the start; results are identical either way.
+    con.sql("SET memory_limit='40GiB'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     fails = 0
