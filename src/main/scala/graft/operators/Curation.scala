@@ -24,7 +24,26 @@ object Curation {
     * seeded RNG so samples are reproducible across engines AND across
     * reruns — the property that matters for dataset lineage. */
   def mixKey(key: Column): Column =
-    pmod(key * lit(2654435761L), lit(4294967296L))
+    pmod(guardEnvelope(key) * lit(2654435761L), lit(4294967296L))
+
+  /** Largest pre-mix value whose multiply by 2654435761 stays inside
+    * BIGINT: floor(Long.MaxValue / 2654435761) = 3474748124. */
+  private[operators] val MixEnvelopeMax: Long =
+    Long.MaxValue / 2654435761L
+
+  /** Enforce the documented overflow-free envelope IN-PLAN: a pre-mix
+    * value outside [0, ~3.47e9] would silently wrap on the multiply,
+    * diverge from any ANSI oracle, and degrade permutation quality —
+    * so fail loudly instead (one codegen'd compare per row; values
+    * inside the envelope are passed through bit-identical, so every
+    * oracle replay is unchanged). Huge id spaces should be pre-folded
+    * with a modulus, per the [[mixKey]] scaladoc. */
+  private def guardEnvelope(preMix: Column): Column =
+    when(preMix >= 0L && preMix <= MixEnvelopeMax, preMix)
+      .otherwise(raise_error(concat(
+        lit("mixKey: pre-mix value "), preMix.cast("string"),
+        lit(s" outside the overflow-free envelope [0, $MixEnvelopeMax]; " +
+          "pre-fold huge id spaces with a modulus (see mixKey scaladoc)"))))
 
   /** Deterministic fraction sample: keep rows whose mixed key falls below
     * the fraction threshold. Scale: a pure filter — no shuffle, pushes
@@ -120,9 +139,12 @@ object Curation {
     * but fully deterministic permutation. Same SQL-replicable arithmetic
     * and the same overflow-free envelope: (key + seed·1000003) must stay
     * under ~3.4e9 — epochs are small integers and huge id spaces should
-    * be pre-folded, as with [[mixKey]]. */
+    * be pre-folded, as with [[mixKey]]. The envelope is now ENFORCED
+    * in-plan (not just documented): a violating row raises instead of
+    * silently wrapping and diverging from the oracle. */
   def mixKeySeeded(key: Column, seed: Long): Column =
-    pmod((key + lit(seed * 1000003L)) * lit(2654435761L), lit(4294967296L))
+    pmod(guardEnvelope(key + lit(seed * 1000003L)) * lit(2654435761L),
+      lit(4294967296L))
 
   /** Per-epoch deterministic reshuffle: [[shardAssign]]'s (shard, pos)
     * training order, re-drawn under a per-epoch seed — "reshuffle the

@@ -700,11 +700,26 @@ object Dedup {
     * otherwise quietly keep duplicates.
     *
     * Scale: each round is three shuffles on (node, label); lineage is cut
-    * with localCheckpoint every round so long plans never build up.
+    * with a checkpoint every round so long plans never build up. The
+    * DEFAULT cut is `localCheckpoint` — fastest, but its blocks live on
+    * executors and die with them, so on a real multi-executor cluster a
+    * lost executor fails the job mid-iteration. Pass `checkpointDir`
+    * (HDFS/S3 path) to cut lineage with a RELIABLE checkpoint instead:
+    * each round's labels are written to fault-tolerant storage, so the
+    * iteration survives executor loss at the cost of one write+read of
+    * an (id, component) table per round — id-width rows, cheap relative
+    * to the round's three shuffles. Flip it for any run long enough
+    * that losing an executor is expected (i.e. every real 100 TB run);
+    * keep the default for local/short jobs. NOTE: Spark's checkpoint
+    * dir is per-SparkContext, so this sets the session-wide dir.
     *
     * Input: (id_a, id_b) pairs. Output: (id, component) for every id
     * that appears in any pair; component = min id reachable. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // Both edge directions from ONE scan of `pairs`: a union of two
     // selects would execute the (expensive, possibly unpersisted) pair
     // pipeline twice before this cache populates.
@@ -735,10 +750,9 @@ object Dedup {
       // chain graphs from one hop per round into doubling reach per round.
       val shortcut = propagated
         .select(col("id").as("l_id"), col("component").as("l_comp"))
-      val next = propagated.join(shortcut, propagated("component") === col("l_id"), "left")
+      val next = cut(propagated.join(shortcut, propagated("component") === col("l_id"), "left")
         .select(col("id"), col("old"),
-          least(col("component"), coalesce(col("l_comp"), col("component"))).as("component"))
-        .localCheckpoint()
+          least(col("component"), coalesce(col("l_comp"), col("component"))).as("component")))
       val changed = next.filter(col("component") =!= col("old")).limit(1).count()
       labels = next.drop("old")
       converged = changed == 0
@@ -753,8 +767,9 @@ object Dedup {
 
   /** Survivors after near-dup removal: every id in `df` minus non-minimal
     * members of each near-dup component. */
-  def keepOnePerComponent(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val drop = connectedComponents(pairs)
+  def keepOnePerComponent(df: DataFrame, idCol: String, pairs: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val drop = connectedComponents(pairs, checkpointDir = checkpointDir)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     df.join(drop, Seq(idCol), "left_anti")
@@ -765,26 +780,35 @@ object Dedup {
     * verifies. See [[Similarity]] for the shared plumbing.
     *
     * `planes`/`bands` set the bucket geometry, and they are the SCALE
-    * knob: bits per band = planes/bands, so the default 16×4 (4 bits, 16
-    * buckets per band) is right for small or sparse corpora but
-    * concentrates dense corpora into huge buckets — the candidate join is
-    * quadratic IN THE BUCKET, and each candidate pair carries two
-    * dim-width vectors through the exchange (measured: 20 K clustered
-    * 256-wide vectors under 16×4 ran 12+ minutes and died; 64×8 — 8 bits,
-    * 256 buckets per band, ~0.99 expected recall at 0.95 cosine — runs in
-    * seconds, see SCALE.md r10). Rule of thumb: pick planes/bands so
-    * 2^(planes/bands) ≫ corpus_size / tolerable_bucket_size, then add
-    * bands to recover recall (P(hit) = 1-(1-0.9^bits)^bands at 0.95
-    * cosine). */
+    * knob: bits per band = planes/bands. Few bits concentrate dense
+    * corpora into huge buckets — the candidate join is quadratic IN THE
+    * BUCKET, and each candidate pair carries two dim-width vectors
+    * through the exchange (measured: 20 K clustered 256-wide vectors
+    * under the old 16×4 default — 4 bits, 16 buckets per band — ran 12+
+    * minutes and died; 64×8 — 8 bits, 256 buckets per band, ~0.99
+    * expected recall at 0.95 cosine — runs in seconds, see SCALE.md
+    * r10). That measured foot-gun is why the DEFAULT (`planes = bands =
+    * 0`) now derives geometry from one cheap corpus count
+    * ([[Similarity.autoLshGeometry]]): bits grow until expected bucket
+    * size is bounded (2^bits · 128 ≥ n), bands recover recall at the
+    * given `cosineThreshold`. Explicit values keep full manual control;
+    * the rule of thumb is 2^(planes/bands) ≫ corpus_size /
+    * tolerable_bucket_size, then add bands to recover recall
+    * (P(hit) = 1-(1-s^bits)^bands, s = 1-acos(threshold)/π). */
   def embeddingNearDups(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       dim: Int,
       cosineThreshold: Double = 0.95,
-      planes: Int = 16,
-      bands: Int = 4): DataFrame = {
-    val banded = Similarity.hyperplaneBuckets(df, idCol, vecCol, dim, planes, bands)
+      planes: Int = 0,
+      bands: Int = 0): DataFrame = {
+    require((planes == 0) == (bands == 0),
+      "pass both planes and bands explicitly, or neither (auto geometry)")
+    val (p, b) =
+      if (planes == 0) Similarity.autoLshGeometry(df.count(), cosineThreshold)
+      else (planes, bands)
+    val banded = Similarity.hyperplaneBuckets(df, idCol, vecCol, dim, p, b)
     // The bucket self-join moves ID-WIDTH rows only (column pruning drops
     // the vector before the per-band explode), and pairs dedupe BEFORE
     // vectors attach — so a pair colliding in all `bands` bands costs one

@@ -92,15 +92,37 @@ object Multimodal {
     None
   }
 
+  /** REAL frame count for GIF payloads via the JDK's imageio reader —
+    * `getNumImages(true)` walks every image block in the stream (cost
+    * bounded by payload size, no pixel decode of later frames kept in
+    * memory). None for non-GIF or undecodable payloads. */
+  def gifFrameCount(b: Array[Byte]): Option[Int] = {
+    if (sniffFormat(b) != "gif") return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          r.setInput(iis)
+          try Some(r.getNumImages(true)) finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+  }
+
   /** Wrap a binary column into the media contract. Format, image
-    * dimensions and WAV audio parameters are extracted for real from
-    * container headers; `n_frames` needs a demuxer and stays at the stub
+    * dimensions, WAV audio parameters and GIF frame counts are extracted
+    * for real (container headers + imageio stream walk); `n_frames` for
+    * video containers still needs a demuxer and stays at the stub
     * boundary. */
   def asMedia(df: DataFrame, binCol: String): DataFrame = {
     val meta = udf { (b: Array[Byte]) =>
       val dims = imageDims(b)
       val audio = wavAudio(b)
-      (sniffFormat(b), dims.map(_._1), dims.map(_._2), None: Option[Int],
+      (sniffFormat(b), dims.map(_._1), dims.map(_._2), gifFrameCount(b),
         audio.map(_._1), audio.map(_._2))
     }
     df.withColumn("_m", meta(col(binCol)))
@@ -182,14 +204,79 @@ object Multimodal {
     df.withColumn("thumbnail", rz(col("media.bytes")))
   }
 
-  /** ====== STUB (audio/video only, since r10) ======
+  /** REAL audio sample decode for WAV payloads, pure JDK
+    * (javax.sound.sampled): whatever PCM-convertible encoding the WAV
+    * carries is converted to 16-bit signed PCM, channels are mono-mixed,
+    * and samples come back normalized to [-1, 1]. None for non-WAV or
+    * undecodable payloads (a corrupt stream degrades to the stub path,
+    * never kills the task). */
+  def decodeWavSamples(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (bytes == null || wavAudio(bytes).isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          fmt.getSampleRate, 16, fmt.getChannels, true, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        var n = pcm.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = pcm.read(tmp) }
+        val b = buf.toByteArray
+        val ch = math.max(1, target.getChannels)
+        val nFrames = b.length / (2 * ch)
+        val out = new Array[Float](nFrames)
+        var i = 0
+        while (i < nFrames) {
+          var acc = 0.0f
+          var c = 0
+          while (c < ch) {
+            val o = (i * ch + c) * 2
+            // little-endian signed 16-bit
+            acc += (((b(o) & 0xff) | (b(o + 1) << 8)).toShort) / 32768.0f
+            c += 1
+          }
+          out(i) = acc / ch
+          i += 1
+        }
+        Some(out)
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Audio features from decoded samples: RMS energy envelope over
+    * `featureDim` equal-width time windows, L1-normalized — the audio
+    * twin of [[imageFeatures]]: deterministic, duration-independent,
+    * comparable across clips, which is what downstream similarity joins
+    * need. */
+  def audioFeatures(samples: Array[Float], featureDim: Int): Array[Float] = {
+    val out = new Array[Float](featureDim)
+    val n = samples.length
+    if (n == 0) return out
+    var i = 0
+    while (i < n) {
+      val bin = math.min(featureDim - 1, (i.toLong * featureDim / n).toInt)
+      out(bin) += samples(i) * samples(i)
+      i += 1
+    }
+    var s = 0.0f
+    var j = 0
+    while (j < featureDim) { out(j) = math.sqrt(out(j)).toFloat; s += out(j); j += 1 }
+    if (s > 0) { j = 0; while (j < featureDim) { out(j) /= s; j += 1 } }
+    out
+  }
+
+  /** ====== STUB (video only, since r11) ======
     * Deterministic fake "decode + feature extraction" for payloads the
-    * JDK cannot decode (audio samples, video frames — those need ffmpeg-
-    * class codecs this container doesn't have). The fake derives a
+    * JDK cannot decode (video frames, compressed audio — those need
+    * ffmpeg-class codecs this container doesn't have). The fake derives a
     * fixed-length feature vector from a rolling hash of the payload so the
     * pipeline (schema, batching, partition parallelism, downstream
-    * similarity joins) is fully exercisable and reproducible. Images no
-    * longer hit this path — [[decodeImage]]/[[imageFeatures]] are real. */
+    * similarity joins) is fully exercisable and reproducible. Images
+    * ([[decodeImage]]/[[imageFeatures]]) and WAV audio
+    * ([[decodeWavSamples]]/[[audioFeatures]]) no longer hit this path. */
   def decodeStub(bytes: Array[Byte], featureDim: Int): Array[Float] = {
     val out = new Array[Float](featureDim)
     if (bytes == null) return out
@@ -206,13 +293,18 @@ object Multimodal {
   /** Batch feature extraction over the media column: runs per-partition,
     * constant memory, parallel across the cluster. Image payloads
     * (PNG/JPEG/GIF) decode for REAL via javax.imageio and yield a
-    * luminance histogram; everything else (audio/video) falls back to the
-    * deterministic stub until a real demuxer is wired in. */
+    * luminance histogram; WAV audio decodes for REAL via
+    * javax.sound.sampled and yields an RMS energy envelope; everything
+    * else (video, compressed audio) falls back to the deterministic stub
+    * until a real demuxer is wired in. */
   def extractFeatures(df: DataFrame, featureDim: Int = 16): DataFrame = {
     val extract = udf { (b: Array[Byte]) =>
       decodeImage(b) match {
         case Some(img) => imageFeatures(img, featureDim)
-        case None => decodeStub(b, featureDim)
+        case None => decodeWavSamples(b) match {
+          case Some(samples) => audioFeatures(samples, featureDim)
+          case None => decodeStub(b, featureDim)
+        }
       }
     }
     df.withColumn("features", extract(col("media.bytes")))

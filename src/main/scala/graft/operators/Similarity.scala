@@ -51,6 +51,34 @@ object Similarity {
       (java.lang.Math.floorMod(h, 1000000L).toDouble / 500000.0d) - 1.0d
     }
 
+  /** Scale-safe LSH geometry derived from corpus size and the working
+    * cosine level — the guard against the measured 16×4 foot-gun (20 K
+    * clustered 256-wide vectors under 4-bit bands ran 12+ minutes and
+    * died; see SCALE.md r10 and [[Dedup.embeddingNearDups]]).
+    *
+    * Bits per band grow until `2^bits · targetBucket ≥ n` (the bucket
+    * self-join is quadratic IN THE BUCKET, so expected bucket size is
+    * the thing to bound); bands then recover recall at the given cosine
+    * via the standard random-hyperplane collision model
+    * (`P(bit match) = 1 − acos(cos)/π`, `P(hit) = 1−(1−s^bits)^bands`).
+    * Both knobs are capped — bits ≤ 24 (signature cost is
+    * `bits·bands·dim` multiply-adds per row, linear but real) and
+    * bands ≤ 32 (past that, recall at a loose threshold is better
+    * bought with an exact or IVF scan) — so extreme inputs degrade
+    * recall gracefully instead of exploding cost. Deterministic:
+    * same (n, cosine) → same geometry on every engine and rerun. */
+  def autoLshGeometry(n: Long, cosine: Double, targetBucket: Long = 128L,
+      recallTarget: Double = 0.95d): (Int, Int) = {
+    require(n >= 0, "corpus size must be non-negative")
+    var bits = 4
+    while (bits < 24 && (1L << bits).toDouble * targetBucket < n.toDouble) bits += 1
+    val s = 1.0d - math.acos(math.min(0.9999d, math.max(-1.0d, cosine))) / math.Pi
+    val pBand = math.pow(s, bits)
+    val bands = math.max(2, math.min(32,
+      math.ceil(math.log1p(-recallTarget) / math.log1p(-pBand)).toInt))
+    (bits * bands, bands)
+  }
+
   /** Sign-bit signature under `planes` hyperplanes, sliced into `bands`
     * bucket keys. Output: (id, v, nrm, band, bucket) — one row per band.
     *
@@ -320,11 +348,29 @@ object Similarity {
     * hyperplane band with the query; exact cosine re-ranks candidates.
     * The 100 TB path: corpus is bucketed once (write-side, reusable),
     * each query probes only its own buckets — no cross join, the shuffle
-    * is on uniform hash buckets. Recall tunes with planes/bands. */
+    * is on uniform hash buckets. Recall tunes with planes/bands.
+    *
+    * Geometry default: `planes = bands = 0` derives a scale-safe
+    * geometry from one cheap corpus count ([[autoLshGeometry]] at an
+    * assumed working cosine of 0.9 — the close-neighbor regime ANN is
+    * for). Pass both explicitly to tune (the AnnRecallSpec floors pin
+    * two explicit geometries at dims 64 and 256). */
   def lshTopK(
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
-      dim: Int, k: Int, planes: Int = 16, bands: Int = 4): DataFrame = {
+      dim: Int, k: Int, planes: Int = 0, bands: Int = 0): DataFrame = {
+    require((planes == 0) == (bands == 0),
+      "pass both planes and bands explicitly, or neither (auto geometry)")
+    val (p, b) =
+      if (planes == 0) autoLshGeometry(corpus.count(), cosine = 0.9d)
+      else (planes, bands)
+    lshTopKWith(queries, qId, qVec, corpus, cId, cVec, dim, k, p, b)
+  }
+
+  private def lshTopKWith(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      dim: Int, k: Int, planes: Int, bands: Int): DataFrame = {
     val qb = hyperplaneBuckets(queries, qId, qVec, dim, planes, bands)
       .select(col("band"), col("bucket"), col("id").as("query_id"),
         col("v").as("qv"), col("nrm").as("qn"))

@@ -119,6 +119,14 @@ object GraftExprs {
     * table to a Scala Seq per CANDIDATE ROW). Same fold order as the
     * UDF: bit-equal doubles. */
   def adcScore(codes: Array[Byte], lut: ArrayData, ksub: Int): Double = {
+    // adc_score is a user-facing SQL function: a lut shorter than m·ksub
+    // would otherwise read out-of-bounds UnsafeArrayData silently (asserts
+    // are off in production JVMs) and return garbage scores. One compare
+    // per row, hoisted out of the m-lookup loop.
+    if (lut.numElements() < codes.length * ksub)
+      throw new IllegalArgumentException(
+        s"adc_score: lookup table has ${lut.numElements()} entries but " +
+          s"codes need ${codes.length} * ksub=$ksub = ${codes.length * ksub}")
     var acc = 0.0d
     var j = 0
     while (j < codes.length) {

@@ -69,10 +69,33 @@ object StreamingScrub {
     *                     operator); its distinct k-grams are collected
     *                     once at plan-build time and broadcast
     * @param k            window length in code points
+    * @param maxBenchGrams guard on the driver-side gram set: the bench's
+    *                     window count (upper-bounded by a cheap aggregate
+    *                     before any collect) must stay under this, else
+    *                     fail loudly instead of OOMing the driver. The
+    *                     default (~8M grams ≈ 1–2 GiB of boxed strings at
+    *                     k=40) fits a standard driver heap; benches beyond
+    *                     it belong in the batch operator
+    *                     [[graft.operators.Curation.scrubSpans]], whose
+    *                     hashed/non-broadcast path never materializes the
+    *                     gram set in one JVM.
     * Returns (idCol, clean_text, n_removed) per incoming document. */
   def scrubStream(docs: DataFrame, idCol: String, textCol: String,
-      bench: DataFrame, benchTextCol: String, k: Int = 40): DataFrame = {
+      bench: DataFrame, benchTextCol: String, k: Int = 40,
+      maxBenchGrams: Long = 8000000L): DataFrame = {
     require(k >= 2, "window length k must be >= 2")
+    // UTF-16 length upper-bounds the code-point count, so
+    // sum(max(length - (k-1), 0)) upper-bounds the gram count — one cheap
+    // aggregate over the (small-by-contract) bench before we collect it.
+    val gramBound = bench
+      .select(sum(greatest(length(col(benchTextCol)) - (k - 1), lit(0))).as("g"))
+      .collect()(0) match { case r if r.isNullAt(0) => 0L case r => r.getLong(0) }
+    require(gramBound <= maxBenchGrams,
+      s"bench has up to $gramBound k-grams (> maxBenchGrams=$maxBenchGrams); " +
+        "collecting them would risk an un-guarded driver OOM. Use " +
+        "graft.operators.Curation.scrubSpans (hashed, non-broadcast) for " +
+        "benches that do not fit in driver memory, or raise maxBenchGrams " +
+        "explicitly if the driver heap allows it.")
     val grams: Set[String] = bench.select(col(benchTextCol)).collect()
       .iterator.flatMap(r => windowsOf(r.getString(0), k)).toSet
     val bc = docs.sparkSession.sparkContext.broadcast(grams)

@@ -408,6 +408,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(comps.forall(_._2 === 0L), "chain split into multiple components")
   }
 
+  test("connected components: reliable checkpoint path writes to the dir, same answer") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(chain, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comps.length === 51 && comps.forall(_._2 === 0L))
+    // the lineage cuts must actually have landed in fault-tolerant
+    // storage (that is the entire point of the option)
+    def rddFiles(p: java.io.File): Seq[java.io.File] =
+      Option(p.listFiles).toSeq.flatten.flatMap(f =>
+        if (f.isDirectory) rddFiles(f) else Seq(f))
+    assert(rddFiles(new java.io.File(dir)).nonEmpty,
+      s"no reliable checkpoint files under $dir")
+  }
+
   test("connected components: non-convergence throws, never splits silently") {
     val s = spark
     import s.implicits._
@@ -510,6 +527,75 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = Multimodal.extractFeatures(media, featureDim = 4).collect()
     assert(feats.map(fvec).toSeq === again.map(fvec).toSeq)
     assert(feats.map(_.getAs[Int]("payload_size")).toSet === Set(11, 6))
+  }
+
+  test("multimodal: REAL WAV decode (javax.sound.sampled) — known-answer envelope, mono mix") {
+    val s = spark
+    import s.implicits._
+    def wavPcm(samples: Array[Short], rate: Int, ch: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1); bb.putShort(ch.toShort); bb.putInt(rate)
+      bb.putInt(rate * ch * 2); bb.putShort((ch * 2).toShort); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    // loud first half (amplitude 0.5), silent second half -> RMS envelope
+    // concentrates all mass in the first two of four windows
+    val loudThenSilent = Array.tabulate[Short](800)(i =>
+      if (i < 400) 16384 else 0)
+    val wav = wavPcm(loudThenSilent, 8000, 1)
+    val samples = Multimodal.decodeWavSamples(wav)
+    assert(samples.isDefined && samples.get.length === 800)
+    assert(math.abs(samples.get(0) - 0.5f) < 1e-3f && samples.get(799) === 0.0f)
+    val env = Multimodal.audioFeatures(samples.get, 4)
+    assert(math.abs(env(0) - 0.5f) < 1e-3f && math.abs(env(1) - 0.5f) < 1e-3f)
+    assert(env(2) === 0.0f && env(3) === 0.0f)
+    // stereo mono-mix: L = -R cancels to silence
+    val stereo = wavPcm(Array.tabulate[Short](400)(i =>
+      if (i % 2 == 0) 16384 else -16384), 8000, 2)
+    assert(Multimodal.decodeWavSamples(stereo).get.forall(_ === 0.0f))
+    // not a WAV -> None (degrades to the stub path, never throws)
+    assert(Multimodal.decodeWavSamples(Array[Byte](1, 2, 3, 4)).isEmpty)
+    // end-to-end: extractFeatures takes the REAL audio path for WAV
+    val df = Seq((1L, wav)).toDF("id", "payload")
+    val out = Multimodal.extractFeatures(Multimodal.asMedia(df, "payload"), 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](r.fieldIndex("features"))).toMap
+    assert(out(1L) === env.toSeq)
+  }
+
+  test("multimodal: REAL GIF frame count (imageio stream walk) lands in media meta") {
+    val s = spark
+    import s.implicits._
+    def frame(v: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, v)
+      img
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    Seq(0x000000, 0x808080, 0xFFFFFF).foreach(v =>
+      w.writeToSequence(new javax.imageio.IIOImage(frame(v), null, null), null))
+    w.endWriteSequence(); w.dispose(); ios.close()
+    val gif3 = bos.toByteArray
+    assert(Multimodal.sniffFormat(gif3) === "gif")
+    assert(Multimodal.gifFrameCount(gif3) === Some(3))
+    // single-frame PNG: no frame count (static image, demuxer-free)
+    val pbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(frame(0), "png", pbos)
+    val df = Seq((1L, gif3), (2L, pbos.toByteArray)).toDF("id", "payload")
+    val nf = Multimodal.asMedia(df, "payload")
+      .select(col("id"), col("media.meta.n_frames")).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Integer](1))).toMap
+    assert(nf(1L) === Some(3) && nf(2L) === None)
   }
 
   test("multimodal: REAL pixel decode (javax.imageio) — known-answer histograms and resize") {
@@ -703,5 +789,48 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = df.select(TextAnalysis.compressRatio(col("text")))
       .collect().map(_.getDouble(0)).toSeq
     assert(again === Seq(out(1L), out(2L), out(3L), out(4L)), "deterministic")
+  }
+
+  test("autoLshGeometry: bucket bits scale with corpus size, bands with threshold; capped") {
+    // small corpus -> minimum bits; the measured 20K regime -> >= 6 bits
+    // (the old fixed 4-bit default is exactly the measured foot-gun)
+    assert(Similarity.autoLshGeometry(1000, 0.95)._1 /
+      Similarity.autoLshGeometry(1000, 0.95)._2 === 4)
+    val (p20k, b20k) = Similarity.autoLshGeometry(20000, 0.95)
+    assert(p20k / b20k >= 6, s"20K corpus must get >6-bit bands, got ${p20k / b20k}")
+    // a billion-vector corpus stays inside both caps (cost degrades
+    // gracefully, never explodes)
+    val (pB, bB) = Similarity.autoLshGeometry(1000000000L, 0.95)
+    assert(pB / bB <= 24 && bB <= 32)
+    // looser threshold -> more bands to hold recall
+    assert(Similarity.autoLshGeometry(20000, 0.5)._2 >
+      Similarity.autoLshGeometry(20000, 0.95)._2)
+  }
+
+  test("dense corpus: auto geometry bounds the candidate volume the old 16x4 default exploded") {
+    // the r10 measured failure shape, scaled to spec runtime: a clustered
+    // corpus whose 4-bit buckets concentrate into quadratic-death sizes
+    val n = 20000
+    val corpus = graft.tools.EmbedSynth.corpus(spark, n, 16, nClusters = 6, noise = 0.3)
+    def pairBound(planes: Int, bands: Int): Long =
+      Similarity.hyperplaneBuckets(corpus, "vec_id", "e", 16, planes, bands)
+        .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * (col("n") - 1)).cast("long")).collect()(0).getLong(0)
+    val oldDefault = pairBound(16, 4)
+    val (p, b) = Similarity.autoLshGeometry(n, 0.95)
+    val auto = pairBound(p, b)
+    // the candidate self-join is quadratic in the bucket: per band of
+    // work, the old 4-bit default's pair volume must dwarf the auto
+    // geometry's (auto buys recall with MORE bands of BOUNDED buckets;
+    // the old default's few huge buckets are what exploded at r10)
+    assert((auto / b) * 2 < oldDefault / 4,
+      s"auto geometry ${p}x$b per-band pair bound ${auto / b} not << old default's ${oldDefault / 4}")
+    // and the default-geometry operator completes on the dense corpus,
+    // still finding a planted identical copy (id collides in every band)
+    val copy = corpus.filter(col("vec_id") === 7).select(lit(1000000L).as("vec_id"), col("e"))
+    val got = Dedup.embeddingNearDups(corpus.unionByName(copy), "vec_id", "e", dim = 16,
+        cosineThreshold = 0.95)
+      .filter(col("id_a") === 7 && col("id_b") === 1000000L).collect()
+    assert(got.length === 1 && got(0).getDouble(2) === 1.0)
   }
 }

@@ -8,7 +8,7 @@ the DuckDB oracle result (oracle_sql.json over the sf parquet tables),
 sort columns by name, sort rows, and compare dtypes + values the way the
 driver's hash compare would see them.
 """
-import json, sys, glob, math
+import json, os, sys, glob, math
 
 import duckdb
 import pandas as pd
@@ -37,9 +37,13 @@ def main():
     # Cap the memory budget well under physical RAM: DuckDB sizes its
     # default limit off total memory at startup, so a replay racing a
     # Spark JVM for the same RAM dies with "failed to allocate" instead
-    # of spilling (seen on the 10x pair SQL). A fixed cap makes it plan
-    # out-of-core from the start; results are identical either way.
-    con.sql("SET memory_limit='40GiB'")
+    # of spilling (seen on the 10x pair SQL). Derive the cap from the
+    # host's actual RAM (half of it, at most 40GiB) so a smaller box
+    # still plans out-of-core instead of over-committing; results are
+    # identical either way.
+    ram_gib = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / (1 << 30)
+    cap_gib = max(1, min(40, int(ram_gib // 2)))
+    con.sql(f"SET memory_limit='{cap_gib}GiB'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     fails = 0
