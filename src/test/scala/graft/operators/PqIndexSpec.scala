@@ -83,6 +83,66 @@ class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "full probe + shortlist covering the corpus must equal brute force")
   }
 
+  test("drift lifecycle: appends degrade the monitor until it fires; retrain recovers recall") {
+    // The operational story indexDriftStats promises, exercised end to
+    // end: build -> ingest drifted batches (no retrain) -> the monitor
+    // crosses its threshold -> retrain on the resident corpus -> the
+    // retrained index beats the stale one on the drifted queries.
+    val base = synth(300, 16)
+    val path = Files.createTempDirectory("pqidx-stale").toString
+    Pq.writePqIndex(base, "vec_id", "e", path, nlist = 4, m = 4, ksub = 16)
+    // build-time reference row — the scaladoc's "compare against the
+    // build-time batch's row" contract
+    val r0 = Pq.indexDriftStats(base, "vec_id", "e", path).collect()(0)
+    val (fit0, err0) = (r0.getDouble(1), r0.getDouble(2))
+    val genShift = udf((id: Long) =>
+      graft.tools.EmbedSynth.vector(id + 1000000, 16, 11, 2.5))
+    def batch(lo: Long, hi: Long) =
+      spark.range(lo, hi).select(col("id").as("vec_id"), genShift(col("id")).as("e"))
+    var ingested = base
+    var fired = false
+    for (b <- Seq(batch(1000, 1100), batch(1100, 1200), batch(1200, 1300))
+         if !fired) {
+      val r = Pq.indexDriftStats(b, "vec_id", "e", path).collect()(0)
+      Pq.appendPqIndex(b, "vec_id", "e", path)
+      ingested = ingested.union(b)
+      // the retrain rule: coarse fit collapsed or PQ error doubled vs
+      // the build-time reference
+      fired = r.getDouble(1) < fit0 - 0.1 || r.getDouble(2) > err0 * 2
+    }
+    assert(fired, "drift trigger never fired on an out-of-distribution ingest")
+    val retrainedPath = Files.createTempDirectory("pqidx-retrained").toString
+    Pq.writePqIndex(ingested, "vec_id", "e", retrainedPath, nlist = 4, m = 4, ksub = 16)
+    // drifted queries; full probe on both indexes so the contrast is
+    // purely model quality (stale codebooks mis-rank the shortlist)
+    val q = ingested.filter(col("vec_id") >= 1000L && col("vec_id") < 1020L)
+    val truth = Similarity.bruteForceTopK(q, "vec_id", "e", ingested, "vec_id", "e", k = 5)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(p: String): Double = {
+      val got = Pq.pqTopKIndexed(q, "vec_id", "e", p, k = 5, nprobe = 4, refine = 2)
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val stale = recallOf(path)
+    val fresh = recallOf(retrainedPath)
+    assert(fresh > stale,
+      f"retrain must recover recall on drifted queries: stale $stale%.3f vs retrained $fresh%.3f")
+    // and the retrained model reads the NEXT drifted batch better than
+    // the stale one does — the monitor's job after a retrain. (Absolute
+    // fit stays below the clean-corpus baseline: a noisier distribution
+    // has intrinsically lower fit, so the operational rule is to
+    // re-baseline the reference row after every retrain.)
+    val next = batch(1300, 1400)
+    val rs = Pq.indexDriftStats(next, "vec_id", "e", path).collect()(0)
+    val rf = Pq.indexDriftStats(next, "vec_id", "e", retrainedPath).collect()(0)
+    assert(rf.getDouble(1) > rs.getDouble(1) && rf.getDouble(2) < rs.getDouble(2),
+      f"retrained model must fit the drifted distribution better: " +
+        f"fit ${rs.getDouble(1)}%.3f->${rf.getDouble(1)}%.3f, " +
+        f"err ${rs.getDouble(2)}%.3f->${rf.getDouble(2)}%.3f")
+  }
+
   test("drift monitor: in-distribution batch fits; shifted batch degrades both stats") {
     val base = synth(200, 16)
     val path = Files.createTempDirectory("pqidx").toString

@@ -79,6 +79,33 @@ class XlsxDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.agg(sum("b")).collect()(0).getLong(0) === 135)
   }
 
+  test("SQL DDL surface: CREATE TABLE USING xlsx, INSERT INTO/OVERWRITE, SELECT with pushdown") {
+    val dir = tmp() + "/ddl"
+    spark.sql("DROP TABLE IF EXISTS xt")
+    // the catalog path a SQL-first user takes: no DataFrame API anywhere
+    spark.sql(
+      s"""CREATE TABLE xt (id BIGINT, name STRING, amount DOUBLE)
+         |USING xlsx OPTIONS (path '$dir', header 'true')""".stripMargin)
+    spark.sql(
+      "INSERT INTO xt SELECT id, concat('name-', id), id * 2.0 FROM range(100)")
+    val q = spark.sql("SELECT id, name FROM xt WHERE id >= 90")
+    // pushdown must survive the catalog route, not just .load()
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("GreaterThanOrEqual(id,90)"),
+      s"filter not pushed through the catalog path: $scan")
+    assert(scan.contains("columns=id,name"), s"scan not pruned: $scan")
+    val got = q.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length === 10 && got.map(_._1).sorted.toSeq === (90L to 99L))
+    // INSERT INTO appends
+    spark.sql("INSERT INTO xt VALUES (1000, 'extra', 0.5)")
+    assert(spark.sql("SELECT count(*) AS n FROM xt").collect()(0).getLong(0) === 101L)
+    // INSERT OVERWRITE truncates (TableCapability.TRUNCATE)
+    spark.sql("INSERT OVERWRITE xt VALUES (1, 'only', 9.0)")
+    val rows = spark.table("xt").collect()
+    assert(rows.length === 1 && rows(0).getString(1) === "only")
+    spark.sql("DROP TABLE xt")
+  }
+
   test("filter pushdown: pushed filters reach the scan and results stay exact") {
     val dir = tmp() + "/filt"
     spark.range(1000).selectExpr("id", "concat('name-', id) AS s", "id * 2.0 AS v")
