@@ -650,11 +650,21 @@ object Dedup {
     * fixed overhead. It wins when the all-token join fan-out
     * (Σ_g count(g)²) dominates, i.e. dense duplication at large n.
     * Re-measured round 7 on a 10x-replicated corpus (sf1: 50K docs, every
-    * doc x10 identical copies — far denser than organic growth): all-token
-    * STILL wins, 15.0s vs 24.1s (NgramLab, parity green). The df-cap +
-    * length-ratio prefilter absorb that much duplication; the crossover
-    * needs larger n yet, so all-token stays the default and no
-    * density-based auto-dispatch is warranted at measured scales. */
+    * doc x10 identical copies): all-token STILL wins, 15.0s vs 24.1s
+    * (NgramLab, parity green). THE CROSSOVER WAS FOUND at organic sf10
+    * (r11, 500K docs in ~100-replica near-dup cliques): all-token's gram
+    * join fans out to Σ_g count(g)² ≈ 10^10 rows and dies past 70 GB of
+    * one-box spill, while this plan completes — 24.8M exact pairs in
+    * 36 min on local[32] (SCALE.md r11). So: all-token stays the default
+    * through ~10× organic density; at replica density ~100 switch to this
+    * variant, and when the per-doc sketch table fits executor memory,
+    * raise `spark.sql.autoBroadcastJoinThreshold` so the verify tail
+    * broadcasts the sketches instead of shuffling Θ(pairs × array)
+    * (the verify exchange is the scale bound: the pair ANSWER itself is
+    * quadratic in clique size). No data-dependent auto-dispatch: the two
+    * variants' reported jaccard differs on df-capped grams by contract,
+    * and a plan that silently changes answers with corpus stats would
+    * break rerun- and oracle-stability. */
   def ngramJaccardPairsPrefix(
       df: DataFrame,
       idCol: String,

@@ -11,7 +11,12 @@ import graft.operators.Dedup
   */
 object NgramLab {
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    // --prefix-only: probe JUST the PPJoin prefix plan (the sf10 organic
+    // regime: the all-token fan-out is measured-dead there — 70+ GB of
+    // shuffle spill; see SCALE.md r11)
+    val prefixOnly = args.contains("--prefix-only")
+    val pos = args.filterNot(_.startsWith("--"))
+    val sfDir = if (pos.nonEmpty) pos(0) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -26,6 +31,20 @@ object NgramLab {
         val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
       }
       println(f"$name%-14s rows=${ts.head._2} times=${ts.map(t => f"${t._1}%.2f").mkString(",")} min=${ts.map(_._1).min}%.2f")
+    }
+    if (prefixOnly) {
+      // One-box probe knob (documented in SCALE.md r11): the verify tail's
+      // exchange is Θ(candidate pairs × shingle-array width) — 40+ GB of
+      // shuffle at organic sf10, over this box's disk. The persisted
+      // shingle table itself is < 1 GB, so let the planner BROADCAST it
+      // into both verify joins instead of shuffling arrays per pair. On a
+      // real cluster this is the same decision Spark makes per-corpus;
+      // the default threshold just never expects a 64 GB driver.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (1500L << 20).toString)
+      val t0 = System.nanoTime()
+      val n = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5, 10000).count()
+      println(f"prefix-only    rows=$n cold=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.stop(); return
     }
     time("all-token") { Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, 10000,
       collapseExact = false).count() }

@@ -22,7 +22,9 @@ replication. Exact-replication mode (the default) remains the worst case
 for the near-dup family (C(10,2) pairs per base doc); mutate mode is the
 expected case. Everything else scales identically in both modes.
 
-Usage: python3 tools/scale_up.py [src=/root/testdata/sf0.1] [dst=/tmp/sf1] [--mutate]
+Usage: python3 tools/scale_up.py [src] [dst] [--mutate] [--r N]
+  src default /root/testdata/sf0.1, dst default /tmp/sf1, N default 10
+  (--r 100 on sf0.1 synthesizes the sf10 probe regime, r11 verdict #3)
 """
 import sys
 
@@ -33,9 +35,18 @@ import pyarrow.parquet as pq
 
 MUTATE = "--mutate" in sys.argv
 ARGS = [a for a in sys.argv[1:] if a != "--mutate"]
+if "--r" in ARGS:
+    i = ARGS.index("--r")
+    R = int(ARGS[i + 1])
+    del ARGS[i:i + 2]
+else:
+    R = 10  # replicas
 SRC = ARGS[0] if len(ARGS) > 0 else "/root/testdata/sf0.1"
 DST = ARGS[1] if len(ARGS) > 1 else "/tmp/sf1"
-R = 10  # replicas
+# replica key ranges must never collide: base keys stay well under one
+# stride, and R strides stay far from 2^53 for every family (largest
+# stride is event_id's 1e9)
+assert R * 1_000_000_000 < 2 ** 53, "replica count overflows key strides"
 
 # per-key-family offsets (one replica stride); large enough that replica
 # key ranges never collide, small enough to stay far from 2^53
