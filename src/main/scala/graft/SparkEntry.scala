@@ -786,6 +786,22 @@ object SparkEntry {
         .select(col("doc_id"),
           octet_length(encode(col("text"), "UTF-8")).cast("bigint").as("n_bytes"))),
 
+    "audio_features" -> ((s, dir) => {
+      // Real-decode audio pipeline (r11): 20 deterministic WAV tone
+      // classes synthesized in-plan -> javax.sound.sampled PCM decode ->
+      // RMS energy envelope, with the container's sample_rate/n_channels
+      // parsed from the RIFF header en route. Rows-only (PCM decode is
+      // not SQL); known-answer envelope laws in OperatorsSpec.
+      val render = udf { (id: Long) => Multimodal.renderTestTone((id % 20).toInt) }
+      val d = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), render(col("doc_id")).as("payload"))
+      Multimodal.extractFeatures(Multimodal.asMedia(d, "payload"), featureDim = 8)
+        .select(col("doc_id"),
+          col("media.meta.sample_rate").as("sample_rate"),
+          col("media.meta.n_channels").as("n_channels"),
+          col("features"))
+    }),
+
     // ===== beyond-reference: dataset curation (graft.operators.Curation) =====
 
     "quality_filter" -> ((s, dir) =>

@@ -342,6 +342,37 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic synthetic WAV fixture (the audio twin of
+    * [[renderTestCard]]): a 16-bit PCM mono clip at 8 kHz whose
+    * square-wave frequency and amplitude derive from `cls`, with the
+    * second half silent — so the RMS envelope ([[audioFeatures]]) has a
+    * known on/off shape and same-class clips are identical. The driver
+    * testdata has no audio column; the audio_features query synthesizes
+    * its corpus in-plan with this. */
+  def renderTestTone(cls: Int, nSamples: Int = 1600): Array[Byte] = {
+    val rate = 8000
+    val period = 20 + (cls % 7) * 10 // samples per square-wave cycle
+    val amp = (8192 + (cls % 3) * 8192).toShort
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(rate)
+    bb.putInt(rate * 2); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      val s: Short =
+        if (i >= nSamples / 2) 0
+        else if ((i / (period / 2)) % 2 == 0) amp
+        else (-amp).toShort
+      bb.putShort(s)
+      i += 1
+    }
+    bb.array()
+  }
+
   /** Perceptual difference-hash (dHash, 64-bit): bilinear-resize the
     * decoded image to 9×8 grayscale and emit the horizontal luminance
     * gradient's sign bits — the standard cheap near-duplicate image

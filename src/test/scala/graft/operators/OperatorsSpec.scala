@@ -568,6 +568,18 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L) === env.toSeq)
   }
 
+  test("multimodal: renderTestTone fixture — real decode, on/off envelope, class-deterministic") {
+    val tone = Multimodal.renderTestTone(3)
+    // header parses like any real WAV
+    assert(Multimodal.wavAudio(tone) === Some((8000, 1)))
+    val env = Multimodal.audioFeatures(Multimodal.decodeWavSamples(tone).get, 8)
+    // second half silent -> all envelope mass in the first 4 of 8 windows
+    assert(env.drop(4).forall(_ === 0.0f) && math.abs(env.take(4).sum - 1.0f) < 1e-3f)
+    // same class identical; different class differs (frequency/amplitude)
+    assert(Multimodal.renderTestTone(3).toSeq === tone.toSeq)
+    assert(Multimodal.renderTestTone(4).toSeq !== tone.toSeq)
+  }
+
   test("multimodal: REAL GIF frame count (imageio stream walk) lands in media meta") {
     val s = spark
     import s.implicits._
