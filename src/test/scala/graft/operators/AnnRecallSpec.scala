@@ -56,6 +56,19 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r >= 0.88, f"recall@5 regressed to $r%.3f (measured 0.94 at pin time)")
   }
 
+  test("LSH top-k auto geometry (r11 default) completes and holds a recall floor") {
+    // planes = bands = 0 -> autoLshGeometry from one corpus count at an
+    // assumed 0.9 working cosine. On this small fixture that derives a
+    // 4-bit geometry; the fixture's true neighbors sit at LOW cosine
+    // (synthetic noise), well under the auto assumption, so the floor
+    // here is deliberately modest — the explicit-geometry floors above
+    // stay the quality pins; this guards the default PATH (count,
+    // derivation, wiring) against silent breakage.
+    val r = recallOf(Similarity.lshTopK(queries, "vec_id", "e", corpus, "vec_id", "e",
+      dim = 64, k = 5))
+    assert(r >= 0.25, f"auto-geometry recall@5 fell to $r%.3f")
+  }
+
   test("IVF top-k at half probe (nprobe=4 of nlist=8) holds its recall floor") {
     val r = recallOf(Similarity.ivfTopK(queries, "vec_id", "e", corpus, "vec_id", "e",
       k = 5, nlist = 8, nprobe = 4))

@@ -29,6 +29,37 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.toDF("id", "text")
   }
 
+  test("mixKey envelope: in-band values untouched, out-of-band raises instead of wrapping") {
+    val s = spark
+    import s.implicits._
+    // inside the envelope: the guard passes values through bit-identical
+    // (oracle replays unchanged) — spot-check against the raw formula
+    val ok = Seq(0L, 1L, 123456789L, Curation.MixEnvelopeMax).toDF("id")
+      .select(col("id"), Curation.mixKey(col("id")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ok.foreach { case (k, m) =>
+      assert(m === java.lang.Math.floorMod(k * 2654435761L, 4294967296L)) }
+    // past the envelope the multiply would silently wrap Long and diverge
+    // from any ANSI oracle — must raise, not degrade (ADVICE r10)
+    val over = intercept[Exception] {
+      Seq(Curation.MixEnvelopeMax + 1).toDF("id")
+        .select(Curation.mixKey(col("id"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(over).exists(m => m != null && m.contains("envelope")),
+      s"expected the mixKey envelope guard, got: ${over.getMessage}")
+    // negative keys are equally out of contract
+    assertThrows[Exception] {
+      Seq(-1L).toDF("id").select(Curation.mixKey(col("id"))).collect()
+    }
+    // the seeded variant guards the SHIFTED value (key + seed stride)
+    assertThrows[Exception] {
+      Seq(Curation.MixEnvelopeMax - 1000L).toDF("id")
+        .select(Curation.mixKeySeeded(col("id"), seed = 5L)).collect()
+    }
+  }
+
   test("deterministic sample: reproducible, monotone in fraction, exact at the ends") {
     val s = spark
     import s.implicits._

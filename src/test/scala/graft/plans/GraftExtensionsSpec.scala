@@ -105,6 +105,15 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[Exception] {
       spark.sql("SELECT adc_score(X'00', array(1.0d), CAST(id AS INT)) FROM range(1)").collect()
     }
+    // a lut shorter than codes*ksub must raise loudly, not read
+    // out-of-bounds memory (ADVICE r10: user-facing SQL surface)
+    val short = intercept[Exception] {
+      spark.sql("SELECT adc_score(X'0002', array(1.0d, 2.0d, 3.0d), 4)").collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: rootMessages(e.getCause))
+    assert(rootMessages(short).exists(m => m != null && m.contains("lookup table")),
+      s"expected the adc_score length guard, got: ${short.getMessage}")
   }
 
   test("Similarity column API runs on the native expressions") {
