@@ -293,8 +293,9 @@ object Similarity {
     * never re-centered. For stationary corpora (the common ingest case)
     * results are exactly what a fresh build with those centroids would
     * produce; at nprobe = nlist results are ALWAYS exact regardless of
-    * drift, because every cell is probed. Retrain by rebuilding when a
-    * drift monitor (e.g. mean distance-to-centroid per batch) degrades. */
+    * drift, because every cell is probed. Retrain by rebuilding when the
+    * drift monitor ([[ivfDriftStats]]; PQ twin [[Pq.indexDriftStats]])
+    * degrades vs the build-time reference row. */
   def appendIvfIndex(batch: DataFrame, cId: String, cVec: String, path: String): Unit = {
     val spark = batch.sparkSession
     val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
@@ -305,6 +306,33 @@ object Similarity {
       .withColumn("cell", assignUdf(col("cv")))
       .withColumn("cn", l2norm(col("cv")))
       .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+  }
+
+  /** The drift monitor [[appendIvfIndex]]'s contract points at, for
+    * plain IVF indexes (the PQ twin with a reconstruction-error column
+    * is [[Pq.indexDriftStats]]): mean cosine between a (normalized)
+    * batch vector and its nearest stored centroid, one row per batch.
+    * Compare against the build-time batch's row; when `coarse_fit`
+    * falls materially, rebuild (and re-baseline the reference row —
+    * a noisier distribution has intrinsically lower fit). One narrow
+    * pass over the BATCH against broadcast centroids — cost independent
+    * of the resident index. */
+  def ivfDriftStats(batch: DataFrame, idCol: String, vecCol: String,
+      path: String): DataFrame = {
+    val spark = batch.sparkSession
+    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val fitUdf = udf { (v0: Seq[Double]) =>
+      val v = normalize(v0.toArray)
+      val cell = nearestCell(v, cents)
+      var fit = 0.0d
+      var j = 0
+      while (j < v.length) { fit += v(j) * cents(cell)(j); j += 1 }
+      fit
+    }
+    batch.select(fitUdf(col(vecCol).cast("array<double>")).as("fit"))
+      .agg(count(lit(1)).as("n_vectors"), round(avg(col("fit")), 6).as("coarse_fit"))
   }
 
   /** Query a stored IVF index ([[writeIvfIndex]]). The probed-cell set

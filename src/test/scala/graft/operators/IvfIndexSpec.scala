@@ -61,6 +61,28 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"probed cells must prune partitions at the index scan, got: ${scanLine.get}")
   }
 
+  test("ivfDriftStats: in-distribution batch fits, rotated batch degrades; cost is batch-only") {
+    val s = spark
+    import s.implicits._
+    val gen = udf((id: Long) => graft.tools.EmbedSynth.vector(id, 8, 4, 0.2))
+    val base = spark.range(200).select(col("id"), gen(col("id")).as("v"))
+    val path = Files.createTempDirectory("ivfdrift").toString
+    Similarity.writeIvfIndex(base, "id", "v", path, nlist = 4)
+    def fitOf(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val r = Similarity.ivfDriftStats(df, "id", "v", path).collect()(0)
+      (r.getLong(0), r.getDouble(1))
+    }
+    val inDist = spark.range(200, 300).select(col("id"), gen(col("id")).as("v"))
+    // drift: a cluster layout the quantizer never saw
+    val genShift = udf((id: Long) => graft.tools.EmbedSynth.vector(id + 999999, 8, 9, 2.0))
+    val shifted = spark.range(200, 300).select(col("id"), genShift(col("id")).as("v"))
+    val (n1, fit1) = fitOf(inDist)
+    val (n2, fit2) = fitOf(shifted)
+    assert(n1 === 100L && n2 === 100L)
+    assert(fit1 > fit2 + 0.05,
+      f"coarse fit must degrade under drift: $fit1%.4f vs $fit2%.4f")
+  }
+
   test("incremental append: build-half + append-half equals one full build") {
     val s = spark
     import s.implicits._
