@@ -39,6 +39,7 @@ object Multimodal {
     else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "gif"
     else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') "riff"
     else if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') "mp3"
+    else if (b.length >= 8 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') "mp4"
     else "unknown"
 
   /** Pixel dimensions straight from container headers — REAL metadata, no
@@ -92,6 +93,60 @@ object Multimodal {
     None
   }
 
+  /** REAL video-track metadata for MP4 payloads — (width, height,
+    * n_frames) — from a pure ISO BMFF box walk (moov → trak → tkhd for
+    * dimensions, mdia → hdlr to pick the 'vide' track, … → stbl → stsz
+    * for the sample count). This is container parsing like [[wavAudio]],
+    * not decoding: no codec is touched, so it works on any MP4 the
+    * demuxer-free contract covers. None for non-MP4, truncated, or
+    * box-corrupt payloads (malformed sizes abort the walk — a hostile
+    * payload must degrade, never loop or throw). */
+  def mp4VideoMeta(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (sniffFormat(b) != "mp4") return None
+    def be32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    /** children of the box body [lo, hi): (type, bodyLo, bodyHi) */
+    def boxes(lo: Int, hi: Int): Seq[(String, Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+      var i = lo
+      while (i + 8 <= hi) {
+        val size = be32(i)
+        val tpe = new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        // size==1 (64-bit) and size==0 (to-EOF) are legal MP4 but not
+        // needed for metadata walks at sane payload sizes; header-less
+        // or backwards sizes abort the walk
+        if (size < 8 || i + size > hi) return out.toSeq
+        out += ((tpe, i + 8, i + size.toInt))
+        i += size.toInt
+      }
+      out.toSeq
+    }
+    def find(lo: Int, hi: Int, tpe: String): Option[(Int, Int)] =
+      boxes(lo, hi).collectFirst { case (`tpe`, l, h) => (l, h) }
+    try {
+      val (moovLo, moovHi) = find(0, b.length, "moov").getOrElse(return None)
+      val traks = boxes(moovLo, moovHi).filter(_._1 == "trak")
+      traks.flatMap { case (_, tLo, tHi) =>
+        for {
+          (mLo, mHi) <- find(tLo, tHi, "mdia")
+          (hLo, hHi) <- find(mLo, mHi, "hdlr")
+          if hHi - hLo >= 12 &&
+            new String(b, hLo + 8, 4, java.nio.charset.StandardCharsets.US_ASCII) == "vide"
+          (kLo, kHi) <- find(tLo, tHi, "tkhd")
+          version = b(kLo) & 0xff
+          // v0: width/height (16.16 fixed) at body offsets 76/80; v1: 88/92
+          wOff = kLo + (if (version == 1) 88 else 76)
+          if wOff + 8 <= kHi
+          (nLo, nHi) <- find(mLo, mHi, "minf").flatMap { case (l, h) => find(l, h, "stbl") }
+            .flatMap { case (l, h) => find(l, h, "stsz") }
+          if nHi - nLo >= 12
+        } yield ((be32(wOff) >> 16).toInt, (be32(wOff + 4) >> 16).toInt,
+          be32(nLo + 8).toInt)
+      }.headOption
+    } catch { case _: Exception => None }
+  }
+
   /** REAL frame count for GIF payloads via the JDK's imageio reader —
     * `getNumImages(true)` walks every image block in the stream (cost
     * bounded by payload size, no pixel decode of later frames kept in
@@ -114,15 +169,17 @@ object Multimodal {
   }
 
   /** Wrap a binary column into the media contract. Format, image
-    * dimensions, WAV audio parameters and GIF frame counts are extracted
-    * for real (container headers + imageio stream walk); `n_frames` for
-    * video containers still needs a demuxer and stays at the stub
-    * boundary. */
+    * dimensions, WAV audio parameters, GIF frame counts and MP4
+    * video-track metadata (dimensions + frame count from the box walk)
+    * are all extracted for REAL — container parsing, no codec. Only
+    * pixel/sample DECODE of video remains at the stub boundary. */
   def asMedia(df: DataFrame, binCol: String): DataFrame = {
     val meta = udf { (b: Array[Byte]) =>
-      val dims = imageDims(b)
+      val mp4 = mp4VideoMeta(b)
+      val dims = imageDims(b).orElse(mp4.map(m => (m._1, m._2)))
       val audio = wavAudio(b)
-      (sniffFormat(b), dims.map(_._1), dims.map(_._2), gifFrameCount(b),
+      (sniffFormat(b), dims.map(_._1), dims.map(_._2),
+        gifFrameCount(b).orElse(mp4.map(_._3)),
         audio.map(_._1), audio.map(_._2))
     }
     df.withColumn("_m", meta(col(binCol)))

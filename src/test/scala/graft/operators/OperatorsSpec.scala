@@ -610,6 +610,55 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nf(1L) === Some(3) && nf(2L) === None)
   }
 
+  test("multimodal: REAL MP4 video metadata (ISO BMFF box walk) lands in media meta") {
+    val s = spark
+    import s.implicits._
+    def box(tpe: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length); bb.put(tpe.getBytes("US-ASCII")); bb.put(body)
+      bb.array()
+    }
+    def cat(xs: Array[Byte]*): Array[Byte] = xs.flatten.toArray
+    // tkhd v0: FullBox(4) + 72 bytes of fields/matrix, then 16.16 w/h
+    val tkhd = {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.position(76); bb.putInt(320 << 16); bb.putInt(240 << 16)
+      box("tkhd", bb.array())
+    }
+    val hdlr = {
+      val bb = java.nio.ByteBuffer.allocate(24)
+      bb.position(8); bb.put("vide".getBytes("US-ASCII"))
+      box("hdlr", bb.array())
+    }
+    val stsz = {
+      val bb = java.nio.ByteBuffer.allocate(12)
+      bb.position(8); bb.putInt(42) // sample_count
+      box("stsz", bb.array())
+    }
+    val mp4 = cat(
+      box("ftyp", "isom0000".getBytes("US-ASCII")),
+      box("moov", box("trak", cat(tkhd,
+        box("mdia", cat(hdlr, box("minf", box("stbl", stsz))))))))
+    assert(Multimodal.sniffFormat(mp4) === "mp4")
+    assert(Multimodal.mp4VideoMeta(mp4) === Some((320, 240, 42)))
+    // a sound-only track is not a video answer; corrupt sizes abort clean
+    val soundOnly = cat(box("ftyp", "isom0000".getBytes("US-ASCII")),
+      box("moov", box("trak", cat(tkhd, box("mdia", {
+        val bb = java.nio.ByteBuffer.allocate(24)
+        bb.position(8); bb.put("soun".getBytes("US-ASCII"))
+        box("hdlr", bb.array())
+      })))))
+    assert(Multimodal.mp4VideoMeta(soundOnly) === None)
+    val corrupt = mp4.clone(); corrupt(0) = 0xFF.toByte // absurd top box size
+    assert(Multimodal.mp4VideoMeta(corrupt) === None)
+    // and through the DataFrame contract
+    val meta = Multimodal.asMedia(Seq((1L, mp4)).toDF("id", "payload"), "payload")
+      .select(col("media.meta.format"), col("media.meta.width"),
+        col("media.meta.height"), col("media.meta.n_frames")).collect()(0)
+    assert(meta.getString(0) === "mp4" && meta.getInt(1) === 320
+      && meta.getInt(2) === 240 && meta.getInt(3) === 42)
+  }
+
   test("multimodal: REAL pixel decode (javax.imageio) — known-answer histograms and resize") {
     val s = spark
     import s.implicits._
