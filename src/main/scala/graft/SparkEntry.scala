@@ -802,6 +802,39 @@ object SparkEntry {
           col("features"))
     }),
 
+    "video_meta" -> ((s, dir) => {
+      // Real-parse video metadata pipeline (r11): 24 deterministic MP4
+      // classes synthesized in-plan -> ISO BMFF box walk fills
+      // width/height/n_frames. Fully ORACLE-checked: the planted values
+      // are closed-form in doc_id, so DuckDB states the same numbers by
+      // formula and the hash match proves the parser read the container.
+      val render = udf { (id: Long) => Multimodal.renderTestClip((id % 24).toInt) }
+      val d = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), render(col("doc_id")).as("payload"))
+      Multimodal.asMedia(d, "payload")
+        .select(col("doc_id"),
+          col("media.meta.format").as("format"),
+          col("media.meta.width").as("width"),
+          col("media.meta.height").as("height"),
+          col("media.meta.n_frames").as("n_frames"))
+    }),
+
+    "video_frame_sample" -> ((s, dir) => {
+      // Frame-sampling contract over the same in-plan MP4 corpus: every
+      // 7th frame index, capped at 5 per clip, exploded to rows. The
+      // index arithmetic is pure SQL HOFs (sequence/slice), so the
+      // sampled set is oracle-checkable value-for-value from the planted
+      // n_frames formula.
+      val render = udf { (id: Long) => Multimodal.renderTestClip((id % 24).toInt) }
+      val d = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), render(col("doc_id")).as("payload"))
+      Multimodal.asMedia(d, "payload")
+        .select(col("doc_id"),
+          explode(Multimodal.sampleFrameIndexes(
+            col("media.meta.n_frames"), stride = 7, maxFrames = 5)).as("f"))
+        .select(col("doc_id"), col("f").cast("int").as("frame_idx"))
+    }),
+
     // ===== beyond-reference: dataset curation (graft.operators.Curation) =====
 
     "quality_filter" -> ((s, dir) =>
@@ -2053,6 +2086,24 @@ object SparkEntry {
 
     "multimodal_meta" ->
       "SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents",
+
+    // The planted MP4 metadata is closed-form in doc_id (renderTestClip:
+    // cls = doc_id % 24), so the oracle states the box walk's answer by
+    // pure arithmetic — a value-level check of the real container parser.
+    "video_meta" ->
+      """SELECT doc_id,
+                'mp4' AS format,
+                CAST(160 + 16 * (doc_id % 24 % 5) AS INT) AS width,
+                CAST(96 + 16 * (doc_id % 24 % 7) AS INT) AS height,
+                CAST(24 + doc_id % 24 AS INT) AS n_frames
+         FROM documents WHERE doc_id < 200""",
+
+    "video_frame_sample" ->
+      """SELECT doc_id,
+                CAST(unnest(list_slice(
+                  generate_series(0, CAST(24 + doc_id % 24 AS INT) - 1, 7),
+                  1, 5)) AS INT) AS frame_idx
+         FROM documents WHERE doc_id < 200""",
 
     "quality_filter" ->
       """WITH base AS (

@@ -413,22 +413,32 @@ object Dedup {
     * Jaccard ≥ t. `sh` must carry (id, sh: sorted array<long>); candidate
     * volume, not corpus volume, drives the cost. */
   private def verifyJaccard(
-      candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
-    verifyJaccard2(candidates, sh, sh, threshold)
+      candidates: DataFrame, sh: DataFrame, threshold: Double,
+      broadcastSketches: Boolean = false): DataFrame =
+    verifyJaccard2(candidates, sh, sh, threshold, broadcastSketches)
 
   /** Two-sided variant: id_a resolves against `shA`, id_b against `shB`
-    * (for drop-vs-corpus probes where the sides are different frames). */
+    * (for drop-vs-corpus probes where the sides are different frames).
+    * `broadcastSketches` hints both sketch sides broadcast: at replica
+    * density the candidate side is Θ(pairs) rows each dragging two
+    * full shingle arrays through a shuffle (~70 GB at 24.8 M pairs,
+    * SCALE.md r11) while the per-doc sketch table is corpus-linear and
+    * small — broadcasting it removes the per-pair array exchange
+    * entirely. Purely physical; answers identical. */
   private def verifyJaccard2(
       candidates: DataFrame, shA: DataFrame, shB: DataFrame,
-      threshold: Double): DataFrame =
+      threshold: Double, broadcastSketches: Boolean = false): DataFrame = {
+    val hint: DataFrame => DataFrame =
+      if (broadcastSketches) d => broadcast(d) else identity
     candidates
-      .join(shA.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(shB.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(hint(shA.select(col("id").as("id_a"), col("sh").as("sh_a"))), "id_a")
+      .join(hint(shB.select(col("id").as("id_b"), col("sh").as("sh_b"))), "id_b")
       .withColumn("inter", intersectSizeUdf(col("sh_a"), col("sh_b")))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
 
   /** Incremental-ingest exact dedup: rows of `drop` whose `keyCols`
     * tuple does not already occur in `corpus` — the per-batch novelty
@@ -658,10 +668,12 @@ object Dedup {
     * 36 min on local[32] (SCALE.md r11). So: all-token stays the default
     * through ~10× organic density; at replica density ~100 switch to this
     * variant, and when the per-doc sketch table fits executor memory,
-    * raise `spark.sql.autoBroadcastJoinThreshold` so the verify tail
-    * broadcasts the sketches instead of shuffling Θ(pairs × array)
-    * (the verify exchange is the scale bound: the pair ANSWER itself is
-    * quadratic in clique size). No data-dependent auto-dispatch: the two
+    * pass `broadcastVerify = true` so the verify tail broadcasts the
+    * sketches instead of shuffling Θ(pairs × array) (the verify exchange
+    * is the scale bound: the pair ANSWER itself is quadratic in clique
+    * size; the hint is scoped to this operator — no session-wide
+    * `autoBroadcastJoinThreshold` change needed, answers identical
+    * either way). No data-dependent auto-dispatch: the two
     * variants' reported jaccard differs on df-capped grams by contract,
     * and a plan that silently changes answers with corpus stats would
     * break rerun- and oracle-stability. */
@@ -671,7 +683,8 @@ object Dedup {
       textCol: String,
       k: Int = 3,
       threshold: Double = 0.5,
-      dfCap: Int = 10000): DataFrame = {
+      dfCap: Int = 10000,
+      broadcastVerify: Boolean = false): DataFrame = {
     val sh = spread(df)
       .select(col(idCol).as("id"), shingleHashUdf(k)(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -693,7 +706,7 @@ object Dedup {
         && col("n_b") >= col("n_a") * lit(threshold))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    verifyJaccard(candidates, sh, threshold)
+    verifyJaccard(candidates, sh, threshold, broadcastVerify)
   }
 
   /** Connected components over a near-dup pair list by min-label

@@ -430,6 +430,44 @@ object Multimodal {
     bb.array()
   }
 
+  /** Deterministic synthetic MP4 fixture (the video twin of
+    * [[renderTestTone]]): a minimal ISO BMFF container — ftyp +
+    * moov(trak(tkhd, mdia(hdlr "vide", minf(stbl(stsz))))) — with no
+    * media data, whose track dimensions and sample count are closed-form
+    * in `cls`: width = 160 + 16·(cls mod 5), height = 96 + 16·(cls mod 7),
+    * n_frames = 24 + cls. Because the planted values are pure arithmetic
+    * in the class id, the video_meta query's [[mp4VideoMeta]] box walk is
+    * fully ORACLE-checkable: DuckDB states the same numbers by formula
+    * and the hash compare proves the parser read exactly what was
+    * planted. */
+  def renderTestClip(cls: Int): Array[Byte] = {
+    def box(tpe: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length); bb.put(tpe.getBytes("US-ASCII")); bb.put(body)
+      bb.array()
+    }
+    val tkhd = {
+      val bb = java.nio.ByteBuffer.allocate(84) // FullBox header + 72B fields/matrix
+      bb.position(76)
+      bb.putInt((160 + 16 * (cls % 5)) << 16) // 16.16 fixed-point width
+      bb.putInt((96 + 16 * (cls % 7)) << 16) // 16.16 fixed-point height
+      box("tkhd", bb.array())
+    }
+    val hdlr = {
+      val bb = java.nio.ByteBuffer.allocate(24)
+      bb.position(8); bb.put("vide".getBytes("US-ASCII"))
+      box("hdlr", bb.array())
+    }
+    val stsz = {
+      val bb = java.nio.ByteBuffer.allocate(12)
+      bb.position(8); bb.putInt(24 + cls) // sample_count = frame count
+      box("stsz", bb.array())
+    }
+    (box("ftyp", "isom0000".getBytes("US-ASCII")) ++
+      box("moov", box("trak", tkhd ++
+        box("mdia", hdlr ++ box("minf", box("stbl", stsz)))))).toArray
+  }
+
   /** Perceptual difference-hash (dHash, 64-bit): bilinear-resize the
     * decoded image to 9×8 grayscale and emit the horizontal luminance
     * gradient's sign bits — the standard cheap near-duplicate image

@@ -36,13 +36,12 @@ object NgramLab {
       // One-box probe knob (documented in SCALE.md r11): the verify tail's
       // exchange is Θ(candidate pairs × shingle-array width) — 40+ GB of
       // shuffle at organic sf10, over this box's disk. The persisted
-      // shingle table itself is < 1 GB, so let the planner BROADCAST it
-      // into both verify joins instead of shuffling arrays per pair. On a
-      // real cluster this is the same decision Spark makes per-corpus;
-      // the default threshold just never expects a 64 GB driver.
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (1500L << 20).toString)
+      // shingle table itself is < 1 GB, so broadcast it into both verify
+      // joins instead of shuffling arrays per pair — now the operator's
+      // own broadcastVerify option (scoped hint, no session config).
       val t0 = System.nanoTime()
-      val n = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5, 10000).count()
+      val n = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5, 10000,
+        broadcastVerify = true).count()
       println(f"prefix-only    rows=$n cold=${(System.nanoTime() - t0) / 1e9}%.2f s")
       spark.stop(); return
     }

@@ -182,6 +182,16 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(a.sameElements(b), s"threshold $t: ${a.toSeq} vs ${b.toSeq}")
       assert(t > 0.3 || a.nonEmpty, "fixture produced no pairs at t=0.3")
     }
+    // broadcastVerify is purely physical: identical answers, and the
+    // verify tail's sketch joins become broadcast joins in the plan
+    val plain = Dedup.ngramJaccardPairsPrefix(df, "id", "text", k = 3, threshold = 0.5)
+      .collect().map(_.toString).sorted
+    val bcast = Dedup.ngramJaccardPairsPrefix(df, "id", "text", k = 3, threshold = 0.5,
+      broadcastVerify = true)
+    assert(bcast.collect().map(_.toString).sorted.sameElements(plain))
+    val phys = bcast.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      s"broadcastVerify=true produced no broadcast join:\n$phys")
   }
 
   test("exact-dup pre-collapse: collapsed output equals the direct path pair for pair") {
@@ -651,6 +661,10 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.mp4VideoMeta(soundOnly) === None)
     val corrupt = mp4.clone(); corrupt(0) = 0xFF.toByte // absurd top box size
     assert(Multimodal.mp4VideoMeta(corrupt) === None)
+    // the in-plan fixture generator agrees with its closed form
+    assert(Multimodal.mp4VideoMeta(Multimodal.renderTestClip(0)) === Some((160, 96, 24)))
+    assert(Multimodal.mp4VideoMeta(Multimodal.renderTestClip(5)) === Some((160, 176, 29)))
+    assert(Multimodal.mp4VideoMeta(Multimodal.renderTestClip(23)) === Some((208, 128, 47)))
     // and through the DataFrame contract
     val meta = Multimodal.asMedia(Seq((1L, mp4)).toDF("id", "payload"), "payload")
       .select(col("media.meta.format"), col("media.meta.width"),
