@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.operators.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming ANN over a persisted IVF index: per-micro-batch scoring
+  * through the indexed probe path equals the batch twin exactly at
+  * nprobe = nlist, regardless of how queries split across triggers;
+  * empty triggers are skipped without touching the index. */
+class StreamingAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("streaming-ann-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("micro-batched top-k equals the batch twin; empty trigger skips the sink") {
+    val base = Files.createTempDirectory("sann").toString
+    val s = spark
+    import s.implicits._
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(6)(r.nextGaussian())
+    }
+    val corpus = (0 until 40).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    val idx = s"$base/idx"
+    Similarity.writeIvfIndex(corpus, "id", "v", idx, nlist = 4, iters = 4)
+
+    // 5 queries staged as 2 files -> 2 micro-batches, plus one empty file
+    val queries = (100 until 105).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    queries.filter($"id" < 102).coalesce(1).write.mode("append").parquet(s"$base/in")
+    Thread.sleep(1100)
+    queries.filter($"id" >= 102).coalesce(1).write.mode("append").parquet(s"$base/in")
+    Thread.sleep(1100)
+    queries.filter($"id" < 0).coalesce(1).write.mode("append").parquet(s"$base/in")
+
+    var sinkCalls = 0
+    val stream = spark.readStream
+      .schema(queries.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/in")
+    val q = stream.writeStream
+      .foreachBatch(StreamingAnn.topKIndexedBatches(idx, "id", "v", k = 3, nprobe = 4) {
+        (scored, batchId) =>
+          sinkCalls += 1
+          scored.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+            .write.mode("append").parquet(s"$base/out")
+      })
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.read.parquet(s"$base/out")
+      .select("query_id", "corpus_id", "cosine", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._4))
+    val want = Similarity.ivfTopKIndexed(queries, "id", "v", idx, k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._4))
+    assert(got.length === 15, s"5 queries x k=3, got ${got.length}")
+    assert(got.toSeq === want.toSeq)
+    // the empty third file still produced a (possibly merged) trigger;
+    // whatever the batch split, the sink must never see an empty batch
+    assert(sinkCalls >= 1 && sinkCalls <= 2,
+      s"sink called $sinkCalls times; empty trigger must be skipped")
+  }
+}
