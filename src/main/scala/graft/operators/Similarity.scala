@@ -296,11 +296,15 @@ object Similarity {
     * drift, because every cell is probed. Retrain by rebuilding when the
     * drift monitor ([[ivfDriftStats]]; PQ twin [[Pq.indexDriftStats]])
     * degrades vs the build-time reference row. */
-  def appendIvfIndex(batch: DataFrame, cId: String, cVec: String, path: String): Unit = {
-    val spark = batch.sparkSession
-    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").collect()
-      .map(r => r.getSeq[Double](1).toArray)
+  def appendIvfIndex(batch: DataFrame, cId: String, cVec: String, path: String): Unit =
+    appendIvfIndex(batch, cId, cVec, path, loadIvfCentroids(batch.sparkSession, path))
+
+  /** [[appendIvfIndex]] with pre-loaded centroids ([[loadIvfCentroids]]) —
+    * for repeated callers (a streaming ingest appends every trigger; the
+    * quantizer is immutable between rebuilds, so one load serves the whole
+    * stream instead of one driver-side parquet read per micro-batch). */
+  def appendIvfIndex(batch: DataFrame, cId: String, cVec: String, path: String,
+      cents: Array[Array[Double]]): Unit = {
     val assignUdf = udf { (v: Seq[Double]) => nearestCell(normalize(v.toArray), cents) }
     batch.select(col(cId).as("corpus_id"), col(cVec).cast("array<double>").as("cv"))
       .withColumn("cell", assignUdf(col("cv")))
@@ -318,11 +322,13 @@ object Similarity {
     * pass over the BATCH against broadcast centroids — cost independent
     * of the resident index. */
   def ivfDriftStats(batch: DataFrame, idCol: String, vecCol: String,
-      path: String): DataFrame = {
-    val spark = batch.sparkSession
-    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").collect()
-      .map(r => r.getSeq[Double](1).toArray)
+      path: String): DataFrame =
+    ivfDriftStats(batch, idCol, vecCol, loadIvfCentroids(batch.sparkSession, path))
+
+  /** [[ivfDriftStats]] against pre-loaded centroids — the streaming-monitor
+    * form (one load per stream, not per trigger). */
+  def ivfDriftStats(batch: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]]): DataFrame = {
     val fitUdf = udf { (v0: Seq[Double]) =>
       val v = normalize(v0.toArray)
       val cell = nearestCell(v, cents)
@@ -335,6 +341,16 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"), round(avg(col("fit")), 6).as("coarse_fit"))
   }
 
+  /** Load a stored index's centroid table ([[writeIvfIndex]] layout) into
+    * the driver: nlist×dim doubles, cell-ordered. The immutable-between-
+    * rebuilds part of the index — load once, reuse across queries/batches
+    * via the centroid-taking overloads below. */
+  def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+
   /** Query a stored IVF index ([[writeIvfIndex]]). The probed-cell set
     * is pushed as a literal IN filter on the partition column, so the
     * scan prunes to those directories statically — visible as
@@ -342,11 +358,19 @@ object Similarity {
     * with the same parameters. */
   def ivfTopKIndexed(
       queries: DataFrame, qId: String, qVec: String,
-      path: String, k: Int, nprobe: Int): DataFrame = {
+      path: String, k: Int, nprobe: Int): DataFrame =
+    ivfTopKIndexed(queries, qId, qVec, path, k, nprobe,
+      loadIvfCentroids(queries.sparkSession, path))
+
+  /** [[ivfTopKIndexed]] with pre-loaded centroids — the streaming-retrieval
+    * form ([[graft.streaming.StreamingAnn]] loads once per stream; each
+    * trigger still re-reads only its probed CELLS of the corpus, which is
+    * the part that must stay fresh across appends). */
+  def ivfTopKIndexed(
+      queries: DataFrame, qId: String, qVec: String,
+      path: String, k: Int, nprobe: Int,
+      cents: Array[Array[Double]]): DataFrame = {
     val spark = queries.sparkSession
-    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").collect()
-      .map(r => r.getSeq[Double](1).toArray)
     val np = math.min(nprobe, cents.length)
     val probeUdf = udf { (v: Seq[Double]) =>
       val x = normalize(v.toArray)

@@ -43,14 +43,65 @@ object StreamingAnn {
     * ranked `(query_id, corpus_id, cosine, rank)` result to `sink` with
     * the micro-batch id. Same semantics/columns as
     * [[graft.operators.Similarity.ivfTopKIndexed]]; at nprobe = nlist
-    * the per-batch answer is exact (every cell probed). */
+    * the per-batch answer is exact (every cell probed).
+    *
+    * The centroid table (the immutable-between-rebuilds part of the
+    * index) loads lazily ONCE per stream, not per trigger; each trigger
+    * re-reads only its probed corpus cells — the part concurrent
+    * [[appendBatches]] appends must keep fresh. */
   def topKIndexedBatches(
       path: String, qId: String, qVec: String, k: Int, nprobe: Int)(
-      sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+      sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    val cents = loadCents(path)
     (batch, batchId) => {
       // an empty trigger has no probed cells and nothing to rank — skip
       // the index read entirely instead of planning a no-op scan
       if (!batch.isEmpty)
-        sink(Similarity.ivfTopKIndexed(batch, qId, qVec, path, k, nprobe), batchId)
+        sink(Similarity.ivfTopKIndexed(batch, qId, qVec, path, k, nprobe,
+          cents(batch)), batchId)
     }
+  }
+
+  /** The ingest side of the lifecycle: a `foreachBatch` function that
+    * appends each micro-batch of `(id, vec)` rows into the stored index
+    * ([[graft.operators.Similarity.appendIvfIndex]] — assignment against
+    * the EXISTING quantizer, one pass over the batch, never a rebuild)
+    * and hands the batch's drift row
+    * ([[graft.operators.Similarity.ivfDriftStats]]: `n_vectors`,
+    * `coarse_fit`) to `onDrift` — the retrain signal the append contract
+    * promises, produced in-line with ingestion rather than by a separate
+    * monitoring job. When `coarse_fit` degrades materially vs the
+    * build-time row, rebuild the index and restart the stream (the
+    * stream holds the quantizer, so a rebuild is a new stream by
+    * design — centroids must not change under a running assigner).
+    *
+    * Idempotence caveat: parquet-append is NOT idempotent on batch
+    * replay; after a crash between append and checkpoint commit the
+    * re-delivered batch appends twice. Queries at nprobe = nlist stay
+    * correct in ranking (duplicates rank adjacently) but exactly-once
+    * ingest needs a downstream dedup key — document ids make
+    * [[graft.operators.Dedup.incrementalExact]] the natural guard. */
+  def appendBatches(
+      path: String, idCol: String, vecCol: String)(
+      onDrift: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    val cents = loadCents(path)
+    (batch, batchId) => {
+      if (!batch.isEmpty) {
+        val ct = cents(batch)
+        Similarity.appendIvfIndex(batch, idCol, vecCol, path, ct)
+        onDrift(Similarity.ivfDriftStats(batch, idCol, vecCol, ct), batchId)
+      }
+    }
+  }
+
+  // one driver-side centroid read per STREAM: the quantizer is immutable
+  // between rebuilds, so re-reading it every trigger buys nothing
+  private def loadCents(path: String): DataFrame => Array[Array[Double]] = {
+    var loaded: Array[Array[Double]] = null
+    batch => {
+      if (loaded == null)
+        loaded = Similarity.loadIvfCentroids(batch.sparkSession, path)
+      loaded
+    }
+  }
 }

@@ -79,4 +79,57 @@ class StreamingAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sinkCalls >= 1 && sinkCalls <= 2,
       s"sink called $sinkCalls times; empty trigger must be skipped")
   }
+
+  test("streamed appends land in the index; drift row per batch; retrieval sees them") {
+    val base = Files.createTempDirectory("sannin").toString
+    val s = spark
+    import s.implicits._
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(6)(r.nextGaussian())
+    }
+    val corpus = (0 until 30).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    val idx = s"$base/idx"
+    Similarity.writeIvfIndex(corpus, "id", "v", idx, nlist = 4, iters = 4)
+
+    // 12 new vectors staged as 2 files -> appended across 2 micro-batches
+    val incoming = (200 until 212).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    incoming.filter($"id" < 206).coalesce(1).write.mode("append").parquet(s"$base/in")
+    Thread.sleep(1100)
+    incoming.filter($"id" >= 206).coalesce(1).write.mode("append").parquet(s"$base/in")
+
+    val drift = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = spark.readStream
+      .schema(incoming.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/in")
+      .writeStream
+      .foreachBatch(StreamingAnn.appendBatches(idx, "id", "v") { (row, batchId) =>
+        val r = row.collect()(0)
+        drift.synchronized { drift += ((batchId, r.getLong(0), r.getDouble(1))) }
+      })
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // one drift row per non-empty batch, n_vectors covering all 12
+    assert(drift.map(_._2).sum === 12L, s"drift rows $drift")
+    assert(drift.forall(d => d._3 <= 1.000001 && d._3 > -1.000001))
+    // index now holds both corpora; exact-regime retrieval equals the
+    // batch twin computed over the union with the SAME stored quantizer
+    val queries = (300 until 303).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    val got = Similarity.ivfTopKIndexed(queries, "id", "v", idx, k = 4, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._4))
+    val gotIds = got.map(_._2).toSet
+    assert(gotIds.exists(_ >= 200), s"appended vectors never retrieved: $gotIds")
+    val fresh = s"$base/idx2"
+    Similarity.writeIvfIndex(corpus, "id", "v", fresh, nlist = 4, iters = 4)
+    Similarity.appendIvfIndex(incoming, "id", "v", fresh)
+    val want = Similarity.ivfTopKIndexed(queries, "id", "v", fresh, k = 4, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._4))
+    assert(got.toSeq === want.toSeq)
+  }
 }
