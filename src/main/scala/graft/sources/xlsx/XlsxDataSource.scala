@@ -229,19 +229,34 @@ object XlsxTable {
     val acc = new SchemaInference.Acc(opts.header)
     val remaining = files.iterator
     var first = true
+    var readable = 0
     while (remaining.hasNext && acc.sampled < budget) {
       val file = remaining.next()
-      val reader = openReader(file, conf)
-      val sheets = selectSheets(reader, opts)
-      if (first) require(sheets.nonEmpty, s"workbook has no sheets: $file")
-      first = false
-      val sheetIt = sheets.iterator
-      while (sheetIt.hasNext && acc.sampled < budget) {
-        val it = reader.rows(sheetIt.next())
-        try acc.add(it, budget)
-        finally it.close() // sampling rarely exhausts the sheet
+      // under ignoreCorruptFiles an unreadable workbook is skipped here
+      // too — otherwise inference fails the job before the scan's own
+      // skip logic ever runs; at least one file must still sample
+      try {
+        val reader = openReader(file, conf)
+        val sheets = selectSheets(reader, opts)
+        if (first) require(sheets.nonEmpty, s"workbook has no sheets: $file")
+        first = false
+        val sheetIt = sheets.iterator
+        while (sheetIt.hasNext && acc.sampled < budget) {
+          val it = reader.rows(sheetIt.next())
+          try acc.add(it, budget)
+          finally it.close() // sampling rarely exhausts the sheet
+        }
+        readable += 1
+      } catch {
+        case scala.util.control.NonFatal(e) if opts.ignoreCorruptFiles =>
+          XlsxPartitionReader.log.warn(
+            s"skipping corrupt xlsx $file during schema inference (ignoreCorruptFiles): $e")
       }
     }
+    if (opts.ignoreCorruptFiles && readable == 0)
+      throw new IllegalArgumentException(
+        s"all ${files.size} xlsx file(s) were unreadable; cannot infer a schema " +
+          "(ignoreCorruptFiles skips corrupt files but needs at least one readable one)")
     val inferred = acc.result()
     // sheetNameColumn: provenance column appended AFTER the data columns,
     // the DSv2 form of the reference's per-sheet iteration

@@ -24,7 +24,8 @@ final case class XlsxOptions(
     splitSheets: Boolean,         // read: fan large sheets out over multiple tasks
     splitBytes: Long,             // read: target decompressed XML bytes per task
     rowHeight: Option[Double],    // write: default row height (points) for every sheet
-    singleFile: Boolean           // write: stitch all partitions into ONE workbook
+    singleFile: Boolean,          // write: stitch all partitions into ONE workbook
+    ignoreCorruptFiles: Boolean   // read: skip unreadable workbooks instead of failing the job
 ) extends Serializable
 
 object XlsxOptions {
@@ -63,8 +64,18 @@ object XlsxOptions {
       val v = h.toDouble
       require(v > 0, s"rowHeight must be positive, got $h"); v
     },
-    singleFile = m.getBoolean("singleFile", false)
+    singleFile = m.getBoolean("singleFile", false),
+    // At 100 TB a directory holds thousands of workbooks and one truncated
+    // upload should not kill the job on its Nth hour: per-FILE skip (xlsx
+    // is a ZIP — a bad central directory loses the file, not a record).
+    // Defaults to Spark's own spark.sql.files.ignoreCorruptFiles so the
+    // global setting governs custom sources too; the option overrides.
+    ignoreCorruptFiles = m.getBoolean("ignoreCorruptFiles", sessionIgnoreCorrupt)
   )
+
+  private def sessionIgnoreCorrupt: Boolean =
+    scala.util.Try(org.apache.spark.sql.internal.SQLConf.get.ignoreCorruptFiles)
+      .getOrElse(false)
 
   /** The reference's 12-field protection surface as `protect.*` options
     * (ref: src/types.rs:265-291): `protect.password` plus eleven boolean

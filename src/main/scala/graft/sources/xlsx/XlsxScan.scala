@@ -109,6 +109,9 @@ final class XlsxScan(
       // planSplits, which makes the final split decision
       if (!opts.splitSheets || zipSize * 20L <= opts.splitBytes) whole
       else scala.util.Try(planSplits(f)).getOrElse(whole)
+      // a corrupt file is NOT dropped here even under ignoreCorruptFiles:
+      // planning only ever falls back to the unsplit partition, and the
+      // reader makes the skip/fail decision where the row error surfaces
     }.toArray
   }
 
@@ -151,7 +154,8 @@ final class XlsxScan(
       .zipWithIndex.map { case (f, i) => f.name -> i }.toMap
     val srcIdx = required.fields.map(f =>
       if (opts.sheetNameColumn.contains(f.name)) -1 else cellIdx(f.name))
-    XlsxReaderFactory(required, srcIdx, opts.header, conf, pushedFilters)
+    XlsxReaderFactory(required, srcIdx, opts.header, conf, pushedFilters,
+      opts.ignoreCorruptFiles)
   }
 }
 
@@ -173,11 +177,13 @@ final case class XlsxReaderFactory(
     srcIdx: Array[Int],
     header: Boolean,
     conf: SerializableConfiguration,
-    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    ignoreCorruptFiles: Boolean = false
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[XlsxInputPartition]
-    new XlsxPartitionReader(p, required, srcIdx, header, conf.value, filters)
+    new XlsxPartitionReader(p, required, srcIdx, header, conf.value, filters,
+      ignoreCorruptFiles)
   }
 }
 
@@ -190,7 +196,8 @@ final class XlsxPartitionReader(
     srcIdx: Array[Int],
     header: Boolean,
     conf: org.apache.hadoop.conf.Configuration,
-    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    ignoreCorruptFiles: Boolean = false
 ) extends PartitionReader[InternalRow] {
 
   // Track the currently-open sheet iterator so close() can release its
@@ -198,7 +205,7 @@ final class XlsxPartitionReader(
   // exhaustion alone would leak a file descriptor per truncated read.
   private var openIter: graft.xlsx.XlsxReader.RowIter = _
 
-  private val rows: Iterator[Vector[CellValue]] = {
+  private def buildRows(): Iterator[Vector[CellValue]] = {
     val reader = XlsxTable.openReader(partition.file, conf)
     val sheets = partition.resolvedSheet match {
       case Some(s) => Seq(s) // split partitions resolved sheets at planning
@@ -210,7 +217,7 @@ final class XlsxPartitionReader(
           protection = None, columnWidths = Seq.empty, columnStyles = Seq.empty,
           sheetColumn = None, formulaPrefix = None, sheetNameColumn = None,
           splitSheets = false, splitBytes = XlsxOptions.DefaultSplitBytes,
-          rowHeight = None, singleFile = false)
+          rowHeight = None, singleFile = false, ignoreCorruptFiles = false)
         XlsxTable.selectSheets(reader, opts)
     }
     sheets.iterator.flatMap { s =>
@@ -223,6 +230,39 @@ final class XlsxPartitionReader(
       it
     }
   }
+
+  // ignoreCorruptFiles (off by default; follows Spark's global conf via
+  // XlsxOptions): the partition's file is skipped — rows already emitted
+  // stay emitted, the remainder is dropped with one executor-log warning,
+  // matching spark.sql.files.ignoreCorruptFiles semantics for the built-in
+  // sources. Granularity is the FILE: xlsx is one ZIP, so a truncated
+  // upload or bad central directory loses that workbook, not the job.
+  private val rows: Iterator[Vector[CellValue]] =
+    if (!ignoreCorruptFiles) buildRows()
+    else {
+      def skip(e: Throwable): Iterator[Vector[CellValue]] = {
+        XlsxPartitionReader.log.warn(
+          s"skipping corrupt xlsx ${partition.file} (ignoreCorruptFiles): $e")
+        Iterator.empty
+      }
+      val inner =
+        try buildRows()
+        catch { case scala.util.control.NonFatal(e) => skip(e) }
+      // lookahead wrapper: ALL pulling (and therefore all parsing) happens
+      // in hasNext, so a mid-sheet failure (malformed XML past row N) ends
+      // the file cleanly — no phantom row, nothing thrown from next()
+      new Iterator[Vector[CellValue]] {
+        private var buf: Vector[CellValue] = _
+        private var dead = false
+        override def hasNext: Boolean = !dead && (buf != null || {
+          try { if (inner.hasNext) { buf = inner.next(); true } else false }
+          catch { case scala.util.control.NonFatal(e) => dead = true; skip(e); false }
+        })
+        override def next(): Vector[CellValue] =
+          if (hasNext) { val r = buf; buf = null; r }
+          else throw new NoSuchElementException("next on exhausted xlsx iterator")
+      }
+    }
   // Name of the sheet currently being streamed (set as each sheet opens);
   // backs the virtual sheetNameColumn (srcIdx -1).
   private var currentSheet: UTF8String = _
@@ -299,6 +339,8 @@ final class XlsxPartitionReader(
 }
 
 object XlsxPartitionReader {
+
+  private[xlsx] val log = org.slf4j.LoggerFactory.getLogger(classOf[XlsxPartitionReader])
 
   /** CellValue → Catalyst *internal* value for one Spark type; lenient
     * coercion per the reference (ref: src/types.rs:101-152), mismatch → null. */
