@@ -1131,6 +1131,27 @@ object SparkEntry {
       Curation.charLmScore(t(s, dir, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
 
+    "dsir_weights" -> ((s, dir) => {
+      // DSIR log importance weights against a deterministic exemplar
+      // target (every 7th document) — exact-vocabulary regime, top-512
+      // target bigrams + OOV bucket, Laplace 1.0; ratio table broadcast,
+      // corpus scored in one exploded pass.
+      val d = t(s, dir, "documents")
+      Curation.dsirWeights(d, "doc_id", "text",
+          d.filter(col("doc_id") % 7 === 0), "text", vocab = 512)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    "dsir_select" -> ((s, dir) => {
+      // The resampling step: Gumbel-top-25 on the weights (probability
+      // ∝ exp(logw)), Gumbel uniforms from the mixed doc id — fully
+      // deterministic, so the selected set itself is oracle-checkable.
+      val d = t(s, dir, "documents")
+      Curation.dsirSelect(d, "doc_id", "text",
+          d.filter(col("doc_id") % 7 === 0), "text", k = 25, vocab = 512)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "line_dedup" -> ((s, dir) =>
       // Line-level boilerplate removal at word granularity (the synthetic
       // docs have no newlines): words in more than 78% of the docs are the
@@ -2496,6 +2517,69 @@ object SparkEntry {
          JOIN c3t USING (g)
          JOIN c2t ON substr(g, 1, 2) = c2t.b
          GROUP BY doc_id""",
+
+    "dsir_weights" ->
+      """WITH tw AS (SELECT regexp_extract_all(lower(text), '\w+') AS w
+                     FROM documents WHERE doc_id % 7 = 0),
+              tg AS (SELECT unnest(list_transform(range(1, len(w)),
+                              i -> w[i] || ' ' || w[i+1])) AS g FROM tw),
+              tc AS (SELECT g, count(*) AS nt FROM tg GROUP BY g),
+              vocab AS (SELECT g, nt FROM tc ORDER BY nt DESC, g LIMIT 512),
+              cw AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w
+                     FROM documents),
+              cg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                              i -> w[i] || ' ' || w[i+1])) AS g FROM cw),
+              qc AS (SELECT g, count(*) AS nq FROM cg JOIN vocab USING (g) GROUP BY g),
+              tot AS (SELECT (SELECT count(*) FROM tg) AS t_total,
+                             (SELECT count(*) FROM cg) AS q_total,
+                             (SELECT coalesce(sum(nt), 0) FROM vocab) AS t_in,
+                             (SELECT coalesce(sum(nq), 0) FROM qc) AS q_in),
+              ratio AS (SELECT v.g,
+                               ln((v.nt + 1.0) / (t_total + 513.0))
+                             - ln((coalesce(q.nq, 0) + 1.0) / (q_total + 513.0)) AS lr
+                        FROM vocab v LEFT JOIN qc q USING (g) CROSS JOIN tot),
+              oov AS (SELECT ln((t_total - t_in + 1.0) / (t_total + 513.0))
+                           - ln((q_total - q_in + 1.0) / (q_total + 513.0)) AS oov_lr
+                      FROM tot)
+         SELECT doc_id, count(*) AS n_grams,
+                round(sum(coalesce(lr, oov_lr)), 4) AS logw
+         FROM cg LEFT JOIN ratio USING (g) CROSS JOIN oov
+         GROUP BY doc_id""",
+
+    "dsir_select" ->
+      """WITH tw AS (SELECT regexp_extract_all(lower(text), '\w+') AS w
+                     FROM documents WHERE doc_id % 7 = 0),
+              tg AS (SELECT unnest(list_transform(range(1, len(w)),
+                              i -> w[i] || ' ' || w[i+1])) AS g FROM tw),
+              tc AS (SELECT g, count(*) AS nt FROM tg GROUP BY g),
+              vocab AS (SELECT g, nt FROM tc ORDER BY nt DESC, g LIMIT 512),
+              cw AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w
+                     FROM documents),
+              cg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                              i -> w[i] || ' ' || w[i+1])) AS g FROM cw),
+              qc AS (SELECT g, count(*) AS nq FROM cg JOIN vocab USING (g) GROUP BY g),
+              tot AS (SELECT (SELECT count(*) FROM tg) AS t_total,
+                             (SELECT count(*) FROM cg) AS q_total,
+                             (SELECT coalesce(sum(nt), 0) FROM vocab) AS t_in,
+                             (SELECT coalesce(sum(nq), 0) FROM qc) AS q_in),
+              ratio AS (SELECT v.g,
+                               ln((v.nt + 1.0) / (t_total + 513.0))
+                             - ln((coalesce(q.nq, 0) + 1.0) / (q_total + 513.0)) AS lr
+                        FROM vocab v LEFT JOIN qc q USING (g) CROSS JOIN tot),
+              oov AS (SELECT ln((t_total - t_in + 1.0) / (t_total + 513.0))
+                           - ln((q_total - q_in + 1.0) / (q_total + 513.0)) AS oov_lr
+                      FROM tot),
+              wts AS (SELECT doc_id, round(sum(coalesce(lr, oov_lr)), 4) AS logw
+                      FROM cg LEFT JOIN ratio USING (g) CROSS JOIN oov
+                      GROUP BY doc_id),
+              picked AS (SELECT doc_id, logw,
+                                round(logw - ln(-ln((((doc_id * 2654435761) % 4294967296) + 0.5)
+                                                    / 4294967296.0)), 4) AS key
+                         FROM wts
+                         ORDER BY key DESC, doc_id LIMIT 25)
+         SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT) AS rank,
+                doc_id, logw, key
+         FROM picked""",
 
     "line_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -506,4 +506,106 @@ object Curation {
       .orderBy(col("score").desc, col("id"))
       .limit(topK)
   }
+
+  /** Word-bigram occurrences of a text column (NOT deduped — these are
+    * feature counts, like [[charGrams]]). Texts under 2 tokens yield an
+    * empty array and are absent from gram-keyed outputs. */
+  private def bigramOccurrences(text: Column): Column = {
+    val w = tokens(text)
+    when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", slice(w, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each raw-corpus
+    * document by how much more typical its word bigrams are of a TARGET
+    * exemplar corpus (the quality domain you want more of) than of the
+    * raw corpus itself — `logw = Σ_g n_doc(g)·(ln p_target(g) −
+    * ln q_raw(g))`, the log importance weight of the doc's bag of
+    * features. The paper hashes features into a fixed number of buckets;
+    * this is the exact-vocabulary regime of the same estimator (the
+    * oracle-checkable twin, like [[graft.operators.HeavyHitters]]'
+    * exact regime): the feature space is the target's top `vocab`
+    * bigrams by count (ties by gram), everything else pools into one
+    * OOV bucket — identical bounded-memory shape (vocab+1 probabilities),
+    * deterministic instead of hash-dependent. Laplace `smoothing` over
+    * the vocab+1 buckets keeps both distributions finite off-support.
+    *
+    * Scale shape: both count tables aggregate map-side-combinably and are
+    * bounded by `vocab` rows, so the log-ratio table BROADCASTS; the raw
+    * corpus is scored in ONE exploded pass (broadcast join → per-doc
+    * combinable sum) — it never shuffles text, only (id, gram-count)
+    * partials, exactly the shape of [[charLmScore]]. The target is
+    * typically small (an exemplar sample) but nothing here requires it.
+    * Documents under 2 tokens have no features and are absent.
+    * Returns (id, n_grams, logw). */
+  def dsirWeights(
+      corpus: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      vocab: Int = 4096, smoothing: Double = 1.0): DataFrame = {
+    require(vocab > 0, "vocab must be positive")
+    require(smoothing > 0, "smoothing must be positive (0 gives -inf off-support)")
+    val tGrams = Dedup.spread(target)
+      .select(explode(bigramOccurrences(col(targetTextCol))).as("g"))
+    val tCounts = tGrams.groupBy("g").agg(count(lit(1)).as("nt"))
+    val vocabDf = tCounts.orderBy(col("nt").desc, col("g")).limit(vocab)
+    val cGrams = Dedup.spread(corpus)
+      .select(col(idCol).as("id"), explode(bigramOccurrences(col(textCol))).as("g"))
+    val qCounts = cGrams.join(broadcast(vocabDf.select("g")), "g")
+      .groupBy("g").agg(count(lit(1)).as("nq"))
+    // scalar frames (broadcast, in-plan — no driver collects): gram totals
+    // and the in-vocab mass of each side; OOV mass = total − in-vocab
+    val tTot = tGrams.agg(count(lit(1)).as("t_total"))
+    val qTot = cGrams.agg(count(lit(1)).as("q_total"))
+    val tIn = vocabDf.agg(coalesce(sum(col("nt")), lit(0L)).as("t_in"))
+    val qIn = qCounts.agg(coalesce(sum(col("nq")), lit(0L)).as("q_in"))
+    val a = lit(smoothing)
+    // denominators smooth over vocab+1 buckets (the OOV bucket included)
+    def logp(n: Column, tot: Column) =
+      log((n + a) / (tot + a * (vocab + 1)))
+    val ratio = vocabDf.join(qCounts, Seq("g"), "left")
+      .na.fill(0L, Seq("nq"))
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(qTot))
+      .select(col("g"),
+        (logp(col("nt"), col("t_total")) - logp(col("nq"), col("q_total"))).as("lr"))
+    val oov = tTot.crossJoin(tIn).crossJoin(qTot).crossJoin(qIn)
+      .select((logp(col("t_total") - col("t_in"), col("t_total")) -
+        logp(col("q_total") - col("q_in"), col("q_total"))).as("oov_lr"))
+    cGrams.join(broadcast(ratio), Seq("g"), "left")
+      .crossJoin(broadcast(oov))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(coalesce(col("lr"), col("oov_lr"))), 4).as("logw"))
+  }
+
+  /** DSIR selection: sample `k` documents without replacement with
+    * probability ∝ exp([[dsirWeights]]' logw) via the Gumbel-top-k
+    * trick (Plackett–Luce sampling as one ranking pass) — the paper's
+    * resampling step, made deterministic: the Gumbel draw's uniform
+    * comes from [[mixKey]] of the doc id (`u = (mix + 0.5)/2^32`,
+    * `gumbel = −ln(−ln u)`), so the selected set is identical across
+    * engines, reruns and partitionings — no RNG state. The sort key is
+    * rounded to 4 dp BEFORE ranking (summation-order ulps must not flip
+    * a rank, the [[Classify]] convention), ties broken by id. Scale: the
+    * weighting pass is [[dsirWeights]]; selection is TakeOrdered — the
+    * global window only ever sees the k survivors. Returns
+    * (rank, id, logw, key). */
+  def dsirSelect(
+      corpus: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, k: Int,
+      vocab: Int = 4096, smoothing: Double = 1.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    val weighted = dsirWeights(corpus, idCol, textCol, target, targetTextCol,
+      vocab, smoothing)
+    val u = (mixKey(col("id")) + lit(0.5d)) / lit(4294967296.0d)
+    val picked = weighted
+      .withColumn("key", round(col("logw") - log(-log(u)), 4))
+      .orderBy(col("key").desc, col("id"))
+      .limit(k)
+    picked.withColumn("rank",
+        row_number().over(Window.orderBy(col("key").desc, col("id"))))
+      .select(col("rank"), col("id"), col("logw"), col("key"))
+  }
 }

@@ -474,4 +474,57 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(again === kept.toSet)
   }
+
+  test("DSIR weights: on-target docs outweigh off-target; short docs absent; OOV sane") {
+    // target domain: cooking-ish bigrams; corpus mixes on-target copies,
+    // off-target legalese, and a 1-token doc (no bigrams -> absent)
+    val target = docs(
+      100L -> "stir the sauce and season the sauce with salt",
+      101L -> "simmer the sauce then season with salt and pepper")
+    val corpus = docs(
+      1L -> "stir the sauce and season with salt",      // on-target
+      2L -> "the party of the first part hereby waives", // off-target
+      3L -> "simmer the sauce with salt and pepper",     // on-target
+      4L -> "notwithstanding any provision herein the parties agree",
+      5L -> "word")                                      // 1 token
+    val w = Curation.dsirWeights(corpus, "id", "text", target, "text",
+      vocab = 64, smoothing = 1.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!w.contains(5L), "doc under 2 tokens has no features")
+    assert(w.keySet === Set(1L, 2L, 3L, 4L))
+    // per-gram normalization isn't needed for the ranking law: on-target
+    // docs must beat off-target docs on the LOG weight
+    val onT = Seq(w(1L)._2, w(3L)._2).min
+    val offT = Seq(w(2L)._2, w(4L)._2).max
+    assert(onT > offT, s"on-target $onT must outweigh off-target $offT: $w")
+    // n_grams = token count - 1 (occurrences, not distinct)
+    assert(w(1L)._1 === 6L)
+    // determinism across reruns
+    val again = Curation.dsirWeights(corpus, "id", "text", target, "text",
+      vocab = 64, smoothing = 1.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(again === w)
+  }
+
+  test("DSIR select: k rows, dense ranks, key = logw + deterministic Gumbel") {
+    val target = docs(100L -> "alpha beta gamma delta alpha beta")
+    val corpus = docs((1L to 40L).map(i =>
+      i -> (if (i % 4 == 0) "alpha beta gamma delta" else "zeta eta theta iota kappa")): _*)
+    val sel = Curation.dsirSelect(corpus, "id", "text", target, "text",
+      k = 8, vocab = 32)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(sel.length === 8)
+    assert(sel.map(_._1).toSeq === (1 to 8), "dense ranks in order")
+    assert(sel.map(_._2).distinct.length === 8, "without replacement")
+    // recompute the Gumbel key independently for each picked row
+    sel.foreach { case (_, id, logw, key) =>
+      val mix = (id * 2654435761L) % 4294967296L
+      val u = (mix + 0.5d) / 4294967296.0d
+      val expect = BigDecimal(logw - math.log(-math.log(u)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(key - expect) < 1e-9, s"id=$id key=$key expect=$expect")
+    }
+    // keys descend with rank
+    assert(sel.sliding(2).forall(p => p(0)._4 >= p(1)._4))
+  }
 }
