@@ -533,13 +533,22 @@ object Curation {
     * deterministic instead of hash-dependent. Laplace `smoothing` over
     * the vocab+1 buckets keeps both distributions finite off-support.
     *
-    * Scale shape: both count tables aggregate map-side-combinably and are
-    * bounded by `vocab` rows, so the log-ratio table BROADCASTS; the raw
-    * corpus is scored in ONE exploded pass (broadcast join → per-doc
-    * combinable sum) — it never shuffles text, only (id, gram-count)
-    * partials, exactly the shape of [[charLmScore]]. The target is
-    * typically small (an exemplar sample) but nothing here requires it.
-    * Documents under 2 tokens have no features and are absent.
+    * Scale shape: corpus TEXT is read exactly TWICE, by construction —
+    * one MODEL pass (grams bucketed against the broadcast vocab BEFORE
+    * the aggregate, so the shuffle carries ≤ vocab+1 rows after
+    * map-side combine; the aggregated vocab+1-row table is collected —
+    * a BOUNDED driver action, the centroid/codebook convention) and one
+    * SCORING pass (broadcast log-ratio join → per-doc combinable sum).
+    * The target corpus is read once: its count table is pinned (Dedup's
+    * registry — caller drains with `Dedup.unpersistAll`) and its two
+    * consumers are direct actions on it. The log-ratio model itself is
+    * vocab+1 doubles built on the driver — DSIR's model IS small; what
+    * must stay distributed is the two corpus passes, and is. (The first
+    * formulation kept every scalar in-plan as broadcast frames; each
+    * one re-read the corpus, because cache substitution does not fire
+    * for a plan nested over another cached plan — measured 13 text
+    * scans vs 3 here, `Plans --executed` census.) Documents under 2
+    * tokens have no features and are absent.
     * Returns (id, n_grams, logw). */
   def dsirWeights(
       corpus: DataFrame, idCol: String, textCol: String,
@@ -547,37 +556,48 @@ object Curation {
       vocab: Int = 4096, smoothing: Double = 1.0): DataFrame = {
     require(vocab > 0, "vocab must be positive")
     require(smoothing > 0, "smoothing must be positive (0 gives -inf off-support)")
-    val tGrams = Dedup.spread(target)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val tCounts = Dedup.pin(Dedup.spread(target)
       .select(explode(bigramOccurrences(col(targetTextCol))).as("g"))
-    val tCounts = tGrams.groupBy("g").agg(count(lit(1)).as("nt"))
-    val vocabDf = tCounts.orderBy(col("nt").desc, col("g")).limit(vocab)
+      .groupBy("g").agg(count(lit(1)).as("nt")))
+    // target-side actions (cache builds once): ≤ vocab rows + one scalar
+    val vocabRows: Array[(String, Long)] = tCounts
+      .orderBy(col("nt").desc, col("g")).limit(vocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val tTotal = tCounts.agg(coalesce(sum(col("nt")), lit(0L)))
+      .collect()(0).getLong(0)
+    val tIn = vocabRows.map(_._2).sum
     val cGrams = Dedup.spread(corpus)
       .select(col(idCol).as("id"), explode(bigramOccurrences(col(textCol))).as("g"))
-    val qCounts = cGrams.join(broadcast(vocabDf.select("g")), "g")
-      .groupBy("g").agg(count(lit(1)).as("nq"))
-    // scalar frames (broadcast, in-plan — no driver collects): gram totals
-    // and the in-vocab mass of each side; OOV mass = total − in-vocab
-    val tTot = tGrams.agg(count(lit(1)).as("t_total"))
-    val qTot = cGrams.agg(count(lit(1)).as("q_total"))
-    val tIn = vocabDf.agg(coalesce(sum(col("nt")), lit(0L)).as("t_in"))
-    val qIn = qCounts.agg(coalesce(sum(col("nq")), lit(0L)).as("q_in"))
-    val a = lit(smoothing)
-    // denominators smooth over vocab+1 buckets (the OOV bucket included)
-    def logp(n: Column, tot: Column) =
-      log((n + a) / (tot + a * (vocab + 1)))
-    val ratio = vocabDf.join(qCounts, Seq("g"), "left")
-      .na.fill(0L, Seq("nq"))
-      .crossJoin(broadcast(tTot)).crossJoin(broadcast(qTot))
-      .select(col("g"),
-        (logp(col("nt"), col("t_total")) - logp(col("nq"), col("q_total"))).as("lr"))
-    val oov = tTot.crossJoin(tIn).crossJoin(qTot).crossJoin(qIn)
-      .select((logp(col("t_total") - col("t_in"), col("t_total")) -
-        logp(col("q_total") - col("q_in"), col("q_total"))).as("oov_lr"))
+    // model pass (corpus read #1): bucket every corpus gram (vocab gram
+    // or the OOV sentinel — U+0000 cannot collide with space-joined \w+
+    // grams) BEFORE aggregating, so one pass yields vocab counts AND the
+    // OOV count and the shuffle is vocab-bounded after map-side combine;
+    // the aggregate is ≤ vocab+1 rows, so collecting it is bounded
+    val inVocab = broadcast(vocabRows.map(_._1).toSeq.toDF("g")
+      .withColumn("inv", lit(true)))
+    val qRows: Map[String, Long] = cGrams.join(inVocab, Seq("g"), "left")
+      .groupBy(when(col("inv"), col("g")).otherwise(lit("\u0000")).as("g"))
+      .agg(count(lit(1)).as("nq"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val qTotal = qRows.valuesIterator.sum
+    val qIn = qRows.iterator.collect { case (g, n) if g != "\u0000" => n }.sum
+    // the model: vocab+1 log ratios, pure driver arithmetic (the same
+    // IEEE ops an ANSI oracle states, so results replay exactly);
+    // denominators smooth over vocab+1 buckets (OOV included)
+    val a = smoothing
+    def logp(n: Long, tot: Long): Double =
+      math.log((n + a) / (tot + a * (vocab + 1)))
+    val ratio = vocabRows.toSeq.map { case (g, nt) =>
+      (g, logp(nt, tTotal) - logp(qRows.getOrElse(g, 0L), qTotal))
+    }.toDF("g", "lr")
+    val oovLr = logp(tTotal - tIn, tTotal) - logp(qTotal - qIn, qTotal)
+    // scoring pass (corpus read #2): broadcast model join, combinable sum
     cGrams.join(broadcast(ratio), Seq("g"), "left")
-      .crossJoin(broadcast(oov))
       .groupBy("id")
       .agg(count(lit(1)).as("n_grams"),
-        round(sum(coalesce(col("lr"), col("oov_lr"))), 4).as("logw"))
+        round(sum(coalesce(col("lr"), lit(oovLr))), 4).as("logw"))
   }
 
   /** DSIR selection: sample `k` documents without replacement with

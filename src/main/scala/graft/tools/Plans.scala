@@ -8,10 +8,18 @@ import org.apache.spark.sql.SparkSession
   * scans, broadcasts are chosen, shuffles are only where the semantics
   * require them.
   *
-  * Usage: Plans [queryName ...]  (default: a representative set)
+  * Usage: Plans [--executed] [queryName ...]  (default: a representative set)
+  *
+  * `--executed` runs each query first and prints the FINAL adaptive plan
+  * instead of the static one — AQE applies exchange/subquery reuse at
+  * RUNTIME, so scan/shuffle dedup across repeated subtrees (scalar
+  * frames derived from a shared count table, for instance) is only
+  * visible here; the static plan over-counts scans.
   */
 object Plans {
-  def main(args: Array[String]): Unit = {
+  def main(args0: Array[String]): Unit = {
+    val executed = args0.contains("--executed")
+    val args = args0.filterNot(_ == "--executed")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("project_filter", "join_broadcast", "agg_groupby", "xlsx_roundtrip",
         "xlsx_scan_filtered", "semantic_dedup_ivf",
@@ -35,7 +43,30 @@ object Plans {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, dir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, dir)
+      if (executed) {
+        df.count()
+        val plan = df.queryExecution.executedPlan
+        println(plan.toString)
+        // precise scan census: walk the EXECUTED tree incl. subqueries
+        // and adaptive stages (cached-relation children are not walked —
+        // an InMemoryTableScan is a cache hit, not a file read)
+        def leaves(p: org.apache.spark.sql.execution.SparkPlan):
+            Seq[org.apache.spark.sql.execution.SparkPlan] =
+          p.collectWithSubqueries {
+            case s: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              leaves(s.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              leaves(q.plan)
+            case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+            case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => Seq(c)
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
+          }.flatten
+        val ls = leaves(plan)
+        println(s"-- scan census: ${ls.count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])} file scans, " +
+          s"${ls.count(_.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])} cache scans, " +
+          s"${ls.count(_.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec])} dsv2 scans")
+      } else df.explain("formatted")
     }
     spark.stop()
   }
