@@ -1554,7 +1554,8 @@ object SparkEntry {
     "tfidf_topterms", "bm25_search", "repetition_stats", "curation_pipeline",
     "pii_redact", "split_assign", "split_leakage_safe", "sample_weighted",
     "mixture_temperature", "bloom_join", "jsonl_roundtrip",
-    "line_dedup", "shard_assign", "epoch_shuffle", "lm_score", "curation_pipeline2",
+    "line_dedup", "shard_assign", "epoch_shuffle", "lm_score", "dsir_weights",
+    "curation_pipeline2",
     "table_profile", "incremental_dedup", "incremental_neardup",
     "partitioned_write", "orc_roundtrip",
     "doc_chunk", "sequence_pack", "semantic_dedup", "nb_classify",
