@@ -34,11 +34,18 @@ object Classify {
       explode(split(col(textCol), " ")).as("word"))
     // model: per-(class, word) occurrence counts + per-class totals,
     // priors, and vocabulary size — two map-side-combinable aggregates.
-    val wc = dw.groupBy(col("label"), col("word")).agg(count(lit(1)).as("cnt"))
+    // wc IS the broadcastable model artifact (vocab × classes), so it is
+    // pinned (Dedup's registry) and every model-derived table reads the
+    // cache: ct, and voc — distinct words over wc ≡ distinct words over
+    // dw, but costs a cache scan instead of a third TEXT pass. Text is
+    // read exactly twice (model build + scoring grid); the unpinned form
+    // read it four times (Plans --executed census: 8 scans → 4).
+    val wc = Dedup.pin(
+      dw.groupBy(col("label"), col("word")).agg(count(lit(1)).as("cnt")))
     val ct = wc.groupBy(col("label")).agg(sum(col("cnt")).as("toks"))
     val pri = df.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("ndocs"))
     val nd = df.agg(count(lit(1)).as("nd"))
-    val voc = dw.agg(countDistinct(col("word")).as("v"))
+    val voc = wc.select(col("word")).distinct().agg(count(lit(1)).as("v"))
     // score: every token occurrence × every class, smoothed class-
     // conditional log-likelihood; the model rides broadcast joins.
     val grid = dw.select(col(idCol), col("word"))
