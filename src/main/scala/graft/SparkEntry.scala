@@ -1117,8 +1117,16 @@ object SparkEntry {
       // absolute maxDf=240 was calibrated on ~300 keep docs and at 10x the
       // corpus every common word crossed it, emptying the whole output
       // (caught by the sf1 organic oracle replay).
-      val cleaned = Dedup.lineDedup(d.join(keep, "doc_id"), "doc_id", "text",
-        sep = " ", maxDfFrac = 0.78)
+      //
+      // The filtered corpus is PINNED (stage materialization, the real-
+      // pipeline move): lineDedup consumes its input three times, and
+      // unpinned each use re-derived the LM filter's own three text
+      // passes — Plans --executed census measured 12 corpus scans for
+      // this composition; pinned it is the filter chain once + cache
+      // scans. Single-level pin only: nesting pins defeats cache
+      // substitution (see dsirWeights).
+      val cleaned = Dedup.lineDedup(Dedup.pin(d.join(keep, "doc_id")),
+        "doc_id", "text", sep = " ", maxDfFrac = 0.78)
       Curation.splitAssign(cleaned.withColumnRenamed("id", "doc_id"), "doc_id",
           Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .select(col("doc_id"),

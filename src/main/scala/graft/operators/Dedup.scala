@@ -39,7 +39,7 @@ object Dedup {
 
   /** [[TrackedPersist.trackedPersist]] for sibling operators (Curation's
     * span scrub shares this registry so one `unpersistAll` drains both). */
-  private[operators] def pin(df: DataFrame): DataFrame = df.trackedPersist()
+  private[graft] def pin(df: DataFrame): DataFrame = df.trackedPersist()
 
   /** Release every intermediate this object pinned for `spark`. Call AFTER
     * the consuming action (count/write/collect) — the returned frames are
