@@ -1123,8 +1123,8 @@ object SparkEntry {
       // unpinned each use re-derived the LM filter's own three text
       // passes — Plans --executed census measured 12 corpus scans for
       // this composition; pinned it is the filter chain once + cache
-      // scans. Single-level pin only: nesting pins defeats cache
-      // substitution (see dsirWeights).
+      // scans (census-confirmed 0 file scans in the final plan —
+      // substitution verified, not assumed; see SCALE.md audit).
       val cleaned = Dedup.lineDedup(Dedup.pin(d.join(keep, "doc_id")),
         "doc_id", "text", sep = " ", maxDfFrac = 0.78)
       Curation.splitAssign(cleaned.withColumnRenamed("id", "doc_id"), "doc_id",
