@@ -459,9 +459,13 @@ object Curation {
     * document frequency is an aggregate over the tf table (no second scan
     * of the raw text). N rides a broadcast scalar, not a driver constant. */
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String, perDoc: Int = 3): DataFrame = {
-    val tf = Dedup.spread(df)
+    // tf is consumed twice (df aggregate + the scoring join) — pinned so
+    // the corpus text is read ONCE (census: 3 file scans → 1 + cache);
+    // the narrow (id, term, tf) rows are the materialize-don't-rescan
+    // trade every Dedup intermediate already makes
+    val tf = Dedup.pin(Dedup.spread(df)
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
-      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("id").orderBy(col("score").desc, col("term"))
@@ -489,10 +493,14 @@ object Curation {
     val dl = toks.select(col("id"), size(col("ts")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     // dl is functionally dependent on id, so carrying it through the tf
-    // aggregate key costs nothing and removes a corpus-sized join
-    val tf = toks.select(col("id"), size(col("ts")).as("dl"), explode(col("ts")).as("term"))
+    // aggregate key costs nothing and removes a corpus-sized join.
+    // tf holds query-term hits ONLY (bounded by |queryTerms| × docs) and
+    // feeds both the df-count and the scoring join — pinned, so the
+    // corpus text is read twice (stats + tf build), not three times
+    val tf = Dedup.pin(toks
+      .select(col("id"), size(col("ts")).as("dl"), explode(col("ts")).as("term"))
       .join(broadcast(queryTerms.toDF("term")), "term")
-      .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
