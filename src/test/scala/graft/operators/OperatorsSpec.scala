@@ -578,6 +578,37 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1L) === env.toSeq)
   }
 
+  test("multimodal: compressed u-law/a-law WAVs decode for REAL (AudioSystem conversion)") {
+    // genuine ULAW/ALAW containers, encoded by the JDK itself: PCM frames
+    // -> AudioSystem conversion -> WAVE file bytes. decodeWavSamples'
+    // "whatever PCM-convertible encoding the WAV carries" contract means
+    // these are NOT stub territory — pin it.
+    import javax.sound.sampled._
+    def compressedWav(enc: AudioFormat.Encoding): Array[Byte] = {
+      val samples = Array.tabulate[Short](800)(i => if (i < 400) 16384 else 0)
+      val pcmBytes = java.nio.ByteBuffer.allocate(1600)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(pcmBytes.putShort)
+      val pcmFmt = new AudioFormat(8000f, 16, 1, true, false)
+      val pcmAis = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcmBytes.array()), pcmFmt, 800)
+      val comp = AudioSystem.getAudioInputStream(
+        new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false), pcmAis)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(comp, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    for (enc <- Seq(AudioFormat.Encoding.ULAW, AudioFormat.Encoding.ALAW)) {
+      val wav = compressedWav(enc)
+      assert(Multimodal.wavAudio(wav) === Some((8000, 1)), s"$enc header")
+      val got = Multimodal.decodeWavSamples(wav)
+      assert(got.isDefined && got.get.length === 800, s"$enc length")
+      // companding quantization error stays small at these amplitudes
+      assert(math.abs(got.get(10) - 0.5f) < 0.05f, s"$enc loud half: ${got.get(10)}")
+      assert(math.abs(got.get(700)) < 0.01f, s"$enc silent half: ${got.get(700)}")
+    }
+  }
+
   test("multimodal: renderTestTone fixture — real decode, on/off envelope, class-deterministic") {
     val tone = Multimodal.renderTestTone(3)
     // header parses like any real WAV
