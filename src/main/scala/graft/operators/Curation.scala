@@ -381,11 +381,15 @@ object Curation {
     * words have no k-grams and are absent from the output. Two map-side
     * combinable aggregates keyed on (doc, gram) then doc — no joins. */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String, k: Int = 2): DataFrame = {
-    val words = split(col(textCol), "\\s+")
-    val grams = when(size(words) >= k,
-      transform(sequence(lit(1), size(words) - (k - 1)),
-        i => concat_ws(" ", slice(words, i, lit(k)))))
-      .otherwise(array().cast("array<string>"))
+    // Dedup.bindArray: the split evaluates once per row, not once per
+    // gram — a lambda body re-evaluates expensive subexpressions per
+    // ELEMENT (the O(words²) hazard, see bindArray's scaladoc)
+    val grams = Dedup.bindArray(split(col(textCol), "\\s+")) { words =>
+      when(size(words) >= k,
+        transform(sequence(lit(1), size(words) - (k - 1)),
+          i => concat_ws(" ", slice(words, i, lit(k)))))
+        .otherwise(array().cast("array<string>"))
+    }
     Dedup.spread(df)
       .select(col(idCol).as("id"), explode(grams).as("g"))
       .groupBy("id", "g").agg(count(lit(1)).as("c"))
@@ -518,13 +522,13 @@ object Curation {
   /** Word-bigram occurrences of a text column (NOT deduped — these are
     * feature counts, like [[charGrams]]). Texts under 2 tokens yield an
     * empty array and are absent from gram-keyed outputs. */
-  private def bigramOccurrences(text: Column): Column = {
-    val w = tokens(text)
-    when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1),
-        i => concat_ws(" ", slice(w, i, lit(2)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  private def bigramOccurrences(text: Column): Column =
+    Dedup.bindArray(tokens(text)) { w =>
+      when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => concat_ws(" ", slice(w, i, lit(2)))))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score each raw-corpus

@@ -210,18 +210,29 @@ object Dedup {
         sep).as("clean_text"))
   }
 
+  /** Let-binding for an expensive array expression consumed inside a
+    * higher-order lambda: `transform(array(x), w => body(w))[0]` binds x
+    * to a LAMBDA VARIABLE, so it evaluates ONCE per row. Spark's HOF
+    * lambdas run interpreted with no subexpression elimination — an
+    * expensive expression written directly in a lambda body re-evaluates
+    * per ELEMENT (measured: regexp tokenization inside a bigram
+    * transform made gram extraction O(words²) per document — single-core
+    * minutes at 500 K docs, r11 census). */
+  private[operators] def bindArray(arr: Column)(body: Column => Column): Column =
+    transform(array(arr), body).getItem(0)
+
   /** Word k-shingles of a text column as a distinct array column.
     * Documents shorter than k words produce no shingles (matches the
     * DuckDB-oracle definition: range(1, len-k+2) over word slices). */
-  def shingles(text: Column, k: Int): Column = {
-    val words = split(text, "\\s+")
-    when(size(words) >= k,
-      array_distinct(
-        transform(
-          sequence(lit(1), size(words) - (k - 1)),
-          i => concat_ws(" ", slice(words, i, lit(k))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, k: Int): Column =
+    bindArray(split(text, "\\s+")) { words =>
+      when(size(words) >= k,
+        array_distinct(
+          transform(
+            sequence(lit(1), size(words) - (k - 1)),
+            i => concat_ws(" ", slice(words, i, lit(k))))))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * minimum xxhash64 over the shingle set — the classic permutation-free
