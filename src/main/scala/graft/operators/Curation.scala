@@ -565,7 +565,35 @@ object Curation {
   def dsirWeights(
       corpus: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String,
-      vocab: Int = 4096, smoothing: Double = 1.0): DataFrame = {
+      vocab: Int = 4096, smoothing: Double = 1.0): DataFrame =
+    dsirScore(corpus, idCol, textCol,
+      trainDsirModel(corpus, textCol, target, targetTextCol, vocab, smoothing))
+
+  /** The trained DSIR artifact: vocab log ratios + the OOV ratio — the
+    * persistable, broadcastable model ([[Bpe.Model]] discipline: train
+    * once on the raw-corpus snapshot, score many batches/streams). The
+    * q side is the RAW corpus distribution at train time; retrain when
+    * the ingest distribution drifts (the [[Similarity.ivfDriftStats]]
+    * posture). */
+  final case class DsirModel(
+      ratios: Seq[(String, Double)], oovLr: Double,
+      vocab: Int, smoothing: Double) {
+    /** O(1)-lookup view for per-row scorers. */
+    lazy val lookup: Map[String, Double] = ratios.toMap
+  }
+
+  /** Train the DSIR model — the model half of [[dsirWeights]]'
+    * documented two-pass shape: one target pass (pinned count table,
+    * two bounded actions) + one raw-corpus pass (grams bucketed against
+    * the broadcast vocab BEFORE aggregating, so the shuffle carries
+    * ≤ vocab+1 rows after map-side combine; the aggregate is collected —
+    * bounded, the centroid/codebook convention). All log ratios are
+    * plain driver IEEE arithmetic, so scoring replays exactly in any
+    * ANSI oracle. */
+  def trainDsirModel(
+      corpus: DataFrame, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      vocab: Int = 4096, smoothing: Double = 1.0): DsirModel = {
     require(vocab > 0, "vocab must be positive")
     require(smoothing > 0, "smoothing must be positive (0 gives -inf off-support)")
     val spark = corpus.sparkSession
@@ -580,36 +608,107 @@ object Curation {
     val tTotal = tCounts.agg(coalesce(sum(col("nt")), lit(0L)))
       .collect()(0).getLong(0)
     val tIn = vocabRows.map(_._2).sum
-    val cGrams = Dedup.spread(corpus)
-      .select(col(idCol).as("id"), explode(bigramOccurrences(col(textCol))).as("g"))
-    // model pass (corpus read #1): bucket every corpus gram (vocab gram
-    // or the OOV sentinel — U+0000 cannot collide with space-joined \w+
-    // grams) BEFORE aggregating, so one pass yields vocab counts AND the
-    // OOV count and the shuffle is vocab-bounded after map-side combine;
+    // raw-corpus pass: bucket every gram (vocab gram or the OOV
+    // sentinel — U+0000 cannot collide with space-joined \w+ grams)
+    // BEFORE aggregating, so one pass yields vocab counts AND the OOV
+    // count and the shuffle is vocab-bounded after map-side combine;
     // the aggregate is ≤ vocab+1 rows, so collecting it is bounded
     val inVocab = broadcast(vocabRows.map(_._1).toSeq.toDF("g")
       .withColumn("inv", lit(true)))
-    val qRows: Map[String, Long] = cGrams.join(inVocab, Seq("g"), "left")
+    val qRows: Map[String, Long] = Dedup.spread(corpus)
+      .select(explode(bigramOccurrences(col(textCol))).as("g"))
+      .join(inVocab, Seq("g"), "left")
       .groupBy(when(col("inv"), col("g")).otherwise(lit("\u0000")).as("g"))
       .agg(count(lit(1)).as("nq"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val qTotal = qRows.valuesIterator.sum
     val qIn = qRows.iterator.collect { case (g, n) if g != "\u0000" => n }.sum
-    // the model: vocab+1 log ratios, pure driver arithmetic (the same
-    // IEEE ops an ANSI oracle states, so results replay exactly);
     // denominators smooth over vocab+1 buckets (OOV included)
     val a = smoothing
     def logp(n: Long, tot: Long): Double =
       math.log((n + a) / (tot + a * (vocab + 1)))
-    val ratio = vocabRows.toSeq.map { case (g, nt) =>
-      (g, logp(nt, tTotal) - logp(qRows.getOrElse(g, 0L), qTotal))
-    }.toDF("g", "lr")
-    val oovLr = logp(tTotal - tIn, tTotal) - logp(qTotal - qIn, qTotal)
-    // scoring pass (corpus read #2): broadcast model join, combinable sum
-    cGrams.join(broadcast(ratio), Seq("g"), "left")
+    DsirModel(
+      vocabRows.toSeq.map { case (g, nt) =>
+        (g, logp(nt, tTotal) - logp(qRows.getOrElse(g, 0L), qTotal))
+      },
+      logp(tTotal - tIn, tTotal) - logp(qTotal - qIn, qTotal),
+      vocab, smoothing)
+  }
+
+  /** Score a frame against a trained model — [[dsirWeights]]' scoring
+    * half: ONE exploded pass, broadcast ratio join, per-doc combinable
+    * sum. Returns (id, n_grams, logw). */
+  def dsirScore(df: DataFrame, idCol: String, textCol: String,
+      model: DsirModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ratio = model.ratios.toDF("g", "lr")
+    Dedup.spread(df)
+      .select(col(idCol).as("id"), explode(bigramOccurrences(col(textCol))).as("g"))
+      .join(broadcast(ratio), Seq("g"), "left")
       .groupBy("id")
       .agg(count(lit(1)).as("n_grams"),
-        round(sum(coalesce(col("lr"), lit(oovLr))), 4).as("logw"))
+        round(sum(coalesce(col("lr"), lit(model.oovLr))), 4).as("logw"))
+  }
+
+  /** Stateless per-ROW scorer: same (id, n_grams, logw) as [[dsirScore]]
+    * from one tight pass per document (tokenize → bigram → O(1) hash
+    * lookups, left-to-right sum — the [[Dedup.shingleHashUdf]] one-pass-
+    * UDF precedent). No explode, no join, NO SHUFFLE — a pure projection,
+    * which makes it legal on an UNBOUNDED streaming DataFrame (the
+    * aggregate form's groupBy would demand streaming-aggregation state
+    * for what is logically per-row arithmetic). Docs under 2 tokens
+    * score (0, 0.0) here — they have no features, and a streaming
+    * projection cannot drop-by-absence the way the exploded form does;
+    * filter `n_grams > 0` for exact batch parity. */
+  def dsirScoreRows(df: DataFrame, idCol: String, textCol: String,
+      model: DsirModel): DataFrame = {
+    val lookup = model.lookup
+    val oov = model.oovLr
+    val score = udf { (text: String) =>
+      if (text == null) (0L, 0.0d)
+      else {
+        val m = java.util.regex.Pattern.compile("\\w+")
+          .matcher(text.toLowerCase(java.util.Locale.ROOT))
+        val words = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (m.find()) words += m.group()
+        if (words.length < 2) (0L, 0.0d)
+        else {
+          var acc = 0.0d
+          var i = 0
+          while (i < words.length - 1) {
+            acc += lookup.getOrElse(words(i) + " " + words(i + 1), oov)
+            i += 1
+          }
+          ((words.length - 1).toLong,
+            BigDecimal(acc).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+    }
+    df.select(col(idCol).as("id"), score(col(textCol)).as("s"))
+      .select(col("id"), col("s._1").as("n_grams"), col("s._2").as("logw"))
+  }
+
+  /** Persist a DSIR model: the ratio table plus a one-row meta table
+    * (the [[Bpe.saveModel]] layout). */
+  def saveDsirModel(model: DsirModel, spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import spark.implicits._
+    model.ratios.toDF("g", "lr")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/ratios")
+    Seq((model.oovLr, model.vocab, model.smoothing))
+      .toDF("oov_lr", "vocab", "smoothing")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Reload a persisted DSIR model — scores are identical to the trained
+    * one's (the ratios are stored verbatim as doubles). */
+  def loadDsirModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): DsirModel = {
+    val ratios = spark.read.parquet(s"$path/ratios")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    DsirModel(ratios, meta.getDouble(0), meta.getInt(1), meta.getDouble(2))
   }
 
   /** DSIR selection: sample `k` documents without replacement with

@@ -506,6 +506,38 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again === w)
   }
 
+  test("DSIR model: save/load roundtrip scores identically; per-row scorer matches the aggregate form") {
+    val target = docs(
+      100L -> "stir the sauce and season the sauce with salt",
+      101L -> "simmer the sauce then season with salt and pepper")
+    val corpus = docs(
+      1L -> "stir the sauce and season with salt",
+      2L -> "the party of the first part hereby waives",
+      3L -> "simmer the sauce with salt and pepper",
+      4L -> "notwithstanding any provision herein the parties agree",
+      5L -> "word")
+    val model = Curation.trainDsirModel(corpus, "text", target, "text",
+      vocab = 64, smoothing = 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("dsirm").toString
+    Curation.saveDsirModel(model, spark, s"$dir/m")
+    val loaded = Curation.loadDsirModel(spark, s"$dir/m")
+    assert(loaded.ratios.toMap === model.ratios.toMap)
+    assert(loaded.oovLr === model.oovLr)
+    assert(loaded.vocab === model.vocab && loaded.smoothing === model.smoothing)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val agg = snap(Curation.dsirScore(corpus, "id", "text", model))
+    assert(snap(Curation.dsirScore(corpus, "id", "text", loaded)) === agg)
+    // per-row scorer: same rows once the no-feature docs are filtered
+    // (the projection form emits (0, 0.0) where the exploded form omits)
+    val rows = Curation.dsirScoreRows(corpus, "id", "text", model)
+    assert(snap(rows.filter(col("n_grams") > 0)) === agg)
+    assert(snap(rows).exists(r => r._1 === 5L && r._2 === 0L))
+    // and dsirWeights is exactly train-then-score
+    assert(snap(Curation.dsirWeights(corpus, "id", "text", target, "text",
+      vocab = 64)) === agg)
+  }
+
   test("DSIR select: k rows, dense ranks, key = logw + deterministic Gumbel") {
     val target = docs(100L -> "alpha beta gamma delta alpha beta")
     val corpus = docs((1L to 40L).map(i =>

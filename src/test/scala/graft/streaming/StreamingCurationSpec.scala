@@ -64,4 +64,40 @@ class StreamingCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
     out.foreach { case (id, _, _, split) => assert(batch(id) === split) }
   }
+
+  test("DSIR per-row scoring runs stateless over a stream, equal to batch") {
+    val base = Files.createTempDirectory("sdsir").toString
+    val s = spark
+    import s.implicits._
+    val corpus = (0L until 30L).map(i =>
+      (i, if (i % 3 == 0) "alpha beta gamma delta epsilon"
+          else s"zeta eta theta iota kappa lambda $i"))
+      .toDF("doc_id", "text")
+    corpus.coalesce(1).write.mode("append").parquet(s"$base/in")
+    val target = Seq((100L, "alpha beta gamma delta alpha beta")).toDF("doc_id", "text")
+    // train batch-side once; the model then scores an unbounded stream
+    // as a pure projection (no state store, no watermark, no shuffle)
+    val model = Curation.trainDsirModel(corpus, "text", target, "text", vocab = 32)
+
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .parquet(s"$base/in")
+    val q = Curation.dsirScoreRows(stream, "doc_id", "text", model)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("dsir_out")
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("dsir_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Curation.dsirScoreRows(corpus, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want)
+    assert(got.size === 30)
+    // on-target stream docs outscore off-target ones
+    val byId = got.map(x => x._1 -> x._3).toMap
+    assert(byId(0L) > byId(1L))
+  }
 }
