@@ -475,6 +475,39 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again === kept.toSet)
   }
 
+  test("gram builders equal naive models over randomized texts (bindArray refactor law)") {
+    // guards the let-binding rewrite of the HOF gram builders: values
+    // must be exactly what the quadratic inline form produced
+    val rnd = new scala.util.Random(11)
+    val texts = (0L until 60L).map { i =>
+      val n = rnd.nextInt(14)
+      val seps = Seq(" ", "  ", "\t")
+      (i, (0 until n).map(_ => "w" + rnd.nextInt(8))
+        .mkString(seps(rnd.nextInt(seps.size))))
+    }
+    val df = docs(texts: _*)
+    for (k <- Seq(2, 3)) {
+      val got = df.select(col("id"), explode(graft.operators.Dedup.shingles(col("text"), k)).as("g"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = texts.flatMap { case (i, t) =>
+        val w = t.split("\\s+").filter(_.nonEmpty)
+        if (w.length >= k) w.sliding(k).map(s => (i, s.mkString(" "))).toSeq.distinct
+        else Seq.empty
+      }.toSet
+      assert(got === want, s"shingles k=$k")
+      val rep = Curation.repetitionStats(df, "id", "text", k)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      texts.foreach { case (i, t) =>
+        val w = t.split("\\s+").filter(_.nonEmpty)
+        if (w.length >= k) {
+          val grams = w.sliding(k).map(_.mkString(" ")).toSeq
+          assert(rep(i) === ((grams.size.toLong, grams.distinct.size.toLong)),
+            s"repetitionStats id=$i k=$k")
+        } else assert(!rep.contains(i))
+      }
+    }
+  }
+
   test("DSIR weights: on-target docs outweigh off-target; short docs absent; OOV sane") {
     // target domain: cooking-ish bigrams; corpus mixes on-target copies,
     // off-target legalese, and a 1-token doc (no bigrams -> absent)
