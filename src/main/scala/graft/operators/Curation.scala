@@ -665,11 +665,12 @@ object Curation {
       model: DsirModel): DataFrame = {
     val lookup = model.lookup
     val oov = model.oovLr
+    // compiled once per executor (Pattern is Serializable), not per row
+    val pat = java.util.regex.Pattern.compile("\\w+")
     val score = udf { (text: String) =>
       if (text == null) (0L, 0.0d)
       else {
-        val m = java.util.regex.Pattern.compile("\\w+")
-          .matcher(text.toLowerCase(java.util.Locale.ROOT))
+        val m = pat.matcher(text.toLowerCase(java.util.Locale.ROOT))
         val words = scala.collection.mutable.ArrayBuffer.empty[String]
         while (m.find()) words += m.group()
         if (words.length < 2) (0L, 0.0d)
