@@ -288,8 +288,17 @@ object Curation {
         // persisted: referenced by matchedBenchGrams AND the final verify
         // join — without it the big hash join + both gram extractions run
         // twice. Released by Dedup.unpersistAll after the caller's action.
+        //
+        // The hash join is PINNED to shuffle-hash with the BATCH side as
+        // build: the resident side's post-distinct size estimate is
+        // unreliable, and at 100× the planner auto-broadcast the
+        // multi-GB resident hash set off a small estimate — driver OOM
+        // (caught by the r11 sf10 probe). The hint restores the
+        // documented shape at any scale: 8-byte hashes meet in the
+        // shuffle, per-task build tables are batch-bounded.
         val candidates = Dedup.pin(corpusWindows
           .withColumn("h", xxhash64(col("gram")))
+          .hint("shuffle_hash")
           .join(benchHashes, "h"))
         // matchedBenchGrams is DISTINCT grams that matched a batch window
         // — bounded by the batch's own distinct-gram count, small in the
