@@ -2221,6 +2221,10 @@ object SparkEntry {
          FROM cg JOIN bg USING (g) GROUP BY doc_id""",
 
     "decontaminate_spans" ->
+      // islands form (r11): merge hit windows into disjoint spans and cut
+      // by SEGMENT substrings — no per-character explosion, so the oracle
+      // itself survives the sf10 replay (the per-char form OOM'd DuckDB
+      // at 500 K docs). Character-identical to the per-char statement.
       """WITH bench AS (SELECT substr(text, 21, 100) AS btext
                         FROM documents WHERE doc_id % 10 = 3),
               bw AS (SELECT btext, unnest(generate_series(1, length(btext) - 39)) AS i
@@ -2230,22 +2234,39 @@ object SparkEntry {
                            unnest(generate_series(1, length(text) - 39)) AS i
                     FROM documents),
               g AS (SELECT doc_id, i, substr(text, i, 40) AS gram FROM w),
-              cov AS (SELECT DISTINCT c.doc_id, c.i + js.j AS pos
-                      FROM (SELECT g.doc_id, g.i FROM g JOIN bg USING (gram)) c
-                      CROSS JOIN (SELECT unnest(generate_series(0, 39)) AS j) js),
-              ch AS (SELECT doc_id, unnest(generate_series(1, length(text))) AS pos, text
-                     FROM documents),
-              kept AS (SELECT ch.doc_id, ch.pos, substr(ch.text, ch.pos, 1) AS c
-                       FROM ch ANTI JOIN cov USING (doc_id, pos))
-         SELECT documents.doc_id,
-                coalesce(k.clean_text, '') AS clean_text,
-                CAST(length(documents.text) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
-         FROM documents LEFT JOIN (
-           SELECT doc_id, string_agg(c, '' ORDER BY pos) AS clean_text,
-                  count(*) AS n_kept
-           FROM kept GROUP BY doc_id) k USING (doc_id)""",
+              hits AS (SELECT g.doc_id, g.i FROM g JOIN bg USING (gram)),
+              marks AS (SELECT doc_id, i,
+                               CASE WHEN i > coalesce(max(i + 39) OVER (
+                                      PARTITION BY doc_id ORDER BY i
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                                    -1) + 1
+                                    THEN 1 ELSE 0 END AS new_isl
+                        FROM hits),
+              grp AS (SELECT doc_id, i,
+                             sum(new_isl) OVER (PARTITION BY doc_id ORDER BY i) AS gid
+                      FROM marks),
+              spans AS (SELECT doc_id, min(i) AS ss, max(i) + 39 AS se
+                        FROM grp GROUP BY doc_id, gid),
+              segs AS (SELECT doc_id,
+                              coalesce(lag(se) OVER (PARTITION BY doc_id ORDER BY ss), 0) + 1 AS ks,
+                              ss - 1 AS ke
+                       FROM spans
+                       UNION ALL
+                       SELECT doc_id, max(se) + 1 AS ks, 2147483647 AS ke
+                       FROM spans GROUP BY doc_id),
+              reb AS (SELECT s.doc_id,
+                             string_agg(CASE WHEN s.ke >= s.ks
+                                             THEN substr(d.text, s.ks, s.ke - s.ks + 1)
+                                             ELSE '' END, '' ORDER BY s.ks) AS clean_text
+                      FROM segs s JOIN documents d USING (doc_id)
+                      GROUP BY s.doc_id)
+         SELECT d.doc_id,
+                coalesce(r.clean_text, d.text) AS clean_text,
+                CAST(length(d.text) - length(coalesce(r.clean_text, d.text)) AS BIGINT) AS n_removed
+         FROM documents d LEFT JOIN reb r USING (doc_id)""",
 
     "incremental_scrub" ->
+      // same islands form as decontaminate_spans (sf10-viable oracle)
       """WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
               corp AS (SELECT text FROM documents WHERE doc_id >= 100),
               bw AS (SELECT text, unnest(generate_series(1, length(text) - 39)) AS i
@@ -2255,20 +2276,36 @@ object SparkEntry {
                            unnest(generate_series(1, length(text) - 39)) AS i
                     FROM batch),
               g AS (SELECT doc_id, i, substr(text, i, 40) AS gram FROM w),
-              cov AS (SELECT DISTINCT c.doc_id, c.i + js.j AS pos
-                      FROM (SELECT g.doc_id, g.i FROM g JOIN bg USING (gram)) c
-                      CROSS JOIN (SELECT unnest(generate_series(0, 39)) AS j) js),
-              ch AS (SELECT doc_id, unnest(generate_series(1, length(text))) AS pos, text
-                     FROM batch),
-              kept AS (SELECT ch.doc_id, ch.pos, substr(ch.text, ch.pos, 1) AS c
-                       FROM ch ANTI JOIN cov USING (doc_id, pos))
-         SELECT batch.doc_id,
-                coalesce(kk.clean_text, '') AS clean_text,
-                CAST(length(batch.text) - coalesce(kk.n_kept, 0) AS BIGINT) AS n_removed
-         FROM batch LEFT JOIN (
-           SELECT doc_id, string_agg(c, '' ORDER BY pos) AS clean_text,
-                  count(*) AS n_kept
-           FROM kept GROUP BY doc_id) kk USING (doc_id)""",
+              hits AS (SELECT g.doc_id, g.i FROM g JOIN bg USING (gram)),
+              marks AS (SELECT doc_id, i,
+                               CASE WHEN i > coalesce(max(i + 39) OVER (
+                                      PARTITION BY doc_id ORDER BY i
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                                    -1) + 1
+                                    THEN 1 ELSE 0 END AS new_isl
+                        FROM hits),
+              grp AS (SELECT doc_id, i,
+                             sum(new_isl) OVER (PARTITION BY doc_id ORDER BY i) AS gid
+                      FROM marks),
+              spans AS (SELECT doc_id, min(i) AS ss, max(i) + 39 AS se
+                        FROM grp GROUP BY doc_id, gid),
+              segs AS (SELECT doc_id,
+                              coalesce(lag(se) OVER (PARTITION BY doc_id ORDER BY ss), 0) + 1 AS ks,
+                              ss - 1 AS ke
+                       FROM spans
+                       UNION ALL
+                       SELECT doc_id, max(se) + 1 AS ks, 2147483647 AS ke
+                       FROM spans GROUP BY doc_id),
+              reb AS (SELECT s.doc_id,
+                             string_agg(CASE WHEN s.ke >= s.ks
+                                             THEN substr(b.text, s.ks, s.ke - s.ks + 1)
+                                             ELSE '' END, '' ORDER BY s.ks) AS clean_text
+                      FROM segs s JOIN batch b USING (doc_id)
+                      GROUP BY s.doc_id)
+         SELECT b.doc_id,
+                coalesce(r.clean_text, b.text) AS clean_text,
+                CAST(length(b.text) - length(coalesce(r.clean_text, b.text)) AS BIGINT) AS n_removed
+         FROM batch b LEFT JOIN reb r USING (doc_id)""",
 
     "sample_hash" ->
       """SELECT doc_id, lang, source FROM documents
