@@ -792,14 +792,21 @@ object SparkEntry {
       // RMS energy envelope, with the container's sample_rate/n_channels
       // parsed from the RIFF header en route. Rows-only (PCM decode is
       // not SQL); known-answer envelope laws in OperatorsSpec.
+      // The envelope is projected to SCALAR per-band columns (rounded
+      // doubles) rather than a raw Array[Float]: the driver's pandas
+      // hasher sorts every column and cannot order ndarray cells, so an
+      // array column turns a healthy rows-only query into an artifact
+      // error (the one red row of round 11).
       val render = udf { (id: Long) => Multimodal.renderTestTone((id % 20).toInt) }
       val d = t(s, dir, "documents").filter(col("doc_id") < 200)
         .select(col("doc_id"), render(col("doc_id")).as("payload"))
-      Multimodal.extractFeatures(Multimodal.asMedia(d, "payload"), featureDim = 8)
-        .select(col("doc_id"),
-          col("media.meta.sample_rate").as("sample_rate"),
-          col("media.meta.n_channels").as("n_channels"),
-          col("features"))
+      val feats = Multimodal.extractFeatures(Multimodal.asMedia(d, "payload"), featureDim = 8)
+      val bands = (0 until 8).map(i => round(col("features")(i).cast("double"), 5).as(s"rms_b$i"))
+      feats.select(
+        col("doc_id") +:
+        col("media.meta.sample_rate").as("sample_rate") +:
+        col("media.meta.n_channels").as("n_channels") +:
+        bands: _*)
     }),
 
     "video_meta" -> ((s, dir) => {
