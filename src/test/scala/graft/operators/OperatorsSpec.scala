@@ -194,6 +194,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"broadcastVerify=true produced no broadcast join:\n$phys")
   }
 
+  test("ngram jaccard on sf0.01 documents: broadcast verify == shuffle verify == all-token, pair for pair") {
+    // The real corpus (500 organic docs), not a synthetic fixture: the
+    // scale escape hatch for clique-dense corpora (prefix plan +
+    // broadcastVerify) must be answer-identical to both the shuffle
+    // verify and the all-token default here, where the df-cap never
+    // fires. This is the operator-API guarantee the sf10 runbook
+    // (SCALE.md r11) relies on when it says "switch variants, same
+    // pairs".
+    val df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    def rows(p: DataFrame): Seq[String] = p.collect().map(_.toString).sorted.toSeq
+    val allToken = rows(Dedup.ngramJaccardPairs(df, "id", "text", k = 3, threshold = 0.5))
+    val shuffleV = rows(Dedup.ngramJaccardPairsPrefix(df, "id", "text", k = 3, threshold = 0.5))
+    val bcastV = rows(Dedup.ngramJaccardPairsPrefix(df, "id", "text", k = 3, threshold = 0.5,
+      broadcastVerify = true))
+    assert(allToken.nonEmpty, "sf0.01 documents produced no ngram-jaccard pairs at t=0.5")
+    assert(shuffleV === allToken)
+    assert(bcastV === shuffleV)
+  }
+
   test("exact-dup pre-collapse: collapsed output equals the direct path pair for pair") {
     // dup-dense fixture exercising every expansion case: a 4-copy group,
     // a 3-copy group near-dup to it, duplicated short docs (< k words,
