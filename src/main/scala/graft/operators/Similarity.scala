@@ -270,10 +270,16 @@ object Similarity {
     val spark = corpus.sparkSession
     val cents = trainIvfCentroids(corpus, cId, cVec, nlist, iters, maxSample)
     val assignUdf = udf { (v: Seq[Double]) => nearestCell(normalize(v.toArray), cents) }
+    // the layout carries a second partition column, ingest_batch (-1 =
+    // build-time rows), purely so streaming appends can be batchId-keyed
+    // and replay-idempotent ([[appendIvfIndexIdempotent]]); readers
+    // filter on `cell` only, and the static IN-prune is unaffected
     corpus.select(col(cId).as("corpus_id"), col(cVec).cast("array<double>").as("cv"))
       .withColumn("cell", assignUdf(col("cv")))
       .withColumn("cn", l2norm(col("cv")))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+      .withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("cell", "ingest_batch")
+      .parquet(s"$path/corpus")
     import spark.implicits._
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
@@ -305,11 +311,42 @@ object Similarity {
     * stream instead of one driver-side parquet read per micro-batch). */
   def appendIvfIndex(batch: DataFrame, cId: String, cVec: String, path: String,
       cents: Array[Array[Double]]): Unit = {
+    assigned(batch, cId, cVec, cents)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.mode("append").partitionBy("cell", "ingest_batch")
+      .parquet(s"$path/corpus")
+  }
+
+  /** Replay-idempotent append for exactly-once streaming ingest: the
+    * batch lands under `cell=<c>/ingest_batch=<batchId>` leaf directories
+    * via DYNAMIC partition overwrite, so a re-delivered foreachBatch id
+    * (crash between append and checkpoint commit) overwrites its own
+    * leaves instead of appending twice — the index converges to the
+    * exactly-once state no matter where the failure fell. Structured
+    * Streaming guarantees a replayed batchId carries the same rows, which
+    * is what makes overwrite-by-batch equal to exactly-once.
+    *
+    * `batchId` must be ≥ 0 (foreachBatch ids are): -1 is reserved for
+    * build-time and non-keyed append rows, which an idempotent replay
+    * must never overwrite. The overwrite mode is a WRITER option, not a
+    * session config — concurrent static-overwrite users are unaffected. */
+  def appendIvfIndexIdempotent(batch: DataFrame, cId: String, cVec: String,
+      path: String, cents: Array[Array[Double]], batchId: Long): Unit = {
+    require(batchId >= 0, s"batchId must be >= 0 (got $batchId): -1 marks non-keyed rows")
+    assigned(batch, cId, cVec, cents)
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "ingest_batch")
+      .parquet(s"$path/corpus")
+  }
+
+  private def assigned(batch: DataFrame, cId: String, cVec: String,
+      cents: Array[Array[Double]]): DataFrame = {
     val assignUdf = udf { (v: Seq[Double]) => nearestCell(normalize(v.toArray), cents) }
     batch.select(col(cId).as("corpus_id"), col(cVec).cast("array<double>").as("cv"))
       .withColumn("cell", assignUdf(col("cv")))
       .withColumn("cn", l2norm(col("cv")))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
   }
 
   /** The drift monitor [[appendIvfIndex]]'s contract points at, for

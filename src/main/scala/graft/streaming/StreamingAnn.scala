@@ -75,12 +75,17 @@ object StreamingAnn {
     * stream holds the quantizer, so a rebuild is a new stream by
     * design — centroids must not change under a running assigner).
     *
-    * Idempotence caveat: parquet-append is NOT idempotent on batch
-    * replay; after a crash between append and checkpoint commit the
-    * re-delivered batch appends twice. Queries at nprobe = nlist stay
-    * correct in ranking (duplicates rank adjacently) but exactly-once
-    * ingest needs a downstream dedup key — document ids make
-    * [[graft.operators.Dedup.incrementalExact]] the natural guard. */
+    * Exactly-once: ingestion is batchId-keyed
+    * ([[graft.operators.Similarity.appendIvfIndexIdempotent]] — each
+    * batch lands under its own `cell=/ingest_batch=` leaves via dynamic
+    * partition overwrite), so a re-delivered foreachBatch id after a
+    * crash between append and checkpoint commit overwrites its own
+    * leaves instead of double-ingesting; the index state converges to
+    * exactly-once regardless of where the failure fell (spec-pinned:
+    * StreamingAnnSpec replays a batchId and asserts identical index
+    * state and query answers). `onDrift` re-fires on replay — drift
+    * rows are monitoring, deliver-at-least-once by design; key on the
+    * batch id if the sink must dedup them too. */
   def appendBatches(
       path: String, idCol: String, vecCol: String)(
       onDrift: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
@@ -88,7 +93,7 @@ object StreamingAnn {
     (batch, batchId) => {
       if (!batch.isEmpty) {
         val ct = cents(batch)
-        Similarity.appendIvfIndex(batch, idCol, vecCol, path, ct)
+        Similarity.appendIvfIndexIdempotent(batch, idCol, vecCol, path, ct, batchId)
         onDrift(Similarity.ivfDriftStats(batch, idCol, vecCol, ct), batchId)
       }
     }

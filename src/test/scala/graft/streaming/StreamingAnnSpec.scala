@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import graft.operators.Similarity
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -131,5 +132,55 @@ class StreamingAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
       .sortBy(x => (x._1, x._4))
     assert(got.toSeq === want.toSeq)
+  }
+
+  test("exactly-once ingest: replaying a batchId leaves the index state unchanged") {
+    // foreachBatch re-delivers a batch id after a crash between the
+    // append and the checkpoint commit; the batchId-keyed dynamic
+    // partition overwrite must make that replay a no-op on index STATE
+    // (not just on ranking). Drive the foreachBatch function directly —
+    // the replay schedule is then exact instead of crash-timing luck.
+    val base = Files.createTempDirectory("sannrep").toString
+    val s = spark
+    import s.implicits._
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(6)(r.nextGaussian())
+    }
+    val corpus = (0 until 30).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    val idx = s"$base/idx"
+    Similarity.writeIvfIndex(corpus, "id", "v", idx, nlist = 4, iters = 4)
+
+    val batchA = (200 until 206).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    val batchB = (206 until 212).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    var driftCalls = 0
+    val fn = StreamingAnn.appendBatches(idx, "id", "v") { (_, _) => driftCalls += 1 }
+    fn(batchA, 0L)
+    fn(batchB, 1L)
+    fn(batchB, 1L) // the replay
+
+    val stored = spark.read.parquet(s"$idx/corpus")
+    // no double-ingest: 30 build + 6 + 6, batch B exactly once
+    assert(stored.count() === 42L, s"replay double-ingested: ${stored.count()}")
+    assert(stored.filter(col("ingest_batch") === -1L).count() === 30L,
+      "dynamic overwrite clobbered build-time rows")
+    assert(stored.filter(col("corpus_id") >= 206L).count() === 6L)
+    // and the answers equal a never-replayed twin
+    val queries = (300 until 303).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    val fresh = s"$base/idx2"
+    Similarity.writeIvfIndex(corpus, "id", "v", fresh, nlist = 4, iters = 4)
+    val fn2 = StreamingAnn.appendBatches(fresh, "id", "v") { (_, _) => () }
+    fn2(batchA, 0L); fn2(batchB, 1L)
+    def ask(p: String) = Similarity.ivfTopKIndexed(queries, "id", "v", p, k = 4, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._4)).toSeq
+    assert(ask(idx) === ask(fresh))
+    // drift is at-least-once by contract: the replayed batch re-fires it
+    assert(driftCalls === 3)
+    // non-streaming callers must not be able to collide with batch keys
+    assertThrows[IllegalArgumentException] {
+      Similarity.appendIvfIndexIdempotent(batchA, "id", "v", idx,
+        Similarity.loadIvfCentroids(spark, idx), -1L)
+    }
   }
 }
