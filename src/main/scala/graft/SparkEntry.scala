@@ -769,14 +769,22 @@ object SparkEntry {
       // synthesized in-plan (PNG encode -> imageio decode -> dHash ->
       // banded Hamming join); members of a class render at two
       // resolutions, so every class yields cross-resolution near-dup
-      // pairs through the REAL pixel path. Rows-only (pixel decode is
-      // not SQL); hash laws + the A/B in ImageDHashSpec.
+      // pairs through the REAL pixel path. ORACLE-checked (r12, the
+      // video_meta trick): at maxHamming = 7 the pair set is EXACTLY the
+      // within-class pairs — cross-scale dHash drift measures <= 7 bits
+      // for every class while cross-CLASS distances stay far above — and
+      // 8 one-byte bands guarantee recall through 7, so DuckDB can state
+      // the whole answer by id arithmetic (a === b mod 50). The hamming
+      // value itself is pixel-derived, not closed-form, so the query
+      // projects the PAIRS; a wrong decode/hash/join still breaks the
+      // match by changing the pair set.
       val render = udf { (id: Long) =>
         Multimodal.renderTestCard((id % 50).toInt, if ((id / 50) % 2 == 0) 1 else 3)
       }
       val d = t(s, dir, "documents").filter(col("doc_id") < 200)
         .select(col("doc_id"), render(col("doc_id")).as("img"))
-      Multimodal.imageNearDups(d, "doc_id", "img", maxHamming = 4)
+      Multimodal.imageNearDups(d, "doc_id", "img", maxHamming = 7)
+        .select(col("id_a"), col("id_b"))
     }),
 
     "multimodal_meta" -> ((s, dir) =>
@@ -2141,6 +2149,18 @@ object SparkEntry {
                   generate_series(0, CAST(24 + doc_id % 24 AS INT) - 1, 7),
                   1, 5)) AS INT) AS frame_idx
          FROM documents WHERE doc_id < 200""",
+
+    // The planted test-card classes make the near-dup pair set closed-form
+    // in doc_id (same trick as video_meta): ids are same-class iff equal
+    // mod 50, and at maxHamming = 7 the dHash pipeline must find exactly
+    // those pairs — cross-scale drift stays within 7 bits per class,
+    // cross-class distances far above. Pure id arithmetic states the
+    // whole pair set; the Spark side earns it through real PNG decode.
+    "image_neardup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM documents a JOIN documents b
+           ON b.doc_id > a.doc_id AND a.doc_id % 50 = b.doc_id % 50
+         WHERE a.doc_id < 200 AND b.doc_id < 200""",
 
     "quality_filter" ->
       """WITH base AS (
