@@ -22,9 +22,29 @@ object Curation {
     * for any realistic id — overflow-free up to keys of ~3.4e9, and ids
     * beyond that should be pre-folded with a modulus). Used instead of a
     * seeded RNG so samples are reproducible across engines AND across
-    * reruns — the property that matters for dataset lineage. */
+    * reruns — the property that matters for dataset lineage.
+    *
+    * MIGRATION (r11): keys outside [0, ~3.47e9] used to wrap silently
+    * (engine-divergent, permutation-degrading); they now raise in-plan,
+    * mid-job, from every consumer ([[deterministicSample]],
+    * [[splitAssign]], [[stratifiedSample]], shard/epoch assignment).
+    * Hash-derived keys — xxhash64 spans the FULL signed BIGINT range,
+    * negatives included — must be pre-folded: pass `foldKey(col)`
+    * instead of `col`, the one-line fix. Note the guard sits inside
+    * filter predicates, so Catalyst predicate reordering may evaluate
+    * it for rows another conjunct would discard — fold FIRST rather
+    * than relying on upstream filters to hide bad keys. */
   def mixKey(key: Column): Column =
     pmod(guardEnvelope(key) * lit(2654435761L), lit(4294967296L))
+
+  /** Fold an arbitrary BIGINT key (negatives included — e.g. raw
+    * xxhash64 fingerprints) into [[mixKey]]'s overflow-free envelope:
+    * `pmod(key, MixEnvelopeMax + 1)`. Deterministic, ANSI-expressible
+    * (`key % m` adjusted non-negative), and uniform over the envelope
+    * for hash-distributed inputs, so `mixKey(foldKey(xxhash64(text)))`
+    * keeps every reproducibility property with no overflow hazard. */
+  def foldKey(key: Column): Column =
+    pmod(key, lit(MixEnvelopeMax + 1L))
 
   /** Largest pre-mix value whose multiply by 2654435761 stays inside
     * BIGINT: floor(Long.MaxValue / 2654435761) = 3474748124. */

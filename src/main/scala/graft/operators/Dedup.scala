@@ -738,22 +738,43 @@ object Dedup {
     * DEFAULT cut is `localCheckpoint` — fastest, but its blocks live on
     * executors and die with them, so on a real multi-executor cluster a
     * lost executor fails the job mid-iteration. Pass `checkpointDir`
-    * (HDFS/S3 path) to cut lineage with a RELIABLE checkpoint instead:
-    * each round's labels are written to fault-tolerant storage, so the
-    * iteration survives executor loss at the cost of one write+read of
-    * an (id, component) table per round — id-width rows, cheap relative
-    * to the round's three shuffles. Flip it for any run long enough
-    * that losing an executor is expected (i.e. every real 100 TB run);
-    * keep the default for local/short jobs. NOTE: Spark's checkpoint
-    * dir is per-SparkContext, so this sets the session-wide dir.
+    * (HDFS/S3 path) to cut lineage with a RELIABLE cut instead: each
+    * round's labels are written to fault-tolerant storage as a parquet
+    * table and read back, so the iteration survives executor loss at
+    * the cost of one write+read of an (id, component) table per round —
+    * id-width rows, cheap relative to the round's three shuffles. Flip
+    * it for any run long enough that losing an executor is expected
+    * (i.e. every real 100 TB run); keep the default for local/short
+    * jobs.
+    *
+    * The reliable cut is self-managed (NOT `SparkContext.checkpoint`):
+    * nothing session-wide is repointed, a round's table is deleted as
+    * soon as the next round is materialized, and on non-convergence
+    * every round table is deleted. Only the FINAL round's table
+    * survives — the returned frame reads from it, so it must outlive
+    * the call; delete `checkpointDir` after consuming the result.
     *
     * Input: (id_a, id_b) pairs. Output: (id, component) for every id
     * that appears in any pair; component = min id reachable. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
-    def cut(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val spark = pairs.sparkSession
+    val fs = checkpointDir.map { d =>
+      new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    }
+    def roundPath(i: Int) = s"${checkpointDir.get}/graft_cc_round_$i"
+    def dropRound(i: Int): Unit = for (f <- fs) {
+      val p = new org.apache.hadoop.fs.Path(roundPath(i))
+      if (f.exists(p)) f.delete(p, true)
+    }
+    def cut(df: DataFrame, round: Int): DataFrame =
+      if (checkpointDir.isDefined) {
+        df.write.mode("overwrite").parquet(roundPath(round))
+        val back = spark.read.parquet(roundPath(round))
+        dropRound(round - 1) // the new round is durable; its parent is dead weight
+        back
+      } else df.localCheckpoint()
     // Both edge directions from ONE scan of `pairs`: a union of two
     // selects would execute the (expensive, possibly unpersisted) pair
     // pipeline twice before this cache populates.
@@ -786,16 +807,20 @@ object Dedup {
         .select(col("id").as("l_id"), col("component").as("l_comp"))
       val next = cut(propagated.join(shortcut, propagated("component") === col("l_id"), "left")
         .select(col("id"), col("old"),
-          least(col("component"), coalesce(col("l_comp"), col("component"))).as("component")))
+          least(col("component"), coalesce(col("l_comp"), col("component"))).as("component")),
+        iter)
       val changed = next.filter(col("component") =!= col("old")).limit(1).count()
       labels = next.drop("old")
       converged = changed == 0
       iter += 1
     }
     edges.unpersist()
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIters iterations — " +
-        "raise maxIters; refusing to return split components")
+    if (!converged) {
+      (0 until iter).foreach(dropRound) // result unusable; leave nothing behind
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters iterations — " +
+          "raise maxIters; refusing to return split components")
+    }
     labels
   }
 
@@ -828,7 +853,15 @@ object Dedup {
     * given `cosineThreshold`. Explicit values keep full manual control;
     * the rule of thumb is 2^(planes/bands) ≫ corpus_size /
     * tolerable_bucket_size, then add bands to recover recall
-    * (P(hit) = 1-(1-s^bits)^bands, s = 1-acos(threshold)/π). */
+    * (P(hit) = 1-(1-s^bits)^bands, s = 1-acos(threshold)/π).
+    *
+    * NOTE: auto geometry runs an EAGER `df.count()` before the real
+    * work — an extra action that recomputes an expensive un-cached
+    * upstream pipeline once more. Either pin the input
+    * (`df.persist()`) before calling, or pass `knownCount` (> 0) when
+    * the corpus size is already known (a catalog row count, a prior
+    * action) to skip the count entirely; explicit `planes`/`bands`
+    * never count. */
   def embeddingNearDups(
       df: DataFrame,
       idCol: String,
@@ -836,11 +869,13 @@ object Dedup {
       dim: Int,
       cosineThreshold: Double = 0.95,
       planes: Int = 0,
-      bands: Int = 0): DataFrame = {
+      bands: Int = 0,
+      knownCount: Long = 0L): DataFrame = {
     require((planes == 0) == (bands == 0),
       "pass both planes and bands explicitly, or neither (auto geometry)")
     val (p, b) =
-      if (planes == 0) Similarity.autoLshGeometry(df.count(), cosineThreshold)
+      if (planes == 0) Similarity.autoLshGeometry(
+        if (knownCount > 0) knownCount else df.count(), cosineThreshold)
       else (planes, bands)
     val banded = Similarity.hyperplaneBuckets(df, idCol, vecCol, dim, p, b)
     // The bucket self-join moves ID-WIDTH rows only (column pruning drops

@@ -107,18 +107,31 @@ object Multimodal {
       ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
         ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
     /** children of the box body [lo, hi): (type, bodyLo, bodyHi) */
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
     def boxes(lo: Int, hi: Int): Seq[(String, Int, Int)] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
       var i = lo
       while (i + 8 <= hi) {
-        val size = be32(i)
+        val size0 = be32(i)
         val tpe = new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
-        // size==1 (64-bit) and size==0 (to-EOF) are legal MP4 but not
-        // needed for metadata walks at sane payload sizes; header-less
-        // or backwards sizes abort the walk
-        if (size < 8 || i + size > hi) return out.toSeq
-        out += ((tpe, i + 8, i + size.toInt))
-        i += size.toInt
+        // size==0 (box extends to the end of the enclosing scope) and
+        // size==1 (64-bit largesize follows the type) are legal and show
+        // up in real files: non-faststart MP4s commonly carry a large
+        // mdat BEFORE moov, and that mdat is exactly where to-EOF/
+        // largesize headers appear — aborting on them would silently
+        // lose moov and return None for a perfectly good file. The body
+        // of a largesize box starts after the 16-byte header. Headerless
+        // (<8 with real size semantics) or backwards/overflowing sizes
+        // still abort: a hostile payload must degrade, never loop.
+        val (bodyLo, size) =
+          if (size0 == 0) (i + 8L, (hi - i).toLong)
+          else if (size0 == 1) {
+            if (i + 16 > hi) return out.toSeq
+            (i + 16L, be64(i + 8))
+          } else (i + 8L, size0)
+        if (size < bodyLo - i || i + size > hi) return out.toSeq
+        out += ((tpe, bodyLo.toInt, (i + size).toInt))
+        i = (i + size).toInt
       }
       out.toSeq
     }

@@ -443,15 +443,22 @@ object Similarity {
     * geometry from one cheap corpus count ([[autoLshGeometry]] at an
     * assumed working cosine of 0.9 — the close-neighbor regime ANN is
     * for). Pass both explicitly to tune (the AnnRecallSpec floors pin
-    * two explicit geometries at dims 64 and 256). */
+    * two explicit geometries at dims 64 and 256).
+    *
+    * NOTE: the auto-geometry count is an EAGER extra action over the
+    * corpus plan — pin an expensive un-cached corpus first, or pass
+    * `knownCount` (> 0) to skip it; explicit `planes`/`bands` never
+    * count. */
   def lshTopK(
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
-      dim: Int, k: Int, planes: Int = 0, bands: Int = 0): DataFrame = {
+      dim: Int, k: Int, planes: Int = 0, bands: Int = 0,
+      knownCount: Long = 0L): DataFrame = {
     require((planes == 0) == (bands == 0),
       "pass both planes and bands explicitly, or neither (auto geometry)")
     val (p, b) =
-      if (planes == 0) autoLshGeometry(corpus.count(), cosine = 0.9d)
+      if (planes == 0) autoLshGeometry(
+        if (knownCount > 0) knownCount else corpus.count(), cosine = 0.9d)
       else (planes, bands)
     lshTopKWith(queries, qId, qVec, corpus, cId, cVec, dim, k, p, b)
   }

@@ -60,6 +60,34 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("foldKey: any BIGINT (xxhash64 range, negatives, extremes) lands in the envelope") {
+    val s = spark
+    import s.implicits._
+    // the one-line migration for hash-derived keys: mixKey(foldKey(k))
+    // must compute for the FULL signed range — including the values the
+    // guard alone would (correctly) reject — and match the plain model
+    val keys = Seq(Long.MinValue, Long.MinValue + 1, -2654435761L, -1L, 0L,
+      1L, Curation.MixEnvelopeMax, Curation.MixEnvelopeMax + 1, Long.MaxValue) ++
+      (0 until 200).map(i => scala.util.hashing.MurmurHash3.stringHash(s"k$i").toLong * 2654435761L)
+    val m = Curation.MixEnvelopeMax + 1L
+    val got = keys.toDF("id")
+      .select(col("id"), Curation.foldKey(col("id")).as("f"),
+        Curation.mixKey(Curation.foldKey(col("id"))).as("mx"))
+      .collect()
+    got.foreach { r =>
+      val (k, f, mx) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(f === java.lang.Math.floorMod(k, m), s"foldKey($k)")
+      assert(f >= 0 && f <= Curation.MixEnvelopeMax)
+      assert(mx === java.lang.Math.floorMod(f * 2654435761L, 4294967296L))
+    }
+    // and the documented end-to-end shape: sampling on a raw xxhash64
+    // fingerprint — negative for ~half of real texts — works when folded
+    val fp = docs(1L -> "alpha", 2L -> "beta", 3L -> "gamma")
+      .select(xxhash64(col("text")).as("fp"))
+    val n = fp.filter(Curation.mixKey(Curation.foldKey(col("fp"))) >= 0L).count()
+    assert(n === 3L)
+  }
+
   test("deterministic sample: reproducible, monotone in fraction, exact at the ends") {
     val s = spark
     import s.implicits._
@@ -569,6 +597,39 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and dsirWeights is exactly train-then-score
     assert(snap(Curation.dsirWeights(corpus, "id", "text", target, "text",
       vocab = 64)) === agg)
+  }
+
+  test("DSIR per-row scorer == aggregate scorer over randomized non-ASCII text") {
+    // The two scorers tokenize through different code: dsirScore via SQL
+    // lower() + regexp_extract_all, dsirScoreRows via a Java Pattern over
+    // String.toLowerCase(Locale.ROOT). Unicode case-mapping edge cases —
+    // dotted/dotless I, sharp s, final sigma, supplementary-plane chars
+    // whose case pair lives outside the BMP — are exactly where such
+    // twins drift apart, so the parity contract is pinned over texts
+    // stuffed with them (ADVICE r11).
+    val edge = Array(
+      "İstanbul", // İ: lowercases to i + combining dot in both paths?
+      "DIYARBAKIR", "straße", "STRAẞE", // ß and capital ẞ
+      "Σοφός ΣΑ", // Σ → σ/ς finals
+      "𐐀𐐨", // Deseret 𐐀 (upper) + 𐐨 (lower), non-BMP
+      "café naïve ÉCOLE", "ıssiz IRMAK", // ı dotless
+      "x́ÿz", // combining marks between word chars
+      "Ab_9 7alpha __", "ＡＢＣ １２", // full-width A1
+      "中文 words mixed 日本語")
+    val rnd = new scala.util.Random(42)
+    def text(): String =
+      Seq.fill(3 + rnd.nextInt(8))(edge(rnd.nextInt(edge.length))).mkString(" ")
+    val corpus = docs((1L to 60L).map(i => i -> text()): _*)
+    val target = docs((100L to 110L).map(i => i -> text()): _*)
+    val model = Curation.trainDsirModel(corpus, "text", target, "text",
+      vocab = 128, smoothing = 1.0)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val agg = snap(Curation.dsirScore(corpus, "id", "text", model))
+    val rows = snap(Curation.dsirScoreRows(corpus, "id", "text", model)
+      .filter(col("n_grams") > 0))
+    assert(rows === agg,
+      s"tokenizer drift on non-ASCII text:\nonly-agg=${(agg -- rows).take(5)}\nonly-rows=${(rows -- agg).take(5)}")
   }
 
   test("DSIR select: k rows, dense ranks, key = logw + deterministic Gumbel") {

@@ -448,11 +448,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(comps.length === 51 && comps.forall(_._2 === 0L))
     // the lineage cuts must actually have landed in fault-tolerant
     // storage (that is the entire point of the option)
-    def rddFiles(p: java.io.File): Seq[java.io.File] =
-      Option(p.listFiles).toSeq.flatten.flatMap(f =>
-        if (f.isDirectory) rddFiles(f) else Seq(f))
-    assert(rddFiles(new java.io.File(dir)).nonEmpty,
-      s"no reliable checkpoint files under $dir")
+    val rounds = Option(new java.io.File(dir).listFiles).toSeq.flatten
+      .filter(_.getName.startsWith("graft_cc_round_"))
+    assert(rounds.nonEmpty, s"no reliable round tables under $dir")
+    // retention: converged rounds are deleted as the iteration advances;
+    // ONLY the final round's table (which the returned frame reads from)
+    // may remain — long runs must not accumulate one table per round
+    assert(rounds.length === 1,
+      s"stale round tables left behind: ${rounds.map(_.getName).sorted}")
+    // nothing session-wide was repointed by the reliable path
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      "connectedComponents set the SparkContext-wide checkpoint dir")
+  }
+
+  test("connected components: non-convergence deletes every reliable round table") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt-nc").toString
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 2, checkpointDir = Some(dir)).collect()
+    }
+    val left = Option(new java.io.File(dir).listFiles).toSeq.flatten
+      .filter(_.getName.startsWith("graft_cc_round_"))
+    assert(left.isEmpty, s"non-convergence left round tables: ${left.map(_.getName).sorted}")
   }
 
   test("connected components: non-convergence throws, never splits silently") {
@@ -724,6 +743,50 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       && meta.getInt(2) === 240 && meta.getInt(3) === 42)
   }
 
+  test("mp4 box walk survives to-EOF and 64-bit-largesize mdat layouts (non-faststart files)") {
+    // Real-world non-faststart MP4s put a big mdat BEFORE moov, and that
+    // mdat is where size==0 (to end of scope) and size==1 (64-bit
+    // largesize) headers appear; the walk must skip over them, not abort.
+    val base = Multimodal.renderTestClip(3) // [ftyp][moov], meta (160,144,27)
+    val want = Multimodal.mp4VideoMeta(base)
+    assert(want.isDefined)
+    val ftypEnd = java.nio.ByteBuffer.wrap(base).getInt // first box size
+    val (ftyp, moov) = base.splitAt(ftypEnd)
+    def cat(xs: Array[Byte]*): Array[Byte] = xs.flatten.toArray
+    // mdat with a 64-bit largesize header (size field == 1) before moov
+    val payload = Array.fill[Byte](32)(0x5a)
+    val large = {
+      val bb = java.nio.ByteBuffer.allocate(16 + payload.length)
+      bb.putInt(1); bb.put("mdat".getBytes("US-ASCII"))
+      bb.putLong(16L + payload.length); bb.put(payload)
+      bb.array()
+    }
+    assert(Multimodal.mp4VideoMeta(cat(ftyp, large, moov)) === want,
+      "largesize mdat before moov lost the metadata")
+    // mdat with size==0: legal as the LAST top-level box (extends to EOF)
+    val toEof = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(0); bb.put("mdat".getBytes("US-ASCII")); bb.put(payload)
+      bb.array()
+    }
+    assert(Multimodal.mp4VideoMeta(cat(ftyp, moov, toEof)) === want,
+      "trailing to-EOF mdat broke the walk")
+    // hostile: size==1 with a truncated largesize field degrades to None
+    val truncated = cat(ftyp, {
+      val bb = java.nio.ByteBuffer.allocate(12)
+      bb.putInt(1); bb.put("mdat".getBytes("US-ASCII")); bb.putInt(0)
+      bb.array()
+    })
+    assert(Multimodal.mp4VideoMeta(truncated) === None)
+    // hostile: largesize pointing backwards degrades to None
+    val backwards = cat(ftyp, {
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putInt(1); bb.put("mdat".getBytes("US-ASCII")); bb.putLong(4L)
+      bb.array()
+    }, moov)
+    assert(Multimodal.mp4VideoMeta(backwards) === None)
+  }
+
   test("multimodal: REAL pixel decode (javax.imageio) — known-answer histograms and resize") {
     val s = spark
     import s.implicits._
@@ -958,5 +1021,42 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         cosineThreshold = 0.95)
       .filter(col("id_a") === 7 && col("id_b") === 1000000L).collect()
     assert(got.length === 1 && got(0).getDouble(2) === 1.0)
+  }
+
+  test("knownCount skips the auto-geometry count action without changing the answer") {
+    // auto geometry's eager df.count() re-executes an un-cached upstream
+    // pipeline; passing the size when the caller already knows it must
+    // yield the identical geometry, hence identical pairs — and must not
+    // trigger any job over the corpus plan before the real work
+    val s = spark
+    import s.implicits._
+    val base = (0 until 400).map { i =>
+      val r = new scala.util.Random(i % 40) // 40 planted classes of 10 copies
+      (i.toLong, Seq.fill(16)(r.nextGaussian()))
+    }
+    val corpus = base.toDF("vec_id", "e")
+    def pairs(df: org.apache.spark.sql.DataFrame, kc: Long) =
+      Dedup.embeddingNearDups(df, "vec_id", "e", dim = 16,
+        cosineThreshold = 0.95, knownCount = kc)
+        .collect().map(_.toString).sorted.toSeq
+    assert(pairs(corpus, 400L) === pairs(corpus, 0L))
+    // proof the count action is skipped: a corpus whose plan THROWS on
+    // execution still plans fine with knownCount (the failure would come
+    // from the eager count, before any result action). The source must
+    // be file-backed: over a LocalRelation the optimizer itself evaluates
+    // deterministic filters at plan time, which would poison both paths.
+    val pdir = java.nio.file.Files.createTempDirectory("poison").toString
+    corpus.write.mode("overwrite").parquet(pdir)
+    val poisoned = spark.read.parquet(pdir).filter(udf { (_: Long) =>
+      sys.error("corpus plan executed during geometry derivation")
+      true
+    }.apply(col("vec_id")))
+    // default path counts eagerly -> blows up here
+    assertThrows[Exception] {
+      Dedup.embeddingNearDups(poisoned, "vec_id", "e", dim = 16, cosineThreshold = 0.95)
+    }
+    // knownCount path defers every action to the caller
+    Dedup.embeddingNearDups(poisoned, "vec_id", "e", dim = 16,
+      cosineThreshold = 0.95, knownCount = 400L) // no action -> no throw
   }
 }
