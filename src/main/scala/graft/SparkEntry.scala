@@ -795,17 +795,23 @@ object SparkEntry {
           octet_length(encode(col("text"), "UTF-8")).cast("bigint").as("n_bytes"))),
 
     "audio_features" -> ((s, dir) => {
-      // Real-decode audio pipeline (r11): 20 deterministic WAV tone
-      // classes synthesized in-plan -> javax.sound.sampled PCM decode ->
-      // RMS energy envelope, with the container's sample_rate/n_channels
-      // parsed from the RIFF header en route. Rows-only (PCM decode is
-      // not SQL); known-answer envelope laws in OperatorsSpec.
-      // The envelope is projected to SCALAR per-band columns (rounded
-      // doubles) rather than a raw Array[Float]: the driver's pandas
-      // hasher sorts every column and cannot order ndarray cells, so an
-      // array column turns a healthy rows-only query into an artifact
-      // error (the one red row of round 11).
-      val render = udf { (id: Long) => Multimodal.renderTestTone((id % 20).toInt) }
+      // Real-decode audio pipeline (r11, ORACLE-checked r12): 20
+      // deterministic WAV tone classes synthesized in-plan ->
+      // javax.sound.sampled PCM decode -> RMS energy envelope, with the
+      // container's sample_rate/n_channels parsed from the RIFF header
+      // en route. Both the header fields AND the envelope are planted
+      // closed-form in doc_id (the video_meta trick): the clip is ON
+      // for k/8 of its length (k = 1 + cls%7), and since the envelope
+      // L1-normalizes across its 8 bands, each on-band reads exactly
+      // 1/k and each off-band 0 regardless of amplitude/frequency —
+      // DuckDB states the whole answer by arithmetic while the Spark
+      // side earns it through the real decode. Scalar rounded columns,
+      // not Array[Float]: the driver's hasher cannot sort ndarray cells.
+      val render = udf { (id: Long) =>
+        val cls = (id % 20).toInt
+        Multimodal.renderTestTone(cls, onEighths = 1 + cls % 7,
+          rate = 8000 + 4000 * (cls % 2))
+      }
       val d = t(s, dir, "documents").filter(col("doc_id") < 200)
         .select(col("doc_id"), render(col("doc_id")).as("payload"))
       val feats = Multimodal.extractFeatures(Multimodal.asMedia(d, "payload"), featureDim = 8)
@@ -2148,6 +2154,26 @@ object SparkEntry {
                 CAST(unnest(list_slice(
                   generate_series(0, CAST(24 + doc_id % 24 AS INT) - 1, 7),
                   1, 5)) AS INT) AS frame_idx
+         FROM documents WHERE doc_id < 200""",
+
+    // The planted WAV tones make the whole answer closed-form in doc_id:
+    // sample_rate comes straight from the planted RIFF header, and the
+    // L1-normalized RMS envelope of a clip that is ON for k/8 of its
+    // length reads exactly 1/k per on-band, 0 per off-band (amplitude
+    // and frequency cancel in the normalization). A wrong header parse,
+    // PCM decode, band boundary, or normalization breaks the match.
+    "audio_features" ->
+      """SELECT doc_id,
+                CAST(8000 + 4000 * (doc_id % 20 % 2) AS INT) AS sample_rate,
+                CAST(1 AS INT) AS n_channels,
+                CASE WHEN 0 < 1 + doc_id % 20 % 7 THEN round(1.0 / (1 + doc_id % 20 % 7), 5) ELSE 0.0 END AS rms_b0,
+                CASE WHEN 1 < 1 + doc_id % 20 % 7 THEN round(1.0 / (1 + doc_id % 20 % 7), 5) ELSE 0.0 END AS rms_b1,
+                CASE WHEN 2 < 1 + doc_id % 20 % 7 THEN round(1.0 / (1 + doc_id % 20 % 7), 5) ELSE 0.0 END AS rms_b2,
+                CASE WHEN 3 < 1 + doc_id % 20 % 7 THEN round(1.0 / (1 + doc_id % 20 % 7), 5) ELSE 0.0 END AS rms_b3,
+                CASE WHEN 4 < 1 + doc_id % 20 % 7 THEN round(1.0 / (1 + doc_id % 20 % 7), 5) ELSE 0.0 END AS rms_b4,
+                CASE WHEN 5 < 1 + doc_id % 20 % 7 THEN round(1.0 / (1 + doc_id % 20 % 7), 5) ELSE 0.0 END AS rms_b5,
+                CASE WHEN 6 < 1 + doc_id % 20 % 7 THEN round(1.0 / (1 + doc_id % 20 % 7), 5) ELSE 0.0 END AS rms_b6,
+                0.0 AS rms_b7
          FROM documents WHERE doc_id < 200""",
 
     // The planted test-card classes make the near-dup pair set closed-form

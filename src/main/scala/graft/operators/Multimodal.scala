@@ -413,17 +413,26 @@ object Multimodal {
   }
 
   /** Deterministic synthetic WAV fixture (the audio twin of
-    * [[renderTestCard]]): a 16-bit PCM mono clip at 8 kHz whose
-    * square-wave frequency and amplitude derive from `cls`, with the
-    * second half silent — so the RMS envelope ([[audioFeatures]]) has a
-    * known on/off shape and same-class clips are identical. The driver
-    * testdata has no audio column; the audio_features query synthesizes
-    * its corpus in-plan with this. */
-  def renderTestTone(cls: Int, nSamples: Int = 1600): Array[Byte] = {
-    val rate = 8000
+    * [[renderTestCard]]): a 16-bit PCM mono clip whose square-wave
+    * frequency and amplitude derive from `cls`, ON for the first
+    * `onEighths`/8 of the clip and silent after — so the RMS envelope
+    * ([[audioFeatures]], featureDim 8) has a known on/off shape and
+    * same-class clips are identical. Because the envelope L1-normalizes
+    * across bands, the planted value is CLOSED-FORM: each of the
+    * `onEighths` on-bands reads exactly `1/onEighths`, the rest 0 —
+    * amplitude and frequency cancel. With `rate` also planted, the
+    * audio_features query is fully oracle-checkable by arithmetic in
+    * doc_id (the video_meta trick): the hash match proves the RIFF
+    * header parse AND the PCM decode + banding found the planted
+    * energy shape. Defaults keep the original r11 fixture
+    * (8 kHz, half on / half silent) bit-identical. */
+  def renderTestTone(cls: Int, nSamples: Int = 1600, onEighths: Int = 4,
+      rate: Int = 8000): Array[Byte] = {
+    require(onEighths >= 1 && onEighths <= 8, s"onEighths in [1,8], got $onEighths")
     val period = 20 + (cls % 7) * 10 // samples per square-wave cycle
     val amp = (8192 + (cls % 3) * 8192).toShort
     val dataLen = nSamples * 2
+    val onLen = nSamples / 8 * onEighths
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
@@ -434,7 +443,7 @@ object Multimodal {
     var i = 0
     while (i < nSamples) {
       val s: Short =
-        if (i >= nSamples / 2) 0
+        if (i >= onLen) 0
         else if ((i / (period / 2)) % 2 == 0) amp
         else (-amp).toShort
       bb.putShort(s)
