@@ -589,6 +589,42 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDups(mutatedCorpus(s, dir), "id", "text", maxHamming = 3)),
 
+    // Exact-regime twin of dedup_minhash (r13): at jaccardThreshold = 1.0
+    // a verified pair means IDENTICAL distinct-shingle sets (inter == uni
+    // iff set equality), and recall is structural — set-equal docs have
+    // identical MinHash signatures, hence share every band bucket. The
+    // planted corpus (each doc + an identical copy at id+100000) makes the
+    // pair set non-empty and DuckDB states it by grouping on the sorted
+    // gram list (the neardup_survivors hash-vs-string equivalence). The
+    // approximate default regime above stays rows-only as before.
+    "dedup_minhash_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val corpus = d.unionByName(d.select((col("id") + 100000).as("id"), col("text")))
+      Dedup.minhashNearDups(corpus, "id", "text", jaccardThreshold = 1.0)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }),
+
+    // Exact-regime twin of dedup_simhash (r13): at maxHamming = 0 a pair
+    // means IDENTICAL 64-bit fingerprints; recall is structural (equal
+    // fingerprints share all four 16-bit chunks, so the bucket join always
+    // surfaces the pair). SimHash is invariant under token order and
+    // whitespace runs — the fingerprint is a sum of per-token votes — so
+    // the SQL truth is equality of the sorted token MULTISET. The window
+    // doc_id < 150 keeps the fixture inside the regime where that truth
+    // is complete: the corpus DOES contain near-identical doc pairs whose
+    // distinct multisets collide to one fingerprint (correct SimHash
+    // behavior — e.g. ids 267/413 at sf0.01, 12/360 at sf0.001, measured
+    // collision-free below 174/413/895 at the three SFs), and those live
+    // outside the window so DuckDB can state the whole answer. The
+    // approximate default regime above stays rows-only as before.
+    "dedup_simhash_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 150)
+        .select(col("doc_id").as("id"), col("text"))
+      val corpus = d.unionByName(d.select((col("id") + 100000).as("id"), col("text")))
+      Dedup.simhashNearDups(corpus, "id", "text", maxHamming = 0)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+    }),
+
     // The consumer-facing tail of the near-dup pipeline: pairs → connected
     // components → min-id survivor. Pair output grows quadratically in
     // clique size (the r8 organic audit: 881× more pairs for 5.5× more
@@ -719,6 +755,37 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       Pq.ivfPqTopK(e.filter(col("vec_id") < 10), "vec_id", "e", e, "vec_id", "e",
         k = 5, nlist = 8, nprobe = 8, m = 8, ksub = 256, refine = 8)
+    }),
+
+    // Exhaustive-regime twin of ann_ivfpq (r13): nprobe = nlist probes
+    // every cell AND refine = ceil(n/k) makes the ADC shortlist cover the
+    // whole corpus, so the exact re-rank IS brute force and the DuckDB
+    // oracle applies — this oracle-checks the in-memory IVFPQ machinery
+    // (k-means train, code assignment, ADC tables, re-rank) end-to-end,
+    // complementing ann_ivfpq_indexed which checks the persisted path.
+    "ann_ivfpq_exact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val n = e.count()
+      Pq.ivfPqTopK(e.filter(col("vec_id") < 10), "vec_id", "e", e, "vec_id", "e",
+        k = 5, nlist = 8, nprobe = 8, m = 8, ksub = 256, refine = (n / 5 + 1).toInt)
+    }),
+
+    // Exact-regime twin of ann_lsh (r13): the corpus is the embeddings
+    // table plus an IDENTICAL copy of each query vector at vec_id+100000.
+    // A copy scores cosine exactly 1.0 — the global maximum — and its
+    // recall is structural: colinear vectors produce identical hyperplane
+    // sign patterns, hence share every band bucket. So top-1 per query is
+    // exactly the brute-force answer and DuckDB states it; geometry,
+    // banding, candidate join and re-rank are all on the hook (a wrong
+    // bucket join loses the planted pair and breaks the match).
+    "ann_lsh_exact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val q = e.filter(col("vec_id") < 10)
+      val corpus = e.unionByName(q.select((col("vec_id") + 100000).as("vec_id"), col("e")))
+      Similarity.lshTopK(q, "vec_id", "e", corpus, "vec_id", "e",
+        dim = 64, k = 1, planes = 18, bands = 6)
     }),
 
     "ann_pq_recall" -> ((s, dir) => {
@@ -1919,6 +1986,42 @@ object SparkEntry {
          FROM pairs
          WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.5""",
 
+    // Exact regime: a jaccard-1.0 pair means set-equal distinct 3-gram
+    // lists, so grouping on the sorted gram list states the pair set
+    // (same hash-vs-string equivalence as neardup_survivors).
+    "dedup_minhash_exact" ->
+      """WITH corpus AS (
+           SELECT doc_id AS id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text FROM documents),
+         words AS (SELECT id, string_split_regex(text, '\s+') AS w FROM corpus),
+         sh AS (SELECT id,
+                       CASE WHEN len(w) >= 3
+                            THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                                              i -> array_to_string(w[i:i+2], ' ')))
+                            ELSE [] END AS g
+                FROM words),
+         keyed AS (SELECT id, array_to_string(list_sort(g), chr(31)) AS sig,
+                          len(g) AS ng
+                   FROM sh WHERE len(g) > 0)
+         SELECT a.id AS id_a, b.id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+         FROM keyed a JOIN keyed b ON a.sig = b.sig AND a.id < b.id""",
+
+    // Exact regime: hamming 0 = identical fingerprints; SimHash is a sum
+    // of per-token votes, so the truth is sorted-token-MULTISET equality.
+    "dedup_simhash_exact" ->
+      """WITH corpus AS (
+           SELECT doc_id AS id, text FROM documents WHERE doc_id < 150
+           UNION ALL
+           SELECT doc_id + 100000, text FROM documents WHERE doc_id < 150),
+         toks AS (SELECT id,
+                         list_sort(list_filter(string_split_regex(text, '\s+'),
+                                               x -> x <> '')) AS tk
+                  FROM corpus),
+         keyed AS (SELECT id, array_to_string(tk, chr(31)) AS sig FROM toks)
+         SELECT a.id AS id_a, b.id AS id_b, CAST(0 AS INT) AS hamming
+         FROM keyed a JOIN keyed b ON a.sig = b.sig AND a.id < b.id""",
+
     "neardup_survivors" ->
       """WITH corpus AS (
            SELECT doc_id AS id, text FROM documents
@@ -2114,6 +2217,41 @@ object SparkEntry {
                          FROM scored)
          SELECT query_id, corpus_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
          FROM ranked WHERE rnk <= 5""",
+
+    // Exhaustive in-memory IVFPQ: full probe + corpus-covering refine
+    // shortlist -> the exact brute-force oracle applies verbatim.
+    "ann_ivfpq_exact" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
+              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                                list_cosine_similarity(q.v, c.v) AS cos
+                         FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
+              ranked AS (SELECT query_id, corpus_id, cos,
+                                row_number() OVER (PARTITION BY query_id
+                                                   ORDER BY cos DESC, corpus_id) AS rnk
+                         FROM scored)
+         SELECT query_id, corpus_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
+         FROM ranked WHERE rnk <= 5""",
+
+    // LSH exact regime: the planted identical copy (vec_id+100000) is the
+    // global cosine maximum and structurally recalled (colinear vectors
+    // share every band), so LSH top-1 = brute-force top-1 over the
+    // augmented corpus.
+    "ann_lsh_exact" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
+              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                    UNION ALL
+                    SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
+                    WHERE vec_id < 10),
+              scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                                list_cosine_similarity(q.v, c.v) AS cos
+                         FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
+              ranked AS (SELECT query_id, corpus_id, cos,
+                                row_number() OVER (PARTITION BY query_id
+                                                   ORDER BY cos DESC, corpus_id) AS rnk
+                         FROM scored)
+         SELECT query_id, corpus_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
+         FROM ranked WHERE rnk <= 1""",
 
     "text_stats" ->
       """SELECT doc_id,
