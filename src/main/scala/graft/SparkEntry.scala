@@ -854,6 +854,42 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // Real per-frame GIF pixel decode (r13, the last JDK-decodable slice
+    // of the old stub): 20 animated-GIF classes synthesized in-plan, even
+    // frames showing the class pattern and odd frames a second pattern;
+    // every frame decodes through the REAL imageio frame iterator, gets
+    // dHashed, and joins against the dHash table of the PIXEL-IDENTICAL
+    // PNG test cards (GIF and PNG are both lossless on a 2-color raster).
+    // ORACLE-checked via the image_neardup trick: the (class, phase)
+    // labels and the frame count are closed-form in doc_id — frame f of
+    // doc d matches card (d%20, f%2), f < 2 + (d%20)%5 — so DuckDB states
+    // every output row by arithmetic while the Spark side earns it
+    // through real frame decode (a wrong decode/hash loses or mislabels
+    // rows; an inner join makes that break the match). Card hashes are a
+    // 40-row driver-built broadcast table (GifFrameSpec pins them
+    // collision-free).
+    "gif_frame_hash" -> ((s, dir) => {
+      import s.implicits._
+      val render = udf { (id: Long) =>
+        val cls = (id % 20).toInt
+        Multimodal.renderTestGif(cls, 2 + cls % 5)
+      }
+      val frameHashes = udf { (b: Array[Byte]) =>
+        Multimodal.gifFrameHashes(b).orNull
+      }
+      val frames = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), posexplode(frameHashes(render(col("doc_id"))))
+          .as(Seq("frame_idx", "h")))
+      val cards = (for { cls <- 0 until 20; phase <- 0 until 2 }
+        yield (cls, phase, Multimodal.dHash(
+          Multimodal.renderTestCard(if (phase == 0) cls else 1000 + cls, 1)).get))
+        .toDF("matched_cls", "matched_phase", "h")
+      frames.join(broadcast(cards), "h")
+        .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+          col("matched_cls").cast("int").as("matched_cls"),
+          col("matched_phase").cast("int").as("matched_phase"))
+    }),
+
     "multimodal_meta" -> ((s, dir) =>
       // Binary-column plumbing: payload + size; decode itself is stubbed
       // (see graft.operators.Multimodal).
@@ -2325,6 +2361,20 @@ object SparkEntry {
          FROM documents a JOIN documents b
            ON b.doc_id > a.doc_id AND a.doc_id % 50 = b.doc_id % 50
          WHERE a.doc_id < 200 AND b.doc_id < 200""",
+
+    // Planted truth of the GIF frame decode: doc d carries 2 + (d%20)%5
+    // frames, frame f shows card (d%20) when f is even and its phase-1
+    // twin when odd — pure arithmetic in doc_id; the Spark side earns
+    // each row through real per-frame pixel decode + dHash join.
+    "gif_frame_hash" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 20 AS INT) AS cls
+                    FROM documents WHERE doc_id < 100),
+              f AS (SELECT doc_id, cls,
+                           unnest(generate_series(0, 1 + (cls % 5))) AS frame_idx
+                    FROM d)
+         SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+                cls AS matched_cls, CAST(frame_idx % 2 AS INT) AS matched_phase
+         FROM f""",
 
     "quality_filter" ->
       """WITH base AS (

@@ -9,10 +9,13 @@ import org.apache.spark.sql.types._
   * is fully real: PNG/JPEG/GIF decode through the JDK's javax.imageio
   * ([[decodeImage]]), features are luminance histograms over actual pixels
   * ([[imageFeatures]]), and [[resizeMedia]] produces real bilinear
-  * thumbnails. Audio sample/video frame decoding still needs ffmpeg-class
-  * codecs this container doesn't have — those payloads fall back to the
-  * clearly-marked deterministic [[decodeStub]], swappable for a real
-  * demuxer (e.g. via mapPartitions or a Pandas UDF) without touching
+  * thumbnails; since r11 WAV audio decodes for real too
+  * ([[decodeWavSamples]]), and since r13 animated-GIF FRAME pixels decode
+  * for real ([[gifFrameHashes]]). What remains at the stub boundary is
+  * exactly what needs ffmpeg-class codecs this container doesn't have —
+  * MP4 frame pixels and compressed audio — and those payloads fall back
+  * to the clearly-marked deterministic [[decodeStub]], swappable for a
+  * real demuxer (e.g. via mapPartitions or a Pandas UDF) without touching
   * callers.
   */
 object Multimodal {
@@ -338,15 +341,16 @@ object Multimodal {
     out
   }
 
-  /** ====== STUB (video only, since r11) ======
+  /** ====== STUB (MP4 frame pixels + compressed audio only, since r13) ======
     * Deterministic fake "decode + feature extraction" for payloads the
-    * JDK cannot decode (video frames, compressed audio — those need
-    * ffmpeg-class codecs this container doesn't have). The fake derives a
-    * fixed-length feature vector from a rolling hash of the payload so the
-    * pipeline (schema, batching, partition parallelism, downstream
-    * similarity joins) is fully exercisable and reproducible. Images
-    * ([[decodeImage]]/[[imageFeatures]]) and WAV audio
-    * ([[decodeWavSamples]]/[[audioFeatures]]) no longer hit this path. */
+    * JDK cannot decode (MP4 frame pixels, compressed audio codecs — those
+    * need ffmpeg-class decoders this container doesn't have). The fake
+    * derives a fixed-length feature vector from a rolling hash of the
+    * payload so the pipeline (schema, batching, partition parallelism,
+    * downstream similarity joins) is fully exercisable and reproducible.
+    * Images ([[decodeImage]]/[[imageFeatures]]), WAV audio
+    * ([[decodeWavSamples]]/[[audioFeatures]]) and GIF frame pixels
+    * ([[gifFrameHashes]]) no longer hit this path. */
   def decodeStub(bytes: Array[Byte], featureDim: Int): Array[Float] = {
     val out = new Array[Float](featureDim)
     if (bytes == null) return out
@@ -389,6 +393,18 @@ object Multimodal {
     * scales), different class ⇒ a different random-looking pattern
     * (~32 expected dHash bits apart). */
   def renderTestCard(cls: Int, scale: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(cardImage(cls, scale), "png", bos)
+    bos.toByteArray
+  }
+
+  /** The raster behind [[renderTestCard]] and [[renderTestGif]]: an 8×8
+    * block pattern from the splitmix-scrambled bits of `cls`, two gray
+    * levels, `16·scale` square. Shared so a GIF frame and a PNG card of
+    * the same class id are PIXEL-IDENTICAL — both formats are lossless
+    * for a 2-color raster — which is what lets the gif_frame_hash query
+    * equate per-frame dHashes with card dHashes. */
+  private def cardImage(cls: Int, scale: Int): java.awt.image.BufferedImage = {
     var x0 = cls.toLong + 0x9E3779B97F4A7C15L
     x0 = (x0 ^ (x0 >>> 30)) * 0xBF58476D1CE4E5B9L
     x0 = (x0 ^ (x0 >>> 27)) * 0x94D049BB133111EBL
@@ -407,9 +423,62 @@ object Multimodal {
       }
       y += 1
     }
+    img
+  }
+
+  /** Deterministic synthetic ANIMATED GIF fixture (the multi-frame twin
+    * of [[renderTestCard]]): `nFrames` full frames written through the
+    * JDK's GIF ImageWriter sequence API, where even frames show the
+    * class-`cls` pattern and odd frames the class-`1000+cls` pattern.
+    * GIF is lossless for a 2-color raster, so frame f decodes back
+    * pixel-identical to the PNG card of the same pattern id — the
+    * planted truth gif_frame_hash states by arithmetic. */
+  def renderTestGif(cls: Int, nFrames: Int, scale: Int = 1): Array[Byte] = {
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = cardImage(if (f % 2 == 0) cls else 1000 + cls, scale)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
     bos.toByteArray
+  }
+
+  /** REAL per-frame pixel decode for GIF payloads (r13): iterate every
+    * image block with the JDK's imageio GIF reader, decode each frame's
+    * pixels, and fingerprint it with [[dHashImage]]. Frames are stored
+    * full-raster by [[renderTestGif]] and the JDK reader returns each
+    * block as stored (no compositing), so the hash is a pure function of
+    * the planted frame. None for non-GIF or undecodable payloads — the
+    * same degrade-don't-kill contract as [[decodeImage]]. With this, the
+    * stub boundary shrinks to MP4 frame pixels and compressed audio
+    * codecs (genuinely impossible without non-JDK decoders). */
+  def gifFrameHashes(b: Array[Byte]): Option[Seq[Long]] = {
+    if (sniffFormat(b) != "gif") return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          r.setInput(iis)
+          try {
+            val n = r.getNumImages(true)
+            Some((0 until n).map(i => dHashImage(r.read(i))))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
   }
 
   /** Deterministic synthetic WAV fixture (the audio twin of
@@ -497,30 +566,37 @@ object Multimodal {
     * flipped/cropped image is a different hash by design). None for
     * payloads the JDK cannot decode. */
   def dHash(bytes: Array[Byte]): Option[Long] =
-    decodeImage(bytes).map { img =>
-      val dst = new java.awt.image.BufferedImage(9, 8,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g = dst.createGraphics()
-      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-      g.drawImage(img, 0, 0, 9, 8, null)
-      g.dispose()
-      def lum(x: Int, y: Int): Double = {
-        val rgb = dst.getRGB(x, y)
-        0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-      }
-      var bits = 0L
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          if (lum(x, y) > lum(x + 1, y)) bits |= 1L << (y * 8 + x)
-          x += 1
-        }
-        y += 1
-      }
-      bits
+    decodeImage(bytes).map(dHashImage)
+
+  /** [[dHash]] of an already-decoded image — shared by the single-image
+    * path and the per-frame GIF path ([[gifFrameHashes]]) so a GIF frame
+    * and a PNG card with identical pixels produce the SAME fingerprint.
+    * The source is drawn into a TYPE_INT_RGB raster before interpolating,
+    * so an indexed-palette GIF frame and a true-color PNG hash alike. */
+  def dHashImage(img: java.awt.image.BufferedImage): Long = {
+    val dst = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, 9, 8, null)
+    g.dispose()
+    def lum(x: Int, y: Int): Double = {
+      val rgb = dst.getRGB(x, y)
+      0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
     }
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lum(x, y) > lum(x + 1, y)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
 
   /** Near-duplicate images by dHash Hamming distance ≤ `maxHamming`,
     * without an all-pairs scan: the 64-bit hash splits into 8 one-byte
