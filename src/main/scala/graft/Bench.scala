@@ -27,7 +27,8 @@ object Bench {
     def loadAvg(): Double =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split("\\s+")(0).toDouble
-      catch { case _: Throwable =>
+      catch { case scala.util.control.NonFatal(_) =>
+        // NonFatal only: a diagnostic metric must not swallow OOM/interrupt
         java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
       }
     val loadStart = loadAvg()

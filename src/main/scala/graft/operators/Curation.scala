@@ -57,7 +57,15 @@ object Curation {
     * so fail loudly instead (one codegen'd compare per row; values
     * inside the envelope are passed through bit-identical, so every
     * oracle replay is unchanged). Huge id spaces should be pre-folded
-    * with a modulus, per the [[mixKey]] scaladoc. */
+    * with a modulus, per the [[mixKey]] scaladoc.
+    *
+    * CAVEAT: when [[mixKey]] lands inside a filter predicate, Catalyst
+    * may reorder conjuncts and evaluate this `raise_error` for rows a
+    * sibling conjunct would have discarded — an upstream "WHERE id <
+    * bound" does NOT reliably shield out-of-envelope keys from the
+    * guard. Treat the envelope as a property of the COLUMN, not of the
+    * filtered subset: [[foldKey]] first whenever any source row could
+    * be outside it. */
   private def guardEnvelope(preMix: Column): Column =
     when(preMix >= 0L && preMix <= MixEnvelopeMax, preMix)
       .otherwise(raise_error(concat(

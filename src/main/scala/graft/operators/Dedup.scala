@@ -750,9 +750,12 @@ object Dedup {
     * The reliable cut is self-managed (NOT `SparkContext.checkpoint`):
     * nothing session-wide is repointed, a round's table is deleted as
     * soon as the next round is materialized, and on non-convergence
-    * every round table is deleted. Only the FINAL round's table
-    * survives — the returned frame reads from it, so it must outlive
-    * the call; delete `checkpointDir` after consuming the result.
+    * every round table is deleted. Round tables live under a per-call
+    * unique subdirectory, so concurrent or repeated calls may share one
+    * `checkpointDir` without clobbering each other. Only the FINAL
+    * round's table survives — the returned frame reads from it, so it
+    * must outlive the call; delete `checkpointDir` after consuming the
+    * result.
     *
     * Input: (id_a, id_b) pairs. Output: (id, component) for every id
     * that appears in any pair; component = min id reachable. */
@@ -763,7 +766,12 @@ object Dedup {
       new org.apache.hadoop.fs.Path(d)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
     }
-    def roundPath(i: Int) = s"${checkpointDir.get}/graft_cc_round_$i"
+    // Per-call unique prefix: two connectedComponents calls sharing one
+    // checkpointDir (or a rerun while a prior call's returned lazy frame
+    // is still unconsumed — it reads the final round's files) must not
+    // clobber or delete each other's round tables.
+    val runToken = java.util.UUID.randomUUID().toString
+    def roundPath(i: Int) = s"${checkpointDir.get}/graft_cc_$runToken/round_$i"
     def dropRound(i: Int): Unit = for (f <- fs) {
       val p = new org.apache.hadoop.fs.Path(roundPath(i))
       if (f.exists(p)) f.delete(p, true)
@@ -816,7 +824,11 @@ object Dedup {
     }
     edges.unpersist()
     if (!converged) {
-      (0 until iter).foreach(dropRound) // result unusable; leave nothing behind
+      // result unusable; leave nothing behind (the whole per-call dir)
+      for (f <- fs) {
+        val p = new org.apache.hadoop.fs.Path(s"${checkpointDir.get}/graft_cc_$runToken")
+        if (f.exists(p)) f.delete(p, true)
+      }
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters iterations — " +
           "raise maxIters; refusing to return split components")

@@ -311,10 +311,34 @@ object Similarity {
     * stream instead of one driver-side parquet read per micro-batch). */
   def appendIvfIndex(batch: DataFrame, cId: String, cVec: String, path: String,
       cents: Array[Array[Double]]): Unit = {
+    requireBatchKeyedLayout(batch.sparkSession, path)
     assigned(batch, cId, cVec, cents)
       .withColumn("ingest_batch", lit(-1L))
       .write.mode("append").partitionBy("cell", "ingest_batch")
       .parquet(s"$path/corpus")
+  }
+
+  /** r12 changed the stored-corpus layout from `partitionBy(cell)` to
+    * `partitionBy(cell, ingest_batch)` (for replay-idempotent streaming
+    * appends). Appending the two-level layout into a pre-r12 single-level
+    * directory would mix partition depths, and Spark's partition
+    * discovery then fails on the whole index with an unrelated-looking
+    * "conflicting directory structures" error at read time — so detect
+    * the old layout up front (data files directly under a `cell=` dir)
+    * and fail with the actual remedy: rebuild via [[writeIvfIndex]]. */
+  private def requireBatchKeyedLayout(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val corpus = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    val fs = corpus.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(corpus)) return // fresh index: the append creates the layout
+    val oldLayout = fs.listStatus(corpus)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .exists(d => fs.listStatus(d.getPath)
+        .exists(c => c.isFile && c.getPath.getName.endsWith(".parquet")))
+    if (oldLayout) throw new IllegalStateException(
+      s"IVF index at $path uses the pre-r12 partitionBy(cell) layout; " +
+        "appending batch-keyed rows would mix partition depths and break " +
+        "partition discovery. Rebuild the index with writeIvfIndex.")
   }
 
   /** Replay-idempotent append for exactly-once streaming ingest: the
@@ -333,6 +357,7 @@ object Similarity {
   def appendIvfIndexIdempotent(batch: DataFrame, cId: String, cVec: String,
       path: String, cents: Array[Array[Double]], batchId: Long): Unit = {
     require(batchId >= 0, s"batchId must be >= 0 (got $batchId): -1 marks non-keyed rows")
+    requireBatchKeyedLayout(batch.sparkSession, path)
     assigned(batch, cId, cVec, cents)
       .withColumn("ingest_batch", lit(batchId))
       .write.mode("overwrite")

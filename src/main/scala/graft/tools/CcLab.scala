@@ -45,17 +45,19 @@ object CcLab {
       val n = f.count()
       (n, (System.nanoTime() - t0) / 1e9)
     }
-    def fp(df: org.apache.spark.sql.DataFrame): Long =
-      // xor-fold, not sum: summing 64-bit hashes overflows under ANSI
-      df.select(xxhash64(col("id"), col("component")).as("h"))
-        .agg(expr("bit_xor(h)")).collect()(0).getLong(0)
+    // Conclusive identity, not an xor-fold fingerprint (differing tables
+    // can cancel in xor — e.g. two components' labels swapped between
+    // ids): empty symmetric difference in both directions.
+    def identical(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
 
     for (r <- 1 to reps) {
       val (nL, tL) = timed(Dedup.connectedComponents(pairs))
       val (nR, tR) = timed(Dedup.connectedComponents(pairs,
         checkpointDir = Some(s"$work/ckpt_$r")))
-      val same = fp(Dedup.connectedComponents(pairs)) ==
-        fp(Dedup.connectedComponents(pairs, checkpointDir = Some(s"$work/ckpt_v$r")))
+      val same = identical(Dedup.connectedComponents(pairs),
+        Dedup.connectedComponents(pairs, checkpointDir = Some(s"$work/ckpt_v$r")))
       println(f"rep$r local=$tL%.2f s reliable=$tR%.2f s overhead=${(tR / tL - 1) * 100}%.1f%% " +
         f"labels=$nL/$nR identical=$same")
     }

@@ -126,4 +126,41 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       appended, k = 3, nprobe = 2)
     assert(partial.count() === 3)
   }
+
+  test("append into a pre-r12 partitionBy(cell) layout fails with a rebuild message") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0L until 20L).map { i =>
+      (i, Array((i % 7).toDouble + 1, ((i * 3) % 5).toDouble, ((i * 7) % 11).toDouble))
+    }
+    val df = vecs.toDF("id", "v")
+    // hand-build the OLD single-level layout: data files directly under
+    // cell= dirs, no ingest_batch partition column
+    val path = Files.createTempDirectory("ivfold").toString
+    val cents = Similarity.trainIvfCentroids(df, "id", "v", nlist = 2)
+    val assign = udf { (v: Seq[Double]) =>
+      Similarity.nearestCell(Similarity.normalize(v.toArray), cents)
+    }
+    df.select(col("id").as("corpus_id"), col("v").cast("array<double>").as("cv"))
+      .withColumn("cell", assign(col("cv")))
+      .withColumn("cn", Similarity.l2norm(col("cv")))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid").write.mode("overwrite").parquet(s"$path/centroids")
+    // appending the two-level layout would corrupt partition discovery —
+    // both append entry points must refuse with the remedy spelled out
+    val e1 = intercept[IllegalStateException] {
+      Similarity.appendIvfIndex(df, "id", "v", path)
+    }
+    assert(e1.getMessage.contains("Rebuild"), e1.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      Similarity.appendIvfIndexIdempotent(df, "id", "v", path, cents, batchId = 0L)
+    }
+    assert(e2.getMessage.contains("Rebuild"), e2.getMessage)
+    // a current-layout index still appends fine (guard has no false hits)
+    val good = Files.createTempDirectory("ivfnew").toString
+    Similarity.writeIvfIndex(df.filter(col("id") < 10), "id", "v", good, nlist = 2)
+    Similarity.appendIvfIndex(df.filter(col("id") >= 10), "id", "v", good)
+    assert(spark.read.parquet(s"$good/corpus").count() === 20)
+  }
 }

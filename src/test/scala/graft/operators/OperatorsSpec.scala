@@ -447,9 +447,13 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(comps.length === 51 && comps.forall(_._2 === 0L))
     // the lineage cuts must actually have landed in fault-tolerant
-    // storage (that is the entire point of the option)
-    val rounds = Option(new java.io.File(dir).listFiles).toSeq.flatten
-      .filter(_.getName.startsWith("graft_cc_round_"))
+    // storage (that is the entire point of the option); rounds live under
+    // a per-call unique graft_cc_<token> subdir (shared-dir safety)
+    val callDirs = Option(new java.io.File(dir).listFiles).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_cc_"))
+    assert(callDirs.length === 1, s"expected one per-call dir under $dir")
+    val rounds = Option(callDirs.head.listFiles).toSeq.flatten
+      .filter(_.getName.startsWith("round_"))
     assert(rounds.nonEmpty, s"no reliable round tables under $dir")
     // retention: converged rounds are deleted as the iteration advances;
     // ONLY the final round's table (which the returned frame reads from)
@@ -461,6 +465,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "connectedComponents set the SparkContext-wide checkpoint dir")
   }
 
+  test("connected components: two calls safely share one checkpointDir") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt-shared").toString
+    val chainA = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainB = (100L until 140L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // second call runs while the first call's lazy result is still
+    // unconsumed — with fixed round names it would clobber/delete the
+    // first call's final table out from under the returned frame
+    val a = Dedup.connectedComponents(chainA, checkpointDir = Some(dir))
+    val b = Dedup.connectedComponents(chainB, checkpointDir = Some(dir))
+    val aRows = a.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val bRows = b.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(aRows.length === 31 && aRows.forall(_._2 === 0L))
+    assert(bRows.length === 41 && bRows.forall(_._2 === 100L))
+  }
+
   test("connected components: non-convergence deletes every reliable round table") {
     val s = spark
     import s.implicits._
@@ -470,7 +491,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Dedup.connectedComponents(chain, maxIters = 2, checkpointDir = Some(dir)).collect()
     }
     val left = Option(new java.io.File(dir).listFiles).toSeq.flatten
-      .filter(_.getName.startsWith("graft_cc_round_"))
+      .filter(_.getName.startsWith("graft_cc_"))
     assert(left.isEmpty, s"non-convergence left round tables: ${left.map(_.getName).sorted}")
   }
 
