@@ -46,28 +46,37 @@ object Plans {
       val df = SparkEntry.queries(n)(spark, dir)
       if (executed) {
         df.count()
-        val plan = df.queryExecution.executedPlan
-        println(plan.toString)
-        // precise scan census: walk the EXECUTED tree incl. subqueries
-        // and adaptive stages (cached-relation children are not walked —
-        // an InMemoryTableScan is a cache hit, not a file read)
-        def leaves(p: org.apache.spark.sql.execution.SparkPlan):
-            Seq[org.apache.spark.sql.execution.SparkPlan] =
-          p.collectWithSubqueries {
-            case s: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-              leaves(s.executedPlan)
-            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-              leaves(q.plan)
-            case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-            case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => Seq(c)
-            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
-          }.flatten
-        val ls = leaves(plan)
-        println(s"-- scan census: ${ls.count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])} file scans, " +
-          s"${ls.count(_.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])} cache scans, " +
-          s"${ls.count(_.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec])} dsv2 scans")
+        println(df.queryExecution.executedPlan.toString)
+        val (file, cache, dsv2) = executedScanCensus(df)
+        println(s"-- scan census: $file file scans, $cache cache scans, $dsv2 dsv2 scans")
       } else df.explain("formatted")
     }
     spark.stop()
+  }
+
+  /** Precise scan census of an ALREADY-EXECUTED frame's final adaptive
+    * plan: (file scans, cache scans, dsv2 scans). Walks the executed tree
+    * including subqueries and adaptive stages; cached-relation children
+    * are not walked — an InMemoryTableScan is a cache hit, not a file
+    * read. This is the number the r11 audit used to catch full-corpus
+    * rescans hiding behind in-plan scalar frames, and ScanCensusSpec pins
+    * it per query as a CI gate. Run an action on `df` first (the census
+    * reads `executedPlan`, which AQE finalizes at runtime). */
+  def executedScanCensus(df: org.apache.spark.sql.DataFrame): (Int, Int, Int) = {
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collectWithSubqueries {
+        case s: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          leaves(s.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          leaves(q.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => Seq(c)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
+      }.flatten
+    val ls = leaves(df.queryExecution.executedPlan)
+    (ls.count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]),
+      ls.count(_.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+      ls.count(_.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]))
   }
 }

@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CI gate for the r11 scan-census audit (VERDICT r12 next-round #5):
+  * the five queries whose plans were hand-fixed to stop rescanning the
+  * corpus behind in-plan scalar frames get their executed-plan scan
+  * counts PINNED. A regression — e.g. a broadcast one-row frame turned
+  * back into a repeated subquery, or a trackedPersist dropped so a
+  * sketch recomputes per consumer — inflates the file-scan count and
+  * fails the build here instead of waiting for the next judge audit.
+  *
+  * The pinned numbers are the FINAL adaptive plan's scan nodes
+  * ([[graft.tools.Plans.executedScanCensus]]): cache scans are hits on
+  * frames the query itself persisted; file scans are real parquet reads
+  * in the last action. Measured at sf0.001 on a fresh session —
+  * cache/persist state is drained before each query so the census is
+  * order-independent.
+  */
+class ScanCensusSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("scan-census-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def census(name: String): (Int, Int, Int) = {
+    // order-independence: drop whatever earlier suites/queries cached
+    graft.operators.Dedup.unpersistAll(spark)
+    spark.catalog.clearCache()
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    df.count()
+    val c = graft.tools.Plans.executedScanCensus(df)
+    graft.operators.Dedup.unpersistAll(spark)
+    spark.catalog.clearCache()
+    c
+  }
+
+  test("dsir_weights: one final-plan corpus scan, no scalar-frame rescans") {
+    assert(census("dsir_weights") === ((1, 0, 0)))
+  }
+
+  test("nb_classify: five file scans + three cache hits, as audited") {
+    assert(census("nb_classify") === ((5, 3, 0)))
+  }
+
+  test("tfidf_topterms: one file scan + two cache hits, as audited") {
+    assert(census("tfidf_topterms") === ((1, 2, 0)))
+  }
+
+  test("bm25_search: one file scan + two cache hits, as audited") {
+    assert(census("bm25_search") === ((1, 2, 0)))
+  }
+
+  test("curation_pipeline2: zero file scans in the final plan (all cached)") {
+    assert(census("curation_pipeline2") === ((0, 3, 0)))
+  }
+}
