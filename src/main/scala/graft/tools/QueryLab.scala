@@ -36,7 +36,11 @@ object QueryLab {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/footers warmup so the first query's number isn't startup noise
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // (lineitem when present; documents-only corpora — the sf100 rung —
+    // warm on the table they actually have)
+    val warm = Seq("lineitem", "documents")
+      .map(t => new java.io.File(s"$sfDir/$t.parquet")).find(_.exists())
+    warm.foreach(f => spark.read.parquet(f.getPath).count())
 
     names.foreach { n =>
       val times = (1 to reps).map { _ =>

@@ -22,9 +22,11 @@ replication. Exact-replication mode (the default) remains the worst case
 for the near-dup family (C(10,2) pairs per base doc); mutate mode is the
 expected case. Everything else scales identically in both modes.
 
-Usage: python3 tools/scale_up.py [src] [dst] [--mutate] [--r N]
+Usage: python3 tools/scale_up.py [src] [dst] [--mutate] [--r N] [--only t1,t2]
   src default /root/testdata/sf0.1, dst default /tmp/sf1, N default 10
-  (--r 100 on sf0.1 synthesizes the sf10 probe regime, r11 verdict #3)
+  (--r 100 on sf0.1 synthesizes the sf10 probe regime, r11 verdict #3;
+   --r 1000 --only documents synthesizes the sf100 documents rung, r12
+   verdict #6 — 5 M organic near-dup docs, no unused 600 M-row lineitem)
 """
 import sys
 
@@ -41,6 +43,15 @@ if "--r" in ARGS:
     del ARGS[i:i + 2]
 else:
     R = 10  # replicas
+if "--only" in ARGS:
+    # restrict to one table family (e.g. --only documents for the sf100
+    # documents-family rung, where scaling lineitem 1000x would waste an
+    # hour and 50 GB for tables the probe never reads)
+    i = ARGS.index("--only")
+    ONLY = set(ARGS[i + 1].split(","))
+    del ARGS[i:i + 2]
+else:
+    ONLY = None
 SRC = ARGS[0] if len(ARGS) > 0 else "/root/testdata/sf0.1"
 DST = ARGS[1] if len(ARGS) > 1 else "/tmp/sf1"
 # replica key ranges must never collide: base keys stay well under one
@@ -107,23 +118,27 @@ def mutate_text(text: str, r: int) -> str:
 
 
 def scale_documents_mutated() -> None:
+    # stream replica-by-replica through one ParquetWriter: at --r 1000 the
+    # concat-then-write shape would hold all 5 M mutated texts in memory
     t = pq.read_table(f"{SRC}/documents.parquet")
-    parts = []
-    for r in range(R):
-        cols = {}
-        for name in t.column_names:
-            col = t.column(name)
-            if name == "doc_id":
-                col = pc.add(col, r * OFF["doc_id"])
-            elif name == "text" and r > 0:
-                col = pa.array(
-                    [mutate_text(v.as_py(), r) for v in t.column("text")],
-                    type=col.type)
-            cols[name] = col
-        parts.append(pa.table(cols, schema=t.schema))
-    out = pa.concat_tables(parts)
-    pq.write_table(out, f"{DST}/documents.parquet")
-    print(f"documents: {out.num_rows} rows (mutated replicas)")
+    base_texts = [v.as_py() for v in t.column("text")]
+    total = 0
+    with pq.ParquetWriter(f"{DST}/documents.parquet", t.schema) as w:
+        for r in range(R):
+            cols = {}
+            for name in t.column_names:
+                col = t.column(name)
+                if name == "doc_id":
+                    col = pc.add(col, r * OFF["doc_id"])
+                elif name == "text" and r > 0:
+                    col = pa.array(
+                        [mutate_text(v, r) for v in base_texts],
+                        type=col.type)
+                cols[name] = col
+            part = pa.table(cols, schema=t.schema)
+            w.write_table(part)
+            total += part.num_rows
+    print(f"documents: {total} rows (mutated replicas)")
 
 
 def scale_events() -> None:
@@ -151,15 +166,20 @@ def main() -> None:
     import os
     os.makedirs(DST, exist_ok=True)
     for tbl in COPY:
+        if ONLY is not None and tbl not in ONLY:
+            continue
         duckdb.sql(f"COPY (SELECT * FROM '{SRC}/{tbl}.parquet') "
                    f"TO '{DST}/{tbl}.parquet' (FORMAT PARQUET)")
         print(f"{tbl}: copied")
     for tbl in KEYED:
+        if ONLY is not None and tbl not in ONLY:
+            continue
         if tbl == "documents" and MUTATE:
             scale_documents_mutated()
         else:
             scale_sql(tbl)
-    scale_events()
+    if ONLY is None or "events" in ONLY:
+        scale_events()
 
 
 if __name__ == "__main__":
