@@ -1222,6 +1222,22 @@ object SparkEntry {
       Dedup.incrementalNearDups(d, drop, "id", "text")
     }),
 
+    // Exact-regime twin of incremental_neardup (r13): the drop is
+    // IDENTICAL copies of every 4th doc at jaccardThreshold = 1.0, so a
+    // verified pair means identical distinct-shingle sets (recall is
+    // structural — set-equal docs have identical MinHash signatures and
+    // meet in every band bucket) and DuckDB states the full drop-vs-corpus
+    // answer by joining on the sorted gram list, the same hash-vs-string
+    // equivalence as dedup_minhash_exact. The mutated default regime
+    // above stays rows-only as before.
+    "incremental_neardup_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val drop = d.filter(col("id") % 4 === 0)
+        .select((col("id") + 100000).as("id"), col("text"))
+      Dedup.incrementalNearDups(d, drop, "id", "text", jaccardThreshold = 1.0)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }),
+
     "table_profile" -> ((s, dir) =>
       // Data-quality profiling of a fresh drop: per-column counts,
       // exact distincts, stringified min/max in one report.
@@ -2042,6 +2058,28 @@ object SparkEntry {
                    FROM sh WHERE len(g) > 0)
          SELECT a.id AS id_a, b.id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
          FROM keyed a JOIN keyed b ON a.sig = b.sig AND a.id < b.id""",
+
+    // Exact regime: a drop of identical copies at threshold 1.0 — a pair
+    // means identical distinct-shingle sets, stated by joining drop and
+    // corpus on the sorted gram list (cf. dedup_minhash_exact).
+    "incremental_neardup_exact" ->
+      """WITH corpus AS (SELECT doc_id AS id, text FROM documents),
+         drop AS (SELECT doc_id + 100000 AS id, text FROM documents
+                  WHERE doc_id % 4 = 0),
+         shc AS (SELECT id, string_split_regex(text, '\s+') AS w FROM corpus),
+         shd AS (SELECT id, string_split_regex(text, '\s+') AS w FROM drop),
+         kc AS (SELECT id, array_to_string(list_sort(list_distinct(
+                    list_transform(range(1, len(w) - 1),
+                                   i -> array_to_string(w[i:i+2], ' ')))),
+                  chr(31)) AS sig
+                FROM shc WHERE len(w) >= 3),
+         kd AS (SELECT id, array_to_string(list_sort(list_distinct(
+                    list_transform(range(1, len(w) - 1),
+                                   i -> array_to_string(w[i:i+2], ' ')))),
+                  chr(31)) AS sig
+                FROM shd WHERE len(w) >= 3)
+         SELECT d.id AS id_a, c.id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+         FROM kd d JOIN kc c ON d.sig = c.sig""",
 
     // Exact regime: hamming 0 = identical fingerprints; SimHash is a sum
     // of per-token votes, so the truth is sorted-token-MULTISET equality.
