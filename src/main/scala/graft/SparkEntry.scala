@@ -2327,6 +2327,12 @@ object SparkEntry {
          SELECT query_id, corpus_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
          FROM ranked WHERE rnk <= 1""",
 
+    // Spark's md5() and DuckDB's md5() both hash the UTF-8 bytes of the
+    // string to a lowercase hex digest — directly comparable (r13; was
+    // rows-only by oversight, not by design).
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(text) AS md5 FROM documents""",
+
     "text_stats" ->
       """SELECT doc_id,
                 length(text) AS n_chars,

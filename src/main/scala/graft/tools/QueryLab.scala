@@ -17,19 +17,25 @@ object QueryLab {
   def main(args: Array[String]): Unit = {
     var sfDir = "/root/testdata/sf0.1"
     var reps = 1
+    // shuffle-partition count: 32 (= cores) suits the sf0.1/sf1 rungs; the
+    // sf100 rung's 10M-doc pair/CC stages need partitions sized to the
+    // DATA (the 100 TB knob every cluster job turns), not to the core
+    // count — 32 partitions of a 5M-doc verify join OOM'd an 8g heap.
+    var partitions = 32
     val names = scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--sf" => sfDir = args(i + 1); i += 2
         case "--reps" => reps = args(i + 1).toInt; i += 2
+        case "--partitions" => partitions = args(i + 1).toInt; i += 2
         case n => names += n; i += 1
       }
     }
-    require(names.nonEmpty, "usage: QueryLab <query> [query ...] [--sf dir] [--reps N]")
+    require(names.nonEmpty, "usage: QueryLab <query> [query ...] [--sf dir] [--reps N] [--partitions N]")
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", partitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
