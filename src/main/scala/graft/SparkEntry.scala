@@ -642,6 +642,24 @@ object SparkEntry {
         .select(col("id").as("doc_id"))
     }),
 
+    // The scale twin of neardup_survivors (r13): identical threshold-1.0
+    // survivor semantics — one survivor per distinct-shingle-SET class,
+    // gramless docs all survive — but via a linear set-signature groupBy
+    // instead of pairs → connected components. No pair list materializes
+    // and no df-cap sits in the plan, so this is the variant that stays
+    // CORRECT at replica density (the general Jaccard plan's cap makes
+    // identical texts report u/(2n−u) < 1.0 and returns zero merges at
+    // the 5M-doc rung — SCALE.md r13). Offset 2^30 keeps the doubled ids
+    // collision-free at every rung (the sf100 corpus' ids reach 999M;
+    // neardup_survivors' historical +100000 predates the wide-id rungs).
+    "neardup_survivors_sig" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+      val corpus = d.unionByName(
+        d.select((col("id") + 1073741824L).as("id"), col("text")))
+      Dedup.setSignatureSurvivors(corpus, "id", "text", k = 3)
+        .select(col("id").as("doc_id"))
+    }),
+
     // Exact substring dedup (duplicated-span removal, Lee et al. '21):
     // every character covered by a 40-char window whose text occurs >= 2
     // times anywhere in the corpus is cut. Corpus = documents plus partial
@@ -2101,6 +2119,28 @@ object SparkEntry {
            SELECT doc_id AS id, text FROM documents
            UNION ALL
            SELECT doc_id + 100000, text FROM documents),
+         words AS (SELECT id, string_split_regex(text, '\s+') AS w FROM corpus),
+         sh AS (SELECT id,
+                       CASE WHEN len(w) >= 3
+                            THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                                              i -> array_to_string(w[i:i+2], ' ')))
+                            ELSE [] END AS g
+                FROM words),
+         keyed AS (SELECT id, array_to_string(list_sort(g), chr(31)) AS sig,
+                          len(g) AS ng
+                   FROM sh)
+         SELECT id AS doc_id FROM keyed WHERE ng = 0
+         UNION ALL
+         SELECT min(id) AS doc_id FROM keyed WHERE ng > 0 GROUP BY sig""",
+
+    // Same class arithmetic as neardup_survivors — survivors are the min
+    // id per sorted-distinct-gram-list class plus every gramless doc —
+    // with the collision-free 2^30 doubling offset.
+    "neardup_survivors_sig" ->
+      """WITH corpus AS (
+           SELECT doc_id AS id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1073741824, text FROM documents),
          words AS (SELECT id, string_split_regex(text, '\s+') AS w FROM corpus),
          sh AS (SELECT id,
                        CASE WHEN len(w) >= 3

@@ -580,7 +580,18 @@ object Dedup {
     * sf0.1: 1.6s vs 4.4s for the prefix-filtered plan — the prefix plan
     * pays a gdf join + per-doc window + verify joins of fixed overhead).
     * For huge duplicate-dense corpora, where the token-join fan-out itself
-    * is the bottleneck, use [[ngramJaccardPairsPrefix]]. */
+    * is the bottleneck, use [[ngramJaccardPairsPrefix]].
+    *
+    * THRESHOLD-1.0 × DF-CAP CLIFF (measured, SCALE.md r13): the reported
+    * jaccard excludes capped shingles from the intersection by contract,
+    * so two IDENTICAL texts with u uncapped of n shingles report
+    * u/(2n−u) — strictly below 1.0 as soon as ANY of their shingles is
+    * hot. At the 5M-doc mutated rung every document contains at least one
+    * over-cap shingle, and `threshold = 1.0` returned ZERO pairs in a
+    * 10M-row doubled corpus that is ≥50 % exact duplicates. Exact-set
+    * dedup at that scale is not a Jaccard-join problem at all: use
+    * [[setSignatureSurvivors]] (one linear signature shuffle, no pair
+    * list, no df-cap in the plan). */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -842,6 +853,44 @@ object Dedup {
       checkpointDir: Option[String] = None): DataFrame = {
     val drop = connectedComponents(pairs, checkpointDir = checkpointDir)
       .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** Threshold-1.0 near-dup survivors by SET SIGNATURE — the scale path
+    * for exact-duplicate removal over the n-gram family's equivalence.
+    * Jaccard exactly 1.0 means identical distinct-shingle sets, which is
+    * an equivalence relation, so the pairs → connectedComponents tail is
+    * structurally unnecessary (components are signature classes) and the
+    * pair list itself is quadratic in clique size. Worse, the general
+    * Jaccard plans stop seeing these pairs entirely once any shingle's
+    * document frequency exceeds their df-cap (see [[ngramJaccardPairs]]:
+    * identical texts report u/(2n−u) < 1.0 when u < n shingles survive
+    * the cap — at the 5M-doc rung that silently returned zero merges).
+    *
+    * Plan: hash each doc's sorted distinct shingle-hash array
+    * ([[shingleHashUdf]]) to one 64-bit signature, group on it, keep the
+    * minimal id per class. The only exchanges move 16-byte
+    * (signature, id) rows — map-side-combinable min, then an id-only
+    * anti-join — linear at any corpus size; document text never
+    * shuffles. Docs with fewer than `k` words have no shingles, never
+    * pair anywhere in the n-gram family, and therefore ALL survive (the
+    * empty set is not treated as a class). Agrees pairwise with
+    * `keepOnePerComponent(ngramJaccardPairs(…, threshold = 1.0))` in the
+    * regime where no shingle is df-capped (spec-pinned); beyond that
+    * regime the general plan under-merges by contract and this operator
+    * is the correct tool. Signature collisions are the same accepted
+    * 2^-64-per-pair risk class as [[collapseByText]]. */
+  def setSignatureSurvivors(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val sig = spread(df)
+      .select(col(idCol).as("id"), shingleHashUdf(k)(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), xxhash64(col("sh")).as("sig"))
+      .trackedPersist()
+    val mins = sig.groupBy("sig").agg(min("id").as("keep"))
+    val drop = sig.join(mins, "sig")
+      .filter(col("id") =!= col("keep"))
       .select(col("id").as(idCol))
     df.join(drop, Seq(idCol), "left_anti")
   }

@@ -131,6 +131,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.head.getAs[Double]("jaccard") === 0.5)
   }
 
+  test("setSignatureSurvivors: CC-path parity in the uncapped regime; set-equal texts merge; gramless docs all survive") {
+    val df = docs(
+      1L -> loremA, 11L -> loremA,           // identical-copy class
+      2L -> loremB, 12L -> loremB,           // identical-copy class
+      3L -> unrelated,                       // singleton
+      4L -> "too short", 5L -> "too short",  // gramless (2 words < k): both survive
+      6L -> "a b c a b c a b c",             // set-equal but text-distinct:
+      7L -> "a b c a b c")                   //  both have shingle set {abc,bca,cab}
+    val sig = Dedup.setSignatureSurvivors(df, "id", "text")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(sig === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // pairwise agreement with the general pipeline where no shingle is capped
+    val pairs = Dedup.ngramJaccardPairs(df, "id", "text", k = 3, threshold = 1.0)
+    val cc = Dedup.keepOnePerComponent(df, "id", pairs)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(cc === sig)
+    Dedup.unpersistAll(spark)
+  }
+
   test("exact dedup keeps one row per key") {
     val df = docs(1L -> "same", 2L -> "same", 3L -> "other")
     assert(Dedup.exact(df, Seq("text")).count() === 2)
