@@ -31,6 +31,20 @@ object Bench {
         // NonFatal only: a diagnostic metric must not swallow OOM/interrupt
         java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
       }
+    // Idle gate: don't just RECORD contamination — avoid it. Poll the
+    // 1-min load until it drops below the idle bar (0.5 = 1.5 % of 32
+    // cores) or the bounded window expires; residual load from builder
+    // runs earlier in the round decays within a few minutes. The wait is
+    // bounded so a genuinely busy host still produces an artifact (with
+    // its honest load_avg_start), and `idle_wait_s` in the JSON shows how
+    // long the gate held. SPARK_GRAFT_IDLE_WAIT_S=0 disables the gate.
+    val idleDeadlineS = sys.env.get("SPARK_GRAFT_IDLE_WAIT_S")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(240)
+    val idleT0 = System.nanoTime()
+    while (loadAvg() >= 0.5 &&
+           (System.nanoTime() - idleT0) / 1e9 < idleDeadlineS)
+      Thread.sleep(5000)
+    val idleWaitS = (System.nanoTime() - idleT0) / 1e9
     val loadStart = loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -169,7 +183,7 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val loadEnd = loadAvg()
     val ncpu = Runtime.getRuntime.availableProcessors()
-    println(f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"host_cpus":$ncpu}""")
+    println(f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"idle_wait_s":$idleWaitS%.0f,"host_cpus":$ncpu}""")
     spark.stop()
   }
 }
