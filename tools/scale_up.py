@@ -87,23 +87,24 @@ COPY = ["region", "nation"]
 
 
 def scale_sql(table: str) -> None:
+    # stream replica-by-replica through one ParquetWriter: R-independent
+    # memory, and no R-term UNION ALL (DuckDB's parser rejects ~1000-deep
+    # expressions, which broke the --r 1000 embeddings rung)
     keys = KEYED[table]
-    con = duckdb.connect()
-    cols = [c[0] for c in
-            con.sql(f"DESCRIBE SELECT * FROM '{SRC}/{table}.parquet'").fetchall()]
-    selects = []
-    for r in range(R):
-        exprs = []
-        for c in cols:
-            if c in keys:
-                exprs.append(f"{c} + {r * OFF[keys[c]]} AS {c}")
-            else:
-                exprs.append(c)
-        selects.append(f"SELECT {', '.join(exprs)} FROM '{SRC}/{table}.parquet'")
-    union = " UNION ALL ".join(selects)
-    con.sql(f"COPY ({union}) TO '{DST}/{table}.parquet' (FORMAT PARQUET)")
-    n = con.sql(f"SELECT count(*) FROM '{DST}/{table}.parquet'").fetchone()[0]
-    print(f"{table}: {n} rows")
+    t = pq.read_table(f"{SRC}/{table}.parquet")
+    total = 0
+    with pq.ParquetWriter(f"{DST}/{table}.parquet", t.schema) as w:
+        for r in range(R):
+            cols = {}
+            for name in t.column_names:
+                col = t.column(name)
+                if name in keys and r > 0:
+                    col = pc.add(col, r * OFF[keys[name]])
+                cols[name] = col
+            part = pa.table(cols, schema=t.schema)
+            w.write_table(part)
+            total += part.num_rows
+    print(f"{table}: {total} rows")
 
 
 def mutate_text(text: str, r: int) -> str:
