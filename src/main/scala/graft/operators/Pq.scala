@@ -70,11 +70,23 @@ object Pq {
         org.apache.spark.sql.graftshim.ColumnShim.expression(codes),
         org.apache.spark.sql.graftshim.ColumnShim.expression(lut), ksub))
 
-  private def nearestSubL2(sub: Array[Double], cb: Array[Array[Double]]): Int = {
+  /** Budgets below this floor never trigger the shortlist-saturation
+    * census (one zero-column count of the candidate table): production
+    * top-k budgets (k·refine ≈ tens-to-hundreds) sit orders of magnitude
+    * under it, so they never pay the count — and never skip the ADC
+    * stage — while any corpus-covering regime at real scale clears it. */
+  private[operators] val SaturationCheckFloor: Long = 1L << 16
+
+  private def nearestSubL2(sub: Array[Double], cb: Array[Array[Double]]): Int =
+    nearestSubL2At(sub, 0, cb)
+
+  /** Nearest subspace centroid reading `v` in place at offset `off` —
+    * the per-row encode loop allocates no subvector copies. */
+  private def nearestSubL2At(v: Array[Double], off: Int, cb: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue; var c = 0
     while (c < cb.length) {
       val ct = cb(c); var d = 0.0d; var j = 0
-      while (j < sub.length) { val t = sub(j) - ct(j); d += t * t; j += 1 }
+      while (j < ct.length) { val t = v(off + j) - ct(j); d += t * t; j += 1 }
       if (d < bestD) { bestD = d; best = c }
       c += 1
     }
@@ -138,12 +150,16 @@ object Pq {
   private[operators] def encode(model: PqModel, v0: Array[Double]): Array[Byte] = {
     require(v0.length == model.dim,
       s"embedding dimension ${v0.length} != model dimension ${model.dim}")
-    val v = Similarity.normalize(v0)
+    encodeNormalized(model, Similarity.normalize(v0))
+  }
+
+  /** Encode an ALREADY-normalized vector: `m` in-place nearest-centroid
+    * scans, no allocation beyond the m-byte output. */
+  private[operators] def encodeNormalized(model: PqModel, v: Array[Double]): Array[Byte] = {
     val out = new Array[Byte](model.m)
     var j = 0
     while (j < model.m) {
-      val sub = java.util.Arrays.copyOfRange(v, j * model.dsub, (j + 1) * model.dsub)
-      out(j) = nearestSubL2(sub, model.codebooks(j)).toByte
+      out(j) = nearestSubL2At(v, j * model.dsub, model.codebooks(j)).toByte
       j += 1
     }
     out
@@ -209,7 +225,12 @@ object Pq {
     * codes), m=8/refine=8 recovers recall 1.00 on the 64-dim fixture
     * (8 B/vec = 64× cut) and m=16/refine=16 recovers 0.92 on the
     * adversarial 256-dim noise-4.0 synth (16 B = 128× cut; m=32 buys
-    * 0.97). Floors pinned in AnnRecallSpec at both dims. */
+    * 0.97). Floors pinned in AnnRecallSpec at both dims.
+    *
+    * When k·refine covers the whole corpus (the exhaustive oracle
+    * regime, or an over-provisioned production call), the ADC stage is
+    * provably a no-op and is skipped — see the saturation note in the
+    * body; results are identical either way (spec-pinned). */
   def ivfPqTopK(
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
@@ -253,37 +274,61 @@ object Pq {
       }
       lut
     }
-    val encUdf = udf { (v: Seq[Double]) => encode(model, v.toArray) }
+    // fused assign+encode: deserialize and normalize each corpus vector
+    // once (two separate UDFs would each pay the per-element boxing and
+    // the normalize pass — at corpus scale that IS the encode cost)
+    val cellCodesUdf = udf { (v: Seq[Double]) =>
+      val x = Similarity.normalize(v.toArray)
+      (Similarity.nearestCell(x, cents), encodeNormalized(model, x))
+    }
 
     val c0 = corpus.select(col(cId).as("corpus_id"), col(cVec).cast("array<double>").as("cv"))
-    // the index frame: id-width rows + m code bytes; vectors do NOT ride
-    val cIdx = c0
-      .withColumn("cell", assignUdf(col("cv")))
-      .select(col("cell"), col("corpus_id"), encUdf(col("cv")).as("codes"))
     val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("qv"))
       .withColumn("cell", explode(probeUdf(col("qv"))))
       .withColumn("lut", lutUdf(col("qv")))
       .select("query_id", "cell", "lut")
-    val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("corpus_id"))
-    val shortlist = q.join(cIdx, Seq("cell"))
-      .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("adc", adcCol(col("codes"), col("lut"), model.ksub))
-      .withColumn("r", row_number().over(wAdc))
-      .filter(col("r") <= k * refine)
-      .select("query_id", "corpus_id")
-
-    // exact re-rank: vectors attach to the k·refine-per-query shortlist
-    // only — the query side is small by contract and broadcasts
+    // Shortlist-saturation skip (same contract as [[pqTopKIndexed]]):
+    // when k·refine covers the whole corpus it covers every probed
+    // cell's candidates, the ADC rank-and-truncate keeps everything, and
+    // the encode + score + per-query-sort + corpus-sized-broadcast
+    // stages are provably no-ops — go straight to the exact re-rank.
+    // The census is a zero-column corpus count, gated on the budget
+    // clearing SaturationCheckFloor so production budgets never pay it
+    // (and the small-regime driver oracle still exercises ADC).
+    val budget = k.toLong * refine
+    val saturated = budget >= SaturationCheckFloor && budget >= c0.count()
+    // exact re-rank: the query side is small by contract and broadcasts
     val qv = broadcast(queries
       .select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("qv"))
       .withColumn("qn", Similarity.l2norm(col("qv"))))
-    val cvn = c0.withColumn("cn", Similarity.l2norm(col("cv")))
+    val candidates =
+      if (saturated)
+        broadcast(q.select("query_id", "cell"))
+          .join(c0.withColumn("cell", assignUdf(col("cv")))
+            .withColumn("cn", Similarity.l2norm(col("cv"))), Seq("cell"))
+          .filter(col("query_id") =!= col("corpus_id"))
+      else {
+        // the index frame: id-width rows + m code bytes; vectors do NOT ride
+        val cIdx = c0
+          .withColumn("s", cellCodesUdf(col("cv")))
+          .select(col("s._1").as("cell"), col("corpus_id"), col("s._2").as("codes"))
+        val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("corpus_id"))
+        val shortlist = q.join(cIdx, Seq("cell"))
+          .filter(col("query_id") =!= col("corpus_id"))
+          .withColumn("adc", adcCol(col("codes"), col("lut"), model.ksub))
+          .withColumn("r", row_number().over(wAdc))
+          .filter(col("r") <= budget)
+          .select("query_id", "corpus_id")
+        // the shortlist is k·refine·|queries| id-width rows — broadcast it
+        // so the corpus NEVER shuffles on corpus_id for the re-rank
+        // (without the hint the planner broadcasts whichever side fits,
+        // which at real scale could flip to a corpus-wide sort-merge
+        // exchange)
+        val cvn = c0.withColumn("cn", Similarity.l2norm(col("cv")))
+        broadcast(shortlist).join(cvn, Seq("corpus_id"))
+      }
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
-    // the shortlist is k·refine·|queries| id-width rows — broadcast it so
-    // the corpus NEVER shuffles on corpus_id for the re-rank (without the
-    // hint the planner broadcasts whichever side fits, which at real
-    // scale could flip to a corpus-wide sort-merge exchange)
-    broadcast(shortlist).join(cvn, Seq("corpus_id"))
+    candidates
       .join(qv, Seq("query_id"))
       .withColumn("cosine",
         Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
@@ -455,20 +500,30 @@ object Pq {
 
   private def writeRows(batch: DataFrame, cId: String, cVec: String, path: String,
       cents: Array[Array[Double]], model: PqModel, mode: String): Unit = {
-    val assignUdf = udf { (v: Seq[Double]) =>
-      Similarity.nearestCell(Similarity.normalize(v.toArray), cents)
+    // ONE fused pass computes cell + codes + norm per row. The previous
+    // shape ran two UDFs (assign, encode) plus a norm expression — each
+    // UDF re-deserializing the array (per-element boxing) and
+    // re-normalizing, and the encode loop copied every subvector. At
+    // index-build scale the corpus pass IS the cost, so: deserialize
+    // once, normalize once, encode in place. `cn` reproduces VecNorm's
+    // left-to-right summation bit-exactly, so stored norms (and every
+    // downstream cosine) are unchanged.
+    val rowUdf = udf { (v: Seq[Double]) =>
+      val raw = v.toArray
+      val x = Similarity.normalize(raw)
+      var acc = 0.0d; var i = 0
+      while (i < raw.length) { acc += raw(i) * raw(i); i += 1 }
+      (Similarity.nearestCell(x, cents), encodeNormalized(model, x), math.sqrt(acc))
     }
-    val encUdf = udf { (v: Seq[Double]) => encode(model, v.toArray) }
     val b = batch.select(col(cId).as("corpus_id"), col(cVec).cast("array<double>").as("cv"))
-      .withColumn("cell", assignUdf(col("cv")))
+      .withColumn("s", rowUdf(col("cv")))
       // both writes below consume the assignment — persist so the scan +
-      // nearest-cell pass runs once, not once per output table
+      // assign/encode pass runs once, not once per output table
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      b.select(col("cell"), col("corpus_id"), encUdf(col("cv")).as("codes"))
+      b.select(col("s._1").as("cell"), col("corpus_id"), col("s._2").as("codes"))
         .write.mode(mode).partitionBy("cell").parquet(s"$path/codes")
-      b.withColumn("cn", Similarity.l2norm(col("cv")))
-        .select(col("cell"), col("corpus_id"), col("cv"), col("cn"))
+      b.select(col("s._1").as("cell"), col("corpus_id"), col("cv"), col("s._3").as("cn"))
         .write.mode(mode).partitionBy("cell").parquet(s"$path/vectors")
     } finally b.unpersist()
   }
@@ -513,7 +568,11 @@ object Pq {
     * on BOTH the codes scan and the re-rank vectors scan (directory
     * pruning — each query touches nprobe/nlist of the index), ADC over
     * the codes table shortlists, exact cosine re-ranks. Results are
-    * identical to [[ivfPqTopK]] with the same parameters (spec-pinned). */
+    * identical to [[ivfPqTopK]] with the same parameters (spec-pinned).
+    * A budget k·refine that covers every probed candidate skips the ADC
+    * stage outright (shortlist saturation — see the note in the body);
+    * the answer is provably unchanged (spec-pinned at 2 M rows the cut
+    * is 3.8×: SCALE.md r13). */
   def pqTopKIndexed(
       queries: DataFrame, qId: String, qVec: String,
       path: String, k: Int, nprobe: Int, refine: Int = 8): DataFrame = {
@@ -558,23 +617,46 @@ object Pq {
     val probedCells = q.select("cell").distinct().collect().map(_.getInt(0))
     val codes = spark.read.parquet(s"$path/codes")
       .filter(col("cell").isin(probedCells.toSeq: _*))
-    val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("corpus_id"))
-    val shortlist = q.join(codes, Seq("cell"))
-      .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("adc", adcCol(col("codes"), col("lut"), model.ksub))
-      .withColumn("r", row_number().over(wAdc))
-      .filter(col("r") <= k * refine)
-      .select("query_id", "corpus_id")
     val vectors = spark.read.parquet(s"$path/vectors")
       .filter(col("cell").isin(probedCells.toSeq: _*))
-      .select("corpus_id", "cv", "cn")
+    // Shortlist-saturation skip: when k·refine covers every candidate
+    // row in the probed cells, the ADC rank-and-truncate provably keeps
+    // ALL of them — the whole ADC stage is a no-op — so the plan goes
+    // straight to the exact re-rank, streaming the cell-pruned vectors
+    // table against the tiny (query_id, cell) frame. That replaces
+    // [score every candidate, per-query sort them all, broadcast a
+    // corpus-sized shortlist] with [one pruned scan]: at the 2 M-vector
+    // exhaustive oracle regime (refine = ceil(n/k)) this is the
+    // difference between a corpus-sized broadcast hash table and none.
+    // The census is a zero-column count over the pruned codes dirs
+    // (parquet row-group metadata) and only runs when the budget clears
+    // SaturationCheckFloor — small-regime calls, including the sf0.01
+    // driver oracle that deliberately exercises the ADC path
+    // end-to-end, never pay it and never skip.
+    val budget = k.toLong * refine
+    val saturated = budget >= SaturationCheckFloor && budget >= codes.count()
+    val candidates =
+      if (saturated)
+        broadcast(q.select("query_id", "cell"))
+          .join(vectors.select(col("cell"), col("corpus_id"), col("cv"), col("cn")), Seq("cell"))
+          .filter(col("query_id") =!= col("corpus_id"))
+      else {
+        val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("corpus_id"))
+        val shortlist = q.join(codes, Seq("cell"))
+          .filter(col("query_id") =!= col("corpus_id"))
+          .withColumn("adc", adcCol(col("codes"), col("lut"), model.ksub))
+          .withColumn("r", row_number().over(wAdc))
+          .filter(col("r") <= budget)
+          .select("query_id", "corpus_id")
+        // same discipline as ivfPqTopK: the cold vectors table streams
+        // (cell-pruned), the id-width shortlist broadcasts
+        broadcast(shortlist).join(vectors.select("corpus_id", "cv", "cn"), Seq("corpus_id"))
+      }
     val qv = broadcast(queries
       .select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("qv"))
       .withColumn("qn", Similarity.l2norm(col("qv"))))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
-    // same discipline as ivfPqTopK: the cold vectors table streams (cell-
-    // pruned), the id-width shortlist broadcasts
-    broadcast(shortlist).join(vectors, Seq("corpus_id"))
+    candidates
       .join(qv, Seq("query_id"))
       .withColumn("cosine",
         Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))

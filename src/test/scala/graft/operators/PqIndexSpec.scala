@@ -163,4 +163,26 @@ class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fit1 > fit2 + 0.05, f"coarse fit must degrade under drift: $fit1%.4f vs $fit2%.4f")
     assert(err2 > err1 + 0.05, f"pq error must rise under drift: $err1%.4f vs $err2%.4f")
   }
+
+  test("shortlist saturation: ADC stage is skipped, results are identical") {
+    val df = synth(200, 16)
+    val q = df.filter(col("vec_id") < 5)
+    val path = Files.createTempDirectory("pqidx").toString
+    Pq.writePqIndex(df, "vec_id", "e", path, nlist = 4, m = 4, ksub = 16)
+    // budget 3*30000 clears SaturationCheckFloor (1<<16) and covers the
+    // 200-row corpus -> the saturated plan must not contain the ADC
+    // rank; budget 3*100=300 also covers 200 candidates but sits under
+    // the floor -> the ADC path runs. Both regimes are exhaustive, so
+    // their exact-re-ranked answers must match row for row.
+    assert(3L * 30000 >= Pq.SaturationCheckFloor && 3L * 100 < Pq.SaturationCheckFloor)
+    val sat = Pq.pqTopKIndexed(q, "vec_id", "e", path, k = 3, nprobe = 4, refine = 30000)
+    val adc = Pq.pqTopKIndexed(q, "vec_id", "e", path, k = 3, nprobe = 4, refine = 100)
+    assert(!sat.queryExecution.executedPlan.toString.contains("adc_score"),
+      "saturated budget must skip the ADC stage")
+    assert(adc.queryExecution.executedPlan.toString.contains("adc_score"),
+      "sub-floor budget must keep the ADC stage")
+    val a = sat.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    val b = adc.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    assert(a.toSeq === b.toSeq)
+  }
 }

@@ -58,6 +58,26 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pq.toSeq == exact.toSeq)
   }
 
+  test("shortlist saturation: ivfPqTopK skips ADC, answers unchanged") {
+    val c = synthCorpus(200, 16)
+    val q = c.filter(col("vec_id") < 5)
+    // budget 3*30000 clears SaturationCheckFloor and covers the 200-row
+    // corpus -> ADC provably keeps every candidate, so the plan may skip
+    // it; budget 3*100 covers the corpus too but sits under the floor ->
+    // ADC runs. Exhaustive either way: answers must match row for row.
+    val sat = Pq.ivfPqTopK(q, "vec_id", "e", c, "vec_id", "e",
+      k = 3, nlist = 4, nprobe = 4, m = 4, ksub = 16, refine = 30000)
+    val adc = Pq.ivfPqTopK(q, "vec_id", "e", c, "vec_id", "e",
+      k = 3, nlist = 4, nprobe = 4, m = 4, ksub = 16, refine = 100)
+    assert(!sat.queryExecution.executedPlan.toString.contains("adc_score"),
+      "saturated budget must skip the ADC stage")
+    assert(adc.queryExecution.executedPlan.toString.contains("adc_score"),
+      "sub-floor budget must keep the ADC stage")
+    val a = sat.orderBy("query_id", "rank").collect()
+    val b = adc.orderBy("query_id", "rank").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("codes are m bytes and deterministic across runs") {
     val c = synthCorpus(64, 16)
     val model = Pq.trainPq(c, "vec_id", "e", m = 4, ksub = 8)
