@@ -77,6 +77,28 @@ object Pq {
     * stage — while any corpus-covering regime at real scale clears it. */
   private[operators] val SaturationCheckFloor: Long = 1L << 16
 
+  /** Top-`budget` ADC shortlist per query from a scored candidate frame
+    * (query_id, corpus_id, adc). Production budgets (≤ the saturation
+    * floor) rank via the bounded-heap [[graft.plans.TopKByScore]]
+    * aggregate — the exchange carries ≤ partitions·budget pairs per
+    * query instead of every scored candidate; above the floor (the
+    * mid regime between production and saturation, where a heap per
+    * key would hold budget entries per task) the row_number window
+    * ranks instead. Tie-break (adc desc, corpus_id asc) is identical
+    * on both paths. */
+  private def adcShortlist(cand: DataFrame, budget: Long): DataFrame =
+    if (budget <= SaturationCheckFloor &&
+        cand.schema("corpus_id").dataType == org.apache.spark.sql.types.LongType)
+      cand.groupBy(col("query_id"))
+        .agg(graft.plans.TopKByScore.topKCol(col("adc"), col("corpus_id"), budget.toInt).as("tk"))
+        .select(col("query_id"), explode(col("tk.id")).as("corpus_id"))
+    else {
+      val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("corpus_id"))
+      cand.withColumn("r", row_number().over(wAdc))
+        .filter(col("r") <= budget)
+        .select("query_id", "corpus_id")
+    }
+
   private def nearestSubL2(sub: Array[Double], cb: Array[Array[Double]]): Int =
     nearestSubL2At(sub, 0, cb)
 
@@ -312,13 +334,9 @@ object Pq {
         val cIdx = c0
           .withColumn("s", cellCodesUdf(col("cv")))
           .select(col("s._1").as("cell"), col("corpus_id"), col("s._2").as("codes"))
-        val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("corpus_id"))
-        val shortlist = q.join(cIdx, Seq("cell"))
+        val shortlist = adcShortlist(q.join(cIdx, Seq("cell"))
           .filter(col("query_id") =!= col("corpus_id"))
-          .withColumn("adc", adcCol(col("codes"), col("lut"), model.ksub))
-          .withColumn("r", row_number().over(wAdc))
-          .filter(col("r") <= budget)
-          .select("query_id", "corpus_id")
+          .withColumn("adc", adcCol(col("codes"), col("lut"), model.ksub)), budget)
         // the shortlist is k·refine·|queries| id-width rows — broadcast it
         // so the corpus NEVER shuffles on corpus_id for the re-rank
         // (without the hint the planner broadcasts whichever side fits,
@@ -327,15 +345,10 @@ object Pq {
         val cvn = c0.withColumn("cn", Similarity.l2norm(col("cv")))
         broadcast(shortlist).join(cvn, Seq("corpus_id"))
       }
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
-    candidates
+    Similarity.rankTopK(candidates
       .join(qv, Seq("query_id"))
       .withColumn("cosine",
-        Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"),
-        round(col("cosine"), 4).as("cosine"), col("rank"))
+        Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))), k)
   }
 
   /** SemDeDup with an SDC-prefiltered pair scan — PROVABLY the same
@@ -641,13 +654,9 @@ object Pq {
           .join(vectors.select(col("cell"), col("corpus_id"), col("cv"), col("cn")), Seq("cell"))
           .filter(col("query_id") =!= col("corpus_id"))
       else {
-        val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("corpus_id"))
-        val shortlist = q.join(codes, Seq("cell"))
+        val shortlist = adcShortlist(q.join(codes, Seq("cell"))
           .filter(col("query_id") =!= col("corpus_id"))
-          .withColumn("adc", adcCol(col("codes"), col("lut"), model.ksub))
-          .withColumn("r", row_number().over(wAdc))
-          .filter(col("r") <= budget)
-          .select("query_id", "corpus_id")
+          .withColumn("adc", adcCol(col("codes"), col("lut"), model.ksub)), budget)
         // same discipline as ivfPqTopK: the cold vectors table streams
         // (cell-pruned), the id-width shortlist broadcasts
         broadcast(shortlist).join(vectors.select("corpus_id", "cv", "cn"), Seq("corpus_id"))
@@ -655,14 +664,9 @@ object Pq {
     val qv = broadcast(queries
       .select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("qv"))
       .withColumn("qn", Similarity.l2norm(col("qv"))))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
-    candidates
+    Similarity.rankTopK(candidates
       .join(qv, Seq("query_id"))
       .withColumn("cosine",
-        Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"),
-        round(col("cosine"), 4).as("cosine"), col("rank"))
+        Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))), k)
   }
 }

@@ -121,8 +121,42 @@ object Similarity {
         posexplode(buckets(col("v"))).as(Seq("band", "bucket")))
   }
 
+  /** Shared ranking tail for every top-k variant: a scored candidate
+    * frame (query_id, corpus_id, cosine, …) → (query_id, corpus_id,
+    * cosine rounded to 4, rank), keeping the top `k` per query under
+    * (cosine desc, corpus_id asc).
+    *
+    * Fast path — the scale fix for the whole ANN family: when corpus_id
+    * is BIGINT (every graft corpus), rank via the native
+    * [[graft.plans.TopKByScore]] aggregate — per-key k-bounded heaps
+    * with map-side partial merge (ObjectHashAggregate), so the exchange
+    * carries at most partitions·k pairs per query instead of EVERY
+    * candidate row, and no per-query full sort runs at all. The
+    * row_number window it replaces shuffled all candidates to one task
+    * per query and sorted them (O(C log C)); at 2 M candidates/query
+    * and k = 5 that is 2 M shuffled rows vs ~160 heap entries. Exotic
+    * id types keep the window (same answer; tie-compat spec-pinned). */
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    if (scored.schema("corpus_id").dataType == LongType) {
+      scored.groupBy(col("query_id"))
+        .agg(graft.plans.TopKByScore.topKCol(col("cosine"), col("corpus_id"), k).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("query_id"), col("e.id").as("corpus_id"),
+          round(col("e.score"), 4).as("cosine"),
+          (col("pos") + 1).cast("int").as("rank"))
+    } else {
+      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+    }
+  }
+
   /** Brute-force top-k: exact cosine of every (query, corpus) pair, then a
-    * per-query window. The corpus side of the join should be the big one;
+    * per-query bounded-heap rank ([[rankTopK]]). The corpus side of the
+    * join should be the big one;
     * Spark broadcasts the query side when it is small (hint applied).
     * This is the *correctness baseline*: O(|Q|·|C|) — fine for |Q| small,
     * the standard evaluation harness shape.
@@ -145,10 +179,7 @@ object Similarity {
     val scored = c.crossJoin(q)
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** Train IVF coarse-quantizer centroids: Lloyd's k-means over a bounded,
@@ -244,14 +275,10 @@ object Similarity {
     val q = queries.select(col(qId).as("query_id"), col(qVec).as("qv"))
       .withColumn("cell", explode(probeUdf(col("qv"))))
       .withColumn("qn", l2norm(col("qv")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
-    q.join(c, Seq("cell"))
+    rankTopK(q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       // a corpus vector lives in exactly one cell -> no candidate dedup needed
-      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn"))), k)
   }
 
   /** Persist an IVF index: the corpus, assigned to cells and laid out
@@ -449,13 +476,9 @@ object Similarity {
     val probedCells = q.select("cell").distinct().collect().map(_.getInt(0))
     val c = spark.read.parquet(s"$path/corpus")
       .filter(col("cell").isin(probedCells.toSeq: _*))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
-    q.join(c, Seq("cell"))
+    rankTopK(q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn"))), k)
   }
 
   /** LSH-bucketed approximate top-k: candidates share at least one
@@ -501,12 +524,8 @@ object Similarity {
     val candidates = qb.join(cb, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
       .dropDuplicates("query_id", "corpus_id")
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
-    candidates
-      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+    rankTopK(candidates
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn"))), k)
   }
 
   /** SemDeDup-style semantic deduplication: cluster the corpus with a

@@ -45,7 +45,10 @@ def main():
     cap_gib = max(1, min(40, int(ram_gib // 2)))
     con.sql(f"SET memory_limit='{cap_gib}GiB'")
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # partial corpora (e.g. a scale_up --only embeddings rung) carry a
+        # subset of the tables; views over the rest would fail at CREATE
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     fails = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
