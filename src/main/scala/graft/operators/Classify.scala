@@ -58,16 +58,23 @@ object Classify {
         log((coalesce(col("cnt"), lit(0L)) + lit(1.0d)) /
           (col("toks") + col("v"))).as("ll"))
     val scores = contrib.groupBy(col(idCol), col("label")).agg(sum(col("ll")).as("sll"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("label"))
+    // argmax as a declarative aggregate, not a window: min_by over
+    // (-score asc, label asc) = (score desc, label asc), the same
+    // deterministic tie-break the former row_number window used — but
+    // with map-side partial merge, so the exchange carries one partial
+    // winner per (doc, input partition) instead of every (doc, label)
+    // row, and no per-doc sort runs. Scores are finite log sums (no
+    // NaN), so the negation is order-exact.
     val pred = scores
       .join(broadcast(pri), Seq("label"))
       .crossJoin(broadcast(nd))
       .select(col(idCol),
         col("label"),
         round(col("sll") + log(col("ndocs").cast("double") / col("nd")), 6).as("score"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col(idCol), col("label").as("pred"), col("score"))
+      .groupBy(col(idCol))
+      .agg(min_by(struct(col("label"), col("score")),
+        struct(negate(col("score")), col("label"))).as("best"))
+      .select(col(idCol), col("best.label").as("pred"), col("best.score").as("score"))
     df.select(col(idCol), col(labelCol)).join(pred, Seq(idCol))
   }
 }
