@@ -14,8 +14,10 @@ import graft.operators.{Pq, Similarity}
   * cost so the crossover is a measured row instead of an argument.
   *
   * Run: {{{
-  *   sbt "runMain graft.tools.AnnBatchLab /tmp/sf100ann --batches 10,100,1000"
-  * }}} */
+  *   SPARK_DRIVER_MEM=24g sbt "runMain graft.tools.AnnBatchLab /tmp/sf100ann --batches 10,100,1000"
+  * }}}
+  * (the 2 M-vector run holds two index builds plus a 2-billion-pair
+  * brute-force arm in one JVM — the default 8 g heap is not enough). */
 object AnnBatchLab {
   def main(args: Array[String]): Unit = {
     var sfDir = "/root/testdata/sf0.1"
