@@ -147,9 +147,11 @@ object Pq {
   def trainPq(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, ksub: Int = 256, iters: Int = 8, maxSample: Int = 4096): PqModel = {
     require(ksub >= 2 && ksub <= 256, s"ksub must be in [2, 256], got $ksub (one-byte codes)")
-    val sample = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .orderBy("id").limit(maxSample)
-      .collect().map(r => Similarity.normalize(r.getSeq[Double](1).toArray))
+    // bounded-fetch sample: see Similarity.firstVecsById — a bare
+    // orderBy.limit.collect() pulls partitions·maxSample rows to the
+    // driver, which at production dims is gigabytes
+    val sample = Similarity.firstVecsById(corpus, idCol, vecCol, maxSample)
+      .map(Similarity.normalize)
     require(sample.length >= ksub, s"need >= $ksub sample vectors to train, got ${sample.length}")
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim must divide evenly into m=$m subspaces")
@@ -305,10 +307,22 @@ object Pq {
     }
 
     val c0 = corpus.select(col(cId).as("corpus_id"), col(cVec).cast("array<double>").as("cv"))
+    // The repartition below is load-bearing twice over. (1) LUT
+    // materialization: whole-stage codegen defers streamed-side column
+    // evaluation to point-of-use, and for a multi-match join that point
+    // is INSIDE the match loop — without an exchange the m·ksub·dsub
+    // lut UDF re-runs per CANDIDATE row (measured: a dim-1024 batch run
+    // burned 14 CPU-minutes in the lut lambda before being killed).
+    // The exchange serializes each query row once, lut included.
+    // (2) Parallelism: a query frame arriving as one partition (e.g.
+    // from a limit) would otherwise run the whole ADC stage in ONE task
+    // whenever the codes side broadcasts. Cost: |q|·nprobe rows of a
+    // few KB each — noise next to either hazard.
     val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("qv"))
       .withColumn("cell", explode(probeUdf(col("qv"))))
       .withColumn("lut", lutUdf(col("qv")))
       .select("query_id", "cell", "lut")
+      .repartition(col("query_id"), col("cell"))
     // Shortlist-saturation skip (same contract as [[pqTopKIndexed]]):
     // when k·refine covers the whole corpus it covers every probed
     // cell's candidates, the ADC rank-and-truncate keeps everything, and
@@ -621,10 +635,16 @@ object Pq {
       }
       lut
     }
+    // same load-bearing exchange as ivfPqTopK: materialize each query
+    // row's lut ONCE (codegen otherwise re-evaluates it per candidate
+    // inside the join's match loop when the codes side broadcasts) and
+    // spread the ADC stage across partitions even when the caller's
+    // query frame arrives as one
     val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("qv"))
       .withColumn("cell", explode(probeUdf(col("qv"))))
       .withColumn("lut", lutUdf(col("qv")))
       .select("query_id", "cell", "lut")
+      .repartition(col("query_id"), col("cell"))
     // literal IN on the partition column -> static directory pruning on
     // both index scans (same discipline as ivfTopKIndexed)
     val probedCells = q.select("cell").distinct().collect().map(_.getInt(0))

@@ -190,12 +190,25 @@ object Similarity {
     * size — the standard IVF recipe (train on a sample, assign
     * distributed). Deterministic: sample order and init (every
     * (n/nlist)-th sample vector) are id-ordered, no RNG. */
+  /** First `n` vectors by id, with the driver fetch bounded by n ROWS
+    * rather than partitions·n: a bare `orderBy.limit(n).collect()` plans
+    * as TakeOrderedAndProject, whose executeCollect pulls EVERY
+    * partition's top-n to the driver — at dim 1024 over 32 input splits
+    * that is ~1 GB of task results (it hit the maxResultSize wall in
+    * AnnBatchLab's synth mode; 2 000 cluster partitions would make it
+    * 67 GB). Routing the limit through one exchange merges the
+    * per-partition top-n on an EXECUTOR, so the driver fetches exactly
+    * n rows no matter how the corpus is split. */
+  private[operators] def firstVecsById(
+      corpus: DataFrame, idCol: String, vecCol: String, n: Int): Array[Array[Double]] =
+    corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy("id").limit(n).repartition(1)
+      .collect().map(_.getSeq[Double](1).toArray)
+
   def trainIvfCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 8, maxSample: Int = 4096): Array[Array[Double]] = {
-    val sample = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .orderBy("id").limit(maxSample)
-      .collect().map(r => normalize(r.getSeq[Double](1).toArray))
+    val sample = firstVecsById(corpus, idCol, vecCol, maxSample).map(normalize)
     require(sample.length >= nlist, s"need >= $nlist sample vectors, got ${sample.length}")
     var cents = Array.tabulate(nlist)(i => sample(i * sample.length / nlist).clone())
     var it = 0

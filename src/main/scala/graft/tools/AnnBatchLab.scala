@@ -24,12 +24,22 @@ object AnnBatchLab {
     var batches = Seq(10, 100, 1000)
     var nlist = 16
     var nprobe = 4
+    var synthN = 0L
+    var dim = 64
+    var m = 8
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--batches" => batches = args(i + 1).split(",").map(_.toInt).toSeq; i += 2
         case "--nlist" => nlist = args(i + 1).toInt; i += 2
         case "--nprobe" => nprobe = args(i + 1).toInt; i += 2
+        // --synth N --dim D: EmbedSynth corpus at production width,
+        // materialized to parquet so the index builds and the brute
+        // force arm scan a real stored table — the ADC-vs-dot verdict
+        // at dim >= 256 comes from this mode
+        case "--synth" => synthN = args(i + 1).toLong; i += 2
+        case "--dim" => dim = args(i + 1).toInt; i += 2
+        case "--m" => m = args(i + 1).toInt; i += 2
         case d => sfDir = d; i += 1
       }
     }
@@ -42,16 +52,22 @@ object AnnBatchLab {
     def t[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
-    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val e = (if (synthN > 0) {
+      EmbedSynth.corpus(spark, synthN, dim)
+        .select(col("vec_id"), col("e"))
+        .write.mode("overwrite").parquet("/tmp/graft_batchlab/synth")
+      spark.read.parquet("/tmp/graft_batchlab/synth")
+    } else spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
     val n = e.count()
     val k = 5
-    println(s"corpus=$n k=$k nlist=$nlist nprobe=$nprobe (probe fraction ${nprobe.toDouble / nlist})")
+    println(s"corpus=$n dim=$dim m=$m k=$k nlist=$nlist nprobe=$nprobe " +
+      s"(probe fraction ${nprobe.toDouble / nlist})")
 
     val ivfPath = s"/tmp/graft_batchlab/ivf"
     val pqPath = s"/tmp/graft_batchlab/pq"
     val (_, tIvfBuild) = t(Similarity.writeIvfIndex(e, "vec_id", "e", ivfPath, nlist = nlist))
-    val (_, tPqBuild) = t(Pq.writePqIndex(e, "vec_id", "e", pqPath, nlist = nlist, m = 8, ksub = 128))
+    val (_, tPqBuild) = t(Pq.writePqIndex(e, "vec_id", "e", pqPath, nlist = nlist, m = m, ksub = 128))
     println(f"index build (once): ivf=$tIvfBuild%.1f s  ivfpq=$tPqBuild%.1f s")
 
     val cents = Similarity.loadIvfCentroids(spark, ivfPath)

@@ -89,6 +89,11 @@ object AnnLab {
       println(f"  ann_bruteforce      ${t2(Similarity.bruteForceTopK(q, "vec_id", "e", e, "vec_id", "e", k).count())}%7.2f s")
       println(f"  ann_ivf (full)      ${t2(Similarity.ivfTopK(q, "vec_id", "e", e, "vec_id", "e", k = k, nlist = 8, nprobe = 8).count())}%7.2f s")
       println(f"  ann_ivf (nprobe=2)  ${t2(Similarity.ivfTopK(q, "vec_id", "e", e, "vec_id", "e", k = k, nlist = 8, nprobe = 2).count())}%7.2f s")
+      // ADC-vs-dot at this dim, same candidate set as ann_ivf (full):
+      // IVFPQ scores every candidate with m=16 table lookups where IVF
+      // pays a dim-wide dot — the row that decides where the PQ compute
+      // verdict flips (README claims payload-only at dim 64)
+      println(f"  ann_ivfpq m16 full  ${t2(graft.operators.Pq.ivfPqTopK(q, "vec_id", "e", e, "vec_id", "e", k = k, nlist = 8, nprobe = 8, m = 16, ksub = 256, refine = 8).count())}%7.2f s")
       println(f"  ann_lsh 18x6        ${t2(Similarity.lshTopK(q, "vec_id", "e", e, "vec_id", "e", dim = dim, k = k, planes = 18, bands = 6).count())}%7.2f s")
       println(f"  semantic_dedup_ivf  ${t2(Similarity.semanticDedupIvf(e.select(col("vec_id").as("id"), col("e").as("v")), "id", "v", nlist = 8, threshold = 0.95).count())}%7.2f s")
       // geometry must track density: the default 16x4 (16 buckets/band)
