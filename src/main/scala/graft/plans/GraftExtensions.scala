@@ -58,6 +58,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         AdcScore(children(0), children(1), ksub)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
+      (children: Seq[Expression]) => {
+        val k = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"topk_by_score k must be an integer literal, got $other")
+        }
+        TopKByScore(children(0), children(1), k)
+      }))
   }
 }
 

@@ -131,4 +131,22 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(1L) === 1.0)
     assert(math.abs(m(2L) - 0.6) < 1e-12)
   }
+
+  test("topk_by_score: SQL aggregate form, ordering and literal-k guard") {
+    spark.range(100)
+      .selectExpr("id % 4 AS key", "id AS rid", "CAST(id % 10 AS DOUBLE) AS score")
+      .createOrReplaceTempView("tks")
+    val rows = spark.sql(
+      """SELECT key, topk_by_score(score, rid, 2) AS tk
+        |FROM tks GROUP BY key ORDER BY key""".stripMargin).collect()
+    assert(rows.length === 4)
+    // key 0: rids 0,4,..,96; scores = rid % 10 -> best score 8 at rids 8, 28, ...
+    // top-2 = (8.0, 8), (8.0, 28): ties keep the smallest ids, best first
+    val tk0 = rows(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(tk0.map(r => (r.getDouble(0), r.getLong(1))) === Seq((8.0, 8L), (8.0, 28L)))
+    val err = intercept[Exception] {
+      spark.sql("SELECT topk_by_score(score, rid, CAST(rid AS INT)) FROM tks").collect()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
 }
