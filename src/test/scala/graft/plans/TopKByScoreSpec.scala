@@ -96,6 +96,17 @@ class TopKByScoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("registered ANN queries engage the heap fast path on the driver corpus") {
+    // vec_id is BIGINT in the driver testdata; if that ever drifts (or a
+    // select changes the id dtype), rankTopK silently falls back to the
+    // row_number window — this pins the fast path on the real surface
+    val df = graft.SparkEntry.queries("ann_bruteforce")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("topk_by_score"),
+      s"expected the heap aggregate in ann_bruteforce's plan, got:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("partial aggregation is in the plan (map-side heaps, not a full shuffle)") {
     val df = spark.range(1000)
       .select((col("id") % 4).as("key"), col("id").as("rid"),
