@@ -249,7 +249,11 @@ object Pq {
     * codes), m=8/refine=8 recovers recall 1.00 on the 64-dim fixture
     * (8 B/vec = 64× cut) and m=16/refine=16 recovers 0.92 on the
     * adversarial 256-dim noise-4.0 synth (16 B = 128× cut; m=32 buys
-    * 0.97). Floors pinned in AnnRecallSpec at both dims.
+    * 0.97). Floors pinned in AnnRecallSpec at both dims. At dim 1024
+    * (SCALE.md): clustered corpora hold eps-recall@0.01 = 1.000 at
+    * every grid point down to m=8 (1024× cut); when cosine margins
+    * are hair-thin (noise 4.0) quality degrades (best 0.63 eps at
+    * m=32) — keep dsub ≤ 32 and raise refine there, or use plain IVF.
     *
     * When k·refine covers the whole corpus (the exhaustive oracle
     * regime, or an over-provisioned production call), the ADC stage is
