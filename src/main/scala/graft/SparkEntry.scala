@@ -1481,16 +1481,20 @@ object SparkEntry {
     "cdc_compact" -> ((s, dir) => {
       // CDC latest-wins compaction: collapse an event/update log to the
       // newest row per key (ties broken by event_id — deterministic even
-      // with equal timestamps). One shuffle on the key; at scale this is
-      // the standard log→snapshot materialization.
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("event_id").desc)
+      // with equal timestamps). Latest-wins is an argmax, so it runs as
+      // max_by over the (ts, event_id) struct ordering — a hash aggregate
+      // with map-side partials (each task keeps ONE row per key), not a
+      // row_number window that shuffles every version of a key to one
+      // task and sorts its whole history; at scale this is the standard
+      // log→snapshot materialization and hot keys carry no sort cliff.
       ev(s, dir)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("event_id").as("last_event_id"),
-          col("ts").as("last_ts"), col("event_type").as("last_type"),
-          round(col("value"), 4).as("last_value"))
+        .groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("event_id"), col("ts"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("m"))
+        .select(col("user_id"), col("m.event_id").as("last_event_id"),
+          col("m.ts").as("last_ts"), col("m.event_type").as("last_type"),
+          round(col("m.value"), 4).as("last_value"))
     }),
 
     "active_users" -> ((s, dir) => {

@@ -86,12 +86,39 @@ object Curation {
   /** Deterministic stratified sample: the `n` rows with the smallest
     * mixed key per stratum — every stratum is represented (up to its
     * size), sampling within a stratum is unbiased in the key, and the
-    * result is stable across runs/engines. One shuffle on the stratum
-    * column; strata with heavy skew rank inside their own partitions.
-    * At scale prefer many strata (the window sorts per stratum). */
+    * result is stable across runs/engines. Keys must be unique within
+    * a stratum (they already must be for the determinism claim).
+    *
+    * Scale shape: for BIGINT keys (every graft corpus) the per-stratum
+    * rank runs as the [[graft.plans.TopKByScore]] bounded-heap
+    * aggregate — each input partition emits at most n pairs per
+    * stratum into the exchange, and the picked (stratum, key, rk) set
+    * (≤ strata·n rows — broadcast-sized unless strata number in the
+    * millions, where AQE falls back to a shuffle join) re-attaches by
+    * an equi-join left to the planner's size stats. The row_number
+    * window this replaces shuffled the WHOLE table and sorted each
+    * stratum in a single task — with 10 strata over 100 TB that is a
+    * 10 TB task; the heap path has no such cliff. The second scan it
+    * costs reads only (stratum, key) columns (pruned). Tie-break is
+    * identical (mixKey asc, key asc; spec-pinned vs the window).
+    * Exotic key types keep the window path. */
   def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String, n: Int): DataFrame = {
-    val w = Window.partitionBy(col(stratumCol)).orderBy(mixKey(col(keyCol)), col(keyCol))
-    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
+    import org.apache.spark.sql.types.LongType
+    if (df.schema(keyCol).dataType == LongType) {
+      val picked = df
+        .groupBy(col(stratumCol))
+        .agg(graft.plans.TopKByScore.topKCol(
+          -mixKey(col(keyCol)).cast("double"), col(keyCol), n).as("tk"))
+        .select(col(stratumCol).as("_g_stratum"), posexplode(col("tk")).as(Seq("_g_pos", "_g_e")))
+        .select(col("_g_stratum"), col("_g_e.id").as("_g_key"),
+          (col("_g_pos") + 1).cast("int").as("rk"))
+      df.join(picked,
+          df(stratumCol) <=> picked("_g_stratum") && df(keyCol) === picked("_g_key"))
+        .drop("_g_stratum", "_g_key")
+    } else {
+      val w = Window.partitionBy(col(stratumCol)).orderBy(mixKey(col(keyCol)), col(keyCol))
+      df.withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
+    }
   }
 
   /** Deterministic train/val/test split assignment: each row gets the

@@ -118,6 +118,29 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again === out.values.flatten.map(_._2).toSet)
   }
 
+  test("stratified sample: heap fast path matches the window path exactly") {
+    val s = spark
+    import s.implicits._
+    // BIGINT keys dispatch to the TopKByScore bounded-heap aggregate;
+    // any other key type keeps the row_number window. Same data through
+    // both paths (int copy of the same key values) must agree on every
+    // (stratum, key, rk) triple — including rk, the within-stratum rank —
+    // across a skewed multi-partition layout and a null stratum.
+    val rows = (0L until 400L).map(i => (i, if (i % 7 == 0) null else s"g${i % 3}")) ++
+      Seq((9000L, "tiny"))
+    val df = rows.toDF("id", "grp").repartition(7)
+    val heap = Curation.stratifiedSample(df, "grp", "id", n = 4)
+      .select(col("grp"), col("id"), col("rk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val window = Curation.stratifiedSample(
+        df.withColumn("id", col("id").cast("int")), "grp", "id", n = 4)
+      .select(col("grp"), col("id").cast("long"), col("rk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(heap === window)
+    assert(heap.count(_._1 == null) === 4, "null stratum sampled like any other")
+    assert(heap.count(_._1 == "tiny") === 1)
+  }
+
   test("decontaminate: doc sharing a benchmark 5-gram flagged, clean doc not") {
     val s = spark
     import s.implicits._
