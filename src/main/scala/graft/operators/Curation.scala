@@ -101,7 +101,12 @@ object Curation {
     * 10 TB task; the heap path has no such cliff. The second scan it
     * costs reads only (stratum, key) columns (pruned). Tie-break is
     * identical (mixKey asc, key asc; spec-pinned vs the window).
-    * Exotic key types keep the window path. */
+    * Exotic key types keep the window path. Measured crossover
+    * (SCALE.md r13, payload-honest A/B at 100M rows × 5 strata): ONE
+    * box fits the per-stratum sorts in RAM and the window wins ~1.4×
+    * there — the heap form is the default for its cluster shape
+    * (bounded task memory, parallelism from input partitions rather
+    * than stratum count), not for single-node wall time. */
   def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.types.LongType
     if (df.schema(keyCol).dataType == LongType) {

@@ -142,6 +142,56 @@ object PerfLab {
       }
     }
 
+    if (in("rankagg")) {
+      // ---- rank window vs aggregate form (r13): the two non-ANN rank
+      // tails converted this round, measured on whatever events corpus
+      // sfDir carries (point --sf at the 100M-row rung for the real
+      // numbers; event_type has ~5 values, so the window arm is the
+      // few-strata single-task-sort cliff in its purest form) ----
+      val evt = spark.read.parquet(s"$sfDir/events.parquet")
+      import org.apache.spark.sql.expressions.Window
+      // checksum the PAYLOAD, not count(): count lets Catalyst prune
+      // every non-key column out of both plans, which hides the window
+      // arm's real shuffle width — the operator contract returns rows
+      def sink(df: DataFrame): Long = df.agg(
+        sum(length(col("last_type")) + col("last_value"))).collect()(0).getDouble(0).toLong
+      time("cdc window") {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        sink(evt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("ts").as("last_ts"), col("event_type").as("last_type"),
+            round(col("value"), 4).as("last_value")))
+      }
+      time("cdc max_by") {
+        sink(evt.groupBy(col("user_id"))
+          .agg(max_by(struct(col("event_id"), col("ts"), col("event_type"),
+            col("value")), struct(col("ts"), col("event_id"))).as("m"))
+          .select(col("user_id"), col("m.event_id").as("last_event_id"),
+            col("m.ts").as("last_ts"), col("m.event_type").as("last_type"),
+            round(col("m.value"), 4).as("last_value")))
+      }
+      // scale_up's replica stride puts event_id past mixKey's overflow
+      // envelope, and a plain foldKey collides at 100M keys — so compact
+      // the (replica, base) structure bijectively instead: id = r·1e9 + b
+      // with b < 1e5, key = r·1e5 + b stays unique and in-envelope on
+      // both the driver corpus (r = 0) and every scale_up rung.
+      val keyed = evt.withColumn("key",
+        expr("event_id div 1000000000") * 100000L +
+          pmod(col("event_id"), lit(1000000000L)))
+      def sinkStrat(df: DataFrame): Long = df.agg(
+        sum(length(col("props")) + col("rk"))).collect()(0).getLong(0)
+      time("strat window") {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(graft.operators.Curation.mixKey(col("key")), col("key"))
+        sinkStrat(keyed.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5))
+      }
+      time("strat heap") {
+        sinkStrat(graft.operators.Curation
+          .stratifiedSample(keyed, "event_type", "key", n = 5))
+      }
+    }
+
     if (in("join")) {
       // ---- salted join vs plain ----
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
