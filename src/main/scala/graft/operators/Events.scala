@@ -90,16 +90,20 @@ object Events {
     * per `unitDays` period since the cohort date. Returns
     * (cohort_date, period, active_users) — the retention-triangle table.
     *
-    * Two shuffles total: first-seen aggregate on the user key, then the
-    * (cohort, period) distinct-count; the events→first-seen join is on
-    * the user key the first aggregate already partitioned on. */
+    * Plan: ONE user-key shuffle — first-seen is an unbounded window min
+    * over the user partition, computed in place on the same
+    * shuffle+sort the old aggregate⨝events plan paid anyway, minus the
+    * aggregate branch, the second corpus pass, and the join (measured
+    * 1.43× at the 100 M-event rung, SCALE.md r13b); then the
+    * (cohort, period) distinct-count. WindowExec buffers one USER's
+    * rows at a time (spillable array), so a hot key degrades to disk,
+    * never to a task OOM. */
   def retentionCohorts(df: DataFrame, userCol: String, tsCol: String,
       unitDays: Int = 7): DataFrame = {
     require(unitDays > 0, "unitDays must be positive")
-    val firstSeen = df.groupBy(col(userCol).as("user"))
-      .agg(min(to_date(col(tsCol))).as("cohort_date"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user"))
     df.select(col(userCol).as("user"), to_date(col(tsCol)).as("d"))
-      .join(firstSeen, Seq("user"))
+      .withColumn("cohort_date", min(col("d")).over(w))
       .select(col("user"), col("cohort_date"),
         floor(datediff(col("d"), col("cohort_date")) / unitDays).cast("int").as("period"))
       .groupBy(col("cohort_date"), col("period"))
