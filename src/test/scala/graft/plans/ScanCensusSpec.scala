@@ -68,4 +68,14 @@ class ScanCensusSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("curation_pipeline2: zero file scans in the final plan (all cached)") {
     assert(census("curation_pipeline2") === ((0, 3, 0)))
   }
+
+  test("retention: exactly one corpus scan (the r13 window-min rewrite's point)") {
+    // the aggregate-then-join plan this replaced read events twice; a
+    // regression back to a second pass fails here, not at the next rung
+    assert(census("retention") === ((1, 0, 0)))
+  }
+
+  test("cdc_compact: one scan through the max_by aggregate, no window sort pass") {
+    assert(census("cdc_compact") === ((1, 0, 0)))
+  }
 }
