@@ -144,7 +144,11 @@ def scale_documents_mutated() -> None:
 
 def scale_events() -> None:
     t = pq.read_table(f"{SRC}/events.parquet")
-    parts = []
+    # stream one replica per row group instead of concat-ing R copies in
+    # memory (R=10000 over sf0.1 would hold ~90 GB); version 2.6 + no
+    # coercion keeps TIMESTAMP(NANOS) exactly as stored
+    writer = pq.ParquetWriter(f"{DST}/events.parquet", t.schema,
+                              version="2.6", coerce_timestamps=None)
     for r in range(R):
         cols = {}
         for name in t.column_names:
@@ -154,13 +158,11 @@ def scale_events() -> None:
             elif name == "user_id":
                 col = pc.add(col, r * OFF["user_id"])
             cols[name] = col
-        parts.append(pa.table(cols, schema=t.schema))
-    out = pa.concat_tables(parts)
-    # version 2.6 + no coercion keeps TIMESTAMP(NANOS) exactly as stored
-    pq.write_table(out, f"{DST}/events.parquet", version="2.6",
-                   coerce_timestamps=None)
-    print(f"events: {out.num_rows} rows (nanos preserved: "
-          f"{out.schema.field('ts').type})")
+        writer.write_table(pa.table(cols, schema=t.schema))
+    writer.close()
+    n = pq.ParquetFile(f"{DST}/events.parquet").metadata.num_rows
+    print(f"events: {n} rows (nanos preserved: "
+          f"{t.schema.field('ts').type})")
 
 
 def main() -> None:
