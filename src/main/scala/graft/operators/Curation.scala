@@ -102,11 +102,13 @@ object Curation {
     * costs reads only (stratum, key) columns (pruned). Tie-break is
     * identical (mixKey asc, key asc; spec-pinned vs the window).
     * Exotic key types keep the window path. Measured crossover
-    * (SCALE.md r13, payload-honest A/B at 100M rows × 5 strata): ONE
-    * box fits the per-stratum sorts in RAM and the window wins ~1.4×
-    * there — the heap form is the default for its cluster shape
-    * (bounded task memory, parallelism from input partitions rather
-    * than stratum count), not for single-node wall time. */
+    * (SCALE.md r13, payload-honest A/B at 100M and 1B rows × 5
+    * strata): a single box absorbs the per-stratum sorts (RAM at
+    * 100M, spill at 1B) and the window wins ~1.4–1.5× there — the
+    * heap form is the default for its cluster shape (bounded task
+    * memory, parallelism from input partitions rather than stratum
+    * count, no full-table network exchange), not for single-node
+    * wall time. */
   def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.types.LongType
     if (df.schema(keyCol).dataType == LongType) {
