@@ -78,4 +78,11 @@ class ScanCensusSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("cdc_compact: one scan through the max_by aggregate, no window sort pass") {
     assert(census("cdc_compact") === ((1, 0, 0)))
   }
+
+  test("sample_stratified: exactly two scans — the heap path's deliberate trade") {
+    // one column-pruned pass for the per-stratum heaps, one to fetch the
+    // picked rows; a third scan means a consumer started recomputing the
+    // pick frame (the scalar-frame rescan hazard the census exists for)
+    assert(census("sample_stratified") === ((2, 0, 0)))
+  }
 }
