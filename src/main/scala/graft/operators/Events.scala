@@ -97,12 +97,18 @@ object Events {
     * 1.43× at the 100 M-event rung, SCALE.md r13b); then the
     * (cohort, period) distinct-count. WindowExec buffers one USER's
     * rows at a time (spillable array), so a hot key degrades to disk,
-    * never to a task OOM. */
+    * never to a task OOM.
+    *
+    * Null users are dropped up front: the pre-r13 agg⨝events plan's
+    * inner equi-join discarded them implicitly, while a window partition
+    * would KEEP null as a key and emit (cohort, period) groups whose
+    * countDistinct(user) is 0 — the filter pins the original answer. */
   def retentionCohorts(df: DataFrame, userCol: String, tsCol: String,
       unitDays: Int = 7): DataFrame = {
     require(unitDays > 0, "unitDays must be positive")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user"))
     df.select(col(userCol).as("user"), to_date(col(tsCol)).as("d"))
+      .filter(col("user").isNotNull)
       .withColumn("cohort_date", min(col("d")).over(w))
       .select(col("user"), col("cohort_date"),
         floor(datediff(col("d"), col("cohort_date")) / unitDays).cast("int").as("period"))

@@ -135,9 +135,17 @@ object Similarity {
     * row_number window it replaces shuffled all candidates to one task
     * per query and sorted them (O(C log C)); at 2 M candidates/query
     * and k = 5 that is 2 M shuffled rows vs ~160 heap entries. Exotic
-    * id types keep the window (same answer; tie-compat spec-pinned). */
-  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    * id types keep the window (same answer; tie-compat spec-pinned).
+    *
+    * Null contract: rows with a null cosine (null input vector; or a
+    * zero-norm vector under non-ANSI division — ANSI mode throws at the
+    * Divide before ranking) or null corpus_id are excluded from ranking
+    * in BOTH paths — a null score is an undefined pair, not a worst match.
+    * The filter keeps the two paths answer-identical (the heap aggregate
+    * drops nulls by construction; the window used to rank them last). */
+  private[operators] def rankTopK(scored0: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.types.LongType
+    val scored = scored0.filter(col("cosine").isNotNull && col("corpus_id").isNotNull)
     if (scored.schema("corpus_id").dataType == LongType) {
       scored.groupBy(col("query_id"))
         .agg(graft.plans.TopKByScore.topKCol(col("cosine"), col("corpus_id"), k).as("tk"))
@@ -365,13 +373,25 @@ object Similarity {
     * discovery then fails on the whole index with an unrelated-looking
     * "conflicting directory structures" error at read time — so detect
     * the old layout up front (data files directly under a `cell=` dir)
-    * and fail with the actual remedy: rebuild via [[writeIvfIndex]]. */
-  private def requireBatchKeyedLayout(
+    * and fail with the actual remedy: rebuild via [[writeIvfIndex]].
+    *
+    * The verdict is MEMOIZED per index path per JVM: a pre-r12 layout
+    * cannot appear after a check has passed (every writer in this module
+    * writes the two-level layout, and a pass on a fresh path stays valid
+    * because the first append creates that layout), so a streaming sink
+    * appending every trigger pays ONE FS listing instead of per-batch
+    * namenode chatter. A failed check is NOT cached — the caller's
+    * remedy (rebuild) changes the on-disk state, so a retry must re-look. */
+  private val layoutVerified =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[operators] def requireBatchKeyedLayout(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    if (layoutVerified.contains(path)) return
+    layoutChecksPerformed.incrementAndGet()
     val corpus = new org.apache.hadoop.fs.Path(s"$path/corpus")
     val fs = corpus.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(corpus)) return // fresh index: the append creates the layout
-    val oldLayout = fs.listStatus(corpus)
+    val oldLayout = fs.exists(corpus) && fs.listStatus(corpus)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
       .exists(d => fs.listStatus(d.getPath)
         .exists(c => c.isFile && c.getPath.getName.endsWith(".parquet")))
@@ -379,6 +399,15 @@ object Similarity {
       s"IVF index at $path uses the pre-r12 partitionBy(cell) layout; " +
         "appending batch-keyed rows would mix partition depths and break " +
         "partition discovery. Rebuild the index with writeIvfIndex.")
+    layoutVerified.add(path)
+  }
+
+  /** Test seam: count of FS-listing layout checks actually performed —
+    * lets a spec prove a multi-batch stream listed the layout once. */
+  private val layoutChecksPerformed = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] def layoutChecksCount: Long = layoutChecksPerformed.get()
+  private[graft] def resetLayoutCheckCache(): Unit = {
+    layoutVerified.clear(); layoutChecksPerformed.set(0)
   }
 
   /** Replay-idempotent append for exactly-once streaming ingest: the
@@ -535,9 +564,14 @@ object Similarity {
     // dim-width payloads through the exchange (at 2 M × auto-geometry
     // ~25 bands that is a ~27 GB shuffle avoided) — and a pair
     // colliding in many bands dedupes BEFORE its one dot product.
-    // Vectors re-attach from the inputs: the query side broadcasts,
-    // and the id-width candidate list broadcasts against the corpus so
-    // the corpus never shuffles for the re-rank.
+    // Vectors re-attach from the inputs: the query side broadcasts
+    // (bounded — it is the small side by contract). The candidate list
+    // is NOT broadcast-hinted: unlike the k·refine ADC shortlists it is
+    // unbounded (dense buckets can approach |Q|×|C| id pairs), so a
+    // forced broadcast risks the driver/broadcast size wall at exactly
+    // the skewed-bucket regime where the plan must degrade gracefully.
+    // AQE still picks a broadcast join at runtime whenever the deduped
+    // pair set measures small, so the common case loses nothing.
     val qb = hyperplaneBuckets(queries, qId, qVec, dim, planes, bands)
       .select(col("band"), col("bucket"), col("id").as("query_id"))
     val cb = hyperplaneBuckets(corpus, cId, cVec, dim, planes, bands)
@@ -550,7 +584,7 @@ object Similarity {
       .withColumn("qn", l2norm(col("qv"))))
     val cvn = corpus.select(col(cId).as("corpus_id"), col(cVec).as("cv"))
       .withColumn("cn", l2norm(col("cv")))
-    rankTopK(broadcast(candidates).join(cvn, Seq("corpus_id"))
+    rankTopK(candidates.join(cvn, Seq("corpus_id"))
       .join(qv, Seq("query_id"))
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn"))), k)
   }

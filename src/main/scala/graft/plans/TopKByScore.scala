@@ -26,10 +26,20 @@ final class TopKHeap(val k: Int) {
 
   def size: Int = n
 
-  /** a strictly better than b under (score desc, id asc)? */
+  /** a strictly better than b under (score desc, id asc)?
+    *
+    * Ties must fall through to the id for BOTH ways a double can "equal"
+    * another in SQL ordering: primitive `==` (covers -0.0 == 0.0, where
+    * Double.compare would NOT return 0) and `Double.compare == 0` (covers
+    * NaN vs NaN, where primitive `==` is false but Spark's double ordering
+    * treats them as equal — without this, two NaN-scored rows would never
+    * tie-break by id and eviction order would diverge from the window). */
   @inline private def better(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
     if (sa == sb) ia < ib
-    else java.lang.Double.compare(sa, sb) > 0
+    else {
+      val c = java.lang.Double.compare(sa, sb)
+      if (c == 0) ia < ib else c > 0
+    }
   }
 
   def offer(s: Double, id: Long): Unit = {

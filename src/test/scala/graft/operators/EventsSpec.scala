@@ -119,4 +119,24 @@ class EventsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("2024-01-01", 2, 1L),
       ("2024-01-03", 0, 1L)))
   }
+
+  test("retention: null users are dropped, not emitted as zero-count cohorts") {
+    // The pre-r13 agg⨝events plan dropped null users via its inner
+    // equi-join; the window rewrite would KEEP null as a partition key
+    // and emit (cohort, period) groups whose countDistinct(user) is 0
+    // (r13 advisory). The output must stay join-identical.
+    val s = spark
+    import s.implicits._
+    val df = Seq[(Option[Long], String, Timestamp)](
+      (Some(1L), "view", ts("2024-01-01 10:00:00")),
+      (None, "view", ts("2024-02-01 10:00:00")), // null-only cohort 2024-02-01
+      (None, "view", ts("2024-02-09 10:00:00")),
+      (Some(1L), "view", ts("2024-01-09 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = Events.retentionCohorts(df, "user_id", "ts", unitDays = 7)
+      .orderBy("cohort_date", "period").collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSeq
+    assert(got === Seq(("2024-01-01", 0, 1L), ("2024-01-01", 1, 1L)),
+      s"null users must not create cohorts: $got")
+  }
 }

@@ -1099,4 +1099,35 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.embeddingNearDups(poisoned, "vec_id", "e", dim = 16,
       cosineThreshold = 0.95, knownCount = 400L) // no action -> no throw
   }
+
+  test("rankTopK null contract: null-cosine candidates never rank, both paths agree") {
+    // A null corpus embedding makes cosine null (null propagates through
+    // dot/norm/divide in every ANSI mode — unlike a ZERO-norm vector,
+    // whose divide-by-zero THROWS under Spark 4's default ANSI). The
+    // heap aggregate drops null scores by construction; rankTopK pins
+    // the same contract on the window path so the two dispatch arms stay
+    // answer-identical (r13 advisory: a frame with < k non-null
+    // candidates used to return MORE rows through the window than
+    // through the heap).
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (10L, Array(1.0, 0.0)), (11L, Array(0.9, 0.1)),
+      (12L, null.asInstanceOf[Array[Double]]), // null vector: cosine null
+      (13L, Array(0.5, 0.5))).toDF("vec_id", "e")
+    val queries = Seq((1L, Array(1.0, 0.0))).toDF("vec_id", "e")
+    val got = Similarity.bruteForceTopK(queries, "vec_id", "e",
+      corpus, "vec_id", "e", k = 4)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).sortBy(_._2)
+    assert(got.map(_._1).toSet === Set(10L, 11L, 13L),
+      s"null-vector corpus_id 12 must not rank: ${got.toSeq}")
+    assert(got.length === 3, "3 rankable candidates, not k=4 padded")
+    // window path (non-long ids) returns the same answer
+    val gotWin = Similarity.bruteForceTopK(
+      queries.select(col("vec_id").cast("string").as("vec_id"), col("e")), "vec_id", "e",
+      corpus.select(col("vec_id").cast("string").as("vec_id"), col("e")), "vec_id", "e",
+      k = 4)
+      .collect().map(r => (r.getString(1), r.getInt(3))).sortBy(_._2)
+    assert(gotWin.map(_._1).toSeq === got.map(x => x._1.toString).toSeq)
+  }
 }

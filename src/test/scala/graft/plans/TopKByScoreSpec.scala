@@ -72,6 +72,23 @@ class TopKByScoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(h.sortedPairs().toSeq === Seq((-0.0, 2L), (0.0, 5L)))
   }
 
+  test("heap NaN ties NaN (SQL double ordering), id breaks the tie") {
+    // Primitive NaN == NaN is false AND Double.compare(NaN, NaN) == 0, so
+    // a naive better() never consults ids for two NaN scores — but Spark's
+    // double ordering treats NaN as equal to NaN, and the window this
+    // aggregate replaces tie-broke NaN rows by id asc. Eviction and final
+    // order must both honor that (r13 advisory).
+    val h = new TopKHeap(2)
+    h.offer(Double.NaN, 7L); h.offer(Double.NaN, 3L); h.offer(Double.NaN, 5L)
+    val got = h.sortedPairs().toSeq
+    assert(got.map(_._2) === Seq(3L, 5L), s"NaN ties must keep smallest ids: $got")
+    assert(got.forall(_._1.isNaN))
+    // and a real score never beats NaN regardless of arrival order
+    val h2 = new TopKHeap(2)
+    h2.offer(1.0, 9L); h2.offer(Double.NaN, 7L); h2.offer(Double.NaN, 3L)
+    assert(h2.sortedPairs().toSeq.map(_._2) === Seq(3L, 7L))
+  }
+
   test("aggregate == row_number window through a real shuffle, with ties") {
     // 40 keys x 500 rows, scores drawn from 8 distinct values so every
     // key has deep ties; 4 input partitions force serialize+merge
