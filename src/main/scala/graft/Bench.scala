@@ -58,9 +58,14 @@ object Bench {
     // Warm up the JVM + parquet footer caches so q1 doesn't pay startup.
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
-    // min of 2 runs per query: the container's CPU allotment is noisy and
-    // single runs show 2-4x swings on identical plans; the min is the
-    // honest capability number.
+    // Warm-suite protocol (r14, after the r13-vs-r12 artifacts disagreed
+    // by up to 1.6x on code-identical paths ONCE the idle gate had removed
+    // contamination): min of 2 runs per query, plus a THIRD run for any
+    // query whose min-of-2 is >= 1 s — the expensive keys are where
+    // round-over-round comparison happens and where two samples are not a
+    // stable estimator of the capability floor. The min (not mean) is the
+    // honest capability number: the container's CPU allotment is noisy
+    // and single runs show 2-4x swings on identical plans.
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       // the Map lookup sits INSIDE the try: a stale benchQueries entry
@@ -73,7 +78,7 @@ object Bench {
       finally graft.operators.Dedup.unpersistAll(spark)
       (System.nanoTime() - t0) / 1e9
     }
-    // Cold pass FIRST (before the min-of-2 loop warms anything): the ten
+    // Cold pass FIRST (before the warm min-of-N loop warms anything): the ten
     // historically most expensive queries, one run each, persist registry
     // + cache manager drained before the clock starts — the QueryLab
     // discipline, reproduced in the driver artifact so round-over-round
@@ -98,7 +103,11 @@ object Bench {
     val results = SparkEntry.benchQueries.map { name =>
       val a = once(name)
       val b = once(name)
-      name -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      val m2 = if (a < 0 || b < 0) math.max(a, b) else math.min(a, b)
+      name -> (if (m2 >= 1.0) {
+        val c = once(name)
+        if (c < 0) m2 else math.min(m2, c)
+      } else m2)
     }
     // Throughput micro-metrics mapped onto BASELINE.md rows: xlsx write
     // (single writer = per-core vs the reference's 42K rows/s; parallel =
@@ -123,17 +132,20 @@ object Bench {
     def time[A](f: => A): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    def time2(f: => Unit): Double = { val a = time(f); math.min(a, time(f)) }
+    // Throughput metrics are headline round-over-round series: min-of-3
+    // (same r14 protocol rationale as the warm suite above).
+    def time3(f: => Unit): Double =
+      math.min(math.min(time(f), time(f)), time(f))
     // Single-writer metrics run BEFORE the 8x replicated cache exists so
     // its memory pressure can't leak into their timings.
-    val w1 = time2(li.coalesce(1).write.mode("overwrite").format("xlsx")
+    val w1 = time3(li.coalesce(1).write.mode("overwrite").format("xlsx")
       .option("header", "true").save("/tmp/graft_bench/x1"))
     // ONE workbook out, N partition writers (round-8 stitch) vs the w1
     // single-writer path above — same data, same deliverable
-    val ws = time2(li.repartition(cpus.toInt).write.mode("overwrite").format("xlsx")
+    val ws = time3(li.repartition(cpus.toInt).write.mode("overwrite").format("xlsx")
       .option("header", "true").option("singleFile", "true")
       .save("/tmp/graft_bench/x1s/book.xlsx"))
-    val c1 = time2(li.coalesce(1).write.mode("overwrite")
+    val c1 = time3(li.coalesce(1).write.mode("overwrite")
       .option("header", "true").csv("/tmp/graft_bench/c1"))
     val liPar = (1 to csvRepl).map(_ => li).reduce(_ union _)
       .repartition(cpus.toInt).persist(StorageLevel.MEMORY_AND_DISK)
@@ -143,14 +155,14 @@ object Bench {
     // same one-file deliverable. Uses the pre-shuffled 8x frame like the
     // other parallel metrics: per-task volume is what a real cluster
     // sees, and exchange cost stays outside the clock.
-    val cs = time2(graft.sources.csv.CsvSingleFile.write(
+    val cs = time3(graft.sources.csv.CsvSingleFile.write(
       liPar, "/tmp/graft_bench/c1s/data.csv", Map("header" -> "true")))
-    val wp = time2(liPar.write.mode("overwrite").format("xlsx")
+    val wp = time3(liPar.write.mode("overwrite").format("xlsx")
       .option("header", "true").save("/tmp/graft_bench/xp"))
-    val rd = time2(spark.read.format("xlsx").option("header", "true")
+    val rd = time3(spark.read.format("xlsx").option("header", "true")
       .load("/tmp/graft_bench/xp").agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1))).collect())
-    val cw = time2(liPar.write.mode("overwrite")
+    val cw = time3(liPar.write.mode("overwrite")
       .option("header", "true").csv("/tmp/graft_bench/c"))
     // ONE part file read with vs without sheet splitting: the round-7
     // row-range fan-out vs the old one-task-per-file bound, same data
@@ -163,8 +175,8 @@ object Bench {
       .option("splitBytes", 16 * 1024 * 1024)
       .load("/tmp/graft_bench/x1").agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1))).collect()
-    val r1 = time2(readOne(split = false))
-    val rs = time2(readOne(split = true))
+    val r1 = time3(readOne(split = false))
+    val rs = time3(readOne(split = true))
     val tput =
       f""""xlsx_write_1core_rows_per_sec":${nRows / w1}%.0f,""" +
       f""""xlsx_write_1file_stitched_rows_per_sec":${nRows / ws}%.0f,""" +

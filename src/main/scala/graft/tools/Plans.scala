@@ -79,4 +79,24 @@ object Plans {
       ls.count(_.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
       ls.count(_.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]))
   }
+
+  /** Every physical node of the FINAL adaptive plan, descending into AQE
+    * stages and subqueries — the operator-dispatch sibling of
+    * [[executedScanCensus]]: lets a spec pin WHICH physical operator a
+    * query resolved to (e.g. "heap aggregate present, no Window node")
+    * instead of only how many scans it ran. Run an action on `df` first,
+    * for the same AQE-finalization reason. */
+  def executedNodes(df: org.apache.spark.sql.DataFrame):
+      Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collectWithSubqueries {
+        case s: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(s.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case n => Seq(n)
+      }.flatten
+    walk(df.queryExecution.executedPlan)
+  }
 }

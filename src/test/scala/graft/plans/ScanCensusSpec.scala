@@ -85,4 +85,30 @@ class ScanCensusSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pick frame (the scalar-frame rescan hazard the census exists for)
     assert(census("sample_stratified") === ((2, 0, 0)))
   }
+
+  test("ANN ranking tails dispatch to the heap aggregate, never the window") {
+    // rankTopK falls back to a row_number window for non-BIGINT corpus
+    // ids — the exact exchange-shape cliff r13 removed. A future schema
+    // drift (e.g. an INT vec_id) would re-enter it silently with every
+    // value test still green, so the EXECUTED plans are pinned here
+    // (VERDICT r13 next-round #3): the heap aggregate must be present
+    // and no Window node may appear anywhere in the final adaptive plan.
+    for (name <- Seq("ann_bruteforce", "ann_ivf", "ann_ivfpq")) {
+      graft.operators.Dedup.unpersistAll(spark)
+      spark.catalog.clearCache()
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.count()
+      val nodes = graft.tools.Plans.executedNodes(df)
+      assert(nodes.exists(n =>
+        n.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec] &&
+          n.toString.contains("topk_by_score")),
+        s"$name: expected ObjectHashAggregate(topk_by_score) in the final plan:\n" +
+          df.queryExecution.executedPlan)
+      assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+        s"$name: a Window node re-entered the ranking tail — the r13 cliff is back:\n" +
+          df.queryExecution.executedPlan)
+      graft.operators.Dedup.unpersistAll(spark)
+      spark.catalog.clearCache()
+    }
+  }
 }
