@@ -844,10 +844,26 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"), md5(col("text")).as("md5"))),
 
     "lang_id" -> ((s, dir) =>
-      // Heuristic classifier — no SQL oracle; accuracy asserted on real
-      // multilingual fixtures in TextAnalysisSpec.
+      // Heuristic classifier over the natural corpus — no SQL oracle;
+      // accuracy asserted on real multilingual fixtures in
+      // TextAnalysisSpec. Exact-regime twin: lang_id_exact below.
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "lang_id_exact" -> ((s, dir) => {
+      // Exact-regime oracle twin (the gif_frame_hash trick): doc d gets a
+      // planted SCRIPT-PURE or STOPWORD-DISJOINT fixture chosen by
+      // d % 12, whose classification is closed-form in the index (see
+      // TextAnalysis.langIdFixtures for why no tie/threshold can engage).
+      // DuckDB states the label by arithmetic; the Spark side earns it
+      // through the real script-count + stopword-vote classifier — a
+      // broken script counter or profile loses the hash match.
+      val fixtures = TextAnalysis.langIdFixtures.map(_._2)
+      val plant = udf { (id: Long) => fixtures((id % 12).toInt) }
+      t(s, dir, "documents").filter(col("doc_id") < 240)
+        .select(col("doc_id"),
+          TextAnalysis.langId(plant(col("doc_id"))).as("lang_pred"))
+    }),
 
     "image_neardup" -> ((s, dir) => {
       // Real-decode image near-dup: 50 deterministic test-card classes
@@ -2463,6 +2479,20 @@ object SparkEntry {
          SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
                 cls AS matched_cls, CAST(frame_idx % 2 AS INT) AS matched_phase
          FROM f""",
+
+    // Planted truth of the lang-ID classifier: fixture d % 12 is
+    // script-pure or stopword-disjoint, so its label is closed-form in
+    // the index (TextAnalysis.langIdFixtures). The CASE order must match
+    // the fixture order exactly — it IS the contract.
+    "lang_id_exact" ->
+      """SELECT doc_id,
+                CASE CAST(doc_id % 12 AS INT)
+                  WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
+                  WHEN 3 THEN 'es' WHEN 4 THEN 'it' WHEN 5 THEN 'pt'
+                  WHEN 6 THEN 'ja' WHEN 7 THEN 'zh' WHEN 8 THEN 'ko'
+                  WHEN 9 THEN 'ru' WHEN 10 THEN 'ar' ELSE 'und'
+                END AS lang_pred
+         FROM documents WHERE doc_id < 240""",
 
     "quality_filter" ->
       """WITH base AS (

@@ -96,6 +96,32 @@ object TextAnalysis {
 
   def langId(text: Column): Column = udf(langIdFn).apply(text)
 
+  /** Closed-form fixtures for the exact-regime lang-ID oracle
+    * (`lang_id_exact`): each text is SCRIPT-PURE (the CJK/Cyrillic/Arabic
+    * rows are 100 % their script, so the `count*2 > letters` majority
+    * check is trivially decided) or STOPWORD-DISJOINT (the Latin rows use
+    * only stopwords that appear in exactly ONE language's profile — e.g.
+    * "que" (fr∩es∩pt) and "para" (es∩pt) are excluded — so the vote has
+    * a unique winner with ≥ 7 hits, far past the ≥ 2 evidence bar, and
+    * the Map-iteration tie rule can never engage). The last row has no
+    * letters at all → "und". Classification is therefore closed-form in
+    * the fixture index, which is what lets DuckDB state the answer by
+    * arithmetic while the Spark side earns it through the real
+    * classifier. Order is the oracle contract: index i ↔ label i. */
+  private[graft] val langIdFixtures: IndexedSeq[(String, String)] = IndexedSeq(
+    "en" -> "the and of to in is that it was for the and of to",
+    "de" -> "der die das und ist ich nicht ein mit sie der und",
+    "fr" -> "le les et est je pas pour dans vous le et est",
+    "es" -> "el los las y es no por el los las y por",
+    "it" -> "il di che un per non sono mi il di che per",
+    "pt" -> "o de um uma os as com o de um uma as",
+    "ja" -> "これはかなとカタカナのテストです",
+    "zh" -> "中文文本測試漢字內容全部都是漢字",
+    "ko" -> "한국어 텍스트 테스트 문장 입니다",
+    "ru" -> "русский текст проверка кириллица слова",
+    "ar" -> "نص عربي اختبار كلمات حروف",
+    "und" -> "12345 67890 --- !!! 000")
+
   /** BPE-ish subword pre-tokenization count: letter runs, digit runs, and
     * single non-alphanumeric symbols — the shape of GPT-style pre-token
     * regexes, restricted to constructs RE2 and java.util.regex evaluate

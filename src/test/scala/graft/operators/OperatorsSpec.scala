@@ -558,6 +558,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("lang_id_exact fixtures: each classifies to its label, uniquely evidenced") {
+    // The exact-regime oracle (lang_id_exact) is only sound if every
+    // fixture's classification is closed-form: script-pure rows must win
+    // the script majority, Latin rows must hit EXACTLY one language's
+    // stopword profile (so the vote has a unique winner and the Map
+    // iteration order can never decide a tie).
+    TextAnalysis.langIdFixtures.foreach { case (label, text) =>
+      val got = TextAnalysis.langIdFn(text)
+      assert(got === label, s"fixture '$label' classified as '$got'")
+    }
+    assert(TextAnalysis.langIdFixtures.map(_._1) ===
+      IndexedSeq("en", "de", "fr", "es", "it", "pt",
+        "ja", "zh", "ko", "ru", "ar", "und"),
+      "fixture order IS the oracle's CASE contract — do not reorder")
+  }
+
   test("quality score ranges and ordering") {
     val good = "This is a reasonably long and well formed paragraph of ordinary " +
       "English prose with sensible words and enough length to hit the cap of the factor."
