@@ -326,6 +326,13 @@ object Similarity {
       .withColumn("cell", assignUdf(col("cv")))
       .withColumn("cn", l2norm(col("cv")))
       .withColumn("ingest_batch", lit(-1L))
+      // partitions aligned to cells before the partitionBy write — else
+      // every input task opens a file in every cell dir (tasks × nlist
+      // small files; the write goes file-count-bound). Measured at the
+      // 20 M rung on the PQ twin: 1.75× on build, 7.2× on append, ~2.7×
+      // on probe scans (data-sized files), results bit-identical
+      // (SCALE.md r14).
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell", "ingest_batch")
       .parquet(s"$path/corpus")
     import spark.implicits._
@@ -362,6 +369,7 @@ object Similarity {
     requireBatchKeyedLayout(batch.sparkSession, path)
     assigned(batch, cId, cVec, cents)
       .withColumn("ingest_batch", lit(-1L))
+      .repartition(col("cell")) // one file per cell per append, not tasks × nlist
       .write.mode("append").partitionBy("cell", "ingest_batch")
       .parquet(s"$path/corpus")
   }
@@ -429,6 +437,7 @@ object Similarity {
     requireBatchKeyedLayout(batch.sparkSession, path)
     assigned(batch, cId, cVec, cents)
       .withColumn("ingest_batch", lit(batchId))
+      .repartition(col("cell")) // one file per cell per batch, not tasks × nlist
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell", "ingest_batch")
