@@ -185,4 +185,40 @@ class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = adc.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
     assert(a.toSeq === b.toSeq)
   }
+
+  test("index writes are cell-aligned: one data file per cell dir, not tasks x nlist") {
+    // Without the pre-write exchange every input task opens a file in
+    // every cell directory and the write goes file-count-bound — at the
+    // 20 M rung appending 2 M rows cost the same 134 s as building 18 M
+    // (SCALE.md r14: fix measured 7.2x on append). Pin the shape: a
+    // build from an 8-partition input must leave exactly ONE parquet
+    // file under each cell of BOTH tables, and an append adds one more.
+    def filesPerCell(root: String): Seq[Int] = {
+      val d = new java.io.File(root)
+      d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(_.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet")))
+        .toSeq
+    }
+    val df = synth(400, 16).repartition(8)
+    val path = Files.createTempDirectory("pqalign").toString
+    Pq.writePqIndex(df, "vec_id", "e", path, nlist = 4, m = 4, ksub = 16)
+    assert(filesPerCell(s"$path/codes").forall(_ === 1),
+      s"codes files per cell: ${filesPerCell(s"$path/codes")}")
+    assert(filesPerCell(s"$path/vectors").forall(_ === 1),
+      s"vectors files per cell: ${filesPerCell(s"$path/vectors")}")
+    Pq.appendPqIndex(synth(500, 16).filter(col("vec_id") >= 400).repartition(8),
+      "vec_id", "e", path)
+    assert(filesPerCell(s"$path/codes").forall(_ <= 2),
+      s"append must add at most one file per cell: ${filesPerCell(s"$path/codes")}")
+
+    // the IVF twin (nested cell=/ingest_batch= layout)
+    val ivfPath = Files.createTempDirectory("ivfalign").toString
+    Similarity.writeIvfIndex(df, "vec_id", "e", ivfPath, nlist = 4)
+    val perCell = new java.io.File(s"$ivfPath/corpus").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(_.listFiles().filter(_.isDirectory).map(
+        _.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))).sum)
+      .toSeq
+    assert(perCell.forall(_ === 1), s"ivf corpus files per cell: $perCell")
+  }
 }
