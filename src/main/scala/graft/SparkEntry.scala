@@ -1485,13 +1485,20 @@ object SparkEntry {
       li.filter(col("l_orderkey") % 2 === 1)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_returnflag"))
         .write.mode("overwrite").parquet(s"$p/b2")
+      // Sums run at DECIMAL(18,2) — exact and summation-order-free. The
+      // double sum diverged from DuckDB by one cent at the sf1 replay
+      // (3 M prices to ~1.6e11, where double spacing is ~3e-5 and each
+      // engine's reduction order accumulates differently); the inputs
+      // are exact 2-dp values, so decimal aggregation is the true answer
+      // in both engines. Result cast back to double for a stable output
+      // type across engines.
       s.read.option("mergeSchema", "true").parquet(s"$p/b1", s"$p/b2")
         .agg(count(lit(1)).as("n_rows"),
           count(col("l_quantity")).as("n_qty"),
           count(col("l_extendedprice")).as("n_price"),
           count(col("l_returnflag")).as("n_flag"),
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).as("sum_price"))
     }),
 
     "cdc_compact" -> ((s, dir) => {
@@ -3214,8 +3221,8 @@ object SparkEntry {
                 count(l_quantity) AS n_qty,
                 count(l_extendedprice) AS n_price,
                 count(l_returnflag) AS n_flag,
-                round(sum(l_quantity), 2) AS sum_qty,
-                round(sum(l_extendedprice), 2) AS sum_price
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
          FROM merged""",
 
     "cdc_compact" ->
