@@ -507,7 +507,14 @@ object Pq {
   /** Build and persist an IVFPQ index: train the coarse quantizer and
     * the PQ codebooks on a bounded sample, then lay the corpus out as a
     * cell-partitioned codes table + a cell-partitioned vectors table
-    * (norms precomputed). One assignment+encode pass over the corpus. */
+    * (norms precomputed). One assignment+encode pass over the corpus.
+    *
+    * Also persists the BUILD-TIME drift reference (`model/drift_ref`):
+    * [[indexDriftStats]] of the same bounded, deterministic sample the
+    * quantizers trained on — the "healthy" (coarse_fit, pq_err) the
+    * append contract's monitor compares against. Sample-bounded on
+    * purpose: the reference costs O(maxSample·dim), not a second corpus
+    * pass, and it measures exactly the distribution the model fit. */
   def writePqIndex(corpus: DataFrame, cId: String, cVec: String, path: String,
       nlist: Int = 16, m: Int = 8, ksub: Int = 256,
       iters: Int = 8, maxSample: Int = 4096): Unit = {
@@ -516,6 +523,39 @@ object Pq {
     val model = trainPq(corpus, cId, cVec, m, ksub, iters, maxSample)
     writeModel(spark, path, cents, model)
     writeRows(corpus, cId, cVec, path, cents, model, "overwrite")
+    import spark.implicits._
+    val sample = Similarity.firstVecsById(corpus, cId, cVec, maxSample)
+    indexDriftStats(
+      sample.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+        .toDF("vec_id", "v"), "vec_id", "v", path)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/model/drift_ref")
+  }
+
+  /** The retrain TRIGGER the drift monitor feeds: quantization health of
+    * `batch` under the stored model vs the build-time reference row.
+    * Returns (retrain, coarse_fit, pq_err, ref_coarse_fit, ref_pq_err):
+    * retrain = coarse_fit fell more than `fitDropTol` below the
+    * reference, OR pq_err rose more than `errRiseFrac` (relative) above
+    * it. Defaults are deliberately loose — quantization health decays
+    * SLOWLY under real drift, and a retrain is a full index rebuild, so
+    * the trigger should fire on structural change (measured at the 20 M
+    * rung: a spectrally-shifted batch moved pq_err +55 % and coarse_fit
+    * −23 % while an in-distribution batch moved neither). Indexes built
+    * before r14 carry no reference row → fails with the remedy. */
+  def shouldRetrain(batch: DataFrame, idCol: String, vecCol: String, path: String,
+      fitDropTol: Double = 0.05, errRiseFrac: Double = 0.15): (Boolean, Double, Double, Double, Double) = {
+    val spark = batch.sparkSession
+    val refPath = new org.apache.hadoop.fs.Path(s"$path/model/drift_ref")
+    val fs = refPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(refPath),
+      s"no drift reference at $path/model/drift_ref — the index predates the " +
+        "r14 layout; rebuild with writePqIndex to record one")
+    val ref = spark.read.parquet(s"$path/model/drift_ref").collect()(0)
+    val cur = indexDriftStats(batch, idCol, vecCol, path).collect()(0)
+    val (refFit, refErr) = (ref.getDouble(1), ref.getDouble(2))
+    val (fit, err) = (cur.getDouble(1), cur.getDouble(2))
+    val retrain = fit < refFit - fitDropTol || err > refErr * (1.0 + errRiseFrac)
+    (retrain, fit, err, refFit, refErr)
   }
 
   private def writeModel(spark: SparkSession, path: String,

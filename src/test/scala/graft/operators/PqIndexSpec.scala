@@ -221,4 +221,36 @@ class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toSeq
     assert(perCell.forall(_ === 1), s"ivf corpus files per cell: $perCell")
   }
+
+  test("shouldRetrain: in-distribution batch holds, drifted batch trips the trigger") {
+    val df = synth(400, 16)
+    val path = Files.createTempDirectory("pqdrift").toString
+    Pq.writePqIndex(df, "vec_id", "e", path, nlist = 4, m = 4, ksub = 16)
+    // build persisted a reference row measured on the training sample
+    val ref = spark.read.parquet(s"$path/model/drift_ref").collect()(0)
+    assert(ref.getLong(0) === 400L)
+
+    // a fresh batch from the SAME generator: quantization health matches
+    // the reference, no retrain
+    val inDist = synth(500, 16).filter(col("vec_id") >= 400)
+    val (r1, fit1, err1, refFit, refErr) =
+      Pq.shouldRetrain(inDist, "vec_id", "e", path)
+    assert(!r1, f"in-distribution batch tripped retrain: fit=$fit1%.4f/" +
+      f"ref=$refFit%.4f err=$err1%.4f/ref=$refErr%.4f")
+
+    // spectral concentration (the AnnGrowthLab drift construction):
+    // out-of-range subvectors must push pq_err past the tolerance
+    val drifted = inDist.withColumn("e",
+      expr("transform(e, (x, i) -> IF(i < 2, x * 6.0D, x * 0.25D))"))
+    val (r2, fit2, err2, _, _) = Pq.shouldRetrain(drifted, "vec_id", "e", path)
+    assert(r2, f"drifted batch must trip retrain: fit=$fit2%.4f err=$err2%.4f ref=$refErr%.4f")
+
+    // pre-r14 index (no reference row) fails with the remedy, not NPE
+    val fs = new java.io.File(s"$path/model/drift_ref")
+    fs.listFiles().foreach(_.delete()); fs.delete()
+    val e = intercept[IllegalArgumentException] {
+      Pq.shouldRetrain(inDist, "vec_id", "e", path)
+    }
+    assert(e.getMessage.contains("drift reference"), e.getMessage)
+  }
 }
