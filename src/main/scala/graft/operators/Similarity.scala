@@ -339,6 +339,33 @@ object Similarity {
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // build-time drift reference (the PQ twin stores one too): fit of
+    // the quantizer's own training sample — what [[shouldRetrain]]
+    // compares appended batches against. Sample-bounded, no corpus pass.
+    val sample = firstVecsById(corpus, cId, cVec, maxSample)
+    ivfDriftStats(
+      sample.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+        .toDF("vec_id", "v"), "vec_id", "v", cents)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/drift_ref")
+  }
+
+  /** Retrain trigger for plain IVF indexes — [[Pq.shouldRetrain]]'s
+    * sibling (no pq_err axis: plain IVF re-ranks with exact dots, so
+    * the only drift that costs recall is coarse-assignment drift).
+    * Returns (retrain, coarse_fit, ref_coarse_fit); retrain = the
+    * batch's fit fell more than `fitDropTol` below build-time. Indexes
+    * built before r14 carry no reference row → fails with the remedy. */
+  def shouldRetrain(batch: DataFrame, idCol: String, vecCol: String, path: String,
+      fitDropTol: Double = 0.05): (Boolean, Double, Double) = {
+    val spark = batch.sparkSession
+    val refPath = new org.apache.hadoop.fs.Path(s"$path/drift_ref")
+    val fs = refPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(refPath),
+      s"no drift reference at $path/drift_ref — the index predates the " +
+        "r14 layout; rebuild with writeIvfIndex to record one")
+    val refFit = spark.read.parquet(s"$path/drift_ref").collect()(0).getDouble(1)
+    val fit = ivfDriftStats(batch, idCol, vecCol, path).collect()(0).getDouble(1)
+    (fit < refFit - fitDropTol, fit, refFit)
   }
 
   /** Incremental append into a stored IVF index ([[writeIvfIndex]]):

@@ -163,4 +163,23 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     Similarity.appendIvfIndex(df.filter(col("id") >= 10), "id", "v", good)
     assert(spark.read.parquet(s"$good/corpus").count() === 20)
   }
+
+  test("shouldRetrain (IVF): in-distribution holds, spectral drift trips") {
+    val s = spark
+    import s.implicits._
+    def gen(ids: Range) = ids.map { i =>
+      (i.toLong, graft.tools.EmbedSynth.vector(i.toLong, 16, 4, 0.3).toSeq)
+    }.toDF("id", "v")
+    val path = Files.createTempDirectory("ivfdrift").toString
+    Similarity.writeIvfIndex(gen(0 until 400), "id", "v", path, nlist = 4)
+    assert(spark.read.parquet(s"$path/drift_ref").collect()(0).getLong(0) === 400L)
+    val inDist = gen(400 until 500)
+    val (r1, fit1, refFit) = Similarity.shouldRetrain(inDist, "id", "v", path)
+    assert(!r1, f"in-distribution tripped: fit=$fit1%.4f ref=$refFit%.4f")
+    val drifted = inDist.withColumn("v",
+      org.apache.spark.sql.functions.expr(
+        "transform(v, (x, i) -> IF(i < 2, x * 6.0D, x * 0.25D))"))
+    val (r2, fit2, _) = Similarity.shouldRetrain(drifted, "id", "v", path)
+    assert(r2, f"drifted batch must trip: fit=$fit2%.4f ref=$refFit%.4f")
+  }
 }
