@@ -471,6 +471,50 @@ object Similarity {
       .parquet(s"$path/corpus")
   }
 
+  /** Compact a streamed-into IVF index: fold every batch leaf with
+    * `ingest_batch <= committedBatchId` (plus the existing -1 rows) into
+    * the build layout (`ingest_batch=-1`, one file per cell), leaving
+    * NEWER batch leaves untouched. A long-running ingest accrues
+    * cells × batches leaf directories — each append writes one file per
+    * cell, so ten thousand triggers at nlist 256 is 2.5 M files; this
+    * rewrite returns the index to one data-sized file per cell.
+    *
+    * Replay safety is the whole design: [[appendIvfIndexIdempotent]]'s
+    * exactly-once story relies on a re-delivered batchId OVERWRITING its
+    * own leaves, so folding a batch that could still replay would
+    * duplicate it (the folded copy survives the overwrite). The caller
+    * passes the stream's checkpoint-COMMITTED batch id — Structured
+    * Streaming never re-delivers a committed batch — and only those
+    * leaves fold. Batches newer than the watermark keep their keys and
+    * their replay semantics.
+    *
+    * Single-writer contract (no transaction log on a plain FS): run with
+    * no concurrent append to this index. The swap is rename-based —
+    * new corpus written beside the old, old renamed away, new renamed
+    * in, old deleted — so a crash leaves either the original or a
+    * complete compacted corpus plus at worst a `corpus_old` to delete. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      committedBatchId: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val corpus = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/corpus_compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$path/corpus_old")
+    require(fs.exists(corpus), s"no index corpus at $corpus")
+    fs.delete(tmp, true); fs.delete(old, true)
+    spark.read.parquet(corpus.toString)
+      .withColumn("ingest_batch",
+        when(col("ingest_batch") <= committedBatchId, lit(-1L))
+          .otherwise(col("ingest_batch")))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell", "ingest_batch")
+      .parquet(tmp.toString)
+    require(fs.rename(corpus, old), s"compact swap: could not move $corpus aside")
+    require(fs.rename(tmp, corpus), s"compact swap: could not move $tmp into place " +
+      s"(recover by renaming $old back to $corpus)")
+    fs.delete(old, true)
+  }
+
   private def assigned(batch: DataFrame, cId: String, cVec: String,
       cents: Array[Array[Double]]): DataFrame = {
     val assignUdf = udf { (v: Seq[Double]) => nearestCell(normalize(v.toArray), cents) }

@@ -218,4 +218,56 @@ class StreamingAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       "id", "v", idx2)
     assert(Similarity.layoutChecksCount === 2L)
   }
+
+  test("compactIvfIndex folds committed batches, preserves replay of newer ones") {
+    val base = Files.createTempDirectory("sanncompact").toString
+    val s = spark
+    import s.implicits._
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(6)(r.nextGaussian())
+    }
+    val corpus = (0 until 30).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    val idx = s"$base/idx"
+    Similarity.writeIvfIndex(corpus, "id", "v", idx, nlist = 4, iters = 4)
+    val cents = Similarity.loadIvfCentroids(spark, idx)
+    def batch(lo: Int, hi: Int) = (lo until hi).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    Similarity.appendIvfIndexIdempotent(batch(200, 204), "id", "v", idx, cents, 0L)
+    Similarity.appendIvfIndexIdempotent(batch(204, 208), "id", "v", idx, cents, 1L)
+    Similarity.appendIvfIndexIdempotent(batch(208, 212), "id", "v", idx, cents, 2L)
+
+    val queries = (300 until 303).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    def ask() = Similarity.ivfTopKIndexed(queries, "id", "v", idx, k = 4, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._4)).toSeq
+    val before = ask()
+
+    // checkpoint committed through batch 1 -> fold -1, 0, 1; keep 2
+    Similarity.compactIvfIndex(spark, idx, committedBatchId = 1L)
+    val stored = spark.read.parquet(s"$idx/corpus")
+    assert(stored.count() === 42L)
+    // partition discovery types ingest_batch from the dir strings (int
+    // here) — cast for a stable read; the dir NAMES are the contract
+    assert(stored.select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+      === Set(-1L, 2L), "fold must keep only -1 and the uncommitted batch 2")
+    assert(ask() === before, "compaction must not change answers")
+    // the folded layout is one file per (cell, batch) leaf
+    val leaves = new java.io.File(s"$idx/corpus").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .flatMap(_.listFiles().filter(_.isDirectory))
+    assert(leaves.forall(_.listFiles().count(f =>
+      f.isFile && f.getName.endsWith(".parquet")) === 1))
+
+    // batch 2 could still replay (it was never checkpoint-committed):
+    // the re-delivery must stay exactly-once against the compacted index
+    Similarity.appendIvfIndexIdempotent(batch(208, 212), "id", "v", idx, cents, 2L)
+    assert(spark.read.parquet(s"$idx/corpus").count() === 42L,
+      "replaying the uncommitted batch after compaction double-ingested")
+    assert(ask() === before)
+
+    // ingest continues normally on the compacted index
+    Similarity.appendIvfIndexIdempotent(batch(212, 216), "id", "v", idx, cents, 3L)
+    assert(spark.read.parquet(s"$idx/corpus").count() === 46L)
+  }
 }
