@@ -531,6 +531,31 @@ object Pq {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/model/drift_ref")
   }
 
+  /** Compact both index tables back to one data-sized file per cell:
+    * every [[appendPqIndex]] adds one file per cell per call, so a
+    * frequent-append ingest accrues cells × appends files per table.
+    * Unlike [[Similarity.compactIvfIndex]] there is no batch-key replay
+    * semantics to preserve (PQ appends are not idempotent-keyed), so the
+    * fold is total. Same rename-swap and single-writer contract. */
+  def compactPqIndex(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (table <- Seq("codes", "vectors")) {
+      val cur = new org.apache.hadoop.fs.Path(s"$path/$table")
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/${table}_compact_tmp")
+      val old = new org.apache.hadoop.fs.Path(s"$path/${table}_old")
+      require(fs.exists(cur), s"no index table at $cur")
+      fs.delete(tmp, true); fs.delete(old, true)
+      spark.read.parquet(cur.toString)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+      require(fs.rename(cur, old), s"compact swap: could not move $cur aside")
+      require(fs.rename(tmp, cur), s"compact swap: could not move $tmp into place " +
+        s"(recover by renaming $old back to $cur)")
+      fs.delete(old, true)
+    }
+  }
+
   /** The retrain TRIGGER the drift monitor feeds: quantization health of
     * `batch` under the stored model vs the build-time reference row.
     * Returns (retrain, coarse_fit, pq_err, ref_coarse_fit, ref_pq_err):

@@ -211,6 +211,21 @@ class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(filesPerCell(s"$path/codes").forall(_ <= 2),
       s"append must add at most one file per cell: ${filesPerCell(s"$path/codes")}")
 
+    // compaction folds accumulated append files back to one per cell,
+    // with answers unchanged
+    val q = synth(500, 16).filter(col("vec_id") < 5)
+    def ask() = Pq.pqTopKIndexed(q, "vec_id", "e", path, k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._4)).toSeq
+    val before = ask()
+    Pq.compactPqIndex(spark, path)
+    assert(filesPerCell(s"$path/codes").forall(_ === 1),
+      s"compacted codes files per cell: ${filesPerCell(s"$path/codes")}")
+    assert(filesPerCell(s"$path/vectors").forall(_ === 1),
+      s"compacted vectors files per cell: ${filesPerCell(s"$path/vectors")}")
+    assert(spark.read.parquet(s"$path/codes").count() === 500L)
+    assert(ask() === before, "compaction must not change answers")
+
     // the IVF twin (nested cell=/ingest_batch= layout)
     val ivfPath = Files.createTempDirectory("ivfalign").toString
     Similarity.writeIvfIndex(df, "vec_id", "e", ivfPath, nlist = 4)
