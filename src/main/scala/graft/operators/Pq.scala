@@ -546,8 +546,9 @@ object Pq {
       val old = new org.apache.hadoop.fs.Path(s"$path/${table}_old")
       require(fs.exists(cur), s"no index table at $cur")
       fs.delete(tmp, true); fs.delete(old, true)
+      val nlist = spark.read.parquet(s"$path/model/centroids").count().toInt
       spark.read.parquet(cur.toString)
-        .repartition(col("cell"))
+        .transform(Similarity.cellSpread(_, nlist))
         .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
       require(fs.rename(cur, old), s"compact swap: could not move $cur aside")
       require(fs.rename(tmp, cur), s"compact swap: could not move $tmp into place " +
@@ -613,14 +614,17 @@ object Pq {
     }
     val b = batch.select(col(cId).as("corpus_id"), col(cVec).cast("array<double>").as("cv"))
       .withColumn("s", rowUdf(col("cv")))
-      // Align partitions to cells BEFORE the partitionBy writes: without
-      // this every input task opens a file in every cell directory —
+      // Cell-aligned exchange BEFORE the partitionBy writes: without it
+      // every input task opens a file in every cell directory —
       // tasks × nlist × 2 tables ≈ 32 K small files at 64 × 256, and the
       // write cost goes FILE-COUNT-bound, not row-bound (measured at the
       // 20 M rung: appending 2 M rows cost the same 134 s as building
-      // 18 M). One exchange of the batch makes it one file per cell per
-      // table, and probe scans read data-sized files instead of shards.
-      .repartition(col("s._1"))
+      // 18 M). Fan-out within a cell is BOUNDED, not 1 — see
+      // [[Similarity.cellSpread]] for why exactly-one-file caps scan
+      // parallelism at nlist when nlist < cores.
+      .withColumn("cell", col("s._1"))
+      .transform(Similarity.cellSpread(_, cents.length))
+      .drop("cell")
       // both writes below consume the assignment — persist so the scan +
       // assign/encode pass runs once, not once per output table
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

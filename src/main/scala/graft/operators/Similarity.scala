@@ -326,13 +326,9 @@ object Similarity {
       .withColumn("cell", assignUdf(col("cv")))
       .withColumn("cn", l2norm(col("cv")))
       .withColumn("ingest_batch", lit(-1L))
-      // partitions aligned to cells before the partitionBy write — else
-      // every input task opens a file in every cell dir (tasks × nlist
-      // small files; the write goes file-count-bound). Measured at the
-      // 20 M rung on the PQ twin: 1.75× on build, 7.2× on append, ~2.7×
-      // on probe scans (data-sized files), results bit-identical
-      // (SCALE.md r14).
-      .repartition(col("cell"))
+      // cell-aligned exchange before the partitionBy write (see
+      // [[cellSpread]] for the two failure modes this brackets)
+      .transform(cellSpread(_, cents.length))
       .write.mode("overwrite").partitionBy("cell", "ingest_batch")
       .parquet(s"$path/corpus")
     import spark.implicits._
@@ -396,7 +392,7 @@ object Similarity {
     requireBatchKeyedLayout(batch.sparkSession, path)
     assigned(batch, cId, cVec, cents)
       .withColumn("ingest_batch", lit(-1L))
-      .repartition(col("cell")) // one file per cell per append, not tasks × nlist
+      .transform(cellSpread(_, cents.length)) // bounded files per cell, not tasks × nlist
       .write.mode("append").partitionBy("cell", "ingest_batch")
       .parquet(s"$path/corpus")
   }
@@ -464,7 +460,7 @@ object Similarity {
     requireBatchKeyedLayout(batch.sparkSession, path)
     assigned(batch, cId, cVec, cents)
       .withColumn("ingest_batch", lit(batchId))
-      .repartition(col("cell")) // one file per cell per batch, not tasks × nlist
+      .transform(cellSpread(_, cents.length)) // bounded files per cell per batch
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell", "ingest_batch")
@@ -502,11 +498,12 @@ object Similarity {
     val old = new org.apache.hadoop.fs.Path(s"$path/corpus_old")
     require(fs.exists(corpus), s"no index corpus at $corpus")
     fs.delete(tmp, true); fs.delete(old, true)
+    val nlist = spark.read.parquet(s"$path/centroids").count().toInt
     spark.read.parquet(corpus.toString)
       .withColumn("ingest_batch",
         when(col("ingest_batch") <= committedBatchId, lit(-1L))
           .otherwise(col("ingest_batch")))
-      .repartition(col("cell"))
+      .transform(cellSpread(_, nlist))
       .write.mode("overwrite").partitionBy("cell", "ingest_batch")
       .parquet(tmp.toString)
     require(fs.rename(corpus, old), s"compact swap: could not move $corpus aside")
@@ -522,6 +519,34 @@ object Similarity {
       .withColumn("cell", assignUdf(col("cv")))
       .withColumn("cn", l2norm(col("cv")))
   }
+
+  /** Cell-aligned exchange for index writes, with bounded intra-cell
+    * fan-out. Two failure modes bracket this:
+    * - NO alignment: every input task opens a file in every cell dir —
+    *   tasks × nlist small files, write goes file-count-bound (measured
+    *   7.2× on append at the 20 M rung, SCALE.md r14);
+    * - alignment to EXACTLY one file per cell: when nlist < cores the
+    *   whole index is nlist files and every full-probe scan caps at
+    *   nlist-way parallelism (measured at the 2 M batch lab, nlist 16
+    *   on 32 cores: stored-IVF batch-1000 probe 48 → 154 s).
+    * So: S = ceil(2·defaultParallelism / nlist) files per cell — S = 1
+    * whenever nlist already covers the machine (the production regime),
+    * S > 1 only to restore parallelism on small indexes; total files
+    * stay ≤ nlist·S ≈ 2·cores beyond nlist, never tasks × nlist. The
+    * salt is a deterministic id hash, so the layout is reproducible. */
+  private[operators] def cellSpread(df: DataFrame, nlist: Int,
+      idCol: String = "corpus_id"): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val s = math.max(1, (2 * par + nlist - 1) / nlist)
+    if (s <= 1) df.repartition(col("cell"))
+    else df.repartition(nlist * s, col("cell"), pmod(xxhash64(col(idCol)), lit(s)))
+  }
+
+  /** The spec-visible bound on files per cell a [[cellSpread]] write may
+    * produce on this session. */
+  private[graft] def cellSpreadBound(spark: org.apache.spark.sql.SparkSession,
+      nlist: Int): Int =
+    math.max(1, (2 * spark.sparkContext.defaultParallelism + nlist - 1) / nlist)
 
   /** The drift monitor [[appendIvfIndex]]'s contract points at, for
     * plain IVF indexes (the PQ twin with a reconstruction-error column

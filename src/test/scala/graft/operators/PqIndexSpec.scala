@@ -186,30 +186,35 @@ class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.toSeq === b.toSeq)
   }
 
-  test("index writes are cell-aligned: one data file per cell dir, not tasks x nlist") {
+  test("index writes are cell-aligned: bounded files per cell, not tasks x nlist") {
     // Without the pre-write exchange every input task opens a file in
     // every cell directory and the write goes file-count-bound — at the
     // 20 M rung appending 2 M rows cost the same 134 s as building 18 M
-    // (SCALE.md r14: fix measured 7.2x on append). Pin the shape: a
-    // build from an 8-partition input must leave exactly ONE parquet
-    // file under each cell of BOTH tables, and an append adds one more.
+    // (SCALE.md r14: fix measured 7.2x on append). The fan-out within a
+    // cell is cellSpreadBound, not exactly 1: one-file-per-cell capped
+    // full-probe scan parallelism at nlist when nlist < cores (measured
+    // 48 -> 154 s at the 2 M batch lab). Pin the shape: a build from an
+    // 8-partition input stays within the bound per cell in BOTH tables,
+    // and an append adds at most one more bound's worth.
     def filesPerCell(root: String): Seq[Int] = {
       val d = new java.io.File(root)
       d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
         .map(_.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet")))
         .toSeq
     }
+    val bound = Similarity.cellSpreadBound(spark, nlist = 4)
+    assert(bound >= 1 && bound <= 8, s"local[4]/nlist 4 bound: $bound")
     val df = synth(400, 16).repartition(8)
     val path = Files.createTempDirectory("pqalign").toString
     Pq.writePqIndex(df, "vec_id", "e", path, nlist = 4, m = 4, ksub = 16)
-    assert(filesPerCell(s"$path/codes").forall(_ === 1),
-      s"codes files per cell: ${filesPerCell(s"$path/codes")}")
-    assert(filesPerCell(s"$path/vectors").forall(_ === 1),
-      s"vectors files per cell: ${filesPerCell(s"$path/vectors")}")
+    assert(filesPerCell(s"$path/codes").forall(_ <= bound),
+      s"codes files per cell (bound $bound): ${filesPerCell(s"$path/codes")}")
+    assert(filesPerCell(s"$path/vectors").forall(_ <= bound),
+      s"vectors files per cell (bound $bound): ${filesPerCell(s"$path/vectors")}")
     Pq.appendPqIndex(synth(500, 16).filter(col("vec_id") >= 400).repartition(8),
       "vec_id", "e", path)
-    assert(filesPerCell(s"$path/codes").forall(_ <= 2),
-      s"append must add at most one file per cell: ${filesPerCell(s"$path/codes")}")
+    assert(filesPerCell(s"$path/codes").forall(_ <= 2 * bound),
+      s"append must stay within one more bound: ${filesPerCell(s"$path/codes")}")
 
     // compaction folds accumulated append files back to one per cell,
     // with answers unchanged
@@ -219,10 +224,10 @@ class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .sortBy(x => (x._1, x._4)).toSeq
     val before = ask()
     Pq.compactPqIndex(spark, path)
-    assert(filesPerCell(s"$path/codes").forall(_ === 1),
-      s"compacted codes files per cell: ${filesPerCell(s"$path/codes")}")
-    assert(filesPerCell(s"$path/vectors").forall(_ === 1),
-      s"compacted vectors files per cell: ${filesPerCell(s"$path/vectors")}")
+    assert(filesPerCell(s"$path/codes").forall(_ <= bound),
+      s"compacted codes files per cell (bound $bound): ${filesPerCell(s"$path/codes")}")
+    assert(filesPerCell(s"$path/vectors").forall(_ <= bound),
+      s"compacted vectors files per cell (bound $bound): ${filesPerCell(s"$path/vectors")}")
     assert(spark.read.parquet(s"$path/codes").count() === 500L)
     assert(ask() === before, "compaction must not change answers")
 
@@ -234,7 +239,7 @@ class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.listFiles().filter(_.isDirectory).map(
         _.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))).sum)
       .toSeq
-    assert(perCell.forall(_ === 1), s"ivf corpus files per cell: $perCell")
+    assert(perCell.forall(_ <= bound), s"ivf corpus files per cell (bound $bound): $perCell")
   }
 
   test("shouldRetrain: in-distribution batch holds, drifted batch trips the trigger") {
