@@ -86,18 +86,39 @@ object StreamingAnn {
     * state and query answers). `onDrift` re-fires on replay — drift
     * rows are monitoring, deliver-at-least-once by design; key on the
     * batch id if the sink must dedup them too. */
+  /** [[appendBatches]] with in-stream auto-compaction: every
+    * `compactEvery` non-empty batches, fold all checkpoint-committed
+    * batch leaves into the build layout
+    * ([[graft.operators.Similarity.compactIvfIndex]]). The watermark is
+    * `batchId - 1`, which is SAFE BY CONSTRUCTION inside foreachBatch:
+    * Structured Streaming commits batch N−1 to the checkpoint before it
+    * delivers batch N, and a committed batch is never re-delivered — so
+    * the fold can only touch leaves whose replay is impossible, while
+    * the in-flight batch keeps its keys and its overwrite-on-replay
+    * semantics. Compaction runs on the ingest thread, so the
+    * single-writer contract holds without coordination. `compactEvery`
+    * ≤ 0 disables (the plain [[appendBatches]] behavior). */
   def appendBatches(
-      path: String, idCol: String, vecCol: String)(
+      path: String, idCol: String, vecCol: String, compactEvery: Int)(
       onDrift: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     val cents = loadCents(path)
+    var appended = 0L
     (batch, batchId) => {
       if (!batch.isEmpty) {
         val ct = cents(batch)
         Similarity.appendIvfIndexIdempotent(batch, idCol, vecCol, path, ct, batchId)
         onDrift(Similarity.ivfDriftStats(batch, idCol, vecCol, ct), batchId)
+        appended += 1
+        if (compactEvery > 0 && appended % compactEvery == 0 && batchId > 0)
+          Similarity.compactIvfIndex(batch.sparkSession, path, batchId - 1)
       }
     }
   }
+
+  def appendBatches(
+      path: String, idCol: String, vecCol: String)(
+      onDrift: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    appendBatches(path, idCol, vecCol, compactEvery = 0)(onDrift)
 
   // one driver-side centroid read per STREAM: the quantizer is immutable
   // between rebuilds, so re-reading it every trigger buys nothing

@@ -273,4 +273,40 @@ class StreamingAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     Similarity.appendIvfIndexIdempotent(batch(212, 216), "id", "v", idx, cents, 3L)
     assert(spark.read.parquet(s"$idx/corpus").count() === 46L)
   }
+
+  test("auto-compaction inside appendBatches: folds committed leaves, replay still exactly-once") {
+    val base = Files.createTempDirectory("sannauto").toString
+    val s = spark
+    import s.implicits._
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(6)(r.nextGaussian())
+    }
+    val corpus = (0 until 30).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    val idx = s"$base/idx"
+    Similarity.writeIvfIndex(corpus, "id", "v", idx, nlist = 4, iters = 4)
+    def batch(lo: Int, hi: Int) = (lo until hi).map(i => (i.toLong, vec(i))).toDF("id", "v")
+
+    val fn = StreamingAnn.appendBatches(idx, "id", "v", compactEvery = 2) { (_, _) => () }
+    fn(batch(200, 204), 0L)
+    fn(batch(204, 208), 1L) // 2nd append -> compaction with watermark 0: folds -1 and 0
+    val afterFirst = spark.read.parquet(s"$idx/corpus")
+    assert(afterFirst.count() === 38L)
+    assert(afterFirst.select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet === Set(-1L, 1L),
+      "watermark batchId-1 must fold only committed leaves, keeping the in-flight batch")
+
+    // crash-replay of the in-flight batch against the compacted index
+    fn(batch(204, 208), 1L)
+    assert(spark.read.parquet(s"$idx/corpus").count() === 38L,
+      "replay after auto-compaction double-ingested")
+
+    fn(batch(208, 212), 2L) // 4th non-empty call (the replay counted) -> compact, wm 1
+    fn(batch(212, 216), 3L)
+    val stored = spark.read.parquet(s"$idx/corpus")
+    assert(stored.count() === 46L)
+    assert(stored.select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet === Set(-1L, 2L, 3L),
+      "second compaction (watermark 1) folds batch 1; 2 and 3 stay keyed")
+  }
 }
