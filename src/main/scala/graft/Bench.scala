@@ -9,6 +9,14 @@ import org.apache.spark.sql.SparkSession
   * xlsx/csv write+read roundtrips inside those queries).
   */
 object Bench {
+  /** The cold-pass list — STATIC on purpose (a stable series beats a
+    * per-round "current top 10"); also the key order of the artifact's
+    * `cold_ms` trailer line (see the emission note in main). */
+  val coldList: Seq[String] = Seq("neardup_survivors", "csv_single_file_bz2",
+    "dedup_ngram_jaccard", "xlsx_roundtrip", "curation_pipeline",
+    "csv_single_file", "xlsx_single_file", "dedup_substring",
+    "line_dedup", "nb_classify")
+
   def main(args: Array[String]): Unit = {
     // the contract JSON line is built with f"%.3f" interpolations, which
     // format via the default locale — a comma-decimal locale would emit
@@ -89,10 +97,6 @@ object Bench {
     // for series consistency: the FIRST entry absorbs the dedup stack's
     // JIT/codegen (measured ~2x on neardup_survivors) — identical every
     // round, so deltas still isolate plan changes.
-    val coldList = Seq("neardup_survivors", "csv_single_file_bz2",
-      "dedup_ngram_jaccard", "xlsx_roundtrip", "curation_pipeline",
-      "csv_single_file", "xlsx_single_file", "dedup_substring",
-      "line_dedup", "nb_classify")
     val colds = coldList.map { name =>
       graft.operators.Dedup.unpersistAll(spark)
       spark.sharedState.cacheManager.clearCache()
@@ -202,7 +206,25 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val loadEnd = loadAvg()
     val ncpu = Runtime.getRuntime.availableProcessors()
+    // the full human-readable contract line FIRST (complete in the sbt
+    // log; its head may fall outside the driver artifact's tail window)
     println(f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"idle_wait_s":$idleWaitS%.0f,"host_cpus":$ncpu}""")
+    // Machine-parseable trailer (r15): the driver artifact stores only
+    // the LAST ~2000 chars of output, and the single named-key line
+    // above measures ~2.5 K minified — it can never fit, which is why
+    // BENCH_r14's "parsed" was null and its tail began mid-key. The
+    // fully-named warm+cold+throughput trio also sums past the window
+    // (~2.45 K measured), so the trailer carries warm/cold as ordered
+    // integer-millisecond ARRAYS, with the key order pinned by the
+    // committed source (`SparkEntry.benchQueries` / `Bench.coldList` —
+    // the exact code the driver ran), and keeps full names only where
+    // they map to BASELINE.md rows (throughput + meta, last line).
+    // Total trailer ≈ 1.2 K: every key of the round is recoverable from
+    // the artifact alone plus the repo at the round's commit.
+    def ms(v: Double): String = if (v < 0) "-1" else math.round(v * 1000).toString
+    println(s"""{"bench":"warm_ms","keys":"graft.SparkEntry.benchQueries","n":${results.size},"v":[${results.map(r => ms(r._2)).mkString(",")}]}""")
+    println(s"""{"bench":"cold_ms","keys":"graft.Bench.coldList","n":${colds.size},"v":[${colds.map(c => ms(c._2)).mkString(",")}]}""")
+    println(f"""{"bench":"meta","metric":"total_headline_sec","value":$total%.3f,"unit":"sec","sf":"$sfDir","load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"idle_wait_s":$idleWaitS%.0f,"host_cpus":$ncpu,"tput":{$tput}}""")
     spark.stop()
   }
 }

@@ -1,0 +1,278 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared maintenance machinery for the persisted ANN index layouts
+  * (`cell=<c>/ingest_batch=<b>` two-level partitioning — IVF corpus,
+  * IVFPQ codes + vectors): the incremental leaf fold that compaction is
+  * built on, its crash recovery, and the staging-debris guard.
+  *
+  * ## Why an incremental fold, not a rewrite
+  *
+  * r14's compaction read and rewrote the WHOLE table per fold — with
+  * in-stream `compactEvery = N` a long ingest paid O(resident index)
+  * every N batches, O(index²/N) lifetime write I/O for O(new data) of
+  * useful work, and at 100 TB a single fold was a full-index job. The
+  * fold here reads ONLY the checkpoint-committed batch leaves
+  * (`0 ≤ ingest_batch ≤ committed`, listed directly so even the FS
+  * listing is batch-sized), writes their rows as new bounded-fan-out
+  * files into the existing `ingest_batch=-1` leaves, and deletes the
+  * folded batch leaves. The resident `-1` files are never read, never
+  * rewritten, never renamed — fold cost scales with the folded batches,
+  * not the index.
+  *
+  * Each fold ADDS at most one cell-spread bound's worth of files per
+  * cell to the `-1` layer, so `-1` accrues `folds × bound` files over a
+  * stream's lifetime (vs `batches` per cell unfolded). When that
+  * accrual itself warrants flattening, rebuild the index — by the time
+  * thousands of folds have run, the drift trigger has almost certainly
+  * asked for a retrain anyway, and a rebuild IS the major compaction.
+  *
+  * ## Crash safety (the r14 rename-swap's fatal window, removed)
+  *
+  * The old two-rename swap had a window where a crash left NO live
+  * table (between `rename(table, old)` and `rename(tmp, table)`), and a
+  * later compaction's `delete(old)` destroyed the stranded original.
+  * The fold never renames the live table at all; it is staged through
+  * two markers written INSIDE the table dir (underscore-prefixed, so
+  * parquet readers ignore them):
+  *
+  *  1. fold output written to `<table>_fold_tmp` (outside the table —
+  *     a non-partition dir inside it would break partition discovery);
+  *  2. `_fold_staged` marker created (atomic write-then-rename),
+  *     listing the EXACT destination files and leaf dirs;
+  *  3. tmp files renamed into `cell=<c>/ingest_batch=-1/` under
+  *     fold-prefixed names;
+  *  4. marker renamed `_fold_staged` → `_fold_commit` (atomic — the
+  *     point of no return);
+  *  5. folded leaf dirs deleted; tmp + marker removed.
+  *
+  * A crash anywhere leaves a deterministic recovery: `_fold_staged`
+  * present → roll BACK (delete the listed destination files — the
+  * originals are all still in their leaves); `_fold_commit` present →
+  * roll FORWARD (delete the listed leaf dirs — every destination file
+  * is in place by construction). Both are idempotent. [[recover]]
+  * performs whichever applies; [[requireNoDebris]] makes writers refuse
+  * to touch an index with unrecovered debris.
+  *
+  * Readers during a NORMAL fold are unaffected (single-writer contract;
+  * markers invisible; worst case a concurrent query transiently sees a
+  * just-folded batch twice between steps 3 and 5 — the window a crash
+  * freezes, which is why readers also check for debris).
+  */
+private[graft] object IndexMaintenance {
+
+  private def foldTmp(table: Path) =
+    new Path(table.getParent, table.getName + "_fold_tmp")
+  private def stagedMarker(table: Path) = new Path(table, "_fold_staged")
+  private def commitMarker(table: Path) = new Path(table, "_fold_commit")
+  private def markerScratch(table: Path) = new Path(table, "._fold_staged.tmp")
+  // r14 rename-swap debris (an index crashed under the OLD protocol)
+  private def legacyTmp(table: Path) =
+    new Path(table.getParent, table.getName + "_compact_tmp")
+  private def legacyOld(table: Path) =
+    new Path(table.getParent, table.getName + "_old")
+
+  /** Test seam: set to a phase name ("before-commit" | "before-cleanup")
+    * to crash a fold at that point — lets specs pin the recovery paths
+    * without timing luck. */
+  @volatile private[graft] var failpoint: Option[String] = None
+  private def maybeFail(phase: String): Unit =
+    if (failpoint.contains(phase))
+      throw new RuntimeException(s"injected fold crash at $phase")
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Throw if `table` carries staging debris from an interrupted fold
+    * (or from the pre-r15 rename-swap). Writers and readers call this so
+    * a crashed maintenance op is surfaced loudly — with the remedy —
+    * instead of silently double-counting or deleting stranded data. */
+  private[graft] def requireNoDebris(fs: FileSystem, table: Path): Unit = {
+    val debris = Seq(
+      stagedMarker(table) -> "an interrupted fold (staged)",
+      commitMarker(table) -> "an interrupted fold (committed)",
+      foldTmp(table) -> "fold staging output",
+      legacyTmp(table) -> "a pre-r15 compaction's staging dir",
+      legacyOld(table) -> "a pre-r15 compaction's renamed-aside table"
+    ).filter { case (p, _) => fs.exists(p) }
+    if (debris.nonEmpty) throw new IllegalStateException(
+      s"index table $table has compaction debris: " +
+        debris.map { case (p, what) => s"$p ($what)" }.mkString("; ") +
+        " — a maintenance op was interrupted. Run the index's recover " +
+        "entry point (Similarity.recoverIvfFold / Pq.recoverPqFold) " +
+        "before reading or appending.")
+  }
+
+  /** Fold every `0 ≤ ingest_batch ≤ committed` leaf of `tablePath` into
+    * its `ingest_batch=-1` layer. `spread` is the caller's bounded
+    * cell-aligned exchange ([[Similarity.cellSpread]] with its nlist).
+    * Returns false when there was nothing to fold. Single-writer
+    * contract: no concurrent append to this table. */
+  def foldCommitted(spark: SparkSession, tablePath: String, committed: Long,
+      spread: DataFrame => DataFrame): Boolean = {
+    val table = new Path(tablePath)
+    val fs = fsOf(spark, table)
+    require(fs.exists(table), s"no index table at $table")
+    requireNoDebris(fs, table)
+
+    // batch-sized listing: only cell dirs' leaf NAMES are enumerated,
+    // and only matching leaves are handed to the read below (basePath
+    // keeps the partition columns) — the resident -1 leaves are never
+    // listed into the scan
+    val leafRels: Seq[String] = for {
+      cellDir <- fs.listStatus(table).toSeq
+      if cellDir.isDirectory && cellDir.getPath.getName.startsWith("cell=")
+      leaf <- fs.listStatus(cellDir.getPath).toSeq
+      if leaf.isDirectory && leaf.getPath.getName.startsWith("ingest_batch=")
+      b = leaf.getPath.getName.stripPrefix("ingest_batch=").toLong
+      if b >= 0 && b <= committed
+    } yield s"${cellDir.getPath.getName}/${leaf.getPath.getName}"
+    if (leafRels.isEmpty) return false
+
+    val tmp = foldTmp(table)
+    fs.delete(tmp, true)
+    val df = spark.read.option("basePath", tablePath)
+      .parquet(leafRels.map(r => s"$tablePath/$r"): _*)
+    spread(df.drop("ingest_batch"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+
+    // enumerate the fold output and its exact destinations; the fold
+    // prefix keys file names to this fold's watermark (uniqueness comes
+    // from the part-file UUIDs; recovery comes from the marker list)
+    val moves: Seq[(Path, String)] = for {
+      cellDir <- fs.listStatus(tmp).toSeq
+      if cellDir.isDirectory && cellDir.getPath.getName.startsWith("cell=")
+      f <- fs.listStatus(cellDir.getPath).toSeq
+      if f.isFile && f.getPath.getName.endsWith(".parquet")
+    } yield (f.getPath,
+      s"${cellDir.getPath.getName}/ingest_batch=-1/fold$committed-${f.getPath.getName}")
+
+    writeMarker(fs, markerScratch(table), stagedMarker(table),
+      moves.map { case (_, rel) => s"F $rel" } ++ leafRels.map(r => s"D $r"))
+    moves.foreach { case (src, rel) =>
+      val dst = new Path(table, rel)
+      fs.mkdirs(dst.getParent)
+      require(fs.rename(src, dst), s"fold: could not move $src to $dst")
+    }
+    maybeFail("before-commit")
+    require(fs.rename(stagedMarker(table), commitMarker(table)),
+      s"fold: could not commit ${stagedMarker(table)}")
+    maybeFail("before-cleanup")
+    leafRels.foreach(r => fs.delete(new Path(table, r), true))
+    fs.delete(tmp, true)
+    fs.delete(commitMarker(table), false)
+    true
+  }
+
+  /** Deterministic crash recovery for [[foldCommitted]] (and for the
+    * pre-r15 rename-swap's debris). Idempotent; safe to call on a clean
+    * table (returns None). Returns a human-readable account of what was
+    * repaired. */
+  def recover(spark: SparkSession, tablePath: String): Option[String] = {
+    val table = new Path(tablePath)
+    val fs = fsOf(spark, table)
+    val commit = commitMarker(table)
+    val staged = stagedMarker(table)
+    if (fs.exists(commit)) {
+      // every fold file is in place (the marker renames only after all
+      // moves) — finish the fold: delete the listed leaves + staging
+      val dirs = readMarker(fs, commit).collect { case s if s.startsWith("D ") =>
+        s.drop(2) }
+      dirs.foreach(r => fs.delete(new Path(table, r), true))
+      fs.delete(foldTmp(table), true)
+      fs.delete(commit, false)
+      Some(s"rolled FORWARD an interrupted fold of $table " +
+        s"(deleted ${dirs.size} already-folded leaf dirs)")
+    } else if (fs.exists(staged)) {
+      // originals all intact — undo the fold: delete whatever fold
+      // files were already moved in, plus staging
+      val files = readMarker(fs, staged).collect { case s if s.startsWith("F ") =>
+        s.drop(2) }
+      files.foreach(r => fs.delete(new Path(table, r), false))
+      fs.delete(foldTmp(table), true)
+      fs.delete(staged, false)
+      Some(s"rolled BACK an interrupted fold of $table " +
+        s"(removed ${files.size} staged fold files; originals intact)")
+    } else if (fs.exists(markerScratch(table)) || fs.exists(foldTmp(table))) {
+      // crashed before the staged marker existed: nothing was moved
+      fs.delete(markerScratch(table), false)
+      fs.delete(foldTmp(table), true)
+      Some(s"removed pre-stage fold scratch of $table (nothing had moved)")
+    } else recoverLegacySwap(fs, table)
+  }
+
+  /** Recovery for the r14 rename-swap protocol's crash states, so an
+    * index left broken by the OLD code heals instead of the advisor's
+    * worst case (a later compact deleting the stranded original). */
+  private def recoverLegacySwap(fs: FileSystem, table: Path): Option[String] = {
+    val old = legacyOld(table)
+    val tmp = legacyTmp(table)
+    val tmpComplete = fs.exists(new Path(tmp, "_SUCCESS"))
+    if (!fs.exists(old) && !fs.exists(tmp)) None
+    else if (!fs.exists(table) && fs.exists(old)) {
+      // the fatal window: live table renamed aside, replacement not in
+      if (tmpComplete) {
+        require(fs.rename(tmp, table), s"legacy recover: could not move $tmp to $table")
+        fs.delete(old, true)
+        Some(s"legacy swap: installed the complete staged table at $table, removed the old copy")
+      } else {
+        require(fs.rename(old, table), s"legacy recover: could not move $old back to $table")
+        fs.delete(tmp, true)
+        Some(s"legacy swap: restored $table from its renamed-aside copy")
+      }
+    } else {
+      // live table present: staging/aside copies are residue
+      fs.delete(tmp, true)
+      fs.delete(old, true)
+      Some(s"legacy swap: removed stale staging dirs beside $table")
+    }
+  }
+
+  private def writeMarker(fs: FileSystem, scratch: Path, dest: Path,
+      lines: Seq[String]): Unit = {
+    val out = fs.create(scratch, true)
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(scratch, dest), s"could not publish marker $dest")
+  }
+
+  private def readMarker(fs: FileSystem, marker: Path): Seq[String] = {
+    val in = fs.open(marker)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  /** Memoizing two-level-layout + debris guard, one instance per index
+    * family. The layout verdict cannot change once passed (every writer
+    * emits the two-level layout), so a streaming ingest pays ONE FS
+    * check per (JVM, path); a FAILED check is never cached — the remedy
+    * changes on-disk state, so a retry must re-look. Debris is checked
+    * inside the same memoized visit: fold debris can only appear via a
+    * crash (fresh JVM, empty memo) or via a failed in-JVM fold, whose
+    * exception already surfaced to the single writer. */
+  private[graft] final class TwoLevelLayoutGuard(rebuildRemedy: String) {
+    private val verified = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    private val checks = new java.util.concurrent.atomic.AtomicLong(0)
+    private[graft] def count: Long = checks.get()
+    private[graft] def reset(): Unit = { verified.clear(); checks.set(0) }
+
+    def require(spark: SparkSession, tablePath: String): Unit = {
+      if (verified.contains(tablePath)) return
+      checks.incrementAndGet()
+      val table = new Path(tablePath)
+      val fs = fsOf(spark, table)
+      requireNoDebris(fs, table)
+      val oldLayout = fs.exists(table) && fs.listStatus(table)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+        .exists(d => fs.listStatus(d.getPath)
+          .exists(c => c.isFile && c.getPath.getName.endsWith(".parquet")))
+      if (oldLayout) throw new IllegalStateException(
+        s"index table at $tablePath uses the flat partitionBy(cell) layout; " +
+          "appending batch-keyed rows would mix partition depths and break " +
+          s"partition discovery. $rebuildRemedy")
+      verified.add(tablePath)
+    }
+  }
+}

@@ -517,12 +517,12 @@ object Pq {
     * pass, and it measures exactly the distribution the model fit. */
   def writePqIndex(corpus: DataFrame, cId: String, cVec: String, path: String,
       nlist: Int = 16, m: Int = 8, ksub: Int = 256,
-      iters: Int = 8, maxSample: Int = 4096): Unit = {
+      iters: Int = 8, maxSample: Int = 4096, spreadFiles: Int = 0): Unit = {
     val spark = corpus.sparkSession
     val cents = Similarity.trainIvfCentroids(corpus, cId, cVec, nlist, iters, maxSample)
     val model = trainPq(corpus, cId, cVec, m, ksub, iters, maxSample)
     writeModel(spark, path, cents, model)
-    writeRows(corpus, cId, cVec, path, cents, model, "overwrite")
+    writeRows(corpus, cId, cVec, path, cents, model, "overwrite", -1L, spreadFiles)
     import spark.implicits._
     val sample = Similarity.firstVecsById(corpus, cId, cVec, maxSample)
     indexDriftStats(
@@ -531,30 +531,40 @@ object Pq {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/model/drift_ref")
   }
 
-  /** Compact both index tables back to one data-sized file per cell:
-    * every [[appendPqIndex]] adds one file per cell per call, so a
-    * frequent-append ingest accrues cells × appends files per table.
-    * Unlike [[Similarity.compactIvfIndex]] there is no batch-key replay
-    * semantics to preserve (PQ appends are not idempotent-keyed), so the
-    * fold is total. Same rename-swap and single-writer contract. */
-  def compactPqIndex(spark: SparkSession, path: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (table <- Seq("codes", "vectors")) {
-      val cur = new org.apache.hadoop.fs.Path(s"$path/$table")
-      val tmp = new org.apache.hadoop.fs.Path(s"$path/${table}_compact_tmp")
-      val old = new org.apache.hadoop.fs.Path(s"$path/${table}_old")
-      require(fs.exists(cur), s"no index table at $cur")
-      fs.delete(tmp, true); fs.delete(old, true)
-      val nlist = spark.read.parquet(s"$path/model/centroids").count().toInt
-      spark.read.parquet(cur.toString)
-        .transform(Similarity.cellSpread(_, nlist))
-        .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
-      require(fs.rename(cur, old), s"compact swap: could not move $cur aside")
-      require(fs.rename(tmp, cur), s"compact swap: could not move $tmp into place " +
-        s"(recover by renaming $old back to $cur)")
-      fs.delete(old, true)
-    }
+  /** Compact a streamed-into IVFPQ index — INCREMENTALLY, the
+    * [[Similarity.compactIvfIndex]] twin over BOTH tables: fold every
+    * `0 ≤ ingest_batch ≤ committedBatchId` leaf of `codes/` and
+    * `vectors/` into their `ingest_batch=-1` layers, never reading or
+    * rewriting the resident `-1` files — fold cost scales with the
+    * folded batches, not the index (the r14 version rewrote both whole
+    * tables per fold). Same replay contract: only fold batch ids the
+    * stream's checkpoint has committed, so
+    * [[appendPqIndexIdempotent]]'s overwrite-on-replay still converges.
+    * Keyless [[appendPqIndex]] rows already live in `-1` and are not
+    * compaction's concern (each such append adds one bounded file set).
+    *
+    * Crash safety: marker-staged per table ([[IndexMaintenance]]);
+    * [[recoverPqFold]] repairs an interruption, and readers/appenders
+    * refuse until it has. The two tables fold one after the other — a
+    * crash between them leaves codes folded and vectors not, which is
+    * benign (answers never change under a fold; the vectors fold
+    * completes on the next compact). Single-writer contract. */
+  def compactPqIndex(spark: SparkSession, path: String,
+      committedBatchId: Long, spreadFiles: Int = 0): Unit = {
+    // loop-invariant: one centroid count serves both tables
+    val nlist = spark.read.parquet(s"$path/model/centroids").count().toInt
+    for (table <- Seq("codes", "vectors"))
+      IndexMaintenance.foldCommitted(spark, s"$path/$table", committedBatchId,
+        Similarity.cellSpread(_, nlist, spreadFiles = spreadFiles))
+  }
+
+  /** Deterministic recovery after a crashed [[compactPqIndex]] (or a
+    * crash under the pre-r15 rename-swap), covering both tables.
+    * Idempotent; returns what was repaired per table, None when clean. */
+  def recoverPqFold(spark: SparkSession, path: String): Option[String] = {
+    val msgs = Seq("codes", "vectors")
+      .flatMap(t => IndexMaintenance.recover(spark, s"$path/$t"))
+    if (msgs.isEmpty) None else Some(msgs.mkString("; "))
   }
 
   /** The retrain TRIGGER the drift monitor feeds: quantization health of
@@ -578,6 +588,8 @@ object Pq {
         "r14 layout; rebuild with writePqIndex to record one")
     val ref = spark.read.parquet(s"$path/model/drift_ref").collect()(0)
     val cur = indexDriftStats(batch, idCol, vecCol, path).collect()(0)
+    // an empty batch averages to null — surface the real problem, not an NPE
+    require(cur.getLong(0) > 0, "empty batch — nothing to measure drift on")
     val (refFit, refErr) = (ref.getDouble(1), ref.getDouble(2))
     val (fit, err) = (cur.getDouble(1), cur.getDouble(2))
     val retrain = fit < refFit - fitDropTol || err > refErr * (1.0 + errRiseFrac)
@@ -596,7 +608,8 @@ object Pq {
   }
 
   private def writeRows(batch: DataFrame, cId: String, cVec: String, path: String,
-      cents: Array[Array[Double]], model: PqModel, mode: String): Unit = {
+      cents: Array[Array[Double]], model: PqModel, mode: String,
+      batchId: Long, spreadFiles: Int): Unit = {
     // ONE fused pass computes cell + codes + norm per row. The previous
     // shape ran two UDFs (assign, encode) plus a norm expression — each
     // UDF re-deserializing the array (per-element boxing) and
@@ -623,25 +636,76 @@ object Pq {
       // [[Similarity.cellSpread]] for why exactly-one-file caps scan
       // parallelism at nlist when nlist < cores.
       .withColumn("cell", col("s._1"))
-      .transform(Similarity.cellSpread(_, cents.length))
+      .transform(Similarity.cellSpread(_, cents.length, spreadFiles = spreadFiles))
       .drop("cell")
       // both writes below consume the assignment — persist so the scan +
       // assign/encode pass runs once, not once per output table
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both tables carry the two-level cell=/ingest_batch= layout (r15;
+    // -1 = build-time and non-keyed rows) so streaming appends can be
+    // batchId-keyed + replay-idempotent and compaction can fold ONLY
+    // committed leaves — the [[Similarity.writeIvfIndex]] discipline.
+    // Readers filter on `cell` only; the static IN-prune is unaffected.
+    def write(df: DataFrame, table: String): Unit = {
+      val keyed = df.withColumn("ingest_batch", lit(batchId))
+      val w =
+        if (mode == "dynamic")
+          keyed.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        else keyed.write.mode(mode)
+      w.partitionBy("cell", "ingest_batch").parquet(s"$path/$table")
+    }
     try {
-      b.select(col("s._1").as("cell"), col("corpus_id"), col("s._2").as("codes"))
-        .write.mode(mode).partitionBy("cell").parquet(s"$path/codes")
-      b.select(col("s._1").as("cell"), col("corpus_id"), col("cv"), col("s._3").as("cn"))
-        .write.mode(mode).partitionBy("cell").parquet(s"$path/vectors")
+      write(b.select(col("s._1").as("cell"), col("corpus_id"),
+        col("s._2").as("codes")), "codes")
+      write(b.select(col("s._1").as("cell"), col("corpus_id"), col("cv"),
+        col("s._3").as("cn")), "vectors")
     } finally b.unpersist()
   }
 
+  /** r15 changed the stored layout from `partitionBy(cell)` to
+    * `partitionBy(cell, ingest_batch)` (for replay-idempotent streaming
+    * appends + incremental compaction). Appending the two-level layout
+    * into a flat pre-r15 index would mix partition depths and break
+    * partition discovery with an unrelated-looking error — detect it up
+    * front with the remedy. Memoized per (JVM, path) like the IVF guard;
+    * the check visits the codes table (both tables are written
+    * together) and also refuses on unrecovered fold debris. */
+  private val layoutGuard = new IndexMaintenance.TwoLevelLayoutGuard(
+    "Rebuild the index with writePqIndex.")
+  private def requireBatchKeyedLayout(spark: SparkSession, path: String): Unit = {
+    layoutGuard.require(spark, s"$path/codes")
+    layoutGuard.require(spark, s"$path/vectors")
+  }
+  private[graft] def layoutChecksCount: Long = layoutGuard.count
+  private[graft] def resetLayoutCheckCache(): Unit = layoutGuard.reset()
+
   /** Incremental append: assign + encode the batch against the STORED
     * model (no retrain — same drift contract as
-    * [[Similarity.appendIvfIndex]]) and append into both layouts. */
-  def appendPqIndex(batch: DataFrame, cId: String, cVec: String, path: String): Unit = {
+    * [[Similarity.appendIvfIndex]]) and append into both layouts under
+    * `ingest_batch=-1` (non-keyed rows; each call adds one bounded file
+    * set per cell). For exactly-once streaming ingest use
+    * [[appendPqIndexIdempotent]]. */
+  def appendPqIndex(batch: DataFrame, cId: String, cVec: String, path: String,
+      spreadFiles: Int = 0): Unit = {
+    requireBatchKeyedLayout(batch.sparkSession, path)
     val (cents, model) = loadModel(batch.sparkSession, path)
-    writeRows(batch, cId, cVec, path, cents, model, "append")
+    writeRows(batch, cId, cVec, path, cents, model, "append", -1L, spreadFiles)
+  }
+
+  /** Replay-idempotent append — [[Similarity.appendIvfIndexIdempotent]]'s
+    * PQ twin: the batch lands under `cell=<c>/ingest_batch=<batchId>`
+    * leaves of BOTH tables via dynamic partition overwrite, so a
+    * re-delivered foreachBatch id overwrites its own leaves instead of
+    * appending twice. A crash BETWEEN the two table writes also heals on
+    * replay: the re-delivered batch rewrites its codes leaves and writes
+    * the missing vectors leaves, converging both tables to the
+    * exactly-once state. Fold committed leaves with [[compactPqIndex]]. */
+  def appendPqIndexIdempotent(batch: DataFrame, cId: String, cVec: String,
+      path: String, batchId: Long, spreadFiles: Int = 0): Unit = {
+    require(batchId >= 0, s"batchId must be >= 0 (got $batchId): -1 marks non-keyed rows")
+    requireBatchKeyedLayout(batch.sparkSession, path)
+    val (cents, model) = loadModel(batch.sparkSession, path)
+    writeRows(batch, cId, cVec, path, cents, model, "dynamic", batchId, spreadFiles)
   }
 
   /** The drift monitor the append contract promises: quantization health
@@ -686,6 +750,13 @@ object Pq {
       path: String, k: Int, nprobe: Int, refine: Int = 8): DataFrame = {
     require(refine >= 1, "refine must be >= 1")
     val spark = queries.sparkSession
+    // a crashed fold's debris means a folded batch may be visible twice —
+    // refuse (a few driver-side exists() calls) until recoverPqFold runs
+    for (t <- Seq("codes", "vectors")) {
+      val tp = new org.apache.hadoop.fs.Path(s"$path/$t")
+      IndexMaintenance.requireNoDebris(
+        tp.getFileSystem(spark.sparkContext.hadoopConfiguration), tp)
+    }
     val (cents, model) = loadModel(spark, path)
     val np = math.min(nprobe, cents.length)
     val probeUdf = udf { (v: Seq[Double]) =>

@@ -314,7 +314,8 @@ object Similarity {
     * per query). */
   def writeIvfIndex(
       corpus: DataFrame, cId: String, cVec: String, path: String,
-      nlist: Int = 16, iters: Int = 8, maxSample: Int = 4096): Unit = {
+      nlist: Int = 16, iters: Int = 8, maxSample: Int = 4096,
+      spreadFiles: Int = 0): Unit = {
     val spark = corpus.sparkSession
     val cents = trainIvfCentroids(corpus, cId, cVec, nlist, iters, maxSample)
     val assignUdf = udf { (v: Seq[Double]) => nearestCell(normalize(v.toArray), cents) }
@@ -328,7 +329,7 @@ object Similarity {
       .withColumn("ingest_batch", lit(-1L))
       // cell-aligned exchange before the partitionBy write (see
       // [[cellSpread]] for the two failure modes this brackets)
-      .transform(cellSpread(_, cents.length))
+      .transform(cellSpread(_, cents.length, spreadFiles = spreadFiles))
       .write.mode("overwrite").partitionBy("cell", "ingest_batch")
       .parquet(s"$path/corpus")
     import spark.implicits._
@@ -352,16 +353,35 @@ object Similarity {
     * batch's fit fell more than `fitDropTol` below build-time. Indexes
     * built before r14 carry no reference row → fails with the remedy. */
   def shouldRetrain(batch: DataFrame, idCol: String, vecCol: String, path: String,
-      fitDropTol: Double = 0.05): (Boolean, Double, Double) = {
-    val spark = batch.sparkSession
+      fitDropTol: Double = 0.05): (Boolean, Double, Double) =
+    shouldRetrain(batch, idCol, vecCol,
+      loadIvfCentroids(batch.sparkSession, path),
+      loadIvfDriftRef(batch.sparkSession, path), fitDropTol)
+
+  /** [[shouldRetrain]] against a pre-loaded quantizer and reference fit
+    * — the streaming form ([[graft.streaming.StreamingAnn]] loads both
+    * once per stream; the per-batch cost is then one narrow pass over
+    * the BATCH). */
+  def shouldRetrain(batch: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]], refFit: Double,
+      fitDropTol: Double): (Boolean, Double, Double) = {
+    val cur = ivfDriftStats(batch, idCol, vecCol, cents).collect()(0)
+    // an empty batch averages to null — surface the real problem, not an NPE
+    require(cur.getLong(0) > 0, "empty batch — nothing to measure drift on")
+    val fit = cur.getDouble(1)
+    (fit < refFit - fitDropTol, fit, refFit)
+  }
+
+  /** The build-time drift reference fit ([[writeIvfIndex]] persists it)
+    * — the "healthy" coarse_fit [[shouldRetrain]] compares against. */
+  def loadIvfDriftRef(spark: org.apache.spark.sql.SparkSession,
+      path: String): Double = {
     val refPath = new org.apache.hadoop.fs.Path(s"$path/drift_ref")
     val fs = refPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(refPath),
       s"no drift reference at $path/drift_ref — the index predates the " +
         "r14 layout; rebuild with writeIvfIndex to record one")
-    val refFit = spark.read.parquet(s"$path/drift_ref").collect()(0).getDouble(1)
-    val fit = ivfDriftStats(batch, idCol, vecCol, path).collect()(0).getDouble(1)
-    (fit < refFit - fitDropTol, fit, refFit)
+    spark.read.parquet(s"$path/drift_ref").collect()(0).getDouble(1)
   }
 
   /** Incremental append into a stored IVF index ([[writeIvfIndex]]):
@@ -388,11 +408,12 @@ object Similarity {
     * quantizer is immutable between rebuilds, so one load serves the whole
     * stream instead of one driver-side parquet read per micro-batch). */
   def appendIvfIndex(batch: DataFrame, cId: String, cVec: String, path: String,
-      cents: Array[Array[Double]]): Unit = {
+      cents: Array[Array[Double]], spreadFiles: Int = 0): Unit = {
     requireBatchKeyedLayout(batch.sparkSession, path)
     assigned(batch, cId, cVec, cents)
       .withColumn("ingest_batch", lit(-1L))
-      .transform(cellSpread(_, cents.length)) // bounded files per cell, not tasks × nlist
+      // bounded files per cell, not tasks × nlist
+      .transform(cellSpread(_, cents.length, spreadFiles = spreadFiles))
       .write.mode("append").partitionBy("cell", "ingest_batch")
       .parquet(s"$path/corpus")
   }
@@ -412,34 +433,22 @@ object Similarity {
     * because the first append creates that layout), so a streaming sink
     * appending every trigger pays ONE FS listing instead of per-batch
     * namenode chatter. A failed check is NOT cached — the caller's
-    * remedy (rebuild) changes the on-disk state, so a retry must re-look. */
-  private val layoutVerified =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    * remedy (rebuild) changes the on-disk state, so a retry must re-look.
+    * The same memoized visit also refuses when an interrupted fold's
+    * staging debris exists ([[IndexMaintenance.requireNoDebris]]) —
+    * appending around unrecovered debris would double-count a folded
+    * batch; [[recoverIvfFold]] is the remedy. */
+  private val layoutGuard = new IndexMaintenance.TwoLevelLayoutGuard(
+    "Rebuild the index with writeIvfIndex.")
 
   private[operators] def requireBatchKeyedLayout(
-      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    if (layoutVerified.contains(path)) return
-    layoutChecksPerformed.incrementAndGet()
-    val corpus = new org.apache.hadoop.fs.Path(s"$path/corpus")
-    val fs = corpus.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val oldLayout = fs.exists(corpus) && fs.listStatus(corpus)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-      .exists(d => fs.listStatus(d.getPath)
-        .exists(c => c.isFile && c.getPath.getName.endsWith(".parquet")))
-    if (oldLayout) throw new IllegalStateException(
-      s"IVF index at $path uses the pre-r12 partitionBy(cell) layout; " +
-        "appending batch-keyed rows would mix partition depths and break " +
-        "partition discovery. Rebuild the index with writeIvfIndex.")
-    layoutVerified.add(path)
-  }
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    layoutGuard.require(spark, s"$path/corpus")
 
   /** Test seam: count of FS-listing layout checks actually performed —
     * lets a spec prove a multi-batch stream listed the layout once. */
-  private val layoutChecksPerformed = new java.util.concurrent.atomic.AtomicLong(0)
-  private[graft] def layoutChecksCount: Long = layoutChecksPerformed.get()
-  private[graft] def resetLayoutCheckCache(): Unit = {
-    layoutVerified.clear(); layoutChecksPerformed.set(0)
-  }
+  private[graft] def layoutChecksCount: Long = layoutGuard.count
+  private[graft] def resetLayoutCheckCache(): Unit = layoutGuard.reset()
 
   /** Replay-idempotent append for exactly-once streaming ingest: the
     * batch lands under `cell=<c>/ingest_batch=<batchId>` leaf directories
@@ -455,62 +464,62 @@ object Similarity {
     * must never overwrite. The overwrite mode is a WRITER option, not a
     * session config — concurrent static-overwrite users are unaffected. */
   def appendIvfIndexIdempotent(batch: DataFrame, cId: String, cVec: String,
-      path: String, cents: Array[Array[Double]], batchId: Long): Unit = {
+      path: String, cents: Array[Array[Double]], batchId: Long,
+      spreadFiles: Int = 0): Unit = {
     require(batchId >= 0, s"batchId must be >= 0 (got $batchId): -1 marks non-keyed rows")
     requireBatchKeyedLayout(batch.sparkSession, path)
     assigned(batch, cId, cVec, cents)
       .withColumn("ingest_batch", lit(batchId))
-      .transform(cellSpread(_, cents.length)) // bounded files per cell per batch
+      // bounded files per cell per batch
+      .transform(cellSpread(_, cents.length, spreadFiles = spreadFiles))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell", "ingest_batch")
       .parquet(s"$path/corpus")
   }
 
-  /** Compact a streamed-into IVF index: fold every batch leaf with
-    * `ingest_batch <= committedBatchId` (plus the existing -1 rows) into
-    * the build layout (`ingest_batch=-1`, one file per cell), leaving
-    * NEWER batch leaves untouched. A long-running ingest accrues
-    * cells × batches leaf directories — each append writes one file per
-    * cell, so ten thousand triggers at nlist 256 is 2.5 M files; this
-    * rewrite returns the index to one data-sized file per cell.
+  /** Compact a streamed-into IVF index — INCREMENTALLY: fold every batch
+    * leaf with `0 ≤ ingest_batch ≤ committedBatchId` into the build
+    * layer's `ingest_batch=-1` leaves, leaving NEWER batch leaves AND
+    * the resident `-1` files untouched. A long-running ingest accrues
+    * cells × batches leaf directories — each append writes a bounded
+    * file set per cell, so ten thousand triggers at nlist 256 is
+    * millions of files; the fold returns those batches to the build
+    * layer at a cost that scales with the FOLDED BATCHES, not the
+    * resident index (the r14 version rewrote the whole corpus per fold
+    * — O(index²/N) lifetime I/O under `appendBatches(compactEvery=N)`).
+    * The `-1` layer accrues one bounded file set per fold; when that
+    * warrants flattening, rebuild — a rebuild retrains AND re-lays-out,
+    * and by then [[shouldRetrain]] has usually asked for one anyway.
     *
-    * Replay safety is the whole design: [[appendIvfIndexIdempotent]]'s
-    * exactly-once story relies on a re-delivered batchId OVERWRITING its
-    * own leaves, so folding a batch that could still replay would
-    * duplicate it (the folded copy survives the overwrite). The caller
-    * passes the stream's checkpoint-COMMITTED batch id — Structured
-    * Streaming never re-delivers a committed batch — and only those
-    * leaves fold. Batches newer than the watermark keep their keys and
-    * their replay semantics.
+    * Replay safety: [[appendIvfIndexIdempotent]]'s exactly-once story
+    * relies on a re-delivered batchId OVERWRITING its own leaves, so
+    * folding a batch that could still replay would duplicate it (the
+    * folded copy survives the overwrite). The caller passes the
+    * stream's checkpoint-COMMITTED batch id — Structured Streaming
+    * never re-delivers a committed batch — and only those leaves fold.
     *
-    * Single-writer contract (no transaction log on a plain FS): run with
-    * no concurrent append to this index. The swap is rename-based —
-    * new corpus written beside the old, old renamed away, new renamed
-    * in, old deleted — so a crash leaves either the original or a
-    * complete compacted corpus plus at worst a `corpus_old` to delete. */
+    * Crash safety: the fold is marker-staged and never renames the live
+    * corpus ([[IndexMaintenance]] — the r14 rename-swap's no-live-corpus
+    * crash window is gone). Any interruption leaves deterministic
+    * debris that [[recoverIvfFold]] repairs; readers and appenders
+    * refuse loudly until it has. Single-writer contract: no concurrent
+    * append during the fold (in-stream use runs it on the ingest
+    * thread, which satisfies this by construction). */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      committedBatchId: Long): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val corpus = new org.apache.hadoop.fs.Path(s"$path/corpus")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/corpus_compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(s"$path/corpus_old")
-    require(fs.exists(corpus), s"no index corpus at $corpus")
-    fs.delete(tmp, true); fs.delete(old, true)
+      committedBatchId: Long, spreadFiles: Int = 0): Unit = {
     val nlist = spark.read.parquet(s"$path/centroids").count().toInt
-    spark.read.parquet(corpus.toString)
-      .withColumn("ingest_batch",
-        when(col("ingest_batch") <= committedBatchId, lit(-1L))
-          .otherwise(col("ingest_batch")))
-      .transform(cellSpread(_, nlist))
-      .write.mode("overwrite").partitionBy("cell", "ingest_batch")
-      .parquet(tmp.toString)
-    require(fs.rename(corpus, old), s"compact swap: could not move $corpus aside")
-    require(fs.rename(tmp, corpus), s"compact swap: could not move $tmp into place " +
-      s"(recover by renaming $old back to $corpus)")
-    fs.delete(old, true)
+    IndexMaintenance.foldCommitted(spark, s"$path/corpus", committedBatchId,
+      cellSpread(_, nlist, spreadFiles = spreadFiles))
   }
+
+  /** Deterministic recovery after a crashed [[compactIvfIndex]] (or a
+    * crash under the pre-r15 rename-swap): rolls an interrupted fold
+    * back or forward, whichever the on-disk markers prove safe.
+    * Idempotent; returns what was repaired, None when clean. */
+  def recoverIvfFold(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[String] =
+    IndexMaintenance.recover(spark, s"$path/corpus")
 
   private def assigned(batch: DataFrame, cId: String, cVec: String,
       cents: Array[Array[Double]]): DataFrame = {
@@ -533,11 +542,16 @@ object Similarity {
     * whenever nlist already covers the machine (the production regime),
     * S > 1 only to restore parallelism on small indexes; total files
     * stay ≤ nlist·S ≈ 2·cores beyond nlist, never tasks × nlist. The
-    * salt is a deterministic id hash, so the layout is reproducible. */
+    * salt is a deterministic id hash, so the layout is reproducible
+    * within a session — `spreadFiles > 0` pins S explicitly, making the
+    * layout reproducible ACROSS environments too (the derived S depends
+    * on the writing session's parallelism). */
   private[operators] def cellSpread(df: DataFrame, nlist: Int,
-      idCol: String = "corpus_id"): DataFrame = {
+      idCol: String = "corpus_id", spreadFiles: Int = 0): DataFrame = {
+    require(spreadFiles >= 0, s"spreadFiles must be >= 0 (0 = derive): $spreadFiles")
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val s = math.max(1, (2 * par + nlist - 1) / nlist)
+    val s = if (spreadFiles > 0) spreadFiles
+      else math.max(1, (2 * par + nlist - 1) / nlist)
     if (s <= 1) df.repartition(col("cell"))
     else df.repartition(nlist * s, col("cell"), pmod(xxhash64(col(idCol)), lit(s)))
   }
@@ -607,6 +621,11 @@ object Similarity {
       path: String, k: Int, nprobe: Int,
       cents: Array[Array[Double]]): DataFrame = {
     val spark = queries.sparkSession
+    // a crashed fold's debris means a folded batch may be visible twice —
+    // refuse (a few driver-side exists() calls) until recoverIvfFold runs
+    val corpusPath = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    IndexMaintenance.requireNoDebris(
+      corpusPath.getFileSystem(spark.sparkContext.hadoopConfiguration), corpusPath)
     val np = math.min(nprobe, cents.length)
     val probeUdf = udf { (v: Seq[Double]) =>
       val x = normalize(v.toArray)

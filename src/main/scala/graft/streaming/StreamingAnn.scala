@@ -64,15 +64,15 @@ object StreamingAnn {
 
   /** The ingest side of the lifecycle: a `foreachBatch` function that
     * appends each micro-batch of `(id, vec)` rows into the stored index
-    * ([[graft.operators.Similarity.appendIvfIndex]] — assignment against
-    * the EXISTING quantizer, one pass over the batch, never a rebuild)
-    * and hands the batch's drift row
+    * (assignment against the EXISTING quantizer, one pass over the
+    * batch, never a rebuild) and hands the batch's drift row
     * ([[graft.operators.Similarity.ivfDriftStats]]: `n_vectors`,
     * `coarse_fit`) to `onDrift` — the retrain signal the append contract
     * promises, produced in-line with ingestion rather than by a separate
-    * monitoring job. When `coarse_fit` degrades materially vs the
-    * build-time row, rebuild the index and restart the stream (the
-    * stream holds the quantizer, so a rebuild is a new stream by
+    * monitoring job. ([[appendBatchesWithRetrain]] goes one step
+    * further and evaluates the retrain TRIGGER per batch.) When the
+    * verdict says retrain, rebuild the index and restart the stream
+    * (the stream holds the quantizer, so a rebuild is a new stream by
     * design — centroids must not change under a running assigner).
     *
     * Exactly-once: ingestion is batchId-keyed
@@ -85,40 +85,100 @@ object StreamingAnn {
     * StreamingAnnSpec replays a batchId and asserts identical index
     * state and query answers). `onDrift` re-fires on replay — drift
     * rows are monitoring, deliver-at-least-once by design; key on the
-    * batch id if the sink must dedup them too. */
-  /** [[appendBatches]] with in-stream auto-compaction: every
-    * `compactEvery` non-empty batches, fold all checkpoint-committed
-    * batch leaves into the build layout
-    * ([[graft.operators.Similarity.compactIvfIndex]]). The watermark is
-    * `batchId - 1`, which is SAFE BY CONSTRUCTION inside foreachBatch:
-    * Structured Streaming commits batch N−1 to the checkpoint before it
-    * delivers batch N, and a committed batch is never re-delivered — so
-    * the fold can only touch leaves whose replay is impossible, while
-    * the in-flight batch keeps its keys and its overwrite-on-replay
+    * batch id if the sink must dedup them too.
+    *
+    * In-stream auto-compaction: every `compactEvery` non-empty batches,
+    * fold all checkpoint-committed batch leaves into the build layer
+    * ([[graft.operators.Similarity.compactIvfIndex]] — incremental, the
+    * fold touches only those leaves). The watermark is `batchId - 1`,
+    * which is SAFE BY CONSTRUCTION inside foreachBatch: Structured
+    * Streaming commits batch N−1 to the checkpoint before it delivers
+    * batch N, and a committed batch is never re-delivered — so the fold
+    * can only touch leaves whose replay is impossible, while the
+    * in-flight batch keeps its keys and its overwrite-on-replay
     * semantics. Compaction runs on the ingest thread, so the
     * single-writer contract holds without coordination. `compactEvery`
-    * ≤ 0 disables (the plain [[appendBatches]] behavior). */
+    * ≤ 0 disables it.
+    *
+    * Crash healing: on its first non-empty batch the ingest runs
+    * [[graft.operators.Similarity.recoverIvfFold]] — if a previous run
+    * died mid-fold, the restarted stream deterministically rolls the
+    * fold back or forward (logged) instead of failing the layout guard;
+    * a restart is exactly when that debris surfaces, and the stream is
+    * the index's single writer, so self-healing here is safe. */
   def appendBatches(
       path: String, idCol: String, vecCol: String, compactEvery: Int)(
-      onDrift: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+      onDrift: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    ingest(path, idCol, vecCol, compactEvery) { (batch, batchId, ct) =>
+      onDrift(Similarity.ivfDriftStats(batch, idCol, vecCol, ct), batchId)
+    }
+
+  /** [[appendBatches]] without auto-compaction (compactEvery = 0); see
+    * that overload for the full ingest contract. */
+  def appendBatches(
+      path: String, idCol: String, vecCol: String)(
+      onDrift: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    appendBatches(path, idCol, vecCol, compactEvery = 0)(onDrift)
+
+  /** Per-batch retrain verdict: `retrain` = the batch's coarse fit fell
+    * more than the tolerance below the index's build-time reference
+    * ([[graft.operators.Similarity.shouldRetrain]]). */
+  final case class RetrainVerdict(retrain: Boolean, nVectors: Long,
+    coarseFit: Double, refCoarseFit: Double)
+
+  /** [[appendBatches]] with the drift-retrain loop CLOSED in-stream:
+    * after each non-empty batch is appended, the retrain trigger runs
+    * against the index's build-time `drift_ref` row (quantizer and
+    * reference both loaded once per stream — the per-batch cost is one
+    * narrow pass over the batch) and the [[RetrainVerdict]] goes to the
+    * caller's sink. The verdict is monitoring, at-least-once on replay
+    * like `onDrift`. On `retrain = true` the operational move is:
+    * finish/stop the stream, rebuild the index on the resident corpus
+    * (which re-baselines `drift_ref` — a noisier distribution has
+    * intrinsically lower fit), and start a new stream. The trigger
+    * deliberately does NOT stop the stream itself: ingestion stays
+    * correct under drift (at nprobe = nlist even exact), so when to pay
+    * a rebuild is the operator's call, not the pipeline's. */
+  def appendBatchesWithRetrain(
+      path: String, idCol: String, vecCol: String, compactEvery: Int = 0,
+      fitDropTol: Double = 0.05)(
+      onVerdict: (RetrainVerdict, Long) => Unit): (DataFrame, Long) => Unit = {
+    var refFit = Double.NaN // loaded once per stream, alongside the centroids
+    ingest(path, idCol, vecCol, compactEvery) { (batch, batchId, ct) =>
+      if (refFit.isNaN)
+        refFit = Similarity.loadIvfDriftRef(batch.sparkSession, path)
+      val stats = Similarity.ivfDriftStats(batch, idCol, vecCol, ct).collect()(0)
+      val fit = stats.getDouble(1)
+      onVerdict(RetrainVerdict(fit < refFit - fitDropTol,
+        stats.getLong(0), fit, refFit), batchId)
+    }
+  }
+
+  /** Shared ingest skeleton: recover-once, centroids-once, idempotent
+    * append, caller's per-batch monitor, watermarked auto-compaction. */
+  private def ingest(
+      path: String, idCol: String, vecCol: String, compactEvery: Int)(
+      monitor: (DataFrame, Long, Array[Array[Double]]) => Unit): (DataFrame, Long) => Unit = {
     val cents = loadCents(path)
     var appended = 0L
+    var recovered = false
     (batch, batchId) => {
       if (!batch.isEmpty) {
+        if (!recovered) {
+          Similarity.recoverIvfFold(batch.sparkSession, path).foreach(msg =>
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"StreamingAnn: recovered interrupted compaction — $msg"))
+          recovered = true
+        }
         val ct = cents(batch)
         Similarity.appendIvfIndexIdempotent(batch, idCol, vecCol, path, ct, batchId)
-        onDrift(Similarity.ivfDriftStats(batch, idCol, vecCol, ct), batchId)
+        monitor(batch, batchId, ct)
         appended += 1
         if (compactEvery > 0 && appended % compactEvery == 0 && batchId > 0)
           Similarity.compactIvfIndex(batch.sparkSession, path, batchId - 1)
       }
     }
   }
-
-  def appendBatches(
-      path: String, idCol: String, vecCol: String)(
-      onDrift: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
-    appendBatches(path, idCol, vecCol, compactEvery = 0)(onDrift)
 
   // one driver-side centroid read per STREAM: the quantizer is immutable
   // between rebuilds, so re-reading it every trigger buys nothing

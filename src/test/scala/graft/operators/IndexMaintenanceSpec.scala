@@ -1,0 +1,244 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The incremental index fold's contract (r15): committed batch leaves
+  * fold into the `-1` layer WITHOUT reading or rewriting the resident
+  * `-1` files; a crash at any point leaves deterministic debris that
+  * recovery rolls back or forward; writers and readers refuse loudly on
+  * unrecovered debris (the r14 rename-swap's silent-destruction window
+  * is gone); and `spreadFiles` pins the write fan-out explicitly so
+  * layouts reproduce across differently-sized sessions. */
+class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("index-maintenance-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def vec(seed: Int): Seq[Double] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(6)(r.nextGaussian())
+  }
+
+  private def mkCorpus(ids: Range) = {
+    val s = spark
+    import s.implicits._
+    ids.map(i => (i.toLong, vec(i))).toDF("id", "v")
+  }
+
+  /** (relative path, length, mtime) of every data file under the -1
+    * leaves — the fold must never touch these. */
+  private def residentFiles(corpus: String): Map[String, (Long, Long)] = {
+    val root = new java.io.File(corpus)
+    (for {
+      cell <- root.listFiles().toSeq if cell.isDirectory && cell.getName.startsWith("cell=")
+      leaf <- cell.listFiles().toSeq if leaf.isDirectory && leaf.getName == "ingest_batch=-1"
+      f <- leaf.listFiles().toSeq if f.isFile && f.getName.endsWith(".parquet")
+    } yield s"${cell.getName}/${f.getName}" -> ((f.length(), f.lastModified()))).toMap
+  }
+
+  private def buildWithBatches(tag: String): (String, String) = {
+    val base = Files.createTempDirectory(tag).toString
+    val idx = s"$base/idx"
+    Similarity.writeIvfIndex(mkCorpus(0 until 60), "id", "v", idx, nlist = 4, iters = 4)
+    val cents = Similarity.loadIvfCentroids(spark, idx)
+    Similarity.appendIvfIndexIdempotent(mkCorpus(200 until 210), "id", "v", idx, cents, 0L)
+    Similarity.appendIvfIndexIdempotent(mkCorpus(210 until 220), "id", "v", idx, cents, 1L)
+    Similarity.appendIvfIndexIdempotent(mkCorpus(220 until 230), "id", "v", idx, cents, 2L)
+    (base, idx)
+  }
+
+  private def ask(idx: String) = Similarity.ivfTopKIndexed(
+    mkCorpus(300 until 303), "id", "v", idx, k = 4, nprobe = 4)
+    .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    .sortBy(x => (x._1, x._4)).toSeq
+
+  test("incremental fold never touches the resident -1 files; additions are fold-named") {
+    val (_, idx) = buildWithBatches("imfold")
+    val before = residentFiles(s"$idx/corpus")
+    assert(before.nonEmpty)
+    val answers = ask(idx)
+    Similarity.compactIvfIndex(spark, idx, committedBatchId = 1L)
+    val after = residentFiles(s"$idx/corpus")
+    // every pre-fold resident file is still there, byte-for-byte untouched
+    before.foreach { case (rel, meta) =>
+      assert(after.get(rel).contains(meta),
+        s"fold touched resident file $rel: was $meta, now ${after.get(rel)}")
+    }
+    // and the only additions are this fold's staged-in files
+    val added = after.keySet -- before.keySet
+    assert(added.nonEmpty, "fold must have moved batch rows into -1")
+    assert(added.forall(_.split("/").last.startsWith("fold1-")),
+      s"unexpected non-fold additions: $added")
+    assert(ask(idx) === answers)
+    assert(spark.read.parquet(s"$idx/corpus").count() === 90L)
+    // no staging debris survives a clean fold
+    assert(Similarity.recoverIvfFold(spark, idx).isEmpty)
+  }
+
+  test("fold with nothing committed is a no-op; repeated fold adds nothing") {
+    val (_, idx) = buildWithBatches("imnoop")
+    val before = residentFiles(s"$idx/corpus")
+    // committedBatchId below every leaf -> nothing to fold
+    Similarity.compactIvfIndex(spark, idx, committedBatchId = -1L)
+    assert(residentFiles(s"$idx/corpus") === before)
+    Similarity.compactIvfIndex(spark, idx, committedBatchId = 1L)
+    val folded = residentFiles(s"$idx/corpus")
+    // a second fold at the same watermark finds no leaves -> no-op
+    Similarity.compactIvfIndex(spark, idx, committedBatchId = 1L)
+    assert(residentFiles(s"$idx/corpus") === folded)
+  }
+
+  test("crash before commit: rollback restores the pre-fold state exactly") {
+    val (_, idx) = buildWithBatches("imroll")
+    val before = residentFiles(s"$idx/corpus")
+    val answers = ask(idx)
+    IndexMaintenance.failpoint = Some("before-commit")
+    try intercept[RuntimeException] {
+      Similarity.compactIvfIndex(spark, idx, committedBatchId = 1L)
+    } finally IndexMaintenance.failpoint = None
+    // debris present: appends AND reads refuse with the remedy
+    Similarity.resetLayoutCheckCache()
+    val cents = Similarity.loadIvfCentroids(spark, idx)
+    val e1 = intercept[IllegalStateException] {
+      Similarity.appendIvfIndexIdempotent(mkCorpus(400 until 404), "id", "v", idx, cents, 3L)
+    }
+    assert(e1.getMessage.contains("recover"), e1.getMessage)
+    val e2 = intercept[IllegalStateException] { ask(idx) }
+    assert(e2.getMessage.contains("debris"), e2.getMessage)
+    // rollback: fold files removed, originals (batch leaves) intact
+    val msg = Similarity.recoverIvfFold(spark, idx)
+    assert(msg.exists(_.contains("BACK")), s"expected rollback, got $msg")
+    assert(residentFiles(s"$idx/corpus") === before,
+      "rollback must restore the -1 layer exactly")
+    assert(spark.read.parquet(s"$idx/corpus").count() === 90L)
+    assert(ask(idx) === answers)
+    // recovery is idempotent and the fold then completes normally
+    assert(Similarity.recoverIvfFold(spark, idx).isEmpty)
+    Similarity.compactIvfIndex(spark, idx, committedBatchId = 1L)
+    assert(ask(idx) === answers)
+    assert(spark.read.parquet(s"$idx/corpus").count() === 90L)
+  }
+
+  test("crash after commit: roll-forward finishes the fold deterministically") {
+    val (_, idx) = buildWithBatches("imfwd")
+    val answers = ask(idx)
+    IndexMaintenance.failpoint = Some("before-cleanup")
+    try intercept[RuntimeException] {
+      Similarity.compactIvfIndex(spark, idx, committedBatchId = 1L)
+    } finally IndexMaintenance.failpoint = None
+    // this is the window where folded rows are transiently visible twice
+    // — exactly why readers must refuse until recovery runs
+    Similarity.resetLayoutCheckCache()
+    intercept[IllegalStateException] { ask(idx) }
+    val msg = Similarity.recoverIvfFold(spark, idx)
+    assert(msg.exists(_.contains("FORWARD")), s"expected roll-forward, got $msg")
+    val batches = spark.read.parquet(s"$idx/corpus")
+      .select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(batches === Set(-1L, 2L), s"roll-forward must leave -1 + uncommitted: $batches")
+    assert(spark.read.parquet(s"$idx/corpus").count() === 90L)
+    assert(ask(idx) === answers)
+    assert(Similarity.recoverIvfFold(spark, idx).isEmpty)
+  }
+
+  test("legacy r14 swap debris: fatal window restores, residue cleans, readers refuse meanwhile") {
+    val (base, idx) = buildWithBatches("imlegacy")
+    val answers = ask(idx)
+    val corpus = new java.io.File(s"$idx/corpus")
+    val old = new java.io.File(s"$idx/corpus_old")
+    // the advisor's fatal window: live corpus renamed aside, nothing in
+    // its place — r14 code would have silently rebuilt an empty index
+    // and a later compact would have DELETED corpus_old
+    assert(corpus.renameTo(old))
+    Similarity.resetLayoutCheckCache()
+    val e = intercept[IllegalStateException] { ask(idx) }
+    assert(e.getMessage.contains("pre-r15"), e.getMessage)
+    val msg = Similarity.recoverIvfFold(spark, idx)
+    assert(msg.exists(_.contains("restored")), s"got $msg")
+    assert(ask(idx) === answers)
+    // residue case: corpus present, a stale corpus_old beside it
+    assert(old.mkdir())
+    Similarity.resetLayoutCheckCache()
+    intercept[IllegalStateException] { ask(idx) }
+    assert(Similarity.recoverIvfFold(spark, idx).exists(_.contains("stale")))
+    assert(ask(idx) === answers)
+  }
+
+  test("spreadFiles pins the fan-out: fixed-S layout regardless of session parallelism") {
+    // derived S on local[4] at nlist 2 is ceil(2*4/2) = 4 — so a 1-file
+    // layout can only come from the explicit override
+    assert(Similarity.cellSpreadBound(spark, nlist = 2) === 4)
+    val base = Files.createTempDirectory("imspread").toString
+    val idx = s"$base/idx"
+    Similarity.writeIvfIndex(mkCorpus(0 until 80).repartition(8), "id", "v", idx,
+      nlist = 2, iters = 4, spreadFiles = 1)
+    def leafFiles(): Seq[Int] = (for {
+      cell <- new java.io.File(s"$idx/corpus").listFiles().toSeq
+      if cell.isDirectory && cell.getName.startsWith("cell=")
+      leaf <- cell.listFiles().toSeq if leaf.isDirectory
+    } yield leaf.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet")))
+    assert(leafFiles().forall(_ == 1), s"spreadFiles=1 build: ${leafFiles()}")
+    val cents = Similarity.loadIvfCentroids(spark, idx)
+    Similarity.appendIvfIndexIdempotent(mkCorpus(200 until 240).repartition(8),
+      "id", "v", idx, cents, 0L, spreadFiles = 1)
+    assert(leafFiles().forall(_ == 1), s"spreadFiles=1 append: ${leafFiles()}")
+    Similarity.compactIvfIndex(spark, idx, committedBatchId = 0L, spreadFiles = 1)
+    // -1 leaves: 1 resident + 1 fold file; no batch leaves remain
+    assert(leafFiles().forall(_ <= 2), s"spreadFiles=1 fold: ${leafFiles()}")
+    assert(spark.read.parquet(s"$idx/corpus").count() === 120L)
+  }
+
+  test("PQ twin: fabricated fold debris blocks appends/reads; recoverPqFold clears it") {
+    val s = spark
+    import s.implicits._
+    val gen = org.apache.spark.sql.functions.udf(
+      (id: Long) => graft.tools.EmbedSynth.vector(id, 16, 4, 0.3))
+    val df = spark.range(200).select(col("id").as("vec_id"), gen(col("id")).as("e"))
+    val base = Files.createTempDirectory("impq").toString
+    val idx = s"$base/idx"
+    Pq.writePqIndex(df, "vec_id", "e", idx, nlist = 4, m = 4, ksub = 16)
+    val q = df.filter(col("vec_id") < 3)
+    def pqAsk() = Pq.pqTopKIndexed(q, "vec_id", "e", idx, k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._4)).toSeq
+    val answers = pqAsk()
+    // an interrupted fold's staged marker (empty fold = trivially
+    // rollback-able) must still block every entry point
+    val marker = new java.io.File(s"$idx/codes/_fold_staged")
+    assert(marker.createNewFile())
+    Pq.resetLayoutCheckCache()
+    val e1 = intercept[IllegalStateException] {
+      Pq.appendPqIndexIdempotent(df.limit(5), "vec_id", "e", idx, batchId = 0L)
+    }
+    assert(e1.getMessage.contains("recoverPqFold"), e1.getMessage)
+    intercept[IllegalStateException] { pqAsk() }
+    assert(Pq.recoverPqFold(spark, idx).exists(_.contains("BACK")))
+    assert(pqAsk() === answers)
+    assert(Pq.recoverPqFold(spark, idx).isEmpty)
+  }
+
+  test("shouldRetrain surfaces an empty batch as a real error, not an NPE") {
+    val (_, idx) = buildWithBatches("imempty")
+    val empty = mkCorpus(0 until 10).filter(col("id") < 0)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.shouldRetrain(empty, "id", "v", idx)
+    }
+    assert(e.getMessage.contains("empty batch"), e.getMessage)
+  }
+}

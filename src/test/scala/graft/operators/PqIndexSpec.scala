@@ -196,12 +196,20 @@ class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 48 -> 154 s at the 2 M batch lab). Pin the shape: a build from an
     // 8-partition input stays within the bound per cell in BOTH tables,
     // and an append adds at most one more bound's worth.
+    // two-level cell=/ingest_batch= layout (r15): count data files per
+    // CELL across its batch leaves
     def filesPerCell(root: String): Seq[Int] = {
       val d = new java.io.File(root)
       d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
-        .map(_.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet")))
+        .map(_.listFiles().filter(_.isDirectory)
+          .map(_.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))).sum)
         .toSeq
     }
+    def batchKeys(root: String): Set[Long] =
+      new java.io.File(root).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .flatMap(_.listFiles().filter(_.isDirectory)
+          .map(_.getName.stripPrefix("ingest_batch=").toLong)).toSet
     val bound = Similarity.cellSpreadBound(spark, nlist = 4)
     assert(bound >= 1 && bound <= 8, s"local[4]/nlist 4 bound: $bound")
     val df = synth(400, 16).repartition(8)
@@ -215,21 +223,38 @@ class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "vec_id", "e", path)
     assert(filesPerCell(s"$path/codes").forall(_ <= 2 * bound),
       s"append must stay within one more bound: ${filesPerCell(s"$path/codes")}")
+    assert(spark.read.parquet(s"$path/codes").count() === 500L)
 
-    // compaction folds accumulated append files back to one per cell,
-    // with answers unchanged
-    val q = synth(500, 16).filter(col("vec_id") < 5)
-    def ask() = Pq.pqTopKIndexed(q, "vec_id", "e", path, k = 3, nprobe = 4)
+    // incremental compaction over a batch-keyed ingest: build + three
+    // idempotent appends, fold the committed ones — batch leaves fold
+    // into -1 (which gains at most one more bound's worth of files, its
+    // resident files untouched — IndexMaintenanceSpec pins that part),
+    // answers unchanged, replay of the uncommitted batch still converges
+    val p2 = Files.createTempDirectory("pqfold").toString
+    Pq.writePqIndex(df, "vec_id", "e", p2, nlist = 4, m = 4, ksub = 16)
+    def keyed(lo: Int, hi: Int) = synth(hi, 16).filter(col("vec_id") >= lo).repartition(4)
+    Pq.appendPqIndexIdempotent(keyed(400, 440), "vec_id", "e", p2, batchId = 0L)
+    Pq.appendPqIndexIdempotent(keyed(440, 480), "vec_id", "e", p2, batchId = 1L)
+    Pq.appendPqIndexIdempotent(keyed(480, 520), "vec_id", "e", p2, batchId = 2L)
+    val q = synth(520, 16).filter(col("vec_id") < 5)
+    def ask() = Pq.pqTopKIndexed(q, "vec_id", "e", p2, k = 3, nprobe = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
       .sortBy(x => (x._1, x._4)).toSeq
     val before = ask()
-    Pq.compactPqIndex(spark, path)
-    assert(filesPerCell(s"$path/codes").forall(_ <= bound),
-      s"compacted codes files per cell (bound $bound): ${filesPerCell(s"$path/codes")}")
-    assert(filesPerCell(s"$path/vectors").forall(_ <= bound),
-      s"compacted vectors files per cell (bound $bound): ${filesPerCell(s"$path/vectors")}")
-    assert(spark.read.parquet(s"$path/codes").count() === 500L)
+    Pq.compactPqIndex(spark, p2, committedBatchId = 1L)
+    for (t <- Seq("codes", "vectors")) {
+      assert(batchKeys(s"$p2/$t") === Set(-1L, 2L),
+        s"$t: fold must keep only -1 and the uncommitted batch 2: ${batchKeys(s"$p2/$t")}")
+      assert(filesPerCell(s"$p2/$t").forall(_ <= 3 * bound),
+        s"$t files per cell after fold (build + fold + batch 2): ${filesPerCell(s"$p2/$t")}")
+    }
+    assert(spark.read.parquet(s"$p2/codes").count() === 520L)
     assert(ask() === before, "compaction must not change answers")
+    // the uncommitted batch can still replay exactly-once after the fold
+    Pq.appendPqIndexIdempotent(keyed(480, 520), "vec_id", "e", p2, batchId = 2L)
+    assert(spark.read.parquet(s"$p2/codes").count() === 520L,
+      "replaying the uncommitted batch after compaction double-ingested")
+    assert(ask() === before)
 
     // the IVF twin (nested cell=/ingest_batch= layout)
     val ivfPath = Files.createTempDirectory("ivfalign").toString

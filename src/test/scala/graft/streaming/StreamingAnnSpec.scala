@@ -253,14 +253,17 @@ class StreamingAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       === Set(-1L, 2L), "fold must keep only -1 and the uncommitted batch 2")
     assert(ask() === before, "compaction must not change answers")
     // the folded layout is a bounded number of files per (cell, batch)
-    // leaf (cellSpreadBound; exactly-one capped scan parallelism at
-    // small nlist — see the Similarity.cellSpread scaladoc)
+    // leaf: the incremental fold ADDS at most one cellSpreadBound's
+    // worth of fold files beside the untouched resident -1 files (it
+    // never rewrites them — IndexMaintenanceSpec pins that), so the -1
+    // leaf holds at most build + one fold = 2x the bound, and batch
+    // leaves stay within one bound
     val bound = Similarity.cellSpreadBound(spark, nlist = 4)
     val leaves = new java.io.File(s"$idx/corpus").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
       .flatMap(_.listFiles().filter(_.isDirectory))
     assert(leaves.forall(_.listFiles().count(f =>
-      f.isFile && f.getName.endsWith(".parquet")) <= bound))
+      f.isFile && f.getName.endsWith(".parquet")) <= 2 * bound))
 
     // batch 2 could still replay (it was never checkpoint-committed):
     // the re-delivery must stay exactly-once against the compacted index
@@ -272,6 +275,46 @@ class StreamingAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ingest continues normally on the compacted index
     Similarity.appendIvfIndexIdempotent(batch(212, 216), "id", "v", idx, cents, 3L)
     assert(spark.read.parquet(s"$idx/corpus").count() === 46L)
+  }
+
+  test("appendBatchesWithRetrain: in-distribution batches never trip, a drifted batch trips") {
+    // The r14 verdict's gap: shouldRetrain existed as an API but no
+    // caller path evaluated it in-stream. Drive the retrain-wired
+    // ingest directly (the replay-exact harness pattern): the corpus
+    // lives in the positive orthant, so every trained centroid does too
+    // — an in-distribution batch scores coarse_fit ~ the build-time
+    // reference, while a negative-orthant batch has NEGATIVE cosine to
+    // every centroid, an unambiguous structural break.
+    val base = Files.createTempDirectory("sannretrain").toString
+    val s = spark
+    import s.implicits._
+    def posVec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(8)(math.abs(r.nextGaussian()) + 0.05)
+    }
+    val corpus = (0 until 200).map(i => (i.toLong, posVec(i))).toDF("id", "v")
+    val idx = s"$base/idx"
+    Similarity.writeIvfIndex(corpus, "id", "v", idx, nlist = 4, iters = 4)
+
+    val verdicts = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean, Long, Double, Double)]
+    val fn = StreamingAnn.appendBatchesWithRetrain(idx, "id", "v") { (v, batchId) =>
+      verdicts += ((batchId, v.retrain, v.nVectors, v.coarseFit, v.refCoarseFit))
+    }
+    fn((1000 until 1060).map(i => (i.toLong, posVec(i))).toDF("id", "v"), 0L)
+    fn((1060 until 1120).map(i => (i.toLong, posVec(i))).toDF("id", "v"), 1L)
+    fn((1120 until 1180).map(i => (i.toLong, posVec(i).map(-_))).toDF("id", "v"), 2L)
+
+    assert(verdicts.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    assert(verdicts.map(_._3).toSeq === Seq(60L, 60L, 60L))
+    assert(!verdicts(0)._2 && !verdicts(1)._2,
+      s"in-distribution batches tripped retrain: $verdicts")
+    assert(verdicts(2)._2, s"drifted batch must trip retrain: $verdicts")
+    // the verdict surfaces the same reference on every batch, and the
+    // drifted batch's fit is structurally negative
+    assert(verdicts.map(_._5).distinct.size === 1)
+    assert(verdicts(2)._4 < 0, s"negative-orthant batch fit: ${verdicts(2)._4}")
+    // ingestion continued under drift: all three batches are in the index
+    assert(spark.read.parquet(s"$idx/corpus").count() === 380L)
   }
 
   test("auto-compaction inside appendBatches: folds committed leaves, replay still exactly-once") {
