@@ -233,6 +233,44 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Pq.recoverPqFold(spark, idx).isEmpty)
   }
 
+  test("PQ append into a flat pre-r15 partitionBy(cell) layout fails with a rebuild message") {
+    val s = spark
+    import s.implicits._
+    val gen = org.apache.spark.sql.functions.udf(
+      (id: Long) => graft.tools.EmbedSynth.vector(id, 16, 4, 0.3))
+    val df = spark.range(100).select(col("id").as("vec_id"), gen(col("id")).as("e"))
+    val base = Files.createTempDirectory("impqflat").toString
+    val idx = s"$base/idx"
+    Pq.writePqIndex(df, "vec_id", "e", idx, nlist = 4, m = 4, ksub = 16)
+    // flatten: build a complete second index, then rewrite its tables
+    // in place as the OLD single-level layout (data files directly
+    // under cell= dirs, no ingest_batch) — the model dir stays valid
+    val flatPath = s"$base/flatidx"
+    Pq.writePqIndex(df, "vec_id", "e", flatPath, nlist = 4, m = 4, ksub = 16)
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmr); f.delete(); ()
+    }
+    for (t <- Seq("codes", "vectors")) {
+      spark.read.parquet(s"$flatPath/$t").drop("ingest_batch")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$flatPath/${t}_flat")
+      rmr(new java.io.File(s"$flatPath/$t"))
+      assert(new java.io.File(s"$flatPath/${t}_flat")
+        .renameTo(new java.io.File(s"$flatPath/$t")))
+    }
+    Pq.resetLayoutCheckCache()
+    val e1 = intercept[IllegalStateException] {
+      Pq.appendPqIndex(df.limit(5), "vec_id", "e", flatPath)
+    }
+    assert(e1.getMessage.contains("Rebuild"), e1.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      Pq.appendPqIndexIdempotent(df.limit(5), "vec_id", "e", flatPath, batchId = 0L)
+    }
+    assert(e2.getMessage.contains("Rebuild"), e2.getMessage)
+    // the current layout still appends fine (no false hits)
+    Pq.appendPqIndexIdempotent(df.limit(5), "vec_id", "e", idx, batchId = 0L)
+    assert(spark.read.parquet(s"$idx/codes").count() === 105L)
+  }
+
   test("shouldRetrain surfaces an empty batch as a real error, not an NPE") {
     val (_, idx) = buildWithBatches("imempty")
     val empty = mkCorpus(0 until 10).filter(col("id") < 0)
