@@ -1608,6 +1608,55 @@ object SparkEntry {
         k = 5, nprobe = 8, refine = (n / 5 + 1).toInt)
     }),
 
+    "ann_ivf_compacted" -> ((s, dir) => {
+      // The r15 maintenance loop under the DRIVER's gate (specs pin it;
+      // this puts it behind DuckDB too): build on the first half, land
+      // the rest as TWO batchId-keyed idempotent appends with one
+      // REPLAYED (exactly-once must hold), fold the committed leaf
+      // (incremental compaction — resident files untouched, batch 1
+      // keeps its keys), then query in the exhaustive regime. The
+      // brute-force oracle states that build + keyed append + replay +
+      // fold + reload + probe change NOTHING about answers.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val mid = e.agg(expr("percentile(vec_id, 0.5)")).collect()(0).getDouble(0)
+      val hi = e.agg(expr("percentile(vec_id, 0.75)")).collect()(0).getDouble(0)
+      val p = work(dir, "ann_ivf_compacted")
+      Similarity.writeIvfIndex(e.filter(col("vec_id") <= mid), "vec_id", "e", p, nlist = 8)
+      val cents = Similarity.loadIvfCentroids(s, p)
+      val b0 = e.filter(col("vec_id") > mid && col("vec_id") <= hi)
+      val b1 = e.filter(col("vec_id") > hi)
+      Similarity.appendIvfIndexIdempotent(b0, "vec_id", "e", p, cents, 0L)
+      Similarity.appendIvfIndexIdempotent(b1, "vec_id", "e", p, cents, 1L)
+      Similarity.appendIvfIndexIdempotent(b1, "vec_id", "e", p, cents, 1L) // replay
+      Similarity.compactIvfIndex(s, p, committedBatchId = 0L)
+      Similarity.ivfTopKIndexed(
+        e.filter(col("vec_id") < 10), "vec_id", "e", p, k = 5, nprobe = 8)
+    }),
+
+    "ann_ivfpq_compacted" -> ((s, dir) => {
+      // The PQ twin of ann_ivf_compacted: both tables batch-keyed (r15),
+      // replayed idempotent append, incremental fold of the committed
+      // leaf, exhaustive-regime query (full probe + corpus-covering
+      // refine) — the exact brute-force oracle applies verbatim.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val mid = e.agg(expr("percentile(vec_id, 0.5)")).collect()(0).getDouble(0)
+      val hi = e.agg(expr("percentile(vec_id, 0.75)")).collect()(0).getDouble(0)
+      val p = work(dir, "ann_ivfpq_compacted")
+      Pq.writePqIndex(e.filter(col("vec_id") <= mid), "vec_id", "e", p,
+        nlist = 8, m = 8, ksub = 128)
+      val b0 = e.filter(col("vec_id") > mid && col("vec_id") <= hi)
+      val b1 = e.filter(col("vec_id") > hi)
+      Pq.appendPqIndexIdempotent(b0, "vec_id", "e", p, batchId = 0L)
+      Pq.appendPqIndexIdempotent(b1, "vec_id", "e", p, batchId = 1L)
+      Pq.appendPqIndexIdempotent(b1, "vec_id", "e", p, batchId = 1L) // replay
+      Pq.compactPqIndex(s, p, committedBatchId = 0L)
+      val n = e.count()
+      Pq.pqTopKIndexed(e.filter(col("vec_id") < 10), "vec_id", "e", p,
+        k = 5, nprobe = 8, refine = (n / 5 + 1).toInt)
+    }),
+
     "winsorize" -> ((s, dir) => {
       // Robust-stats cleaning: clamp a heavy-tailed metric to its
       // [p01, p99] and report the effect — the outlier-trimming pass
@@ -2347,6 +2396,35 @@ object SparkEntry {
     // Exhaustive IVFPQ: full probe + corpus-covering refine shortlist
     // -> the exact brute-force oracle applies verbatim.
     "ann_ivfpq_indexed" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
+              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                                list_cosine_similarity(q.v, c.v) AS cos
+                         FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
+              ranked AS (SELECT query_id, corpus_id, cos,
+                                row_number() OVER (PARTITION BY query_id
+                                                   ORDER BY cos DESC, corpus_id) AS rnk
+                         FROM scored)
+         SELECT query_id, corpus_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
+         FROM ranked WHERE rnk <= 5""",
+
+    // The r15 maintenance loop (replayed keyed appends + incremental
+    // fold) in the exhaustive regime: maintenance must change nothing,
+    // so the same brute-force oracle applies to both compacted twins.
+    "ann_ivf_compacted" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
+              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                                list_cosine_similarity(q.v, c.v) AS cos
+                         FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
+              ranked AS (SELECT query_id, corpus_id, cos,
+                                row_number() OVER (PARTITION BY query_id
+                                                   ORDER BY cos DESC, corpus_id) AS rnk
+                         FROM scored)
+         SELECT query_id, corpus_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
+         FROM ranked WHERE rnk <= 5""",
+
+    "ann_ivfpq_compacted" ->
       """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
               c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
