@@ -490,6 +490,15 @@ object Pq {
   // 64–128× smaller than the corpus — the difference between an index
   // that fits in cluster memory and one that doesn't.
 
+  /** Load the immutable-between-rebuilds parts of a stored IVFPQ index
+    * (coarse centroids + PQ codebooks) once, for repeated callers — a
+    * streaming ingest passes these to the preloaded overloads of
+    * [[appendPqIndexIdempotent]] / [[indexDriftStats]] /
+    * [[shouldRetrain]] instead of re-reading two driver-side parquet
+    * tables every micro-batch. */
+  def loadPqIndexModel(spark: SparkSession,
+      path: String): (Array[Array[Double]], PqModel) = loadModel(spark, path)
+
   private def loadModel(spark: SparkSession, path: String): (Array[Array[Double]], PqModel) = {
     val cents: Array[Array[Double]] = spark.read.parquet(s"$path/model/centroids")
       .orderBy("cell").collect().map(r => r.getSeq[Double](1).toArray)
@@ -510,11 +519,19 @@ object Pq {
     * (norms precomputed). One assignment+encode pass over the corpus.
     *
     * Also persists the BUILD-TIME drift reference (`model/drift_ref`):
-    * [[indexDriftStats]] of the same bounded, deterministic sample the
-    * quantizers trained on — the "healthy" (coarse_fit, pq_err) the
-    * append contract's monitor compares against. Sample-bounded on
-    * purpose: the reference costs O(maxSample·dim), not a second corpus
-    * pass, and it measures exactly the distribution the model fit. */
+    * [[indexDriftStats]] of a bounded, deterministic reference batch —
+    * the "healthy" (coarse_fit, pq_err) the append contract's monitor
+    * compares against. The reference batch is HELD OUT whenever the
+    * corpus allows (r15): the next `maxSample` vectors by id AFTER the
+    * training sample. A reference measured on the training ids
+    * themselves is optimistically low on `pq_err` (the codebooks fit
+    * those exact vectors — at production ratios like 4096 samples over
+    * 256 codewords per subspace the in-sample gap is real), so an
+    * in-sample reference makes healthy out-of-sample batches look
+    * drifted at tight tolerances. Corpora no larger than the training
+    * sample fall back to the in-sample reference — pass looser
+    * tolerances to [[shouldRetrain]] in that toy regime. Sample-bounded
+    * either way: O(maxSample·dim), never a second corpus pass. */
   def writePqIndex(corpus: DataFrame, cId: String, cVec: String, path: String,
       nlist: Int = 16, m: Int = 8, ksub: Int = 256,
       iters: Int = 8, maxSample: Int = 4096, spreadFiles: Int = 0): Unit = {
@@ -524,9 +541,9 @@ object Pq {
     writeModel(spark, path, cents, model)
     writeRows(corpus, cId, cVec, path, cents, model, "overwrite", -1L, spreadFiles)
     import spark.implicits._
-    val sample = Similarity.firstVecsById(corpus, cId, cVec, maxSample)
+    val ref = Similarity.heldOutRefVecs(corpus, cId, cVec, maxSample)
     indexDriftStats(
-      sample.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+      ref.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
         .toDF("vec_id", "v"), "vec_id", "v", path)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/model/drift_ref")
   }
@@ -580,20 +597,37 @@ object Pq {
     * before r14 carry no reference row → fails with the remedy. */
   def shouldRetrain(batch: DataFrame, idCol: String, vecCol: String, path: String,
       fitDropTol: Double = 0.05, errRiseFrac: Double = 0.15): (Boolean, Double, Double, Double, Double) = {
-    val spark = batch.sparkSession
+    val (cents, model) = loadModel(batch.sparkSession, path)
+    val (refFit, refErr) = loadPqDriftRef(batch.sparkSession, path)
+    shouldRetrain(batch, idCol, vecCol, cents, model, refFit, refErr,
+      fitDropTol, errRiseFrac)
+  }
+
+  /** [[shouldRetrain]] against a pre-loaded model and reference — the
+    * streaming form (load once per stream via [[loadPqIndexModel]] +
+    * [[loadPqDriftRef]]; the per-batch cost is then one narrow pass
+    * over the BATCH). */
+  def shouldRetrain(batch: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]], model: PqModel, refFit: Double, refErr: Double,
+      fitDropTol: Double, errRiseFrac: Double): (Boolean, Double, Double, Double, Double) = {
+    val cur = indexDriftStats(batch, idCol, vecCol, cents, model).collect()(0)
+    // an empty batch averages to null — surface the real problem, not an NPE
+    require(cur.getLong(0) > 0, "empty batch — nothing to measure drift on")
+    val (fit, err) = (cur.getDouble(1), cur.getDouble(2))
+    val retrain = fit < refFit - fitDropTol || err > refErr * (1.0 + errRiseFrac)
+    (retrain, fit, err, refFit, refErr)
+  }
+
+  /** The build-time (coarse_fit, pq_err) reference row [[writePqIndex]]
+    * persists — what [[shouldRetrain]] compares appended batches against. */
+  def loadPqDriftRef(spark: SparkSession, path: String): (Double, Double) = {
     val refPath = new org.apache.hadoop.fs.Path(s"$path/model/drift_ref")
     val fs = refPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(refPath),
       s"no drift reference at $path/model/drift_ref — the index predates the " +
         "r14 layout; rebuild with writePqIndex to record one")
     val ref = spark.read.parquet(s"$path/model/drift_ref").collect()(0)
-    val cur = indexDriftStats(batch, idCol, vecCol, path).collect()(0)
-    // an empty batch averages to null — surface the real problem, not an NPE
-    require(cur.getLong(0) > 0, "empty batch — nothing to measure drift on")
-    val (refFit, refErr) = (ref.getDouble(1), ref.getDouble(2))
-    val (fit, err) = (cur.getDouble(1), cur.getDouble(2))
-    val retrain = fit < refFit - fitDropTol || err > refErr * (1.0 + errRiseFrac)
-    (retrain, fit, err, refFit, refErr)
+    (ref.getDouble(1), ref.getDouble(2))
   }
 
   private def writeModel(spark: SparkSession, path: String,
@@ -702,9 +736,18 @@ object Pq {
     * exactly-once state. Fold committed leaves with [[compactPqIndex]]. */
   def appendPqIndexIdempotent(batch: DataFrame, cId: String, cVec: String,
       path: String, batchId: Long, spreadFiles: Int = 0): Unit = {
+    val (cents, model) = loadModel(batch.sparkSession, path)
+    appendPqIndexIdempotent(batch, cId, cVec, path, cents, model, batchId, spreadFiles)
+  }
+
+  /** [[appendPqIndexIdempotent]] with a pre-loaded model — the streaming
+    * form (one [[loadPqIndexModel]] per stream instead of two driver-side
+    * parquet reads per micro-batch). */
+  def appendPqIndexIdempotent(batch: DataFrame, cId: String, cVec: String,
+      path: String, cents: Array[Array[Double]], model: PqModel, batchId: Long,
+      spreadFiles: Int): Unit = {
     require(batchId >= 0, s"batchId must be >= 0 (got $batchId): -1 marks non-keyed rows")
     requireBatchKeyedLayout(batch.sparkSession, path)
-    val (cents, model) = loadModel(batch.sparkSession, path)
     writeRows(batch, cId, cVec, path, cents, model, "dynamic", batchId, spreadFiles)
   }
 
@@ -720,6 +763,14 @@ object Pq {
   def indexDriftStats(batch: DataFrame, idCol: String, vecCol: String,
       path: String): DataFrame = {
     val (cents, model) = loadModel(batch.sparkSession, path)
+    indexDriftStats(batch, idCol, vecCol, cents, model)
+  }
+
+  /** [[indexDriftStats]] against a pre-loaded model ([[loadPqIndexModel]])
+    * — the streaming-monitor form (one model load per stream, not two
+    * driver-side parquet reads per trigger). */
+  def indexDriftStats(batch: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]], model: PqModel): DataFrame = {
     val statsUdf = udf { (v0: Seq[Double]) =>
       val v = Similarity.normalize(v0.toArray)
       val cell = Similarity.nearestCell(v, cents)

@@ -213,6 +213,19 @@ object Similarity {
       .orderBy("id").limit(n).repartition(1)
       .collect().map(_.getSeq[Double](1).toArray)
 
+  /** The drift-reference batch for index builds: the next `maxSample`
+    * vectors by id AFTER the training sample when the corpus has them
+    * (held-out — an in-sample reference reads optimistically, most
+    * acutely on PQ reconstruction error where the codebooks fit those
+    * exact vectors), else the training sample itself (toy corpora).
+    * One bounded driver fetch of ≤ 2·maxSample rows. */
+  private[operators] def heldOutRefVecs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      maxSample: Int): Array[Array[Double]] = {
+    val both = firstVecsById(corpus, idCol, vecCol, 2 * maxSample)
+    if (both.length > maxSample) both.drop(maxSample) else both
+  }
+
   def trainIvfCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 8, maxSample: Int = 4096): Array[Array[Double]] = {
@@ -336,12 +349,14 @@ object Similarity {
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    // build-time drift reference (the PQ twin stores one too): fit of
-    // the quantizer's own training sample — what [[shouldRetrain]]
-    // compares appended batches against. Sample-bounded, no corpus pass.
-    val sample = firstVecsById(corpus, cId, cVec, maxSample)
+    // build-time drift reference (the PQ twin stores one too): fit of a
+    // HELD-OUT reference batch when the corpus allows (r15 — an
+    // in-sample reference reads optimistically; see [[heldOutRefVecs]]),
+    // else the training sample. What [[shouldRetrain]] compares appended
+    // batches against. Sample-bounded, no corpus pass.
+    val ref = heldOutRefVecs(corpus, cId, cVec, maxSample)
     ivfDriftStats(
-      sample.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+      ref.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
         .toDF("vec_id", "v"), "vec_id", "v", cents)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/drift_ref")
   }

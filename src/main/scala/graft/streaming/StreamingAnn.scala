@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.Similarity
+import graft.operators.{Pq, Similarity}
 import org.apache.spark.sql.DataFrame
 
 /** Streaming ANN — online retrieval against a persisted IVF index
@@ -151,6 +151,81 @@ object StreamingAnn {
       val fit = stats.getDouble(1)
       onVerdict(RetrainVerdict(fit < refFit - fitDropTol,
         stats.getLong(0), fit, refFit), batchId)
+    }
+  }
+
+  /** Per-batch PQ retrain verdict ([[graft.operators.Pq.shouldRetrain]]):
+    * `retrain` = coarse fit fell below the build-time reference by more
+    * than the tolerance, OR the PQ reconstruction error rose above it by
+    * more than the relative fraction. */
+  final case class PqRetrainVerdict(retrain: Boolean, nVectors: Long,
+    coarseFit: Double, pqErr: Double, refCoarseFit: Double, refPqErr: Double)
+
+  /** The IVFPQ ingest — [[appendBatches]]'s PQ twin over a stored
+    * [[graft.operators.Pq.writePqIndex]] index: per-trigger replay-
+    * idempotent append into BOTH batchId-keyed tables
+    * ([[graft.operators.Pq.appendPqIndexIdempotent]] — a re-delivered
+    * batch overwrites its own leaves, and a crash between the two table
+    * writes heals on replay), the batch's drift row (`n_vectors`,
+    * `coarse_fit`, `pq_err`) to `onDrift`, and the same watermarked
+    * in-stream incremental fold every `compactEvery` non-empty batches
+    * ([[graft.operators.Pq.compactPqIndex]] at `batchId - 1` — safe by
+    * the same committed-before-delivery construction as the IVF twin).
+    * The model (centroids + codebooks) loads once per STREAM; fold
+    * debris from a crashed previous run self-heals on the first batch
+    * ([[graft.operators.Pq.recoverPqFold]], logged). Drift rows are
+    * monitoring — at-least-once on replay, key on batchId to dedup. */
+  def appendPqBatches(
+      path: String, idCol: String, vecCol: String, compactEvery: Int = 0)(
+      onDrift: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    pqIngest(path, idCol, vecCol, compactEvery) { (batch, batchId, cents, model) =>
+      onDrift(Pq.indexDriftStats(batch, idCol, vecCol, cents, model), batchId)
+    }
+
+  /** [[appendPqBatches]] with the retrain loop closed in-stream —
+    * [[appendBatchesWithRetrain]]'s PQ twin, with both drift axes: the
+    * trigger fires on coarse-fit collapse OR reconstruction-error rise
+    * vs the build-time reference (both loaded once per stream). Same
+    * operational contract: the verdict is advisory; on `retrain = true`
+    * stop the stream, rebuild (re-baselining `drift_ref`), restart. */
+  def appendPqBatchesWithRetrain(
+      path: String, idCol: String, vecCol: String, compactEvery: Int = 0,
+      fitDropTol: Double = 0.05, errRiseFrac: Double = 0.15)(
+      onVerdict: (PqRetrainVerdict, Long) => Unit): (DataFrame, Long) => Unit = {
+    var ref: (Double, Double) = null // loaded once per stream
+    pqIngest(path, idCol, vecCol, compactEvery) { (batch, batchId, cents, model) =>
+      if (ref == null) ref = Pq.loadPqDriftRef(batch.sparkSession, path)
+      // one narrow pass yields n + both drift axes; the verdict rule is
+      // Pq.shouldRetrain's, inlined to avoid a second batch scan
+      val s = Pq.indexDriftStats(batch, idCol, vecCol, cents, model).collect()(0)
+      val (fit, err) = (s.getDouble(1), s.getDouble(2))
+      val retrain = fit < ref._1 - fitDropTol || err > ref._2 * (1.0 + errRiseFrac)
+      onVerdict(PqRetrainVerdict(retrain, s.getLong(0), fit, err, ref._1, ref._2), batchId)
+    }
+  }
+
+  private def pqIngest(
+      path: String, idCol: String, vecCol: String, compactEvery: Int)(
+      monitor: (DataFrame, Long, Array[Array[Double]], Pq.PqModel) => Unit): (DataFrame, Long) => Unit = {
+    var loaded: (Array[Array[Double]], Pq.PqModel) = null
+    var appended = 0L
+    var recovered = false
+    (batch, batchId) => {
+      if (!batch.isEmpty) {
+        if (!recovered) {
+          Pq.recoverPqFold(batch.sparkSession, path).foreach(msg =>
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"StreamingAnn: recovered interrupted PQ compaction — $msg"))
+          recovered = true
+        }
+        if (loaded == null) loaded = Pq.loadPqIndexModel(batch.sparkSession, path)
+        Pq.appendPqIndexIdempotent(batch, idCol, vecCol, path,
+          loaded._1, loaded._2, batchId, spreadFiles = 0)
+        monitor(batch, batchId, loaded._1, loaded._2)
+        appended += 1
+        if (compactEvery > 0 && appended % compactEvery == 0 && batchId > 0)
+          Pq.compactPqIndex(batch.sparkSession, path, batchId - 1)
+      }
     }
   }
 

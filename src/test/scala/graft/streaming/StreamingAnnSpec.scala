@@ -317,6 +317,72 @@ class StreamingAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$idx/corpus").count() === 380L)
   }
 
+  test("PQ ingest twin: idempotent keyed appends, in-stream fold, retrain verdict") {
+    // appendPqBatchesWithRetrain composes the whole r15 PQ lifecycle:
+    // replay-idempotent appends into BOTH batchId-keyed tables, the
+    // watermarked incremental fold, and the two-axis retrain trigger —
+    // driven directly so the replay schedule is exact.
+    val base = Files.createTempDirectory("sannpq").toString
+    val s = spark
+    import s.implicits._
+    def posVec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(8)(math.abs(r.nextGaussian()) + 0.05)
+    }
+    def batch(lo: Int, hi: Int, sign: Double = 1.0) =
+      (lo until hi).map(i => (i.toLong, posVec(i).map(_ * sign))).toDF("id", "v")
+    val corpus = (0 until 200).map(i => (i.toLong, posVec(i))).toDF("id", "v")
+    val idx = s"$base/idx"
+    // maxSample 100 < corpus: the r15 HELD-OUT drift reference kicks in
+    // (vectors 100-199) — an in-sample reference is optimistically low
+    // on pq_err at this sample/capacity ratio and would false-trip the
+    // default tolerances on healthy out-of-sample batches (measured:
+    // this exact test tripped on every batch before the held-out ref)
+    graft.operators.Pq.writePqIndex(corpus, "id", "v", idx,
+      nlist = 4, m = 4, ksub = 16, maxSample = 100)
+
+    val verdicts = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Boolean, Long, Double, Double)]
+    val fn = StreamingAnn.appendPqBatchesWithRetrain(idx, "id", "v", compactEvery = 2) {
+      (v, id) => verdicts += ((id, v.retrain, v.nVectors, v.coarseFit, v.pqErr))
+    }
+    fn(batch(1000, 1060), 0L)
+    fn(batch(1060, 1120), 1L) // 2nd non-empty append -> in-stream fold, watermark 0
+    fn(batch(1060, 1120), 1L) // replay AFTER the fold — exactly-once must hold
+    fn(batch(1120, 1180, sign = -1.0), 2L) // negative orthant -> must trip
+
+    // exactly-once across replay + folds, in BOTH tables
+    for (t <- Seq("codes", "vectors"))
+      assert(spark.read.parquet(s"$idx/$t").count() === 380L,
+        s"$t double-ingested across replay/folds")
+    // after the second fold (watermark 1) only -1 and the last batch remain keyed
+    val keys = new java.io.File(s"$idx/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .flatMap(_.listFiles().filter(_.isDirectory)
+        .map(_.getName.stripPrefix("ingest_batch=").toLong)).toSet
+    assert(keys === Set(-1L, 2L), s"fold watermarking left: $keys")
+    // verdicts: one per call (at-least-once on replay), drift trips only
+    // on the negative-orthant batch
+    assert(verdicts.map(v => (v._1, v._2)).toSeq ===
+      Seq((0L, false), (1L, false), (1L, false), (2L, true)), verdicts.toString)
+    assert(verdicts.forall(_._3 === 60L))
+
+    // maintenance must not change answers: exhaustive-regime query equals
+    // a fold-free twin built from the same model + batches
+    val twin = s"$base/twin"
+    graft.operators.Pq.writePqIndex(corpus, "id", "v", twin,
+      nlist = 4, m = 4, ksub = 16, maxSample = 100)
+    graft.operators.Pq.appendPqIndexIdempotent(batch(1000, 1060), "id", "v", twin, 0L)
+    graft.operators.Pq.appendPqIndexIdempotent(batch(1060, 1120), "id", "v", twin, 1L)
+    graft.operators.Pq.appendPqIndexIdempotent(batch(1120, 1180, -1.0), "id", "v", twin, 2L)
+    val q = (5000 until 5003).map(i => (i.toLong, posVec(i))).toDF("id", "v")
+    def ask(p: String) = graft.operators.Pq.pqTopKIndexed(q, "id", "v", p,
+      k = 4, nprobe = 4, refine = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._4)).toSeq
+    assert(ask(idx) === ask(twin))
+  }
+
   test("auto-compaction inside appendBatches: folds committed leaves, replay still exactly-once") {
     val base = Files.createTempDirectory("sannauto").toString
     val s = spark
