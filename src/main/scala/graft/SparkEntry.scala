@@ -1619,8 +1619,10 @@ object SparkEntry {
       // fold + reload + probe change NOTHING about answers.
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      val mid = e.agg(expr("percentile(vec_id, 0.5)")).collect()(0).getDouble(0)
-      val hi = e.agg(expr("percentile(vec_id, 0.75)")).collect()(0).getDouble(0)
+      // both split points from ONE scan
+      val cuts = e.agg(expr("percentile(vec_id, 0.5)"),
+        expr("percentile(vec_id, 0.75)")).collect()(0)
+      val (mid, hi) = (cuts.getDouble(0), cuts.getDouble(1))
       val p = work(dir, "ann_ivf_compacted")
       Similarity.writeIvfIndex(e.filter(col("vec_id") <= mid), "vec_id", "e", p, nlist = 8)
       val cents = Similarity.loadIvfCentroids(s, p)
@@ -1641,16 +1643,20 @@ object SparkEntry {
       // refine) — the exact brute-force oracle applies verbatim.
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      val mid = e.agg(expr("percentile(vec_id, 0.5)")).collect()(0).getDouble(0)
-      val hi = e.agg(expr("percentile(vec_id, 0.75)")).collect()(0).getDouble(0)
+      // both split points from ONE scan
+      val cuts = e.agg(expr("percentile(vec_id, 0.5)"),
+        expr("percentile(vec_id, 0.75)")).collect()(0)
+      val (mid, hi) = (cuts.getDouble(0), cuts.getDouble(1))
       val p = work(dir, "ann_ivfpq_compacted")
       Pq.writePqIndex(e.filter(col("vec_id") <= mid), "vec_id", "e", p,
         nlist = 8, m = 8, ksub = 128)
       val b0 = e.filter(col("vec_id") > mid && col("vec_id") <= hi)
       val b1 = e.filter(col("vec_id") > hi)
-      Pq.appendPqIndexIdempotent(b0, "vec_id", "e", p, batchId = 0L)
-      Pq.appendPqIndexIdempotent(b1, "vec_id", "e", p, batchId = 1L)
-      Pq.appendPqIndexIdempotent(b1, "vec_id", "e", p, batchId = 1L) // replay
+      // model loaded ONCE for the three appends (the streaming discipline)
+      val (cents, model) = Pq.loadPqIndexModel(s, p)
+      Pq.appendPqIndexIdempotent(b0, "vec_id", "e", p, cents, model, 0L, 0)
+      Pq.appendPqIndexIdempotent(b1, "vec_id", "e", p, cents, model, 1L, 0)
+      Pq.appendPqIndexIdempotent(b1, "vec_id", "e", p, cents, model, 1L, 0) // replay
       Pq.compactPqIndex(s, p, committedBatchId = 0L)
       val n = e.count()
       Pq.pqTopKIndexed(e.filter(col("vec_id") < 10), "vec_id", "e", p,

@@ -56,10 +56,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * performs whichever applies; [[requireNoDebris]] makes writers refuse
   * to touch an index with unrecovered debris.
   *
-  * Readers during a NORMAL fold are unaffected (single-writer contract;
-  * markers invisible; worst case a concurrent query transiently sees a
-  * just-folded batch twice between steps 3 and 5 — the window a crash
-  * freezes, which is why readers also check for debris).
+  * Readers during a NORMAL fold: the only reader-visible inconsistency
+  * (a folded batch appearing twice) is confined to the marker-bracketed
+  * move+delete window of steps 3–5, which a healthy fold clears in well
+  * under a second — the expensive tmp write (step 1) happens before any
+  * marker exists and never touches reader-visible files. Readers
+  * therefore gate on [[requireReadConsistent]]: wait briefly while a
+  * marker is present (a live fold finishes; the read proceeds), fail
+  * with the remedy only when the marker outlives the wait (a crash).
+  * Writers gate on the stricter [[requireNoDebris]] — under the
+  * single-writer contract any staging artifact a writer sees is a crash.
   */
 private[graft] object IndexMaintenance {
 
@@ -86,17 +92,60 @@ private[graft] object IndexMaintenance {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Throw if `table` carries staging debris from an interrupted fold
-    * (or from the pre-r15 rename-swap). Writers and readers call this so
-    * a crashed maintenance op is surfaced loudly — with the remedy —
-    * instead of silently double-counting or deleting stranded data. */
-  private[graft] def requireNoDebris(fs: FileSystem, table: Path): Unit = {
-    val debris = Seq(
+    * (or from the pre-r15 rename-swap). This is the WRITER form: under
+    * the single-writer contract a writer can never race a live fold, so
+    * ANY staging artifact it sees — including the fold-tmp dir — is a
+    * crash leftover that appending around would corrupt (a folded batch
+    * counted twice after recovery). */
+  private[graft] def requireNoDebris(fs: FileSystem, table: Path): Unit =
+    failOnDebris(fs, table, Seq(
       stagedMarker(table) -> "an interrupted fold (staged)",
       commitMarker(table) -> "an interrupted fold (committed)",
+      markerScratch(table) -> "an interrupted fold (pre-stage scratch)",
       foldTmp(table) -> "fold staging output",
       legacyTmp(table) -> "a pre-r15 compaction's staging dir",
-      legacyOld(table) -> "a pre-r15 compaction's renamed-aside table"
-    ).filter { case (p, _) => fs.exists(p) }
+      legacyOld(table) -> "a pre-r15 compaction's renamed-aside table"))
+
+  /** Reader-side consistency gate. Readers are NOT under the
+    * single-writer contract, so a marker may belong to a LIVE fold, not
+    * a crash — and the only phase where a reader could see inconsistent
+    * data (a folded batch twice) is the marker-bracketed move+delete
+    * window, which a healthy fold clears in well under a second (file
+    * renames + leaf deletes; the expensive tmp WRITE happens before any
+    * marker exists and is invisible to readers). So: ignore the tmp dir
+    * entirely, and on a staged/commit marker WAIT briefly for it to
+    * clear — a live fold finishes and the read proceeds consistently; a
+    * marker still present after the wait is crash debris and fails with
+    * the remedy. Legacy rename-swap debris fails immediately (never
+    * live — that code is gone). */
+  /** How long [[requireReadConsistent]] waits for a live fold's marker
+    * window to clear before declaring it crash debris. A seam (not a
+    * per-call knob) so specs can pin the crash path without 15 s stalls;
+    * production readers never see the full wait — a healthy window is
+    * sub-second. */
+  @volatile private[graft] var readGateWaitMs: Long = 15000L
+
+  private[graft] def requireReadConsistent(fs: FileSystem, table: Path): Unit = {
+    val waitMs = readGateWaitMs
+    failOnDebris(fs, table, Seq(
+      legacyTmp(table) -> "a pre-r15 compaction's staging dir",
+      legacyOld(table) -> "a pre-r15 compaction's renamed-aside table"))
+    def markerPresent() =
+      fs.exists(stagedMarker(table)) || fs.exists(commitMarker(table))
+    if (!markerPresent()) return
+    val deadline = System.nanoTime() + waitMs * 1000000L
+    while (markerPresent() && System.nanoTime() < deadline) Thread.sleep(200)
+    if (markerPresent()) throw new IllegalStateException(
+      s"index table $table still carries a fold marker after ${waitMs} ms — " +
+        "if no compaction is running this is crash debris; run the index's " +
+        "recover entry point (Similarity.recoverIvfFold / Pq.recoverPqFold). " +
+        "A live fold's marker window is sub-second; raise the wait only for " +
+        "object stores with extreme rename latency.")
+  }
+
+  private def failOnDebris(fs: FileSystem, table: Path,
+      candidates: Seq[(Path, String)]): Unit = {
+    val debris = candidates.filter { case (p, _) => fs.exists(p) }
     if (debris.nonEmpty) throw new IllegalStateException(
       s"index table $table has compaction debris: " +
         debris.map { case (p, what) => s"$p ($what)" }.mkString("; ") +
@@ -115,6 +164,9 @@ private[graft] object IndexMaintenance {
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
     require(fs.exists(table), s"no index table at $table")
+    // from here this fold may create debris — memoized append guards on
+    // this path must re-look on their next call, crash or no crash
+    invalidateGuards(tablePath)
     requireNoDebris(fs, table)
 
     // batch-sized listing: only cell dirs' leaf NAMES are enumerated,
@@ -173,6 +225,7 @@ private[graft] object IndexMaintenance {
   def recover(spark: SparkSession, tablePath: String): Option[String] = {
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
+    invalidateGuards(tablePath) // recovery changes on-disk state
     val commit = commitMarker(table)
     val staged = stagedMarker(table)
     if (fs.exists(commit)) {
@@ -244,19 +297,32 @@ private[graft] object IndexMaintenance {
     finally in.close()
   }
 
+  // every guard instance, so fold/recover can invalidate a table's memo
+  // across index families without knowing which guard owns it
+  private val allGuards =
+    new java.util.concurrent.ConcurrentLinkedQueue[TwoLevelLayoutGuard]()
+  private def invalidateGuards(tablePath: String): Unit =
+    allGuards.forEach(_.invalidate(tablePath))
+
   /** Memoizing two-level-layout + debris guard, one instance per index
     * family. The layout verdict cannot change once passed (every writer
     * emits the two-level layout), so a streaming ingest pays ONE FS
     * check per (JVM, path); a FAILED check is never cached — the remedy
     * changes on-disk state, so a retry must re-look. Debris is checked
-    * inside the same memoized visit: fold debris can only appear via a
-    * crash (fresh JVM, empty memo) or via a failed in-JVM fold, whose
-    * exception already surfaced to the single writer. */
+    * inside the same memoized visit, which is sound because the memo is
+    * INVALIDATED whenever this JVM starts a fold or a recovery on the
+    * path (debris can only appear via this JVM's own fold — the single
+    * writer — or via a crash, which empties the memo with the JVM):
+    * the next append after any fold re-checks and refuses on leftovers
+    * instead of appending around them. */
   private[graft] final class TwoLevelLayoutGuard(rebuildRemedy: String) {
     private val verified = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     private val checks = new java.util.concurrent.atomic.AtomicLong(0)
     private[graft] def count: Long = checks.get()
     private[graft] def reset(): Unit = { verified.clear(); checks.set(0) }
+    private[IndexMaintenance] def invalidate(tablePath: String): Unit =
+      verified.remove(tablePath)
+    allGuards.add(this)
 
     def require(spark: SparkSession, tablePath: String): Unit = {
       if (verified.contains(tablePath)) return

@@ -801,11 +801,12 @@ object Pq {
       path: String, k: Int, nprobe: Int, refine: Int = 8): DataFrame = {
     require(refine >= 1, "refine must be >= 1")
     val spark = queries.sparkSession
-    // a crashed fold's debris means a folded batch may be visible twice —
-    // refuse (a few driver-side exists() calls) until recoverPqFold runs
+    // consistency gate: a LIVE fold's sub-second marker window just
+    // delays this read; a marker that outlives the wait is crash debris
+    // (a folded batch would be visible twice) — recoverPqFold is the remedy
     for (t <- Seq("codes", "vectors")) {
       val tp = new org.apache.hadoop.fs.Path(s"$path/$t")
-      IndexMaintenance.requireNoDebris(
+      IndexMaintenance.requireReadConsistent(
         tp.getFileSystem(spark.sparkContext.hadoopConfiguration), tp)
     }
     val (cents, model) = loadModel(spark, path)

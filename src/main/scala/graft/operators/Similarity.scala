@@ -213,17 +213,23 @@ object Similarity {
       .orderBy("id").limit(n).repartition(1)
       .collect().map(_.getSeq[Double](1).toArray)
 
-  /** The drift-reference batch for index builds: the next `maxSample`
-    * vectors by id AFTER the training sample when the corpus has them
-    * (held-out — an in-sample reference reads optimistically, most
-    * acutely on PQ reconstruction error where the codebooks fit those
-    * exact vectors), else the training sample itself (toy corpora).
-    * One bounded driver fetch of ≤ 2·maxSample rows. */
+  /** The drift-reference batch for index builds: the next up-to-
+    * `maxSample` vectors by id AFTER the training sample when the corpus
+    * has ENOUGH of them (held-out — an in-sample reference reads
+    * optimistically, most acutely on PQ reconstruction error where the
+    * codebooks fit those exact vectors), else the training sample itself
+    * (toy corpora). "Enough" = at least maxSample/2: a corpus of
+    * maxSample + 4 rows would otherwise yield a 4-vector reference whose
+    * averaged (fit, err) is high-variance noise — worse than the
+    * documented in-sample optimism. One bounded driver fetch of
+    * ≤ 2·maxSample rows. */
   private[operators] def heldOutRefVecs(
       corpus: DataFrame, idCol: String, vecCol: String,
       maxSample: Int): Array[Array[Double]] = {
     val both = firstVecsById(corpus, idCol, vecCol, 2 * maxSample)
-    if (both.length > maxSample) both.drop(maxSample) else both
+    val heldOut = both.drop(maxSample)
+    if (heldOut.length >= math.max(1, maxSample / 2)) heldOut
+    else both.take(maxSample)
   }
 
   def trainIvfCentroids(
@@ -636,10 +642,12 @@ object Similarity {
       path: String, k: Int, nprobe: Int,
       cents: Array[Array[Double]]): DataFrame = {
     val spark = queries.sparkSession
-    // a crashed fold's debris means a folded batch may be visible twice —
-    // refuse (a few driver-side exists() calls) until recoverIvfFold runs
+    // consistency gate (a few driver-side exists() calls): a LIVE fold's
+    // sub-second marker window just delays this read; a marker that
+    // outlives the wait is crash debris (a folded batch would be visible
+    // twice) and fails with the recoverIvfFold remedy
     val corpusPath = new org.apache.hadoop.fs.Path(s"$path/corpus")
-    IndexMaintenance.requireNoDebris(
+    IndexMaintenance.requireReadConsistent(
       corpusPath.getFileSystem(spark.sparkContext.hadoopConfiguration), corpusPath)
     val np = math.min(nprobe, cents.length)
     val probeUdf = udf { (v: Seq[Double]) =>

@@ -206,51 +206,55 @@ object StreamingAnn {
 
   private def pqIngest(
       path: String, idCol: String, vecCol: String, compactEvery: Int)(
-      monitor: (DataFrame, Long, Array[Array[Double]], Pq.PqModel) => Unit): (DataFrame, Long) => Unit = {
-    var loaded: (Array[Array[Double]], Pq.PqModel) = null
-    var appended = 0L
-    var recovered = false
-    (batch, batchId) => {
-      if (!batch.isEmpty) {
-        if (!recovered) {
-          Pq.recoverPqFold(batch.sparkSession, path).foreach(msg =>
-            org.slf4j.LoggerFactory.getLogger(getClass)
-              .warn(s"StreamingAnn: recovered interrupted PQ compaction — $msg"))
-          recovered = true
-        }
-        if (loaded == null) loaded = Pq.loadPqIndexModel(batch.sparkSession, path)
-        Pq.appendPqIndexIdempotent(batch, idCol, vecCol, path,
-          loaded._1, loaded._2, batchId, spreadFiles = 0)
-        monitor(batch, batchId, loaded._1, loaded._2)
-        appended += 1
-        if (compactEvery > 0 && appended % compactEvery == 0 && batchId > 0)
-          Pq.compactPqIndex(batch.sparkSession, path, batchId - 1)
-      }
-    }
-  }
+      monitor: (DataFrame, Long, Array[Array[Double]], Pq.PqModel) => Unit): (DataFrame, Long) => Unit =
+    ingestLoop[(Array[Array[Double]], Pq.PqModel)](compactEvery)(
+      recover = s => Pq.recoverPqFold(s, path),
+      load = s => Pq.loadPqIndexModel(s, path),
+      append = (batch, m, batchId) => Pq.appendPqIndexIdempotent(
+        batch, idCol, vecCol, path, m._1, m._2, batchId, spreadFiles = 0),
+      monitor = (batch, batchId, m) => monitor(batch, batchId, m._1, m._2),
+      compact = (s, wm) => Pq.compactPqIndex(s, path, wm))
 
-  /** Shared ingest skeleton: recover-once, centroids-once, idempotent
-    * append, caller's per-batch monitor, watermarked auto-compaction. */
   private def ingest(
       path: String, idCol: String, vecCol: String, compactEvery: Int)(
-      monitor: (DataFrame, Long, Array[Array[Double]]) => Unit): (DataFrame, Long) => Unit = {
-    val cents = loadCents(path)
+      monitor: (DataFrame, Long, Array[Array[Double]]) => Unit): (DataFrame, Long) => Unit =
+    ingestLoop[Array[Array[Double]]](compactEvery)(
+      recover = s => Similarity.recoverIvfFold(s, path),
+      load = s => Similarity.loadIvfCentroids(s, path),
+      append = (batch, cents, batchId) => Similarity.appendIvfIndexIdempotent(
+        batch, idCol, vecCol, path, cents, batchId),
+      monitor = monitor,
+      compact = (s, wm) => Similarity.compactIvfIndex(s, path, wm))
+
+  /** The ONE ingest skeleton both index families ride — any change to
+    * the ordering (recover before first append, model loaded once per
+    * stream, fold watermark `batchId - 1`, skip-empty) lands in both
+    * twins by construction. `M` is the family's immutable-between-
+    * rebuilds model. */
+  private def ingestLoop[M](compactEvery: Int)(
+      recover: org.apache.spark.sql.SparkSession => Option[String],
+      load: org.apache.spark.sql.SparkSession => M,
+      append: (DataFrame, M, Long) => Unit,
+      monitor: (DataFrame, Long, M) => Unit,
+      compact: (org.apache.spark.sql.SparkSession, Long) => Unit): (DataFrame, Long) => Unit = {
+    var loaded: Option[M] = None
     var appended = 0L
     var recovered = false
     (batch, batchId) => {
       if (!batch.isEmpty) {
+        val spark = batch.sparkSession
         if (!recovered) {
-          Similarity.recoverIvfFold(batch.sparkSession, path).foreach(msg =>
+          recover(spark).foreach(msg =>
             org.slf4j.LoggerFactory.getLogger(getClass)
               .warn(s"StreamingAnn: recovered interrupted compaction — $msg"))
           recovered = true
         }
-        val ct = cents(batch)
-        Similarity.appendIvfIndexIdempotent(batch, idCol, vecCol, path, ct, batchId)
-        monitor(batch, batchId, ct)
+        val m = loaded.getOrElse { val x = load(spark); loaded = Some(x); x }
+        append(batch, m, batchId)
+        monitor(batch, batchId, m)
         appended += 1
         if (compactEvery > 0 && appended % compactEvery == 0 && batchId > 0)
-          Similarity.compactIvfIndex(batch.sparkSession, path, batchId - 1)
+          compact(spark, batchId - 1)
       }
     }
   }

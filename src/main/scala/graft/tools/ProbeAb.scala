@@ -14,6 +14,8 @@ import graft.operators.Similarity
 object ProbeAb {
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
+    require(args.length >= 3,
+      "usage: ProbeAb <idxA> <idxB> <corpusParquet> [reps nprobe k nq]")
     val Array(idxA, idxB, corpus) = args.take(3)
     val reps = if (args.length > 3) args(3).toInt else 5
     val nprobe = if (args.length > 4) args(4).toInt else 8

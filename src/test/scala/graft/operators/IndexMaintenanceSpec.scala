@@ -112,14 +112,19 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     try intercept[RuntimeException] {
       Similarity.compactIvfIndex(spark, idx, committedBatchId = 1L)
     } finally IndexMaintenance.failpoint = None
-    // debris present: appends AND reads refuse with the remedy
-    Similarity.resetLayoutCheckCache()
+    // debris present: appends AND reads refuse with the remedy.
+    // Deliberately NO resetLayoutCheckCache here: buildWithBatches warmed
+    // the layout memo in THIS JVM, and starting the fold must have
+    // invalidated it — a memoized appender silently appending around
+    // debris was the r15 review's finding #2.
     val cents = Similarity.loadIvfCentroids(spark, idx)
     val e1 = intercept[IllegalStateException] {
       Similarity.appendIvfIndexIdempotent(mkCorpus(400 until 404), "id", "v", idx, cents, 3L)
     }
     assert(e1.getMessage.contains("recover"), e1.getMessage)
-    val e2 = intercept[IllegalStateException] { ask(idx) }
+    IndexMaintenance.readGateWaitMs = 400L // crash path: don't stall the suite
+    val e2 = try intercept[IllegalStateException] { ask(idx) }
+      finally IndexMaintenance.readGateWaitMs = 15000L
     assert(e2.getMessage.contains("debris"), e2.getMessage)
     // rollback: fold files removed, originals (batch leaves) intact
     val msg = Similarity.recoverIvfFold(spark, idx)
@@ -143,9 +148,10 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Similarity.compactIvfIndex(spark, idx, committedBatchId = 1L)
     } finally IndexMaintenance.failpoint = None
     // this is the window where folded rows are transiently visible twice
-    // — exactly why readers must refuse until recovery runs
-    Similarity.resetLayoutCheckCache()
-    intercept[IllegalStateException] { ask(idx) }
+    // — a marker outliving the read gate's wait means crash, not live fold
+    IndexMaintenance.readGateWaitMs = 400L
+    try intercept[IllegalStateException] { ask(idx) }
+    finally IndexMaintenance.readGateWaitMs = 15000L
     val msg = Similarity.recoverIvfFold(spark, idx)
     assert(msg.exists(_.contains("FORWARD")), s"expected roll-forward, got $msg")
     val batches = spark.read.parquet(s"$idx/corpus")
@@ -222,15 +228,57 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // rollback-able) must still block every entry point
     val marker = new java.io.File(s"$idx/codes/_fold_staged")
     assert(marker.createNewFile())
+    // hand-made debris (no fold ran in this JVM) models a fresh JVM
+    // after a crash — reset stands in for the empty memo
     Pq.resetLayoutCheckCache()
     val e1 = intercept[IllegalStateException] {
       Pq.appendPqIndexIdempotent(df.limit(5), "vec_id", "e", idx, batchId = 0L)
     }
     assert(e1.getMessage.contains("recoverPqFold"), e1.getMessage)
-    intercept[IllegalStateException] { pqAsk() }
+    IndexMaintenance.readGateWaitMs = 400L
+    try intercept[IllegalStateException] { pqAsk() }
+    finally IndexMaintenance.readGateWaitMs = 15000L
     assert(Pq.recoverPqFold(spark, idx).exists(_.contains("BACK")))
     assert(pqAsk() === answers)
     assert(Pq.recoverPqFold(spark, idx).isEmpty)
+  }
+
+  test("reader gate: a live fold's marker window delays the read; tmp alone never blocks it") {
+    // The r15 review's headline: a retrieval stream must survive a
+    // concurrent in-stream fold. Phase 1 of a fold (the expensive tmp
+    // write) must not block readers at all; the sub-second marker window
+    // must DELAY a reader until it clears, not fail it.
+    val (_, idx) = buildWithBatches("imlive")
+    val answers = ask(idx)
+    // fold-tmp present (phase 1): readers proceed immediately
+    val tmp = new java.io.File(s"$idx/corpus_fold_tmp")
+    assert(tmp.mkdir())
+    assert(ask(idx) === answers, "fold tmp alone must not block readers")
+    assert(tmp.delete())
+    // marker present (move window): reader waits, then proceeds when a
+    // "live fold" clears it mid-wait
+    val marker = new java.io.File(s"$idx/corpus/_fold_staged")
+    assert(marker.createNewFile())
+    val clearer = new Thread(() => { Thread.sleep(700); marker.delete(); () })
+    clearer.start()
+    IndexMaintenance.readGateWaitMs = 10000L
+    val t0 = System.nanoTime()
+    val got = try ask(idx) finally {
+      IndexMaintenance.readGateWaitMs = 15000L; clearer.join()
+    }
+    val waited = (System.nanoTime() - t0) / 1e9
+    assert(got === answers)
+    assert(waited >= 0.5, f"reader must have waited for the marker window: $waited%.2f s")
+    // and the writer form still treats tmp as debris (single-writer
+    // contract: a writer can never race a live fold)
+    assert(tmp.mkdir())
+    val cents = Similarity.loadIvfCentroids(spark, idx)
+    Similarity.resetLayoutCheckCache()
+    val e = intercept[IllegalStateException] {
+      Similarity.appendIvfIndexIdempotent(mkCorpus(500 until 504), "id", "v", idx, cents, 9L)
+    }
+    assert(e.getMessage.contains("staging output"), e.getMessage)
+    assert(tmp.delete())
   }
 
   test("PQ append into a flat pre-r15 partitionBy(cell) layout fails with a rebuild message") {
