@@ -1,0 +1,140 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** ANN decade 6 (SCALE.md r15): the plain-IVF stored-index lifecycle at
+  * 100 M vectors — one decade past r14's 20 M rung, at the regime the
+  * dim-64 recall grid already crowned plain IVF (exact dots re-rank;
+  * IVFPQ's ADC is payload-bound, not compute-bound, at this width).
+  *
+  * Lean by design so the rung fits a single box's disk: the corpus is
+  * generated IN-PLAN (EmbedSynth is deterministic in vec_id — scanning
+  * the generator twice yields identical vectors, ~2 s per 100 M-row
+  * pass), so the only materialized artifact is the index itself
+  * (~53 GB at 100 M × dim 64). Brute-force recall truth is computed
+  * over the same generated frame, never stored.
+  *
+  * Measures: build wall; batchId-keyed append + incremental fold wall
+  * (the r15 maintenance loop at this scale); probe latency + recall@k
+  * vs exact brute force at each nprobe.
+  *
+  * Run: {{{
+  *   SPARK_DRIVER_MEM=24g sbt "runMain graft.tools.AnnScaleLab \
+  *     --n 100000000 --dim 64 --nlist 1024 --nprobe 8,32 --queries 50"
+  * }}} */
+object AnnScaleLab {
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    var n = 10000000L
+    var dim = 64
+    var nlist = 1024
+    var nprobes = Seq(8, 32)
+    var k = 5
+    var nQueries = 50
+    var appendN = 0L // 0 = n/10
+    var buildChunks = 1
+    var partitions = 64
+    // noise 2.0 = the 20 M rung's recall regime (AnnGrowthLab): true
+    // neighbors are merely NEAR; low noise saturates recall structurally
+    var noise = 2.0
+    var root = "/tmp/graft_scalelab"
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--n" => n = args(i + 1).toLong; i += 2
+        case "--dim" => dim = args(i + 1).toInt; i += 2
+        case "--nlist" => nlist = args(i + 1).toInt; i += 2
+        case "--nprobe" => nprobes = args(i + 1).split(",").map(_.toInt).toSeq; i += 2
+        case "--k" => k = args(i + 1).toInt; i += 2
+        case "--queries" => nQueries = args(i + 1).toInt; i += 2
+        case "--append" => appendN = args(i + 1).toLong; i += 2
+        case "--buildChunks" => buildChunks = args(i + 1).toInt; i += 2
+        case "--partitions" => partitions = args(i + 1).toInt; i += 2
+        case "--noise" => noise = args(i + 1).toDouble; i += 2
+        case "--root" => root = args(i + 1); i += 2
+        case other => sys.error(s"unknown arg $other")
+      }
+    }
+    if (appendN == 0) appendN = n / 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", partitions.toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+
+    // in-plan corpus: base [0, n), growth [n, n + appendN) — same
+    // distribution (cluster id = vec_id % nClusters, id-independent)
+    def gen(lo: Long, hi: Long) = {
+      val g = udf((id: Long) => EmbedSynth.vector(id, dim, 32, noise))
+      spark.range(lo, hi, 1, partitions)
+        .select(col("id").as("vec_id"), g(col("id")).as("e"))
+    }
+    val idx = s"$root/idx"
+    println(s"""{"corpus":"inplan:$n:dim$dim:noise$noise","nlist":$nlist,"append":$appendN,"build_chunks":$buildChunks}""")
+    // chunked build: train+write on the first chunk, assign-only append
+    // for the rest. Disk-bound single boxes need this because the
+    // cell-aligned exchange's shuffle files coexist with the parquet
+    // output (a one-shot 100 M build peaks at shuffle+output ≈ 2× the
+    // index and hit the 62 GB wall); chunking bounds the live shuffle to
+    // one chunk. It is also the production incremental shape — the
+    // quantizer trains on the first chunk's bounded sample, exactly like
+    // a build-then-grow ingest (ann_ivf_indexed's oracle pins equality
+    // of that composition in the exhaustive regime).
+    val chunk = (n + buildChunks - 1) / buildChunks
+    val (_, buildS) = t {
+      Similarity.writeIvfIndex(gen(0, chunk), "vec_id", "e", idx, nlist = nlist)
+      val ct = Similarity.loadIvfCentroids(spark, idx)
+      var lo = chunk
+      while (lo < n) {
+        Similarity.appendIvfIndex(gen(lo, math.min(n, lo + chunk)), "vec_id", "e", idx, ct)
+        lo += chunk
+      }
+    }
+    println(f"""{"step":"build","rows":$n,"secs":$buildS%.1f}""")
+
+    // the r15 maintenance loop at this scale: keyed append + incremental fold
+    val cents = Similarity.loadIvfCentroids(spark, idx)
+    val (_, appendS) = t(Similarity.appendIvfIndexIdempotent(
+      gen(n, n + appendN), "vec_id", "e", idx, cents, 0L))
+    println(f"""{"step":"append_keyed","rows":$appendN,"secs":$appendS%.1f}""")
+    val (_, foldS) = t(Similarity.compactIvfIndex(spark, idx, committedBatchId = 0L))
+    println(f"""{"step":"fold","rows_folded":$appendN,"resident":$n,"secs":$foldS%.1f}""")
+
+    val total = n + appendN
+    val stride = math.max(1L, total / nQueries)
+    val q = gen(0, total).filter(col("vec_id") % stride === 3L).limit(nQueries)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nq = q.count()
+    val (exact, exactS) = t {
+      val x = Similarity.bruteForceTopK(q, "vec_id", "e", gen(0, total), "vec_id", "e", k = k)
+        .select(col("query_id"), col("corpus_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      x.count(); x
+    }
+    val denom = exact.count()
+    println(f"""{"step":"exact_bruteforce","queries":$nq,"secs":$exactS%.1f}""")
+    for (nprobe <- nprobes) {
+      val (a, s1) = t {
+        val a = Similarity.ivfTopKIndexed(q, "vec_id", "e", idx, k = k, nprobe = nprobe)
+          .select(col("query_id"), col("corpus_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        a.count(); a
+      }
+      val hit = exact.join(a, Seq("query_id", "corpus_id"), "left_semi").count()
+      a.unpersist()
+      println(f"""{"step":"probe","nprobe":$nprobe,"secs":$s1%.1f,""" +
+        f""""per_query_ms":${s1 * 1000 / nq}%.0f,"recall_at_$k":${hit.toDouble / denom}%.4f}""")
+    }
+    spark.stop()
+  }
+}
