@@ -1663,6 +1663,49 @@ object SparkEntry {
         k = 5, nprobe = 8, refine = (n / 5 + 1).toInt)
     }),
 
+    "ann_ivf_rebuilt" -> ((s, dir) => {
+      // The MAJOR compaction under the driver's gate (r15): build on the
+      // first half, keyed-append the rest, then REBUILD build-aside —
+      // retrain on a hash-spread sample of the stored corpus and CO-SCALE
+      // nlist 8 → 16 (the knob a rebuild exists to turn), re-laying out
+      // every row under the new quantizer. Exhaustive regime (nprobe =
+      // new nlist): the brute-force oracle states that retrain + re-
+      // layout + re-baseline change NOTHING about exact answers.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val mid = e.agg(expr("percentile(vec_id, 0.5)")).collect()(0).getDouble(0)
+      val p = work(dir, "ann_ivf_rebuilt")
+      Similarity.writeIvfIndex(e.filter(col("vec_id") <= mid), "vec_id", "e", p, nlist = 8)
+      val cents = Similarity.loadIvfCentroids(s, p)
+      Similarity.appendIvfIndexIdempotent(
+        e.filter(col("vec_id") > mid), "vec_id", "e", p, cents, 0L)
+      val p2 = work(dir, "ann_ivf_rebuilt_new")
+      Similarity.rebuildIvfIndex(s, p, p2, nlist = 16)
+      Similarity.ivfTopKIndexed(
+        e.filter(col("vec_id") < 10), "vec_id", "e", p2, k = 5, nprobe = 16)
+    }),
+
+    "ann_ivfpq_rebuilt" -> ((s, dir) => {
+      // The PQ twin: rebuild retrains BOTH models (coarse + codebooks) on
+      // the hash-spread sample and re-encodes every row into a fresh
+      // build-aside index, geometry kept (nlist/m/ksub = 0). Exhaustive
+      // regime (full probe + corpus-covering refine) -> the exact
+      // brute-force oracle applies verbatim even though every stored
+      // code changed.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val mid = e.agg(expr("percentile(vec_id, 0.5)")).collect()(0).getDouble(0)
+      val p = work(dir, "ann_ivfpq_rebuilt")
+      Pq.writePqIndex(e.filter(col("vec_id") <= mid), "vec_id", "e", p,
+        nlist = 8, m = 8, ksub = 128)
+      Pq.appendPqIndexIdempotent(e.filter(col("vec_id") > mid), "vec_id", "e", p, 0L)
+      val p2 = work(dir, "ann_ivfpq_rebuilt_new")
+      Pq.rebuildPqIndex(s, p, p2)
+      val n = e.count()
+      Pq.pqTopKIndexed(e.filter(col("vec_id") < 10), "vec_id", "e", p2,
+        k = 5, nprobe = 8, refine = (n / 5 + 1).toInt)
+    }),
+
     "winsorize" -> ((s, dir) => {
       // Robust-stats cleaning: clamp a heavy-tailed metric to its
       // [p01, p99] and report the effect — the outlier-trimming pass
@@ -2431,6 +2474,35 @@ object SparkEntry {
          FROM ranked WHERE rnk <= 5""",
 
     "ann_ivfpq_compacted" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
+              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                                list_cosine_similarity(q.v, c.v) AS cos
+                         FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
+              ranked AS (SELECT query_id, corpus_id, cos,
+                                row_number() OVER (PARTITION BY query_id
+                                                   ORDER BY cos DESC, corpus_id) AS rnk
+                         FROM scored)
+         SELECT query_id, corpus_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
+         FROM ranked WHERE rnk <= 5""",
+
+    // The r15 REBUILD (major compaction) in the exhaustive regime:
+    // retraining + re-laying-out must change nothing about exact
+    // answers, so the same brute-force oracle applies to both twins.
+    "ann_ivf_rebuilt" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
+              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                                list_cosine_similarity(q.v, c.v) AS cos
+                         FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
+              ranked AS (SELECT query_id, corpus_id, cos,
+                                row_number() OVER (PARTITION BY query_id
+                                                   ORDER BY cos DESC, corpus_id) AS rnk
+                         FROM scored)
+         SELECT query_id, corpus_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
+         FROM ranked WHERE rnk <= 5""",
+
+    "ann_ivfpq_rebuilt" ->
       """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
               c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,

@@ -145,13 +145,21 @@ object Pq {
     * standard recipe). Vectors are L2-normalized before splitting, so
     * ADC inner products estimate cosine directly. */
   def trainPq(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, ksub: Int = 256, iters: Int = 8, maxSample: Int = 4096): PqModel = {
-    require(ksub >= 2 && ksub <= 256, s"ksub must be in [2, 256], got $ksub (one-byte codes)")
+      m: Int, ksub: Int = 256, iters: Int = 8, maxSample: Int = 4096): PqModel =
     // bounded-fetch sample: see Similarity.firstVecsById — a bare
     // orderBy.limit.collect() pulls partitions·maxSample rows to the
     // driver, which at production dims is gigabytes
-    val sample = Similarity.firstVecsById(corpus, idCol, vecCol, maxSample)
-      .map(Similarity.normalize)
+    trainPqFromSample(
+      Similarity.firstVecsById(corpus, idCol, vecCol, maxSample), m, ksub, iters)
+
+  /** The subspace-kmeans half of [[trainPq]] over an already-fetched raw
+    * sample (normalized here) — shared by build (first-by-id sample) and
+    * [[rebuildPqIndex]] (hash-spread sample; one fetch serves both the
+    * coarse and PQ trainers). */
+  private[operators] def trainPqFromSample(rawSample: Array[Array[Double]],
+      m: Int, ksub: Int, iters: Int): PqModel = {
+    require(ksub >= 2 && ksub <= 256, s"ksub must be in [2, 256], got $ksub (one-byte codes)")
+    val sample = rawSample.map(Similarity.normalize)
     require(sample.length >= ksub, s"need >= $ksub sample vectors to train, got ${sample.length}")
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim must divide evenly into m=$m subspaces")
@@ -535,17 +543,72 @@ object Pq {
   def writePqIndex(corpus: DataFrame, cId: String, cVec: String, path: String,
       nlist: Int = 16, m: Int = 8, ksub: Int = 256,
       iters: Int = 8, maxSample: Int = 4096, spreadFiles: Int = 0): Unit = {
-    val spark = corpus.sparkSession
     val cents = Similarity.trainIvfCentroids(corpus, cId, cVec, nlist, iters, maxSample)
     val model = trainPq(corpus, cId, cVec, m, ksub, iters, maxSample)
+    val ref = Similarity.heldOutRefVecs(corpus, cId, cVec, maxSample)
+    writePqIndexParts(corpus, cId, cVec, path, cents, model, ref, spreadFiles)
+  }
+
+  /** The write half of [[writePqIndex]] against already-trained models
+    * and reference batch — shared by build and [[rebuildPqIndex]]. */
+  private def writePqIndexParts(corpus: DataFrame, cId: String, cVec: String,
+      path: String, cents: Array[Array[Double]], model: PqModel,
+      refVecs: Array[Array[Double]], spreadFiles: Int): Unit = {
+    val spark = corpus.sparkSession
     writeModel(spark, path, cents, model)
     writeRows(corpus, cId, cVec, path, cents, model, "overwrite", -1L, spreadFiles)
     import spark.implicits._
-    val ref = Similarity.heldOutRefVecs(corpus, cId, cVec, maxSample)
     indexDriftStats(
-      ref.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
-        .toDF("vec_id", "v"), "vec_id", "v", path)
+      refVecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+        .toDF("vec_id", "v"), "vec_id", "v", cents, model)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/model/drift_ref")
+  }
+
+  /** Rebuild a stored IVFPQ index from its own vectors table — the major
+    * compaction and [[shouldRetrain]]'s remedy, the
+    * [[Similarity.rebuildIvfIndex]] twin: retrain the coarse quantizer
+    * AND the PQ codebooks on a hash-spread sample of the CURRENT corpus
+    * (a drifted corpus's id-prefix is the stale distribution the trigger
+    * condemned — see [[Similarity.hashSpreadVecsById]]), re-encode every
+    * row, and write a fresh index (codes + vectors + model + held-out
+    * drift reference) at `newPath`. Both drift axes re-baseline: the new
+    * codebooks fit the mixed distribution, so `pq_err` against the new
+    * reference measures the NEXT drift.
+    *
+    * BUILD-ASIDE (`newPath != path` required): the live index never
+    * stops serving and a crash costs a restartable rebuild, not the
+    * index — flip readers, then delete the old copy. Cost: one vectors
+    * read + one corpus write per table + bounded training.
+    *
+    * `nlist`/`m`/`ksub` = 0 keep the stored geometry (the common case);
+    * pass them to co-scale — a rebuild is when an operator turns those
+    * knobs (nlist ∝ corpus; m only when the embedding width changed). */
+  def rebuildPqIndex(spark: SparkSession, path: String, newPath: String,
+      nlist: Int = 0, m: Int = 0, ksub: Int = 0, iters: Int = 8,
+      maxSample: Int = 4096, spreadFiles: Int = 0): Unit = {
+    require(newPath != path,
+      s"rebuild is build-aside: newPath must differ from the live index ($path); " +
+        "flip readers to newPath after the rebuild, then delete the old index")
+    // a rebuild reads BOTH live tables (vectors here, codes untouched but
+    // the layouts must be consistent) — gate like any reader
+    val hconf = spark.sparkContext.hadoopConfiguration
+    for (t <- Seq("codes", "vectors")) {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$t")
+      IndexMaintenance.requireReadConsistent(p.getFileSystem(hconf), p)
+    }
+    val (oldCents, oldModel) = loadModel(spark, path)
+    val nl = if (nlist > 0) nlist else oldCents.length
+    val mm = if (m > 0) m else oldModel.m
+    val ks = if (ksub > 0) ksub else oldModel.ksub
+    val corpus = spark.read.parquet(s"$path/vectors")
+      .select(col("corpus_id"), col("cv"))
+    val both = Similarity.hashSpreadVecsById(corpus, "corpus_id", "cv", 2 * maxSample)
+    val train = both.take(maxSample)
+    val heldOut = both.drop(maxSample)
+    val ref = if (heldOut.length >= math.max(1, maxSample / 2)) heldOut else train
+    val cents = Similarity.trainIvfCentroidsFromSample(train, nl, iters)
+    val model = trainPqFromSample(train, mm, ks, iters)
+    writePqIndexParts(corpus, "corpus_id", "cv", newPath, cents, model, ref, spreadFiles)
   }
 
   /** Compact a streamed-into IVFPQ index — INCREMENTALLY, the

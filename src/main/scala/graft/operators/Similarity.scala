@@ -232,10 +232,33 @@ object Similarity {
     else both.take(maxSample)
   }
 
+  /** Hash-spread bounded sample: first `n` vectors in `xxhash64(id)`
+    * order (id breaks hash ties), same bounded-driver-fetch discipline
+    * as [[firstVecsById]]. Deterministic in the id SET but spread across
+    * the whole corpus — the sampler a REBUILD needs: a drifted corpus's
+    * first-by-id prefix is the stale build-time distribution, so a
+    * rebuild that resampled it would retrain the very quantizer the
+    * drift trigger just condemned. Builds over fresh corpora keep
+    * first-by-id (reproducible against external fixtures); rebuilds
+    * over self-keyed stored corpora use this. */
+  private[operators] def hashSpreadVecsById(
+      corpus: DataFrame, idCol: String, vecCol: String, n: Int): Array[Array[Double]] =
+    corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(xxhash64(col("id")), col("id")).limit(n).repartition(1)
+      .collect().map(_.getSeq[Double](1).toArray)
+
   def trainIvfCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, iters: Int = 8, maxSample: Int = 4096): Array[Array[Double]] = {
-    val sample = firstVecsById(corpus, idCol, vecCol, maxSample).map(normalize)
+      nlist: Int, iters: Int = 8, maxSample: Int = 4096): Array[Array[Double]] =
+    trainIvfCentroidsFromSample(
+      firstVecsById(corpus, idCol, vecCol, maxSample), nlist, iters)
+
+  /** The Lloyd's loop of [[trainIvfCentroids]] over an already-fetched
+    * raw sample (normalized here) — shared by build (first-by-id sample)
+    * and rebuild (hash-spread sample). */
+  private[operators] def trainIvfCentroidsFromSample(
+      rawSample: Array[Array[Double]], nlist: Int, iters: Int): Array[Array[Double]] = {
+    val sample = rawSample.map(normalize)
     require(sample.length >= nlist, s"need >= $nlist sample vectors, got ${sample.length}")
     var cents = Array.tabulate(nlist)(i => sample(i * sample.length / nlist).clone())
     var it = 0
@@ -335,8 +358,25 @@ object Similarity {
       corpus: DataFrame, cId: String, cVec: String, path: String,
       nlist: Int = 16, iters: Int = 8, maxSample: Int = 4096,
       spreadFiles: Int = 0): Unit = {
-    val spark = corpus.sparkSession
     val cents = trainIvfCentroids(corpus, cId, cVec, nlist, iters, maxSample)
+    // build-time drift reference (the PQ twin stores one too): fit of a
+    // HELD-OUT reference batch when the corpus allows (r15 — an
+    // in-sample reference reads optimistically; see [[heldOutRefVecs]]),
+    // else the training sample. What [[shouldRetrain]] compares appended
+    // batches against. Sample-bounded, no corpus pass.
+    val ref = heldOutRefVecs(corpus, cId, cVec, maxSample)
+    writeIvfIndexParts(corpus, cId, cVec, path, cents, ref, spreadFiles)
+  }
+
+  /** The write half of [[writeIvfIndex]] against an ALREADY-trained
+    * quantizer and reference batch — shared by build and
+    * [[rebuildIvfIndex]] (which must sample differently; see
+    * [[hashSpreadVecsById]]). */
+  private def writeIvfIndexParts(
+      corpus: DataFrame, cId: String, cVec: String, path: String,
+      cents: Array[Array[Double]], refVecs: Array[Array[Double]],
+      spreadFiles: Int): Unit = {
+    val spark = corpus.sparkSession
     val assignUdf = udf { (v: Seq[Double]) => nearestCell(normalize(v.toArray), cents) }
     // the layout carries a second partition column, ingest_batch (-1 =
     // build-time rows), purely so streaming appends can be batchId-keyed
@@ -355,16 +395,66 @@ object Similarity {
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    // build-time drift reference (the PQ twin stores one too): fit of a
-    // HELD-OUT reference batch when the corpus allows (r15 — an
-    // in-sample reference reads optimistically; see [[heldOutRefVecs]]),
-    // else the training sample. What [[shouldRetrain]] compares appended
-    // batches against. Sample-bounded, no corpus pass.
-    val ref = heldOutRefVecs(corpus, cId, cVec, maxSample)
     ivfDriftStats(
-      ref.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+      refVecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
         .toDF("vec_id", "v"), "vec_id", "v", cents)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/drift_ref")
+  }
+
+  /** Rebuild a stored IVF index from its own corpus — the MAJOR
+    * compaction, and the remedy [[shouldRetrain]]'s verdict demands:
+    * retrain the quantizer on the CURRENT corpus (build rows + every
+    * appended batch), reassign every row, and write a fresh index —
+    * new corpus layout, new centroids, new drift reference — at
+    * `newPath`. Everything a rebuild must fix, it fixes at once: cell
+    * boundaries re-center on the drifted distribution, the `-1` layer's
+    * fold-accrued files flatten back to one cell-spread bound, unfolded
+    * batch leaves fold away, and the drift reference re-baselines so
+    * the trigger measures the NEXT drift, not the one just absorbed.
+    *
+    * BUILD-ASIDE, never in place: at 100 TB an in-place rebuild is an
+    * unrecoverable hours-long window where the only index copy is
+    * half-rewritten; writing beside and flipping the caller's path is
+    * the blue/green shape where a crash costs a restartable rebuild and
+    * the live index never stops serving. Hence `newPath != path` is
+    * REQUIRED, and the old index stays untouched and queryable
+    * throughout — delete it after the flip. (The streaming recipe:
+    * stop the ingest, rebuild, restart pointing at `newPath` — a
+    * rebuild mid-stream would break the single-writer contract.)
+    *
+    * Sampling: the retrain sample is HASH-SPREAD over the stored corpus
+    * ([[hashSpreadVecsById]]), not first-by-id — a drifted corpus's
+    * id-prefix is exactly the stale distribution the trigger condemned,
+    * so resampling it would reproduce the old quantizer. The new drift
+    * reference is held out from the retrain sample (same discipline as
+    * [[writeIvfIndex]]'s [[heldOutRefVecs]]).
+    *
+    * `nlist = 0` keeps the stored geometry; pass it explicitly to
+    * co-scale cells with the grown corpus (the nlist ∝ corpus knob the
+    * 50 M rung pins — a rebuild is precisely when an operator turns it).
+    * Cost: one corpus read + one corpus write + bounded training, the
+    * irreducible price of re-centering; it amortizes over the thousands
+    * of batch-priced folds between drift verdicts. */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newPath: String, nlist: Int = 0, iters: Int = 8,
+      maxSample: Int = 4096, spreadFiles: Int = 0): Unit = {
+    require(newPath != path,
+      s"rebuild is build-aside: newPath must differ from the live index ($path); " +
+        "flip readers to newPath after the rebuild, then delete the old index")
+    // a rebuild is a reader of the live index: a live fold's sub-second
+    // marker window just delays it; crash debris fails with the remedy
+    val corpusPath = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    IndexMaintenance.requireReadConsistent(
+      corpusPath.getFileSystem(spark.sparkContext.hadoopConfiguration), corpusPath)
+    val corpus = spark.read.parquet(s"$path/corpus")
+      .select(col("corpus_id"), col("cv"))
+    val nl = if (nlist > 0) nlist else loadIvfCentroids(spark, path).length
+    val both = hashSpreadVecsById(corpus, "corpus_id", "cv", 2 * maxSample)
+    val train = both.take(maxSample)
+    val heldOut = both.drop(maxSample)
+    val ref = if (heldOut.length >= math.max(1, maxSample / 2)) heldOut else train
+    val cents = trainIvfCentroidsFromSample(train, nl, iters)
+    writeIvfIndexParts(corpus, "corpus_id", "cv", newPath, cents, ref, spreadFiles)
   }
 
   /** Retrain trigger for plain IVF indexes — [[Pq.shouldRetrain]]'s

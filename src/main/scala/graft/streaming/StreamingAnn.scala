@@ -133,12 +133,15 @@ object StreamingAnn {
     * narrow pass over the batch) and the [[RetrainVerdict]] goes to the
     * caller's sink. The verdict is monitoring, at-least-once on replay
     * like `onDrift`. On `retrain = true` the operational move is:
-    * finish/stop the stream, rebuild the index on the resident corpus
-    * (which re-baselines `drift_ref` — a noisier distribution has
-    * intrinsically lower fit), and start a new stream. The trigger
-    * deliberately does NOT stop the stream itself: ingestion stays
-    * correct under drift (at nprobe = nlist even exact), so when to pay
-    * a rebuild is the operator's call, not the pipeline's. */
+    * finish/stop the stream, run
+    * [[graft.operators.Similarity.rebuildIvfIndex]] (build-aside at a
+    * NEW path: hash-spread retrain over the resident corpus, re-laid-out
+    * rows, re-baselined `drift_ref` — a noisier distribution has
+    * intrinsically lower fit), and start a new stream pointing at the
+    * rebuilt index. The trigger deliberately does NOT stop the stream
+    * itself: ingestion stays correct under drift (at nprobe = nlist even
+    * exact), so when to pay a rebuild is the operator's call, not the
+    * pipeline's. */
   def appendBatchesWithRetrain(
       path: String, idCol: String, vecCol: String, compactEvery: Int = 0,
       fitDropTol: Double = 0.05)(
@@ -187,7 +190,9 @@ object StreamingAnn {
     * trigger fires on coarse-fit collapse OR reconstruction-error rise
     * vs the build-time reference (both loaded once per stream). Same
     * operational contract: the verdict is advisory; on `retrain = true`
-    * stop the stream, rebuild (re-baselining `drift_ref`), restart. */
+    * stop the stream, run [[graft.operators.Pq.rebuildPqIndex]]
+    * (build-aside at a new path, both models retrained hash-spread,
+    * `drift_ref` re-baselined), restart against the rebuilt index. */
   def appendPqBatchesWithRetrain(
       path: String, idCol: String, vecCol: String, compactEvery: Int = 0,
       fitDropTol: Double = 0.05, errRiseFrac: Double = 0.15)(

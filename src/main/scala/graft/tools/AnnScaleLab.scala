@@ -39,10 +39,12 @@ object AnnScaleLab {
     // noise 2.0 = the 20 M rung's recall regime (AnnGrowthLab): true
     // neighbors are merely NEAR; low noise saturates recall structurally
     var noise = 2.0
+    var rebuild = false
     var root = "/tmp/graft_scalelab"
     var i = 0
     while (i < args.length) {
       args(i) match {
+        case "--rebuild" => rebuild = true; i += 1
         case "--n" => n = args(i + 1).toLong; i += 2
         case "--dim" => dim = args(i + 1).toInt; i += 2
         case "--nlist" => nlist = args(i + 1).toInt; i += 2
@@ -134,6 +136,38 @@ object AnnScaleLab {
       a.unpersist()
       println(f"""{"step":"probe","nprobe":$nprobe,"secs":$s1%.1f,""" +
         f""""per_query_ms":${s1 * 1000 / nq}%.0f,"recall_at_$k":${hit.toDouble / denom}%.4f}""")
+    }
+
+    // --rebuild: the MAJOR compaction, measured as the full closed loop —
+    // a genuinely drifted keyed batch (AnnGrowthLab's spectral
+    // concentration: distribution-preserving batches must NOT trip, so
+    // drift here means changed spectrum, not new ids), the retrain
+    // verdict tripping against the build-time reference, the timed
+    // build-aside rebuild (one corpus read + write — the irreducible
+    // O(index) price, paid at drift cadence while folds stay
+    // batch-priced), the verdict clearing against the re-baselined
+    // reference, and probe-latency parity on the rebuilt index.
+    if (rebuild) {
+      val driftLo = n + appendN
+      def drifted(lo: Long, hi: Long) = gen(lo, hi).withColumn("e",
+        expr("transform(e, (x, i) -> IF(i < 8, x * 6.0D, x * 0.25D))"))
+      val (_, dAppendS) = t(Similarity.appendIvfIndexIdempotent(
+        drifted(driftLo, driftLo + appendN), "vec_id", "e", idx, cents, 1L))
+      println(f"""{"step":"drift_append","rows":$appendN,"secs":$dAppendS%.1f}""")
+      val probeBatch = drifted(driftLo + appendN, driftLo + appendN + 4096)
+      val (trip, fit0, ref0) = Similarity.shouldRetrain(probeBatch, "vec_id", "e", idx)
+      println(s"""{"step":"retrain_verdict","index":"stale","retrain":$trip,"fit":$fit0,"ref":$ref0}""")
+      val idx2 = s"$root/idx2"
+      val (_, rebuildS) = t(Similarity.rebuildIvfIndex(spark, idx, idx2, nlist = nlist))
+      println(f"""{"step":"rebuild","rows":${n + 2 * appendN},"secs":$rebuildS%.1f,"build_secs":$buildS%.1f}""")
+      val (trip2, fit2, ref2) = Similarity.shouldRetrain(probeBatch, "vec_id", "e", idx2)
+      println(s"""{"step":"retrain_verdict","index":"rebuilt","retrain":$trip2,"fit":$fit2,"ref":$ref2}""")
+      for (nprobe <- nprobes) {
+        val (c1, s1) = t(Similarity.ivfTopKIndexed(
+          q, "vec_id", "e", idx2, k = k, nprobe = nprobe).count())
+        println(f"""{"step":"probe_rebuilt","nprobe":$nprobe,"rows":$c1,"secs":$s1%.1f,""" +
+          f""""per_query_ms":${s1 * 1000 / nq}%.0f}""")
+      }
     }
     spark.stop()
   }
