@@ -418,4 +418,62 @@ class StreamingAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSet === Set(-1L, 2L, 3L),
       "second compaction (watermark 1) folds batch 1; 2 and 3 stay keyed")
   }
+
+  test("documented retrain recipe end-to-end: trip -> stop -> rebuild -> new stream, verdict quiet") {
+    // The operational contract appendBatchesWithRetrain's scaladoc
+    // states, composed: the in-stream verdict trips on drift, the
+    // operator stops the stream, rebuilds BUILD-ASIDE
+    // (Similarity.rebuildIvfIndex), and starts a new ingest pointing at
+    // the rebuilt index — where the formerly-drifted mode is now
+    // in-distribution and the verdict stays quiet. Retrieval against
+    // the rebuilt index at full probe must equal brute force over
+    // everything ingested across BOTH streams.
+    val base = Files.createTempDirectory("sannrecipe").toString
+    val s = spark
+    import s.implicits._
+    def posVec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(8)(math.abs(r.nextGaussian()) + 0.05)
+    }
+    def pos(lo: Int, hi: Int) = (lo until hi).map(i => (i.toLong, posVec(i))).toDF("id", "v")
+    def neg(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, posVec(i).map(-_))).toDF("id", "v")
+    val idx = s"$base/idx"
+    Similarity.writeIvfIndex(pos(0, 200), "id", "v", idx, nlist = 4, iters = 4, maxSample = 128)
+
+    // stream 1: healthy batch, then the distribution moves
+    val v1 = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val fn1 = StreamingAnn.appendBatchesWithRetrain(idx, "id", "v") {
+      (v, id) => v1 += ((id, v.retrain))
+    }
+    fn1(pos(1000, 1060), 0L)
+    fn1(neg(1060, 1120), 1L)
+    assert(v1.toSeq === Seq((0L, false), (1L, true)),
+      s"drift must trip in-stream before the rebuild: $v1")
+
+    // the documented move: stop the stream (fn1 is never called again),
+    // rebuild build-aside, restart against the rebuilt index
+    val idx2 = s"$base/idx2"
+    Similarity.rebuildIvfIndex(spark, idx, idx2, maxSample = 128)
+    val v2 = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val fn2 = StreamingAnn.appendBatchesWithRetrain(idx2, "id", "v") {
+      (v, id) => v2 += ((id, v.retrain))
+    }
+    fn2(neg(2000, 2060), 0L) // the new mode, now in-distribution
+    fn2(pos(2060, 2120), 1L) // the old mode still is too
+    assert(v2.toSeq === Seq((0L, false), (1L, false)),
+      s"after the rebuild both modes are in-distribution: $v2")
+
+    // retrieval against the rebuilt index: full probe = exact over
+    // every row either stream ingested
+    val everything = pos(0, 200).union(pos(1000, 1060)).union(neg(1060, 1120))
+      .union(neg(2000, 2060)).union(pos(2060, 2120))
+    assert(spark.read.parquet(s"$idx2/corpus").count() === everything.count())
+    val q = (5000 until 5003).map(i => (i.toLong, posVec(i))).toDF("id", "v")
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(x => (x._1, x._4)).toSeq
+    assert(shape(Similarity.ivfTopKIndexed(q, "id", "v", idx2, k = 4, nprobe = 4))
+      === shape(Similarity.bruteForceTopK(q, "id", "v", everything, "id", "v", k = 4)))
+  }
 }
