@@ -1853,6 +1853,24 @@ object SparkEntry {
     "funnel", "cdc_compact", "json_extract", "passage_dedup", "cdc_dedup",
     "pack_payload")
 
+  /** The ONE brute-force cosine top-5 oracle every exhaustive-regime ANN
+    * query validates against (full probe / corpus-covering refine =>
+    * exactly brute force over the same rows), so the rounding and
+    * tie-break rules live in a single literal instead of nine pasted
+    * copies that could silently diverge. */
+  private val annExhaustiveOracle =
+    """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
+              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                                list_cosine_similarity(q.v, c.v) AS cos
+                         FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
+              ranked AS (SELECT query_id, corpus_id, cos,
+                                row_number() OVER (PARTITION BY query_id
+                                                   ORDER BY cos DESC, corpus_id) AS rnk
+                         FROM scored)
+         SELECT query_id, corpus_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
+         FROM ranked WHERE rnk <= 5"""
+
   lazy val oracleSql: Map[String, String] = Map(
 
     "project_filter" ->
@@ -2346,33 +2364,11 @@ object SparkEntry {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.v, b.v) >= 0.35""",
 
-    "ann_bruteforce" ->
-      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
-              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-              scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-                                list_cosine_similarity(q.v, c.v) AS cos
-                         FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
-              ranked AS (SELECT query_id, corpus_id, cos,
-                                row_number() OVER (PARTITION BY query_id
-                                                   ORDER BY cos DESC, corpus_id) AS rnk
-                         FROM scored)
-         SELECT query_id, corpus_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
-         FROM ranked WHERE rnk <= 5""",
+    "ann_bruteforce" -> annExhaustiveOracle,
 
     // Exhaustive IVF (nprobe = nlist) probes every cell, so the exact
     // brute-force oracle applies verbatim.
-    "ann_ivf" ->
-      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
-              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-              scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-                                list_cosine_similarity(q.v, c.v) AS cos
-                         FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
-              ranked AS (SELECT query_id, corpus_id, cos,
-                                row_number() OVER (PARTITION BY query_id
-                                                   ORDER BY cos DESC, corpus_id) AS rnk
-                         FROM scored)
-         SELECT query_id, corpus_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
-         FROM ranked WHERE rnk <= 5""",
+    "ann_ivf" -> annExhaustiveOracle,
 
     // floor(x/scale + 0.5) is the tie-stable nearest-int both engines
     // evaluate identically; zero vectors are excluded on both sides.
@@ -2429,106 +2425,29 @@ object SparkEntry {
 
     // Indexed IVF in the exhaustive regime = the same brute-force answer;
     // this oracle-checks index build + reload + partition-pruned probe.
-    "ann_ivf_indexed" ->
-      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
-              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-              scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-                                list_cosine_similarity(q.v, c.v) AS cos
-                         FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
-              ranked AS (SELECT query_id, corpus_id, cos,
-                                row_number() OVER (PARTITION BY query_id
-                                                   ORDER BY cos DESC, corpus_id) AS rnk
-                         FROM scored)
-         SELECT query_id, corpus_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
-         FROM ranked WHERE rnk <= 5""",
+    "ann_ivf_indexed" -> annExhaustiveOracle,
 
     // Exhaustive IVFPQ: full probe + corpus-covering refine shortlist
     // -> the exact brute-force oracle applies verbatim.
-    "ann_ivfpq_indexed" ->
-      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
-              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-              scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-                                list_cosine_similarity(q.v, c.v) AS cos
-                         FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
-              ranked AS (SELECT query_id, corpus_id, cos,
-                                row_number() OVER (PARTITION BY query_id
-                                                   ORDER BY cos DESC, corpus_id) AS rnk
-                         FROM scored)
-         SELECT query_id, corpus_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
-         FROM ranked WHERE rnk <= 5""",
+    "ann_ivfpq_indexed" -> annExhaustiveOracle,
 
     // The r15 maintenance loop (replayed keyed appends + incremental
     // fold) in the exhaustive regime: maintenance must change nothing,
     // so the same brute-force oracle applies to both compacted twins.
-    "ann_ivf_compacted" ->
-      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
-              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-              scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-                                list_cosine_similarity(q.v, c.v) AS cos
-                         FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
-              ranked AS (SELECT query_id, corpus_id, cos,
-                                row_number() OVER (PARTITION BY query_id
-                                                   ORDER BY cos DESC, corpus_id) AS rnk
-                         FROM scored)
-         SELECT query_id, corpus_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
-         FROM ranked WHERE rnk <= 5""",
+    "ann_ivf_compacted" -> annExhaustiveOracle,
 
-    "ann_ivfpq_compacted" ->
-      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
-              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-              scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-                                list_cosine_similarity(q.v, c.v) AS cos
-                         FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
-              ranked AS (SELECT query_id, corpus_id, cos,
-                                row_number() OVER (PARTITION BY query_id
-                                                   ORDER BY cos DESC, corpus_id) AS rnk
-                         FROM scored)
-         SELECT query_id, corpus_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
-         FROM ranked WHERE rnk <= 5""",
+    "ann_ivfpq_compacted" -> annExhaustiveOracle,
 
     // The r15 REBUILD (major compaction) in the exhaustive regime:
     // retraining + re-laying-out must change nothing about exact
     // answers, so the same brute-force oracle applies to both twins.
-    "ann_ivf_rebuilt" ->
-      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
-              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-              scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-                                list_cosine_similarity(q.v, c.v) AS cos
-                         FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
-              ranked AS (SELECT query_id, corpus_id, cos,
-                                row_number() OVER (PARTITION BY query_id
-                                                   ORDER BY cos DESC, corpus_id) AS rnk
-                         FROM scored)
-         SELECT query_id, corpus_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
-         FROM ranked WHERE rnk <= 5""",
+    "ann_ivf_rebuilt" -> annExhaustiveOracle,
 
-    "ann_ivfpq_rebuilt" ->
-      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
-              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-              scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-                                list_cosine_similarity(q.v, c.v) AS cos
-                         FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
-              ranked AS (SELECT query_id, corpus_id, cos,
-                                row_number() OVER (PARTITION BY query_id
-                                                   ORDER BY cos DESC, corpus_id) AS rnk
-                         FROM scored)
-         SELECT query_id, corpus_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
-         FROM ranked WHERE rnk <= 5""",
+    "ann_ivfpq_rebuilt" -> annExhaustiveOracle,
 
     // Exhaustive in-memory IVFPQ: full probe + corpus-covering refine
     // shortlist -> the exact brute-force oracle applies verbatim.
-    "ann_ivfpq_exact" ->
-      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
-              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-              scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-                                list_cosine_similarity(q.v, c.v) AS cos
-                         FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
-              ranked AS (SELECT query_id, corpus_id, cos,
-                                row_number() OVER (PARTITION BY query_id
-                                                   ORDER BY cos DESC, corpus_id) AS rnk
-                         FROM scored)
-         SELECT query_id, corpus_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rank
-         FROM ranked WHERE rnk <= 5""",
+    "ann_ivfpq_exact" -> annExhaustiveOracle,
 
     // LSH exact regime: the planted identical copy (vec_id+100000) is the
     // global cosine maximum and structurally recalled (colinear vectors

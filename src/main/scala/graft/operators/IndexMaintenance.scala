@@ -117,7 +117,23 @@ private[graft] object IndexMaintenance {
     * clear — a live fold finishes and the read proceeds consistently; a
     * marker still present after the wait is crash debris and fails with
     * the remedy. Legacy rename-swap debris fails immediately (never
-    * live — that code is gone). */
+    * live — that code is gone).
+    *
+    * KNOWN LIMIT — the gate is point-in-time, not a snapshot: a query
+    * that passed it can still have the window open mid-execution (gate
+    * sees no marker; the fold stages, moves, and deletes while the
+    * query's scan is listing or its tasks are running). The failure
+    * modes are bounded and never silent corruption of the INDEX: a task
+    * reading a just-deleted folded leaf fails loudly with
+    * FileNotFoundException (retry the query — the standard contract for
+    * reading any directory a writer may rewrite, MVCC-free by design),
+    * and a listing landing inside the sub-second move window can
+    * transiently see a folded batch twice. Closing this fully requires
+    * snapshot metadata (an MVCC table format), out of scope for a
+    * directory-layout index; operators needing strict isolation
+    * serialize retrieval with maintenance — the in-stream shape already
+    * does (folds run on the ingest thread), and `compactEvery`
+    * schedules folds, so a maintenance window is one trigger away. */
   /** How long [[requireReadConsistent]] waits for a live fold's marker
     * window to clear before declaring it crash debris. A seam (not a
     * per-call knob) so specs can pin the crash path without 15 s stalls;

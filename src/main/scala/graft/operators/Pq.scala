@@ -543,9 +543,15 @@ object Pq {
   def writePqIndex(corpus: DataFrame, cId: String, cVec: String, path: String,
       nlist: Int = 16, m: Int = 8, ksub: Int = 256,
       iters: Int = 8, maxSample: Int = 4096, spreadFiles: Int = 0): Unit = {
-    val cents = Similarity.trainIvfCentroids(corpus, cId, cVec, nlist, iters, maxSample)
-    val model = trainPq(corpus, cId, cVec, m, ksub, iters, maxSample)
-    val ref = Similarity.heldOutRefVecs(corpus, cId, cVec, maxSample)
+    // ONE bounded fetch serves the coarse trainer, the PQ trainer, and
+    // the held-out drift reference (the three samples are strictly
+    // nested — train = the first maxSample by id, ref = the next); the
+    // previous shape paid three full-corpus orderBy/limit jobs for the
+    // same rows
+    val both = Similarity.firstVecsById(corpus, cId, cVec, 2 * maxSample)
+    val (train, ref) = Similarity.heldOutSplit(both, maxSample)
+    val cents = Similarity.trainIvfCentroidsFromSample(train, nlist, iters)
+    val model = trainPqFromSample(train, m, ksub, iters)
     writePqIndexParts(corpus, cId, cVec, path, cents, model, ref, spreadFiles)
   }
 
@@ -603,9 +609,7 @@ object Pq {
     val corpus = spark.read.parquet(s"$path/vectors")
       .select(col("corpus_id"), col("cv"))
     val both = Similarity.hashSpreadVecsById(corpus, "corpus_id", "cv", 2 * maxSample)
-    val train = both.take(maxSample)
-    val heldOut = both.drop(maxSample)
-    val ref = if (heldOut.length >= math.max(1, maxSample / 2)) heldOut else train
+    val (train, ref) = Similarity.heldOutSplit(both, maxSample)
     val cents = Similarity.trainIvfCentroidsFromSample(train, nl, iters)
     val model = trainPqFromSample(train, mm, ks, iters)
     writePqIndexParts(corpus, "corpus_id", "cv", newPath, cents, model, ref, spreadFiles)
@@ -666,6 +670,16 @@ object Pq {
       fitDropTol, errRiseFrac)
   }
 
+  /** The two-axis PQ retrain RULE itself — coarse-fit drop OR relative
+    * reconstruction-error rise — factored to one place so this
+    * operator's [[shouldRetrain]] and the streaming ingest's per-batch
+    * verdict ([[graft.streaming.StreamingAnn]]) can never diverge. */
+  private[graft] def pqRetrainRule(fit: Double, err: Double,
+      refFit: Double, refErr: Double,
+      fitDropTol: Double, errRiseFrac: Double): Boolean =
+    Similarity.ivfRetrainRule(fit, refFit, fitDropTol) ||
+      err > refErr * (1.0 + errRiseFrac)
+
   /** [[shouldRetrain]] against a pre-loaded model and reference — the
     * streaming form (load once per stream via [[loadPqIndexModel]] +
     * [[loadPqDriftRef]]; the per-batch cost is then one narrow pass
@@ -677,8 +691,8 @@ object Pq {
     // an empty batch averages to null — surface the real problem, not an NPE
     require(cur.getLong(0) > 0, "empty batch — nothing to measure drift on")
     val (fit, err) = (cur.getDouble(1), cur.getDouble(2))
-    val retrain = fit < refFit - fitDropTol || err > refErr * (1.0 + errRiseFrac)
-    (retrain, fit, err, refFit, refErr)
+    (pqRetrainRule(fit, err, refFit, refErr, fitDropTol, errRiseFrac),
+      fit, err, refFit, refErr)
   }
 
   /** The build-time (coarse_fit, pq_err) reference row [[writePqIndex]]

@@ -213,23 +213,24 @@ object Similarity {
       .orderBy("id").limit(n).repartition(1)
       .collect().map(_.getSeq[Double](1).toArray)
 
-  /** The drift-reference batch for index builds: the next up-to-
-    * `maxSample` vectors by id AFTER the training sample when the corpus
-    * has ENOUGH of them (held-out — an in-sample reference reads
-    * optimistically, most acutely on PQ reconstruction error where the
-    * codebooks fit those exact vectors), else the training sample itself
-    * (toy corpora). "Enough" = at least maxSample/2: a corpus of
-    * maxSample + 4 rows would otherwise yield a 4-vector reference whose
-    * averaged (fit, err) is high-variance noise — worse than the
-    * documented in-sample optimism. One bounded driver fetch of
-    * ≤ 2·maxSample rows. */
-  private[operators] def heldOutRefVecs(
-      corpus: DataFrame, idCol: String, vecCol: String,
-      maxSample: Int): Array[Array[Double]] = {
-    val both = firstVecsById(corpus, idCol, vecCol, 2 * maxSample)
+  /** Split ONE fetched 2·maxSample-row sample into (train, driftRef).
+    * Train = the first maxSample rows. The drift reference is the
+    * REMAINDER when the corpus has enough of it (held-out — an in-sample
+    * reference reads optimistically, most acutely on PQ reconstruction
+    * error where the codebooks fit those exact vectors), else the train
+    * rows themselves (toy corpora). "Enough" = at least maxSample/2: a
+    * corpus of maxSample + 4 rows would otherwise yield a 4-vector
+    * reference whose averaged (fit, err) is high-variance noise — worse
+    * than the documented in-sample optimism. This is the ONE place the
+    * held-out policy lives: builds (first-by-id fetch) and rebuilds
+    * (hash-spread fetch) both route through it, so a threshold change
+    * can never skew [[shouldRetrain]] baselines between a built and a
+    * rebuilt index. */
+  private[operators] def heldOutSplit(both: Array[Array[Double]],
+      maxSample: Int): (Array[Array[Double]], Array[Array[Double]]) = {
+    val train = both.take(maxSample)
     val heldOut = both.drop(maxSample)
-    if (heldOut.length >= math.max(1, maxSample / 2)) heldOut
-    else both.take(maxSample)
+    (train, if (heldOut.length >= math.max(1, maxSample / 2)) heldOut else train)
   }
 
   /** Hash-spread bounded sample: first `n` vectors in `xxhash64(id)`
@@ -358,13 +359,14 @@ object Similarity {
       corpus: DataFrame, cId: String, cVec: String, path: String,
       nlist: Int = 16, iters: Int = 8, maxSample: Int = 4096,
       spreadFiles: Int = 0): Unit = {
-    val cents = trainIvfCentroids(corpus, cId, cVec, nlist, iters, maxSample)
-    // build-time drift reference (the PQ twin stores one too): fit of a
-    // HELD-OUT reference batch when the corpus allows (r15 — an
-    // in-sample reference reads optimistically; see [[heldOutRefVecs]]),
-    // else the training sample. What [[shouldRetrain]] compares appended
-    // batches against. Sample-bounded, no corpus pass.
-    val ref = heldOutRefVecs(corpus, cId, cVec, maxSample)
+    // ONE bounded fetch serves both the trainer and the build-time drift
+    // reference (the PQ twin stores one too): fit of a HELD-OUT batch
+    // when the corpus allows (r15 — an in-sample reference reads
+    // optimistically; see [[heldOutSplit]]), else the training sample.
+    // What [[shouldRetrain]] compares appended batches against.
+    val both = firstVecsById(corpus, cId, cVec, 2 * maxSample)
+    val (train, ref) = heldOutSplit(both, maxSample)
+    val cents = trainIvfCentroidsFromSample(train, nlist, iters)
     writeIvfIndexParts(corpus, cId, cVec, path, cents, ref, spreadFiles)
   }
 
@@ -427,7 +429,7 @@ object Similarity {
     * id-prefix is exactly the stale distribution the trigger condemned,
     * so resampling it would reproduce the old quantizer. The new drift
     * reference is held out from the retrain sample (same discipline as
-    * [[writeIvfIndex]]'s [[heldOutRefVecs]]).
+    * [[writeIvfIndex]]'s [[heldOutSplit]]).
     *
     * `nlist = 0` keeps the stored geometry; pass it explicitly to
     * co-scale cells with the grown corpus (the nlist ∝ corpus knob the
@@ -450,12 +452,18 @@ object Similarity {
       .select(col("corpus_id"), col("cv"))
     val nl = if (nlist > 0) nlist else loadIvfCentroids(spark, path).length
     val both = hashSpreadVecsById(corpus, "corpus_id", "cv", 2 * maxSample)
-    val train = both.take(maxSample)
-    val heldOut = both.drop(maxSample)
-    val ref = if (heldOut.length >= math.max(1, maxSample / 2)) heldOut else train
+    val (train, ref) = heldOutSplit(both, maxSample)
     val cents = trainIvfCentroidsFromSample(train, nl, iters)
     writeIvfIndexParts(corpus, "corpus_id", "cv", newPath, cents, ref, spreadFiles)
   }
+
+  /** The IVF retrain RULE itself — fit fell more than the tolerance
+    * below the build-time reference — factored to one place so the
+    * operator's [[shouldRetrain]] and the streaming ingest's per-batch
+    * verdict ([[graft.streaming.StreamingAnn]], which computes the stats
+    * row itself to avoid a second batch scan) can never diverge. */
+  private[graft] def ivfRetrainRule(fit: Double, refFit: Double,
+      fitDropTol: Double): Boolean = fit < refFit - fitDropTol
 
   /** Retrain trigger for plain IVF indexes — [[Pq.shouldRetrain]]'s
     * sibling (no pq_err axis: plain IVF re-ranks with exact dots, so
@@ -480,7 +488,7 @@ object Similarity {
     // an empty batch averages to null — surface the real problem, not an NPE
     require(cur.getLong(0) > 0, "empty batch — nothing to measure drift on")
     val fit = cur.getDouble(1)
-    (fit < refFit - fitDropTol, fit, refFit)
+    (ivfRetrainRule(fit, refFit, fitDropTol), fit, refFit)
   }
 
   /** The build-time drift reference fit ([[writeIvfIndex]] persists it)

@@ -152,7 +152,9 @@ object StreamingAnn {
         refFit = Similarity.loadIvfDriftRef(batch.sparkSession, path)
       val stats = Similarity.ivfDriftStats(batch, idCol, vecCol, ct).collect()(0)
       val fit = stats.getDouble(1)
-      onVerdict(RetrainVerdict(fit < refFit - fitDropTol,
+      // the rule is Similarity.shouldRetrain's, by reference — only the
+      // stats row is computed here (one batch scan, n + fit together)
+      onVerdict(RetrainVerdict(Similarity.ivfRetrainRule(fit, refFit, fitDropTol),
         stats.getLong(0), fit, refFit), batchId)
     }
   }
@@ -201,10 +203,11 @@ object StreamingAnn {
     pqIngest(path, idCol, vecCol, compactEvery) { (batch, batchId, cents, model) =>
       if (ref == null) ref = Pq.loadPqDriftRef(batch.sparkSession, path)
       // one narrow pass yields n + both drift axes; the verdict rule is
-      // Pq.shouldRetrain's, inlined to avoid a second batch scan
+      // Pq.shouldRetrain's, BY REFERENCE (pqRetrainRule) — only the
+      // stats row is computed here to avoid a second batch scan
       val s = Pq.indexDriftStats(batch, idCol, vecCol, cents, model).collect()(0)
       val (fit, err) = (s.getDouble(1), s.getDouble(2))
-      val retrain = fit < ref._1 - fitDropTol || err > ref._2 * (1.0 + errRiseFrac)
+      val retrain = Pq.pqRetrainRule(fit, err, ref._1, ref._2, fitDropTol, errRiseFrac)
       onVerdict(PqRetrainVerdict(retrain, s.getLong(0), fit, err, ref._1, ref._2), batchId)
     }
   }
