@@ -67,6 +67,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Writers gate on the stricter [[requireNoDebris]] — under the
   * single-writer contract any staging artifact a writer sees is a crash.
   */
+/** Layout health of one two-level index table — the operational twin of
+  * the DISTRIBUTION health the drift monitors report: drift says when to
+  * RETRAIN ([[Similarity.shouldRetrain]] / [[Pq.shouldRetrain]]); these
+  * say when to FOLD (batch-leaf accrual from a streamed ingest — every
+  * unfolded leaf is a directory every reader must list) and how much
+  * fold-file accrual the `-1` layer carries (each fold adds at most one
+  * spread-bound of files per cell; a rebuild flattens it back to one).
+  *
+  * @param cells          cell directories present
+  * @param batchLeaves    `ingest_batch >= 0` leaf dirs (unfolded batches
+  *                       × their cells) — what a fold removes
+  * @param maxBatchId     highest batch key on disk (-1 = none)
+  * @param residentFiles  data files in the `-1` layer across all cells
+  * @param maxResidentFilesPerCell  the accrual metric: a build writes at
+  *                       most the spread bound here; each fold may add
+  *                       another bound's worth
+  * @param batchFiles     data files still under batch leaves
+  */
+final case class IndexLayoutStats(cells: Int, batchLeaves: Int,
+  maxBatchId: Long, residentFiles: Long, maxResidentFilesPerCell: Int,
+  batchFiles: Long)
+
 private[graft] object IndexMaintenance {
 
   private def foldTmp(table: Path) =
@@ -311,6 +333,42 @@ private[graft] object IndexMaintenance {
     val in = fs.open(marker)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
     finally in.close()
+  }
+
+  /** One driver-side FS walk over `tablePath` (same enumeration order
+    * and cost as a fold's listing — cells × leaves, no data read, no
+    * Spark job). Gated like any reader: a live fold's marker window
+    * delays it; crash debris fails with the remedy. */
+  def layoutStats(spark: SparkSession, tablePath: String): IndexLayoutStats = {
+    val table = new Path(tablePath)
+    val fs = fsOf(spark, table)
+    require(fs.exists(table), s"no index table at $table")
+    requireReadConsistent(fs, table)
+    var cells = 0; var batchLeaves = 0; var maxBatchId = -1L
+    var residentFiles = 0L; var maxResident = 0; var batchFiles = 0L
+    for {
+      cellDir <- fs.listStatus(table)
+      if cellDir.isDirectory && cellDir.getPath.getName.startsWith("cell=")
+    } {
+      cells += 1
+      for {
+        leaf <- fs.listStatus(cellDir.getPath)
+        if leaf.isDirectory && leaf.getPath.getName.startsWith("ingest_batch=")
+      } {
+        val b = leaf.getPath.getName.stripPrefix("ingest_batch=").toLong
+        val n = fs.listStatus(leaf.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        if (b < 0) {
+          residentFiles += n
+          if (n > maxResident) maxResident = n
+        } else {
+          batchLeaves += 1
+          batchFiles += n
+          if (b > maxBatchId) maxBatchId = b
+        }
+      }
+    }
+    IndexLayoutStats(cells, batchLeaves, maxBatchId, residentFiles, maxResident, batchFiles)
   }
 
   // every guard instance, so fold/recover can invalidate a table's memo

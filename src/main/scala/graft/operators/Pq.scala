@@ -651,6 +651,17 @@ object Pq {
     if (msgs.isEmpty) None else Some(msgs.mkString("; "))
   }
 
+  /** Layout health of both IVFPQ tables — [[Similarity.ivfIndexLayout]]'s
+    * twin, one [[IndexLayoutStats]] per table in (codes, vectors) order.
+    * The two normally move together (every writer writes both); a codes/
+    * vectors divergence in `batchLeaves` means a crash landed between
+    * the two table writes or folds — benign (heals on replay / next
+    * compact), but visible here before it heals. */
+  def pqIndexLayout(spark: SparkSession,
+      path: String): (IndexLayoutStats, IndexLayoutStats) =
+    (IndexMaintenance.layoutStats(spark, s"$path/codes"),
+      IndexMaintenance.layoutStats(spark, s"$path/vectors"))
+
   /** The retrain TRIGGER the drift monitor feeds: quantization health of
     * `batch` under the stored model vs the build-time reference row.
     * Returns (retrain, coarse_fit, pq_err, ref_coarse_fit, ref_pq_err):

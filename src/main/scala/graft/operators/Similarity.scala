@@ -640,6 +640,17 @@ object Similarity {
       path: String): Option[String] =
     IndexMaintenance.recover(spark, s"$path/corpus")
 
+  /** Layout health of a stored IVF index ([[IndexLayoutStats]] over its
+    * corpus table) — the maintenance loop's third signal, next to the
+    * drift monitor (when to retrain) and the retrain verdict's remedy
+    * (rebuild): `batchLeaves`/`batchFiles` say when a fold pays, and
+    * `maxResidentFilesPerCell` against [[cellSpreadBound]] says how much
+    * fold-file accrual the `-1` layer carries. One driver-side FS walk
+    * (the same enumeration a fold performs), no data read. */
+  def ivfIndexLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String): IndexLayoutStats =
+    IndexMaintenance.layoutStats(spark, s"$path/corpus")
+
   private def assigned(batch: DataFrame, cId: String, cVec: String,
       cents: Array[Array[Double]]): DataFrame = {
     val assignUdf = udf { (v: Seq[Double]) => nearestCell(normalize(v.toArray), cents) }

@@ -104,13 +104,26 @@ object AnnScaleLab {
     }
     println(f"""{"step":"build","rows":$n,"secs":$buildS%.1f}""")
 
+    // layout health (graft.operators.IndexLayoutStats): the lab prints
+    // it at each lifecycle point so the files-per-cell story is measured
+    // by the op itself, not hand-counted ls output
+    def layoutRow(tag: String): Unit = {
+      val l = Similarity.ivfIndexLayout(spark, idx)
+      println(s"""{"step":"layout","at":"$tag","cells":${l.cells},""" +
+        s""""batch_leaves":${l.batchLeaves},"batch_files":${l.batchFiles},""" +
+        s""""resident_files":${l.residentFiles},"max_files_per_cell":${l.maxResidentFilesPerCell}}""")
+    }
+    layoutRow("build")
+
     // the r15 maintenance loop at this scale: keyed append + incremental fold
     val cents = Similarity.loadIvfCentroids(spark, idx)
     val (_, appendS) = t(Similarity.appendIvfIndexIdempotent(
       gen(n, n + appendN), "vec_id", "e", idx, cents, 0L))
     println(f"""{"step":"append_keyed","rows":$appendN,"secs":$appendS%.1f}""")
+    layoutRow("append")
     val (_, foldS) = t(Similarity.compactIvfIndex(spark, idx, committedBatchId = 0L))
     println(f"""{"step":"fold","rows_folded":$appendN,"resident":$n,"secs":$foldS%.1f}""")
+    layoutRow("fold")
 
     val total = n + appendN
     val stride = math.max(1L, total / nQueries)
@@ -162,6 +175,10 @@ object AnnScaleLab {
       println(f"""{"step":"rebuild","rows":${n + 2 * appendN},"secs":$rebuildS%.1f,"build_secs":$buildS%.1f}""")
       val (trip2, fit2, ref2) = Similarity.shouldRetrain(probeBatch, "vec_id", "e", idx2)
       println(s"""{"step":"retrain_verdict","index":"rebuilt","retrain":$trip2,"fit":$fit2,"ref":$ref2}""")
+      val l2 = Similarity.ivfIndexLayout(spark, idx2)
+      println(s"""{"step":"layout","at":"rebuilt","cells":${l2.cells},""" +
+        s""""batch_leaves":${l2.batchLeaves},"batch_files":${l2.batchFiles},""" +
+        s""""resident_files":${l2.residentFiles},"max_files_per_cell":${l2.maxResidentFilesPerCell}}""")
       for (nprobe <- nprobes) {
         val (c1, s1) = t(Similarity.ivfTopKIndexed(
           q, "vec_id", "e", idx2, k = k, nprobe = nprobe).count())

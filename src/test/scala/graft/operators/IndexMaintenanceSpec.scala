@@ -319,6 +319,59 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$idx/codes").count() === 105L)
   }
 
+  test("layout stats track the lifecycle: appends accrue leaves, folds remove them, files bounded") {
+    // The maintenance loop's THIRD signal (next to drift and the retrain
+    // verdict): layout health. The scaladocs tell operators to fold when
+    // batch leaves accrue and to rebuild when -1 fold-files accrue —
+    // this is the op that MEASURES both, so the advice is actionable.
+    val (base, idx) = buildWithBatches("imstats")
+    val bound = Similarity.cellSpreadBound(spark, nlist = 4)
+    val s0 = Similarity.ivfIndexLayout(spark, idx)
+    assert(s0.cells === 4 && s0.maxBatchId === 2L, s0.toString)
+    assert(s0.batchLeaves > 0 && s0.batchFiles > 0, s0.toString)
+    assert(s0.maxResidentFilesPerCell <= bound,
+      s"build must respect the spread bound: $s0 (bound $bound)")
+
+    Similarity.compactIvfIndex(spark, idx, committedBatchId = 1L)
+    val s1 = Similarity.ivfIndexLayout(spark, idx)
+    // batches -1..1 folded away; only batch 2's leaves remain
+    assert(s1.maxBatchId === 2L && s1.batchLeaves < s0.batchLeaves, s1.toString)
+    // one fold adds at most one more bound's worth per cell
+    assert(s1.maxResidentFilesPerCell <= 2 * bound, s"$s1 (bound $bound)")
+    assert(s1.residentFiles >= s0.residentFiles, "fold moves rows INTO -1")
+
+    // a rebuild flattens the accrual back to a single spread bound and
+    // leaves no batch leaves at all
+    val idx2 = s"$base/idx2"
+    Similarity.rebuildIvfIndex(spark, idx, idx2)
+    val s2 = Similarity.ivfIndexLayout(spark, idx2)
+    assert(s2.batchLeaves === 0 && s2.batchFiles === 0L && s2.maxBatchId === -1L, s2.toString)
+    assert(s2.maxResidentFilesPerCell <= bound, s"$s2 (bound $bound)")
+
+    // gated like any reader: crash debris fails with the remedy
+    val marker = new java.io.File(s"$idx/corpus/_fold_commit")
+    assert(marker.createNewFile())
+    IndexMaintenance.readGateWaitMs = 400L
+    val e = try intercept[IllegalStateException] { Similarity.ivfIndexLayout(spark, idx) }
+    finally IndexMaintenance.readGateWaitMs = 15000L
+    assert(e.getMessage.contains("recover"), e.getMessage)
+    assert(marker.delete())
+
+    // PQ twin: both tables reported, aligned after a clean build+append
+    val pqSrc = {
+      val s = spark
+      import s.implicits._
+      (0 until 120).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    }
+    val pq = s"$base/pq"
+    Pq.writePqIndex(pqSrc, "id", "v", pq, nlist = 4, m = 3, ksub = 8)
+    Pq.appendPqIndexIdempotent(pqSrc.limit(10), "id", "v", pq, 0L)
+    val (codes, vectors) = Pq.pqIndexLayout(spark, pq)
+    assert(codes.batchLeaves === vectors.batchLeaves && codes.maxBatchId === 0L,
+      s"$codes vs $vectors")
+    assert(codes.cells === 4 && vectors.cells === 4)
+  }
+
   test("shouldRetrain surfaces an empty batch as a real error, not an NPE") {
     val (_, idx) = buildWithBatches("imempty")
     val empty = mkCorpus(0 until 10).filter(col("id") < 0)
