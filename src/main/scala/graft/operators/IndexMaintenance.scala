@@ -67,28 +67,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Writers gate on the stricter [[requireNoDebris]] — under the
   * single-writer contract any staging artifact a writer sees is a crash.
   */
-/** Layout health of one two-level index table — the operational twin of
-  * the DISTRIBUTION health the drift monitors report: drift says when to
-  * RETRAIN ([[Similarity.shouldRetrain]] / [[Pq.shouldRetrain]]); these
-  * say when to FOLD (batch-leaf accrual from a streamed ingest — every
-  * unfolded leaf is a directory every reader must list) and how much
-  * fold-file accrual the `-1` layer carries (each fold adds at most one
-  * spread-bound of files per cell; a rebuild flattens it back to one).
-  *
-  * @param cells          cell directories present
-  * @param batchLeaves    `ingest_batch >= 0` leaf dirs (unfolded batches
-  *                       × their cells) — what a fold removes
-  * @param maxBatchId     highest batch key on disk (-1 = none)
-  * @param residentFiles  data files in the `-1` layer across all cells
-  * @param maxResidentFilesPerCell  the accrual metric: a build writes at
-  *                       most the spread bound here; each fold may add
-  *                       another bound's worth
-  * @param batchFiles     data files still under batch leaves
-  */
-final case class IndexLayoutStats(cells: Int, batchLeaves: Int,
-  maxBatchId: Long, residentFiles: Long, maxResidentFilesPerCell: Int,
-  batchFiles: Long)
-
 private[graft] object IndexMaintenance {
 
   private def foldTmp(table: Path) =
@@ -335,10 +313,14 @@ private[graft] object IndexMaintenance {
     finally in.close()
   }
 
-  /** One driver-side FS walk over `tablePath` (same enumeration order
-    * and cost as a fold's listing — cells × leaves, no data read, no
-    * Spark job). Gated like any reader: a live fold's marker window
-    * delays it; crash debris fails with the remedy. */
+  /** One driver-side FS walk over `tablePath`: 1 + cells + leaves LIST
+    * calls, no data read, no Spark job. Note this is MORE listing than a
+    * fold pays (a fold enumerates only batch leaves; this also lists
+    * every resident `-1` leaf's files, since the accrual metric lives
+    * there) — trivial on HDFS-likes, but on a rate-limited object store
+    * poll it at maintenance cadence, not per query. Gated like any
+    * reader: a live fold's marker window delays it; crash debris fails
+    * with the remedy. */
   def layoutStats(spark: SparkSession, tablePath: String): IndexLayoutStats = {
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
@@ -416,3 +398,26 @@ private[graft] object IndexMaintenance {
     }
   }
 }
+
+/** Layout health of one two-level index table — the operational twin of
+  * the DISTRIBUTION health the drift monitors report: drift says when to
+  * RETRAIN ([[Similarity.shouldRetrain]] / [[Pq.shouldRetrain]]); these
+  * say when to FOLD (batch-leaf accrual from a streamed ingest — every
+  * unfolded leaf is a directory every reader must list) and how much
+  * fold-file accrual the `-1` layer carries (each fold adds at most one
+  * spread-bound of files per cell — [[Similarity.cellSpreadBound]]; a
+  * rebuild flattens it back to one).
+  *
+  * @param cells          cell directories present
+  * @param batchLeaves    `ingest_batch >= 0` leaf dirs (unfolded batches
+  *                       × their cells) — what a fold removes
+  * @param maxBatchId     highest batch key on disk (-1 = none)
+  * @param residentFiles  data files in the `-1` layer across all cells
+  * @param maxResidentFilesPerCell  the accrual metric: a build writes at
+  *                       most the spread bound here; each fold may add
+  *                       another bound's worth
+  * @param batchFiles     data files still under batch leaves
+  */
+final case class IndexLayoutStats(cells: Int, batchLeaves: Int,
+  maxBatchId: Long, residentFiles: Long, maxResidentFilesPerCell: Int,
+  batchFiles: Long)

@@ -686,9 +686,13 @@ object Similarity {
     else df.repartition(nlist * s, col("cell"), pmod(xxhash64(col(idCol)), lit(s)))
   }
 
-  /** The spec-visible bound on files per cell a [[cellSpread]] write may
-    * produce on this session. */
-  private[graft] def cellSpreadBound(spark: org.apache.spark.sql.SparkSession,
+  /** The bound on files per cell a [[cellSpread]] write may produce on
+    * this session — PUBLIC because it is the threshold the layout-health
+    * advice compares against ([[ivfIndexLayout]]'s
+    * `maxResidentFilesPerCell` accrues in multiples of it; a rebuild
+    * flattens back to one). Sessions that pinned `spreadFiles` compare
+    * against that pin instead. */
+  def cellSpreadBound(spark: org.apache.spark.sql.SparkSession,
       nlist: Int): Int =
     math.max(1, (2 * spark.sparkContext.defaultParallelism + nlist - 1) / nlist)
 

@@ -107,8 +107,8 @@ object AnnScaleLab {
     // layout health (graft.operators.IndexLayoutStats): the lab prints
     // it at each lifecycle point so the files-per-cell story is measured
     // by the op itself, not hand-counted ls output
-    def layoutRow(tag: String): Unit = {
-      val l = Similarity.ivfIndexLayout(spark, idx)
+    def layoutRow(tag: String, path: String = idx): Unit = {
+      val l = Similarity.ivfIndexLayout(spark, path)
       println(s"""{"step":"layout","at":"$tag","cells":${l.cells},""" +
         s""""batch_leaves":${l.batchLeaves},"batch_files":${l.batchFiles},""" +
         s""""resident_files":${l.residentFiles},"max_files_per_cell":${l.maxResidentFilesPerCell}}""")
@@ -175,10 +175,7 @@ object AnnScaleLab {
       println(f"""{"step":"rebuild","rows":${n + 2 * appendN},"secs":$rebuildS%.1f,"build_secs":$buildS%.1f}""")
       val (trip2, fit2, ref2) = Similarity.shouldRetrain(probeBatch, "vec_id", "e", idx2)
       println(s"""{"step":"retrain_verdict","index":"rebuilt","retrain":$trip2,"fit":$fit2,"ref":$ref2}""")
-      val l2 = Similarity.ivfIndexLayout(spark, idx2)
-      println(s"""{"step":"layout","at":"rebuilt","cells":${l2.cells},""" +
-        s""""batch_leaves":${l2.batchLeaves},"batch_files":${l2.batchFiles},""" +
-        s""""resident_files":${l2.residentFiles},"max_files_per_cell":${l2.maxResidentFilesPerCell}}""")
+      layoutRow("rebuilt", idx2)
       for (nprobe <- nprobes) {
         val (c1, s1) = t(Similarity.ivfTopKIndexed(
           q, "vec_id", "e", idx2, k = k, nprobe = nprobe).count())

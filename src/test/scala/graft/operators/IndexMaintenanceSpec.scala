@@ -334,7 +334,8 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     Similarity.compactIvfIndex(spark, idx, committedBatchId = 1L)
     val s1 = Similarity.ivfIndexLayout(spark, idx)
-    // batches -1..1 folded away; only batch 2's leaves remain
+    // batches 0..1 folded away (the -1 layer is the fold DESTINATION,
+    // never folded itself); only batch 2's leaves remain
     assert(s1.maxBatchId === 2L && s1.batchLeaves < s0.batchLeaves, s1.toString)
     // one fold adds at most one more bound's worth per cell
     assert(s1.maxResidentFilesPerCell <= 2 * bound, s"$s1 (bound $bound)")
