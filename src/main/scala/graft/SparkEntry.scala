@@ -1110,6 +1110,30 @@ object SparkEntry {
           Seq("spark", "vector", "stream"), topK = 10)
         .withColumnRenamed("id", "doc_id")),
 
+    "hybrid_search" -> ((s, dir) => {
+      // Hybrid retrieval, the modern RAG/curation shape: a lexical BM25
+      // top-20 and a semantic cosine top-20 (document ids and embedding
+      // ids share a domain) fused by reciprocal-rank fusion — rank-only,
+      // so no score calibration between the heterogeneous retrievers.
+      // Both lists are exact here (BM25 is exact; the semantic side is
+      // brute force = the exhaustive ANN regime), so the whole
+      // composition is oracle-checkable; at scale the semantic list
+      // comes from the stored IVF index instead, same (id, rank) shape.
+      val lex = Curation.bm25Search(t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "vector", "stream"), topK = 20)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("id"))))
+        .select("id", "rank") // ≤20 rows: the single-partition window is free
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val sem = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") === 0), "vec_id", "e", e, "vec_id", "e", k = 20)
+        .select(col("corpus_id").as("id"), col("rank"))
+      Curation.rrfFuse(Seq(lex, sem), topK = 10)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "repetition_stats" -> ((s, dir) =>
       Curation.repetitionStats(t(s, dir, "documents"), "doc_id", "text", k = 2)
         .withColumnRenamed("id", "doc_id")),
@@ -2797,6 +2821,42 @@ object SparkEntry {
                           JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
          SELECT doc_id, round(sum(c), 4) AS score, count(*) AS n_terms_hit
          FROM contrib GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
+
+    // RRF over two exact lists: the BM25 CTEs are bm25_search's oracle
+    // verbatim (top-20), the semantic list is the brute-force cosine
+    // oracle restricted to query vec_id 0 (top-20); both engines rank on
+    // UNROUNDED scores with id tie-breaks (the discipline every ANN
+    // oracle already proves holds bit-for-bit), then fuse 1/(60+rank).
+    "hybrid_search" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts FROM documents),
+              dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+              stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, term, count(*) AS tf
+                     FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+                     WHERE term IN ('spark', 'vector', 'stream') GROUP BY 1, 2),
+              dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              contrib AS (SELECT tf.doc_id,
+                                 ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                                   * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS c
+                          FROM tf JOIN dfc USING (term)
+                          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+              bm_scored AS (SELECT doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY doc_id),
+              bm AS (SELECT doc_id AS id,
+                            row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+                     FROM bm_scored ORDER BY score DESC, doc_id LIMIT 20),
+              q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              ann_scored AS (SELECT c.vec_id AS id, list_cosine_similarity(q.v, c.v) AS cos
+                             FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
+              ann AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS rank
+                      FROM ann_scored ORDER BY cos DESC, id LIMIT 20),
+              allc AS (SELECT id, 1.0 / (60 + rank) AS c FROM bm
+                       UNION ALL
+                       SELECT id, 1.0 / (60 + rank) FROM ann),
+              fused AS (SELECT id, round(sum(c), 6) AS rrf_score, count(*) AS n_lists
+                        FROM allc GROUP BY id)
+         SELECT id AS doc_id, rrf_score, n_lists
+         FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10""",
 
     "repetition_stats" ->
       """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),

@@ -590,6 +590,38 @@ object Curation {
       .limit(topK)
   }
 
+  /** Reciprocal-rank fusion (RRF — Cormack, Clarke & Buettcher, SIGIR
+    * 2009): combine rankings of the same id space from HETEROGENEOUS
+    * retrievers — the standard way to fuse lexical (BM25) and semantic
+    * (ANN cosine) top-k lists without score calibration, since only
+    * RANKS enter the formula. Each list contributes `1 / (kRrf + rank)`
+    * for every id it ranked (ids absent from a list contribute nothing);
+    * `kRrf = 60` is the paper's constant. Output: top `topK` ids by
+    * (fused score desc, id), with `n_lists` = how many input lists
+    * ranked the id.
+    *
+    * Inputs are `(id, rank)` frames — already top-k-bounded retriever
+    * OUTPUTS, so the fuse is one union + groupBy over at most
+    * Σ list sizes rows regardless of corpus size; the 100 TB cost lives
+    * in the upstream retrievers (BM25's broadcast term join, the ANN
+    * index's pruned probe), not here. Deterministic: ranks are ints,
+    * ties break by id; with two lists the fused sum is order-independent
+    * by commutativity (more lists: the contributions are fixed dyadic-
+    * free doubles, so cross-engine equality is pinned by the driver
+    * oracle at round-6). */
+  def rrfFuse(rankings: Seq[DataFrame], topK: Int = 10,
+      kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking to fuse")
+    require(kRrf > 0, s"kRrf must be positive: $kRrf")
+    rankings.map(r => r.select(col("id"),
+        (lit(1.0d) / (lit(kRrf) + col("rank").cast("double"))).as("c")))
+      .reduce(_ union _)
+      .groupBy("id")
+      .agg(round(sum(col("c")), 6).as("rrf_score"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_score").desc, col("id"))
+      .limit(topK)
+  }
+
   /** Word-bigram occurrences of a text column (NOT deduped — these are
     * feature counts, like [[charGrams]]). Texts under 2 tokens yield an
     * empty array and are absent from gram-keyed outputs. */

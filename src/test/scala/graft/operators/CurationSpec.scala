@@ -186,6 +186,30 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0)._3 === 2L && out(1)._3 === 1L) // terms hit
   }
 
+  test("rrfFuse: hand-computed fusion, consensus beats single-list winners, absent ids ignored") {
+    val s = spark
+    import s.implicits._
+    def ranking(rows: (Long, Int)*) = rows.toDF("id", "rank")
+    // lexical says (10, 20, 30); semantic says (20, 40, 10): id 20 is the
+    // consensus pick even though neither list ranked it first
+    val lex = ranking(10L -> 1, 20L -> 2, 30L -> 3)
+    val sem = ranking(20L -> 1, 40L -> 2, 10L -> 3)
+    val out = Curation.rrfFuse(Seq(lex, sem), topK = 10, kRrf = 60)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def rrf(ranks: Int*) = BigDecimal(ranks.map(r => 1.0 / (60 + r)).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(_._1).toSeq === Seq(20L, 10L, 40L, 30L),
+      s"consensus id 20 (ranks 2+1) must beat id 10 (ranks 1+3): ${out.toSeq}")
+    assert(out.map(_._2).toSeq === Seq(rrf(2, 1), rrf(1, 3), rrf(2), rrf(3)))
+    // n_lists reports coverage: 2 for the consensus ids, 1 for singles
+    assert(out.map(_._3).toSeq === Seq(2L, 2L, 1L, 1L))
+    // topK truncates by fused score with id tie-break (40 and 30 both
+    // appear once; 40's rank 2 beats 30's rank 3)
+    val top2 = Curation.rrfFuse(Seq(lex, sem), topK = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top2 === Seq(20L, 10L))
+  }
+
   test("quality filter: rule flags fire independently and conjoin") {
     val good = (("the quick brown fox jumps over a lazy dog and then " * 5) + "end").trim
     val short = "the a of brief"
