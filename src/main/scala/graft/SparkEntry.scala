@@ -1134,6 +1134,30 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    "hybrid_search_indexed" -> ((s, dir) => {
+      // hybrid_search's at-scale shape, tested: the semantic list comes
+      // from the STORED IVF index (the production retriever — the query
+      // reads only its probed cells) instead of a corpus brute force.
+      // Full probe keeps it exact, so the identical RRF oracle applies —
+      // proving the indexed and brute-force retrievers are drop-in
+      // equivalent inputs to the fusion.
+      val lex = Curation.bm25Search(t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "vector", "stream"), topK = 20)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("id"))))
+        .select("id", "rank")
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val p = work(dir, "hybrid_search_indexed")
+      Similarity.writeIvfIndex(e, "vec_id", "e", p, nlist = 8)
+      val sem = Similarity.ivfTopKIndexed(
+          e.filter(col("vec_id") === 0), "vec_id", "e", p, k = 20, nprobe = 8)
+        .select(col("corpus_id").as("id"), col("rank"))
+      Curation.rrfFuse(Seq(lex, sem), topK = 10)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "repetition_stats" -> ((s, dir) =>
       Curation.repetitionStats(t(s, dir, "documents"), "doc_id", "text", k = 2)
         .withColumnRenamed("id", "doc_id")),
@@ -1882,6 +1906,41 @@ object SparkEntry {
     * exactly brute force over the same rows), so the rounding and
     * tie-break rules live in a single literal instead of nine pasted
     * copies that could silently diverge. */
+  /** The RRF fusion oracle shared by hybrid_search (brute-force
+    * semantic list) and hybrid_search_indexed (stored-IVF semantic
+    * list at full probe = exact): BM25 top-20 + cosine top-20 +
+    * 1/(60+rank) fusion, replayed end-to-end in DuckDB. */
+  private val hybridRrfOracle =
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts FROM documents),
+              dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+              stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, term, count(*) AS tf
+                     FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+                     WHERE term IN ('spark', 'vector', 'stream') GROUP BY 1, 2),
+              dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              contrib AS (SELECT tf.doc_id,
+                                 ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                                   * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS c
+                          FROM tf JOIN dfc USING (term)
+                          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+              bm_scored AS (SELECT doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY doc_id),
+              bm AS (SELECT doc_id AS id,
+                            row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+                     FROM bm_scored ORDER BY score DESC, doc_id LIMIT 20),
+              q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              ann_scored AS (SELECT c.vec_id AS id, list_cosine_similarity(q.v, c.v) AS cos
+                             FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
+              ann AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS rank
+                      FROM ann_scored ORDER BY cos DESC, id LIMIT 20),
+              allc AS (SELECT id, 1.0 / (60 + rank) AS c FROM bm
+                       UNION ALL
+                       SELECT id, 1.0 / (60 + rank) FROM ann),
+              fused AS (SELECT id, round(sum(c), 6) AS rrf_score, count(*) AS n_lists
+                        FROM allc GROUP BY id)
+         SELECT id AS doc_id, rrf_score, n_lists
+         FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10"""
+
   private val annExhaustiveOracle =
     """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
               c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2827,36 +2886,12 @@ object SparkEntry {
     // oracle restricted to query vec_id 0 (top-20); both engines rank on
     // UNROUNDED scores with id tie-breaks (the discipline every ANN
     // oracle already proves holds bit-for-bit), then fuse 1/(60+rank).
-    "hybrid_search" ->
-      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts FROM documents),
-              dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
-              stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-              tf AS (SELECT doc_id, term, count(*) AS tf
-                     FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
-                     WHERE term IN ('spark', 'vector', 'stream') GROUP BY 1, 2),
-              dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-              contrib AS (SELECT tf.doc_id,
-                                 ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                                   * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS c
-                          FROM tf JOIN dfc USING (term)
-                          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
-              bm_scored AS (SELECT doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY doc_id),
-              bm AS (SELECT doc_id AS id,
-                            row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-                     FROM bm_scored ORDER BY score DESC, doc_id LIMIT 20),
-              q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
-              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-              ann_scored AS (SELECT c.vec_id AS id, list_cosine_similarity(q.v, c.v) AS cos
-                             FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id),
-              ann AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS rank
-                      FROM ann_scored ORDER BY cos DESC, id LIMIT 20),
-              allc AS (SELECT id, 1.0 / (60 + rank) AS c FROM bm
-                       UNION ALL
-                       SELECT id, 1.0 / (60 + rank) FROM ann),
-              fused AS (SELECT id, round(sum(c), 6) AS rrf_score, count(*) AS n_lists
-                        FROM allc GROUP BY id)
-         SELECT id AS doc_id, rrf_score, n_lists
-         FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10""",
+    "hybrid_search" -> hybridRrfOracle,
+
+    // the indexed twin is exact at full probe, so the same fusion
+    // oracle applies verbatim — indexed and brute-force semantic
+    // retrievers are provably drop-in equivalent fusion inputs
+    "hybrid_search_indexed" -> hybridRrfOracle,
 
     "repetition_stats" ->
       """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
