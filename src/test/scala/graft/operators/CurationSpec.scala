@@ -210,6 +210,41 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top2 === Seq(20L, 10L))
   }
 
+  test("rrfFuse laws: list-order invariance; improving a rank never hurts the fused score") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    def randomRanking(ids: Seq[Long], n: Int): DataFrame =
+      rnd.shuffle(ids).take(n).zipWithIndex
+        .map { case (id, i) => (id, i + 1) }.toDF("id", "rank")
+    val ids = (1L to 30L)
+    val lists = Seq(randomRanking(ids, 10), randomRanking(ids, 10), randomRanking(ids, 10))
+    def fused(ls: Seq[DataFrame]) = Curation.rrfFuse(ls, topK = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    // fusion is a sum over lists — permuting the input list order must
+    // not change a single output row (the operator's determinism story)
+    assert(fused(lists) === fused(lists.reverse))
+    assert(fused(lists) === fused(Seq(lists(1), lists(2), lists(0))))
+    // monotonicity: promote one id to rank 1 in one list (shifting the
+    // ids it passes down one) — its fused score must strictly rise and
+    // every other id's must not rise
+    val before = fused(lists).map(r => r._1 -> r._2).toMap
+    val l0 = lists(0).collect().map(r => (r.getLong(0), r.getInt(1)))
+    val promoted = l0.minBy(_._2 * -1)._1 // the id currently ranked LAST
+    val bumped = l0.map { case (id, rk) =>
+      if (id == promoted) (id, 1)
+      else if (rk < l0.find(_._1 == promoted).get._2) (id, rk + 1)
+      else (id, rk)
+    }.toSeq.toDF("id", "rank")
+    val after = fused(Seq(bumped, lists(1), lists(2))).map(r => r._1 -> r._2).toMap
+    assert(after(promoted) > before(promoted),
+      s"promoting $promoted to rank 1 must raise its fused score")
+    (before.keySet - promoted).foreach { id =>
+      assert(after.getOrElse(id, 0.0) <= before(id) + 1e-9,
+        s"id $id gained score from another id's promotion")
+    }
+  }
+
   test("quality filter: rule flags fire independently and conjoin") {
     val good = (("the quick brown fox jumps over a lazy dog and then " * 5) + "end").trim
     val short = "the a of brief"
