@@ -40,11 +40,13 @@ object AnnScaleLab {
     // neighbors are merely NEAR; low noise saturates recall structurally
     var noise = 2.0
     var rebuild = false
+    var rebuildNlist = 0 // 0 = keep the stored nlist; set to co-scale at rebuild
     var root = "/tmp/graft_scalelab"
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--rebuild" => rebuild = true; i += 1
+        case "--rebuildNlist" => rebuildNlist = args(i + 1).toInt; i += 2
         case "--n" => n = args(i + 1).toLong; i += 2
         case "--dim" => dim = args(i + 1).toInt; i += 2
         case "--nlist" => nlist = args(i + 1).toInt; i += 2
@@ -171,16 +173,21 @@ object AnnScaleLab {
       val (trip, fit0, ref0) = Similarity.shouldRetrain(probeBatch, "vec_id", "e", idx)
       println(s"""{"step":"retrain_verdict","index":"stale","retrain":$trip,"fit":$fit0,"ref":$ref0}""")
       val idx2 = s"$root/idx2"
-      val (_, rebuildS) = t(Similarity.rebuildIvfIndex(spark, idx, idx2, nlist = nlist))
-      println(f"""{"step":"rebuild","rows":${n + 2 * appendN},"secs":$rebuildS%.1f,"build_secs":$buildS%.1f}""")
+      val nl2 = if (rebuildNlist > 0) rebuildNlist else nlist
+      val (_, rebuildS) = t(Similarity.rebuildIvfIndex(spark, idx, idx2, nlist = nl2))
+      println(f"""{"step":"rebuild","rows":${n + 2 * appendN},"nlist":$nl2,"secs":$rebuildS%.1f,"build_secs":$buildS%.1f}""")
       val (trip2, fit2, ref2) = Similarity.shouldRetrain(probeBatch, "vec_id", "e", idx2)
       println(s"""{"step":"retrain_verdict","index":"rebuilt","retrain":$trip2,"fit":$fit2,"ref":$ref2}""")
       layoutRow("rebuilt", idx2)
       for (nprobe <- nprobes) {
+        // when the rebuild co-scaled nlist, probe the MATCHED FRACTION
+        // (nprobe scales with nlist) — the operator's recall/latency
+        // dial is nprobe/nlist, so that is the apples-to-apples probe
+        val np2 = math.max(1, nprobe * nl2 / nlist)
         val (c1, s1) = t(Similarity.ivfTopKIndexed(
-          q, "vec_id", "e", idx2, k = k, nprobe = nprobe).count())
-        println(f"""{"step":"probe_rebuilt","nprobe":$nprobe,"rows":$c1,"secs":$s1%.1f,""" +
-          f""""per_query_ms":${s1 * 1000 / nq}%.0f}""")
+          q, "vec_id", "e", idx2, k = k, nprobe = np2).count())
+        println(f"""{"step":"probe_rebuilt","nprobe":$np2,"fraction":${np2.toDouble / nl2}%.4f,""" +
+          f""""rows":$c1,"secs":$s1%.1f,"per_query_ms":${s1 * 1000 / nq}%.0f}""")
       }
     }
     spark.stop()
