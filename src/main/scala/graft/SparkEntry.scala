@@ -1901,11 +1901,6 @@ object SparkEntry {
     "funnel", "cdc_compact", "json_extract", "passage_dedup", "cdc_dedup",
     "pack_payload")
 
-  /** The ONE brute-force cosine top-5 oracle every exhaustive-regime ANN
-    * query validates against (full probe / corpus-covering refine =>
-    * exactly brute force over the same rows), so the rounding and
-    * tie-break rules live in a single literal instead of nine pasted
-    * copies that could silently diverge. */
   /** The RRF fusion oracle shared by hybrid_search (brute-force
     * semantic list) and hybrid_search_indexed (stored-IVF semantic
     * list at full probe = exact): BM25 top-20 + cosine top-20 +
@@ -1941,6 +1936,11 @@ object SparkEntry {
          SELECT id AS doc_id, rrf_score, n_lists
          FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10"""
 
+  /** The ONE brute-force cosine top-5 oracle every exhaustive-regime ANN
+    * query validates against (full probe / corpus-covering refine =>
+    * exactly brute force over the same rows), so the rounding and
+    * tie-break rules live in a single literal instead of nine pasted
+    * copies that could silently diverge. */
   private val annExhaustiveOracle =
     """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
               c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2883,9 +2883,12 @@ object SparkEntry {
 
     // RRF over two exact lists: the BM25 CTEs are bm25_search's oracle
     // verbatim (top-20), the semantic list is the brute-force cosine
-    // oracle restricted to query vec_id 0 (top-20); both engines rank on
-    // UNROUNDED scores with id tie-breaks (the discipline every ANN
-    // oracle already proves holds bit-for-bit), then fuse 1/(60+rank).
+    // oracle restricted to query vec_id 0 (top-20). The BM25 list ranks
+    // on ROUND-4 scores in both engines (Curation.bm25Search rounds to 4
+    // before its orderBy; the oracle's bm CTE ranks on round(sum(c),4) —
+    // identical rounding + id tie-break); only the cosine list ranks on
+    // unrounded scores (the discipline every ANN oracle already proves
+    // holds bit-for-bit). Fusion is then 1/(60+rank) on both sides.
     "hybrid_search" -> hybridRrfOracle,
 
     // the indexed twin is exact at full probe, so the same fusion

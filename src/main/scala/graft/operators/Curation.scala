@@ -604,17 +604,22 @@ object Curation {
     * OUTPUTS, so the fuse is one union + groupBy over at most
     * Σ list sizes rows regardless of corpus size; the 100 TB cost lives
     * in the upstream retrievers (BM25's broadcast term join, the ANN
-    * index's pruned probe), not here. Deterministic: ranks are ints,
-    * ties break by id; with two lists the fused sum is order-independent
-    * by commutativity (more lists: the contributions are fixed dyadic-
-    * free doubles, so cross-engine equality is pinned by the driver
-    * oracle at round-6). */
+    * index's pruned probe), not here. An id repeated WITHIN one input
+    * list (a retriever that emitted duplicates) is collapsed to its
+    * best (lowest) rank before fusing, so one list can never contribute
+    * twice to `rrf_score` or inflate `n_lists` past `rankings.length` —
+    * the groupBy is over top-k rows, so the guard is free. Deterministic:
+    * ranks are ints, ties break by id; with two lists the fused sum is
+    * order-independent by commutativity (more lists: the contributions
+    * are fixed dyadic-free doubles, so cross-engine equality is pinned
+    * by the driver oracle at round-6). */
   def rrfFuse(rankings: Seq[DataFrame], topK: Int = 10,
       kRrf: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "need at least one ranking to fuse")
     require(kRrf > 0, s"kRrf must be positive: $kRrf")
-    rankings.map(r => r.select(col("id"),
-        (lit(1.0d) / (lit(kRrf) + col("rank").cast("double"))).as("c")))
+    rankings.map(r => r.groupBy(col("id"))
+        .agg(min(col("rank").cast("double")).as("best_rank"))
+        .select(col("id"), (lit(1.0d) / (lit(kRrf) + col("best_rank"))).as("c")))
       .reduce(_ union _)
       .groupBy("id")
       .agg(round(sum(col("c")), 6).as("rrf_score"), count(lit(1)).as("n_lists"))

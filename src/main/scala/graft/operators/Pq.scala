@@ -602,6 +602,30 @@ object Pq {
       val p = new org.apache.hadoop.fs.Path(s"$path/$t")
       IndexMaintenance.requireReadConsistent(p.getFileSystem(hconf), p)
     }
+    // ... and gate on the crash state the fold markers CANNOT see: an
+    // append that died between the codes write and the vectors write
+    // (writeRows emits codes first) leaves a codes-only batch. This
+    // rebuild reads ONLY vectors, so rebuilding from a diverged pair
+    // would silently omit that batch — and once readers flip and the
+    // old index is deleted before the stream replays it, the gap is
+    // permanent. A batch-leaf divergence is one driver-side FS walk to
+    // detect; refuse with the remedy instead of baking in the gap.
+    // (A fold-crash divergence — codes folded, vectors not — also trips
+    // this; its remedy is the same line's compactPqIndex, and erring
+    // loud on a state two crash modes share beats guessing which one.)
+    val codesL = IndexMaintenance.layoutStats(spark, s"$path/codes")
+    val vecsL = IndexMaintenance.layoutStats(spark, s"$path/vectors")
+    if (codesL.batchLeaves != vecsL.batchLeaves || codesL.maxBatchId != vecsL.maxBatchId)
+      throw new IllegalStateException(
+        s"IVFPQ index at $path has diverged batch layers: codes has " +
+          s"${codesL.batchLeaves} batch leaves (maxBatchId ${codesL.maxBatchId}) " +
+          s"vs vectors ${vecsL.batchLeaves} (maxBatchId ${vecsL.maxBatchId}). " +
+          "A writer crashed between the two table writes or folds; rebuilding " +
+          "from the vectors table now could permanently omit a codes-only batch. " +
+          "Remedy: resume the ingest stream so the interrupted batch replays " +
+          "(appendPqIndexIdempotent overwrites its own leaves), or run " +
+          "compactPqIndex(committedBatchId) to complete an interrupted fold — " +
+          "then rebuild once the layouts agree.")
     val (oldCents, oldModel) = loadModel(spark, path)
     val nl = if (nlist > 0) nlist else oldCents.length
     val mm = if (m > 0) m else oldModel.m

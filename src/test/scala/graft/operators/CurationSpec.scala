@@ -210,6 +210,21 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top2 === Seq(20L, 10L))
   }
 
+  test("rrfFuse collapses within-list duplicate ids to their best rank") {
+    val s = spark
+    import s.implicits._
+    // a retriever that emitted id 10 twice (ranks 3 and 1) must fuse
+    // exactly like one that emitted it once at its best rank — one list
+    // can never contribute twice, and n_lists stays <= rankings.length
+    val dirty = Seq((10L, 3), (10L, 1), (20L, 2)).toDF("id", "rank")
+    val clean = Seq((10L, 1), (20L, 2)).toDF("id", "rank")
+    val other = Seq((20L, 1), (10L, 2)).toDF("id", "rank")
+    def run(l: DataFrame) = Curation.rrfFuse(Seq(l, other), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(run(dirty) === run(clean))
+    assert(run(dirty).forall(_._3 <= 2L), s"n_lists must not exceed the list count: ${run(dirty)}")
+  }
+
   test("rrfFuse laws: list-order invariance; improving a rank never hurts the fused score") {
     val s = spark
     import s.implicits._

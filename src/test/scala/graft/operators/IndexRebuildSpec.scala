@@ -199,4 +199,36 @@ class IndexRebuildSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[IllegalArgumentException] { Pq.rebuildPqIndex(spark, idx, idx) }
     assert(e.getMessage.contains("build-aside"), e.getMessage)
   }
+
+  test("PQ rebuild refuses a codes/vectors batch-layer divergence; replay heals it") {
+    // the crash state the fold markers cannot see: writeRows emits codes
+    // BEFORE vectors, so an append dying between them leaves a codes-only
+    // batch. rebuildPqIndex reads only the vectors table — rebuilding from
+    // the diverged pair would silently omit that batch, and once readers
+    // flip and the old index is deleted the gap is permanent.
+    val base = Files.createTempDirectory("rbdiv").toString
+    val idx = s"$base/idx"
+    Pq.writePqIndex(posBatch(0, 200), "id", "v", idx,
+      nlist = 4, m = 4, ksub = 16, maxSample = 100)
+    Pq.appendPqIndexIdempotent(posBatch(1000, 1060), "id", "v", idx, 0L)
+    Pq.appendPqIndexIdempotent(posBatch(1060, 1120), "id", "v", idx, 1L)
+    // simulate the crash window by removing batch 1 from vectors only
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val vecs = new org.apache.hadoop.fs.Path(s"$idx/vectors")
+    fs.listStatus(vecs).filter(_.getPath.getName.startsWith("cell=")).foreach { cell =>
+      fs.delete(new org.apache.hadoop.fs.Path(cell.getPath, "ingest_batch=1"), true)
+    }
+    val e = intercept[IllegalStateException] {
+      Pq.rebuildPqIndex(spark, idx, s"$base/idx2", maxSample = 100)
+    }
+    assert(e.getMessage.contains("diverged batch layers"), e.getMessage)
+    assert(e.getMessage.contains("replays"), e.getMessage) // remedy named
+    // the replay remedy: a re-delivered batch id overwrites its own
+    // leaves on BOTH tables — layouts agree again, the rebuild proceeds
+    // and the once-missing batch is in the rebuilt index
+    Pq.appendPqIndexIdempotent(posBatch(1060, 1120), "id", "v", idx, 1L)
+    Pq.rebuildPqIndex(spark, idx, s"$base/idx2", maxSample = 100)
+    assert(spark.read.parquet(s"$base/idx2/vectors").count() === 320L)
+    assert(spark.read.parquet(s"$base/idx2/codes").count() === 320L)
+  }
 }
