@@ -1711,6 +1711,37 @@ object SparkEntry {
         k = 5, nprobe = 8, refine = (n / 5 + 1).toInt)
     }),
 
+    "ann_ivf_resident_compacted" -> ((s, dir) => {
+      // The r16 MINOR compaction under the driver's gate: build, two
+      // keyed append+fold cycles (each fold adds files to the resident
+      // -1 layer — the stationary-stream accrual), then
+      // compactIvfResident rewrites every cell whose -1 file count
+      // exceeds the bound back under it, and the exhaustive-regime
+      // query must be unchanged: the brute-force oracle states that
+      // build + append + fold + RESIDENT COMPACTION + reload + probe
+      // change NOTHING about answers. spreadFiles=1 pins the layout so
+      // the accrual (and the compaction actually firing) is
+      // deterministic across driver environments.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val cuts = e.agg(expr("percentile(vec_id, 0.5)"),
+        expr("percentile(vec_id, 0.75)")).collect()(0)
+      val (mid, hi) = (cuts.getDouble(0), cuts.getDouble(1))
+      val p = work(dir, "ann_ivf_resident_compacted")
+      Similarity.writeIvfIndex(e.filter(col("vec_id") <= mid), "vec_id", "e", p,
+        nlist = 8, spreadFiles = 1)
+      val cents = Similarity.loadIvfCentroids(s, p)
+      val b0 = e.filter(col("vec_id") > mid && col("vec_id") <= hi)
+      val b1 = e.filter(col("vec_id") > hi)
+      Similarity.appendIvfIndexIdempotent(b0, "vec_id", "e", p, cents, 0L, spreadFiles = 1)
+      Similarity.compactIvfIndex(s, p, committedBatchId = 0L, spreadFiles = 1)
+      Similarity.appendIvfIndexIdempotent(b1, "vec_id", "e", p, cents, 1L, spreadFiles = 1)
+      Similarity.compactIvfIndex(s, p, committedBatchId = 1L, spreadFiles = 1)
+      Similarity.compactIvfResident(s, p, maxFilesPerCell = 1, spreadFiles = 1)
+      Similarity.ivfTopKIndexed(
+        e.filter(col("vec_id") < 10), "vec_id", "e", p, k = 5, nprobe = 8)
+    }),
+
     "ann_ivf_rebuilt" -> ((s, dir) => {
       // The MAJOR compaction under the driver's gate (r15): build on the
       // first half, keyed-append the rest, then REBUILD build-aside —
@@ -2520,6 +2551,11 @@ object SparkEntry {
     "ann_ivf_compacted" -> annExhaustiveOracle,
 
     "ann_ivfpq_compacted" -> annExhaustiveOracle,
+
+    // The r16 MINOR compaction (resident-layer rewrite) in the
+    // exhaustive regime: flattening over-bound cells must change
+    // nothing about exact answers.
+    "ann_ivf_resident_compacted" -> annExhaustiveOracle,
 
     // The r15 REBUILD (major compaction) in the exhaustive regime:
     // retraining + re-laying-out must change nothing about exact

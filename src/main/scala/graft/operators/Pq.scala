@@ -666,8 +666,29 @@ object Pq {
         Similarity.cellSpread(_, nlist, spreadFiles = spreadFiles))
   }
 
-  /** Deterministic recovery after a crashed [[compactPqIndex]] (or a
-    * crash under the pre-r15 rename-swap), covering both tables.
+  /** Minor compaction of both IVFPQ tables' RESIDENT (`ingest_batch=-1`)
+    * layers — [[Similarity.compactIvfResident]]'s twin: per cell, rewrite
+    * only cells whose `-1` file count exceeds `maxFilesPerCell` (0 =
+    * derive 2× the spread bound), leaving under-bound cells untouched;
+    * cost scales with the accrued cells' data, not the index. The two
+    * tables compact one after the other — a crash between them is benign
+    * exactly as for the fold (answers never change under a resident
+    * compaction; the second table's pass completes on the next call).
+    * Marker-staged; [[recoverPqFold]] repairs a crash. Returns cells
+    * compacted in (codes, vectors) order. Single-writer contract. */
+  def compactPqResident(spark: SparkSession, path: String,
+      maxFilesPerCell: Int = 0, spreadFiles: Int = 0): (Int, Int) = {
+    val nlist = spark.read.parquet(s"$path/model/centroids").count().toInt
+    val bound = Similarity.residentBound(spark, nlist, maxFilesPerCell, spreadFiles)
+    def one(table: String) =
+      IndexMaintenance.compactResident(spark, s"$path/$table", bound,
+        Similarity.cellSpread(_, nlist, spreadFiles = spreadFiles))
+    (one("codes"), one("vectors"))
+  }
+
+  /** Deterministic recovery after a crashed [[compactPqIndex]] /
+    * [[compactPqResident]] (or a crash under the pre-r15 rename-swap),
+    * covering both tables.
     * Idempotent; returns what was repaired per table, None when clean. */
   def recoverPqFold(spark: SparkSession, path: String): Option[String] = {
     val msgs = Seq("codes", "vectors")

@@ -608,8 +608,10 @@ object Similarity {
     * resident index (the r14 version rewrote the whole corpus per fold
     * — O(index²/N) lifetime I/O under `appendBatches(compactEvery=N)`).
     * The `-1` layer accrues one bounded file set per fold; when that
-    * warrants flattening, rebuild — a rebuild retrains AND re-lays-out,
-    * and by then [[shouldRetrain]] has usually asked for one anyway.
+    * warrants flattening, [[compactIvfResident]] rewrites just the
+    * over-bound cells (the stationary-stream remedy — batch-priced, no
+    * retrain), and a DRIFTED corpus rebuilds — a rebuild retrains AND
+    * re-lays-out, and there [[shouldRetrain]] demands one anyway.
     *
     * Replay safety: [[appendIvfIndexIdempotent]]'s exactly-once story
     * relies on a re-delivered batchId OVERWRITING its own leaves, so
@@ -632,10 +634,43 @@ object Similarity {
       cellSpread(_, nlist, spreadFiles = spreadFiles))
   }
 
-  /** Deterministic recovery after a crashed [[compactIvfIndex]] (or a
-    * crash under the pre-r15 rename-swap): rolls an interrupted fold
-    * back or forward, whichever the on-disk markers prove safe.
-    * Idempotent; returns what was repaired, None when clean. */
+  /** Minor compaction of a stored IVF index's RESIDENT (`ingest_batch=-1`)
+    * layer: rewrite each cell whose resident file count exceeds
+    * `maxFilesPerCell` back to one spread-bound's worth of files, leaving
+    * every under-bound cell's files byte-untouched. This is the remedy
+    * the STATIONARY stream needs: each [[compactIvfIndex]] fold adds
+    * ≤ [[cellSpreadBound]] files per cell, and the only previous
+    * flattening remedy was a rebuild the drift trigger would never
+    * demand on an undrifted corpus. Cost scales with the ACCRUED cells'
+    * data, not the index — a skewed ingest that accrues files in a few
+    * hot cells pays only for those cells. Marker-staged through the same
+    * [[IndexMaintenance]] protocol as the fold, so [[recoverIvfFold]]
+    * repairs a crash and readers/appenders refuse until it has.
+    *
+    * `maxFilesPerCell = 0` derives the threshold as 2× this session's
+    * [[cellSpreadBound]] — i.e. compact a cell once it carries more than
+    * one extra fold's worth of accrual; sessions that pinned
+    * `spreadFiles` should pass `2 * spreadFiles` explicitly. Returns
+    * the number of cells compacted. Single-writer contract. */
+  def compactIvfResident(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxFilesPerCell: Int = 0, spreadFiles: Int = 0): Int = {
+    val nlist = spark.read.parquet(s"$path/centroids").count().toInt
+    val bound = residentBound(spark, nlist, maxFilesPerCell, spreadFiles)
+    IndexMaintenance.compactResident(spark, s"$path/corpus", bound,
+      cellSpread(_, nlist, spreadFiles = spreadFiles))
+  }
+
+  private[operators] def residentBound(
+      spark: org.apache.spark.sql.SparkSession, nlist: Int,
+      maxFilesPerCell: Int, spreadFiles: Int): Int =
+    if (maxFilesPerCell > 0) maxFilesPerCell
+    else 2 * (if (spreadFiles > 0) spreadFiles else cellSpreadBound(spark, nlist))
+
+  /** Deterministic recovery after a crashed [[compactIvfIndex]] /
+    * [[compactIvfResident]] (or a crash under the pre-r15 rename-swap):
+    * rolls an interrupted maintenance op back or forward, whichever the
+    * on-disk markers prove safe. Idempotent; returns what was repaired,
+    * None when clean. */
   def recoverIvfFold(spark: org.apache.spark.sql.SparkSession,
       path: String): Option[String] =
     IndexMaintenance.recover(spark, s"$path/corpus")
