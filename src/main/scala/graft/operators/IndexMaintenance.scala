@@ -77,6 +77,8 @@ private[graft] object IndexMaintenance {
   private def stagedMarker(table: Path) = new Path(table, "_fold_staged")
   private def commitMarker(table: Path) = new Path(table, "_fold_commit")
   private def markerScratch(table: Path) = new Path(table, "._fold_staged.tmp")
+  private def epochFile(table: Path) = new Path(table, "_fold_epoch")
+  private def epochScratch(table: Path) = new Path(table, "._fold_epoch.tmp")
   // r14 rename-swap debris (an index crashed under the OLD protocol)
   private def legacyTmp(table: Path) =
     new Path(table.getParent, table.getName + "_compact_tmp")
@@ -122,27 +124,96 @@ private[graft] object IndexMaintenance {
     * the remedy. Legacy rename-swap debris fails immediately (never
     * live — that code is gone).
     *
-    * KNOWN LIMIT — the gate is point-in-time, not a snapshot: a query
-    * that passed it can still have the window open mid-execution (gate
-    * sees no marker; the fold stages, moves, and deletes while the
-    * query's scan is listing or its tasks are running). The failure
-    * modes are bounded and never silent corruption of the INDEX: a task
-    * reading a just-deleted folded leaf fails loudly with
-    * FileNotFoundException (retry the query — the standard contract for
-    * reading any directory a writer may rewrite, MVCC-free by design),
-    * and a listing landing inside the sub-second move window can
-    * transiently see a folded batch twice. Closing this fully requires
-    * snapshot metadata (an MVCC table format), out of scope for a
-    * directory-layout index; operators needing strict isolation
-    * serialize retrieval with maintenance — the in-stream shape already
-    * does (folds run on the ingest thread), and `compactEvery`
-    * schedules folds, so a maintenance window is one trigger away. */
+    * This gate alone is point-in-time; index probes therefore take
+    * their FILE LISTING through [[consistentListing]], which validates
+    * the (marker, epoch) pair on both sides of the listing and retries
+    * when a maintenance window overlapped it — so a captured listing is
+    * a consistent snapshot and a folded batch can never be transiently
+    * visible twice (the r15 KNOWN LIMIT's silent half, closed in r16).
+    *
+    * KNOWN LIMIT (remaining, loud-only): a task reading a file that a
+    * maintenance op deleted AFTER the snapshot was captured fails with
+    * FileNotFoundException mid-execution — retry the query (the
+    * standard contract for reading any directory a writer may rewrite;
+    * full mid-EXECUTION isolation needs snapshot metadata, an MVCC
+    * table format, out of scope for a directory-layout index).
+    * Operators needing strict isolation serialize retrieval with
+    * maintenance — the in-stream shape already does (folds run on the
+    * ingest thread), and `compactEvery` schedules folds, so a
+    * maintenance window is one trigger away. */
   /** How long [[requireReadConsistent]] waits for a live fold's marker
     * window to clear before declaring it crash debris. A seam (not a
     * per-call knob) so specs can pin the crash path without 15 s stalls;
     * production readers never see the full wait — a healthy window is
     * sub-second. */
   @volatile private[graft] var readGateWaitMs: Long = 15000L
+
+  /** The table's maintenance EPOCH: a counter bumped exactly once by
+    * every completed mutation of reader-visible files (a fold, a
+    * resident compaction, a recovery in either direction) — bumped
+    * BEFORE the op's marker is removed, so the (marker, epoch) pair
+    * sampled on both sides of a listing proves the listing overlapped
+    * no move/delete window: any mutation interval is bracketed by its
+    * marker, and an interval that fell ENTIRELY between the two samples
+    * left the epoch changed. Missing file reads as 0 (pre-epoch
+    * indexes; the first maintenance op creates it). */
+  private[graft] def readEpoch(fs: FileSystem, table: Path): Long = {
+    val f = epochFile(table)
+    if (!fs.exists(f)) 0L
+    else readMarker(fs, f).headOption.map(_.trim.toLong).getOrElse(0L)
+  }
+
+  private def bumpEpoch(fs: FileSystem, table: Path): Unit = {
+    val next = readEpoch(fs, table) + 1
+    val out = fs.create(epochScratch(table), true)
+    try out.write(s"$next\n".getBytes("UTF-8")) finally out.close()
+    // delete-then-rename (HDFS rename refuses to overwrite): a reader
+    // sampling during the gap reads 0, which can only FALSE-POSITIVE a
+    // retry, never mask a change
+    fs.delete(epochFile(table), false)
+    require(fs.rename(epochScratch(table), epochFile(table)),
+      s"could not publish epoch ${epochFile(table)}")
+  }
+
+  /** Test seam: runs after the gate + epoch sample and before the
+    * caller's listing inside [[consistentListing]] — lets a spec run a
+    * WHOLE maintenance op inside the reader's listing window without
+    * timing luck. */
+  @volatile private[graft] var afterGateHook: Option[() => Unit] = None
+  /** Test seam: how many listings were retried by the snapshot check. */
+  private[graft] val listingRetries = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Run `list` (a driver-side file-listing action — e.g. constructing a
+    * DataFrame over the table, which lists its files eagerly) under an
+    * OPTIMISTIC SNAPSHOT: sample (marker, epoch) before and after; equal
+    * samples prove no maintenance op's move/delete window overlapped the
+    * listing, so the captured file set is a consistent snapshot — a
+    * folded batch can never appear twice in it. On a changed sample the
+    * listing is retried (the fold that invalidated it has finished;
+    * bounded attempts, then fail loudly). This closes the r15 KNOWN
+    * LIMIT's silent half: with it, retrieval concurrent with maintenance
+    * has exactly ONE residual anomaly — a task reading a file deleted
+    * AFTER the snapshot was captured fails loudly with
+    * FileNotFoundException (retry the query); transient double-counting
+    * is gone. */
+  private[graft] def consistentListing[T](fs: FileSystem, table: Path)(list: => T): T = {
+    val maxAttempts = 5
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      requireReadConsistent(fs, table) // waits out a live marker window
+      val e0 = readEpoch(fs, table)
+      afterGateHook.foreach(h => h())
+      val out = list
+      val markerNow = fs.exists(stagedMarker(table)) || fs.exists(commitMarker(table))
+      if (!markerNow && readEpoch(fs, table) == e0) return out
+      listingRetries.incrementAndGet()
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"could not capture a consistent file listing of $table after $maxAttempts " +
+        "attempts — a maintenance op completed inside every listing window. " +
+        "This needs sustained back-to-back folds; stagger maintenance or retry.")
+  }
 
   private[graft] def requireReadConsistent(fs: FileSystem, table: Path): Unit = {
     val waitMs = readGateWaitMs
@@ -230,6 +301,7 @@ private[graft] object IndexMaintenance {
     maybeFail("before-cleanup")
     leafRels.foreach(r => fs.delete(new Path(table, r), true))
     fs.delete(tmp, true)
+    bumpEpoch(fs, table) // before the marker clears: readers see one or the other
     fs.delete(commitMarker(table), false)
     true
   }
@@ -309,6 +381,7 @@ private[graft] object IndexMaintenance {
     maybeFail("before-cleanup")
     oldFileRels.foreach(r => fs.delete(new Path(table, r), false))
     fs.delete(tmp, true)
+    bumpEpoch(fs, table) // before the marker clears: readers see one or the other
     fs.delete(commitMarker(table), false)
     overBound.size
   }
@@ -341,6 +414,7 @@ private[graft] object IndexMaintenance {
       dirs.foreach(r => fs.delete(new Path(table, r), true))
       files.foreach(r => fs.delete(new Path(table, r), false))
       fs.delete(foldTmp(table), true)
+      bumpEpoch(fs, table)
       fs.delete(commit, false)
       Some(s"rolled FORWARD an interrupted maintenance op on $table " +
         s"(deleted ${dirs.size} already-folded leaf dirs, " +
@@ -352,6 +426,7 @@ private[graft] object IndexMaintenance {
         s.drop(2) }
       files.foreach(r => fs.delete(new Path(table, r), false))
       fs.delete(foldTmp(table), true)
+      bumpEpoch(fs, table)
       fs.delete(staged, false)
       Some(s"rolled BACK an interrupted fold of $table " +
         s"(removed ${files.size} staged fold files; originals intact)")

@@ -934,14 +934,7 @@ object Pq {
       path: String, k: Int, nprobe: Int, refine: Int = 8): DataFrame = {
     require(refine >= 1, "refine must be >= 1")
     val spark = queries.sparkSession
-    // consistency gate: a LIVE fold's sub-second marker window just
-    // delays this read; a marker that outlives the wait is crash debris
-    // (a folded batch would be visible twice) — recoverPqFold is the remedy
-    for (t <- Seq("codes", "vectors")) {
-      val tp = new org.apache.hadoop.fs.Path(s"$path/$t")
-      IndexMaintenance.requireReadConsistent(
-        tp.getFileSystem(spark.sparkContext.hadoopConfiguration), tp)
-    }
+    val hconf = spark.sparkContext.hadoopConfiguration
     val (cents, model) = loadModel(spark, path)
     val np = math.min(nprobe, cents.length)
     val probeUdf = udf { (v: Seq[Double]) =>
@@ -985,9 +978,22 @@ object Pq {
     // literal IN on the partition column -> static directory pruning on
     // both index scans (same discipline as ivfTopKIndexed)
     val probedCells = q.select("cell").distinct().collect().map(_.getInt(0))
-    val codes = spark.read.parquet(s"$path/codes")
+    // each table's file listing is captured under the snapshot gate
+    // (marker + epoch validated on both sides, retry on a concurrent
+    // maintenance window — see Similarity.ivfTopKIndexed): a folded
+    // batch can never be visible twice in either scan. A codes/vectors
+    // pair captured ACROSS a fold boundary (one table folded, the other
+    // not) is benign — a fold moves rows between leaves of one table,
+    // never changes them, and the ADC join keys on (cell, corpus_id).
+    def snapshotRead(t: String) = {
+      val tp = new org.apache.hadoop.fs.Path(s"$path/$t")
+      IndexMaintenance.consistentListing(tp.getFileSystem(hconf), tp) {
+        spark.read.parquet(s"$path/$t")
+      }
+    }
+    val codes = snapshotRead("codes")
       .filter(col("cell").isin(probedCells.toSeq: _*))
-    val vectors = spark.read.parquet(s"$path/vectors")
+    val vectors = snapshotRead("vectors")
       .filter(col("cell").isin(probedCells.toSeq: _*))
     // Shortlist-saturation skip: when k·refine covers every candidate
     // row in the probed cells, the ADC rank-and-truncate provably keeps

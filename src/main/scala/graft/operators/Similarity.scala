@@ -790,13 +790,8 @@ object Similarity {
       path: String, k: Int, nprobe: Int,
       cents: Array[Array[Double]]): DataFrame = {
     val spark = queries.sparkSession
-    // consistency gate (a few driver-side exists() calls): a LIVE fold's
-    // sub-second marker window just delays this read; a marker that
-    // outlives the wait is crash debris (a folded batch would be visible
-    // twice) and fails with the recoverIvfFold remedy
     val corpusPath = new org.apache.hadoop.fs.Path(s"$path/corpus")
-    IndexMaintenance.requireReadConsistent(
-      corpusPath.getFileSystem(spark.sparkContext.hadoopConfiguration), corpusPath)
+    val corpusFs = corpusPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val np = math.min(nprobe, cents.length)
     val probeUdf = udf { (v: Seq[Double]) =>
       val x = normalize(v.toArray)
@@ -811,8 +806,17 @@ object Similarity {
       .withColumn("qn", l2norm(col("qv")))
     // literal IN on the partition column -> static directory pruning
     val probedCells = q.select("cell").distinct().collect().map(_.getInt(0))
-    val c = spark.read.parquet(s"$path/corpus")
-      .filter(col("cell").isin(probedCells.toSeq: _*))
+    // spark.read.parquet lists the table's files EAGERLY here, and that
+    // captured listing is what the scan executes against — so taking it
+    // through the snapshot gate (marker + epoch validated on both sides,
+    // retry on overlap; a live fold's marker window just delays it)
+    // guarantees a folded batch is never visible twice, even when a fold
+    // runs concurrently with this probe. Remaining anomaly is loud-only:
+    // a file deleted after the snapshot fails the task with
+    // FileNotFoundException — retry the query.
+    val c = IndexMaintenance.consistentListing(corpusFs, corpusPath) {
+      spark.read.parquet(s"$path/corpus")
+    }.filter(col("cell").isin(probedCells.toSeq: _*))
     rankTopK(q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn"))), k)

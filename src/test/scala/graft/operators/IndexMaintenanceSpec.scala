@@ -373,6 +373,84 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(codes.cells === 4 && vectors.cells === 4)
   }
 
+  test("probe THROUGH a live fold: a fold completing inside the listing window is detected and retried; answers stay exactly-once") {
+    // The r15 review's item #2: retrieval concurrent with maintenance is
+    // the 100 TB serving pattern, and the point-in-time gate could let a
+    // listing overlap a fold's move+delete window (a folded batch
+    // transiently visible TWICE). The afterGateHook seam runs a WHOLE
+    // fold between the probe's gate+epoch sample and its file listing —
+    // the worst case, no timing luck — and the snapshot check must
+    // catch it via the epoch and relist.
+    val (_, idx) = buildWithBatches("imthrough")
+    val answers = ask(idx)
+    IndexMaintenance.listingRetries.set(0)
+    @volatile var ran = false
+    IndexMaintenance.afterGateHook = Some { () =>
+      if (!ran) { ran = true; Similarity.compactIvfIndex(spark, idx, committedBatchId = 1L) }
+    }
+    val got = try ask(idx) finally IndexMaintenance.afterGateHook = None
+    assert(ran, "the fold must have run inside the probe's listing window")
+    assert(IndexMaintenance.listingRetries.get() >= 1,
+      "the snapshot check must detect the overlapped window and relist")
+    assert(got === answers,
+      "a probe overlapping a fold must return the exactly-once answer (never a doubled batch)")
+    assert(spark.read.parquet(s"$idx/corpus").count() === 90L)
+    assert(Similarity.recoverIvfFold(spark, idx).isEmpty)
+  }
+
+  test("probe THROUGH a live fold, PQ twin: both tables relist and the ADC answer is exactly-once") {
+    val s = spark
+    import s.implicits._
+    val gen = org.apache.spark.sql.functions.udf(
+      (id: Long) => graft.tools.EmbedSynth.vector(id, 16, 4, 0.3))
+    val df = spark.range(200).select(col("id").as("vec_id"), gen(col("id")).as("e"))
+    val base = Files.createTempDirectory("imthrpq").toString
+    val idx = s"$base/idx"
+    Pq.writePqIndex(df, "vec_id", "e", idx, nlist = 4, m = 4, ksub = 16)
+    Pq.appendPqIndexIdempotent(
+      spark.range(300, 320).select(col("id").as("vec_id"), gen(col("id")).as("e")),
+      "vec_id", "e", idx, 0L)
+    val q = df.filter(col("vec_id") < 3)
+    def pqAsk() = Pq.pqTopKIndexed(q, "vec_id", "e", idx, k = 3, nprobe = 4, refine = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._4)).toSeq
+    val answers = pqAsk()
+    IndexMaintenance.listingRetries.set(0)
+    @volatile var ran = false
+    IndexMaintenance.afterGateHook = Some { () =>
+      if (!ran) { ran = true; Pq.compactPqIndex(spark, idx, committedBatchId = 0L) }
+    }
+    val got = try pqAsk() finally IndexMaintenance.afterGateHook = None
+    assert(ran && IndexMaintenance.listingRetries.get() >= 1)
+    assert(got === answers)
+    for (t <- Seq("codes", "vectors"))
+      assert(spark.read.parquet(s"$idx/$t").count() === 220L, t)
+  }
+
+  test("maintenance epoch: every completed mutation bumps it, including recovery") {
+    val (_, idx) = buildWithBatches("imepoch")
+    val table = new org.apache.hadoop.fs.Path(s"$idx/corpus")
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(IndexMaintenance.readEpoch(fs, table) === 0L, "pre-epoch index reads as 0")
+    Similarity.compactIvfIndex(spark, idx, committedBatchId = 0L)
+    assert(IndexMaintenance.readEpoch(fs, table) === 1L)
+    // a crashed fold's ROLLBACK also mutated reader-visible files (fold
+    // files went in, then came back out) — it must bump too
+    IndexMaintenance.failpoint = Some("before-commit")
+    try intercept[RuntimeException] {
+      Similarity.compactIvfIndex(spark, idx, committedBatchId = 1L)
+    } finally IndexMaintenance.failpoint = None
+    assert(Similarity.recoverIvfFold(spark, idx).exists(_.contains("BACK")))
+    assert(IndexMaintenance.readEpoch(fs, table) === 2L)
+    // roll-forward path bumps as well
+    IndexMaintenance.failpoint = Some("before-cleanup")
+    try intercept[RuntimeException] {
+      Similarity.compactIvfIndex(spark, idx, committedBatchId = 1L)
+    } finally IndexMaintenance.failpoint = None
+    assert(Similarity.recoverIvfFold(spark, idx).exists(_.contains("FORWARD")))
+    assert(IndexMaintenance.readEpoch(fs, table) === 3L)
+  }
+
   test("shouldRetrain surfaces an empty batch as a real error, not an NPE") {
     val (_, idx) = buildWithBatches("imempty")
     val empty = mkCorpus(0 until 10).filter(col("id") < 0)
