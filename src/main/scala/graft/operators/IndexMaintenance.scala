@@ -519,6 +519,33 @@ private[graft] object IndexMaintenance {
     IndexLayoutStats(cells, batchLeaves, maxBatchId, residentFiles, maxResident, batchFiles)
   }
 
+  /** The shared advice rule over one table's [[IndexLayoutStats]] — see
+    * [[MaintenanceAdvice]] for the precedence contract. `residentBound`
+    * is the per-cell `-1` file threshold (the index family's
+    * [[Similarity.residentBound]] derivation); `foldLeavesPerCell` is
+    * how many unfolded batches' worth of leaves to tolerate. */
+  private[operators] def advise(layout: IndexLayoutStats,
+      driftTripped: Boolean, residentBound: Int,
+      foldLeavesPerCell: Int): MaintenanceAdvice = {
+    val foldThreshold = foldLeavesPerCell.toLong * layout.cells
+    if (driftTripped) MaintenanceAdvice("rebuild",
+      "the drift verdict tripped — retrain on the current corpus " +
+        "(a rebuild re-lays-out too, subsuming both compactions)", layout)
+    else if (layout.batchLeaves > foldThreshold) MaintenanceAdvice("fold",
+      s"${layout.batchLeaves} unfolded batch leaves exceed the tolerated " +
+        s"$foldThreshold ($foldLeavesPerCell per cell x ${layout.cells} cells) — " +
+        "every unfolded leaf is a directory every reader must list", layout)
+    else if (layout.maxResidentFilesPerCell > residentBound)
+      MaintenanceAdvice("compact-resident",
+        s"a cell carries ${layout.maxResidentFilesPerCell} resident files " +
+          s"(bound $residentBound) — fold-file accrual; rewrite just the " +
+          "over-bound cells", layout)
+    else MaintenanceAdvice("none",
+      s"layout healthy: ${layout.batchLeaves} batch leaves (<= $foldThreshold), " +
+        s"max ${layout.maxResidentFilesPerCell} resident files/cell " +
+        s"(<= $residentBound), drift quiet", layout)
+  }
+
   // every guard instance, so fold/recover can invalidate a table's memo
   // across index families without knowing which guard owns it
   private val allGuards =
@@ -564,6 +591,34 @@ private[graft] object IndexMaintenance {
     }
   }
 }
+
+/** One actionable maintenance recommendation, folding the three signals
+  * the scaladocs previously told operators to juggle by hand — the
+  * drift verdict (when to RETRAIN), batch-leaf accrual (when to FOLD),
+  * and resident-file accrual (when to COMPACT the `-1` layer) — into a
+  * single precedence-ordered verdict ([[Similarity.maintenanceAdvice]] /
+  * [[Pq.maintenanceAdvice]]):
+  *
+  *  - `rebuild`: the caller's drift verdict tripped. A rebuild retrains
+  *    AND flattens, so it subsumes both compactions — nothing else need
+  *    run first.
+  *  - `fold`: unfolded batch leaves exceed the tolerated accrual
+  *    (every unfolded leaf is a directory every reader must list).
+  *  - `compact-resident`: some cell's `-1` file count exceeds the
+  *    bound (fold-file accrual — the stationary-stream signal).
+  *  - `none`: healthy.
+  *
+  * The drift verdict is passed IN (from [[Similarity.shouldRetrain]] /
+  * [[Pq.shouldRetrain]], which the streaming shape already evaluates
+  * per batch) rather than recomputed here: advice is a layout-stats-
+  * priced call — one FS walk, no data read — and drift needs a recent
+  * batch only the ingest loop has.
+  *
+  * @param action  rebuild | fold | compact-resident | none
+  * @param reason  the tripped signal, with its measured value and threshold
+  * @param layout  the stats the verdict was computed from */
+final case class MaintenanceAdvice(action: String, reason: String,
+  layout: IndexLayoutStats)
 
 /** Layout health of one two-level index table — the operational twin of
   * the DISTRIBUTION health the drift monitors report: drift says when to

@@ -707,6 +707,34 @@ object Pq {
     (IndexMaintenance.layoutStats(spark, s"$path/codes"),
       IndexMaintenance.layoutStats(spark, s"$path/vectors"))
 
+  /** [[Similarity.maintenanceAdvice]]'s IVFPQ twin: one recommendation
+    * over BOTH tables — each signal takes the worse of codes/vectors
+    * (they normally move together; a divergence means a crash landed
+    * between the two table writes and the worse side is the one that
+    * needs the remedy). Layout-stats-priced; pass `driftTripped` from
+    * the ingest loop's [[shouldRetrain]] verdict. */
+  def maintenanceAdvice(spark: SparkSession, path: String,
+      driftTripped: Boolean = false, maxFilesPerCell: Int = 0,
+      foldLeavesPerCell: Int = 2, spreadFiles: Int = 0): MaintenanceAdvice = {
+    val nlist = spark.read.parquet(s"$path/model/centroids").count().toInt
+    val (codes, vectors) = pqIndexLayout(spark, path)
+    val worse =
+      if (codes.batchLeaves >= vectors.batchLeaves &&
+        codes.maxResidentFilesPerCell >= vectors.maxResidentFilesPerCell) codes
+      else if (vectors.batchLeaves >= codes.batchLeaves &&
+        vectors.maxResidentFilesPerCell >= codes.maxResidentFilesPerCell) vectors
+      else IndexLayoutStats(
+        math.max(codes.cells, vectors.cells),
+        math.max(codes.batchLeaves, vectors.batchLeaves),
+        math.max(codes.maxBatchId, vectors.maxBatchId),
+        math.max(codes.residentFiles, vectors.residentFiles),
+        math.max(codes.maxResidentFilesPerCell, vectors.maxResidentFilesPerCell),
+        math.max(codes.batchFiles, vectors.batchFiles))
+    IndexMaintenance.advise(worse, driftTripped,
+      Similarity.residentBound(spark, nlist, maxFilesPerCell, spreadFiles),
+      foldLeavesPerCell)
+  }
+
   /** The retrain TRIGGER the drift monitor feeds: quantization health of
     * `batch` under the stored model vs the build-time reference row.
     * Returns (retrain, coarse_fit, pq_err, ref_coarse_fit, ref_pq_err):

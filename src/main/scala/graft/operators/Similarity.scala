@@ -666,6 +666,29 @@ object Similarity {
     if (maxFilesPerCell > 0) maxFilesPerCell
     else 2 * (if (spreadFiles > 0) spreadFiles else cellSpreadBound(spark, nlist))
 
+  /** One maintenance recommendation for a stored IVF index — the three
+    * signals ("fold when leaves accrue, compact when files accrue,
+    * rebuild when drift trips") as API instead of prose; see
+    * [[MaintenanceAdvice]] for the precedence contract. Layout-stats-
+    * priced: one driver-side FS walk, no data read. Pass the drift
+    * verdict your ingest loop already has from [[shouldRetrain]]
+    * (`driftTripped = verdict._1`); omit it for the stationary shape
+    * where drift never trips and the layout signals are the whole
+    * story. Thresholds mirror the compaction defaults:
+    * `maxFilesPerCell = 0` derives 2× the spread bound (one fold's
+    * accrual tolerated — [[compactIvfResident]]'s default), and
+    * `foldLeavesPerCell` tolerates that many unfolded batches' worth
+    * of leaf dirs (default 2, the `compactEvery = 3` cadence's
+    * worst healthy state). */
+  def maintenanceAdvice(spark: org.apache.spark.sql.SparkSession,
+      path: String, driftTripped: Boolean = false,
+      maxFilesPerCell: Int = 0, foldLeavesPerCell: Int = 2,
+      spreadFiles: Int = 0): MaintenanceAdvice = {
+    val nlist = spark.read.parquet(s"$path/centroids").count().toInt
+    IndexMaintenance.advise(ivfIndexLayout(spark, path), driftTripped,
+      residentBound(spark, nlist, maxFilesPerCell, spreadFiles), foldLeavesPerCell)
+  }
+
   /** Deterministic recovery after a crashed [[compactIvfIndex]] /
     * [[compactIvfResident]] (or a crash under the pre-r15 rename-swap):
     * rolls an interrupted maintenance op back or forward, whichever the

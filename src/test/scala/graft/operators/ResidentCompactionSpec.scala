@@ -171,6 +171,64 @@ class ResidentCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Similarity.recoverIvfFold(spark, idx).isEmpty)
   }
 
+  test("maintenanceAdvice: precedence across the lifecycle states, remedies clear it in order") {
+    val (_, idx) = skewedAccrual("rcadvice", folds = 3)
+    // hot cell carries 4 resident files > the derived bound 2, no
+    // unfolded leaves -> compact-resident
+    val a0 = Similarity.maintenanceAdvice(spark, idx, spreadFiles = 1)
+    assert(a0.action === "compact-resident", a0.toString)
+    assert(a0.reason.contains("4 resident files"), a0.reason)
+    // drift outranks every layout signal (a rebuild flattens too)
+    assert(Similarity.maintenanceAdvice(spark, idx, driftTripped = true,
+      spreadFiles = 1).action === "rebuild")
+    // land 3 unfolded all-cell batches: leaves exceed 2/cell -> fold
+    // outranks the still-present resident accrual
+    val cents = Similarity.loadIvfCentroids(spark, idx)
+    for (b <- 10 to 12)
+      Similarity.appendIvfIndexIdempotent(mkCorpus((3000 + 100 * b) until (3040 + 100 * b)),
+        "id", "v", idx, cents, b.toLong, spreadFiles = 1)
+    val a1 = Similarity.maintenanceAdvice(spark, idx, spreadFiles = 1)
+    assert(a1.action === "fold", a1.toString)
+    // apply the remedies in the advised order; each clears its signal
+    Similarity.compactIvfIndex(spark, idx, committedBatchId = 12L, spreadFiles = 1)
+    val a2 = Similarity.maintenanceAdvice(spark, idx, spreadFiles = 1)
+    assert(a2.action === "compact-resident", a2.toString)
+    Similarity.compactIvfResident(spark, idx, spreadFiles = 1)
+    val a3 = Similarity.maintenanceAdvice(spark, idx, spreadFiles = 1)
+    assert(a3.action === "none", a3.toString)
+    assert(a3.reason.contains("healthy"), a3.reason)
+  }
+
+  test("maintenanceAdvice PQ twin: worse-of-both-tables, remedies clear in order") {
+    val s = spark
+    import s.implicits._
+    val gen = org.apache.spark.sql.functions.udf(
+      (id: Long) => graft.tools.EmbedSynth.vector(id, 16, 4, 0.3))
+    val df = spark.range(200).select(col("id").as("vec_id"), gen(col("id")).as("e"))
+    val base = Files.createTempDirectory("rcpqadv").toString
+    val idx = s"$base/idx"
+    Pq.writePqIndex(df, "vec_id", "e", idx, nlist = 4, m = 4, ksub = 16, spreadFiles = 1)
+    assert(Pq.maintenanceAdvice(spark, idx, spreadFiles = 1).action === "none")
+    for (b <- 0 until 3)
+      Pq.appendPqIndexIdempotent(
+        spark.range(300 + 40 * b, 340 + 40 * b)
+          .select(col("id").as("vec_id"), gen(col("id")).as("e")),
+        "vec_id", "e", idx, b.toLong, spreadFiles = 1)
+    assert(Pq.maintenanceAdvice(spark, idx, spreadFiles = 1).action === "fold")
+    assert(Pq.maintenanceAdvice(spark, idx, driftTripped = true,
+      spreadFiles = 1).action === "rebuild")
+    Pq.compactPqIndex(spark, idx, committedBatchId = 2L, spreadFiles = 1)
+    // one fold's accrual (2 files/cell) sits exactly at the tolerated
+    // default bound -> healthy; tightening the bound to 1 surfaces the
+    // accrual as compact-resident, and the remedy clears it
+    assert(Pq.maintenanceAdvice(spark, idx, spreadFiles = 1).action === "none")
+    assert(Pq.maintenanceAdvice(spark, idx, maxFilesPerCell = 1,
+      spreadFiles = 1).action === "compact-resident")
+    Pq.compactPqResident(spark, idx, maxFilesPerCell = 1, spreadFiles = 1)
+    assert(Pq.maintenanceAdvice(spark, idx, maxFilesPerCell = 1,
+      spreadFiles = 1).action === "none")
+  }
+
   test("PQ twin: both tables compact, answers and counts preserved, bound restored") {
     val s = spark
     import s.implicits._
