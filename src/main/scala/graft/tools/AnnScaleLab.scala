@@ -41,12 +41,16 @@ object AnnScaleLab {
     var noise = 2.0
     var rebuild = false
     var rebuildNlist = 0 // 0 = keep the stored nlist; set to co-scale at rebuild
+    var resident = false
+    var hotCells = 8
     var root = "/tmp/graft_scalelab"
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--rebuild" => rebuild = true; i += 1
         case "--rebuildNlist" => rebuildNlist = args(i + 1).toInt; i += 2
+        case "--resident" => resident = true; i += 1
+        case "--hotCells" => hotCells = args(i + 1).toInt; i += 2
         case "--n" => n = args(i + 1).toLong; i += 2
         case "--dim" => dim = args(i + 1).toInt; i += 2
         case "--nlist" => nlist = args(i + 1).toInt; i += 2
@@ -151,6 +155,74 @@ object AnnScaleLab {
       a.unpersist()
       println(f"""{"step":"probe","nprobe":$nprobe,"secs":$s1%.1f,""" +
         f""""per_query_ms":${s1 * 1000 / nq}%.0f,"recall_at_$k":${hit.toDouble / denom}%.4f}""")
+    }
+
+    // --resident: the r16 MINOR compaction, measured as the claim it
+    // makes — cost follows the ACCRUED cells' data, not the index. Two
+    // contrasting accrual shapes on the same index: (1) UNIFORM — three
+    // more keyed append+fold cycles over all cells, so every cell goes
+    // over bound and the compaction rewrites the whole resident layer
+    // (the worst case, still rebuild-minus-retraining priced); then
+    // (2) SKEWED — three append+fold cycles whose vectors are generated
+    // NEXT TO a few stored centroids (the hot-cell ingest), so only
+    // those cells re-accrue and the second compaction touches only
+    // them. maintenanceAdvice is printed at each state — this is the
+    // measured row behind its thresholds.
+    if (resident) {
+      def adviceRow(tag: String): Unit = {
+        val a = Similarity.maintenanceAdvice(spark, idx)
+        println(s"""{"step":"advice","at":"$tag","action":"${a.action}"}""")
+      }
+      var batchId = 1L // batch 0 folded above
+      def cycle(batch: org.apache.spark.sql.DataFrame, rows: Long): Double = {
+        Similarity.appendIvfIndexIdempotent(batch, "vec_id", "e", idx, cents, batchId)
+        val (_, fS) = t(Similarity.compactIvfIndex(spark, idx, committedBatchId = batchId))
+        batchId += 1
+        fS
+      }
+      var lo = n + appendN
+      for (c <- 0 until 3) {
+        val fS = cycle(gen(lo, lo + appendN), appendN)
+        println(f"""{"step":"uniform_cycle","cycle":$c,"rows":$appendN,"fold_secs":$fS%.1f}""")
+        lo += appendN
+      }
+      layoutRow("uniform_accrual"); adviceRow("uniform_accrual")
+      val residentRows = lo
+      val (cellsU, compU) = t(Similarity.compactIvfResident(spark, idx))
+      println(f"""{"step":"compact_resident","shape":"uniform","cells":$cellsU,""" +
+        f""""resident_rows":$residentRows,"secs":$compU%.1f}""")
+      layoutRow("uniform_compacted"); adviceRow("uniform_compacted")
+
+      // skewed phase: vectors beside `hotCells` stored centroids — the
+      // append assigns them all to those cells, so fold accrual (and
+      // the compaction that follows) is confined there
+      val hot = udf { (id: Long) =>
+        val c = cents((id % hotCells).toInt)
+        val r = new scala.util.Random(id)
+        c.map(x => x + 0.01 * r.nextGaussian()).toSeq
+      }
+      val hotN = appendN / 5
+      def genHot(lo: Long, hi: Long) = spark.range(lo, hi, 1, partitions)
+        .select(col("id").as("vec_id"), hot(col("id")).as("e"))
+      for (c <- 0 until 3) {
+        val fS = cycle(genHot(lo, lo + hotN), hotN)
+        println(f"""{"step":"skewed_cycle","cycle":$c,"rows":$hotN,"fold_secs":$fS%.1f}""")
+        lo += hotN
+      }
+      layoutRow("skewed_accrual"); adviceRow("skewed_accrual")
+      val (cellsS, compS) = t(Similarity.compactIvfResident(spark, idx))
+      println(f"""{"step":"compact_resident","shape":"skewed","cells":$cellsS,""" +
+        f""""resident_rows":$lo,"secs":$compS%.1f}""")
+      layoutRow("skewed_compacted"); adviceRow("skewed_compacted")
+      // probe sanity on the twice-compacted index (answers are pinned
+      // exact by ResidentCompactionSpec + the driver oracle; this is
+      // the latency row)
+      for (nprobe <- nprobes) {
+        val (c1, s1) = t(Similarity.ivfTopKIndexed(
+          q, "vec_id", "e", idx, k = k, nprobe = nprobe).count())
+        println(f"""{"step":"probe_compacted","nprobe":$nprobe,"rows":$c1,"secs":$s1%.1f,""" +
+          f""""per_query_ms":${s1 * 1000 / nq}%.0f}""")
+      }
     }
 
     // --rebuild: the MAJOR compaction, measured as the full closed loop —

@@ -1,0 +1,161 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Similarity}
+
+/** Hybrid retrieval at the 20 M rung (r16) — the production claim
+  * behind `hybrid_search_indexed`, measured: BM25's broadcast term join
+  * over an in-plan 20 M-document corpus plus the stored IVF index's
+  * PRUNED probe (nprobe << nlist), RRF-fused — end-to-end latency per
+  * hybrid query, plan assertions (the term join broadcasts; the index
+  * scan carries the probed-cell partition filters), and recall@10 of
+  * the pruned fusion against the brute-force fusion twin (identical
+  * BM25 list + exact cosine top-k through the same rrfFuse — the only
+  * difference is the semantic retriever, so fused-recall isolates what
+  * index pruning costs the FUSED answer).
+  *
+  * Text is generated in-plan and deterministically from doc_id (a
+  * zipf-ish 10 K vocab), like EmbedSynth's vectors — nothing but the
+  * index is materialized.
+  *
+  * Run: {{{
+  *   SPARK_DRIVER_MEM=24g sbt "runMain graft.tools.HybridScaleLab \
+  *     --n 20000000 --nlist 256 --nprobe 8 --queries 5"
+  * }}} */
+object HybridScaleLab {
+
+  /** Deterministic zipf-ish token bag for one doc id: `len` draws from
+    * a 10 K vocab where word w's mass ~ 1/(w+1) (nested uniform draw). */
+  private[tools] def docText(id: Long, len: Int): String = {
+    val r = new scala.util.Random(id * 1000003L + 17)
+    val sb = new StringBuilder
+    var j = 0
+    while (j < len) {
+      val w = r.nextInt(r.nextInt(9999) + 1)
+      if (j > 0) sb.append(' ')
+      sb.append('w').append(w)
+      j += 1
+    }
+    sb.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    var n = 20000000L
+    var dim = 64
+    var nlist = 256
+    var nprobe = 8
+    var k = 20 // per-retriever list depth
+    var fuseK = 10
+    var nQueries = 5
+    var partitions = 64
+    var noise = 2.0
+    var root = "/tmp/graft_hybridlab"
+    var reuseIndex = false
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--n" => n = args(i + 1).toLong; i += 2
+        case "--dim" => dim = args(i + 1).toInt; i += 2
+        case "--nlist" => nlist = args(i + 1).toInt; i += 2
+        case "--nprobe" => nprobe = args(i + 1).toInt; i += 2
+        case "--k" => k = args(i + 1).toInt; i += 2
+        case "--fuseK" => fuseK = args(i + 1).toInt; i += 2
+        case "--queries" => nQueries = args(i + 1).toInt; i += 2
+        case "--partitions" => partitions = args(i + 1).toInt; i += 2
+        case "--noise" => noise = args(i + 1).toDouble; i += 2
+        case "--root" => root = args(i + 1); i += 2
+        case "--reuseIndex" => reuseIndex = true; i += 1
+        case other => sys.error(s"unknown arg $other")
+      }
+    }
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", partitions.toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    def vecs(lo: Long, hi: Long) = {
+      val g = udf((id: Long) => EmbedSynth.vector(id, dim, 32, noise))
+      spark.range(lo, hi, 1, partitions)
+        .select(col("id").as("vec_id"), g(col("id")).as("e"))
+    }
+    val textUdf = udf((id: Long) => docText(id, 20))
+    def docs = spark.range(0, n, 1, partitions)
+      .select(col("id").as("doc_id"), textUdf(col("id")).as("text"))
+
+    val idx = s"$root/idx"
+    println(s"""{"corpus":"inplan:$n:dim$dim","nlist":$nlist,"nprobe":$nprobe,"k":$k}""")
+    if (!reuseIndex) {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val (_, buildS) = t(Similarity.writeIvfIndex(vecs(0, n), "vec_id", "e", idx, nlist = nlist))
+      println(f"""{"step":"build","rows":$n,"secs":$buildS%.1f}""")
+    }
+    val cents = Similarity.loadIvfCentroids(spark, idx)
+
+    // mid-frequency query terms: w200..w1199 band — selective enough to
+    // rank, frequent enough that top-20 lists are full
+    def termsFor(qi: Int): Seq[String] = {
+      val r = new scala.util.Random(9000 + qi)
+      Seq.fill(3)("w" + (200 + r.nextInt(1000)))
+    }
+    def asRanking(list: DataFrame, idCol: String): DataFrame =
+      list.select(col(idCol).as("id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col(idCol))).as("rank"))
+
+    // plan assertions once, outside the timed loop: the BM25 term join
+    // broadcasts; the pruned probe's corpus scan carries PartitionFilters
+    val bmPlan = Curation.bm25Search(docs, "doc_id", "text", termsFor(0), topK = k)
+      .queryExecution.executedPlan.toString
+    println(s"""{"step":"plan","bm25_broadcast":${bmPlan.contains("BroadcastHashJoin")}}""")
+    val probePlan = Similarity.ivfTopKIndexed(vecs(0, 1), "vec_id", "e", idx,
+      k = k, nprobe = nprobe, cents = cents)
+      .queryExecution.executedPlan.toString
+    println(s"""{"step":"plan","probe_partition_pruned":${probePlan.contains("PartitionFilters: [cell")}}""")
+
+    var fusedHit = 0L; var fusedDenom = 0L
+    for (qi <- 0 until nQueries) {
+      val terms = termsFor(qi)
+      val qVec = vecs(1000L * qi + 7, 1000L * qi + 8)
+      val ((bm, ann, fused), totalS) = t {
+        val (bm, bmS) = t(asRanking(
+          Curation.bm25Search(docs, "doc_id", "text", terms, topK = k), "id")
+          .collect())
+        val (ann, annS) = t(Similarity.ivfTopKIndexed(
+          qVec, "vec_id", "e", idx, k = k, nprobe = nprobe, cents = cents)
+          .select(col("corpus_id").as("id"), col("rank")).collect())
+        println(f"""{"step":"retrievers","query":$qi,"bm25_secs":$bmS%.1f,"probe_secs":$annS%.1f}""")
+        import spark.implicits._
+        val fused = Curation.rrfFuse(Seq(
+          bm.map(r => (r.getLong(0), r.getInt(1))).toSeq.toDF("id", "rank"),
+          ann.map(r => (r.getLong(0), r.getInt(1))).toSeq.toDF("id", "rank")), topK = fuseK)
+          .collect().map(_.getLong(0)).toSeq
+        (bm, ann, fused)
+      }
+      println(f"""{"step":"hybrid","query":$qi,"secs":$totalS%.1f,"fused":${fused.size}}""")
+      // brute-force fusion twin: same BM25 list, exact cosine top-k
+      val exact = Similarity.bruteForceTopK(qVec, "vec_id", "e",
+        vecs(0, n), "vec_id", "e", k = k)
+        .select(col("corpus_id").as("id"), col("rank")).collect()
+      import spark.implicits._
+      val fusedExact = Curation.rrfFuse(Seq(
+        bm.map(r => (r.getLong(0), r.getInt(1))).toSeq.toDF("id", "rank"),
+        exact.map(r => (r.getLong(0), r.getInt(1))).toSeq.toDF("id", "rank")), topK = fuseK)
+        .collect().map(_.getLong(0)).toSeq
+      val hit = fused.toSet.intersect(fusedExact.toSet).size
+      fusedHit += hit; fusedDenom += fusedExact.size
+      println(f"""{"step":"fused_recall","query":$qi,"hit":$hit,"of":${fusedExact.size}}""")
+    }
+    println(f"""{"step":"fused_recall_total","recall_at_$fuseK":${fusedHit.toDouble / fusedDenom}%.4f,"queries":$nQueries}""")
+    spark.stop()
+  }
+}
