@@ -75,6 +75,12 @@ object HybridScaleLab {
       .config("spark.sql.shuffle.partitions", partitions.toString)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // the zipf text compresses ~15x, so at the default 128 MB
+      // maxPartitionBytes the 1.6 GB docs table coalesces to ~13 input
+      // splits and BM25's corpus pass runs at 13-way parallelism on a
+      // 32-core box (measured 96-162 s/q vs ~40 off 64 splits). Size
+      // splits for the DECOMPRESSED work, as a tuned cluster would.
+      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def t[A](f: => A): (A, Double) = {
@@ -87,10 +93,9 @@ object HybridScaleLab {
         .select(col("id").as("vec_id"), g(col("id")).as("e"))
     }
     val textUdf = udf((id: Long) => docText(id, 20))
-    def docs = spark.range(0, n, 1, partitions)
-      .select(col("id").as("doc_id"), textUdf(col("id")).as("text"))
 
     val idx = s"$root/idx"
+    val docsPath = s"$root/docs"
     println(s"""{"corpus":"inplan:$n:dim$dim","nlist":$nlist,"nprobe":$nprobe,"k":$k}""")
     if (!reuseIndex) {
       val fs = new org.apache.hadoop.fs.Path(root)
@@ -98,7 +103,16 @@ object HybridScaleLab {
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
       val (_, buildS) = t(Similarity.writeIvfIndex(vecs(0, n), "vec_id", "e", idx, nlist = nlist))
       println(f"""{"step":"build","rows":$n,"secs":$buildS%.1f}""")
+      // the text corpus is MATERIALIZED once, like any stored corpus a
+      // production BM25 scans — leaving it in-plan folds 400 M token
+      // regenerations into every BM25 wall (measured 43-68 s/q of pure
+      // UDF time vs ~8 s/q off parquet)
+      val (_, docsS) = t(spark.range(0, n, 1, partitions)
+        .select(col("id").as("doc_id"), textUdf(col("id")).as("text"))
+        .write.mode("overwrite").parquet(docsPath))
+      println(f"""{"step":"docs_write","rows":$n,"secs":$docsS%.1f}""")
     }
+    def docs = spark.read.parquet(docsPath)
     val cents = Similarity.loadIvfCentroids(spark, idx)
 
     // mid-frequency query terms: w200..w1199 band — selective enough to
