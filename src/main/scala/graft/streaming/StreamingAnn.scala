@@ -98,7 +98,13 @@ object StreamingAnn {
     * in-flight batch keeps its keys and its overwrite-on-replay
     * semantics. Compaction runs on the ingest thread, so the
     * single-writer contract holds without coordination. `compactEvery`
-    * ≤ 0 disables it.
+    * ≤ 0 disables it. After each fold the RESIDENT `-1` layer
+    * self-maintains too (r16): cells whose file count exceeded 2× the
+    * spread bound are rewritten back under it
+    * ([[graft.operators.Similarity.compactIvfResident]] — a no-op FS
+    * walk when healthy), so a long-running STATIONARY stream keeps
+    * bounded files per cell without ever needing the rebuild that only
+    * drift would demand.
     *
     * Crash healing: on its first non-empty batch the ingest runs
     * [[graft.operators.Similarity.recoverIvfFold]] — if a previous run
@@ -221,7 +227,8 @@ object StreamingAnn {
       append = (batch, m, batchId) => Pq.appendPqIndexIdempotent(
         batch, idCol, vecCol, path, m._1, m._2, batchId, spreadFiles = 0),
       monitor = (batch, batchId, m) => monitor(batch, batchId, m._1, m._2),
-      compact = (s, wm) => Pq.compactPqIndex(s, path, wm))
+      compact = (s, wm) => Pq.compactPqIndex(s, path, wm),
+      compactResident = s => { val (c, v) = Pq.compactPqResident(s, path); c + v })
 
   private def ingest(
       path: String, idCol: String, vecCol: String, compactEvery: Int)(
@@ -232,19 +239,32 @@ object StreamingAnn {
       append = (batch, cents, batchId) => Similarity.appendIvfIndexIdempotent(
         batch, idCol, vecCol, path, cents, batchId),
       monitor = monitor,
-      compact = (s, wm) => Similarity.compactIvfIndex(s, path, wm))
+      compact = (s, wm) => Similarity.compactIvfIndex(s, path, wm),
+      compactResident = s => Similarity.compactIvfResident(s, path))
 
   /** The ONE ingest skeleton both index families ride — any change to
     * the ordering (recover before first append, model loaded once per
     * stream, fold watermark `batchId - 1`, skip-empty) lands in both
     * twins by construction. `M` is the family's immutable-between-
-    * rebuilds model. */
+    * rebuilds model.
+    *
+    * After each in-stream fold the RESIDENT layer self-maintains (r16):
+    * `compactResident` rewrites any cell whose `-1` file count exceeded
+    * the default bound (2× the spread bound — one fold's accrual
+    * tolerated). On a healthy layout it is one FS walk and a no-op; at
+    * the compact-every-other-fold cadence this keeps each compaction in
+    * the accrued-cells-only shape (SCALE.md 16a: 4.4 s vs 171.7 s at
+    * 20 M), and a STATIONARY stream — which never trips the drift
+    * verdict, so no rebuild would ever flatten it — now has bounded
+    * resident files by construction. Runs on the ingest thread like the
+    * fold, so the single-writer contract holds without coordination. */
   private def ingestLoop[M](compactEvery: Int)(
       recover: org.apache.spark.sql.SparkSession => Option[String],
       load: org.apache.spark.sql.SparkSession => M,
       append: (DataFrame, M, Long) => Unit,
       monitor: (DataFrame, Long, M) => Unit,
-      compact: (org.apache.spark.sql.SparkSession, Long) => Unit): (DataFrame, Long) => Unit = {
+      compact: (org.apache.spark.sql.SparkSession, Long) => Unit,
+      compactResident: org.apache.spark.sql.SparkSession => Int): (DataFrame, Long) => Unit = {
     var loaded: Option[M] = None
     var appended = 0L
     var recovered = false
@@ -261,8 +281,13 @@ object StreamingAnn {
         append(batch, m, batchId)
         monitor(batch, batchId, m)
         appended += 1
-        if (compactEvery > 0 && appended % compactEvery == 0 && batchId > 0)
+        if (compactEvery > 0 && appended % compactEvery == 0 && batchId > 0) {
           compact(spark, batchId - 1)
+          val cells = compactResident(spark)
+          if (cells > 0)
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .info(s"StreamingAnn: resident compaction flattened $cells over-bound cells")
+        }
       }
     }
   }

@@ -419,6 +419,49 @@ class StreamingAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       "second compaction (watermark 1) folds batch 1; 2 and 3 stay keyed")
   }
 
+  test("in-stream resident self-maintenance: a long stationary stream keeps bounded files per cell, answers unchanged") {
+    // r16: each in-stream fold adds up to one spread-bound of files per
+    // cell to the resident -1 layer, and a stationary stream never trips
+    // the drift verdict that would demand a flattening rebuild — so the
+    // ingest loop now compacts over-bound cells right after each fold.
+    // local[4] at nlist 4 derives spread S = 2 -> threshold 2S = 4; six
+    // fold cycles unbounded would reach ~12 files in a hot cell.
+    val base = Files.createTempDirectory("sannres").toString
+    val s = spark
+    import s.implicits._
+    def vec(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(6)(r.nextGaussian())
+    }
+    val corpus = (0 until 30).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    val idx = s"$base/idx"
+    val twin = s"$base/twin"
+    Similarity.writeIvfIndex(corpus, "id", "v", idx, nlist = 4, iters = 4)
+    Similarity.writeIvfIndex(corpus, "id", "v", twin, nlist = 4, iters = 4)
+    def batch(b: Int) = (200 + 4 * b until 204 + 4 * b).map(i => (i.toLong, vec(i))).toDF("id", "v")
+
+    val fn = StreamingAnn.appendBatches(idx, "id", "v", compactEvery = 1) { (_, _) => () }
+    val twinCents = Similarity.loadIvfCentroids(spark, twin)
+    for (b <- 0 until 7) {
+      fn(batch(b), b.toLong)
+      // the twin ingests identically but never folds or compacts
+      Similarity.appendIvfIndexIdempotent(batch(b), "id", "v", twin, twinCents, b.toLong)
+    }
+    val layout = Similarity.ivfIndexLayout(spark, idx)
+    val bound = Similarity.cellSpreadBound(spark, nlist = 4)
+    assert(layout.maxResidentFilesPerCell <= 2 * bound,
+      s"resident accrual must stay bounded under a long stream: $layout (bound $bound)")
+    assert(Similarity.maintenanceAdvice(spark, idx).action !== "compact-resident")
+    assert(spark.read.parquet(s"$idx/corpus").count() === 58L)
+    // answers identical to the never-maintained twin (full probe = exact)
+    def ask(p: String) = Similarity.ivfTopKIndexed(
+      (300 until 303).map(i => (i.toLong, vec(i))).toDF("id", "v"),
+      "id", "v", p, k = 4, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._4)).toSeq
+    assert(ask(idx) === ask(twin))
+  }
+
   test("documented retrain recipe end-to-end: trip -> stop -> rebuild -> new stream, verdict quiet") {
     // The operational contract appendBatchesWithRetrain's scaladoc
     // states, composed: the in-stream verdict trips on drift, the
