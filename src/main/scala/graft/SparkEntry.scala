@@ -1110,6 +1110,19 @@ object SparkEntry {
           Seq("spark", "vector", "stream"), topK = 10)
         .withColumnRenamed("id", "doc_id")),
 
+    "bm25_search_indexed" -> ((s, dir) => {
+      // The PERSISTED lexical index (r16): build the bucket-partitioned
+      // postings table, then answer from the query terms' buckets only
+      // (directory pruning — the ANN index discipline on the lexical
+      // side). Identical answers to bm25_search by construction, so the
+      // same DuckDB oracle replays tokenize→tf→df→score end-to-end
+      // against the INDEXED path: build + stats + pruned read + formula.
+      val p = work(dir, "bm25_search_indexed")
+      Curation.writeBm25Index(t(s, dir, "documents"), "doc_id", "text", p, buckets = 16)
+      Curation.bm25SearchIndexed(s, p, Seq("spark", "vector", "stream"), topK = 10)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "hybrid_search" -> ((s, dir) => {
       // Hybrid retrieval, the modern RAG/curation shape: a lexical BM25
       // top-20 and a semantic cosine top-20 (document ids and embedding
@@ -1966,6 +1979,26 @@ object SparkEntry {
                         FROM allc GROUP BY id)
          SELECT id AS doc_id, rrf_score, n_lists
          FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10"""
+
+  /** The BM25 oracle both the scan path (`bm25_search`) and the stored-
+    * postings path (`bm25_search_indexed`) validate against — one
+    * literal because the two queries must be answer-identical by
+    * construction (same tokenizer, formula, round-4 + id tie-break). */
+  private val bm25SearchOracle =
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts FROM documents),
+              dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+              stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, term, count(*) AS tf
+                     FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+                     WHERE term IN ('spark', 'vector', 'stream') GROUP BY 1, 2),
+              dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              contrib AS (SELECT tf.doc_id,
+                                 ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                                   * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS c
+                          FROM tf JOIN dfc USING (term)
+                          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
+         SELECT doc_id, round(sum(c), 4) AS score, count(*) AS n_terms_hit
+         FROM contrib GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""
 
   /** The ONE brute-force cosine top-5 oracle every exhaustive-regime ANN
     * query validates against (full probe / corpus-covering refine =>
@@ -2901,21 +2934,12 @@ object SparkEntry {
          SELECT doc_id, term, tf, df, round(score, 4) AS score, CAST(rk AS INT) AS rk
          FROM ranked WHERE rk <= 3""",
 
-    "bm25_search" ->
-      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts FROM documents),
-              dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
-              stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-              tf AS (SELECT doc_id, term, count(*) AS tf
-                     FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
-                     WHERE term IN ('spark', 'vector', 'stream') GROUP BY 1, 2),
-              dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-              contrib AS (SELECT tf.doc_id,
-                                 ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                                   * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS c
-                          FROM tf JOIN dfc USING (term)
-                          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
-         SELECT doc_id, round(sum(c), 4) AS score, count(*) AS n_terms_hit
-         FROM contrib GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
+    "bm25_search" -> bm25SearchOracle,
+
+    // the indexed twin answers from the stored postings table — same
+    // tokenizer at build time, same formula, same rounding/tie-break, so
+    // the same corpus-replaying oracle proves the index is lossless
+    "bm25_search_indexed" -> bm25SearchOracle,
 
     // RRF over two exact lists: the BM25 CTEs are bm25_search's oracle
     // verbatim (top-20), the semantic list is the brute-force cosine

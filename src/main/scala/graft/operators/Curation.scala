@@ -590,6 +590,91 @@ object Curation {
       .limit(topK)
   }
 
+  /** Materialize a BM25 POSTINGS index — the lexical analogue of the
+    * persisted ANN index, and the remedy for [[bm25Search]]'s per-query
+    * corpus passes (measured at the 20 M rung: 37-53 s/q of tokenize +
+    * explode vs ~1 s off stored postings — SCALE.md 16c named this the
+    * next lexical rung). Layout:
+    *
+    *  - `postings/bucket=<b>/`: one row per (doc, term) — `(id, dl,
+    *    tf)`, term-hash bucketed so a query reads ONLY its terms'
+    *    buckets (directory pruning, the `ivfTopKIndexed` discipline);
+    *    `dl` rides inline because it is functionally dependent on id —
+    *    the same corpus-sized-join removal [[bm25Search]] uses;
+    *  - `stats/`: one row — `n_docs`, `avgdl`, `buckets` (the bucket
+    *    count a query must hash with).
+    *
+    * Document frequency is NOT a separate table: a query term's df is a
+    * count over its own pruned postings list, which the query scans
+    * anyway — stored df would just be a denormalization to go stale.
+    * The index is tokenization-complete: [[bm25SearchIndexed]] answers
+    * EXACTLY like [[bm25Search]] over the same corpus (same tokens(),
+    * same formula, same round-4 + id tie-break — spec-pinned parity and
+    * oracle-gated by the same DuckDB replay).
+    *
+    * Writes are bucket-aligned with bounded intra-bucket fan-out (the
+    * [[Similarity.cellSpread]] shape): zipf head terms make bucket
+    * volumes skewed, so the salt bounds the biggest bucket's write to S
+    * tasks without scattering small buckets across many files. */
+  def writeBm25Index(df: DataFrame, idCol: String, textCol: String,
+      path: String, buckets: Int = 64): Unit = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val spark = df.sparkSession
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+    val postings = toks
+      .select(col("id"), size(col("ts")).as("dl"), explode(col("ts")).as("term"))
+      .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)).cast("int"))
+    val par = spark.sparkContext.defaultParallelism
+    val s = math.max(1, (2 * par + buckets - 1) / buckets)
+    val spread =
+      if (s <= 1) postings.repartition(col("bucket"))
+      else postings.repartition(buckets * s, col("bucket"),
+        pmod(xxhash64(col("id")), lit(s)))
+    spread.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    toks.agg(count(lit(1)).as("n_docs"), avg(size(col("ts"))).as("avgdl"))
+      .withColumn("buckets", lit(buckets))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** [[bm25Search]] against a stored [[writeBm25Index]] — identical
+    * answers (same tokenizer at build time, same formula, same round-4
+    * score + id tie-break), but the per-query cost is the query TERMS'
+    * postings lists instead of two corpus passes: the term buckets are
+    * pushed as a literal IN on the partition column (directory pruning)
+    * with the term equality on top (parquet row-group pruning inside
+    * the bucket). Duplicate query terms are collapsed (a term
+    * contributes once — [[bm25Search]] callers pass term SETS). */
+  def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, queryTerms: Seq[String], topK: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val terms = queryTerms.distinct
+    require(terms.nonEmpty, "need at least one query term")
+    val stats = spark.read.parquet(s"$path/stats")
+    val nBuckets = stats.select("buckets").collect()(0).getInt(0)
+    // the same hash the writer bucketed with, evaluated over a literal
+    // frame — the probed-bucket set becomes a partition filter
+    val termBuckets = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(nBuckets)).cast("int").as("bucket"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(termBuckets: _*) && col("term").isin(terms: _*))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats.select("n_docs", "avgdl")))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5d)) / (col("df") + lit(0.5d)) + lit(1.0d)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (lit(k1) + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0d) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("id").agg(round(sum(col("contrib")), 4).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topK)
+  }
+
   /** Reciprocal-rank fusion (RRF — Cormack, Clarke & Buettcher, SIGIR
     * 2009): combine rankings of the same id space from HETEROGENEOUS
     * retrievers — the standard way to fuse lexical (BM25) and semantic

@@ -210,6 +210,40 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top2 === Seq(20L, 10L))
   }
 
+  test("bm25SearchIndexed: answer-identical to the scan path; bucket-pruned; duplicate terms collapse") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("spark", "vector", "stream", "data", "index", "query",
+      "batch", "shuffle", "column", "row", "fold", "probe")
+    val corpus = (0L until 300L).map { id =>
+      (id, Seq.fill(5 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Curation.writeBm25Index(corpus, "doc_id", "text", base, buckets = 8)
+    def scan(terms: Seq[String]) =
+      Curation.bm25Search(corpus, "doc_id", "text", terms, topK = 15)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    def indexed(terms: Seq[String]) =
+      Curation.bm25SearchIndexed(spark, base, terms, topK = 15)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    for (terms <- Seq(Seq("spark"), Seq("spark", "vector", "stream"),
+        Seq("fold", "probe", "absentterm"), vocab.take(6)))
+      assert(indexed(terms) === scan(terms), s"parity broke for $terms")
+    // a term absent from the corpus contributes nothing, never NaNs
+    assert(indexed(Seq("absentterm")).isEmpty)
+    // duplicate query terms collapse to one contribution
+    assert(indexed(Seq("spark", "spark")) === indexed(Seq("spark")))
+    // the probed-bucket set lands as a partition filter on the postings
+    // scan — the query reads its terms' buckets, not the index
+    val plan = Curation.bm25SearchIndexed(spark, base, Seq("spark"), topK = 5)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      plan.take(2000))
+    assert(plan.contains("PushedFilters: [IsNotNull(term), EqualTo(term,spark)]"),
+      "the term equality must reach the parquet scan")
+  }
+
   test("rrfFuse collapses within-list duplicate ids to their best rank") {
     val s = spark
     import s.implicits._
