@@ -111,8 +111,14 @@ object HybridScaleLab {
         .select(col("id").as("doc_id"), textUdf(col("id")).as("text"))
         .write.mode("overwrite").parquet(docsPath))
       println(f"""{"step":"docs_write","rows":$n,"secs":$docsS%.1f}""")
+      // ... and the lexical INDEX (r16): one tokenize+tf pass at build
+      // time buys every query out of its two corpus passes
+      val (_, lexS) = t(Curation.writeBm25Index(
+        spark.read.parquet(docsPath), "doc_id", "text", s"$root/lexidx", buckets = 256))
+      println(f"""{"step":"bm25_index_build","rows":$n,"secs":$lexS%.1f}""")
     }
     def docs = spark.read.parquet(docsPath)
+    val lexIdx = s"$root/lexidx"
     val cents = Similarity.loadIvfCentroids(spark, idx)
 
     // mid-frequency query terms: w200..w1199 band — selective enough to
@@ -140,14 +146,23 @@ object HybridScaleLab {
     for (qi <- 0 until nQueries) {
       val terms = termsFor(qi)
       val qVec = vecs(1000L * qi + 7, 1000L * qi + 8)
+      // the scan path, OUTSIDE the timed hybrid: the indexed-vs-scan
+      // contrast row, and the parity check (stored postings must rank
+      // identically to the two-pass corpus scan)
+      val (bmScan, bmScanS) = t(asRanking(
+        Curation.bm25Search(docs, "doc_id", "text", terms, topK = k), "id")
+        .collect())
+      // end-to-end hybrid off the TWO stored indexes: lexical postings
+      // (bucket-pruned) + semantic IVF (cell-pruned), RRF-fused
       val ((bm, ann, fused), totalS) = t {
         val (bm, bmS) = t(asRanking(
-          Curation.bm25Search(docs, "doc_id", "text", terms, topK = k), "id")
+          Curation.bm25SearchIndexed(spark, lexIdx, terms, topK = k), "id")
           .collect())
         val (ann, annS) = t(Similarity.ivfTopKIndexed(
           qVec, "vec_id", "e", idx, k = k, nprobe = nprobe, cents = cents)
           .select(col("corpus_id").as("id"), col("rank")).collect())
-        println(f"""{"step":"retrievers","query":$qi,"bm25_secs":$bmS%.1f,"probe_secs":$annS%.1f}""")
+        println(f"""{"step":"retrievers","query":$qi,"bm25_indexed_secs":$bmS%.1f,""" +
+          f""""bm25_scan_secs":$bmScanS%.1f,"probe_secs":$annS%.1f}""")
         import spark.implicits._
         val fused = Curation.rrfFuse(Seq(
           bm.map(r => (r.getLong(0), r.getInt(1))).toSeq.toDF("id", "rank"),
@@ -155,6 +170,9 @@ object HybridScaleLab {
           .collect().map(_.getLong(0)).toSeq
         (bm, ann, fused)
       }
+      require(bm.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+        bmScan.map(r => (r.getLong(0), r.getInt(1))).toSeq,
+        s"indexed/scan BM25 lists diverged for $terms")
       println(f"""{"step":"hybrid","query":$qi,"secs":$totalS%.1f,"fused":${fused.size}}""")
       // brute-force fusion twin: same BM25 list, exact cosine top-k
       val exact = Similarity.bruteForceTopK(qVec, "vec_id", "e",
