@@ -1123,6 +1123,22 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    "bm25_search_grown" -> ((s, dir) => {
+      // The lexical index's build-then-grow composition (the
+      // ann_ivf_indexed discipline): index the first half of the
+      // corpus, append the second half (one batch tokenize+tf pass;
+      // stats recombine incrementally — no corpus rescan), then search.
+      // The all-at-once oracle proves build + append + stats
+      // recombination change nothing about answers.
+      val d = t(s, dir, "documents")
+      val mid = d.agg(expr("percentile(doc_id, 0.5)")).collect()(0).getDouble(0)
+      val p = work(dir, "bm25_search_grown")
+      Curation.writeBm25Index(d.filter(col("doc_id") <= mid), "doc_id", "text", p, buckets = 16)
+      Curation.appendBm25Index(d.filter(col("doc_id") > mid), "doc_id", "text", p)
+      Curation.bm25SearchIndexed(s, p, Seq("spark", "vector", "stream"), topK = 10)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "hybrid_search" -> ((s, dir) => {
       // Hybrid retrieval, the modern RAG/curation shape: a lexical BM25
       // top-20 and a semantic cosine top-20 (document ids and embedding
@@ -2940,6 +2956,10 @@ object SparkEntry {
     // tokenizer at build time, same formula, same rounding/tie-break, so
     // the same corpus-replaying oracle proves the index is lossless
     "bm25_search_indexed" -> bm25SearchOracle,
+
+    // build-then-grow: appended postings + incrementally recombined
+    // stats must answer exactly like the all-at-once corpus
+    "bm25_search_grown" -> bm25SearchOracle,
 
     // RRF over two exact lists: the BM25 CTEs are bm25_search's oracle
     // verbatim (top-20), the semantic list is the brute-force cosine

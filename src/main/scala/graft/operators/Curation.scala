@@ -638,6 +638,53 @@ object Curation {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Grow a stored [[writeBm25Index]] with NEW documents — the lexical
+    * twin of the ANN indexes' model-reusing append: the batch pays one
+    * tokenize+tf pass and lands as new files in its terms' buckets
+    * (same bucket hash, same bounded fan-out), and the stats row is
+    * UPDATED incrementally (`n_docs` adds the batch count; `avgdl`
+    * recombines from the stored mean — no corpus rescan; df was never
+    * stored, so nothing else goes stale). Contract: batch doc ids must
+    * be NEW — re-appending an id double-counts its postings, exactly
+    * like the ANN side's keyless `appendIvfIndex` (an exactly-once
+    * streamed form would key batches like `appendIvfIndexIdempotent`;
+    * the lexical corpus case is bulk curation, where the build+grow
+    * composition below is the shape used). Search needs no reload
+    * beyond its usual reads: the next [[bm25SearchIndexed]] sees the
+    * appended postings and the updated stats. */
+  def appendBm25Index(batch: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    val old = spark.read.parquet(s"$path/stats")
+      .select("n_docs", "avgdl", "buckets").collect()(0)
+    val (oldN, oldAvg, buckets) = (old.getLong(0), old.getDouble(1), old.getInt(2))
+    val toks = batch.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+    val b = toks.agg(count(lit(1)).as("bn"), sum(size(col("ts"))).as("bsum")).collect()(0)
+    if (b.getLong(0) == 0) return // empty batch: nothing to append
+    val postings = toks
+      .select(col("id"), size(col("ts")).as("dl"), explode(col("ts")).as("term"))
+      .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)).cast("int"))
+    val par = spark.sparkContext.defaultParallelism
+    val s = math.max(1, (2 * par + buckets - 1) / buckets)
+    val spread =
+      if (s <= 1) postings.repartition(col("bucket"))
+      else postings.repartition(buckets * s, col("bucket"),
+        pmod(xxhash64(col("id")), lit(s)))
+    spread.write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+    // recombine the mean, then REPLACE the stats row (the one-row table
+    // rewrites in a blink; postings were appended first, so a crash
+    // between the two leaves an index whose stats lag one batch —
+    // scores shift slightly, the ranking contract stays intact, and a
+    // retried append of the SAME batch would double postings like any
+    // keyless append, per the contract above)
+    val (bn, bsum) = (b.getLong(0), b.getLong(1))
+    import spark.implicits._
+    Seq((oldN + bn, (oldN * oldAvg + bsum) / (oldN + bn), buckets))
+      .toDF("n_docs", "avgdl", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
   /** [[bm25Search]] against a stored [[writeBm25Index]] — identical
     * answers (same tokenizer at build time, same formula, same round-4
     * score + id tie-break), but the per-query cost is the query TERMS'

@@ -244,6 +244,37 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the term equality must reach the parquet scan")
   }
 
+  test("appendBm25Index: build-then-grow answers like all-at-once; empty batch is a no-op") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("spark", "vector", "stream", "data", "index", "query", "fold")
+    val corpus = (0L until 200L).map { id =>
+      (id, Seq.fill(4 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("bm25grow").toString
+    val grown = s"$base/grown"; val whole = s"$base/whole"
+    Curation.writeBm25Index(corpus.filter(col("doc_id") < 100), "doc_id", "text", grown, buckets = 8)
+    Curation.appendBm25Index(corpus.filter(col("doc_id") >= 100), "doc_id", "text", grown)
+    Curation.writeBm25Index(corpus, "doc_id", "text", whole, buckets = 8)
+    def ask(p: String, terms: Seq[String]) =
+      Curation.bm25SearchIndexed(spark, p, terms, topK = 12)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    for (terms <- Seq(Seq("spark"), Seq("spark", "vector", "stream"), vocab.take(5)))
+      assert(ask(grown, terms) === ask(whole, terms), s"grown != whole for $terms")
+    // the incrementally recombined stats row matches the rescan exactly
+    val gs = spark.read.parquet(s"$grown/stats").collect()(0)
+    val ws = spark.read.parquet(s"$whole/stats").collect()(0)
+    assert(gs.getLong(0) === ws.getLong(0))
+    assert(math.abs(gs.getDouble(1) - ws.getDouble(1)) < 1e-9,
+      s"avgdl recombination drifted: ${gs.getDouble(1)} vs ${ws.getDouble(1)}")
+    // empty batch: stats byte-identical, no postings added
+    val before = ask(grown, Seq("spark"))
+    Curation.appendBm25Index(corpus.filter(col("doc_id") < 0), "doc_id", "text", grown)
+    assert(ask(grown, Seq("spark")) === before)
+    assert(spark.read.parquet(s"$grown/stats").collect()(0).getLong(0) === 200L)
+  }
+
   test("rrfFuse collapses within-list duplicate ids to their best rank") {
     val s = spark
     import s.implicits._
