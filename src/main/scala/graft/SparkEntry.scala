@@ -1950,7 +1950,8 @@ object SparkEntry {
     "ann_ivfpq", "embedding_pairs_exact", "embed_quantize",
     "quality_filter", "token_count_bpe", "bpe_train", "bpe_encode",
     "ngram_counts", "decontaminate",
-    "tfidf_topterms", "bm25_search", "repetition_stats", "curation_pipeline",
+    "tfidf_topterms", "bm25_search", "bm25_search_indexed", "repetition_stats",
+    "curation_pipeline",
     "pii_redact", "split_assign", "split_leakage_safe", "sample_weighted",
     "mixture_temperature", "bloom_join", "jsonl_roundtrip",
     "line_dedup", "shard_assign", "epoch_shuffle", "lm_score", "dsir_weights",
