@@ -1139,6 +1139,29 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    "bm25_search_compacted" -> ((s, dir) => {
+      // The lexical maintenance loop under the driver's gate (the
+      // ann_ivf_compacted discipline): build on the first half, land
+      // the rest as TWO batchId-keyed idempotent appends with one
+      // REPLAYED (exactly-once for postings AND the stats watermark),
+      // fold the committed leaf, then search — the all-at-once oracle
+      // states that keyed append + replay + fold change nothing.
+      val d = t(s, dir, "documents")
+      val cuts = d.agg(expr("percentile(doc_id, 0.5)"),
+        expr("percentile(doc_id, 0.75)")).collect()(0)
+      val (mid, hi) = (cuts.getDouble(0), cuts.getDouble(1))
+      val p = work(dir, "bm25_search_compacted")
+      Curation.writeBm25Index(d.filter(col("doc_id") <= mid), "doc_id", "text", p, buckets = 16)
+      val b0 = d.filter(col("doc_id") > mid && col("doc_id") <= hi)
+      val b1 = d.filter(col("doc_id") > hi)
+      Curation.appendBm25IndexIdempotent(b0, "doc_id", "text", p, 0L)
+      Curation.appendBm25IndexIdempotent(b1, "doc_id", "text", p, 1L)
+      Curation.appendBm25IndexIdempotent(b1, "doc_id", "text", p, 1L) // replay
+      Curation.compactBm25Index(s, p, committedBatchId = 0L)
+      Curation.bm25SearchIndexed(s, p, Seq("spark", "vector", "stream"), topK = 10)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "hybrid_search" -> ((s, dir) => {
       // Hybrid retrieval, the modern RAG/curation shape: a lexical BM25
       // top-20 and a semantic cosine top-20 (document ids and embedding
@@ -2961,6 +2984,10 @@ object SparkEntry {
     // build-then-grow: appended postings + incrementally recombined
     // stats must answer exactly like the all-at-once corpus
     "bm25_search_grown" -> bm25SearchOracle,
+
+    // keyed idempotent appends (one replayed) + incremental fold: the
+    // lexical maintenance loop must also answer like all-at-once
+    "bm25_search_compacted" -> bm25SearchOracle,
 
     // RRF over two exact lists: the BM25 CTEs are bm25_search's oracle
     // verbatim (top-20), the semantic list is the brute-force cosine

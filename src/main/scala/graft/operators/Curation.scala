@@ -593,96 +593,223 @@ object Curation {
   /** Materialize a BM25 POSTINGS index — the lexical analogue of the
     * persisted ANN index, and the remedy for [[bm25Search]]'s per-query
     * corpus passes (measured at the 20 M rung: 37-53 s/q of tokenize +
-    * explode vs ~1 s off stored postings — SCALE.md 16c named this the
-    * next lexical rung). Layout:
+    * explode vs 1.6-1.7 s off stored postings — SCALE.md 16e). Layout —
+    * the SAME two-level discipline as the ANN corpus tables, so the
+    * whole [[IndexMaintenance]] machinery (idempotent keyed appends,
+    * incremental fold, resident compaction, crash recovery, layout
+    * stats, snapshot-gated reads) covers the lexical family verbatim
+    * with `bucket` as the first-level column:
     *
-    *  - `postings/bucket=<b>/`: one row per (doc, term) — `(id, dl,
-    *    tf)`, term-hash bucketed so a query reads ONLY its terms'
-    *    buckets (directory pruning, the `ivfTopKIndexed` discipline);
-    *    `dl` rides inline because it is functionally dependent on id —
-    *    the same corpus-sized-join removal [[bm25Search]] uses;
-    *  - `stats/`: one row — `n_docs`, `avgdl`, `buckets` (the bucket
-    *    count a query must hash with).
+    *  - `postings/bucket=<b>/ingest_batch=<i>/`: one row per (doc,
+    *    term) — `(id, dl, tf)`, term-hash bucketed so a query reads
+    *    ONLY its terms' buckets (directory pruning); `dl` inline
+    *    because it is functionally dependent on id — the corpus-sized-
+    *    join removal [[bm25Search]] makes, stored; the build and
+    *    keyless appends land in `ingest_batch=-1` (the resident layer),
+    *    keyed appends under their batch id;
+    *  - `stats/`: ONE row — `(n_docs, sum_dl, buckets, last_batch)`.
+    *    Sums, not means, so growth recombines exactly; `last_batch` is
+    *    the exactly-once watermark for keyed appends (foreachBatch
+    *    delivers in order, so a replayed id ≤ watermark skips the
+    *    already-applied stats delta while its postings overwrite their
+    *    own leaves). Written write-aside + rename ([[statsRecover]]
+    *    heals the rename window).
     *
-    * Document frequency is NOT a separate table: a query term's df is a
-    * count over its own pruned postings list, which the query scans
-    * anyway — stored df would just be a denormalization to go stale.
-    * The index is tokenization-complete: [[bm25SearchIndexed]] answers
-    * EXACTLY like [[bm25Search]] over the same corpus (same tokens(),
-    * same formula, same round-4 + id tie-break — spec-pinned parity and
-    * oracle-gated by the same DuckDB replay).
+    * Document frequency is NOT stored: a term's df is a count over its
+    * own pruned postings list, which the query scans anyway. The index
+    * is tokenization-complete: [[bm25SearchIndexed]] answers EXACTLY
+    * like [[bm25Search]] (same tokens(), formula, round-4 + id
+    * tie-break — spec-pinned parity, oracle-gated by the same DuckDB
+    * replay).
     *
     * Writes are bucket-aligned with bounded intra-bucket fan-out (the
-    * [[Similarity.cellSpread]] shape): zipf head terms make bucket
-    * volumes skewed, so the salt bounds the biggest bucket's write to S
-    * tasks without scattering small buckets across many files. */
+    * [[Similarity.cellSpread]] shape): zipf head terms skew bucket
+    * volumes, so the salt bounds the biggest bucket's write without
+    * scattering small buckets across many files. */
   def writeBm25Index(df: DataFrame, idCol: String, textCol: String,
       path: String, buckets: Int = 64): Unit = {
     require(buckets > 0, s"buckets must be positive: $buckets")
     val spark = df.sparkSession
-    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
-    val postings = toks
-      .select(col("id"), size(col("ts")).as("dl"), explode(col("ts")).as("term"))
-      .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)).cast("int"))
-    val par = spark.sparkContext.defaultParallelism
-    val s = math.max(1, (2 * par + buckets - 1) / buckets)
-    val spread =
-      if (s <= 1) postings.repartition(col("bucket"))
-      else postings.repartition(buckets * s, col("bucket"),
-        pmod(xxhash64(col("id")), lit(s)))
-    spread.write.mode("overwrite").partitionBy("bucket")
+    val toks = tokenized(df, idCol, textCol)
+    bucketSpread(postingsOf(toks, buckets), buckets)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("bucket", "ingest_batch")
       .parquet(s"$path/postings")
-    toks.agg(count(lit(1)).as("n_docs"), avg(size(col("ts"))).as("avgdl"))
-      .withColumn("buckets", lit(buckets))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    val t = toks.agg(count(lit(1)).as("n"), sum(size(col("ts"))).as("s")).collect()(0)
+    writeStats(spark, path, t.getLong(0), if (t.isNullAt(1)) 0L else t.getLong(1),
+      buckets, lastBatch = -1L)
   }
 
-  /** Grow a stored [[writeBm25Index]] with NEW documents — the lexical
-    * twin of the ANN indexes' model-reusing append: the batch pays one
-    * tokenize+tf pass and lands as new files in its terms' buckets
-    * (same bucket hash, same bounded fan-out), and the stats row is
-    * UPDATED incrementally (`n_docs` adds the batch count; `avgdl`
-    * recombines from the stored mean — no corpus rescan; df was never
-    * stored, so nothing else goes stale). Contract: batch doc ids must
-    * be NEW — re-appending an id double-counts its postings, exactly
-    * like the ANN side's keyless `appendIvfIndex` (an exactly-once
-    * streamed form would key batches like `appendIvfIndexIdempotent`;
-    * the lexical corpus case is bulk curation, where the build+grow
-    * composition below is the shape used). Search needs no reload
-    * beyond its usual reads: the next [[bm25SearchIndexed]] sees the
-    * appended postings and the updated stats. */
-  def appendBm25Index(batch: DataFrame, idCol: String, textCol: String,
-      path: String): Unit = {
-    val spark = batch.sparkSession
-    val old = spark.read.parquet(s"$path/stats")
-      .select("n_docs", "avgdl", "buckets").collect()(0)
-    val (oldN, oldAvg, buckets) = (old.getLong(0), old.getDouble(1), old.getInt(2))
-    val toks = batch.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
-    val b = toks.agg(count(lit(1)).as("bn"), sum(size(col("ts"))).as("bsum")).collect()(0)
-    if (b.getLong(0) == 0) return // empty batch: nothing to append
-    val postings = toks
-      .select(col("id"), size(col("ts")).as("dl"), explode(col("ts")).as("term"))
-      .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)).cast("int"))
-    val par = spark.sparkContext.defaultParallelism
+  private def tokenized(df: DataFrame, idCol: String, textCol: String) =
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+
+  private def postingsOf(toks: DataFrame, buckets: Int) = toks
+    .select(col("id"), size(col("ts")).as("dl"), explode(col("ts")).as("term"))
+    .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
+    .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)).cast("int"))
+
+  private def bucketSpread(postings: DataFrame, buckets: Int): DataFrame = {
+    val par = postings.sparkSession.sparkContext.defaultParallelism
     val s = math.max(1, (2 * par + buckets - 1) / buckets)
-    val spread =
-      if (s <= 1) postings.repartition(col("bucket"))
-      else postings.repartition(buckets * s, col("bucket"),
-        pmod(xxhash64(col("id")), lit(s)))
-    spread.write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
-    // recombine the mean, then REPLACE the stats row (the one-row table
-    // rewrites in a blink; postings were appended first, so a crash
-    // between the two leaves an index whose stats lag one batch —
-    // scores shift slightly, the ranking contract stays intact, and a
-    // retried append of the SAME batch would double postings like any
-    // keyless append, per the contract above)
-    val (bn, bsum) = (b.getLong(0), b.getLong(1))
+    if (s <= 1) postings.repartition(col("bucket"))
+    else postings.repartition(buckets * s, col("bucket"),
+      pmod(xxhash64(col("id")), lit(s)))
+  }
+
+  /** Atomic-enough single-row stats write: write aside, delete, rename
+    * — the delete→rename window is the only crash exposure and
+    * [[statsRecover]] rolls it forward (the aside copy is complete
+    * before anything is deleted). */
+  private def writeStats(spark: org.apache.spark.sql.SparkSession,
+      path: String, nDocs: Long, sumDl: Long, buckets: Int,
+      lastBatch: Long): Unit = {
     import spark.implicits._
-    Seq((oldN + bn, (oldN * oldAvg + bsum) / (oldN + bn), buckets))
-      .toDF("n_docs", "avgdl", "buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/stats_tmp")
+    val live = new org.apache.hadoop.fs.Path(s"$path/stats")
+    Seq((nDocs, sumDl, buckets, lastBatch))
+      .toDF("n_docs", "sum_dl", "buckets", "last_batch")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(live, true)
+    require(fs.rename(tmp, live), s"could not publish $live")
+  }
+
+  private def readStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Long, Long, Int, Long) = {
+    val r = spark.read.parquet(s"$path/stats")
+      .select("n_docs", "sum_dl", "buckets", "last_batch").collect()(0)
+    (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))
+  }
+
+  /** Heal a crashed [[writeStats]] rename window: a complete aside copy
+    * with no live table rolls FORWARD; a leftover aside beside a live
+    * table is residue and is removed. Returns what was repaired. */
+  private def statsRecover(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/stats_tmp")
+    val live = new org.apache.hadoop.fs.Path(s"$path/stats")
+    if (!fs.exists(tmp)) None
+    else if (!fs.exists(live) &&
+        fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+      require(fs.rename(tmp, live), s"stats recover: could not publish $live")
+      Some(s"installed the staged stats row at $live")
+    } else {
+      fs.delete(tmp, true)
+      Some(s"removed stale stats staging beside $live")
+    }
+  }
+
+  private val bm25LayoutGuard =
+    new IndexMaintenance.TwoLevelLayoutGuard("Rebuild the index with writeBm25Index.")
+
+  /** Grow a stored [[writeBm25Index]] with NEW documents — the lexical
+    * twin of the ANN indexes' keyless `appendIvfIndex`: one batch
+    * tokenize+tf pass into the terms' buckets' RESIDENT layer
+    * (`ingest_batch=-1`), stats recombined exactly from the stored sums
+    * (no corpus rescan). Contract: batch doc ids must be NEW, and a
+    * retried batch double-counts — the exactly-once streamed form is
+    * [[appendBm25IndexIdempotent]]. */
+  def appendBm25Index(batch: DataFrame, idCol: String, textCol: String,
+      path: String): Unit =
+    appendBm25Parts(batch, idCol, textCol, path, batchId = -1L)
+
+  /** Replay-idempotent keyed append — [[Similarity.appendIvfIndexIdempotent]]'s
+    * lexical twin for exactly-once streaming ingest: the batch's
+    * postings land under `bucket=<b>/ingest_batch=<batchId>` leaves via
+    * dynamic partition overwrite (a re-delivered foreachBatch id
+    * overwrites its own leaves), and the stats delta applies only when
+    * `batchId` exceeds the stored `last_batch` watermark — foreachBatch
+    * delivers batches in order and never re-delivers a committed one,
+    * so postings AND stats both converge to exactly-once no matter
+    * where a crash fell (postings first, stats second: a crash between
+    * them leaves stats lagging one batch, and the replay that follows
+    * applies exactly the missing delta). */
+  def appendBm25IndexIdempotent(batch: DataFrame, idCol: String,
+      textCol: String, path: String, batchId: Long): Unit = {
+    require(batchId >= 0, s"batchId must be >= 0 (got $batchId): -1 marks keyless rows")
+    appendBm25Parts(batch, idCol, textCol, path, batchId)
+  }
+
+  private def appendBm25Parts(batch: DataFrame, idCol: String,
+      textCol: String, path: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    bm25LayoutGuard.require(spark, s"$path/postings", level1 = "bucket")
+    val (oldN, oldSum, buckets, lastBatch) = readStats(spark, path)
+    val toks = tokenized(batch, idCol, textCol)
+    val t = toks.agg(count(lit(1)).as("n"), sum(size(col("ts"))).as("s")).collect()(0)
+    if (t.getLong(0) == 0) return // empty batch: nothing to append
+    val spread = bucketSpread(postingsOf(toks, buckets), buckets)
+      .withColumn("ingest_batch", lit(batchId))
+    if (batchId < 0)
+      spread.write.mode("append").partitionBy("bucket", "ingest_batch")
+        .parquet(s"$path/postings")
+    else
+      spread.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket", "ingest_batch")
+        .parquet(s"$path/postings")
+    // keyed replays skip the already-applied stats delta (watermark);
+    // keyless appends always apply, per their at-least-once contract
+    if (batchId < 0 || batchId > lastBatch)
+      writeStats(spark, path, oldN + t.getLong(0), oldSum + t.getLong(1),
+        buckets, math.max(lastBatch, batchId))
+  }
+
+  /** Incremental compaction of a streamed-into lexical index —
+    * [[Similarity.compactIvfIndex]]'s twin over the postings table:
+    * fold every `0 ≤ ingest_batch ≤ committedBatchId` leaf into the
+    * resident `-1` layer (batch-priced; resident files untouched).
+    * Stats need no folding — keyed appends already folded their deltas
+    * into the single row at append time. Same markers, recovery, and
+    * single-writer contract as the ANN folds. */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, committedBatchId: Long): Unit = {
+    val buckets = readStats(spark, path)._3
+    IndexMaintenance.foldCommitted(spark, s"$path/postings", committedBatchId,
+      bucketSpread(_, buckets), level1 = "bucket")
+  }
+
+  /** Minor compaction of the lexical resident layer —
+    * [[Similarity.compactIvfResident]]'s twin: rewrite only buckets
+    * whose `-1` file count exceeds the bound (0 = 2× the derived
+    * spread bound). Returns buckets compacted. */
+  def compactBm25Resident(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxFilesPerBucket: Int = 0): Int = {
+    val buckets = readStats(spark, path)._3
+    val bound = Similarity.residentBound(spark, buckets, maxFilesPerBucket, 0)
+    IndexMaintenance.compactResident(spark, s"$path/postings", bound,
+      bucketSpread(_, buckets), level1 = "bucket")
+  }
+
+  /** Deterministic crash recovery for the lexical index: rolls an
+    * interrupted fold/compaction back or forward (shared marker
+    * protocol) and heals a crashed stats publish. Idempotent. */
+  def recoverBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[String] = {
+    val msgs = IndexMaintenance.recover(spark, s"$path/postings").toSeq ++
+      statsRecover(spark, path).toSeq
+    if (msgs.isEmpty) None else Some(msgs.mkString("; "))
+  }
+
+  /** Layout health of the postings table ([[IndexLayoutStats]] with
+    * buckets as cells) — feed it the same way as the ANN layouts. */
+  def bm25IndexLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String): IndexLayoutStats =
+    IndexMaintenance.layoutStats(spark, s"$path/postings", level1 = "bucket")
+
+  /** [[Similarity.maintenanceAdvice]]'s lexical twin (drift does not
+    * apply — BM25 has no trained model to go stale, so the verdict is
+    * layout-only: fold ≻ compact-resident ≻ none). */
+  def bm25MaintenanceAdvice(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxFilesPerBucket: Int = 0,
+      foldLeavesPerBucket: Int = 2): MaintenanceAdvice = {
+    val buckets = readStats(spark, path)._3
+    IndexMaintenance.advise(bm25IndexLayout(spark, path), driftTripped = false,
+      Similarity.residentBound(spark, buckets, maxFilesPerBucket, 0),
+      foldLeavesPerBucket)
   }
 
   /** [[bm25Search]] against a stored [[writeBm25Index]] — identical
@@ -691,7 +818,9 @@ object Curation {
     * postings lists instead of two corpus passes: the term buckets are
     * pushed as a literal IN on the partition column (directory pruning)
     * with the term equality on top (parquet row-group pruning inside
-    * the bucket). Duplicate query terms are collapsed (a term
+    * the bucket). The file listing goes through the epoch-validated
+    * snapshot gate, so a query racing a fold can never see a folded
+    * batch twice. Duplicate query terms are collapsed (a term
     * contributes once — [[bm25Search]] callers pass term SETS). */
   def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession,
       path: String, queryTerms: Seq[String], topK: Int = 10,
@@ -699,23 +828,25 @@ object Curation {
     import spark.implicits._
     val terms = queryTerms.distinct
     require(terms.nonEmpty, "need at least one query term")
-    val stats = spark.read.parquet(s"$path/stats")
-    val nBuckets = stats.select("buckets").collect()(0).getInt(0)
+    val (nDocs, sumDl, nBuckets, _) = readStats(spark, path)
+    val avgdl = sumDl.toDouble / nDocs
     // the same hash the writer bucketed with, evaluated over a literal
     // frame — the probed-bucket set becomes a partition filter
     val termBuckets = terms.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(nBuckets)).cast("int").as("bucket"))
       .collect().map(_.getInt(0)).distinct.toSeq
-    val tf = spark.read.parquet(s"$path/postings")
-      .filter(col("bucket").isin(termBuckets: _*) && col("term").isin(terms: _*))
+    val postingsPath = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = postingsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tf = IndexMaintenance.consistentListing(fs, postingsPath) {
+      spark.read.parquet(s"$path/postings")
+    }.filter(col("bucket").isin(termBuckets: _*) && col("term").isin(terms: _*))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(stats.select("n_docs", "avgdl")))
       .withColumn("idf",
-        log((col("n_docs") - col("df") + lit(0.5d)) / (col("df") + lit(0.5d)) + lit(1.0d)))
+        log((lit(nDocs) - col("df") + lit(0.5d)) / (col("df") + lit(0.5d)) + lit(1.0d)))
       .withColumn("contrib",
         col("idf") * (col("tf") * (lit(k1) + 1)) /
-          (col("tf") + lit(k1) * (lit(1.0d) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+          (col("tf") + lit(k1) * (lit(1.0d) - lit(b) + lit(b) * col("dl") / lit(avgdl))))
       .groupBy("id").agg(round(sum(col("contrib")), 4).as("score"),
         count(lit(1)).as("n_terms_hit"))
       .orderBy(col("score").desc, col("id"))

@@ -228,7 +228,8 @@ private[graft] object IndexMaintenance {
     if (markerPresent()) throw new IllegalStateException(
       s"index table $table still carries a fold marker after ${waitMs} ms — " +
         "if no compaction is running this is crash debris; run the index's " +
-        "recover entry point (Similarity.recoverIvfFold / Pq.recoverPqFold). " +
+        "recover entry point (Similarity.recoverIvfFold / Pq.recoverPqFold / " +
+        "Curation.recoverBm25Index). " +
         "A live fold's marker window is sub-second; raise the wait only for " +
         "object stores with extreme rename latency.")
   }
@@ -240,8 +241,8 @@ private[graft] object IndexMaintenance {
       s"index table $table has compaction debris: " +
         debris.map { case (p, what) => s"$p ($what)" }.mkString("; ") +
         " — a maintenance op was interrupted. Run the index's recover " +
-        "entry point (Similarity.recoverIvfFold / Pq.recoverPqFold) " +
-        "before reading or appending.")
+        "entry point (Similarity.recoverIvfFold / Pq.recoverPqFold / " +
+        "Curation.recoverBm25Index) before reading or appending.")
   }
 
   /** Fold every `0 ≤ ingest_batch ≤ committed` leaf of `tablePath` into
@@ -250,7 +251,7 @@ private[graft] object IndexMaintenance {
     * Returns false when there was nothing to fold. Single-writer
     * contract: no concurrent append to this table. */
   def foldCommitted(spark: SparkSession, tablePath: String, committed: Long,
-      spread: DataFrame => DataFrame): Boolean = {
+      spread: DataFrame => DataFrame, level1: String = "cell"): Boolean = {
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
     require(fs.exists(table), s"no index table at $table")
@@ -259,13 +260,14 @@ private[graft] object IndexMaintenance {
     invalidateGuards(tablePath)
     requireNoDebris(fs, table)
 
-    // batch-sized listing: only cell dirs' leaf NAMES are enumerated,
-    // and only matching leaves are handed to the read below (basePath
-    // keeps the partition columns) — the resident -1 leaves are never
-    // listed into the scan
+    // batch-sized listing: only first-level dirs' leaf NAMES are
+    // enumerated, and only matching leaves are handed to the read below
+    // (basePath keeps the partition columns) — the resident -1 leaves
+    // are never listed into the scan. `level1` is the family's
+    // first-level partition column (ANN cells; lexical term buckets).
     val leafRels: Seq[String] = for {
       cellDir <- fs.listStatus(table).toSeq
-      if cellDir.isDirectory && cellDir.getPath.getName.startsWith("cell=")
+      if cellDir.isDirectory && cellDir.getPath.getName.startsWith(s"$level1=")
       leaf <- fs.listStatus(cellDir.getPath).toSeq
       if leaf.isDirectory && leaf.getPath.getName.startsWith("ingest_batch=")
       b = leaf.getPath.getName.stripPrefix("ingest_batch=").toLong
@@ -278,12 +280,12 @@ private[graft] object IndexMaintenance {
     val df = spark.read.option("basePath", tablePath)
       .parquet(leafRels.map(r => s"$tablePath/$r"): _*)
     spread(df.drop("ingest_batch"))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+      .write.mode("overwrite").partitionBy(level1).parquet(tmp.toString)
 
     // enumerate the fold output and its exact destinations; the fold
     // prefix keys file names to this fold's watermark (uniqueness comes
     // from the part-file UUIDs; recovery comes from the marker list)
-    val moves: Seq[(Path, String)] = enumerateTmp(fs, tmp).map {
+    val moves: Seq[(Path, String)] = enumerateTmp(fs, tmp, level1).map {
       case (src, cellName, f) =>
         (src, s"$cellName/ingest_batch=-1/fold$committed-$f")
     }
@@ -333,7 +335,7 @@ private[graft] object IndexMaintenance {
     *
     * Returns the number of cells compacted (0 = nothing over bound). */
   def compactResident(spark: SparkSession, tablePath: String, maxFiles: Int,
-      spread: DataFrame => DataFrame): Int = {
+      spread: DataFrame => DataFrame, level1: String = "cell"): Int = {
     require(maxFiles >= 1, s"maxFiles must be >= 1: $maxFiles")
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
@@ -345,7 +347,7 @@ private[graft] object IndexMaintenance {
     // accrual metric), but only over-bound cells' files enter the scan
     val overBound: Seq[(String, Seq[String])] = (for {
       cellDir <- fs.listStatus(table).toSeq
-      if cellDir.isDirectory && cellDir.getPath.getName.startsWith("cell=")
+      if cellDir.isDirectory && cellDir.getPath.getName.startsWith(s"$level1=")
       resident = new Path(cellDir.getPath, "ingest_batch=-1")
       if fs.exists(resident)
       files = fs.listStatus(resident).toSeq
@@ -361,11 +363,11 @@ private[graft] object IndexMaintenance {
     val df = spark.read.option("basePath", tablePath)
       .parquet(oldFileRels.map(r => s"$tablePath/$r"): _*)
     spread(df.drop("ingest_batch"))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+      .write.mode("overwrite").partitionBy(level1).parquet(tmp.toString)
 
     // `rc-` keys replacement files to this compaction (uniqueness from
     // the part-file UUIDs; recovery from the marker list, as the fold)
-    val moves: Seq[(Path, String)] = enumerateTmp(fs, tmp).map { case (src, cellName, f) =>
+    val moves: Seq[(Path, String)] = enumerateTmp(fs, tmp, level1).map { case (src, cellName, f) =>
       (src, s"$cellName/ingest_batch=-1/rc-$f")
     }
     writeMarker(fs, markerScratch(table), stagedMarker(table),
@@ -386,10 +388,11 @@ private[graft] object IndexMaintenance {
     overBound.size
   }
 
-  private def enumerateTmp(fs: FileSystem, tmp: Path): Seq[(Path, String, String)] =
+  private def enumerateTmp(fs: FileSystem, tmp: Path,
+      level1: String): Seq[(Path, String, String)] =
     for {
       cellDir <- fs.listStatus(tmp).toSeq
-      if cellDir.isDirectory && cellDir.getPath.getName.startsWith("cell=")
+      if cellDir.isDirectory && cellDir.getPath.getName.startsWith(s"$level1=")
       f <- fs.listStatus(cellDir.getPath).toSeq
       if f.isFile && f.getPath.getName.endsWith(".parquet")
     } yield (f.getPath, cellDir.getPath.getName, f.getPath.getName)
@@ -487,7 +490,8 @@ private[graft] object IndexMaintenance {
     * poll it at maintenance cadence, not per query. Gated like any
     * reader: a live fold's marker window delays it; crash debris fails
     * with the remedy. */
-  def layoutStats(spark: SparkSession, tablePath: String): IndexLayoutStats = {
+  def layoutStats(spark: SparkSession, tablePath: String,
+      level1: String = "cell"): IndexLayoutStats = {
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
     require(fs.exists(table), s"no index table at $table")
@@ -496,7 +500,7 @@ private[graft] object IndexMaintenance {
     var residentFiles = 0L; var maxResident = 0; var batchFiles = 0L
     for {
       cellDir <- fs.listStatus(table)
-      if cellDir.isDirectory && cellDir.getPath.getName.startsWith("cell=")
+      if cellDir.isDirectory && cellDir.getPath.getName.startsWith(s"$level1=")
     } {
       cells += 1
       for {
@@ -573,18 +577,19 @@ private[graft] object IndexMaintenance {
       verified.remove(tablePath)
     allGuards.add(this)
 
-    def require(spark: SparkSession, tablePath: String): Unit = {
+    def require(spark: SparkSession, tablePath: String,
+        level1: String = "cell"): Unit = {
       if (verified.contains(tablePath)) return
       checks.incrementAndGet()
       val table = new Path(tablePath)
       val fs = fsOf(spark, table)
       requireNoDebris(fs, table)
       val oldLayout = fs.exists(table) && fs.listStatus(table)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$level1="))
         .exists(d => fs.listStatus(d.getPath)
           .exists(c => c.isFile && c.getPath.getName.endsWith(".parquet")))
       if (oldLayout) throw new IllegalStateException(
-        s"index table at $tablePath uses the flat partitionBy(cell) layout; " +
+        s"index table at $tablePath uses the flat partitionBy($level1) layout; " +
           "appending batch-keyed rows would mix partition depths and break " +
           s"partition discovery. $rebuildRemedy")
       verified.add(tablePath)

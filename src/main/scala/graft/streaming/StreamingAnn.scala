@@ -258,7 +258,7 @@ object StreamingAnn {
     * verdict, so no rebuild would ever flatten it — now has bounded
     * resident files by construction. Runs on the ingest thread like the
     * fold, so the single-writer contract holds without coordination. */
-  private def ingestLoop[M](compactEvery: Int)(
+  private[streaming] def ingestLoop[M](compactEvery: Int)(
       recover: org.apache.spark.sql.SparkSession => Option[String],
       load: org.apache.spark.sql.SparkSession => M,
       append: (DataFrame, M, Long) => Unit,

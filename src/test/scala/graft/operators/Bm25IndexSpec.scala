@@ -1,0 +1,141 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The lexical index as a FIRST-CLASS index family (r16): the BM25
+  * postings table carries the same two-level `bucket=/ingest_batch=`
+  * layout as the ANN corpus tables, so the whole IndexMaintenance
+  * machinery covers it — replay-idempotent keyed appends (postings via
+  * dynamic overwrite; the stats delta via the `last_batch` watermark),
+  * incremental fold, resident compaction, crash recovery, layout
+  * stats/advice, and the streamed ingest skeleton. These specs pin the
+  * lexical WIRING; the machinery itself is pinned by
+  * IndexMaintenanceSpec / ResidentCompactionSpec. */
+class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("bm25-index-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val vocab = Vector("spark", "vector", "stream", "data", "index",
+    "query", "fold", "probe", "batch")
+
+  private def docs(lo: Long, hi: Long): DataFrame = {
+    val s = spark
+    import s.implicits._
+    (lo until hi).map { id =>
+      val r = new scala.util.Random(id)
+      (id, Seq.fill(4 + r.nextInt(18))(vocab(r.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  private def ask(p: String, terms: Seq[String] = Seq("spark", "vector")) =
+    Curation.bm25SearchIndexed(spark, p, terms, topK = 15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+
+  test("keyed appends are exactly-once through replay and fold; answers == all-at-once") {
+    val base = Files.createTempDirectory("bmkeyed").toString
+    val idx = s"$base/idx"; val whole = s"$base/whole"
+    Curation.writeBm25Index(docs(0, 100), "doc_id", "text", idx, buckets = 8)
+    Curation.appendBm25IndexIdempotent(docs(100, 150), "doc_id", "text", idx, 0L)
+    Curation.appendBm25IndexIdempotent(docs(150, 200), "doc_id", "text", idx, 1L)
+    // crash-replay of batch 1: postings overwrite their own leaves, the
+    // stats watermark skips the already-applied delta
+    Curation.appendBm25IndexIdempotent(docs(150, 200), "doc_id", "text", idx, 1L)
+    Curation.writeBm25Index(docs(0, 200), "doc_id", "text", whole, buckets = 8)
+    assert(ask(idx) === ask(whole), "keyed+replayed must equal all-at-once")
+    // fold the committed batch; batch 1 keeps its keys (replay safety)
+    Curation.compactBm25Index(spark, idx, committedBatchId = 0L)
+    val layout = Curation.bm25IndexLayout(spark, idx)
+    assert(layout.maxBatchId === 1L, layout.toString)
+    assert(ask(idx) === ask(whole), "fold must change nothing")
+    // replay batch 1 once more AFTER the fold — still exactly-once
+    Curation.appendBm25IndexIdempotent(docs(150, 200), "doc_id", "text", idx, 1L)
+    assert(ask(idx) === ask(whole))
+    val st = spark.read.parquet(s"$idx/stats").collect()(0)
+    assert(st.getLong(0) === 200L, s"n_docs must count each doc once: $st")
+  }
+
+  test("crash mid-fold: debris blocks, recoverBm25Index heals, answers unchanged") {
+    val base = Files.createTempDirectory("bmcrash").toString
+    val idx = s"$base/idx"
+    Curation.writeBm25Index(docs(0, 100), "doc_id", "text", idx, buckets = 8)
+    Curation.appendBm25IndexIdempotent(docs(100, 140), "doc_id", "text", idx, 0L)
+    val answers = ask(idx)
+    IndexMaintenance.failpoint = Some("before-commit")
+    try intercept[RuntimeException] {
+      Curation.compactBm25Index(spark, idx, committedBatchId = 0L)
+    } finally IndexMaintenance.failpoint = None
+    val e = intercept[IllegalStateException] {
+      Curation.appendBm25IndexIdempotent(docs(140, 150), "doc_id", "text", idx, 1L)
+    }
+    assert(e.getMessage.contains("recover"), e.getMessage)
+    assert(Curation.recoverBm25Index(spark, idx).exists(_.contains("BACK")))
+    assert(ask(idx) === answers)
+    // ... and the fold then completes; roll-forward path too
+    IndexMaintenance.failpoint = Some("before-cleanup")
+    try intercept[RuntimeException] {
+      Curation.compactBm25Index(spark, idx, committedBatchId = 0L)
+    } finally IndexMaintenance.failpoint = None
+    assert(Curation.recoverBm25Index(spark, idx).exists(_.contains("FORWARD")))
+    assert(ask(idx) === answers)
+    assert(Curation.recoverBm25Index(spark, idx).isEmpty)
+  }
+
+  test("resident compaction + advice: accrued buckets flatten, answers unchanged") {
+    val base = Files.createTempDirectory("bmres").toString
+    val idx = s"$base/idx"
+    Curation.writeBm25Index(docs(0, 100), "doc_id", "text", idx, buckets = 4)
+    // three keyed append+fold cycles accrue resident files per bucket
+    for (b <- 0 until 3) {
+      Curation.appendBm25IndexIdempotent(
+        docs(100 + 30 * b, 130 + 30 * b), "doc_id", "text", idx, b.toLong)
+      Curation.compactBm25Index(spark, idx, committedBatchId = b.toLong)
+    }
+    val answers = ask(idx)
+    // local[4] at 4 buckets derives spread S=2, bound 2S=4; 1 build + 3
+    // folds can reach 7 files (build itself may write up to S) — over
+    assert(Curation.bm25MaintenanceAdvice(spark, idx, maxFilesPerBucket = 2)
+      .action === "compact-resident")
+    val n = Curation.compactBm25Resident(spark, idx, maxFilesPerBucket = 2)
+    assert(n > 0)
+    assert(Curation.bm25MaintenanceAdvice(spark, idx, maxFilesPerBucket = 2)
+      .action === "none")
+    assert(ask(idx) === answers)
+  }
+
+  test("streamed ingest rides the shared skeleton: replay exactly-once, in-stream fold, self-maintenance") {
+    val base = Files.createTempDirectory("bmstream").toString
+    val idx = s"$base/idx"; val whole = s"$base/whole"
+    Curation.writeBm25Index(docs(0, 100), "doc_id", "text", idx, buckets = 4)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val fn = graft.streaming.StreamingLex.appendBatches(
+      idx, "doc_id", "text", compactEvery = 1)(seen += _)
+    for (b <- 0 until 4) fn(docs(100 + 25 * b, 125 + 25 * b), b.toLong)
+    // crash-replay of the LATEST batch (a committed batch is never
+    // re-delivered — that is exactly what makes the fold watermark safe,
+    // and why folding only `batchId - 1` leaves is the contract)
+    fn(docs(175, 200), 3L)
+    assert(seen.toSeq === Seq(0L, 1L, 2L, 3L, 3L))
+    Curation.writeBm25Index(docs(0, 200), "doc_id", "text", whole, buckets = 4)
+    assert(ask(idx) === ask(whole), "streamed ingest must equal all-at-once")
+    val layout = Curation.bm25IndexLayout(spark, idx)
+    assert(layout.maxResidentFilesPerCell <= 2 * Similarity.cellSpreadBound(spark, 4),
+      s"in-stream self-maintenance must bound resident files: $layout")
+  }
+}

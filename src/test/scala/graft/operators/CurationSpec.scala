@@ -262,17 +262,16 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
     for (terms <- Seq(Seq("spark"), Seq("spark", "vector", "stream"), vocab.take(5)))
       assert(ask(grown, terms) === ask(whole, terms), s"grown != whole for $terms")
-    // the incrementally recombined stats row matches the rescan exactly
-    val gs = spark.read.parquet(s"$grown/stats").collect()(0)
-    val ws = spark.read.parquet(s"$whole/stats").collect()(0)
-    assert(gs.getLong(0) === ws.getLong(0))
-    assert(math.abs(gs.getDouble(1) - ws.getDouble(1)) < 1e-9,
-      s"avgdl recombination drifted: ${gs.getDouble(1)} vs ${ws.getDouble(1)}")
-    // empty batch: stats byte-identical, no postings added
+    // the incrementally recombined stats row matches the rescan EXACTLY
+    // (sums, not means — integer arithmetic, no float drift possible)
+    def stats(p: String) = spark.read.parquet(s"$p/stats")
+      .select("n_docs", "sum_dl", "buckets").collect()(0)
+    assert(stats(grown) === stats(whole))
+    // empty batch: stats identical, no postings added
     val before = ask(grown, Seq("spark"))
     Curation.appendBm25Index(corpus.filter(col("doc_id") < 0), "doc_id", "text", grown)
     assert(ask(grown, Seq("spark")) === before)
-    assert(spark.read.parquet(s"$grown/stats").collect()(0).getLong(0) === 200L)
+    assert(stats(grown).getLong(0) === 200L)
   }
 
   test("rrfFuse collapses within-list duplicate ids to their best rank") {
