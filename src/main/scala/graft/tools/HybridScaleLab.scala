@@ -116,6 +116,18 @@ object HybridScaleLab {
       val (_, lexS) = t(Curation.writeBm25Index(
         spark.read.parquet(docsPath), "doc_id", "text", s"$root/lexidx", buckets = 256))
       println(f"""{"step":"bm25_index_build","rows":$n,"secs":$lexS%.1f}""")
+      // the lexical maintenance loop at scale: one keyed idempotent
+      // append (a 5% growth batch) + the incremental fold of its leaves
+      val growN = n / 20
+      val growDocs = spark.range(n, n + growN, 1, partitions)
+        .select(col("id").as("doc_id"), textUdf(col("id")).as("text"))
+      val (_, apS) = t(Curation.appendBm25IndexIdempotent(
+        growDocs, "doc_id", "text", s"$root/lexidx", 0L))
+      val (_, foldS) = t(Curation.compactBm25Index(spark, s"$root/lexidx", 0L))
+      val l = Curation.bm25IndexLayout(spark, s"$root/lexidx")
+      println(f"""{"step":"bm25_append_fold","rows":$growN,"append_secs":$apS%.1f,""" +
+        f""""fold_secs":$foldS%.1f,"buckets":${l.cells},"max_files_per_bucket":${l.maxResidentFilesPerCell}}""")
+      growDocs.write.mode("append").parquet(docsPath) // keep scan-path parity
     }
     def docs = spark.read.parquet(docsPath)
     val lexIdx = s"$root/lexidx"
