@@ -1210,6 +1210,33 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    "hybrid_search_stored" -> ((s, dir) => {
+      // The fully-indexed hybrid (r16): BOTH retrievers answer from
+      // stored indexes — the lexical list from the BM25 postings table
+      // (bucket-pruned), the semantic list from the stored IVF index
+      // (cell-pruned at full probe = exact). Both lists are provably
+      // identical to their scan/brute-force twins, so the SAME RRF
+      // oracle applies verbatim — the production retrieval stack
+      // (two indexes + fusion) under one DuckDB replay.
+      val lexIdx = work(dir, "hybrid_search_stored_lex")
+      Curation.writeBm25Index(t(s, dir, "documents"), "doc_id", "text", lexIdx, buckets = 16)
+      val lex = Curation.bm25SearchIndexed(s, lexIdx,
+          Seq("spark", "vector", "stream"), topK = 20)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("id"))))
+        .select("id", "rank")
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val p = work(dir, "hybrid_search_stored_sem")
+      Similarity.writeIvfIndex(e, "vec_id", "e", p, nlist = 8)
+      val sem = Similarity.ivfTopKIndexed(
+          e.filter(col("vec_id") === 0), "vec_id", "e", p, k = 20, nprobe = 8)
+        .select(col("corpus_id").as("id"), col("rank"))
+      Curation.rrfFuse(Seq(lex, sem), topK = 10)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "repetition_stats" -> ((s, dir) =>
       Curation.repetitionStats(t(s, dir, "documents"), "doc_id", "text", k = 2)
         .withColumnRenamed("id", "doc_id")),
@@ -3003,6 +3030,10 @@ object SparkEntry {
     // oracle applies verbatim — indexed and brute-force semantic
     // retrievers are provably drop-in equivalent fusion inputs
     "hybrid_search_indexed" -> hybridRrfOracle,
+
+    // both retrievers from stored indexes (postings + IVF), both exact
+    // in this regime — the production stack under the same replay
+    "hybrid_search_stored" -> hybridRrfOracle,
 
     "repetition_stats" ->
       """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
