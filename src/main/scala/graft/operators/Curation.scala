@@ -630,15 +630,26 @@ object Curation {
       path: String, buckets: Int = 64): Unit = {
     require(buckets > 0, s"buckets must be positive: $buckets")
     val spark = df.sparkSession
+    // one tokenize pass feeds both the postings write and the stats agg
     val toks = tokenized(df, idCol, textCol)
-    bucketSpread(postingsOf(toks, buckets), buckets)
-      .withColumn("ingest_batch", lit(-1L))
-      .write.mode("overwrite").partitionBy("bucket", "ingest_batch")
-      .parquet(s"$path/postings")
-    val t = toks.agg(count(lit(1)).as("n"), sum(size(col("ts"))).as("s")).collect()(0)
-    writeStats(spark, path, t.getLong(0), if (t.isNullAt(1)) 0L else t.getLong(1),
-      buckets, lastBatch = -1L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      bucketSpread(postingsOf(toks, buckets), buckets)
+        .withColumn("ingest_batch", lit(-1L))
+        .write.mode("overwrite").partitionBy("bucket", "ingest_batch")
+        .parquet(s"$path/postings")
+      val t = toks.agg(count(lit(1)).as("n"), sum(size(col("ts"))).as("s")).collect()(0)
+      writeStats(spark, path, t.getLong(0), if (t.isNullAt(1)) 0L else t.getLong(1),
+        buckets, lastBatch = -1L, lastManual = ManualLaneFloor - 1)
+    } finally { toks.unpersist(false); () }
   }
+
+  /** Manual (non-streamed) appends get auto-assigned batch ids in a lane
+    * DISJOINT from foreachBatch ids (which count up from 0), so a
+    * stream later attached to the same index can never dynamic-overwrite
+    * a manual append's leaves. ~31 years of 1-second triggers before a
+    * stream id could reach the floor. */
+  private[operators] val ManualLaneFloor = 1000000000L
 
   private def tokenized(df: DataFrame, idCol: String, textCol: String) =
     df.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
@@ -659,27 +670,30 @@ object Curation {
   /** Atomic-enough single-row stats write: write aside, delete, rename
     * — the delete→rename window is the only crash exposure and
     * [[statsRecover]] rolls it forward (the aside copy is complete
-    * before anything is deleted). */
+    * before anything is deleted). Two watermarks, one per append lane:
+    * `last_batch` for stream (foreachBatch) ids, `last_manual` for the
+    * auto-assigned manual lane — each lane's replay/retry skips only
+    * its OWN already-applied deltas. */
   private def writeStats(spark: org.apache.spark.sql.SparkSession,
       path: String, nDocs: Long, sumDl: Long, buckets: Int,
-      lastBatch: Long): Unit = {
+      lastBatch: Long, lastManual: Long): Unit = {
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/stats_tmp")
     val live = new org.apache.hadoop.fs.Path(s"$path/stats")
-    Seq((nDocs, sumDl, buckets, lastBatch))
-      .toDF("n_docs", "sum_dl", "buckets", "last_batch")
+    Seq((nDocs, sumDl, buckets, lastBatch, lastManual))
+      .toDF("n_docs", "sum_dl", "buckets", "last_batch", "last_manual")
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     fs.delete(live, true)
     require(fs.rename(tmp, live), s"could not publish $live")
   }
 
   private def readStats(spark: org.apache.spark.sql.SparkSession,
-      path: String): (Long, Long, Int, Long) = {
+      path: String): (Long, Long, Int, Long, Long) = {
     val r = spark.read.parquet(s"$path/stats")
-      .select("n_docs", "sum_dl", "buckets", "last_batch").collect()(0)
-    (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))
+      .select("n_docs", "sum_dl", "buckets", "last_batch", "last_manual").collect()(0)
+    (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4))
   }
 
   /** Heal a crashed [[writeStats]] rename window: a complete aside copy
@@ -706,15 +720,30 @@ object Curation {
     new IndexMaintenance.TwoLevelLayoutGuard("Rebuild the index with writeBm25Index.")
 
   /** Grow a stored [[writeBm25Index]] with NEW documents — the lexical
-    * twin of the ANN indexes' keyless `appendIvfIndex`: one batch
-    * tokenize+tf pass into the terms' buckets' RESIDENT layer
-    * (`ingest_batch=-1`), stats recombined exactly from the stored sums
-    * (no corpus rescan). Contract: batch doc ids must be NEW, and a
-    * retried batch double-counts — the exactly-once streamed form is
-    * [[appendBm25IndexIdempotent]]. */
+    * twin of the ANN indexes' model-reusing append, and IDEMPOTENT ON
+    * RETRY (stronger than the ANN keyless contract): the batch is
+    * auto-assigned the next id in the manual lane
+    * ([[ManualLaneFloor]]+, disjoint from foreachBatch ids by
+    * construction) and goes through the same dynamic-overwrite +
+    * watermark machinery as the streamed path — a FAILED append retried
+    * with the same batch gets the same lane id (the watermark never
+    * advanced), overwrites its own leaves, and applies the stats delta
+    * exactly once; calling again after SUCCESS appends a new batch, as
+    * any append does. A crash BETWEEN the postings write and
+    * the stats write is detectable (the manual lane's max id exceeds
+    * the `last_manual` watermark) and [[recoverBm25Index]] auto-heals
+    * it by computing the lagging delta from the orphan lane's own rows.
+    * Batch doc ids must be NEW to the index (appending an existing doc
+    * id creates a second posting list for it, like any append-only
+    * index). */
   def appendBm25Index(batch: DataFrame, idCol: String, textCol: String,
-      path: String): Unit =
-    appendBm25Parts(batch, idCol, textCol, path, batchId = -1L)
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    bm25LayoutGuard.require(spark, s"$path/postings", level1 = "bucket")
+    val lastManual = readStats(spark, path)._5
+    appendBm25Parts(batch, idCol, textCol, path,
+      batchId = math.max(lastManual + 1, ManualLaneFloor), manual = true)
+  }
 
   /** Replay-idempotent keyed append — [[Similarity.appendIvfIndexIdempotent]]'s
     * lexical twin for exactly-once streaming ingest: the batch's
@@ -726,50 +755,95 @@ object Curation {
     * so postings AND stats both converge to exactly-once no matter
     * where a crash fell (postings first, stats second: a crash between
     * them leaves stats lagging one batch, and the replay that follows
-    * applies exactly the missing delta). */
+    * applies exactly the missing delta). Ids must stay below
+    * [[ManualLaneFloor]] — that lane belongs to [[appendBm25Index]]. */
   def appendBm25IndexIdempotent(batch: DataFrame, idCol: String,
       textCol: String, path: String, batchId: Long): Unit = {
-    require(batchId >= 0, s"batchId must be >= 0 (got $batchId): -1 marks keyless rows")
-    appendBm25Parts(batch, idCol, textCol, path, batchId)
+    require(batchId >= 0, s"batchId must be >= 0 (got $batchId): -1 marks resident rows")
+    require(batchId < ManualLaneFloor,
+      s"batchId $batchId is in the manual-append lane (>= $ManualLaneFloor)")
+    bm25LayoutGuard.require(batch.sparkSession, s"$path/postings", level1 = "bucket")
+    appendBm25Parts(batch, idCol, textCol, path, batchId, manual = false)
   }
 
   private def appendBm25Parts(batch: DataFrame, idCol: String,
-      textCol: String, path: String, batchId: Long): Unit = {
+      textCol: String, path: String, batchId: Long, manual: Boolean): Unit = {
     val spark = batch.sparkSession
-    bm25LayoutGuard.require(spark, s"$path/postings", level1 = "bucket")
-    val (oldN, oldSum, buckets, lastBatch) = readStats(spark, path)
+    val (oldN, oldSum, buckets, lastBatch, lastManual) = readStats(spark, path)
+    // one tokenize pass feeds the empty-check, the postings write, and
+    // the stats delta
     val toks = tokenized(batch, idCol, textCol)
-    val t = toks.agg(count(lit(1)).as("n"), sum(size(col("ts"))).as("s")).collect()(0)
-    if (t.getLong(0) == 0) return // empty batch: nothing to append
-    val spread = bucketSpread(postingsOf(toks, buckets), buckets)
-      .withColumn("ingest_batch", lit(batchId))
-    if (batchId < 0)
-      spread.write.mode("append").partitionBy("bucket", "ingest_batch")
-        .parquet(s"$path/postings")
-    else
-      spread.write.mode("overwrite")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val t = toks.agg(count(lit(1)).as("n"), sum(size(col("ts"))).as("s")).collect()(0)
+      if (t.getLong(0) == 0) return // empty batch: nothing to append
+      bucketSpread(postingsOf(toks, buckets), buckets)
+        .withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket", "ingest_batch")
         .parquet(s"$path/postings")
-    // keyed replays skip the already-applied stats delta (watermark);
-    // keyless appends always apply, per their at-least-once contract
-    if (batchId < 0 || batchId > lastBatch)
-      writeStats(spark, path, oldN + t.getLong(0), oldSum + t.getLong(1),
-        buckets, math.max(lastBatch, batchId))
+      // each lane's replay/retry skips only its own applied deltas
+      val apply = if (manual) batchId > lastManual else batchId > lastBatch
+      if (apply)
+        writeStats(spark, path, oldN + t.getLong(0), oldSum + t.getLong(1), buckets,
+          if (manual) lastBatch else math.max(lastBatch, batchId),
+          if (manual) math.max(lastManual, batchId) else lastManual)
+    } finally { toks.unpersist(false); () }
   }
 
   /** Incremental compaction of a streamed-into lexical index —
     * [[Similarity.compactIvfIndex]]'s twin over the postings table:
     * fold every `0 ≤ ingest_batch ≤ committedBatchId` leaf into the
     * resident `-1` layer (batch-priced; resident files untouched).
-    * Stats need no folding — keyed appends already folded their deltas
-    * into the single row at append time. Same markers, recovery, and
-    * single-writer contract as the ANN folds. */
+    * Stats need no folding — appends already folded their deltas into
+    * the single row at append time; an UNHEALED manual-lane delta (a
+    * crash between a manual append's two writes) is healed here first,
+    * since folding an orphan lane would otherwise erase the lag's
+    * detectability. Folding manual lanes (ids ≥ [[ManualLaneFloor]])
+    * requires passing a watermark at or above them — only do that when
+    * no stream is attached or every stream batch is committed. Same
+    * markers, recovery, and single-writer contract as the ANN folds. */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
       path: String, committedBatchId: Long): Unit = {
+    manualLaneRecover(spark, path)
     val buckets = readStats(spark, path)._3
     IndexMaintenance.foldCommitted(spark, s"$path/postings", committedBatchId,
       bucketSpread(_, buckets), level1 = "bucket")
+  }
+
+  /** Detect and heal a manual append that crashed between its postings
+    * write and its stats write: any manual-lane leaf id above the
+    * `last_manual` watermark is an applied-postings/missing-stats
+    * orphan, and its delta is recomputable from its OWN rows (distinct
+    * (id, dl) pairs — dl is functionally dependent on id). One FS walk
+    * + one lane-sized scan. Docs with ZERO tokens are invisible here
+    * (they have no postings rows — they also can never match a query;
+    * only n_docs undercounts by their number, a documented epsilon). */
+  private def manualLaneRecover(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[String] = {
+    val (oldN, oldSum, buckets, lastBatch, lastManual) = readStats(spark, path)
+    val postings = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = postings.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphanLanes: Seq[Long] = (for {
+      bucketDir <- fs.listStatus(postings).toSeq
+      if bucketDir.isDirectory && bucketDir.getPath.getName.startsWith("bucket=")
+      leaf <- fs.listStatus(bucketDir.getPath).toSeq
+      if leaf.isDirectory && leaf.getPath.getName.startsWith("ingest_batch=")
+      b = leaf.getPath.getName.stripPrefix("ingest_batch=").toLong
+      if b >= ManualLaneFloor && b > lastManual
+    } yield b).distinct
+    if (orphanLanes.isEmpty) return None
+    val rows = spark.read.option("basePath", s"$path/postings")
+      .parquet(s"$path/postings": String)
+      .filter(col("ingest_batch").isin(orphanLanes: _*))
+    val d = rows.select("id", "dl").distinct()
+      .agg(count(lit(1)).as("dn"), sum(col("dl")).as("ds")).collect()(0)
+    writeStats(spark, path, oldN + d.getLong(0),
+      oldSum + (if (d.isNullAt(1)) 0L else d.getLong(1)), buckets,
+      lastBatch, orphanLanes.max)
+    Some(s"applied the lagging stats delta of ${orphanLanes.size} " +
+      s"interrupted manual append(s) at $path (lanes ${orphanLanes.sorted.mkString(",")})")
   }
 
   /** Minor compaction of the lexical resident layer —
@@ -786,11 +860,15 @@ object Curation {
 
   /** Deterministic crash recovery for the lexical index: rolls an
     * interrupted fold/compaction back or forward (shared marker
-    * protocol) and heals a crashed stats publish. Idempotent. */
+    * protocol), heals a crashed stats publish, and applies the lagging
+    * stats delta of a manual append that crashed between its two writes
+    * (detected via the manual-lane watermark, recomputed from the
+    * orphan lane's own rows). Idempotent. */
   def recoverBm25Index(spark: org.apache.spark.sql.SparkSession,
       path: String): Option[String] = {
     val msgs = IndexMaintenance.recover(spark, s"$path/postings").toSeq ++
-      statsRecover(spark, path).toSeq
+      statsRecover(spark, path).toSeq ++
+      manualLaneRecover(spark, path).toSeq
     if (msgs.isEmpty) None else Some(msgs.mkString("; "))
   }
 
@@ -828,7 +906,7 @@ object Curation {
     import spark.implicits._
     val terms = queryTerms.distinct
     require(terms.nonEmpty, "need at least one query term")
-    val (nDocs, sumDl, nBuckets, _) = readStats(spark, path)
+    val (nDocs, sumDl, nBuckets, _, _) = readStats(spark, path)
     val avgdl = sumDl.toDouble / nDocs
     // the same hash the writer bucketed with, evaluated over a literal
     // frame — the probed-bucket set becomes a partition filter

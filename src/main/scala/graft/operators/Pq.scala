@@ -602,17 +602,24 @@ object Pq {
       val p = new org.apache.hadoop.fs.Path(s"$path/$t")
       IndexMaintenance.requireReadConsistent(p.getFileSystem(hconf), p)
     }
-    // ... and gate on the crash state the fold markers CANNOT see: an
-    // append that died between the codes write and the vectors write
-    // (writeRows emits codes first) leaves a codes-only batch. This
-    // rebuild reads ONLY vectors, so rebuilding from a diverged pair
-    // would silently omit that batch — and once readers flip and the
-    // old index is deleted before the stream replays it, the gap is
-    // permanent. A batch-leaf divergence is one driver-side FS walk to
-    // detect; refuse with the remedy instead of baking in the gap.
-    // (A fold-crash divergence — codes folded, vectors not — also trips
-    // this; its remedy is the same line's compactPqIndex, and erring
-    // loud on a state two crash modes share beats guessing which one.)
+    // ... and gate on the crash state the fold markers CANNOT see: a
+    // KEYED append that died between the codes write and the vectors
+    // write (writeRows emits codes first) leaves a codes-only batch
+    // leaf. This rebuild reads ONLY vectors, so rebuilding from the
+    // diverged pair would silently omit that batch — and once readers
+    // flip and the old index is deleted before the stream replays it,
+    // the gap is permanent. A batch-leaf divergence is one driver-side
+    // FS walk to detect; refuse with the remedy instead of baking in
+    // the gap. (A fold-crash divergence — codes folded, vectors not —
+    // also trips this; its remedy is the same line's compactPqIndex,
+    // and erring loud on a state two crash modes share beats guessing.)
+    // The KEYLESS appendPqIndex crash is invisible here (its rows land
+    // in existing -1 leaves, no leaf-count change) but needs no gate:
+    // the orphan codes rows have NO vectors — their batch never fully
+    // landed and the failed call's contract is a caller retry — so a
+    // vectors-sourced rebuild DROPPING them is the heal, not a loss
+    // (pre-rebuild they only waste ADC shortlist slots; the exact
+    // re-rank's vectors join already filters them out).
     val codesL = IndexMaintenance.layoutStats(spark, s"$path/codes")
     val vecsL = IndexMaintenance.layoutStats(spark, s"$path/vectors")
     if (codesL.batchLeaves != vecsL.batchLeaves || codesL.maxBatchId != vecsL.maxBatchId)

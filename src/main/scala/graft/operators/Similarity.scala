@@ -660,11 +660,24 @@ object Similarity {
       cellSpread(_, nlist, spreadFiles = spreadFiles))
   }
 
+  /** The per-cell `-1` file threshold a resident compaction flattens
+    * against. Must be AT LEAST the spread the rewrite itself produces —
+    * a threshold below it would rewrite the same cells forever without
+    * ever getting them under bound — so an explicit `maxFilesPerCell`
+    * is validated against the effective spread. */
   private[operators] def residentBound(
       spark: org.apache.spark.sql.SparkSession, nlist: Int,
-      maxFilesPerCell: Int, spreadFiles: Int): Int =
-    if (maxFilesPerCell > 0) maxFilesPerCell
-    else 2 * (if (spreadFiles > 0) spreadFiles else cellSpreadBound(spark, nlist))
+      maxFilesPerCell: Int, spreadFiles: Int): Int = {
+    val spread = if (spreadFiles > 0) spreadFiles else cellSpreadBound(spark, nlist)
+    if (maxFilesPerCell <= 0) 2 * spread
+    else {
+      require(maxFilesPerCell >= spread,
+        s"maxFilesPerCell ($maxFilesPerCell) is below the rewrite's own " +
+          s"per-cell fan-out ($spread files) — compaction could never " +
+          "converge; raise the threshold or pin spreadFiles lower")
+      maxFilesPerCell
+    }
+  }
 
   /** One maintenance recommendation for a stored IVF index — the three
     * signals ("fold when leaves accrue, compact when files accrue,

@@ -173,8 +173,10 @@ object AnnScaleLab {
         val a = Similarity.maintenanceAdvice(spark, idx)
         println(s"""{"step":"advice","at":"$tag","action":"${a.action}"}""")
       }
+      require(!rebuild, "--resident and --rebuild reuse batch ids and id " +
+        "ranges; run them as separate invocations")
       var batchId = 1L // batch 0 folded above
-      def cycle(batch: org.apache.spark.sql.DataFrame, rows: Long): Double = {
+      def cycle(batch: org.apache.spark.sql.DataFrame): Double = {
         Similarity.appendIvfIndexIdempotent(batch, "vec_id", "e", idx, cents, batchId)
         val (_, fS) = t(Similarity.compactIvfIndex(spark, idx, committedBatchId = batchId))
         batchId += 1
@@ -182,7 +184,7 @@ object AnnScaleLab {
       }
       var lo = n + appendN
       for (c <- 0 until 3) {
-        val fS = cycle(gen(lo, lo + appendN), appendN)
+        val fS = cycle(gen(lo, lo + appendN))
         println(f"""{"step":"uniform_cycle","cycle":$c,"rows":$appendN,"fold_secs":$fS%.1f}""")
         lo += appendN
       }
@@ -205,7 +207,7 @@ object AnnScaleLab {
       def genHot(lo: Long, hi: Long) = spark.range(lo, hi, 1, partitions)
         .select(col("id").as("vec_id"), hot(col("id")).as("e"))
       for (c <- 0 until 3) {
-        val fS = cycle(genHot(lo, lo + hotN), hotN)
+        val fS = cycle(genHot(lo, lo + hotN))
         println(f"""{"step":"skewed_cycle","cycle":$c,"rows":$hotN,"fold_secs":$fS%.1f}""")
         lo += hotN
       }

@@ -134,10 +134,16 @@ object HybridScaleLab {
     val cents = Similarity.loadIvfCentroids(spark, idx)
 
     // mid-frequency query terms: w200..w1199 band — selective enough to
-    // rank, frequent enough that top-20 lists are full
+    // rank, frequent enough that top-20 lists are full. DISTINCT terms
+    // only: bm25Search treats its input as a term set (a duplicated
+    // term would double tf on the scan side while the indexed side
+    // collapses it — the parity require below would trip on the
+    // retriever contract, not a real divergence)
     def termsFor(qi: Int): Seq[String] = {
       val r = new scala.util.Random(9000 + qi)
-      Seq.fill(3)("w" + (200 + r.nextInt(1000)))
+      val out = scala.collection.mutable.LinkedHashSet.empty[String]
+      while (out.size < 3) out += "w" + (200 + r.nextInt(1000))
+      out.toSeq
     }
     def asRanking(list: DataFrame, idCol: String): DataFrame =
       list.select(col(idCol).as("id"),

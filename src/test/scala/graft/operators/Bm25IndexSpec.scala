@@ -119,6 +119,47 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ask(idx) === answers)
   }
 
+  test("manual append crash between its two writes: detected via the lane watermark, auto-healed from the orphan lane's rows") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("bmmanual").toString
+    val idx = s"$base/idx"; val whole = s"$base/whole"
+    Curation.writeBm25Index(docs(0, 100), "doc_id", "text", idx, buckets = 8)
+    val preAppend = spark.read.parquet(s"$idx/stats").collect()(0)
+    Curation.appendBm25Index(docs(100, 150), "doc_id", "text", idx)
+    Curation.writeBm25Index(docs(0, 150), "doc_id", "text", whole, buckets = 8)
+    assert(ask(idx) === ask(whole))
+    def crashState(): Unit =
+      // reconstruct the crash between the two writes: postings lane
+      // applied, stats not — put the pre-append stats row back (the
+      // lane watermark now lags the lane on disk)
+      Seq((preAppend.getLong(0), preAppend.getLong(1), preAppend.getInt(2),
+        preAppend.getLong(3), preAppend.getLong(4)))
+        .toDF("n_docs", "sum_dl", "buckets", "last_batch", "last_manual")
+        .coalesce(1).write.mode("overwrite").parquet(s"$idx/stats")
+    // remedy 1: RETRY the failed append — the un-advanced watermark
+    // yields the SAME auto lane id, so the postings overwrite their own
+    // leaves and the stats delta applies exactly once
+    crashState()
+    Curation.appendBm25Index(docs(100, 150), "doc_id", "text", idx)
+    assert(ask(idx) === ask(whole), "retry-after-crash must be idempotent")
+    // remedy 2: recovery recomputes the lagging delta from the lane
+    crashState()
+    val healed = Curation.recoverBm25Index(spark, idx)
+    assert(healed.exists(_.contains("manual")), s"got $healed")
+    def stats(p: String) = spark.read.parquet(s"$p/stats")
+      .select("n_docs", "sum_dl", "buckets").collect()(0)
+    assert(stats(idx) === stats(whole),
+      "recovery must recompute the lagging delta exactly from the orphan lane")
+    assert(ask(idx) === ask(whole))
+    assert(Curation.recoverBm25Index(spark, idx).isEmpty, "recovery is idempotent")
+    // remedy 3: the fold self-heals the same state before folding
+    crashState()
+    Curation.compactBm25Index(spark, idx, committedBatchId = Long.MaxValue)
+    assert(stats(idx) === stats(whole))
+    assert(ask(idx) === ask(whole), "fold after heal must change nothing")
+  }
+
   test("streamed ingest rides the shared skeleton: replay exactly-once, in-stream fold, self-maintenance") {
     val base = Files.createTempDirectory("bmstream").toString
     val idx = s"$base/idx"; val whole = s"$base/whole"
