@@ -786,7 +786,9 @@ object Curation {
       // each lane's replay/retry skips only its own applied deltas
       val apply = if (manual) batchId > lastManual else batchId > lastBatch
       if (apply)
-        writeStats(spark, path, oldN + t.getLong(0), oldSum + t.getLong(1), buckets,
+        // all-null texts tokenize to null → a null sum, like writeBm25Index
+        writeStats(spark, path, oldN + t.getLong(0),
+          oldSum + (if (t.isNullAt(1)) 0L else t.getLong(1)), buckets,
           if (manual) lastBatch else math.max(lastBatch, batchId),
           if (manual) math.max(lastManual, batchId) else lastManual)
     } finally { toks.unpersist(false); () }
@@ -907,6 +909,8 @@ object Curation {
     val terms = queryTerms.distinct
     require(terms.nonEmpty, "need at least one query term")
     val (nDocs, sumDl, nBuckets, _, _) = readStats(spark, path)
+    require(nDocs > 0, s"index at $path has an empty stats row (n_docs = 0) — " +
+      "avgdl is undefined; rebuild with writeBm25Index over a non-empty corpus")
     val avgdl = sumDl.toDouble / nDocs
     // the same hash the writer bucketed with, evaluated over a literal
     // frame — the probed-bucket set becomes a partition filter

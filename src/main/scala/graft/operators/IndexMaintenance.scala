@@ -203,11 +203,20 @@ private[graft] object IndexMaintenance {
       requireReadConsistent(fs, table) // waits out a live marker window
       val e0 = readEpoch(fs, table)
       afterGateHook.foreach(h => h())
-      val out = list
+      // a fold deleting a leaf WHILE `list` walks it throws rather than
+      // returning a stale set — same race, same remedy: detect the
+      // overlapping maintenance window below and retry; only a miss with
+      // NO overlap is a genuinely absent file and propagates
+      val out =
+        try Right(list)
+        catch { case e: java.io.FileNotFoundException => Left(e) }
       val markerNow = fs.exists(stagedMarker(table)) || fs.exists(commitMarker(table))
-      if (!markerNow && readEpoch(fs, table) == e0) return out
-      listingRetries.incrementAndGet()
-      attempt += 1
+      val overlapped = markerNow || readEpoch(fs, table) != e0
+      (out, overlapped) match {
+        case (Right(v), false) => return v
+        case (Left(e), false) => throw e
+        case _ => listingRetries.incrementAndGet(); attempt += 1
+      }
     }
     throw new IllegalStateException(
       s"could not capture a consistent file listing of $table after $maxAttempts " +

@@ -160,6 +160,31 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ask(idx) === ask(whole), "fold after heal must change nothing")
   }
 
+  test("edge guards: an all-null-text batch appends without NPE; an empty index probes loudly") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("bmedge").toString
+    val idx = s"$base/idx"; val whole = s"$base/whole"
+    Curation.writeBm25Index(docs(0, 50), "doc_id", "text", idx, buckets = 4)
+    // null texts tokenize to nothing: they count in n_docs (the
+    // documented zero-token epsilon) and add no postings — the append
+    // must apply the same null-sum guard the build does, not NPE
+    val nulls = Seq((900L, null: String), (901L, null: String)).toDF("doc_id", "text")
+    Curation.appendBm25Index(nulls, "doc_id", "text", idx)
+    Curation.writeBm25Index(docs(0, 50).union(nulls), "doc_id", "text", whole, buckets = 4)
+    val st = spark.read.parquet(s"$idx/stats").collect()(0)
+    assert(st.getLong(0) === 52L, s"n_docs must count the null-text docs: $st")
+    assert(ask(idx) === ask(whole), "append of null texts must equal all-at-once")
+    // an empty index (n_docs = 0) must refuse the probe, not emit NaN scores
+    val empty = s"$base/empty"
+    Curation.writeBm25Index(docs(0, 50).filter(col("doc_id") < 0),
+      "doc_id", "text", empty, buckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      Curation.bm25SearchIndexed(spark, empty, Seq("spark"))
+    }
+    assert(e.getMessage.contains("n_docs"), e.getMessage)
+  }
+
   test("streamed ingest rides the shared skeleton: replay exactly-once, in-stream fold, self-maintenance") {
     val base = Files.createTempDirectory("bmstream").toString
     val idx = s"$base/idx"; val whole = s"$base/whole"

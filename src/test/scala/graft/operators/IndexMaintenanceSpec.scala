@@ -459,4 +459,34 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("empty batch"), e.getMessage)
   }
+
+  test("a FileNotFound thrown DURING an overlapped listing retries; one with no overlap propagates") {
+    // A fold can delete a leaf while `list` itself is walking the table —
+    // the same race the epoch check catches, surfacing as an exception
+    // instead of a stale file set. The retry loop must treat both shapes
+    // alike: overlapped window → relist; no overlap → a genuinely
+    // missing file, propagate.
+    val (_, idx) = buildWithBatches("imfnf")
+    val table = new org.apache.hadoop.fs.Path(s"$idx/corpus")
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexMaintenance.listingRetries.set(0)
+    @volatile var ran = false
+    IndexMaintenance.afterGateHook = Some { () =>
+      if (!ran) { ran = true; Similarity.compactIvfIndex(spark, idx, committedBatchId = 0L) }
+    }
+    var calls = 0
+    val got = try IndexMaintenance.consistentListing(fs, table) {
+      calls += 1
+      if (calls == 1) throw new java.io.FileNotFoundException("leaf deleted mid-listing")
+      42
+    } finally IndexMaintenance.afterGateHook = None
+    assert(ran && got === 42 && calls === 2)
+    assert(IndexMaintenance.listingRetries.get() >= 1)
+    // no maintenance window → the miss is real and must surface
+    intercept[java.io.FileNotFoundException] {
+      IndexMaintenance.consistentListing(fs, table) {
+        throw new java.io.FileNotFoundException("genuinely absent")
+      }
+    }
+  }
 }
