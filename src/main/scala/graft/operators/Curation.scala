@@ -733,16 +733,54 @@ object Curation {
     * the stats write is detectable (the manual lane's max id exceeds
     * the `last_manual` watermark) and [[recoverBm25Index]] auto-heals
     * it by computing the lagging delta from the orphan lane's own rows.
-    * Batch doc ids must be NEW to the index (appending an existing doc
-    * id creates a second posting list for it, like any append-only
-    * index). */
+    *
+    * The crash-then-DIFFERENT-batch sequence is guarded (r17): when an
+    * orphan lane exists, the append fingerprints the incoming batch's
+    * doc-id set against the orphan's — a MATCH is the documented retry
+    * and reuses the lane (exactly-once as above); a MISMATCH means the
+    * operator moved on without recovering, so the orphan is adopted
+    * first ([[manualLaneRecover]] — its postings are complete, only its
+    * stats delta lagged) and the new batch gets a FRESH lane. Without
+    * this, the new append would silently reuse the orphan's lane id and
+    * dynamic overwrite would destroy the orphan's postings in exactly
+    * the buckets the new batch touches. The id-set fingerprint is
+    * decisive because batch doc ids must be NEW to the index (appending
+    * an existing doc id creates a second posting list for it, like any
+    * append-only index) — two distinct batches cannot share an id set.
+    * Cost on the healthy path: one FS walk; the fingerprint passes run
+    * only when an orphan exists. */
   def appendBm25Index(batch: DataFrame, idCol: String, textCol: String,
       path: String): Unit = {
     val spark = batch.sparkSession
     bm25LayoutGuard.require(spark, s"$path/postings", level1 = "bucket")
     val lastManual = readStats(spark, path)._5
-    appendBm25Parts(batch, idCol, textCol, path,
-      batchId = math.max(lastManual + 1, ManualLaneFloor), manual = true)
+    val orphans = manualOrphanLanes(spark, path, lastManual)
+    val lane =
+      if (orphans.isEmpty) math.max(lastManual + 1, ManualLaneFloor)
+      else {
+        // zero-token docs have no postings rows on either side, so both
+        // fingerprints see the same id set
+        val batchFp = idSetFingerprint(
+          tokenized(batch, idCol, textCol).filter(size(col("ts")) > 0).select("id"))
+        val orphanFp = idSetFingerprint(
+          spark.read.option("basePath", s"$path/postings").parquet(s"$path/postings")
+            .filter(col("ingest_batch") === orphans.max).select("id"))
+        if (orphans.size == 1 && orphanFp == batchFp) orphans.head // the documented retry
+        else {
+          manualLaneRecover(spark, path) // adopt: postings complete, stats lagged
+          math.max(readStats(spark, path)._5 + 1, ManualLaneFloor)
+        }
+      }
+    appendBm25Parts(batch, idCol, textCol, path, batchId = lane, manual = true)
+  }
+
+  /** Order-independent fingerprint of a frame's distinct `id` set —
+    * (count, xor of per-id hashes). Used to tell a RETRY of a crashed
+    * manual append (same batch → same id set) from a different batch. */
+  private def idSetFingerprint(ids: DataFrame): (Long, Long) = {
+    val r = ids.distinct().agg(count(lit(1)),
+      coalesce(bit_xor(xxhash64(col("id"))), lit(0L))).collect()(0)
+    (r.getLong(0), r.getLong(1))
   }
 
   /** Replay-idempotent keyed append — [[Similarity.appendIvfIndexIdempotent]]'s
@@ -822,12 +860,13 @@ object Curation {
     * + one lane-sized scan. Docs with ZERO tokens are invisible here
     * (they have no postings rows — they also can never match a query;
     * only n_docs undercounts by their number, a documented epsilon). */
-  private def manualLaneRecover(spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[String] = {
-    val (oldN, oldSum, buckets, lastBatch, lastManual) = readStats(spark, path)
+  /** Manual-lane leaf ids above the watermark — each one an append whose
+    * postings landed but whose stats delta never applied. One FS walk. */
+  private def manualOrphanLanes(spark: org.apache.spark.sql.SparkSession,
+      path: String, lastManual: Long): Seq[Long] = {
     val postings = new org.apache.hadoop.fs.Path(s"$path/postings")
     val fs = postings.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val orphanLanes: Seq[Long] = (for {
+    (for {
       bucketDir <- fs.listStatus(postings).toSeq
       if bucketDir.isDirectory && bucketDir.getPath.getName.startsWith("bucket=")
       leaf <- fs.listStatus(bucketDir.getPath).toSeq
@@ -835,6 +874,12 @@ object Curation {
       b = leaf.getPath.getName.stripPrefix("ingest_batch=").toLong
       if b >= ManualLaneFloor && b > lastManual
     } yield b).distinct
+  }
+
+  private def manualLaneRecover(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[String] = {
+    val (oldN, oldSum, buckets, lastBatch, lastManual) = readStats(spark, path)
+    val orphanLanes = manualOrphanLanes(spark, path, lastManual)
     if (orphanLanes.isEmpty) return None
     val rows = spark.read.option("basePath", s"$path/postings")
       .parquet(s"$path/postings": String)

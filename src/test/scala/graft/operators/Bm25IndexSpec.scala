@@ -160,6 +160,45 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ask(idx) === ask(whole), "fold after heal must change nothing")
   }
 
+  test("manual append crash followed by a DIFFERENT batch: the orphan is adopted, never overwritten") {
+    // The r16 verdict's weak edge: nothing ENFORCED recovery, so a
+    // different manual append after a crash reused the orphan's lane id
+    // and dynamic overwrite destroyed the orphan's postings in exactly
+    // the buckets the new batch touched — silent score corruption. The
+    // append now fingerprints the incoming id set against the orphan's:
+    // mismatch → adopt the orphan (its postings are complete) and take
+    // a fresh lane.
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("bmdiff").toString
+    val idx = s"$base/idx"; val whole = s"$base/whole"
+    Curation.writeBm25Index(docs(0, 100), "doc_id", "text", idx, buckets = 8)
+    val preAppend = spark.read.parquet(s"$idx/stats").collect()(0)
+    Curation.appendBm25Index(docs(100, 150), "doc_id", "text", idx)
+    // reconstruct the crash between the append's two writes: postings
+    // lane applied, stats not
+    Seq((preAppend.getLong(0), preAppend.getLong(1), preAppend.getInt(2),
+      preAppend.getLong(3), preAppend.getLong(4)))
+      .toDF("n_docs", "sum_dl", "buckets", "last_batch", "last_manual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/stats")
+    // the operator moves on with a DIFFERENT batch — no recovery call
+    Curation.appendBm25Index(docs(150, 180), "doc_id", "text", idx)
+    Curation.writeBm25Index(docs(0, 180), "doc_id", "text", whole, buckets = 8)
+    val st = spark.read.parquet(s"$idx/stats")
+      .select("n_docs", "sum_dl").collect()(0)
+    val stWhole = spark.read.parquet(s"$whole/stats")
+      .select("n_docs", "sum_dl").collect()(0)
+    assert(st === stWhole,
+      "the orphan's stats delta must be adopted, the new batch's applied once")
+    assert(ask(idx) === ask(whole),
+      "the orphan batch's posting lists must be intact (different lane, no overwrite)")
+    // two distinct manual lanes on disk: the orphan's and the new batch's
+    val layout = Curation.bm25IndexLayout(spark, idx)
+    assert(layout.maxBatchId === Curation.ManualLaneFloor + 1, layout.toString)
+    assert(Curation.recoverBm25Index(spark, idx).isEmpty,
+      "nothing left to heal — the append adopted the orphan itself")
+  }
+
   test("edge guards: an all-null-text batch appends without NPE; an empty index probes loudly") {
     val s = spark
     import s.implicits._
