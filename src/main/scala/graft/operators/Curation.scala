@@ -649,7 +649,7 @@ object Curation {
     * stream later attached to the same index can never dynamic-overwrite
     * a manual append's leaves. ~31 years of 1-second triggers before a
     * stream id could reach the floor. */
-  private[operators] val ManualLaneFloor = 1000000000L
+  private[operators] val ManualLaneFloor = IndexMaintenance.ManualLaneFloor
 
   private def tokenized(df: DataFrame, idCol: String, textCol: String) =
     df.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
@@ -774,14 +774,8 @@ object Curation {
     appendBm25Parts(batch, idCol, textCol, path, batchId = lane, manual = true)
   }
 
-  /** Order-independent fingerprint of a frame's distinct `id` set —
-    * (count, xor of per-id hashes). Used to tell a RETRY of a crashed
-    * manual append (same batch → same id set) from a different batch. */
-  private def idSetFingerprint(ids: DataFrame): (Long, Long) = {
-    val r = ids.distinct().agg(count(lit(1)),
-      coalesce(bit_xor(xxhash64(col("id"))), lit(0L))).collect()(0)
-    (r.getLong(0), r.getLong(1))
-  }
+  private def idSetFingerprint(ids: DataFrame): (Long, Long) =
+    IndexMaintenance.idSetFingerprint(ids)
 
   /** Replay-idempotent keyed append — [[Similarity.appendIvfIndexIdempotent]]'s
     * lexical twin for exactly-once streaming ingest: the batch's
@@ -866,14 +860,7 @@ object Curation {
       path: String, lastManual: Long): Seq[Long] = {
     val postings = new org.apache.hadoop.fs.Path(s"$path/postings")
     val fs = postings.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (for {
-      bucketDir <- fs.listStatus(postings).toSeq
-      if bucketDir.isDirectory && bucketDir.getPath.getName.startsWith("bucket=")
-      leaf <- fs.listStatus(bucketDir.getPath).toSeq
-      if leaf.isDirectory && leaf.getPath.getName.startsWith("ingest_batch=")
-      b = leaf.getPath.getName.stripPrefix("ingest_batch=").toLong
-      if b >= ManualLaneFloor && b > lastManual
-    } yield b).distinct
+    IndexMaintenance.manualLanes(fs, postings, lastManual, level1 = "bucket")
   }
 
   private def manualLaneRecover(spark: org.apache.spark.sql.SparkSession,

@@ -254,6 +254,92 @@ private[graft] object IndexMaintenance {
         "Curation.recoverBm25Index) before reading or appending.")
   }
 
+  // ---------------------------------------------------------------------
+  // The MANUAL append lane — shared by every index family's keyless
+  // (non-streamed) append. Manual batches get auto-assigned ingest_batch
+  // ids counting up from [[ManualLaneFloor]], DISJOINT from foreachBatch
+  // ids (which count up from 0) so a stream attached to the same index
+  // can never dynamic-overwrite a manual append's leaves (~31 years of
+  // 1-second triggers before a stream id reaches the floor). A watermark
+  // records the last lane whose append fully committed; the append
+  // writes its lane via dynamic overwrite FIRST and advances the
+  // watermark SECOND, so a crashed append retried with the same batch
+  // reuses its lane and overwrites its own leaves — exactly-once. The
+  // lexical family keeps its watermark inside the stats row (one write
+  // serves both); the ANN families have no stats row and use the
+  // `_manual_watermark` file below.
+  // ---------------------------------------------------------------------
+
+  private[operators] val ManualLaneFloor = 1000000000L
+
+  private def manualWatermarkFile(table: Path) = new Path(table, "_manual_watermark")
+  private def manualWatermarkScratch(table: Path) =
+    new Path(table, "_manual_watermark.tmp")
+
+  /** Last fully-committed manual lane id; missing file (no manual append
+    * ever ran, or a pre-r17 index) reads as the floor minus one. */
+  private[operators] def readManualWatermark(fs: FileSystem, table: Path): Long = {
+    val f = manualWatermarkFile(table)
+    if (!fs.exists(f)) ManualLaneFloor - 1
+    else readMarker(fs, f).headOption.map(_.trim.toLong)
+      .getOrElse(ManualLaneFloor - 1)
+  }
+
+  /** Publish the manual watermark (scratch + delete + rename, like the
+    * epoch): a reader sampling during the gap reads floor-1, which can
+    * only make a later append re-examine lanes, never lose one. */
+  private[operators] def writeManualWatermark(fs: FileSystem, table: Path,
+      v: Long): Unit = {
+    val out = fs.create(manualWatermarkScratch(table), true)
+    try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+    fs.delete(manualWatermarkFile(table), false)
+    require(fs.rename(manualWatermarkScratch(table), manualWatermarkFile(table)),
+      s"could not publish manual watermark ${manualWatermarkFile(table)}")
+  }
+
+  /** Manual-lane leaf ids above `watermark` in the two-level layout —
+    * each one an append that wrote its lane but never advanced the
+    * watermark (a crash between the two steps). One FS walk. */
+  private[operators] def manualLanes(fs: FileSystem, table: Path,
+      watermark: Long, level1: String = "cell"): Seq[Long] =
+    (for {
+      cellDir <- fs.listStatus(table).toSeq
+      if cellDir.isDirectory && cellDir.getPath.getName.startsWith(s"$level1=")
+      leaf <- fs.listStatus(cellDir.getPath).toSeq
+      if leaf.isDirectory && leaf.getPath.getName.startsWith("ingest_batch=")
+      b = leaf.getPath.getName.stripPrefix("ingest_batch=").toLong
+      if b >= ManualLaneFloor && b > watermark
+    } yield b).distinct
+
+  /** Remove every leaf of one lane — the remedy for a HALF-LANDED manual
+    * append in a two-table family (codes written, vectors not): the
+    * batch never fully landed and its call never returned success, so
+    * deletion loses nothing confirmed. Bumps the epoch (reader-visible
+    * files were removed) so a concurrent listing retries instead of
+    * failing on a vanished leaf. */
+  private[operators] def deleteLane(fs: FileSystem, table: Path, lane: Long,
+      level1: String = "cell"): Unit = {
+    for {
+      cellDir <- fs.listStatus(table).toSeq
+      if cellDir.isDirectory && cellDir.getPath.getName.startsWith(s"$level1=")
+      leaf = new Path(cellDir.getPath, s"ingest_batch=$lane")
+      if fs.exists(leaf)
+    } fs.delete(leaf, true)
+    bumpEpoch(fs, table)
+  }
+
+  /** Order-independent fingerprint of a frame's distinct `id` set —
+    * (count, xor of per-id hashes). Decides whether an incoming manual
+    * batch IS the retry of an orphan lane (same id set) or a different
+    * batch; decisive because every family's append contract requires
+    * batch ids to be NEW to the index. */
+  private[operators] def idSetFingerprint(ids: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val r = ids.distinct().agg(count(lit(1)),
+      coalesce(bit_xor(xxhash64(col("id"))), lit(0L))).collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** Fold every `0 ≤ ingest_batch ≤ committed` leaf of `tablePath` into
     * its `ingest_batch=-1` layer. `spread` is the caller's bounded
     * cell-aligned exchange ([[Similarity.cellSpread]] with its nlist).

@@ -602,24 +602,20 @@ object Pq {
       val p = new org.apache.hadoop.fs.Path(s"$path/$t")
       IndexMaintenance.requireReadConsistent(p.getFileSystem(hconf), p)
     }
-    // ... and gate on the crash state the fold markers CANNOT see: a
-    // KEYED append that died between the codes write and the vectors
-    // write (writeRows emits codes first) leaves a codes-only batch
-    // leaf. This rebuild reads ONLY vectors, so rebuilding from the
-    // diverged pair would silently omit that batch — and once readers
-    // flip and the old index is deleted before the stream replays it,
-    // the gap is permanent. A batch-leaf divergence is one driver-side
-    // FS walk to detect; refuse with the remedy instead of baking in
-    // the gap. (A fold-crash divergence — codes folded, vectors not —
-    // also trips this; its remedy is the same line's compactPqIndex,
-    // and erring loud on a state two crash modes share beats guessing.)
-    // The KEYLESS appendPqIndex crash is invisible here (its rows land
-    // in existing -1 leaves, no leaf-count change) but needs no gate:
-    // the orphan codes rows have NO vectors — their batch never fully
-    // landed and the failed call's contract is a caller retry — so a
-    // vectors-sourced rebuild DROPPING them is the heal, not a loss
-    // (pre-rebuild they only waste ADC shortlist slots; the exact
-    // re-rank's vectors join already filters them out).
+    // ... and gate on the crash state the fold markers CANNOT see: an
+    // append that died between the codes write and the vectors write
+    // (writeRows emits codes first) leaves a codes-only batch leaf —
+    // keyed and manual appends alike (r17 moved manual appends from
+    // blind `-1` writes into their own lanes, so their half-landed
+    // state is now visible here too). This rebuild reads ONLY vectors,
+    // so rebuilding from the diverged pair would silently omit that
+    // batch — and once readers flip and the old index is deleted
+    // before the batch is retried/replayed, the gap is permanent. A
+    // batch-leaf divergence is one driver-side FS walk to detect;
+    // refuse with the remedy instead of baking in the gap. (A
+    // fold-crash divergence — codes folded, vectors not — also trips
+    // this; its remedy is the same line's compactPqIndex, and erring
+    // loud on a state two crash modes share beats guessing.)
     val codesL = IndexMaintenance.layoutStats(spark, s"$path/codes")
     val vecsL = IndexMaintenance.layoutStats(spark, s"$path/vectors")
     if (codesL.batchLeaves != vecsL.batchLeaves || codesL.maxBatchId != vecsL.maxBatchId)
@@ -630,9 +626,10 @@ object Pq {
           "A writer crashed between the two table writes or folds; rebuilding " +
           "from the vectors table now could permanently omit a codes-only batch. " +
           "Remedy: resume the ingest stream so the interrupted batch replays " +
-          "(appendPqIndexIdempotent overwrites its own leaves), or run " +
-          "compactPqIndex(committedBatchId) to complete an interrupted fold — " +
-          "then rebuild once the layouts agree.")
+          "(appendPqIndexIdempotent overwrites its own leaves), retry the " +
+          "interrupted manual appendPqIndex (it reuses its lane and heals), " +
+          "or run compactPqIndex(committedBatchId) to complete an interrupted " +
+          "fold — then rebuild once the layouts agree.")
     val (oldCents, oldModel) = loadModel(spark, path)
     val nl = if (nlist > 0) nlist else oldCents.length
     val mm = if (m > 0) m else oldModel.m
@@ -655,8 +652,9 @@ object Pq {
     * tables per fold). Same replay contract: only fold batch ids the
     * stream's checkpoint has committed, so
     * [[appendPqIndexIdempotent]]'s overwrite-on-replay still converges.
-    * Keyless [[appendPqIndex]] rows already live in `-1` and are not
-    * compaction's concern (each such append adds one bounded file set).
+    * Manual [[appendPqIndex]] lanes (ids ≥
+    * [[IndexMaintenance.ManualLaneFloor]]) fold only when the watermark
+    * passes them — do that only when no retry of them can follow.
     *
     * Crash safety: marker-staged per table ([[IndexMaintenance]]);
     * [[recoverPqFold]] repairs an interruption, and readers/appenders
@@ -844,7 +842,7 @@ object Pq {
       // assign/encode pass runs once, not once per output table
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // both tables carry the two-level cell=/ingest_batch= layout (r15;
-    // -1 = build-time and non-keyed rows) so streaming appends can be
+    // -1 = build-time/resident rows) so streaming appends can be
     // batchId-keyed + replay-idempotent and compaction can fold ONLY
     // committed leaves — the [[Similarity.writeIvfIndex]] discipline.
     // Readers filter on `cell` only; the static IN-prune is unaffected.
@@ -883,15 +881,63 @@ object Pq {
 
   /** Incremental append: assign + encode the batch against the STORED
     * model (no retrain — same drift contract as
-    * [[Similarity.appendIvfIndex]]) and append into both layouts under
-    * `ingest_batch=-1` (non-keyed rows; each call adds one bounded file
-    * set per cell). For exactly-once streaming ingest use
-    * [[appendPqIndexIdempotent]]. */
+    * [[Similarity.appendIvfIndex]]) and write it into both layouts under
+    * the next MANUAL lane id, RETRY-IDEMPOTENT (r17 — the
+    * [[Similarity.appendIvfIndex]] shape over two tables): the lane
+    * lands via dynamic partition overwrite in codes then vectors, and
+    * the `_manual_watermark` file (kept on the codes table — written
+    * first, so it sees every lane) advances only after BOTH writes. A
+    * failed append retried with the same batch reuses its lane,
+    * overwriting its own codes leaves and writing the missing vectors
+    * leaves — a crash BETWEEN the two table writes heals exactly the
+    * same way the keyed replay does. A crash followed by a DIFFERENT
+    * batch resolves by the orphan's shape: a lane present in both
+    * tables fully landed and is adopted (watermark advances past it); a
+    * codes-only lane never landed — its call never returned — and is
+    * deleted before the new batch takes a fresh lane (pre-r17 those
+    * orphan codes rows sat in `-1` forever, wasting ADC shortlist
+    * slots). The id-set fingerprint decides retry vs different; batch
+    * ids must be NEW to the index. For exactly-once streaming ingest
+    * use [[appendPqIndexIdempotent]]. */
   def appendPqIndex(batch: DataFrame, cId: String, cVec: String, path: String,
       spreadFiles: Int = 0): Unit = {
-    requireBatchKeyedLayout(batch.sparkSession, path)
-    val (cents, model) = loadModel(batch.sparkSession, path)
-    writeRows(batch, cId, cVec, path, cents, model, "append", -1L, spreadFiles)
+    val spark = batch.sparkSession
+    requireBatchKeyedLayout(spark, path)
+    val (cents, model) = loadModel(spark, path)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val codesT = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val vecsT = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    val fs = codesT.getFileSystem(hconf)
+    val w = IndexMaintenance.readManualWatermark(fs, codesT)
+    val inCodes = IndexMaintenance.manualLanes(fs, codesT, w).toSet
+    val inVecs = IndexMaintenance.manualLanes(fs, vecsT, w).toSet
+    val orphans = (inCodes ++ inVecs).toSeq
+    val lane =
+      if (orphans.isEmpty) w + 1
+      else {
+        val top = orphans.max
+        val batchFp = IndexMaintenance.idSetFingerprint(batch.select(col(cId).as("id")))
+        // fingerprint from whichever table has the lane (codes is written
+        // first, so it always does unless hand-damaged)
+        val src = if (inCodes(top)) "codes" else "vectors"
+        val orphanFp = IndexMaintenance.idSetFingerprint(
+          spark.read.option("basePath", s"$path/$src").parquet(s"$path/$src")
+            .filter(col("ingest_batch") === top)
+            .select(col("corpus_id").as("id")))
+        if (orphans.size == 1 && orphanFp == batchFp) top // the documented retry
+        else {
+          val (complete, half) = orphans.partition(l => inCodes(l) && inVecs(l))
+          half.foreach { l =>
+            IndexMaintenance.deleteLane(fs, codesT, l)
+            IndexMaintenance.deleteLane(fs, vecsT, l)
+          }
+          if (complete.nonEmpty)
+            IndexMaintenance.writeManualWatermark(fs, codesT, complete.max)
+          IndexMaintenance.readManualWatermark(fs, codesT) + 1
+        }
+      }
+    writeRows(batch, cId, cVec, path, cents, model, "dynamic", lane, spreadFiles)
+    IndexMaintenance.writeManualWatermark(fs, codesT, lane)
   }
 
   /** Replay-idempotent append — [[Similarity.appendIvfIndexIdempotent]]'s
@@ -914,7 +960,10 @@ object Pq {
   def appendPqIndexIdempotent(batch: DataFrame, cId: String, cVec: String,
       path: String, cents: Array[Array[Double]], model: PqModel, batchId: Long,
       spreadFiles: Int): Unit = {
-    require(batchId >= 0, s"batchId must be >= 0 (got $batchId): -1 marks non-keyed rows")
+    require(batchId >= 0, s"batchId must be >= 0 (got $batchId): -1 marks resident rows")
+    require(batchId < IndexMaintenance.ManualLaneFloor,
+      s"batchId $batchId is in the manual-append lane " +
+        s"(>= ${IndexMaintenance.ManualLaneFloor}); that lane belongs to appendPqIndex")
     requireBatchKeyedLayout(batch.sparkSession, path)
     writeRows(batch, cId, cVec, path, cents, model, "dynamic", batchId, spreadFiles)
   }

@@ -525,16 +525,56 @@ object Similarity {
   /** [[appendIvfIndex]] with pre-loaded centroids ([[loadIvfCentroids]]) —
     * for repeated callers (a streaming ingest appends every trigger; the
     * quantizer is immutable between rebuilds, so one load serves the whole
-    * stream instead of one driver-side parquet read per micro-batch). */
+    * stream instead of one driver-side parquet read per micro-batch).
+    *
+    * RETRY-IDEMPOTENT (r17 — the lexical family's manual-lane shape,
+    * closing the adjudicated asymmetry): the batch is auto-assigned the
+    * next id in the manual lane ([[IndexMaintenance.ManualLaneFloor]]+,
+    * disjoint from foreachBatch ids by construction), written via
+    * dynamic partition overwrite, and the `_manual_watermark` file
+    * advances only AFTER the write — a failed append retried with the
+    * same batch reuses its lane and overwrites its own leaves, so a
+    * vector can never land twice (pre-r17, a retried keyless append
+    * blind-appended into `-1` and duplicates could surface twice in a
+    * top-k). A crash followed by a DIFFERENT batch is guarded the same
+    * way as the lexical lane: the orphan's id-set fingerprint decides
+    * retry vs adopt-and-fresh-lane (an orphan's rows are complete and
+    * probe-visible; adoption just advances the watermark). Batch ids
+    * must be NEW to the index. Fold manual lanes with
+    * [[compactIvfIndex]] by passing a watermark at or above them — only
+    * when the caller knows no retry of them can follow (folding erases
+    * the lane a retry would overwrite). */
   def appendIvfIndex(batch: DataFrame, cId: String, cVec: String, path: String,
       cents: Array[Array[Double]], spreadFiles: Int = 0): Unit = {
-    requireBatchKeyedLayout(batch.sparkSession, path)
+    val spark = batch.sparkSession
+    requireBatchKeyedLayout(spark, path)
+    val table = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val w = IndexMaintenance.readManualWatermark(fs, table)
+    val orphans = IndexMaintenance.manualLanes(fs, table, w)
+    val lane =
+      if (orphans.isEmpty) w + 1
+      else {
+        val batchFp = IndexMaintenance.idSetFingerprint(batch.select(col(cId).as("id")))
+        val orphanFp = IndexMaintenance.idSetFingerprint(
+          spark.read.option("basePath", s"$path/corpus").parquet(s"$path/corpus")
+            .filter(col("ingest_batch") === orphans.max)
+            .select(col("corpus_id").as("id")))
+        if (orphans.size == 1 && orphanFp == batchFp) orphans.head // the documented retry
+        else { // adopt: the orphan's rows are complete and already served
+          IndexMaintenance.writeManualWatermark(fs, table, orphans.max)
+          orphans.max + 1
+        }
+      }
     assigned(batch, cId, cVec, cents)
-      .withColumn("ingest_batch", lit(-1L))
+      .withColumn("ingest_batch", lit(lane))
       // bounded files per cell, not tasks × nlist
       .transform(cellSpread(_, cents.length, spreadFiles = spreadFiles))
-      .write.mode("append").partitionBy("cell", "ingest_batch")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "ingest_batch")
       .parquet(s"$path/corpus")
+    IndexMaintenance.writeManualWatermark(fs, table, lane)
   }
 
   /** r12 changed the stored-corpus layout from `partitionBy(cell)` to
@@ -578,14 +618,19 @@ object Similarity {
     * Streaming guarantees a replayed batchId carries the same rows, which
     * is what makes overwrite-by-batch equal to exactly-once.
     *
-    * `batchId` must be ≥ 0 (foreachBatch ids are): -1 is reserved for
-    * build-time and non-keyed append rows, which an idempotent replay
-    * must never overwrite. The overwrite mode is a WRITER option, not a
-    * session config — concurrent static-overwrite users are unaffected. */
+    * `batchId` must be ≥ 0 (foreachBatch ids are) and below
+    * [[IndexMaintenance.ManualLaneFloor]] (that lane belongs to
+    * [[appendIvfIndex]]): -1 is reserved for build-time/resident rows,
+    * which an idempotent replay must never overwrite. The overwrite mode
+    * is a WRITER option, not a session config — concurrent
+    * static-overwrite users are unaffected. */
   def appendIvfIndexIdempotent(batch: DataFrame, cId: String, cVec: String,
       path: String, cents: Array[Array[Double]], batchId: Long,
       spreadFiles: Int = 0): Unit = {
-    require(batchId >= 0, s"batchId must be >= 0 (got $batchId): -1 marks non-keyed rows")
+    require(batchId >= 0, s"batchId must be >= 0 (got $batchId): -1 marks resident rows")
+    require(batchId < IndexMaintenance.ManualLaneFloor,
+      s"batchId $batchId is in the manual-append lane " +
+        s"(>= ${IndexMaintenance.ManualLaneFloor}); that lane belongs to appendIvfIndex")
     requireBatchKeyedLayout(batch.sparkSession, path)
     assigned(batch, cId, cVec, cents)
       .withColumn("ingest_batch", lit(batchId))

@@ -182,4 +182,53 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (r2, fit2, _) = Similarity.shouldRetrain(drifted, "id", "v", path)
     assert(r2, f"drifted batch must trip: fit=$fit2%.4f ref=$refFit%.4f")
   }
+
+  test("manual append crash: retry is exactly-once; a different batch never reuses the orphan's lane") {
+    // r17: the keyless append's retry double-count closed with the
+    // lexical family's manual-lane shape — lane via dynamic overwrite
+    // first, `_manual_watermark` second; a crash between the two steps
+    // resolves by id-set fingerprint (retry reuses the lane, a
+    // different batch adopts the orphan and takes a fresh one).
+    val s = spark
+    import s.implicits._
+    val vecs = (0L until 60L).map { i =>
+      (i, Array((i % 7).toDouble + 1, ((i * 3) % 5).toDouble, ((i * 7) % 11).toDouble))
+    }
+    val df = vecs.toDF("id", "v")
+    val idx = Files.createTempDirectory("ivfmanual").toString
+    Similarity.writeIvfIndex(df.filter(col("id") < 30), "id", "v", idx, nlist = 4)
+    val b1 = df.filter(col("id") >= 30 && col("id") < 45)
+    val b2 = df.filter(col("id") >= 45)
+    val table = new org.apache.hadoop.fs.Path(s"$idx/corpus")
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val floor = IndexMaintenance.ManualLaneFloor
+
+    Similarity.appendIvfIndex(b1, "id", "v", idx)
+    assert(IndexMaintenance.readManualWatermark(fs, table) === floor)
+    def rewind(to: Long): Unit = IndexMaintenance.writeManualWatermark(fs, table, to)
+
+    // crash between the corpus write and the watermark publish → RETRY
+    rewind(floor - 1)
+    Similarity.appendIvfIndex(b1, "id", "v", idx)
+    val corpus = spark.read.parquet(s"$idx/corpus")
+    assert(corpus.count() === 45 && corpus.select("corpus_id").distinct().count() === 45,
+      "retry must overwrite its own lane, never duplicate")
+
+    // crash again, operator moves on with a DIFFERENT batch → the orphan
+    // is adopted (its rows are complete and probe-visible), fresh lane
+    rewind(floor - 1)
+    Similarity.appendIvfIndex(b2, "id", "v", idx)
+    val corpus2 = spark.read.parquet(s"$idx/corpus")
+    assert(corpus2.count() === 60 && corpus2.select("corpus_id").distinct().count() === 60)
+    assert(Similarity.ivfIndexLayout(spark, idx).maxBatchId === floor + 1,
+      "the different batch must take a fresh lane above the orphan's")
+
+    // exhaustive probe over the index == brute force over everything
+    val q = df.filter(col("id") < 5)
+    val got = Similarity.ivfTopKIndexed(q, "id", "v", idx, k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    val want = Similarity.bruteForceTopK(q, "id", "v", df, "id", "v", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    assert(got.toSeq === want.toSeq)
+  }
 }

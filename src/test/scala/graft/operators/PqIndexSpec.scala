@@ -298,4 +298,57 @@ class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("drift reference"), e.getMessage)
   }
+
+  test("manual PQ append: a crash between the two table writes heals on retry; a different batch deletes the half-landed lane") {
+    // r17 manual-lane shape over TWO tables: codes then vectors via
+    // dynamic overwrite, watermark last. A codes-only lane is a batch
+    // that never landed — a retry of the SAME batch reuses the lane and
+    // writes the missing vectors; a DIFFERENT batch deletes it (its
+    // call never returned success, nothing confirmed is lost).
+    def batch(lo: Long, hi: Long) = {
+      val gen = udf((id: Long) => graft.tools.EmbedSynth.vector(id, 16, 4, 0.3))
+      spark.range(lo, hi).select(col("id").as("vec_id"), gen(col("id")).as("e"))
+    }
+    val path = Files.createTempDirectory("pqmanual").toString
+    Pq.writePqIndex(batch(0, 120), "vec_id", "e", path, nlist = 4, m = 4, ksub = 16)
+    val codesT = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val vecsT = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    val fs = codesT.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val floor = IndexMaintenance.ManualLaneFloor
+    def counts() = (spark.read.parquet(s"$path/codes").count(),
+      spark.read.parquet(s"$path/vectors").count())
+
+    Pq.appendPqIndex(batch(120, 140), "vec_id", "e", path) // lane = floor
+    // reconstruct a crash between the codes and vectors writes of the
+    // NEXT batch: full append, then drop its vectors lane + rewind
+    Pq.appendPqIndex(batch(140, 160), "vec_id", "e", path) // lane = floor+1
+    IndexMaintenance.deleteLane(fs, vecsT, floor + 1)
+    IndexMaintenance.writeManualWatermark(fs, codesT, floor)
+    assert(counts() === ((160L, 140L)), "crash state: codes-only lane")
+    // retry of the SAME batch reuses the lane and writes the missing half
+    Pq.appendPqIndex(batch(140, 160), "vec_id", "e", path)
+    assert(counts() === ((160L, 160L)), "retry must heal both tables exactly-once")
+
+    // crash again on a new batch, then a DIFFERENT batch arrives
+    Pq.appendPqIndex(batch(160, 180), "vec_id", "e", path) // lane = floor+2
+    IndexMaintenance.deleteLane(fs, vecsT, floor + 2)
+    IndexMaintenance.writeManualWatermark(fs, codesT, floor + 1)
+    Pq.appendPqIndex(batch(200, 220), "vec_id", "e", path)
+    // the half-landed 160..180 lane is gone from BOTH tables; the new
+    // batch landed whole — tables agree and the rebuild gate stays open
+    assert(counts() === ((180L, 180L)),
+      "a different batch must delete the half-landed lane, not collide with it")
+    val all = batch(0, 160).union(batch(200, 220))
+    val q = all.filter(col("vec_id").isin(0L, 210L))
+    val got = Pq.pqTopKIndexed(q, "vec_id", "e", path, k = 3, nprobe = 4, refine = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    val want = Similarity.bruteForceTopK(q, "vec_id", "e", all, "vec_id", "e", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    assert(got.toSeq === want.toSeq)
+    // ... and the dropped batch retried later lands whole in a fresh lane
+    Pq.appendPqIndex(batch(160, 180), "vec_id", "e", path)
+    assert(counts() === ((200L, 200L)))
+    val (codes, vectors) = Pq.pqIndexLayout(spark, path)
+    assert(codes.batchLeaves === vectors.batchLeaves && codes.maxBatchId === vectors.maxBatchId)
+  }
 }
