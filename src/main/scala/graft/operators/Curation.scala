@@ -627,14 +627,14 @@ object Curation {
     * volumes, so the salt bounds the biggest bucket's write without
     * scattering small buckets across many files. */
   def writeBm25Index(df: DataFrame, idCol: String, textCol: String,
-      path: String, buckets: Int = 64): Unit = {
+      path: String, buckets: Int = 64, spreadFiles: Int = 0): Unit = {
     require(buckets > 0, s"buckets must be positive: $buckets")
     val spark = df.sparkSession
     // one tokenize pass feeds both the postings write and the stats agg
     val toks = tokenized(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      bucketSpread(postingsOf(toks, buckets), buckets)
+      bucketSpread(postingsOf(toks, buckets), buckets, spreadFiles)
         .withColumn("ingest_batch", lit(-1L))
         .write.mode("overwrite").partitionBy("bucket", "ingest_batch")
         .parquet(s"$path/postings")
@@ -659,9 +659,17 @@ object Curation {
     .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
     .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)).cast("int"))
 
-  private def bucketSpread(postings: DataFrame, buckets: Int): DataFrame = {
+  /** Bucket-aligned exchange with bounded intra-bucket fan-out — the
+    * lexical [[Similarity.cellSpread]]. `spreadFiles > 0` PINS the
+    * per-bucket fan-out S explicitly so layouts reproduce across
+    * differently-sized sessions (r17 — the knob the ANN writers got in
+    * r15); 0 derives S from this session's parallelism. */
+  private def bucketSpread(postings: DataFrame, buckets: Int,
+      spreadFiles: Int = 0): DataFrame = {
+    require(spreadFiles >= 0, s"spreadFiles must be >= 0 (0 = derive): $spreadFiles")
     val par = postings.sparkSession.sparkContext.defaultParallelism
-    val s = math.max(1, (2 * par + buckets - 1) / buckets)
+    val s = if (spreadFiles > 0) spreadFiles
+      else math.max(1, (2 * par + buckets - 1) / buckets)
     if (s <= 1) postings.repartition(col("bucket"))
     else postings.repartition(buckets * s, col("bucket"),
       pmod(xxhash64(col("id")), lit(s)))
@@ -750,7 +758,7 @@ object Curation {
     * Cost on the healthy path: one FS walk; the fingerprint passes run
     * only when an orphan exists. */
   def appendBm25Index(batch: DataFrame, idCol: String, textCol: String,
-      path: String): Unit = {
+      path: String, spreadFiles: Int = 0): Unit = {
     val spark = batch.sparkSession
     bm25LayoutGuard.require(spark, s"$path/postings", level1 = "bucket")
     val lastManual = readStats(spark, path)._5
@@ -771,7 +779,8 @@ object Curation {
           math.max(readStats(spark, path)._5 + 1, ManualLaneFloor)
         }
       }
-    appendBm25Parts(batch, idCol, textCol, path, batchId = lane, manual = true)
+    appendBm25Parts(batch, idCol, textCol, path, batchId = lane, manual = true,
+      spreadFiles = spreadFiles)
   }
 
   private def idSetFingerprint(ids: DataFrame): (Long, Long) =
@@ -790,16 +799,17 @@ object Curation {
     * applies exactly the missing delta). Ids must stay below
     * [[ManualLaneFloor]] — that lane belongs to [[appendBm25Index]]. */
   def appendBm25IndexIdempotent(batch: DataFrame, idCol: String,
-      textCol: String, path: String, batchId: Long): Unit = {
+      textCol: String, path: String, batchId: Long, spreadFiles: Int = 0): Unit = {
     require(batchId >= 0, s"batchId must be >= 0 (got $batchId): -1 marks resident rows")
     require(batchId < ManualLaneFloor,
       s"batchId $batchId is in the manual-append lane (>= $ManualLaneFloor)")
     bm25LayoutGuard.require(batch.sparkSession, s"$path/postings", level1 = "bucket")
-    appendBm25Parts(batch, idCol, textCol, path, batchId, manual = false)
+    appendBm25Parts(batch, idCol, textCol, path, batchId, manual = false, spreadFiles)
   }
 
   private def appendBm25Parts(batch: DataFrame, idCol: String,
-      textCol: String, path: String, batchId: Long, manual: Boolean): Unit = {
+      textCol: String, path: String, batchId: Long, manual: Boolean,
+      spreadFiles: Int = 0): Unit = {
     val spark = batch.sparkSession
     val (oldN, oldSum, buckets, lastBatch, lastManual) = readStats(spark, path)
     // one tokenize pass feeds the empty-check, the postings write, and
@@ -809,7 +819,7 @@ object Curation {
     try {
       val t = toks.agg(count(lit(1)).as("n"), sum(size(col("ts"))).as("s")).collect()(0)
       if (t.getLong(0) == 0) return // empty batch: nothing to append
-      bucketSpread(postingsOf(toks, buckets), buckets)
+      bucketSpread(postingsOf(toks, buckets), buckets, spreadFiles)
         .withColumn("ingest_batch", lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -839,11 +849,11 @@ object Curation {
     * no stream is attached or every stream batch is committed. Same
     * markers, recovery, and single-writer contract as the ANN folds. */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
-      path: String, committedBatchId: Long): Unit = {
+      path: String, committedBatchId: Long, spreadFiles: Int = 0): Unit = {
     manualLaneRecover(spark, path)
     val buckets = readStats(spark, path)._3
     IndexMaintenance.foldCommitted(spark, s"$path/postings", committedBatchId,
-      bucketSpread(_, buckets), level1 = "bucket")
+      bucketSpread(_, buckets, spreadFiles), level1 = "bucket")
   }
 
   /** Detect and heal a manual append that crashed between its postings
@@ -885,11 +895,11 @@ object Curation {
     * whose `-1` file count exceeds the bound (0 = 2× the derived
     * spread bound). Returns buckets compacted. */
   def compactBm25Resident(spark: org.apache.spark.sql.SparkSession,
-      path: String, maxFilesPerBucket: Int = 0): Int = {
+      path: String, maxFilesPerBucket: Int = 0, spreadFiles: Int = 0): Int = {
     val buckets = readStats(spark, path)._3
-    val bound = Similarity.residentBound(spark, buckets, maxFilesPerBucket, 0)
+    val bound = Similarity.residentBound(spark, buckets, maxFilesPerBucket, spreadFiles)
     IndexMaintenance.compactResident(spark, s"$path/postings", bound,
-      bucketSpread(_, buckets), level1 = "bucket")
+      bucketSpread(_, buckets, spreadFiles), level1 = "bucket")
   }
 
   /** Deterministic crash recovery for the lexical index: rolls an
@@ -917,10 +927,10 @@ object Curation {
     * layout-only: fold ≻ compact-resident ≻ none). */
   def bm25MaintenanceAdvice(spark: org.apache.spark.sql.SparkSession,
       path: String, maxFilesPerBucket: Int = 0,
-      foldLeavesPerBucket: Int = 2): MaintenanceAdvice = {
+      foldLeavesPerBucket: Int = 2, spreadFiles: Int = 0): MaintenanceAdvice = {
     val buckets = readStats(spark, path)._3
     IndexMaintenance.advise(bm25IndexLayout(spark, path), driftTripped = false,
-      Similarity.residentBound(spark, buckets, maxFilesPerBucket, 0),
+      Similarity.residentBound(spark, buckets, maxFilesPerBucket, spreadFiles),
       foldLeavesPerBucket)
   }
 

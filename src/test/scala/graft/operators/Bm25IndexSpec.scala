@@ -224,6 +224,38 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("n_docs"), e.getMessage)
   }
 
+  test("spreadFiles pins the per-bucket write fan-out across the whole lifecycle") {
+    // r17: the ANN writers got explicit spreadFiles pinning in r15 so
+    // layouts reproduce across differently-sized sessions; the lexical
+    // writer/appenders/compactors derive from defaultParallelism unless
+    // pinned — thread the same knob through and pin the fixed layout.
+    val base = Files.createTempDirectory("bmspread").toString
+    val idx = s"$base/idx"; val whole = s"$base/whole"
+    def maxFilesPerLeaf(): Int = {
+      val root = new java.io.File(s"$idx/postings")
+      val counts = for {
+        b <- root.listFiles().toSeq if b.isDirectory && b.getName.startsWith("bucket=")
+        leaf <- b.listFiles().toSeq if leaf.isDirectory
+      } yield leaf.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
+      counts.max
+    }
+    Curation.writeBm25Index(docs(0, 100), "doc_id", "text", idx,
+      buckets = 4, spreadFiles = 1)
+    assert(maxFilesPerLeaf() === 1, "build must write exactly one file per bucket")
+    Curation.appendBm25IndexIdempotent(docs(100, 130), "doc_id", "text", idx,
+      0L, spreadFiles = 1)
+    Curation.appendBm25Index(docs(130, 160), "doc_id", "text", idx, spreadFiles = 1)
+    assert(maxFilesPerLeaf() === 1, "both append lanes must respect the pin")
+    Curation.compactBm25Index(spark, idx, committedBatchId = 0L, spreadFiles = 1)
+    // 1 build file + 1 fold file per bucket accrued; the pinned resident
+    // compaction flattens back to the pin
+    assert(Curation.compactBm25Resident(spark, idx,
+      maxFilesPerBucket = 1, spreadFiles = 1) > 0)
+    assert(maxFilesPerLeaf() === 1, "resident compaction must restore the pinned spread")
+    Curation.writeBm25Index(docs(0, 160), "doc_id", "text", whole, buckets = 4)
+    assert(ask(idx) === ask(whole), "the pin is layout-only — answers unchanged")
+  }
+
   test("streamed ingest rides the shared skeleton: replay exactly-once, in-stream fold, self-maintenance") {
     val base = Files.createTempDirectory("bmstream").toString
     val idx = s"$base/idx"; val whole = s"$base/whole"
