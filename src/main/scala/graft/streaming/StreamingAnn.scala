@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{Pq, Similarity}
+import graft.operators.{MaintenanceAdvice, Pq, Similarity}
 import org.apache.spark.sql.DataFrame
 
 /** Streaming ANN — online retrieval against a persisted IVF index
@@ -113,9 +113,10 @@ object StreamingAnn {
     * a restart is exactly when that debris surfaces, and the stream is
     * the index's single writer, so self-healing here is safe. */
   def appendBatches(
-      path: String, idCol: String, vecCol: String, compactEvery: Int)(
+      path: String, idCol: String, vecCol: String, compactEvery: Int,
+      onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => ())(
       onDrift: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
-    ingest(path, idCol, vecCol, compactEvery) { (batch, batchId, ct) =>
+    ingest(path, idCol, vecCol, compactEvery, onAdvice) { (batch, batchId, ct) =>
       onDrift(Similarity.ivfDriftStats(batch, idCol, vecCol, ct), batchId)
     }
 
@@ -150,18 +151,22 @@ object StreamingAnn {
     * pipeline's. */
   def appendBatchesWithRetrain(
       path: String, idCol: String, vecCol: String, compactEvery: Int = 0,
-      fitDropTol: Double = 0.05)(
+      fitDropTol: Double = 0.05,
+      onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => ())(
       onVerdict: (RetrainVerdict, Long) => Unit): (DataFrame, Long) => Unit = {
     var refFit = Double.NaN // loaded once per stream, alongside the centroids
-    ingest(path, idCol, vecCol, compactEvery) { (batch, batchId, ct) =>
-      if (refFit.isNaN)
-        refFit = Similarity.loadIvfDriftRef(batch.sparkSession, path)
-      val stats = Similarity.ivfDriftStats(batch, idCol, vecCol, ct).collect()(0)
-      val fit = stats.getDouble(1)
-      // the rule is Similarity.shouldRetrain's, by reference — only the
-      // stats row is computed here (one batch scan, n + fit together)
-      onVerdict(RetrainVerdict(Similarity.ivfRetrainRule(fit, refFit, fitDropTol),
-        stats.getLong(0), fit, refFit), batchId)
+    @volatile var drifted = false // the advice's drift axis = the last verdict
+    ingest(path, idCol, vecCol, compactEvery, onAdvice, () => drifted) {
+      (batch, batchId, ct) =>
+        if (refFit.isNaN)
+          refFit = Similarity.loadIvfDriftRef(batch.sparkSession, path)
+        val stats = Similarity.ivfDriftStats(batch, idCol, vecCol, ct).collect()(0)
+        val fit = stats.getDouble(1)
+        // the rule is Similarity.shouldRetrain's, by reference — only the
+        // stats row is computed here (one batch scan, n + fit together)
+        val retrain = Similarity.ivfRetrainRule(fit, refFit, fitDropTol)
+        drifted = retrain
+        onVerdict(RetrainVerdict(retrain, stats.getLong(0), fit, refFit), batchId)
     }
   }
 
@@ -187,9 +192,10 @@ object StreamingAnn {
     * ([[graft.operators.Pq.recoverPqFold]], logged). Drift rows are
     * monitoring — at-least-once on replay, key on batchId to dedup. */
   def appendPqBatches(
-      path: String, idCol: String, vecCol: String, compactEvery: Int = 0)(
+      path: String, idCol: String, vecCol: String, compactEvery: Int = 0,
+      onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => ())(
       onDrift: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
-    pqIngest(path, idCol, vecCol, compactEvery) { (batch, batchId, cents, model) =>
+    pqIngest(path, idCol, vecCol, compactEvery, onAdvice) { (batch, batchId, cents, model) =>
       onDrift(Pq.indexDriftStats(batch, idCol, vecCol, cents, model), batchId)
     }
 
@@ -203,23 +209,29 @@ object StreamingAnn {
     * `drift_ref` re-baselined), restart against the rebuilt index. */
   def appendPqBatchesWithRetrain(
       path: String, idCol: String, vecCol: String, compactEvery: Int = 0,
-      fitDropTol: Double = 0.05, errRiseFrac: Double = 0.15)(
+      fitDropTol: Double = 0.05, errRiseFrac: Double = 0.15,
+      onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => ())(
       onVerdict: (PqRetrainVerdict, Long) => Unit): (DataFrame, Long) => Unit = {
     var ref: (Double, Double) = null // loaded once per stream
-    pqIngest(path, idCol, vecCol, compactEvery) { (batch, batchId, cents, model) =>
-      if (ref == null) ref = Pq.loadPqDriftRef(batch.sparkSession, path)
-      // one narrow pass yields n + both drift axes; the verdict rule is
-      // Pq.shouldRetrain's, BY REFERENCE (pqRetrainRule) — only the
-      // stats row is computed here to avoid a second batch scan
-      val s = Pq.indexDriftStats(batch, idCol, vecCol, cents, model).collect()(0)
-      val (fit, err) = (s.getDouble(1), s.getDouble(2))
-      val retrain = Pq.pqRetrainRule(fit, err, ref._1, ref._2, fitDropTol, errRiseFrac)
-      onVerdict(PqRetrainVerdict(retrain, s.getLong(0), fit, err, ref._1, ref._2), batchId)
+    @volatile var drifted = false // the advice's drift axis = the last verdict
+    pqIngest(path, idCol, vecCol, compactEvery, onAdvice, () => drifted) {
+      (batch, batchId, cents, model) =>
+        if (ref == null) ref = Pq.loadPqDriftRef(batch.sparkSession, path)
+        // one narrow pass yields n + both drift axes; the verdict rule is
+        // Pq.shouldRetrain's, BY REFERENCE (pqRetrainRule) — only the
+        // stats row is computed here to avoid a second batch scan
+        val s = Pq.indexDriftStats(batch, idCol, vecCol, cents, model).collect()(0)
+        val (fit, err) = (s.getDouble(1), s.getDouble(2))
+        val retrain = Pq.pqRetrainRule(fit, err, ref._1, ref._2, fitDropTol, errRiseFrac)
+        drifted = retrain
+        onVerdict(PqRetrainVerdict(retrain, s.getLong(0), fit, err, ref._1, ref._2), batchId)
     }
   }
 
   private def pqIngest(
-      path: String, idCol: String, vecCol: String, compactEvery: Int)(
+      path: String, idCol: String, vecCol: String, compactEvery: Int,
+      onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => (),
+      driftTripped: () => Boolean = () => false)(
       monitor: (DataFrame, Long, Array[Array[Double]], Pq.PqModel) => Unit): (DataFrame, Long) => Unit =
     ingestLoop[(Array[Array[Double]], Pq.PqModel)](compactEvery)(
       recover = s => Pq.recoverPqFold(s, path),
@@ -228,10 +240,14 @@ object StreamingAnn {
         batch, idCol, vecCol, path, m._1, m._2, batchId, spreadFiles = 0),
       monitor = (batch, batchId, m) => monitor(batch, batchId, m._1, m._2),
       compact = (s, wm) => Pq.compactPqIndex(s, path, wm),
-      compactResident = s => { val (c, v) = Pq.compactPqResident(s, path); c + v })
+      compactResident = s => { val (c, v) = Pq.compactPqResident(s, path); c + v },
+      advise = s => Pq.maintenanceAdvice(s, path, driftTripped()),
+      onAdvice = onAdvice)
 
   private def ingest(
-      path: String, idCol: String, vecCol: String, compactEvery: Int)(
+      path: String, idCol: String, vecCol: String, compactEvery: Int,
+      onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => (),
+      driftTripped: () => Boolean = () => false)(
       monitor: (DataFrame, Long, Array[Array[Double]]) => Unit): (DataFrame, Long) => Unit =
     ingestLoop[Array[Array[Double]]](compactEvery)(
       recover = s => Similarity.recoverIvfFold(s, path),
@@ -240,7 +256,9 @@ object StreamingAnn {
         batch, idCol, vecCol, path, cents, batchId),
       monitor = monitor,
       compact = (s, wm) => Similarity.compactIvfIndex(s, path, wm),
-      compactResident = s => Similarity.compactIvfResident(s, path))
+      compactResident = s => Similarity.compactIvfResident(s, path),
+      advise = s => Similarity.maintenanceAdvice(s, path, driftTripped()),
+      onAdvice = onAdvice)
 
   /** The ONE ingest skeleton both index families ride — any change to
     * the ordering (recover before first append, model loaded once per
@@ -257,14 +275,26 @@ object StreamingAnn {
     * 20 M), and a STATIONARY stream — which never trips the drift
     * verdict, so no rebuild would ever flatten it — now has bounded
     * resident files by construction. Runs on the ingest thread like the
-    * fold, so the single-writer contract holds without coordination. */
+    * fold, so the single-writer contract holds without coordination.
+    *
+    * At each maintenance point (r17) the family's [[MaintenanceAdvice]]
+    * is computed BEFORE the remedies run — the observable threshold
+    * transition (SCALE.md 16a: `fold`/`compact-resident` at accrual,
+    * `none` after) — logged, and handed to `onAdvice` with the batch id
+    * so a production monitor sees WHY the loop acted, not just that it
+    * did. One layout-stats walk per maintenance point, not per batch;
+    * at-least-once on replay like the drift rows. */
   private[streaming] def ingestLoop[M](compactEvery: Int)(
       recover: org.apache.spark.sql.SparkSession => Option[String],
       load: org.apache.spark.sql.SparkSession => M,
       append: (DataFrame, M, Long) => Unit,
       monitor: (DataFrame, Long, M) => Unit,
       compact: (org.apache.spark.sql.SparkSession, Long) => Unit,
-      compactResident: org.apache.spark.sql.SparkSession => Int): (DataFrame, Long) => Unit = {
+      compactResident: org.apache.spark.sql.SparkSession => Int,
+      advise: org.apache.spark.sql.SparkSession => MaintenanceAdvice = _ =>
+        MaintenanceAdvice("none", "no advice wired for this family",
+          graft.operators.IndexLayoutStats(0, 0, -1L, 0L, 0, 0L)),
+      onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => ()): (DataFrame, Long) => Unit = {
     var loaded: Option[M] = None
     var appended = 0L
     var recovered = false
@@ -282,6 +312,11 @@ object StreamingAnn {
         monitor(batch, batchId, m)
         appended += 1
         if (compactEvery > 0 && appended % compactEvery == 0 && batchId > 0) {
+          val a = advise(spark)
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .info(s"StreamingAnn: maintenance point at batch $batchId — " +
+              s"advice ${a.action} (${a.reason})")
+          onAdvice(a, batchId)
           compact(spark, batchId - 1)
           val cells = compactResident(spark)
           if (cells > 0)

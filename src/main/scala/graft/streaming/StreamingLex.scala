@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 
-import graft.operators.Curation
+import graft.operators.{Curation, MaintenanceAdvice}
 
 /** Streaming ingest for the persisted BM25 postings index
   * ([[graft.operators.Curation.writeBm25Index]]) — the lexical member
@@ -30,7 +30,8 @@ import graft.operators.Curation
 object StreamingLex {
 
   def appendBatches(path: String, idCol: String, textCol: String,
-      compactEvery: Int = 0)(
+      compactEvery: Int = 0,
+      onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => ())(
       onBatch: Long => Unit = _ => ()): (DataFrame, Long) => Unit =
     StreamingAnn.ingestLoop[Unit](compactEvery)(
       recover = s => Curation.recoverBm25Index(s, path),
@@ -39,5 +40,7 @@ object StreamingLex {
         Curation.appendBm25IndexIdempotent(batch, idCol, textCol, path, batchId),
       monitor = (_, batchId, _) => onBatch(batchId),
       compact = (s, wm) => Curation.compactBm25Index(s, path, wm),
-      compactResident = s => Curation.compactBm25Resident(s, path))
+      compactResident = s => Curation.compactBm25Resident(s, path),
+      advise = s => Curation.bm25MaintenanceAdvice(s, path),
+      onAdvice = onAdvice)
 }

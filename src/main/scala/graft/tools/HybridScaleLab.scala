@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Similarity}
+import graft.operators.{Curation, Pq, Similarity}
 
 /** Hybrid retrieval at the 20 M rung (r16) — the production claim
   * behind `hybrid_search_indexed`, measured: BM25's broadcast term join
@@ -53,6 +53,15 @@ object HybridScaleLab {
     var noise = 2.0
     var root = "/tmp/graft_hybridlab"
     var reuseIndex = false
+    // --pq adds the 100 TB-STORABLE semantic arm (r17): the same hybrid
+    // with the IVFPQ index's ADC probe (codes 64-128x smaller than the
+    // vectors) as the semantic retriever, fused with the SAME stored
+    // BM25 list — fused recall isolates what PQ quantization + pruning
+    // cost the fused answer vs the exact-cosine fusion twin.
+    var pq = false
+    var m = 8
+    var ksub = 256
+    var refine = 8
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -67,6 +76,10 @@ object HybridScaleLab {
         case "--noise" => noise = args(i + 1).toDouble; i += 2
         case "--root" => root = args(i + 1); i += 2
         case "--reuseIndex" => reuseIndex = true; i += 1
+        case "--pq" => pq = true; i += 1
+        case "--m" => m = args(i + 1).toInt; i += 2
+        case "--ksub" => ksub = args(i + 1).toInt; i += 2
+        case "--refine" => refine = args(i + 1).toInt; i += 2
         case other => sys.error(s"unknown arg $other")
       }
     }
@@ -129,6 +142,12 @@ object HybridScaleLab {
         f""""fold_secs":$foldS%.1f,"buckets":${l.cells},"max_files_per_bucket":${l.maxResidentFilesPerCell}}""")
       growDocs.write.mode("append").parquet(docsPath) // keep scan-path parity
     }
+    val pqIdx = s"$root/pqidx"
+    if (pq && (!reuseIndex || !new java.io.File(s"$pqIdx/model").exists())) {
+      val (_, pqS) = t(Pq.writePqIndex(vecs(0, n), "vec_id", "e", pqIdx,
+        nlist = nlist, m = m, ksub = ksub))
+      println(f"""{"step":"pq_index_build","rows":$n,"m":$m,"ksub":$ksub,"secs":$pqS%.1f}""")
+    }
     def docs = spark.read.parquet(docsPath)
     val lexIdx = s"$root/lexidx"
     val cents = Similarity.loadIvfCentroids(spark, idx)
@@ -161,6 +180,7 @@ object HybridScaleLab {
     println(s"""{"step":"plan","probe_partition_pruned":${probePlan.contains("PartitionFilters: [cell")}}""")
 
     var fusedHit = 0L; var fusedDenom = 0L
+    var pqHit = 0L; var pqDenom = 0L
     for (qi <- 0 until nQueries) {
       val terms = termsFor(qi)
       val qVec = vecs(1000L * qi + 7, 1000L * qi + 8)
@@ -204,8 +224,25 @@ object HybridScaleLab {
       val hit = fused.toSet.intersect(fusedExact.toSet).size
       fusedHit += hit; fusedDenom += fusedExact.size
       println(f"""{"step":"fused_recall","query":$qi,"hit":$hit,"of":${fusedExact.size}}""")
+      // the PQ arm: same stored BM25 list fused with the ADC probe off
+      // the IVFPQ index — the 100 TB-storable hybrid, priced and scored
+      if (pq) {
+        val (annPq, pqS) = t(Pq.pqTopKIndexed(
+          qVec, "vec_id", "e", pqIdx, k = k, nprobe = nprobe, refine = refine)
+          .select(col("corpus_id").as("id"), col("rank")).collect())
+        import spark.implicits._
+        val fusedPq = Curation.rrfFuse(Seq(
+          bm.map(r => (r.getLong(0), r.getInt(1))).toSeq.toDF("id", "rank"),
+          annPq.map(r => (r.getLong(0), r.getInt(1))).toSeq.toDF("id", "rank")), topK = fuseK)
+          .collect().map(_.getLong(0)).toSeq
+        val hitPq = fusedPq.toSet.intersect(fusedExact.toSet).size
+        pqHit += hitPq; pqDenom += fusedExact.size
+        println(f"""{"step":"pq_hybrid","query":$qi,"probe_secs":$pqS%.1f,"hit":$hitPq,"of":${fusedExact.size}}""")
+      }
     }
     println(f"""{"step":"fused_recall_total","recall_at_$fuseK":${fusedHit.toDouble / fusedDenom}%.4f,"queries":$nQueries}""")
+    if (pq && pqDenom > 0)
+      println(f"""{"step":"pq_fused_recall_total","recall_at_$fuseK":${pqHit.toDouble / pqDenom}%.4f,"queries":$nQueries}""")
     spark.stop()
   }
 }

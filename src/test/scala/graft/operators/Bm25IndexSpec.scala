@@ -261,14 +261,26 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val idx = s"$base/idx"; val whole = s"$base/whole"
     Curation.writeBm25Index(docs(0, 100), "doc_id", "text", idx, buckets = 4)
     val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // r17: each maintenance point surfaces the family's advice BEFORE the
+    // remedies run — the observable threshold transition
+    val advices = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val fn = graft.streaming.StreamingLex.appendBatches(
-      idx, "doc_id", "text", compactEvery = 1)(seen += _)
+      idx, "doc_id", "text", compactEvery = 1,
+      onAdvice = (a, b) => advices += ((a.action, b)))(seen += _)
     for (b <- 0 until 4) fn(docs(100 + 25 * b, 125 + 25 * b), b.toLong)
     // crash-replay of the LATEST batch (a committed batch is never
     // re-delivered — that is exactly what makes the fold watermark safe,
     // and why folding only `batchId - 1` leaves is the contract)
     fn(docs(175, 200), 3L)
     assert(seen.toSeq === Seq(0L, 1L, 2L, 3L, 3L))
+    // a maintenance point fires per non-empty batch past 0 (compactEvery=1)
+    assert(advices.map(_._2).toSeq === Seq(1L, 2L, 3L, 3L))
+    // with compactEvery=1 each point folds before accrual can cross the
+    // default thresholds, so a healthy loop reads "none" throughout —
+    // the threshold TRANSITIONS are pinned by IndexMaintenanceSpec's
+    // advice lifecycle; here we pin the surfacing and the cadence
+    assert(advices.forall { case (a, _) =>
+      Set("fold", "compact-resident", "none")(a) }, advices.toString)
     Curation.writeBm25Index(docs(0, 200), "doc_id", "text", whole, buckets = 4)
     assert(ask(idx) === ask(whole), "streamed ingest must equal all-at-once")
     val layout = Curation.bm25IndexLayout(spark, idx)
