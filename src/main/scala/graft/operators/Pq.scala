@@ -693,11 +693,41 @@ object Pq {
 
   /** Deterministic recovery after a crashed [[compactPqIndex]] /
     * [[compactPqResident]] (or a crash under the pre-r15 rename-swap),
-    * covering both tables.
-    * Idempotent; returns what was repaired per table, None when clean. */
+    * covering both tables. Also resolves orphan MANUAL lanes (r17 — a
+    * crashed [[appendPqIndex]]): a lane present in BOTH tables fully
+    * landed and is adopted (watermark advances; do NOT retry that
+    * batch — it is in the index); a lane present in only one table
+    * never landed — its call never returned success — and is deleted
+    * (DO retry that batch to land it whole). Idempotent; returns what
+    * was repaired, None when clean. */
   def recoverPqFold(spark: SparkSession, path: String): Option[String] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val codesT = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val vecsT = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    val fs = codesT.getFileSystem(hconf)
     val msgs = Seq("codes", "vectors")
-      .flatMap(t => IndexMaintenance.recover(spark, s"$path/$t"))
+      .flatMap(t => IndexMaintenance.recover(spark, s"$path/$t")) ++ {
+      val w = IndexMaintenance.readManualWatermark(fs, codesT)
+      val inCodes = IndexMaintenance.manualLanes(fs, codesT, w).toSet
+      val inVecs = IndexMaintenance.manualLanes(fs, vecsT, w).toSet
+      val (complete, half) = (inCodes ++ inVecs).toSeq.partition(l =>
+        inCodes(l) && inVecs(l))
+      half.foreach { l =>
+        IndexMaintenance.deleteLane(fs, codesT, l)
+        IndexMaintenance.deleteLane(fs, vecsT, l)
+      }
+      if (complete.nonEmpty)
+        IndexMaintenance.writeManualWatermark(fs, codesT, complete.max)
+      (if (complete.nonEmpty)
+        Seq(s"adopted ${complete.size} fully-landed manual append(s) at $path " +
+          s"(lanes ${complete.sorted.mkString(",")}) — do NOT retry those batches")
+      else Seq.empty) ++
+        (if (half.nonEmpty)
+          Seq(s"deleted ${half.size} half-landed manual lane(s) at $path " +
+            s"(lanes ${half.sorted.mkString(",")}) — those batches never landed; " +
+            "retry them to land them whole")
+        else Seq.empty)
+    }
     if (msgs.isEmpty) None else Some(msgs.mkString("; "))
   }
 

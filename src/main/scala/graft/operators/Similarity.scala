@@ -750,11 +750,32 @@ object Similarity {
   /** Deterministic recovery after a crashed [[compactIvfIndex]] /
     * [[compactIvfResident]] (or a crash under the pre-r15 rename-swap):
     * rolls an interrupted maintenance op back or forward, whichever the
-    * on-disk markers prove safe. Idempotent; returns what was repaired,
+    * on-disk markers prove safe. Also ADOPTS an orphan manual lane — a
+    * crashed [[appendIvfIndex]] whose corpus write committed but whose
+    * watermark never advanced (r17, [[Curation.recoverBm25Index]]'s
+    * contract on the ANN side): the lane's rows are complete and
+    * already probe-visible, so adoption just advances the watermark.
+    * Recovery and retry are ALTERNATIVE remedies — after recovery, do
+    * not retry the adopted batch (it is in the index; the next append
+    * of it would duplicate). Idempotent; returns what was repaired,
     * None when clean. */
   def recoverIvfFold(spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[String] =
-    IndexMaintenance.recover(spark, s"$path/corpus")
+      path: String): Option[String] = {
+    val table = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val msgs = IndexMaintenance.recover(spark, s"$path/corpus").toSeq ++ {
+      val w = IndexMaintenance.readManualWatermark(fs, table)
+      val orphans = IndexMaintenance.manualLanes(fs, table, w)
+      if (orphans.isEmpty) Seq.empty
+      else {
+        IndexMaintenance.writeManualWatermark(fs, table, orphans.max)
+        Seq(s"adopted ${orphans.size} interrupted manual append(s) at $path " +
+          s"(lanes ${orphans.sorted.mkString(",")}) — their rows were already " +
+          "index-visible; do NOT retry those batches")
+      }
+    }
+    if (msgs.isEmpty) None else Some(msgs.mkString("; "))
+  }
 
   /** Layout health of a stored IVF index ([[IndexLayoutStats]] over its
     * corpus table) — the maintenance loop's third signal, next to the

@@ -230,5 +230,13 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = Similarity.bruteForceTopK(q, "id", "v", df, "id", "v", k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
     assert(got.toSeq === want.toSeq)
+
+    // recovery is the no-retry remedy: it ADOPTS an orphan lane (the
+    // rows are already index-visible) and is idempotent
+    rewind(floor)
+    val healed = Similarity.recoverIvfFold(spark, idx)
+    assert(healed.exists(_.contains("adopted")), s"got $healed")
+    assert(IndexMaintenance.readManualWatermark(fs, table) === floor + 1)
+    assert(Similarity.recoverIvfFold(spark, idx).isEmpty, "recovery is idempotent")
   }
 }

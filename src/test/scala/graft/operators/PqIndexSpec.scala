@@ -350,5 +350,20 @@ class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counts() === ((200L, 200L)))
     val (codes, vectors) = Pq.pqIndexLayout(spark, path)
     assert(codes.batchLeaves === vectors.batchLeaves && codes.maxBatchId === vectors.maxBatchId)
+
+    // recoverPqFold resolves BOTH orphan shapes at once: a fully-landed
+    // lane is adopted (no-retry remedy), a half-landed one is deleted
+    // (retry remedy) — and a later retry of the deleted batch lands whole
+    Pq.appendPqIndex(batch(220, 230), "vec_id", "e", path) // complete
+    Pq.appendPqIndex(batch(230, 240), "vec_id", "e", path)
+    val lanes = IndexMaintenance.manualLanes(fs, codesT, floor - 1).sorted
+    IndexMaintenance.deleteLane(fs, vecsT, lanes.last) // half-land the newest
+    IndexMaintenance.writeManualWatermark(fs, codesT, lanes(lanes.size - 3))
+    val healed = Pq.recoverPqFold(spark, path)
+    assert(healed.exists(m => m.contains("adopted") && m.contains("deleted")), s"got $healed")
+    assert(counts() === ((210L, 210L)), "adopt the whole lane, delete the half one")
+    assert(Pq.recoverPqFold(spark, path).isEmpty, "recovery is idempotent")
+    Pq.appendPqIndex(batch(230, 240), "vec_id", "e", path) // the retry remedy
+    assert(counts() === ((220L, 220L)))
   }
 }
