@@ -1177,6 +1177,28 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    "bm25_search_many" -> ((s, dir) => {
+      // The batch-serving shape (r17): a BATCH of queries answered in
+      // ONE bucket-pruned pass over the stored postings — the union of
+      // all queries' terms becomes a single partition filter, df is
+      // computed once per term and shared, and the tiny query frame
+      // broadcasts onto the postings rows. Per query the answers equal
+      // bm25SearchIndexed exactly (spec-pinned); the oracle replays the
+      // whole batch (incl. a term absent from the corpus) in DuckDB.
+      val e = s
+      import e.implicits._
+      val p = work(dir, "bm25_search_many")
+      buildOnce(p) {
+        Curation.writeBm25Index(t(s, dir, "documents"), "doc_id", "text", p, buckets = 16)
+      }
+      val qs = Seq(
+        (0L, Seq("spark", "vector", "stream")),
+        (1L, Seq("data", "batch", "zzmissingterm")),
+        (2L, Seq("query", "spark"))).toDF("query_id", "terms")
+      Curation.bm25SearchIndexedMany(s, p, qs, topK = 10)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "hybrid_search" -> ((s, dir) => {
       // Hybrid retrieval, the modern RAG/curation shape: a lexical BM25
       // top-20 and a semantic cosine top-20 (document ids and embedding
@@ -2045,7 +2067,8 @@ object SparkEntry {
     "ann_ivfpq", "embedding_pairs_exact", "embed_quantize",
     "quality_filter", "token_count_bpe", "bpe_train", "bpe_encode",
     "ngram_counts", "decontaminate",
-    "tfidf_topterms", "bm25_search", "bm25_search_indexed", "repetition_stats",
+    "tfidf_topterms", "bm25_search", "bm25_search_indexed", "bm25_search_many",
+    "repetition_stats",
     "curation_pipeline",
     "pii_redact", "split_assign", "split_leakage_safe", "sample_weighted",
     "mixture_temperature", "bloom_join", "jsonl_roundtrip",
@@ -3054,6 +3077,30 @@ object SparkEntry {
     // tokenizer at build time, same formula, same rounding/tie-break, so
     // the same corpus-replaying oracle proves the index is lossless
     "bm25_search_indexed" -> bm25SearchOracle,
+    "bm25_search_many" ->
+      """WITH queries AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+                          FROM (VALUES (0, 'spark'), (0, 'vector'), (0, 'stream'),
+                                       (1, 'data'), (1, 'batch'), (1, 'zzmissingterm'),
+                                       (2, 'query'), (2, 'spark')) AS v(query_id, term)),
+              toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts FROM documents),
+              dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+              stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, term, count(*) AS tf
+                     FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+                     WHERE term IN (SELECT term FROM queries) GROUP BY 1, 2),
+              dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              contrib AS (SELECT q.query_id, tf.doc_id,
+                                 ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                                   * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS c
+                          FROM tf JOIN dfc USING (term) JOIN queries q USING (term)
+                          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+              scored AS (SELECT query_id, doc_id, round(sum(c), 4) AS score,
+                                count(*) AS n_terms_hit
+                         FROM contrib GROUP BY 1, 2),
+              ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rnk FROM scored)
+         SELECT query_id, doc_id, score, n_terms_hit, CAST(rnk AS INT) AS rank
+         FROM ranked WHERE rnk <= 10 ORDER BY query_id, rank""",
 
     // build-then-grow: appended postings + incrementally recombined
     // stats must answer exactly like the all-at-once corpus

@@ -977,6 +977,62 @@ object Curation {
       .limit(topK)
   }
 
+  /** MANY queries against a stored [[writeBm25Index]] in ONE pass — the
+    * production retrieval shape (a serving tier scores a BATCH of
+    * queries, not one): the union of all queries' terms becomes a
+    * single bucket partition filter + term pushdown, so the whole batch
+    * pays ONE snapshot-gated listing and ONE pruned scan instead of a
+    * listing + scan per query; per-term df is computed once and shared
+    * by every query that uses the term; the tiny query frame broadcasts
+    * onto the postings rows to fan scores out per query. Per query the
+    * answers are EXACTLY [[bm25SearchIndexed]]'s (same formula, round-4
+    * + id tie-break — spec-pinned parity). The query frame must be
+    * driver-small (its term set is collected to state the partition
+    * filter; it broadcasts) — that is the serving contract, thousands
+    * of queries, not a corpus.
+    *
+    * Input: `(qId, qTerms array<string>)` rows — duplicate terms within
+    * a query collapse (term SETS, the [[bm25Search]] contract); terms
+    * absent from the corpus contribute nothing. Output:
+    * `(query_id, id, score, n_terms_hit, rank)` with `rank ≤ topK` per
+    * query, ordered (query_id, rank). */
+  def bm25SearchIndexedMany(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, qId: String = "query_id",
+      qTerms: String = "terms", topK: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val (nDocs, sumDl, nBuckets, _, _) = readStats(spark, path)
+    require(nDocs > 0, s"index at $path has an empty stats row (n_docs = 0) — " +
+      "avgdl is undefined; rebuild with writeBm25Index over a non-empty corpus")
+    val avgdl = sumDl.toDouble / nDocs
+    val qt = queries.select(col(qId).as("query_id"),
+      explode(array_distinct(col(qTerms))).as("term"))
+    val terms = qt.select("term").distinct().collect().map(_.getString(0)).toSeq
+    require(terms.nonEmpty, "need at least one query term across the batch")
+    val termBuckets = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(nBuckets)).cast("int").as("bucket"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+    val postingsPath = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = postingsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tf = IndexMaintenance.consistentListing(fs, postingsPath) {
+      spark.read.parquet(s"$path/postings")
+    }.filter(col("bucket").isin(termBuckets: _*) && col("term").isin(terms: _*))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .join(broadcast(qt), "term") // fan out per query that asked for the term
+      .withColumn("idf",
+        log((lit(nDocs) - col("df") + lit(0.5d)) / (col("df") + lit(0.5d)) + lit(1.0d)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (lit(k1) + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0d) - lit(b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy("query_id", "id")
+      .agg(round(sum(col("contrib")), 4).as("score"), count(lit(1)).as("n_terms_hit"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("id"))))
+      .filter(col("rank") <= topK)
+      .orderBy("query_id", "rank")
+  }
+
   /** Reciprocal-rank fusion (RRF — Cormack, Clarke & Buettcher, SIGIR
     * 2009): combine rankings of the same id space from HETEROGENEOUS
     * retrievers — the standard way to fuse lexical (BM25) and semantic

@@ -224,6 +224,32 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("n_docs"), e.getMessage)
   }
 
+  test("bm25SearchIndexedMany: one pruned pass answers every query exactly like the per-query path") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("bmmany").toString
+    val idx = s"$base/idx"
+    Curation.writeBm25Index(docs(0, 150), "doc_id", "text", idx, buckets = 8)
+    val batch = Seq(
+      (0L, Seq("spark", "vector")),
+      (1L, Seq("index", "fold", "zzmissing")), // an absent term contributes nothing
+      (2L, Seq("batch", "batch", "probe")))    // duplicate terms collapse (term sets)
+    val many = Curation.bm25SearchIndexedMany(spark, idx,
+      batch.toDF("query_id", "terms"), topK = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getInt(4)))
+    assert(many.map(_._1).distinct.sorted === Array(0L, 1L, 2L))
+    for ((qid, terms) <- batch) {
+      val single = Curation.bm25SearchIndexed(spark, idx, terms, topK = 7).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      val mine = many.filter(_._1 == qid).sortBy(_._5).map(t => (t._2, t._3, t._4))
+      assert(mine.toSeq === single.toSeq, s"query $qid diverged from the per-query path")
+    }
+    // rank is contiguous from 1 within each query
+    for (qid <- Seq(0L, 1L, 2L))
+      assert(many.filter(_._1 == qid).map(_._5).sorted.toSeq ===
+        (1 to many.count(_._1 == qid)).toSeq)
+  }
+
   test("spreadFiles pins the per-bucket write fan-out across the whole lifecycle") {
     // r17: the ANN writers got explicit spreadFiles pinning in r15 so
     // layouts reproduce across differently-sized sessions; the lexical
