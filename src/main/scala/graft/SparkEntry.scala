@@ -1304,6 +1304,40 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    "hybrid_search_many" -> ((s, dir) => {
+      // The batch-serving retrieval STACK (r17): a batch of hybrid
+      // queries through bm25SearchIndexedMany (one pruned pass for all
+      // lexical lists), the stored IVF index's batched probe (one
+      // cell-pruned pass for all semantic lists — ivfTopKIndexed is
+      // batched by construction), and rrfFuseMany (per-query fusion).
+      // Full probe keeps the semantic side exact, so DuckDB replays the
+      // whole batch: three hybrid queries, one oracle.
+      val e2 = s
+      import e2.implicits._
+      val lexIdx = work(dir, "hybrid_search_many_lex")
+      buildOnce(lexIdx) {
+        Curation.writeBm25Index(t(s, dir, "documents"), "doc_id", "text", lexIdx, buckets = 16)
+      }
+      val qs = Seq(
+        (0L, Seq("spark", "vector", "stream")),
+        (1L, Seq("data", "batch", "zzmissingterm")),
+        (2L, Seq("query", "spark"))).toDF("query_id", "terms")
+      val lex = Curation.bm25SearchIndexedMany(s, lexIdx, qs, topK = 20)
+        .select(col("query_id"), col("id"), col("rank"))
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val semIdx = work(dir, "hybrid_search_many_sem")
+      buildOnce(semIdx) {
+        Similarity.writeIvfIndex(e, "vec_id", "e", semIdx, nlist = 8)
+      }
+      val sem = Similarity.ivfTopKIndexed(
+          e.filter(col("vec_id").isin(0L, 1L, 2L)), "vec_id", "e", semIdx,
+          k = 20, nprobe = 8)
+        .select(col("query_id"), col("corpus_id").as("id"), col("rank"))
+      Curation.rrfFuseMany(Seq(lex, sem), topK = 10)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "repetition_stats" -> ((s, dir) =>
       Curation.repetitionStats(t(s, dir, "documents"), "doc_id", "text", k = 2)
         .withColumnRenamed("id", "doc_id")),
@@ -3129,6 +3163,51 @@ object SparkEntry {
     // in this regime — the production stack under the same replay
     "hybrid_search_stored" -> hybridRrfOracle,
     "hybrid_search_pq" -> hybridRrfOracle,
+    "hybrid_search_many" ->
+      """WITH queries AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+                          FROM (VALUES (0, 'spark'), (0, 'vector'), (0, 'stream'),
+                                       (1, 'data'), (1, 'batch'), (1, 'zzmissingterm'),
+                                       (2, 'query'), (2, 'spark')) AS v(query_id, term)),
+              toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts FROM documents),
+              dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+              stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, term, count(*) AS tf
+                     FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+                     WHERE term IN (SELECT term FROM queries) GROUP BY 1, 2),
+              dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              contrib AS (SELECT q.query_id, tf.doc_id,
+                                 ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                                   * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS c
+                          FROM tf JOIN dfc USING (term) JOIN queries q USING (term)
+                          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+              bm_scored AS (SELECT query_id, doc_id, round(sum(c), 4) AS score
+                            FROM contrib GROUP BY 1, 2),
+              bm_ranked AS (SELECT query_id, doc_id AS id,
+                                   row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rank
+                            FROM bm_scored),
+              bm AS (SELECT * FROM bm_ranked WHERE rank <= 20),
+              q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings WHERE vec_id IN (0, 1, 2)),
+              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              ann_scored AS (SELECT q.query_id, c.vec_id AS id,
+                                    list_cosine_similarity(q.v, c.v) AS cos
+                             FROM q CROSS JOIN c WHERE q.query_id <> c.vec_id),
+              ann_ranked AS (SELECT query_id, id,
+                                    row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, id) AS rank
+                             FROM ann_scored),
+              ann AS (SELECT * FROM ann_ranked WHERE rank <= 20),
+              allc AS (SELECT query_id, id, 1.0 / (60 + rank) AS c FROM bm
+                       UNION ALL
+                       SELECT query_id, id, 1.0 / (60 + rank) FROM ann),
+              fused AS (SELECT query_id, id, round(sum(c), 6) AS rrf_score,
+                               count(*) AS n_lists
+                        FROM allc GROUP BY 1, 2),
+              top AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rrf_score DESC, id) AS fr FROM fused)
+         SELECT query_id, id AS doc_id, rrf_score, n_lists
+         FROM top WHERE fr <= 10 ORDER BY query_id, rrf_score DESC, doc_id""",
 
     "repetition_stats" ->
       """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),

@@ -1070,6 +1070,34 @@ object Curation {
       .limit(topK)
   }
 
+  /** [[rrfFuse]] over a BATCH of queries — the fusion stage of the
+    * batch-serving retrieval stack (r17): each input is a batched
+    * retriever output `(query_id, id, rank)` ([[bm25SearchIndexedMany]];
+    * [[Similarity.ivfTopKIndexed]] keyed by its query column), and the
+    * fusion runs WITHIN each query_id — same formula, same per-list
+    * best-rank collapse, same determinism contract as the single form,
+    * per query. Inputs are top-k-bounded retriever outputs, so the fuse
+    * costs queries × Σ list sizes rows at any corpus size; the 100 TB
+    * cost stays in the retrievers. Output: top `topK` ids per query by
+    * (rrf_score desc, id), ordered (query_id, rrf_score desc, id). */
+  def rrfFuseMany(rankings: Seq[DataFrame], topK: Int = 10,
+      kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking to fuse")
+    require(kRrf > 0, s"kRrf must be positive: $kRrf")
+    rankings.map(r => r.groupBy(col("query_id"), col("id"))
+        .agg(min(col("rank").cast("double")).as("best_rank"))
+        .select(col("query_id"), col("id"),
+          (lit(1.0d) / (lit(kRrf) + col("best_rank"))).as("c")))
+      .reduce(_ union _)
+      .groupBy("query_id", "id")
+      .agg(round(sum(col("c")), 6).as("rrf_score"), count(lit(1)).as("n_lists"))
+      .withColumn("fused_rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("rrf_score").desc, col("id"))))
+      .filter(col("fused_rank") <= topK)
+      .drop("fused_rank")
+      .orderBy(col("query_id"), col("rrf_score").desc, col("id"))
+  }
+
   /** Word-bigram occurrences of a text column (NOT deduped — these are
     * feature counts, like [[charGrams]]). Texts under 2 tokens yield an
     * empty array and are absent from gram-keyed outputs. */

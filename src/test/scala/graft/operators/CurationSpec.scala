@@ -210,6 +210,27 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top2 === Seq(20L, 10L))
   }
 
+  test("rrfFuseMany: per-query fusion equals rrfFuse run query by query") {
+    val s = spark
+    import s.implicits._
+    def ranking(rows: (Long, Long, Int)*) = rows.toDF("query_id", "id", "rank")
+    val lex = ranking((0L, 10L, 1), (0L, 20L, 2), (0L, 30L, 3),
+      (1L, 20L, 1), (1L, 50L, 2))
+    val sem = ranking((0L, 20L, 1), (0L, 40L, 2), (0L, 10L, 3),
+      (1L, 50L, 1), (1L, 60L, 2))
+    val many = Curation.rrfFuseMany(Seq(lex, sem), topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    for (q <- Seq(0L, 1L)) {
+      val single = Curation.rrfFuse(Seq(
+        lex.filter(col("query_id") === q).select("id", "rank"),
+        sem.filter(col("query_id") === q).select("id", "rank")), topK = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      assert(many.filter(_._1 == q).map(t => (t._2, t._3, t._4)).toSeq === single.toSeq,
+        s"query $q diverged from the single-query fusion")
+    }
+    assert(many.length === 4, "topK truncation is PER QUERY")
+  }
+
   test("bm25SearchIndexed: answer-identical to the scan path; bucket-pruned; duplicate terms collapse") {
     val s = spark
     import s.implicits._
