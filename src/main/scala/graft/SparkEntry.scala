@@ -1177,6 +1177,41 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    "bm25_search_deleted" -> ((s, dir) => {
+      // Deletion as a first-class index op (r17): tombstone a seventh
+      // of the corpus, then search — scores must equal an index BUILT
+      // without those docs (tf, df, n_docs and avgdl all adjust via the
+      // (id, dl) ledger), which is exactly what the oracle replays
+      // (the same BM25 SQL over the filtered corpus).
+      val p = work(dir, "bm25_search_deleted")
+      val d = t(s, dir, "documents")
+      buildOnce(p) {
+        Curation.writeBm25Index(d, "doc_id", "text", p, buckets = 16)
+        Curation.deleteFromBm25Index(
+          d.filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id").as("id")), p)
+      }
+      Curation.bm25SearchIndexed(s, p, Seq("spark", "vector", "stream"), topK = 10)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    "ann_ivf_deleted" -> ((s, dir) => {
+      // The ANN deletion twin (r17): tombstone a fifth of the corpus,
+      // probe exhaustively — deleted vectors must vanish from answers
+      // immediately (the ledger anti-joins out of the probe), equal to
+      // brute force over the remaining corpus. Purge is spec-gated
+      // (IvfIndexSpec); this gates the tombstone-probe path.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val p = work(dir, "ann_ivf_deleted")
+      buildOnce(p) {
+        Similarity.writeIvfIndex(e, "vec_id", "e", p, nlist = 8)
+        Similarity.deleteFromIvfIndex(
+          e.filter(pmod(col("vec_id"), lit(5)) === 2).select(col("vec_id").as("id")), p)
+      }
+      Similarity.ivfTopKIndexed(
+        e.filter(col("vec_id") < 10), "vec_id", "e", p, k = 5, nprobe = 8)
+    }),
+
     "bm25_search_many" -> ((s, dir) => {
       // The batch-serving shape (r17): a BATCH of queries answered in
       // ONE bucket-pruned pass over the stored postings — the union of
@@ -3111,6 +3146,14 @@ object SparkEntry {
     // tokenizer at build time, same formula, same rounding/tie-break, so
     // the same corpus-replaying oracle proves the index is lossless
     "bm25_search_indexed" -> bm25SearchOracle,
+    // the SAME single literals over the tombstone-filtered corpora: a
+    // delete must equal a rebuild without the docs, stated verbatim
+    "bm25_search_deleted" -> bm25SearchOracle.replace(
+      "AS ts FROM documents),",
+      "AS ts FROM documents WHERE doc_id % 7 <> 3),"),
+    "ann_ivf_deleted" -> annExhaustiveOracle.replace(
+      "AS v FROM embeddings),",
+      "AS v FROM embeddings WHERE vec_id % 5 <> 2),"),
     "bm25_search_many" ->
       """WITH queries AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
                           FROM (VALUES (0, 'spark'), (0, 'vector'), (0, 'stream'),

@@ -934,6 +934,90 @@ object Curation {
       foldLeavesPerBucket)
   }
 
+  /** DELETE documents from a stored BM25 index (r17) — tombstone-first,
+    * the [[Similarity.deleteFromIvfIndex]] shape with one lexical
+    * extra: BM25's scores depend on corpus stats (n_docs, avgdl), so
+    * the ledger stores `(id, dl)` — dl recovered from the doc's own
+    * postings rows in one batch-priced lookup here — and every probe
+    * subtracts the ledger's aggregate from the stored stats. Deleted
+    * docs then vanish from answers IMMEDIATELY and the remaining scores
+    * equal an index built without them (oracle-gated). The delete is
+    * one ledger append — no index rewrite, no stats write, crash-safe
+    * (re-appending dedups). Zero-token docs have no postings rows, so
+    * deleting one leaves n_docs overcounting by one — the same
+    * documented epsilon as [[recoverBm25Index]]'s manual-lane heal.
+    * [[purgeBm25Deletes]] reclaims the bytes later; the ledger itself
+    * stays (it carries the stats adjustment) until a rebuild resets
+    * everything. Driver-small ledger by contract (it broadcasts). */
+  def deleteFromBm25Index(ids: DataFrame, path: String,
+      idCol: String = "id"): Unit = {
+    val spark = ids.sparkSession
+    val postingsPath = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = postingsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = IndexMaintenance.consistentListing(fs, postingsPath) {
+      spark.read.parquet(s"$path/postings")
+    }
+    rows.join(broadcast(ids.select(col(idCol).as("id")).distinct()),
+        Seq("id"), "left_semi")
+      .select("id", "dl").distinct()
+      .coalesce(1).write.mode("append")
+      .parquet(IndexMaintenance.deletesDir(path))
+  }
+
+  /** Physically remove tombstoned postings (r17) — rewrite every
+    * resident bucket with the ledger anti-joined out (marker-staged;
+    * [[recoverBm25Index]] heals a crash). Requires a fully-folded index
+    * (a deleted row in an unfolded lane would survive). Unlike the ANN
+    * purges the ledger is NOT cleared: the stored stats row keeps its
+    * original totals and the ledger's (id, dl) aggregate is what makes
+    * the probes' effective stats right — a rebuild (writeBm25Index over
+    * the curated corpus) is what resets both. Returns buckets
+    * rewritten. Single-writer contract. */
+  def purgeBm25Deletes(spark: org.apache.spark.sql.SparkSession,
+      path: String, spreadFiles: Int = 0): Int =
+    IndexMaintenance.readDeletes(spark, path) match {
+      case None => 0
+      case Some(ledger) =>
+        val layout = bm25IndexLayout(spark, path)
+        require(layout.batchLeaves == 0,
+          s"index at $path has ${layout.batchLeaves} unfolded batch leaves — " +
+            "fold them first (compactBm25Index at a covering watermark): a " +
+            "deleted row in an unfolded lane would survive the purge")
+        // already-purged guard: the ledger stays after a purge (stats),
+        // so a rerun must detect there is nothing left to remove rather
+        // than rewrite every bucket again — one read-only semi-join probe
+        val matches = spark.read.parquet(s"$path/postings")
+          .join(broadcast(ledger.select("id")), Seq("id"), "left_semi")
+          .limit(1).count()
+        if (matches == 0) 0
+        else {
+          val buckets = readStats(spark, path)._3
+          IndexMaintenance.rewriteResident(spark, s"$path/postings", 0,
+            df => df.join(broadcast(ledger.select("id")), Seq("id"), "left_anti"),
+            bucketSpread(_, buckets, spreadFiles), level1 = "bucket")
+        }
+    }
+
+  /** Effective corpus stats + tombstone set for the stored-postings
+    * probes: the stored SUMS minus the delete ledger's aggregate, so
+    * idf/avgdl match an index built without the deleted docs. */
+  private def bm25Effective(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Long, Double, Int, Option[DataFrame]) = {
+    val (nDocs, sumDl, nBuckets, _, _) = readStats(spark, path)
+    val ledger = IndexMaintenance.readDeletes(spark, path)
+    val (delN, delDl) = ledger.map { d =>
+      val r = d.agg(count(lit(1)),
+        coalesce(sum(col("dl")), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.getOrElse((0L, 0L))
+    val nEff = nDocs - delN
+    require(nEff > 0, s"index at $path has no live documents " +
+      s"(n_docs $nDocs, deleted $delN) — avgdl is undefined; rebuild with " +
+      "writeBm25Index over a non-empty corpus")
+    (nEff, (sumDl - delDl).toDouble / nEff, nBuckets,
+      ledger.map(d => broadcast(d.select("id"))))
+  }
+
   /** [[bm25Search]] against a stored [[writeBm25Index]] — identical
     * answers (same tokenizer at build time, same formula, same round-4
     * score + id tie-break), but the per-query cost is the query TERMS'
@@ -950,10 +1034,7 @@ object Curation {
     import spark.implicits._
     val terms = queryTerms.distinct
     require(terms.nonEmpty, "need at least one query term")
-    val (nDocs, sumDl, nBuckets, _, _) = readStats(spark, path)
-    require(nDocs > 0, s"index at $path has an empty stats row (n_docs = 0) — " +
-      "avgdl is undefined; rebuild with writeBm25Index over a non-empty corpus")
-    val avgdl = sumDl.toDouble / nDocs
+    val (nDocs, avgdl, nBuckets, tombstones) = bm25Effective(spark, path)
     // the same hash the writer bucketed with, evaluated over a literal
     // frame — the probed-bucket set becomes a partition filter
     val termBuckets = terms.toDF("term")
@@ -961,9 +1042,11 @@ object Curation {
       .collect().map(_.getInt(0)).distinct.toSeq
     val postingsPath = new org.apache.hadoop.fs.Path(s"$path/postings")
     val fs = postingsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tf = IndexMaintenance.consistentListing(fs, postingsPath) {
+    val tf0 = IndexMaintenance.consistentListing(fs, postingsPath) {
       spark.read.parquet(s"$path/postings")
     }.filter(col("bucket").isin(termBuckets: _*) && col("term").isin(terms: _*))
+    // tombstoned docs leave tf AND df, so scores equal a rebuilt index
+    val tf = tombstones.map(t => tf0.join(t, Seq("id"), "left_anti")).getOrElse(tf0)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "term")
       .withColumn("idf",
@@ -1001,10 +1084,7 @@ object Curation {
       qTerms: String = "terms", topK: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import spark.implicits._
-    val (nDocs, sumDl, nBuckets, _, _) = readStats(spark, path)
-    require(nDocs > 0, s"index at $path has an empty stats row (n_docs = 0) — " +
-      "avgdl is undefined; rebuild with writeBm25Index over a non-empty corpus")
-    val avgdl = sumDl.toDouble / nDocs
+    val (nDocs, avgdl, nBuckets, tombstones) = bm25Effective(spark, path)
     val qt = queries.select(col(qId).as("query_id"),
       explode(array_distinct(col(qTerms))).as("term"))
     val terms = qt.select("term").distinct().collect().map(_.getString(0)).toSeq
@@ -1014,9 +1094,11 @@ object Curation {
       .collect().map(_.getInt(0)).distinct.toSeq
     val postingsPath = new org.apache.hadoop.fs.Path(s"$path/postings")
     val fs = postingsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tf = IndexMaintenance.consistentListing(fs, postingsPath) {
+    val tf0 = IndexMaintenance.consistentListing(fs, postingsPath) {
       spark.read.parquet(s"$path/postings")
     }.filter(col("bucket").isin(termBuckets: _*) && col("term").isin(terms: _*))
+    // tombstoned docs leave tf AND df, so scores equal a rebuilt index
+    val tf = tombstones.map(t => tf0.join(t, Seq("id"), "left_anti")).getOrElse(tf0)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "term")
       .join(broadcast(qt), "term") // fan out per query that asked for the term

@@ -328,6 +328,38 @@ private[graft] object IndexMaintenance {
     bumpEpoch(fs, table)
   }
 
+  // ---------------------------------------------------------------------
+  // The TOMBSTONE LEDGER (r17) — deletion for append-oriented index
+  // families: `deleteFrom*Index` appends deleted ids (plus any columns
+  // the family's stats need — BM25 keeps `dl`) under `<index>/deletes`;
+  // probes anti-join the broadcast ledger so deleted docs vanish from
+  // answers IMMEDIATELY and exactly (the BM25 probes also subtract the
+  // ledger's aggregate from the stored stats, so idf/avgdl match an
+  // index built without those docs); `purge*Deletes` later reclaims the
+  // bytes by rewriting the resident layer through [[rewriteResident]]'s
+  // marker protocol. The ledger is driver-small by contract (it
+  // broadcasts); when deletions outgrow that, the remedy is a rebuild —
+  // which starts from the tombstone-filtered rows and resets the ledger.
+  // ---------------------------------------------------------------------
+
+  private[operators] def deletesDir(indexPath: String): String =
+    s"$indexPath/deletes"
+
+  /** The deduplicated tombstone ledger, or None when nothing was ever
+    * deleted. Dedup makes a re-appended tombstone harmless. */
+  private[operators] def readDeletes(spark: SparkSession,
+      indexPath: String): Option[DataFrame] = {
+    val p = new Path(deletesDir(indexPath))
+    val fs = fsOf(spark, p)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).distinct()) else None
+  }
+
+  private[operators] def clearDeletes(spark: SparkSession, indexPath: String): Unit = {
+    val p = new Path(deletesDir(indexPath))
+    fsOf(spark, p).delete(p, true)
+    ()
+  }
+
   /** Order-independent fingerprint of a frame's distinct `id` set —
     * (count, xor of per-id hashes). Decides whether an incoming manual
     * batch IS the retry of an orphan lane (same id set) or a different
@@ -432,6 +464,19 @@ private[graft] object IndexMaintenance {
   def compactResident(spark: SparkSession, tablePath: String, maxFiles: Int,
       spread: DataFrame => DataFrame, level1: String = "cell"): Int = {
     require(maxFiles >= 1, s"maxFiles must be >= 1: $maxFiles")
+    rewriteResident(spark, tablePath, maxFiles, identity, spread, level1)
+  }
+
+  /** The marker-staged resident-layer rewrite [[compactResident]] and
+    * the delete purges share: select cells whose `-1` file count
+    * exceeds `minFilesExclusive` (0 = every non-empty cell), run their
+    * rows through `transform` (identity for a compaction; the
+    * tombstone anti-join for a purge), re-spread, and swap the files
+    * in under the fold marker protocol — crash at any point rolls back
+    * or forward through the existing [[recover]]. */
+  private[operators] def rewriteResident(spark: SparkSession, tablePath: String,
+      minFilesExclusive: Int, transform: DataFrame => DataFrame,
+      spread: DataFrame => DataFrame, level1: String = "cell"): Int = {
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
     require(fs.exists(table), s"no index table at $table")
@@ -439,7 +484,7 @@ private[graft] object IndexMaintenance {
     requireNoDebris(fs, table)
 
     // accrual-sized listing: every cell's -1 leaf is LISTED (that is the
-    // accrual metric), but only over-bound cells' files enter the scan
+    // accrual metric), but only selected cells' files enter the scan
     val overBound: Seq[(String, Seq[String])] = (for {
       cellDir <- fs.listStatus(table).toSeq
       if cellDir.isDirectory && cellDir.getPath.getName.startsWith(s"$level1=")
@@ -447,7 +492,7 @@ private[graft] object IndexMaintenance {
       if fs.exists(resident)
       files = fs.listStatus(resident).toSeq
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      if files.size > maxFiles
+      if files.size > minFilesExclusive
     } yield cellDir.getPath.getName ->
       files.map(f => s"${cellDir.getPath.getName}/ingest_batch=-1/${f.getPath.getName}"))
     if (overBound.isEmpty) return 0
@@ -457,7 +502,7 @@ private[graft] object IndexMaintenance {
     fs.delete(tmp, true)
     val df = spark.read.option("basePath", tablePath)
       .parquet(oldFileRels.map(r => s"$tablePath/$r"): _*)
-    spread(df.drop("ingest_batch"))
+    spread(transform(df.drop("ingest_batch")))
       .write.mode("overwrite").partitionBy(level1).parquet(tmp.toString)
 
     // `rc-` keys replacement files to this compaction (uniqueness from

@@ -691,6 +691,45 @@ object Pq {
     (one("codes"), one("vectors"))
   }
 
+  /** DELETE vectors from a stored IVFPQ index (r17) —
+    * [[Similarity.deleteFromIvfIndex]]'s twin: one tiny ledger append;
+    * every [[pqTopKIndexed]] probe anti-joins the ledger out of BOTH
+    * stages (codes, so deleted docs stop consuming ADC shortlist
+    * budget, and vectors); [[purgePqDeletes]] reclaims the bytes. */
+  def deleteFromPqIndex(ids: DataFrame, path: String,
+      idCol: String = "id"): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .coalesce(1).write.mode("append")
+      .parquet(IndexMaintenance.deletesDir(path))
+
+  /** Physically remove tombstoned vectors from BOTH tables (r17) —
+    * [[Similarity.purgeIvfDeletes]]'s twin: marker-staged per table
+    * (codes then vectors — a crash between them is benign, the ledger
+    * still hides the remaining rows and a rerun completes), then the
+    * ledger clears. Requires a fully-folded index, same reason as the
+    * IVF twin. Returns cells rewritten per table. */
+  def purgePqDeletes(spark: SparkSession, path: String,
+      spreadFiles: Int = 0): (Int, Int) =
+    IndexMaintenance.readDeletes(spark, path) match {
+      case None => (0, 0)
+      case Some(ledger) =>
+        val (codesL, vecsL) = pqIndexLayout(spark, path)
+        require(codesL.batchLeaves == 0 && vecsL.batchLeaves == 0,
+          s"index at $path has unfolded batch leaves (codes ${codesL.batchLeaves}, " +
+            s"vectors ${vecsL.batchLeaves}) — fold them first (compactPqIndex at a " +
+            "covering watermark): a deleted row in an unfolded lane would survive " +
+            "the purge and resurface once the ledger cleared")
+        val nlist = spark.read.parquet(s"$path/model/centroids").count().toInt
+        val d = ledger.select(col("id").as("corpus_id"))
+        def one(table: String) =
+          IndexMaintenance.rewriteResident(spark, s"$path/$table", 0,
+            df => df.join(broadcast(d), Seq("corpus_id"), "left_anti"),
+            Similarity.cellSpread(_, nlist, spreadFiles = spreadFiles))
+        val out = (one("codes"), one("vectors"))
+        IndexMaintenance.clearDeletes(spark, path)
+        out
+    }
+
   /** Deterministic recovery after a crashed [[compactPqIndex]] /
     * [[compactPqResident]] (or a crash under the pre-r15 rename-swap),
     * covering both tables. Also resolves orphan MANUAL lanes (r17 — a
@@ -1105,10 +1144,17 @@ object Pq {
         spark.read.parquet(s"$path/$t")
       }
     }
-    val codes = snapshotRead("codes")
-      .filter(col("cell").isin(probedCells.toSeq: _*))
-    val vectors = snapshotRead("vectors")
-      .filter(col("cell").isin(probedCells.toSeq: _*))
+    // tombstoned ids vanish from BOTH stages immediately (the ledger is
+    // driver-small by contract, so the anti-joins broadcast); filtering
+    // codes keeps deleted docs out of the ADC shortlist budget too
+    val tombstones = IndexMaintenance.readDeletes(spark, path)
+      .map(d => broadcast(d.select(col("id").as("corpus_id"))))
+    def live(df: DataFrame) = tombstones
+      .map(t => df.join(t, Seq("corpus_id"), "left_anti")).getOrElse(df)
+    val codes = live(snapshotRead("codes")
+      .filter(col("cell").isin(probedCells.toSeq: _*)))
+    val vectors = live(snapshotRead("vectors")
+      .filter(col("cell").isin(probedCells.toSeq: _*)))
     // Shortlist-saturation skip: when k·refine covers every candidate
     // row in the probed cells, the ADC rank-and-truncate provably keeps
     // ALL of them — the whole ADC stage is a no-op — so the plan goes

@@ -705,6 +705,51 @@ object Similarity {
       cellSpread(_, nlist, spreadFiles = spreadFiles))
   }
 
+  /** DELETE vectors from a stored IVF index (r17) — tombstone-first:
+    * the ids land in the index's `deletes` ledger, every
+    * [[ivfTopKIndexed]] probe anti-joins them out (broadcast — the
+    * ledger is driver-small by contract), and [[purgeIvfDeletes]]
+    * reclaims the bytes later. The delete itself is one tiny append —
+    * no index rewrite, no stats dance, crash-safe by construction (the
+    * ledger append either lands or it didn't; re-appending is harmless,
+    * the ledger dedups). Deleting an id not in the index is a no-op at
+    * probe time. `ids` must carry one column named by `idCol`. */
+  def deleteFromIvfIndex(ids: DataFrame, path: String,
+      idCol: String = "id"): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .coalesce(1).write.mode("append")
+      .parquet(IndexMaintenance.deletesDir(path))
+
+  /** Physically remove tombstoned vectors (r17): rewrite every resident
+    * cell with the ledger anti-joined out (marker-staged through the
+    * fold protocol — [[recoverIvfFold]] heals a crash), then clear the
+    * ledger. Requires a FULLY-FOLDED index (no batch leaves): a deleted
+    * row still sitting in an unfolded lane would survive the rewrite
+    * and resurface once the ledger cleared. Probes stay correct the
+    * whole time — before the purge the anti-join hides the rows, after
+    * it the rows are gone; a crash between the rewrite and the ledger
+    * clear just leaves a no-op anti-join in place. Returns cells
+    * rewritten (0 = no ledger). Single-writer contract. */
+  def purgeIvfDeletes(spark: org.apache.spark.sql.SparkSession,
+      path: String, spreadFiles: Int = 0): Int =
+    IndexMaintenance.readDeletes(spark, path) match {
+      case None => 0
+      case Some(ledger) =>
+        val layout = ivfIndexLayout(spark, path)
+        require(layout.batchLeaves == 0,
+          s"index at $path has ${layout.batchLeaves} unfolded batch leaves — " +
+            "fold them first (compactIvfIndex at a covering watermark): a " +
+            "deleted row in an unfolded lane would survive the purge and " +
+            "resurface once the ledger cleared")
+        val nlist = spark.read.parquet(s"$path/centroids").count().toInt
+        val d = ledger.select(col("id").as("corpus_id"))
+        val n = IndexMaintenance.rewriteResident(spark, s"$path/corpus", 0,
+          df => df.join(broadcast(d), Seq("corpus_id"), "left_anti"),
+          cellSpread(_, nlist, spreadFiles = spreadFiles))
+        IndexMaintenance.clearDeletes(spark, path)
+        n
+    }
+
   /** The per-cell `-1` file threshold a resident compaction flattens
     * against. Must be AT LEAST the spread the rewrite itself produces —
     * a threshold below it would rewrite the same cells forever without
@@ -916,9 +961,14 @@ object Similarity {
     // runs concurrently with this probe. Remaining anomaly is loud-only:
     // a file deleted after the snapshot fails the task with
     // FileNotFoundException — retry the query.
-    val c = IndexMaintenance.consistentListing(corpusFs, corpusPath) {
+    val c0 = IndexMaintenance.consistentListing(corpusFs, corpusPath) {
       spark.read.parquet(s"$path/corpus")
     }.filter(col("cell").isin(probedCells.toSeq: _*))
+    // tombstoned ids vanish from answers immediately; the ledger is
+    // driver-small by contract, so the anti-join broadcasts
+    val c = IndexMaintenance.readDeletes(spark, path).map(d =>
+      c0.join(broadcast(d.select(col("id").as("corpus_id"))),
+        Seq("corpus_id"), "left_anti")).getOrElse(c0)
     rankTopK(q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn"))), k)

@@ -3,7 +3,7 @@ package graft.operators
 import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -280,6 +280,50 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maxFilesPerLeaf() === 1, "resident compaction must restore the pinned spread")
     Curation.writeBm25Index(docs(0, 160), "doc_id", "text", whole, buckets = 4)
     assert(ask(idx) === ask(whole), "the pin is layout-only — answers unchanged")
+  }
+
+  test("tombstoned deletes: probes equal an index built without the docs; purge reclaims bytes, answers unchanged") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("bmdel").toString
+    val idx = s"$base/idx"; val whole = s"$base/whole"; val whole2 = s"$base/whole2"
+    Curation.writeBm25Index(docs(0, 150), "doc_id", "text", idx, buckets = 8)
+    val deleted = docs(0, 150).filter(pmod(col("doc_id"), lit(5)) === 2)
+      .select(col("doc_id").as("id"))
+    Curation.deleteFromBm25Index(deleted, idx)
+    // scores must equal an index BUILT without the docs: tf, df, n_docs
+    // and avgdl all adjust (idf/avgdl via the ledger aggregate)
+    Curation.writeBm25Index(docs(0, 150).filter(pmod(col("doc_id"), lit(5)) =!= 2),
+      "doc_id", "text", whole, buckets = 8)
+    assert(ask(idx) === ask(whole), "delete must equal a rebuild without the docs")
+    // double-delete is harmless (the ledger dedups)
+    Curation.deleteFromBm25Index(deleted, idx)
+    assert(ask(idx) === ask(whole))
+    // the batch probe honors tombstones through the same effective stats
+    val many = Curation.bm25SearchIndexedMany(spark, idx,
+      Seq((0L, Seq("spark", "vector"))).toDF("query_id", "terms"), topK = 15)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(many === ask(idx).toSeq)
+    // purge refuses while batch leaves exist (a deleted row in a lane
+    // would survive), then reclaims after the fold
+    Curation.appendBm25IndexIdempotent(docs(150, 160), "doc_id", "text", idx, 0L)
+    val e = intercept[IllegalArgumentException] {
+      Curation.purgeBm25Deletes(spark, idx)
+    }
+    assert(e.getMessage.contains("fold"), e.getMessage)
+    Curation.compactBm25Index(spark, idx, committedBatchId = 0L)
+    assert(Curation.purgeBm25Deletes(spark, idx) > 0)
+    // tombstoned rows are physically gone; answers unchanged (the
+    // ledger stays — it carries the stats adjustment)
+    assert(spark.read.parquet(s"$idx/postings")
+      .join(deleted, Seq("id"), "left_semi").count() === 0L)
+    Curation.writeBm25Index(
+      docs(0, 160).filter(col("doc_id") >= 150 || pmod(col("doc_id"), lit(5)) =!= 2),
+      "doc_id", "text", whole2, buckets = 8)
+    assert(ask(idx) === ask(whole2), "purge must change nothing about answers")
+    // rerun: the ledger stays (stats), but the already-purged guard
+    // must detect there is nothing left and skip the rewrite
+    assert(Curation.purgeBm25Deletes(spark, idx) === 0)
   }
 
   test("streamed ingest rides the shared skeleton: replay exactly-once, in-stream fold, self-maintenance") {

@@ -239,4 +239,30 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(IndexMaintenance.readManualWatermark(fs, table) === floor + 1)
     assert(Similarity.recoverIvfFold(spark, idx).isEmpty, "recovery is idempotent")
   }
+
+  test("tombstoned deletes: probes skip deleted vectors; purge reclaims and clears the ledger") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0L until 60L).map { i =>
+      (i, Array((i % 7).toDouble + 1, ((i * 3) % 5).toDouble, ((i * 7) % 11).toDouble))
+    }
+    val df = vecs.toDF("id", "v")
+    val idx = Files.createTempDirectory("ivfdel").toString
+    Similarity.writeIvfIndex(df, "id", "v", idx, nlist = 4)
+    val live = df.filter(pmod(col("id"), lit(7)) =!= 1)
+    Similarity.deleteFromIvfIndex(
+      df.filter(pmod(col("id"), lit(7)) === 1).select("id"), idx)
+    val q = df.filter(col("id") < 5) // incl. queries for deleted neighbors
+    def probe() = Similarity.ivfTopKIndexed(q, "id", "v", idx, k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    val want = Similarity.bruteForceTopK(q, "id", "v", live, "id", "v", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    assert(probe() === want, "deleted vectors must vanish from answers immediately")
+    // purge: rows physically gone, ledger cleared, answers unchanged
+    assert(Similarity.purgeIvfDeletes(spark, idx) > 0)
+    assert(spark.read.parquet(s"$idx/corpus").count() === live.count())
+    assert(!new java.io.File(s"$idx/deletes").exists(), "ANN purge clears the ledger")
+    assert(probe() === want)
+    assert(Similarity.purgeIvfDeletes(spark, idx) === 0, "no ledger, no-op")
+  }
 }

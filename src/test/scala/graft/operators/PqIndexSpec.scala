@@ -366,4 +366,30 @@ class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     Pq.appendPqIndex(batch(230, 240), "vec_id", "e", path) // the retry remedy
     assert(counts() === ((220L, 220L)))
   }
+
+  test("tombstoned deletes: both PQ stages skip deleted vectors; purge rewrites both tables") {
+    def batch(lo: Long, hi: Long) = {
+      val gen = udf((id: Long) => graft.tools.EmbedSynth.vector(id, 16, 4, 0.3))
+      spark.range(lo, hi).select(col("id").as("vec_id"), gen(col("id")).as("e"))
+    }
+    val path = Files.createTempDirectory("pqdel").toString
+    val all = batch(0, 200)
+    Pq.writePqIndex(all, "vec_id", "e", path, nlist = 4, m = 4, ksub = 16)
+    val live = all.filter(pmod(col("vec_id"), lit(9)) =!= 4)
+    Pq.deleteFromPqIndex(
+      all.filter(pmod(col("vec_id"), lit(9)) === 4).select(col("vec_id").as("id")), path)
+    val q = all.filter(col("vec_id") < 4)
+    def probe() = Pq.pqTopKIndexed(q, "vec_id", "e", path, k = 3, nprobe = 4, refine = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    val want = Similarity.bruteForceTopK(q, "vec_id", "e", live, "vec_id", "e", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    assert(probe() === want, "deleted vectors must vanish from ADC + re-rank immediately")
+    val (c, v) = Pq.purgePqDeletes(spark, path)
+    assert(c > 0 && v > 0)
+    val nLive = live.count()
+    assert(spark.read.parquet(s"$path/codes").count() === nLive)
+    assert(spark.read.parquet(s"$path/vectors").count() === nLive)
+    assert(!new java.io.File(s"$path/deletes").exists())
+    assert(probe() === want, "purge must change nothing about answers")
+  }
 }
