@@ -927,11 +927,12 @@ object Curation {
     * layout-only: fold ≻ compact-resident ≻ none). */
   def bm25MaintenanceAdvice(spark: org.apache.spark.sql.SparkSession,
       path: String, maxFilesPerBucket: Int = 0,
-      foldLeavesPerBucket: Int = 2, spreadFiles: Int = 0): MaintenanceAdvice = {
+      foldLeavesPerBucket: Int = 2, spreadFiles: Int = 0,
+      maxTombstones: Long = 100000L): MaintenanceAdvice = {
     val buckets = readStats(spark, path)._3
     IndexMaintenance.advise(bm25IndexLayout(spark, path), driftTripped = false,
       Similarity.residentBound(spark, buckets, maxFilesPerBucket, spreadFiles),
-      foldLeavesPerBucket)
+      foldLeavesPerBucket, pendingBm25Tombstones(spark, path), maxTombstones)
   }
 
   /** DELETE documents from a stored BM25 index (r17) — tombstone-first,
@@ -983,20 +984,47 @@ object Curation {
           s"index at $path has ${layout.batchLeaves} unfolded batch leaves — " +
             "fold them first (compactBm25Index at a covering watermark): a " +
             "deleted row in an unfolded lane would survive the purge")
-        // already-purged guard: the ledger stays after a purge (stats),
-        // so a rerun must detect there is nothing left to remove rather
-        // than rewrite every bucket again — one read-only semi-join probe
-        val matches = spark.read.parquet(s"$path/postings")
-          .join(broadcast(ledger.select("id")), Seq("id"), "left_semi")
-          .limit(1).count()
-        if (matches == 0) 0
+        // already-purged guards: the ledger stays after a purge (it
+        // carries the stats adjustment), so a rerun must detect there
+        // is nothing left rather than rewrite every bucket again — the
+        // `_purged_through` watermark (ledger rows netted at the last
+        // purge) answers for free, and a read-only semi-join probe
+        // covers the watermark's blind spot (new tombstones that never
+        // had postings rows)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(s"$path/_purged_through")
+        val ledgerCount = ledger.count()
+        if (ledgerCount <= IndexMaintenance.readCounterFile(fs, marker)) 0
         else {
-          val buckets = readStats(spark, path)._3
-          IndexMaintenance.rewriteResident(spark, s"$path/postings", 0,
-            df => df.join(broadcast(ledger.select("id")), Seq("id"), "left_anti"),
-            bucketSpread(_, buckets, spreadFiles), level1 = "bucket")
+          val matches = spark.read.parquet(s"$path/postings")
+            .join(broadcast(ledger.select("id")), Seq("id"), "left_semi")
+            .limit(1).count()
+          if (matches == 0) {
+            IndexMaintenance.writeCounterFile(fs, marker, ledgerCount)
+            0
+          } else {
+            val buckets = readStats(spark, path)._3
+            val n = IndexMaintenance.rewriteResident(spark, s"$path/postings", 0,
+              df => df.join(broadcast(ledger.select("id")), Seq("id"), "left_anti"),
+              bucketSpread(_, buckets, spreadFiles), level1 = "bucket")
+            IndexMaintenance.writeCounterFile(fs, marker, ledgerCount)
+            n
+          }
         }
     }
+
+  /** Tombstones awaiting physical removal — what feeds the advice's
+    * purge signal: the ledger count net of the `_purged_through`
+    * watermark the last [[purgeBm25Deletes]] recorded. */
+  private def pendingBm25Tombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    math.max(0L, IndexMaintenance.tombstoneCount(spark, path) -
+      IndexMaintenance.readCounterFile(fs,
+        new org.apache.hadoop.fs.Path(s"$path/_purged_through")))
+  }
 
   /** Effective corpus stats + tombstone set for the stored-postings
     * probes: the stored SUMS minus the delete ledger's aggregate, so

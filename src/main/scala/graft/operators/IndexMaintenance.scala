@@ -360,6 +360,27 @@ private[graft] object IndexMaintenance {
     ()
   }
 
+  /** Ledger row count — the ANN families' pending-tombstone signal
+    * (their purge clears the ledger; BM25 keeps it and nets a purged
+    * watermark off instead). One tiny-parquet count, advice-priced. */
+  private[operators] def tombstoneCount(spark: SparkSession, indexPath: String): Long =
+    readDeletes(spark, indexPath).map(_.count()).getOrElse(0L)
+
+  /** Tiny single-value counter file, published scratch+delete+rename
+    * like the epoch (a reader in the gap sees the default). */
+  private[operators] def readCounterFile(fs: FileSystem, f: Path,
+      default: Long = 0L): Long =
+    if (!fs.exists(f)) default
+    else readMarker(fs, f).headOption.map(_.trim.toLong).getOrElse(default)
+
+  private[operators] def writeCounterFile(fs: FileSystem, f: Path, v: Long): Unit = {
+    val scratch = new Path(f.getParent, f.getName + ".tmp")
+    val out = fs.create(scratch, true)
+    try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+    fs.delete(f, false)
+    require(fs.rename(scratch, f), s"could not publish counter $f")
+  }
+
   /** Order-independent fingerprint of a frame's distinct `id` set —
     * (count, xor of per-id hashes). Decides whether an incoming manual
     * batch IS the retry of an orphan lane (same id set) or a different
@@ -667,10 +688,18 @@ private[graft] object IndexMaintenance {
     * [[MaintenanceAdvice]] for the precedence contract. `residentBound`
     * is the per-cell `-1` file threshold (the index family's
     * [[Similarity.residentBound]] derivation); `foldLeavesPerCell` is
-    * how many unfolded batches' worth of leaves to tolerate. */
+    * how many unfolded batches' worth of leaves to tolerate;
+    * `pendingTombstones` is the family's count of deleted ids not yet
+    * physically purged (0 when deletion is unused), advised against
+    * `maxTombstones` — the default 100 000 sits where the measured
+    * trade flips (SCALE.md 17d: a 210 K-id ledger adds ~0.3-0.4 s of
+    * broadcast anti-join to every probe vs a 37-89 s one-time purge —
+    * amortized after ~100-250 queries). Purge sits BELOW fold in the
+    * precedence because it requires a fully-folded index anyway. */
   private[operators] def advise(layout: IndexLayoutStats,
       driftTripped: Boolean, residentBound: Int,
-      foldLeavesPerCell: Int): MaintenanceAdvice = {
+      foldLeavesPerCell: Int, pendingTombstones: Long = 0L,
+      maxTombstones: Long = 100000L): MaintenanceAdvice = {
     val foldThreshold = foldLeavesPerCell.toLong * layout.cells
     if (driftTripped) MaintenanceAdvice("rebuild",
       "the drift verdict tripped — retrain on the current corpus " +
@@ -679,6 +708,18 @@ private[graft] object IndexMaintenance {
       s"${layout.batchLeaves} unfolded batch leaves exceed the tolerated " +
         s"$foldThreshold ($foldLeavesPerCell per cell x ${layout.cells} cells) — " +
         "every unfolded leaf is a directory every reader must list", layout)
+    else if (pendingTombstones > maxTombstones)
+      // the purge REQUIRES a fully-folded index (a deleted row in an
+      // unfolded lane would survive it), so any leaves — even under the
+      // fold's own tolerance — make fold the actionable step
+      if (layout.batchLeaves > 0) MaintenanceAdvice("fold",
+        s"$pendingTombstones tombstoned ids await physical removal " +
+          s"(> $maxTombstones) and the purge requires a folded index — " +
+          s"fold the ${layout.batchLeaves} batch leaves first", layout)
+      else MaintenanceAdvice("purge-deletes",
+        s"$pendingTombstones tombstoned ids await physical removal " +
+          s"(> $maxTombstones) — every probe pays their broadcast " +
+          "anti-join; the index is folded, so the purge can run now", layout)
     else if (layout.maxResidentFilesPerCell > residentBound)
       MaintenanceAdvice("compact-resident",
         s"a cell carries ${layout.maxResidentFilesPerCell} resident files " +
@@ -687,7 +728,8 @@ private[graft] object IndexMaintenance {
     else MaintenanceAdvice("none",
       s"layout healthy: ${layout.batchLeaves} batch leaves (<= $foldThreshold), " +
         s"max ${layout.maxResidentFilesPerCell} resident files/cell " +
-        s"(<= $residentBound), drift quiet", layout)
+        s"(<= $residentBound), ${pendingTombstones} pending tombstones " +
+        s"(<= $maxTombstones), drift quiet", layout)
   }
 
   // every guard instance, so fold/recover can invalidate a table's memo
@@ -749,6 +791,9 @@ private[graft] object IndexMaintenance {
   *    run first.
   *  - `fold`: unfolded batch leaves exceed the tolerated accrual
   *    (every unfolded leaf is a directory every reader must list).
+  *  - `purge-deletes` (r17): pending tombstones exceed the tolerated
+  *    count — every probe pays their broadcast anti-join; below fold
+  *    in precedence because the purge requires a folded index anyway.
   *  - `compact-resident`: some cell's `-1` file count exceeds the
   *    bound (fold-file accrual — the stationary-stream signal).
   *  - `none`: healthy.

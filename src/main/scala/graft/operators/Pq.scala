@@ -789,7 +789,8 @@ object Pq {
     * the ingest loop's [[shouldRetrain]] verdict. */
   def maintenanceAdvice(spark: SparkSession, path: String,
       driftTripped: Boolean = false, maxFilesPerCell: Int = 0,
-      foldLeavesPerCell: Int = 2, spreadFiles: Int = 0): MaintenanceAdvice = {
+      foldLeavesPerCell: Int = 2, spreadFiles: Int = 0,
+      maxTombstones: Long = 100000L): MaintenanceAdvice = {
     val nlist = spark.read.parquet(s"$path/model/centroids").count().toInt
     val (codes, vectors) = pqIndexLayout(spark, path)
     val worse =
@@ -806,7 +807,8 @@ object Pq {
         math.max(codes.batchFiles, vectors.batchFiles))
     IndexMaintenance.advise(worse, driftTripped,
       Similarity.residentBound(spark, nlist, maxFilesPerCell, spreadFiles),
-      foldLeavesPerCell)
+      foldLeavesPerCell, IndexMaintenance.tombstoneCount(spark, path),
+      maxTombstones)
   }
 
   /** The retrain TRIGGER the drift monitor feeds: quantization health of

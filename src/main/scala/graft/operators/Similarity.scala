@@ -786,10 +786,11 @@ object Similarity {
   def maintenanceAdvice(spark: org.apache.spark.sql.SparkSession,
       path: String, driftTripped: Boolean = false,
       maxFilesPerCell: Int = 0, foldLeavesPerCell: Int = 2,
-      spreadFiles: Int = 0): MaintenanceAdvice = {
+      spreadFiles: Int = 0, maxTombstones: Long = 100000L): MaintenanceAdvice = {
     val nlist = spark.read.parquet(s"$path/centroids").count().toInt
     IndexMaintenance.advise(ivfIndexLayout(spark, path), driftTripped,
-      residentBound(spark, nlist, maxFilesPerCell, spreadFiles), foldLeavesPerCell)
+      residentBound(spark, nlist, maxFilesPerCell, spreadFiles), foldLeavesPerCell,
+      IndexMaintenance.tombstoneCount(spark, path), maxTombstones)
   }
 
   /** Deterministic recovery after a crashed [[compactIvfIndex]] /

@@ -312,7 +312,14 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("fold"), e.getMessage)
     Curation.compactBm25Index(spark, idx, committedBatchId = 0L)
+    // advice (r17): folded + pending tombstones over the knob -> purge
+    assert(Curation.bm25MaintenanceAdvice(spark, idx, maxTombstones = 5)
+      .action === "purge-deletes")
     assert(Curation.purgeBm25Deletes(spark, idx) > 0)
+    // the `_purged_through` watermark nets the signal off even though
+    // the BM25 ledger stays (it carries the stats adjustment)
+    assert(Curation.bm25MaintenanceAdvice(spark, idx, maxTombstones = 5)
+      .action === "none")
     // tombstoned rows are physically gone; answers unchanged (the
     // ledger stays — it carries the stats adjustment)
     assert(spark.read.parquet(s"$idx/postings")

@@ -197,6 +197,25 @@ class ResidentCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val a3 = Similarity.maintenanceAdvice(spark, idx, spreadFiles = 1)
     assert(a3.action === "none", a3.toString)
     assert(a3.reason.contains("healthy"), a3.reason)
+    // tombstones enter the precedence (r17): under the tolerated count
+    // they are free; over it the advice is purge-deletes — unless
+    // leaves exist, in which case fold is the actionable step (the
+    // purge requires a folded index); the purge clears the signal
+    Similarity.deleteFromIvfIndex(mkCorpus(0 until 5).select("id"), idx)
+    assert(Similarity.maintenanceAdvice(spark, idx, spreadFiles = 1)
+      .action === "none", "5 tombstones are under the default tolerance")
+    val a4 = Similarity.maintenanceAdvice(spark, idx, spreadFiles = 1,
+      maxTombstones = 3)
+    assert(a4.action === "purge-deletes", a4.toString)
+    Similarity.appendIvfIndexIdempotent(mkCorpus(5000 until 5040),
+      "id", "v", idx, cents, 13L, spreadFiles = 1)
+    val a5 = Similarity.maintenanceAdvice(spark, idx, spreadFiles = 1,
+      maxTombstones = 3)
+    assert(a5.action === "fold" && a5.reason.contains("purge"), a5.toString)
+    Similarity.compactIvfIndex(spark, idx, committedBatchId = 13L, spreadFiles = 1)
+    Similarity.purgeIvfDeletes(spark, idx, spreadFiles = 1)
+    assert(Similarity.maintenanceAdvice(spark, idx, spreadFiles = 1,
+      maxTombstones = 3).action === "none")
   }
 
   test("maintenanceAdvice PQ twin: worse-of-both-tables, remedies clear in order") {
