@@ -811,6 +811,8 @@ object Curation {
       textCol: String, path: String, batchId: Long, manual: Boolean,
       spreadFiles: Int = 0): Unit = {
     val spark = batch.sparkSession
+    IndexMaintenance.requireNotTombstoned(spark, path,
+      batch.select(col(idCol).as("id")))
     val (oldN, oldSum, buckets, lastBatch, lastManual) = readStats(spark, path)
     // one tokenize pass feeds the empty-check, the postings write, and
     // the stats delta

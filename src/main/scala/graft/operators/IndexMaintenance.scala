@@ -381,6 +381,26 @@ private[graft] object IndexMaintenance {
     require(fs.rename(scratch, f), s"could not publish counter $f")
   }
 
+  /** Appending a TOMBSTONED id would be silent data loss: the ledger's
+    * probe-time anti-join hides every copy of the id, old and new, so
+    * the fresh rows would be invisible until a rebuild — refuse loudly
+    * instead (deletion is terminal for an id until a rebuild resets the
+    * ledger). Costs one broadcast semi-join probe over the batch, and
+    * only when a ledger exists at all. */
+  private[operators] def requireNotTombstoned(spark: SparkSession,
+      indexPath: String, batchIds: org.apache.spark.sql.DataFrame): Unit =
+    readDeletes(spark, indexPath).foreach { d =>
+      import org.apache.spark.sql.functions.broadcast
+      val hit = batchIds.join(broadcast(d.select("id")), Seq("id"), "left_semi")
+        .limit(1).collect()
+      if (hit.nonEmpty) throw new IllegalArgumentException(
+        s"batch re-appends deleted id ${hit(0).get(0)} — the tombstone ledger at " +
+          s"${deletesDir(indexPath)} hides every copy of a deleted id, old and " +
+          "new, so the appended rows would be invisible. Deletion is terminal " +
+          "for an id until a REBUILD resets the ledger; append under fresh ids " +
+          "or rebuild first.")
+    }
+
   /** Order-independent fingerprint of a frame's distinct `id` set —
     * (count, xor of per-id hashes). Decides whether an incoming manual
     * batch IS the retry of an orphan lane (same id set) or a different

@@ -974,6 +974,8 @@ object Pq {
       spreadFiles: Int = 0): Unit = {
     val spark = batch.sparkSession
     requireBatchKeyedLayout(spark, path)
+    IndexMaintenance.requireNotTombstoned(spark, path,
+      batch.select(col(cId).as("id")))
     val (cents, model) = loadModel(spark, path)
     val hconf = spark.sparkContext.hadoopConfiguration
     val codesT = new org.apache.hadoop.fs.Path(s"$path/codes")
@@ -1036,6 +1038,8 @@ object Pq {
       s"batchId $batchId is in the manual-append lane " +
         s"(>= ${IndexMaintenance.ManualLaneFloor}); that lane belongs to appendPqIndex")
     requireBatchKeyedLayout(batch.sparkSession, path)
+    IndexMaintenance.requireNotTombstoned(batch.sparkSession, path,
+      batch.select(col(cId).as("id")))
     writeRows(batch, cId, cVec, path, cents, model, "dynamic", batchId, spreadFiles)
   }
 

@@ -548,6 +548,8 @@ object Similarity {
       cents: Array[Array[Double]], spreadFiles: Int = 0): Unit = {
     val spark = batch.sparkSession
     requireBatchKeyedLayout(spark, path)
+    IndexMaintenance.requireNotTombstoned(spark, path,
+      batch.select(col(cId).as("id")))
     val table = new org.apache.hadoop.fs.Path(s"$path/corpus")
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val w = IndexMaintenance.readManualWatermark(fs, table)
@@ -632,6 +634,8 @@ object Similarity {
       s"batchId $batchId is in the manual-append lane " +
         s"(>= ${IndexMaintenance.ManualLaneFloor}); that lane belongs to appendIvfIndex")
     requireBatchKeyedLayout(batch.sparkSession, path)
+    IndexMaintenance.requireNotTombstoned(batch.sparkSession, path,
+      batch.select(col(cId).as("id")))
     assigned(batch, cId, cVec, cents)
       .withColumn("ingest_batch", lit(batchId))
       // bounded files per cell per batch

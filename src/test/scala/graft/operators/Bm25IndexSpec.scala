@@ -299,6 +299,13 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     // double-delete is harmless (the ledger dedups)
     Curation.deleteFromBm25Index(deleted, idx)
     assert(ask(idx) === ask(whole))
+    // re-appending a deleted id would be silently hidden by the ledger
+    // — deletion is terminal until a rebuild, and the append says so
+    val eRe = intercept[IllegalArgumentException] {
+      Curation.appendBm25Index(docs(0, 150)
+        .filter(pmod(col("doc_id"), lit(5)) === 2), "doc_id", "text", idx)
+    }
+    assert(eRe.getMessage.contains("tombstone"), eRe.getMessage)
     // the batch probe honors tombstones through the same effective stats
     val many = Curation.bm25SearchIndexedMany(spark, idx,
       Seq((0L, Seq("spark", "vector"))).toDF("query_id", "terms"), topK = 15)

@@ -258,6 +258,11 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = Similarity.bruteForceTopK(q, "id", "v", live, "id", "v", k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
     assert(probe() === want, "deleted vectors must vanish from answers immediately")
+    // re-appending a deleted id is refused (the ledger would hide it)
+    val eRe = intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndex(df.filter(col("id") === 8), "id", "v", idx)
+    }
+    assert(eRe.getMessage.contains("tombstone"), eRe.getMessage)
     // purge: rows physically gone, ledger cleared, answers unchanged
     assert(Similarity.purgeIvfDeletes(spark, idx) > 0)
     assert(spark.read.parquet(s"$idx/corpus").count() === live.count())

@@ -384,6 +384,11 @@ class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = Similarity.bruteForceTopK(q, "vec_id", "e", live, "vec_id", "e", k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
     assert(probe() === want, "deleted vectors must vanish from ADC + re-rank immediately")
+    // re-appending a deleted id is refused (the ledger would hide it)
+    val eRe = intercept[IllegalArgumentException] {
+      Pq.appendPqIndex(batch(4, 5), "vec_id", "e", path) // vec_id 4 is tombstoned
+    }
+    assert(eRe.getMessage.contains("tombstone"), eRe.getMessage)
     val (c, v) = Pq.purgePqDeletes(spark, path)
     assert(c > 0 && v > 0)
     val nLive = live.count()
