@@ -721,10 +721,17 @@ object Pq {
             "the purge and resurface once the ledger cleared")
         val nlist = spark.read.parquet(s"$path/model/centroids").count().toInt
         val d = ledger.select(col("id").as("corpus_id"))
-        def one(table: String) =
-          IndexMaintenance.rewriteResident(spark, s"$path/$table", 0,
+        // nothing-to-remove fast path, per table (a rerun after a crash
+        // between the table rewrites and the ledger clear finishes only
+        // the table that still carries tombstoned rows)
+        def one(table: String) = {
+          val matches = spark.read.parquet(s"$path/$table")
+            .join(broadcast(d), Seq("corpus_id"), "left_semi").limit(1).count()
+          if (matches == 0) 0
+          else IndexMaintenance.rewriteResident(spark, s"$path/$table", 0,
             df => df.join(broadcast(d), Seq("corpus_id"), "left_anti"),
             Similarity.cellSpread(_, nlist, spreadFiles = spreadFiles))
+        }
         val out = (one("codes"), one("vectors"))
         IndexMaintenance.clearDeletes(spark, path)
         out

@@ -747,11 +747,19 @@ object Similarity {
             "resurface once the ledger cleared")
         val nlist = spark.read.parquet(s"$path/centroids").count().toInt
         val d = ledger.select(col("id").as("corpus_id"))
-        val n = IndexMaintenance.rewriteResident(spark, s"$path/corpus", 0,
-          df => df.join(broadcast(d), Seq("corpus_id"), "left_anti"),
-          cellSpread(_, nlist, spreadFiles = spreadFiles))
-        IndexMaintenance.clearDeletes(spark, path)
-        n
+        // nothing-to-remove fast path (a rerun after a crash between the
+        // rewrite and the ledger clear, or tombstones that never had
+        // rows): one read-only semi-join probe instead of a full rewrite
+        val matches = spark.read.parquet(s"$path/corpus")
+          .join(broadcast(d), Seq("corpus_id"), "left_semi").limit(1).count()
+        if (matches == 0) { IndexMaintenance.clearDeletes(spark, path); 0 }
+        else {
+          val n = IndexMaintenance.rewriteResident(spark, s"$path/corpus", 0,
+            df => df.join(broadcast(d), Seq("corpus_id"), "left_anti"),
+            cellSpread(_, nlist, spreadFiles = spreadFiles))
+          IndexMaintenance.clearDeletes(spark, path)
+          n
+        }
     }
 
   /** The per-cell `-1` file threshold a resident compaction flattens
