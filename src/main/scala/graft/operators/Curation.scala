@@ -630,6 +630,13 @@ object Curation {
       path: String, buckets: Int = 64, spreadFiles: Int = 0): Unit = {
     require(buckets > 0, s"buckets must be positive: $buckets")
     val spark = df.sparkSession
+    // a build at this path IS the documented ledger reset: stale
+    // tombstones (and the purge watermark) from a previous index here
+    // would double-subtract from the fresh stats and hide rebuilt docs
+    IndexMaintenance.clearDeletes(spark, path)
+    new org.apache.hadoop.fs.Path(s"$path/_purged_through")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$path/_purged_through"), false)
     // one tokenize pass feeds both the postings write and the stats agg
     val toks = tokenized(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1062,32 +1069,15 @@ object Curation {
       path: String, queryTerms: Seq[String], topK: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import spark.implicits._
-    val terms = queryTerms.distinct
-    require(terms.nonEmpty, "need at least one query term")
-    val (nDocs, avgdl, nBuckets, tombstones) = bm25Effective(spark, path)
-    // the same hash the writer bucketed with, evaluated over a literal
-    // frame — the probed-bucket set becomes a partition filter
-    val termBuckets = terms.toDF("term")
-      .select(pmod(xxhash64(col("term")), lit(nBuckets)).cast("int").as("bucket"))
-      .collect().map(_.getInt(0)).distinct.toSeq
-    val postingsPath = new org.apache.hadoop.fs.Path(s"$path/postings")
-    val fs = postingsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tf0 = IndexMaintenance.consistentListing(fs, postingsPath) {
-      spark.read.parquet(s"$path/postings")
-    }.filter(col("bucket").isin(termBuckets: _*) && col("term").isin(terms: _*))
-    // tombstoned docs leave tf AND df, so scores equal a rebuilt index
-    val tf = tombstones.map(t => tf0.join(t, Seq("id"), "left_anti")).getOrElse(tf0)
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfreq), "term")
-      .withColumn("idf",
-        log((lit(nDocs) - col("df") + lit(0.5d)) / (col("df") + lit(0.5d)) + lit(1.0d)))
-      .withColumn("contrib",
-        col("idf") * (col("tf") * (lit(k1) + 1)) /
-          (col("tf") + lit(k1) * (lit(1.0d) - lit(b) + lit(b) * col("dl") / lit(avgdl))))
-      .groupBy("id").agg(round(sum(col("contrib")), 4).as("score"),
-        count(lit(1)).as("n_terms_hit"))
-      .orderBy(col("score").desc, col("id"))
-      .limit(topK)
+    require(queryTerms.nonEmpty, "need at least one query term")
+    // ONE query through the batch path — the listing, pruning, formula,
+    // tombstone and effective-stats handling live in a single place
+    // (the repo's pasted-copies-silently-diverge discipline); the
+    // batch's (query_id, rank) order at one query IS (score desc, id)
+    bm25SearchIndexedMany(spark, path,
+      Seq((0L, queryTerms)).toDF("query_id", "terms"),
+      topK = topK, k1 = k1, b = b)
+      .drop("query_id", "rank")
   }
 
   /** MANY queries against a stored [[writeBm25Index]] in ONE pass — the
@@ -1169,18 +1159,10 @@ object Curation {
     * are fixed dyadic-free doubles, so cross-engine equality is pinned
     * by the driver oracle at round-6). */
   def rrfFuse(rankings: Seq[DataFrame], topK: Int = 10,
-      kRrf: Int = 60): DataFrame = {
-    require(rankings.nonEmpty, "need at least one ranking to fuse")
-    require(kRrf > 0, s"kRrf must be positive: $kRrf")
-    rankings.map(r => r.groupBy(col("id"))
-        .agg(min(col("rank").cast("double")).as("best_rank"))
-        .select(col("id"), (lit(1.0d) / (lit(kRrf) + col("best_rank"))).as("c")))
-      .reduce(_ union _)
-      .groupBy("id")
-      .agg(round(sum(col("c")), 6).as("rrf_score"), count(lit(1)).as("n_lists"))
-      .orderBy(col("rrf_score").desc, col("id"))
-      .limit(topK)
-  }
+      kRrf: Int = 60): DataFrame =
+    // one query through the batch fusion — formula in a single place
+    rrfFuseMany(rankings.map(_.withColumn("query_id", lit(0))), topK, kRrf)
+      .drop("query_id")
 
   /** [[rrfFuse]] over a BATCH of queries — the fusion stage of the
     * batch-serving retrieval stack (r17): each input is a batched

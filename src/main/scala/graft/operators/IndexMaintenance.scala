@@ -206,10 +206,16 @@ private[graft] object IndexMaintenance {
       // a fold deleting a leaf WHILE `list` walks it throws rather than
       // returning a stale set — same race, same remedy: detect the
       // overlapping maintenance window below and retry; only a miss with
-      // NO overlap is a genuinely absent file and propagates
+      // NO overlap is a genuinely absent file and propagates. Above the
+      // parallel-partition-discovery threshold (32 leaf dirs) Spark
+      // lists via a job, so the FNF arrives WRAPPED in a SparkException
+      // — walk the cause chain, not just the top frame (r17 review).
       val out =
         try Right(list)
-        catch { case e: java.io.FileNotFoundException => Left(e) }
+        catch {
+          case e: Throwable
+              if scala.util.control.NonFatal(e) && fnfInChain(e) => Left(e)
+        }
       val markerNow = fs.exists(stagedMarker(table)) || fs.exists(commitMarker(table))
       val overlapped = markerNow || readEpoch(fs, table) != e0
       (out, overlapped) match {
@@ -222,6 +228,17 @@ private[graft] object IndexMaintenance {
       s"could not capture a consistent file listing of $table after $maxAttempts " +
         "attempts — a maintenance op completed inside every listing window. " +
         "This needs sustained back-to-back folds; stagger maintenance or retry.")
+  }
+
+  private def fnfInChain(e: Throwable): Boolean = {
+    var c: Throwable = e
+    var depth = 0
+    while (c != null && depth < 10) {
+      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      c = c.getCause
+      depth += 1
+    }
+    false
   }
 
   private[graft] def requireReadConsistent(fs: FileSystem, table: Path): Unit = {
@@ -346,12 +363,28 @@ private[graft] object IndexMaintenance {
     s"$indexPath/deletes"
 
   /** The deduplicated tombstone ledger, or None when nothing was ever
-    * deleted. Dedup makes a re-appended tombstone harmless. */
+    * deleted. Dedup makes a re-appended tombstone harmless.
+    *
+    * Two deliberate hardenings (r17 self-review): a `deletes` dir with
+    * NO committed data files (a delete crashed before its job commit)
+    * reads as None instead of bricking every probe on schema inference;
+    * and the ledger is MATERIALIZED to the driver and re-created as a
+    * local frame — it is driver-small by contract (every consumer
+    * broadcasts it), and a local frame holds no lazy file references,
+    * so a concurrent purge deleting the ledger files mid-query cannot
+    * fail a probe that already read it. */
   private[operators] def readDeletes(spark: SparkSession,
       indexPath: String): Option[DataFrame] = {
     val p = new Path(deletesDir(indexPath))
     val fs = fsOf(spark, p)
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString).distinct()) else None
+    if (!fs.exists(p)) return None
+    val hasData = fs.listStatus(p)
+      .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    if (!hasData) return None
+    val stored = spark.read.parquet(p.toString).distinct()
+    val rows = stored.collect() // driver-small by contract
+    Some(spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), stored.schema))
   }
 
   private[operators] def clearDeletes(spark: SparkSession, indexPath: String): Unit = {

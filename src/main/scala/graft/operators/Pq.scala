@@ -561,6 +561,9 @@ object Pq {
       path: String, cents: Array[Array[Double]], model: PqModel,
       refVecs: Array[Array[Double]], spreadFiles: Int): Unit = {
     val spark = corpus.sparkSession
+    // a build at this path is the ledger reset — stale tombstones from
+    // a previous index here would hide freshly built vectors
+    IndexMaintenance.clearDeletes(spark, path)
     writeModel(spark, path, cents, model)
     writeRows(corpus, cId, cVec, path, cents, model, "overwrite", -1L, spreadFiles)
     import spark.implicits._
@@ -634,8 +637,13 @@ object Pq {
     val nl = if (nlist > 0) nlist else oldCents.length
     val mm = if (m > 0) m else oldModel.m
     val ks = if (ksub > 0) ksub else oldModel.ksub
-    val corpus = spark.read.parquet(s"$path/vectors")
+    val corpus0 = spark.read.parquet(s"$path/vectors")
       .select(col("corpus_id"), col("cv"))
+    // the rebuild IS the ledger reset — start from the tombstone-
+    // filtered rows so deleted vectors never resurrect (r17 review)
+    val corpus = IndexMaintenance.readDeletes(spark, path).map(d =>
+      corpus0.join(broadcast(d.select(col("id").as("corpus_id"))),
+        Seq("corpus_id"), "left_anti")).getOrElse(corpus0)
     val both = Similarity.hashSpreadVecsById(corpus, "corpus_id", "cv", 2 * maxSample)
     val (train, ref) = Similarity.heldOutSplit(both, maxSample)
     val cents = Similarity.trainIvfCentroidsFromSample(train, nl, iters)

@@ -379,6 +379,9 @@ object Similarity {
       cents: Array[Array[Double]], refVecs: Array[Array[Double]],
       spreadFiles: Int): Unit = {
     val spark = corpus.sparkSession
+    // a build at this path is the ledger reset — stale tombstones from
+    // a previous index here would hide freshly built vectors
+    IndexMaintenance.clearDeletes(spark, path)
     val assignUdf = udf { (v: Seq[Double]) => nearestCell(normalize(v.toArray), cents) }
     // the layout carries a second partition column, ingest_batch (-1 =
     // build-time rows), purely so streaming appends can be batchId-keyed
@@ -448,8 +451,15 @@ object Similarity {
     val corpusPath = new org.apache.hadoop.fs.Path(s"$path/corpus")
     IndexMaintenance.requireReadConsistent(
       corpusPath.getFileSystem(spark.sparkContext.hadoopConfiguration), corpusPath)
-    val corpus = spark.read.parquet(s"$path/corpus")
+    val corpus0 = spark.read.parquet(s"$path/corpus")
       .select(col("corpus_id"), col("cv"))
+    // the rebuild IS the ledger reset: it starts from the
+    // tombstone-filtered rows (the retrain sample included), and the
+    // fresh index at newPath carries no ledger — without this filter a
+    // rebuild would silently resurrect every deleted vector (r17 review)
+    val corpus = IndexMaintenance.readDeletes(spark, path).map(d =>
+      corpus0.join(broadcast(d.select(col("id").as("corpus_id"))),
+        Seq("corpus_id"), "left_anti")).getOrElse(corpus0)
     val nl = if (nlist > 0) nlist else loadIvfCentroids(spark, path).length
     val both = hashSpreadVecsById(corpus, "corpus_id", "cv", 2 * maxSample)
     val (train, ref) = heldOutSplit(both, maxSample)

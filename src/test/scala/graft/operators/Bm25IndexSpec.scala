@@ -338,6 +338,13 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     // rerun: the ledger stays (stats), but the already-purged guard
     // must detect there is nothing left and skip the rewrite
     assert(Curation.purgeBm25Deletes(spark, idx) === 0)
+    // an IN-PLACE rebuild is the documented ledger reset: stale
+    // tombstones + the purge watermark would double-subtract from the
+    // fresh stats and hide rebuilt docs (r17 review)
+    Curation.writeBm25Index(docs(0, 160), "doc_id", "text", idx, buckets = 8)
+    Curation.writeBm25Index(docs(0, 160), "doc_id", "text", s"$base/fresh", buckets = 8)
+    assert(ask(idx) === ask(s"$base/fresh"),
+      "in-place rebuild must reset the ledger and the purge watermark")
   }
 
   test("streamed ingest rides the shared skeleton: replay exactly-once, in-stream fold, self-maintenance") {

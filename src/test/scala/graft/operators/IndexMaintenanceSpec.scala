@@ -488,5 +488,20 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
         throw new java.io.FileNotFoundException("genuinely absent")
       }
     }
+    // above the parallel-discovery threshold Spark lists via a job and
+    // the FNF arrives WRAPPED — the cause chain must count too
+    IndexMaintenance.listingRetries.set(0)
+    @volatile var ran2 = false
+    IndexMaintenance.afterGateHook = Some { () =>
+      if (!ran2) { ran2 = true; Similarity.compactIvfIndex(spark, idx, committedBatchId = 1L) }
+    }
+    var calls2 = 0
+    val got2 = try IndexMaintenance.consistentListing(fs, table) {
+      calls2 += 1
+      if (calls2 == 1) throw new org.apache.spark.SparkException("Job aborted",
+        new RuntimeException(new java.io.FileNotFoundException("leaf vanished")))
+      7
+    } finally IndexMaintenance.afterGateHook = None
+    assert(ran2 && got2 === 7 && IndexMaintenance.listingRetries.get() >= 1)
   }
 }

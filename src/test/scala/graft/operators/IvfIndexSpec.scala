@@ -249,6 +249,12 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = vecs.toDF("id", "v")
     val idx = Files.createTempDirectory("ivfdel").toString
     Similarity.writeIvfIndex(df, "id", "v", idx, nlist = 4)
+    // a deletes dir without committed data files (a delete that crashed
+    // before its job commit) reads as NO ledger — probes must not brick
+    // on schema inference (r17 review)
+    new java.io.File(s"$idx/deletes").mkdirs()
+    assert(Similarity.ivfTopKIndexed(df.filter(col("id") < 2), "id", "v",
+      idx, k = 3, nprobe = 4).count() === 6)
     val live = df.filter(pmod(col("id"), lit(7)) =!= 1)
     Similarity.deleteFromIvfIndex(
       df.filter(pmod(col("id"), lit(7)) === 1).select("id"), idx)
@@ -263,6 +269,14 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       Similarity.appendIvfIndex(df.filter(col("id") === 8), "id", "v", idx)
     }
     assert(eRe.getMessage.contains("tombstone"), eRe.getMessage)
+    // a REBUILD is the documented ledger reset: it starts from the
+    // tombstone-filtered rows and the fresh index carries no ledger —
+    // deleted vectors must never resurrect through it (r17 review)
+    val rebuilt = Files.createTempDirectory("ivfdelreb").toString + "/idx"
+    Similarity.rebuildIvfIndex(spark, idx, rebuilt, nlist = 4)
+    assert(spark.read.parquet(s"$rebuilt/corpus").count() === live.count(),
+      "rebuild must not resurrect tombstoned vectors")
+    assert(!new java.io.File(s"$rebuilt/deletes").exists())
     // purge: rows physically gone, ledger cleared, answers unchanged
     assert(Similarity.purgeIvfDeletes(spark, idx) > 0)
     assert(spark.read.parquet(s"$idx/corpus").count() === live.count())
