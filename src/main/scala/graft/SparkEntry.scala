@@ -1274,7 +1274,9 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       val p = work(dir, "hybrid_search_indexed")
-      Similarity.writeIvfIndex(e, "vec_id", "e", p, nlist = 8)
+      buildOnce(p) {
+        Similarity.writeIvfIndex(e, "vec_id", "e", p, nlist = 8)
+      }
       val sem = Similarity.ivfTopKIndexed(
           e.filter(col("vec_id") === 0), "vec_id", "e", p, k = 20, nprobe = 8)
         .select(col("corpus_id").as("id"), col("rank"))
@@ -1291,7 +1293,9 @@ object SparkEntry {
       // oracle applies verbatim — the production retrieval stack
       // (two indexes + fusion) under one DuckDB replay.
       val lexIdx = work(dir, "hybrid_search_stored_lex")
-      Curation.writeBm25Index(t(s, dir, "documents"), "doc_id", "text", lexIdx, buckets = 16)
+      buildOnce(lexIdx) {
+        Curation.writeBm25Index(t(s, dir, "documents"), "doc_id", "text", lexIdx, buckets = 16)
+      }
       val lex = Curation.bm25SearchIndexed(s, lexIdx,
           Seq("spark", "vector", "stream"), topK = 20)
         .withColumn("rank", row_number().over(
@@ -1301,7 +1305,9 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       val p = work(dir, "hybrid_search_stored_sem")
-      Similarity.writeIvfIndex(e, "vec_id", "e", p, nlist = 8)
+      buildOnce(p) {
+        Similarity.writeIvfIndex(e, "vec_id", "e", p, nlist = 8)
+      }
       val sem = Similarity.ivfTopKIndexed(
           e.filter(col("vec_id") === 0), "vec_id", "e", p, k = 20, nprobe = 8)
         .select(col("corpus_id").as("id"), col("rank"))
@@ -1320,7 +1326,9 @@ object SparkEntry {
       // brute-force semantic list, so the SAME RRF oracle replays the
       // whole stack: two index builds, ADC, re-rank, fusion.
       val lexIdx = work(dir, "hybrid_search_pq_lex")
-      Curation.writeBm25Index(t(s, dir, "documents"), "doc_id", "text", lexIdx, buckets = 16)
+      buildOnce(lexIdx) {
+        Curation.writeBm25Index(t(s, dir, "documents"), "doc_id", "text", lexIdx, buckets = 16)
+      }
       val lex = Curation.bm25SearchIndexed(s, lexIdx,
           Seq("spark", "vector", "stream"), topK = 20)
         .withColumn("rank", row_number().over(
@@ -1330,7 +1338,9 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       val p = work(dir, "hybrid_search_pq_sem")
-      Pq.writePqIndex(e, "vec_id", "e", p, nlist = 8, m = 8, ksub = 128)
+      buildOnce(p) {
+        Pq.writePqIndex(e, "vec_id", "e", p, nlist = 8, m = 8, ksub = 128)
+      }
       val n = e.count()
       val sem = Pq.pqTopKIndexed(e.filter(col("vec_id") === 0), "vec_id", "e", p,
           k = 20, nprobe = 8, refine = (n / 20 + 1).toInt)

@@ -774,16 +774,29 @@ object Curation {
       if (orphans.isEmpty) math.max(lastManual + 1, ManualLaneFloor)
       else {
         // zero-token docs have no postings rows on either side, so both
-        // fingerprints see the same id set
+        // fingerprints see the same id set. EVERY orphan is fingerprinted
+        // (r18 — two crashed appends then a retry of either must find its
+        // OWN lane; the r17 size==1 gate wrote a retried batch twice
+        // whenever more than one orphan existed): a match IS the
+        // documented retry and reuses that lane.
         val batchFp = idSetFingerprint(
           tokenized(batch, idCol, textCol).filter(size(col("ts")) > 0).select("id"))
-        val orphanFp = idSetFingerprint(
+        def laneFp(l: Long) = idSetFingerprint(
           spark.read.option("basePath", s"$path/postings").parquet(s"$path/postings")
-            .filter(col("ingest_batch") === orphans.max).select("id"))
-        if (orphans.size == 1 && orphanFp == batchFp) orphans.head // the documented retry
-        else {
-          manualLaneRecover(spark, path) // adopt: postings complete, stats lagged
-          math.max(readStats(spark, path)._5 + 1, ManualLaneFloor)
+            .filter(col("ingest_batch") === l).select("id"))
+        orphans.sorted.find(l => laneFp(l) == batchFp) match {
+          case Some(l) => // the documented retry
+            // orphans BELOW the reused lane would be implicitly committed
+            // by this append's final stats write (last_manual -> l) with
+            // their stats deltas never applied — adopt them explicitly
+            // first (postings complete; delta + watermark land in ONE
+            // stats write, so no crash can double-apply); orphans above l
+            // stay orphaned for the next call to resolve
+            manualLaneRecover(spark, path, below = l)
+            l
+          case None =>
+            manualLaneRecover(spark, path) // adopt all: postings complete, stats lagged
+            math.max(readStats(spark, path)._5 + 1, ManualLaneFloor)
         }
       }
     appendBm25Parts(batch, idCol, textCol, path, batchId = lane, manual = true,
@@ -818,9 +831,19 @@ object Curation {
       textCol: String, path: String, batchId: Long, manual: Boolean,
       spreadFiles: Int = 0): Unit = {
     val spark = batch.sparkSession
-    IndexMaintenance.requireNotTombstoned(spark, path,
-      batch.select(col(idCol).as("id")))
     val (oldN, oldSum, buckets, lastBatch, lastManual) = readStats(spark, path)
+    // the idempotent (stream) lane lets a COMMITTED replay through: a
+    // re-delivered batch whose write landed (stats watermark passed it,
+    // or its leaves are on disk) self-overwrites harmlessly — the ledger
+    // already hides its rows; without the escape, deleting an id from an
+    // uncheckpointed batch would throw on every restart (r18). The
+    // manual lane keeps the loud refusal (operator-driven retries).
+    val postingsT = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val postingsFs = postingsT.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexMaintenance.requireNotTombstoned(spark, path,
+      batch.select(col(idCol).as("id")),
+      isCommittedReplay = () => !manual && (batchId <= lastBatch ||
+        IndexMaintenance.laneExists(postingsFs, postingsT, batchId, level1 = "bucket")))
     // one tokenize pass feeds the empty-check, the postings write, and
     // the stats delta
     val toks = tokenized(batch, idCol, textCol)
@@ -882,10 +905,17 @@ object Curation {
     IndexMaintenance.manualLanes(fs, postings, lastManual, level1 = "bucket")
   }
 
+  /** `below` (r18) restricts the heal to orphan lanes STRICTLY under it —
+    * the retry-reuse path's partial adoption: when a retried batch is
+    * about to reuse lane `l`, lanes under `l` must be adopted (the final
+    * stats write advances `last_manual` past them) while `l` itself must
+    * stay un-adopted (its delta applies through the append). The delta
+    * and the watermark land in one atomic stats write, so a crash right
+    * after leaves lanes >= `below` detectable and un-double-countable. */
   private def manualLaneRecover(spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[String] = {
+      path: String, below: Long = Long.MaxValue): Option[String] = {
     val (oldN, oldSum, buckets, lastBatch, lastManual) = readStats(spark, path)
-    val orphanLanes = manualOrphanLanes(spark, path, lastManual)
+    val orphanLanes = manualOrphanLanes(spark, path, lastManual).filter(_ < below)
     if (orphanLanes.isEmpty) return None
     val rows = spark.read.option("basePath", s"$path/postings")
       .parquet(s"$path/postings": String)

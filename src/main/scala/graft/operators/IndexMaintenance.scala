@@ -294,11 +294,21 @@ private[graft] object IndexMaintenance {
     new Path(table, "_manual_watermark.tmp")
 
   /** Last fully-committed manual lane id; missing file (no manual append
-    * ever ran, or a pre-r17 index) reads as the floor minus one. */
+    * ever ran, or a pre-r17 index) reads as the floor minus one — unless
+    * the publish SCRATCH file survives (r18): [[writeManualWatermark]]
+    * publishes by delete-then-rename, and a crash between the two leaves
+    * only the scratch, whose content is complete (written and closed
+    * before anything is deleted) — falling back to it keeps one crash
+    * from re-orphaning every historical lane. A scratch that fails to
+    * parse (a crash mid-write, before the delete) reads as floor-1,
+    * which only makes a later append re-examine lanes — harmless, since
+    * the per-orphan fingerprint check (r18) resolves each lane on its
+    * own evidence. */
   private[operators] def readManualWatermark(fs: FileSystem, table: Path): Long = {
+    def parse(p: Path): Option[Long] =
+      scala.util.Try(readMarker(fs, p).headOption.map(_.trim.toLong)).toOption.flatten
     val f = manualWatermarkFile(table)
-    if (!fs.exists(f)) ManualLaneFloor - 1
-    else readMarker(fs, f).headOption.map(_.trim.toLong)
+    (if (fs.exists(f)) parse(f) else parse(manualWatermarkScratch(table)))
       .getOrElse(ManualLaneFloor - 1)
   }
 
@@ -419,19 +429,48 @@ private[graft] object IndexMaintenance {
     * the fresh rows would be invisible until a rebuild — refuse loudly
     * instead (deletion is terminal for an id until a rebuild resets the
     * ledger). Costs one broadcast semi-join probe over the batch, and
-    * only when a ledger exists at all. */
+    * only when a ledger exists at all.
+    *
+    * `isCommittedReplay` (r18) is the idempotent lane's escape hatch:
+    * Structured Streaming re-delivers a batch whose WRITE committed but
+    * whose checkpoint didn't, and if one of that batch's ids was
+    * deleted in between, refusing would throw on every restart — the
+    * stream could never progress, even though the replay is a harmless
+    * self-overwrite whose rows the ledger already hides. The thunk is
+    * evaluated ONLY on a tombstone hit (it may cost an FS walk); `true`
+    * means the batch's leaves are already on disk — a replay, let it
+    * overwrite itself — while `false` keeps the loud refusal (a batch
+    * that never landed is a genuinely fresh append of a deleted id).
+    * The manual lane always passes the default `false`: its retries are
+    * operator-driven, so loud-and-actionable beats silent. */
   private[operators] def requireNotTombstoned(spark: SparkSession,
-      indexPath: String, batchIds: org.apache.spark.sql.DataFrame): Unit =
+      indexPath: String, batchIds: org.apache.spark.sql.DataFrame,
+      isCommittedReplay: () => Boolean = () => false): Unit =
     readDeletes(spark, indexPath).foreach { d =>
       import org.apache.spark.sql.functions.broadcast
       val hit = batchIds.join(broadcast(d.select("id")), Seq("id"), "left_semi")
         .limit(1).collect()
-      if (hit.nonEmpty) throw new IllegalArgumentException(
+      if (hit.nonEmpty && !isCommittedReplay())
+        throw new IllegalArgumentException(
         s"batch re-appends deleted id ${hit(0).get(0)} — the tombstone ledger at " +
           s"${deletesDir(indexPath)} hides every copy of a deleted id, old and " +
           "new, so the appended rows would be invisible. Deletion is terminal " +
           "for an id until a REBUILD resets the ledger; append under fresh ids " +
           "or rebuild first.")
+    }
+
+  /** Whether any leaf of `lane` exists in the two-level layout — the
+    * idempotent lanes' committed-replay detector for
+    * [[requireNotTombstoned]]: a fold only ever folds checkpoint-
+    * COMMITTED batches (which Structured Streaming never re-delivers),
+    * so a re-delivered batch's leaves are still on disk iff its write
+    * committed. One first-level listing + one exists() per cell dir,
+    * paid only on a tombstone hit. */
+  private[operators] def laneExists(fs: FileSystem, table: Path, lane: Long,
+      level1: String = "cell"): Boolean =
+    fs.exists(table) && fs.listStatus(table).exists { c =>
+      c.isDirectory && c.getPath.getName.startsWith(s"$level1=") &&
+        fs.exists(new Path(c.getPath, s"ingest_batch=$lane"))
     }
 
   /** Order-independent fingerprint of a frame's distinct `id` set —

@@ -1003,25 +1003,43 @@ object Pq {
     val lane =
       if (orphans.isEmpty) w + 1
       else {
-        val top = orphans.max
+        // EVERY orphan is fingerprinted (r18 — two crashed appends then a
+        // retry of either must find its OWN lane; the r17 size==1 gate
+        // wrote a retried batch twice whenever more than one orphan
+        // existed). Fingerprint from whichever table has the lane (codes
+        // is written first, so it always does unless hand-damaged); a
+        // matched HALF-landed lane heals on reuse — writeRows overwrites
+        // its codes leaves and writes the missing vectors leaves.
         val batchFp = IndexMaintenance.idSetFingerprint(batch.select(col(cId).as("id")))
-        // fingerprint from whichever table has the lane (codes is written
-        // first, so it always does unless hand-damaged)
-        val src = if (inCodes(top)) "codes" else "vectors"
-        val orphanFp = IndexMaintenance.idSetFingerprint(
-          spark.read.option("basePath", s"$path/$src").parquet(s"$path/$src")
-            .filter(col("ingest_batch") === top)
-            .select(col("corpus_id").as("id")))
-        if (orphans.size == 1 && orphanFp == batchFp) top // the documented retry
-        else {
-          val (complete, half) = orphans.partition(l => inCodes(l) && inVecs(l))
-          half.foreach { l =>
-            IndexMaintenance.deleteLane(fs, codesT, l)
-            IndexMaintenance.deleteLane(fs, vecsT, l)
-          }
-          if (complete.nonEmpty)
-            IndexMaintenance.writeManualWatermark(fs, codesT, complete.max)
-          IndexMaintenance.readManualWatermark(fs, codesT) + 1
+        def laneFp(l: Long): (Long, Long) = {
+          val src = if (inCodes(l)) "codes" else "vectors"
+          IndexMaintenance.idSetFingerprint(
+            spark.read.option("basePath", s"$path/$src").parquet(s"$path/$src")
+              .filter(col("ingest_batch") === l)
+              .select(col("corpus_id").as("id")))
+        }
+        orphans.sorted.find(l => laneFp(l) == batchFp) match {
+          case Some(l) => // the documented retry
+            // half-landed lanes BELOW the reused lane would be implicitly
+            // committed by the final watermark advance with one table
+            // missing — delete them first (their calls never returned
+            // success, so nothing confirmed is lost); complete lanes
+            // below l adopt implicitly, lanes above l stay orphaned for
+            // the next call to resolve
+            orphans.filter(o => o < l && !(inCodes(o) && inVecs(o))).foreach { o =>
+              IndexMaintenance.deleteLane(fs, codesT, o)
+              IndexMaintenance.deleteLane(fs, vecsT, o)
+            }
+            l
+          case None =>
+            val (complete, half) = orphans.partition(l => inCodes(l) && inVecs(l))
+            half.foreach { l =>
+              IndexMaintenance.deleteLane(fs, codesT, l)
+              IndexMaintenance.deleteLane(fs, vecsT, l)
+            }
+            if (complete.nonEmpty)
+              IndexMaintenance.writeManualWatermark(fs, codesT, complete.max)
+            IndexMaintenance.readManualWatermark(fs, codesT) + 1
         }
       }
     writeRows(batch, cId, cVec, path, cents, model, "dynamic", lane, spreadFiles)
@@ -1053,8 +1071,19 @@ object Pq {
       s"batchId $batchId is in the manual-append lane " +
         s"(>= ${IndexMaintenance.ManualLaneFloor}); that lane belongs to appendPqIndex")
     requireBatchKeyedLayout(batch.sparkSession, path)
+    // a re-delivered batch whose write (even partially: codes land
+    // first) committed is a harmless self-overwrite — the ledger hides
+    // its rows in BOTH probe stages; without the escape, deleting an id
+    // from an uncheckpointed batch would throw on every restart (r18)
+    val codesTbl = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val vecsTbl = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    val tblFs = codesTbl.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
     IndexMaintenance.requireNotTombstoned(batch.sparkSession, path,
-      batch.select(col(cId).as("id")))
+      batch.select(col(cId).as("id")),
+      isCommittedReplay = () =>
+        IndexMaintenance.laneExists(tblFs, codesTbl, batchId) ||
+          IndexMaintenance.laneExists(tblFs, vecsTbl, batchId))
     writeRows(batch, cId, cVec, path, cents, model, "dynamic", batchId, spreadFiles)
   }
 

@@ -567,15 +567,24 @@ object Similarity {
     val lane =
       if (orphans.isEmpty) w + 1
       else {
+        // EVERY orphan is fingerprinted (r18 — two crashed appends then a
+        // retry of either must find its OWN lane; the r17 size==1 gate
+        // wrote a retried batch twice under a fresh lane whenever more
+        // than one orphan existed): a match IS the documented retry and
+        // reuses that lane. Orphans BELOW the reused lane are implicitly
+        // adopted by the final watermark advance (their rows are complete
+        // and probe-visible, exactly like the explicit adoption); orphans
+        // ABOVE it stay orphaned for the next call to resolve.
         val batchFp = IndexMaintenance.idSetFingerprint(batch.select(col(cId).as("id")))
-        val orphanFp = IndexMaintenance.idSetFingerprint(
+        def laneFp(l: Long) = IndexMaintenance.idSetFingerprint(
           spark.read.option("basePath", s"$path/corpus").parquet(s"$path/corpus")
-            .filter(col("ingest_batch") === orphans.max)
+            .filter(col("ingest_batch") === l)
             .select(col("corpus_id").as("id")))
-        if (orphans.size == 1 && orphanFp == batchFp) orphans.head // the documented retry
-        else { // adopt: the orphan's rows are complete and already served
-          IndexMaintenance.writeManualWatermark(fs, table, orphans.max)
-          orphans.max + 1
+        orphans.sorted.find(l => laneFp(l) == batchFp) match {
+          case Some(l) => l // the documented retry
+          case None => // adopt all: the orphans' rows are complete and already served
+            IndexMaintenance.writeManualWatermark(fs, table, orphans.max)
+            orphans.max + 1
         }
       }
     assigned(batch, cId, cVec, cents)
@@ -644,8 +653,16 @@ object Similarity {
       s"batchId $batchId is in the manual-append lane " +
         s"(>= ${IndexMaintenance.ManualLaneFloor}); that lane belongs to appendIvfIndex")
     requireBatchKeyedLayout(batch.sparkSession, path)
+    // a re-delivered batch whose write committed is a harmless
+    // self-overwrite (the ledger already hides its rows) — without the
+    // escape, deleting an id from an uncheckpointed batch would throw on
+    // every restart and the stream could never progress (r18)
+    val corpusT = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    val corpusFs = corpusT.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
     IndexMaintenance.requireNotTombstoned(batch.sparkSession, path,
-      batch.select(col(cId).as("id")))
+      batch.select(col(cId).as("id")),
+      isCommittedReplay = () => IndexMaintenance.laneExists(corpusFs, corpusT, batchId))
     assigned(batch, cId, cVec, cents)
       .withColumn("ingest_batch", lit(batchId))
       // bounded files per cell per batch

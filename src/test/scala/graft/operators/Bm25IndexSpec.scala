@@ -199,6 +199,67 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "nothing left to heal — the append adopted the orphan itself")
   }
 
+  test("two crashed manual appends, then a retry of the second: own lane reused, the first adopted below it (r18)") {
+    // r17 matched fingerprints only with exactly ONE orphan; with two,
+    // a retry adopted both (applying the retried batch's stats delta as
+    // an "orphan") and then landed the batch AGAIN under a fresh lane —
+    // duplicate posting lists. Every orphan is fingerprinted now, and
+    // orphans BELOW the reused lane are adopted in one atomic stats
+    // write (delta + watermark together — no double-count window).
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("bmmulti").toString
+    val idx = s"$base/idx"; val whole = s"$base/whole"
+    Curation.writeBm25Index(docs(0, 100), "doc_id", "text", idx, buckets = 8)
+    val preAppend = spark.read.parquet(s"$idx/stats").collect()(0)
+    Curation.appendBm25Index(docs(100, 150), "doc_id", "text", idx) // lane floor
+    Curation.appendBm25Index(docs(150, 180), "doc_id", "text", idx) // lane floor+1
+    // reconstruct BOTH appends crashing between their two writes:
+    // postings lanes applied, neither stats delta
+    Seq((preAppend.getLong(0), preAppend.getLong(1), preAppend.getInt(2),
+      preAppend.getLong(3), preAppend.getLong(4)))
+      .toDF("n_docs", "sum_dl", "buckets", "last_batch", "last_manual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/stats")
+    // retry of the SECOND batch: reuse lane floor+1, adopt lane floor
+    Curation.appendBm25Index(docs(150, 180), "doc_id", "text", idx)
+    Curation.writeBm25Index(docs(0, 180), "doc_id", "text", whole, buckets = 8)
+    val st = spark.read.parquet(s"$idx/stats").select("n_docs", "sum_dl").collect()(0)
+    val stWhole = spark.read.parquet(s"$whole/stats").select("n_docs", "sum_dl").collect()(0)
+    assert(st === stWhole,
+      "first orphan adopted once, retried batch applied once — no double count")
+    assert(ask(idx) === ask(whole))
+    assert(Curation.bm25IndexLayout(spark, idx).maxBatchId === Curation.ManualLaneFloor + 1,
+      "the retry must reuse its own lane, not land again under a fresh one")
+    assert(Curation.recoverBm25Index(spark, idx).isEmpty, "nothing left to heal")
+  }
+
+  test("streamed lexical lane vs deletion: a committed replay passes the tombstone guard; a fresh batch re-adding the id refuses (r18)") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("bmreplaydel").toString
+    val idx = s"$base/idx"; val whole = s"$base/whole"
+    Curation.writeBm25Index(docs(0, 100), "doc_id", "text", idx, buckets = 8)
+    Curation.appendBm25IndexIdempotent(docs(100, 130), "doc_id", "text", idx, batchId = 0L)
+    Curation.deleteFromBm25Index(Seq(105L).toDF("id"), idx)
+    // write committed, checkpoint didn't -> the re-delivered batch must
+    // pass (self-overwrite; stats skip via the last_batch watermark),
+    // not wedge the stream on the tombstone guard
+    Curation.appendBm25IndexIdempotent(docs(100, 130), "doc_id", "text", idx, batchId = 0L)
+    Curation.writeBm25Index(docs(0, 130).filter(col("doc_id") =!= 105L),
+      "doc_id", "text", whole, buckets = 8)
+    assert(ask(idx) === ask(whole),
+      "replay is exactly-once and the deleted doc stays hidden")
+    // a genuinely FRESH batch re-appending the deleted id still refuses
+    val fresh = intercept[IllegalArgumentException] {
+      Curation.appendBm25IndexIdempotent(docs(105, 106), "doc_id", "text", idx, batchId = 1L)
+    }
+    assert(fresh.getMessage.contains("tombstone"), fresh.getMessage)
+    val manual = intercept[IllegalArgumentException] {
+      Curation.appendBm25Index(docs(105, 106), "doc_id", "text", idx)
+    }
+    assert(manual.getMessage.contains("tombstone"), manual.getMessage)
+  }
+
   test("edge guards: an all-null-text batch appends without NPE; an empty index probes loudly") {
     val s = spark
     import s.implicits._

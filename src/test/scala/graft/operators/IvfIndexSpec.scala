@@ -240,6 +240,110 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Similarity.recoverIvfFold(spark, idx).isEmpty, "recovery is idempotent")
   }
 
+  test("two crashed appends, then a retry of either: the retry finds its OWN lane; a vanished watermark cannot double-land a batch (r18)") {
+    // r17 matched fingerprints only when exactly ONE orphan existed, so
+    // two crashed appends followed by a retry adopted both orphans and
+    // wrote the retried batch AGAIN under a fresh lane — duplicate
+    // vectors in every later top-k. Every orphan is fingerprinted now.
+    val s = spark
+    import s.implicits._
+    val vecs = (0L until 60L).map { i =>
+      (i, Array((i % 7).toDouble + 1, ((i * 3) % 5).toDouble, ((i * 7) % 11).toDouble))
+    }
+    val df = vecs.toDF("id", "v")
+    val idx = Files.createTempDirectory("ivfmulti").toString
+    Similarity.writeIvfIndex(df.filter(col("id") < 30), "id", "v", idx, nlist = 4)
+    val b1 = df.filter(col("id") >= 30 && col("id") < 45)
+    val b2 = df.filter(col("id") >= 45)
+    val table = new org.apache.hadoop.fs.Path(s"$idx/corpus")
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val floor = IndexMaintenance.ManualLaneFloor
+    Similarity.appendIvfIndex(b1, "id", "v", idx) // lane = floor
+    Similarity.appendIvfIndex(b2, "id", "v", idx) // lane = floor+1
+    def distinctCount() = {
+      val c = spark.read.parquet(s"$idx/corpus")
+      (c.count(), c.select("corpus_id").distinct().count())
+    }
+    // both appends "crashed" before their watermark publish
+    IndexMaintenance.writeManualWatermark(fs, table, floor - 1)
+    // retry of the FIRST batch must reuse lane floor (not adopt-all and
+    // double-land under floor+2)
+    Similarity.appendIvfIndex(b1, "id", "v", idx)
+    assert(distinctCount() === ((60L, 60L)), "retry of b1 must self-overwrite")
+    assert(IndexMaintenance.readManualWatermark(fs, table) === floor)
+    assert(Similarity.ivfIndexLayout(spark, idx).maxBatchId === floor + 1,
+      "no fresh lane: b2's orphan lane is still the highest")
+    // b2 is still an orphan; its retry finds its own lane too
+    Similarity.appendIvfIndex(b2, "id", "v", idx)
+    assert(distinctCount() === ((60L, 60L)))
+    assert(IndexMaintenance.readManualWatermark(fs, table) === floor + 1)
+
+    // the watermark PUBLISH crash (delete done, rename not): only the
+    // scratch file survives — the read falls back to it (r18)
+    val wm = new org.apache.hadoop.fs.Path(table, "_manual_watermark")
+    val scratch = new org.apache.hadoop.fs.Path(table, "_manual_watermark.tmp")
+    val out = fs.create(scratch, true)
+    out.write(s"${floor + 1}\n".getBytes("UTF-8")); out.close()
+    fs.delete(wm, false)
+    assert(IndexMaintenance.readManualWatermark(fs, table) === floor + 1,
+      "the publish scratch is complete before anything is deleted — read it")
+    // with NEITHER file every historical lane looks orphaned, and the
+    // per-orphan fingerprints still keep a retry single
+    fs.delete(scratch, false)
+    assert(IndexMaintenance.readManualWatermark(fs, table) === floor - 1)
+    Similarity.appendIvfIndex(b2, "id", "v", idx)
+    assert(distinctCount() === ((60L, 60L)),
+      "a total watermark loss must not double-land a retried batch")
+    // probe parity over the whole lifecycle
+    val q = df.filter(col("id") < 5)
+    val got = Similarity.ivfTopKIndexed(q, "id", "v", idx, k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    val want = Similarity.bruteForceTopK(q, "id", "v", df, "id", "v", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("streamed lane vs deletion: a committed replay passes the tombstone guard; a fresh batch re-adding the id refuses (r18)") {
+    // The ADVICE hole: requireNotTombstoned threw on replay-idempotent
+    // appends too, so deleting an id from a written-but-uncheckpointed
+    // batch wedged the stream forever (the replay throws on every
+    // restart). A committed replay is a harmless self-overwrite — the
+    // ledger already hides its rows.
+    val s = spark
+    import s.implicits._
+    val vecs = (0L until 45L).map { i =>
+      (i, Array((i % 7).toDouble + 1, ((i * 3) % 5).toDouble, ((i * 7) % 11).toDouble))
+    }
+    val df = vecs.toDF("id", "v")
+    val idx = Files.createTempDirectory("ivfreplaydel").toString
+    Similarity.writeIvfIndex(df.filter(col("id") < 30), "id", "v", idx, nlist = 4)
+    val cents = Similarity.loadIvfCentroids(spark, idx)
+    val b = df.filter(col("id") >= 30)
+    Similarity.appendIvfIndexIdempotent(b, "id", "v", idx, cents, batchId = 0L)
+    // an id from batch 0 is deleted AFTER the write committed
+    Similarity.deleteFromIvfIndex(Seq(31L).toDF("id"), idx)
+    // the checkpoint never committed -> batch 0 is re-delivered: must
+    // pass (self-overwrite), not wedge the stream
+    Similarity.appendIvfIndexIdempotent(b, "id", "v", idx, cents, batchId = 0L)
+    val c = spark.read.parquet(s"$idx/corpus")
+    assert(c.count() === 45 && c.select("corpus_id").distinct().count() === 45)
+    // the probe still hides the tombstoned id
+    val got = Similarity.ivfTopKIndexed(df.filter(col("id") === 31), "id", "v",
+      idx, k = 5, nprobe = 4)
+    assert(!got.collect().exists(_.getLong(1) == 31L), "deleted id must stay hidden")
+    // a genuinely FRESH batch re-appending the deleted id still refuses
+    val fresh = intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndexIdempotent(
+        df.filter(col("id") === 31), "id", "v", idx, cents, batchId = 1L)
+    }
+    assert(fresh.getMessage.contains("tombstone"), fresh.getMessage)
+    // ... and so does the manual lane (operator-driven retries stay loud)
+    val manual = intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndex(df.filter(col("id") === 31), "id", "v", idx)
+    }
+    assert(manual.getMessage.contains("tombstone"), manual.getMessage)
+  }
+
   test("tombstoned deletes: probes skip deleted vectors; purge reclaims and clears the ledger") {
     val s = spark
     import s.implicits._

@@ -367,6 +367,82 @@ class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counts() === ((220L, 220L)))
   }
 
+  test("two crashed PQ appends, then a retry of either: own lane found; half-landed lanes below the match are deleted (r18)") {
+    // r17 matched fingerprints only with exactly ONE orphan; two crashed
+    // appends then a retry adopted both and landed the retried batch
+    // twice. Every orphan is fingerprinted now, and half-landed lanes
+    // BELOW the reused lane are deleted (the final watermark advance
+    // would otherwise commit them with one table missing).
+    def batch(lo: Long, hi: Long) = {
+      val gen = udf((id: Long) => graft.tools.EmbedSynth.vector(id, 16, 4, 0.3))
+      spark.range(lo, hi).select(col("id").as("vec_id"), gen(col("id")).as("e"))
+    }
+    val path = Files.createTempDirectory("pqmulti").toString
+    Pq.writePqIndex(batch(0, 120), "vec_id", "e", path, nlist = 4, m = 4, ksub = 16)
+    val codesT = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val vecsT = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    val fs = codesT.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val floor = IndexMaintenance.ManualLaneFloor
+    def counts() = (spark.read.parquet(s"$path/codes").count(),
+      spark.read.parquet(s"$path/vectors").count())
+    Pq.appendPqIndex(batch(120, 140), "vec_id", "e", path) // lane = floor
+    Pq.appendPqIndex(batch(140, 160), "vec_id", "e", path) // lane = floor+1
+    // both crashed before their watermark publish; the FIRST also
+    // crashed between its two table writes (codes-only half lane)
+    IndexMaintenance.deleteLane(fs, vecsT, floor)
+    IndexMaintenance.writeManualWatermark(fs, codesT, floor - 1)
+    assert(counts() === ((160L, 140L)))
+    // retry of the SECOND batch: must reuse lane floor+1 (not land it
+    // again under floor+2) and delete the half lane floor below it
+    Pq.appendPqIndex(batch(140, 160), "vec_id", "e", path)
+    assert(counts() === ((140L, 140L)),
+      "reuse the matched lane; delete the half-landed lane below it")
+    assert(IndexMaintenance.readManualWatermark(fs, codesT) === floor + 1)
+    val (codesL, vecsL) = Pq.pqIndexLayout(spark, path)
+    assert(codesL.maxBatchId === floor + 1 && vecsL.maxBatchId === floor + 1,
+      "no fresh lane above the reused one")
+    // the deleted first batch retried later lands whole in a fresh lane
+    Pq.appendPqIndex(batch(120, 140), "vec_id", "e", path)
+    assert(counts() === ((160L, 160L)))
+    val all = batch(0, 160)
+    val q = all.filter(col("vec_id").isin(0L, 130L, 150L))
+    val got = Pq.pqTopKIndexed(q, "vec_id", "e", path, k = 3, nprobe = 4, refine = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    val want = Similarity.bruteForceTopK(q, "vec_id", "e", all, "vec_id", "e", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("streamed PQ lane vs deletion: a committed replay passes the tombstone guard; a fresh batch re-adding the id refuses (r18)") {
+    def batch(lo: Long, hi: Long) = {
+      val gen = udf((id: Long) => graft.tools.EmbedSynth.vector(id, 16, 4, 0.3))
+      spark.range(lo, hi).select(col("id").as("vec_id"), gen(col("id")).as("e"))
+    }
+    val path = Files.createTempDirectory("pqreplaydel").toString
+    Pq.writePqIndex(batch(0, 120), "vec_id", "e", path, nlist = 4, m = 4, ksub = 16)
+    Pq.appendPqIndexIdempotent(batch(120, 140), "vec_id", "e", path, batchId = 0L)
+    val s = spark
+    import s.implicits._
+    Pq.deleteFromPqIndex(Seq(125L).toDF("id"), path)
+    // write committed, checkpoint didn't -> re-delivery must pass (the
+    // ledger hides the rows in both probe stages), not wedge the stream
+    Pq.appendPqIndexIdempotent(batch(120, 140), "vec_id", "e", path, batchId = 0L)
+    assert(spark.read.parquet(s"$path/codes").count() === 140L)
+    assert(spark.read.parquet(s"$path/vectors").count() === 140L)
+    val got = Pq.pqTopKIndexed(batch(125, 126), "vec_id", "e", path,
+      k = 5, nprobe = 4, refine = 64)
+    assert(!got.collect().exists(_.getLong(1) == 125L), "deleted id must stay hidden")
+    // a genuinely FRESH batch re-appending the deleted id still refuses
+    val fresh = intercept[IllegalArgumentException] {
+      Pq.appendPqIndexIdempotent(batch(125, 126), "vec_id", "e", path, batchId = 1L)
+    }
+    assert(fresh.getMessage.contains("tombstone"), fresh.getMessage)
+    val manual = intercept[IllegalArgumentException] {
+      Pq.appendPqIndex(batch(125, 126), "vec_id", "e", path)
+    }
+    assert(manual.getMessage.contains("tombstone"), manual.getMessage)
+  }
+
   test("tombstoned deletes: both PQ stages skip deleted vectors; purge rewrites both tables") {
     def batch(lo: Long, hi: Long) = {
       val gen = udf((id: Long) => graft.tools.EmbedSynth.vector(id, 16, 4, 0.3))
