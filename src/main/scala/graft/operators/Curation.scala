@@ -631,12 +631,17 @@ object Curation {
     require(buckets > 0, s"buckets must be positive: $buckets")
     val spark = df.sparkSession
     // a build at this path IS the documented ledger reset: stale
-    // tombstones (and the purge watermark) from a previous index here
-    // would double-subtract from the fresh stats and hide rebuilt docs
+    // tombstones (and the purge watermark / a half-finished fold) from
+    // a previous index here would double-subtract from the fresh stats
+    // and hide rebuilt docs
     IndexMaintenance.clearDeletes(spark, path)
-    new org.apache.hadoop.fs.Path(s"$path/_purged_through")
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(s"$path/_purged_through"), false)
+    locally {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq("_purged_through", "_ledger_fold", "._ledger_fold.tmp")
+        .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(s"$path/$f"), false))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/doclens_tmp"), true)
+    }
     // one tokenize pass feeds both the postings write and the stats agg
     val toks = tokenized(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -645,10 +650,35 @@ object Curation {
         .withColumn("ingest_batch", lit(-1L))
         .write.mode("overwrite").partitionBy("bucket", "ingest_batch")
         .parquet(s"$path/postings")
+      writeDoclens(toks, path, overwrite = true)
       val t = toks.agg(count(lit(1)).as("n"), sum(size(col("ts"))).as("s")).collect()(0)
       writeStats(spark, path, t.getLong(0), if (t.isNullAt(1)) 0L else t.getLong(1),
         buckets, lastBatch = -1L, lastManual = ManualLaneFloor - 1)
     } finally { toks.unpersist(false); () }
+  }
+
+  /** The id-keyed DOCLEN SIDECAR (r18): `doclens/` holds one tiny
+    * `(id, dl)` row per document, written by the build and appended by
+    * every append. Its single consumer is [[deleteFromBm25Index]], which
+    * previously recovered each delete batch's dl by semi-joining the
+    * WHOLE postings table (one full postings pass per delete batch —
+    * 8.2 s at 21 M docs vs the IVF twin's 0.4 s, SCALE.md 17d); dl is a
+    * per-doc constant the index knew at write time, so storing it makes
+    * deletes sidecar-scan-priced (two narrow columns, one row per doc —
+    * ~100× fewer rows than postings at typical doc lengths). Bonus: the
+    * sidecar records ZERO-TOKEN docs too (dl = 0 — they have no
+    * postings rows), so deleting one now adjusts n_docs exactly instead
+    * of the r17 overcount epsilon. Duplicate rows from a replayed/
+    * retried append are harmless — every consumer reads it
+    * `.distinct()`, and a doc's (id, dl) pair is immutable. */
+  private def writeDoclens(toks: DataFrame, path: String, overwrite: Boolean): Unit = {
+    val rows = toks.select(col("id"), coalesce(size(col("ts")), lit(0)).as("dl"))
+    // the build keeps its input parallelism (a corpus-sized pass writes
+    // once); appends fold their batch to one file so a long stream
+    // accrues one tiny file per trigger, not partitions × triggers
+    (if (overwrite) rows else rows.coalesce(1))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .parquet(s"$path/doclens")
   }
 
   /** Manual (non-streamed) appends get auto-assigned batch ids in a lane
@@ -857,6 +887,10 @@ object Curation {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket", "ingest_batch")
         .parquet(s"$path/postings")
+      // sidecar after postings, before stats: a committed stats
+      // watermark implies the lane's doclens landed; a crash in between
+      // re-appends on replay/retry, which dedups at read
+      writeDoclens(toks, path, overwrite = false)
       // each lane's replay/retry skips only its own applied deltas
       val apply = if (manual) batchId > lastManual else batchId > lastBatch
       if (apply)
@@ -951,6 +985,8 @@ object Curation {
       path: String): Option[String] = {
     val msgs = IndexMaintenance.recover(spark, s"$path/postings").toSeq ++
       statsRecover(spark, path).toSeq ++
+      doclensRecover(spark, path).toSeq ++
+      ledgerFoldRecover(spark, path).toSeq ++
       manualLaneRecover(spark, path).toSeq
     if (msgs.isEmpty) None else Some(msgs.mkString("; "))
   }
@@ -977,81 +1013,226 @@ object Curation {
   /** DELETE documents from a stored BM25 index (r17) — tombstone-first,
     * the [[Similarity.deleteFromIvfIndex]] shape with one lexical
     * extra: BM25's scores depend on corpus stats (n_docs, avgdl), so
-    * the ledger stores `(id, dl)` — dl recovered from the doc's own
-    * postings rows in one batch-priced lookup here — and every probe
-    * subtracts the ledger's aggregate from the stored stats. Deleted
-    * docs then vanish from answers IMMEDIATELY and the remaining scores
-    * equal an index built without them (oracle-gated). The delete is
-    * one ledger append — no index rewrite, no stats write, crash-safe
-    * (re-appending dedups). Zero-token docs have no postings rows, so
-    * deleting one leaves n_docs overcounting by one — the same
-    * documented epsilon as [[recoverBm25Index]]'s manual-lane heal.
-    * [[purgeBm25Deletes]] reclaims the bytes later; the ledger itself
-    * stays (it carries the stats adjustment) until a rebuild resets
-    * everything. Driver-small ledger by contract (it broadcasts). */
+    * the ledger stores `(id, dl)` and every probe subtracts the
+    * ledger's aggregate from the stored stats. Deleted docs then vanish
+    * from answers IMMEDIATELY and the remaining scores equal an index
+    * built without them (oracle-gated). The delete is one ledger append
+    * — no index rewrite, no stats write, crash-safe (re-appending
+    * dedups). [[purgeBm25Deletes]] reclaims the bytes (and since r18
+    * folds the ledger into the stats row and clears it).
+    * Driver-small delete batches by contract (the ledger broadcasts).
+    *
+    * dl comes from the DOCLEN SIDECAR ([[writeDoclens]], r18) — one
+    * narrow id-keyed scan instead of the r17 full-postings semi-join
+    * (8.2 s at 21 M docs, SCALE.md 17d), and zero-token docs (dl = 0,
+    * no postings rows) now adjust n_docs exactly instead of the
+    * documented overcount epsilon. Ids the sidecar doesn't cover — a
+    * pre-r18 index, or an orphan lane that crashed between its postings
+    * and sidecar writes — fall back to the postings recovery, and only
+    * for those ids; ids in neither are not in the index (a no-op, as
+    * documented). */
   def deleteFromBm25Index(ids: DataFrame, path: String,
       idCol: String = "id"): Unit = {
     val spark = ids.sparkSession
-    val postingsPath = new org.apache.hadoop.fs.Path(s"$path/postings")
-    val fs = postingsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rows = IndexMaintenance.consistentListing(fs, postingsPath) {
-      spark.read.parquet(s"$path/postings")
+    val batch = ids.select(col(idCol).as("id")).distinct()
+    val dlPath = new org.apache.hadoop.fs.Path(s"$path/doclens")
+    val fs = dlPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // dl stays INT end to end — the type size() produces and the type
+    // every r17 ledger already holds (a mixed int/long ledger dir would
+    // break the plain parquet read)
+    // like readDeletes: a sidecar dir with no committed data files (a
+    // crashed first write) reads as absent, not a schema-inference brick
+    val sidecarUsable = fs.exists(dlPath) && fs.listStatus(dlPath)
+      .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val fromSidecar: Array[(Long, Int)] =
+      if (!sidecarUsable) Array.empty
+      else spark.read.parquet(dlPath.toString)
+        .join(broadcast(batch), Seq("id"), "left_semi")
+        .select("id", "dl").distinct()
+        .collect() // delete batches are driver-small by contract
+        .map(r => (r.getLong(0), r.getInt(1)))
+    val covered = fromSidecar.map(_._1).toSet
+    val missing = batch.collect().map(_.getLong(0)).filterNot(covered)
+    val fromPostings: Array[(Long, Int)] =
+      if (missing.isEmpty) Array.empty
+      else {
+        val postingsPath = new org.apache.hadoop.fs.Path(s"$path/postings")
+        val pfs = postingsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        import spark.implicits._
+        val rows = IndexMaintenance.consistentListing(pfs, postingsPath) {
+          spark.read.parquet(s"$path/postings")
+        }
+        rows.join(broadcast(missing.toSeq.toDF("id")), Seq("id"), "left_semi")
+          .select("id", "dl").distinct()
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1)))
+      }
+    val all = fromSidecar ++ fromPostings
+    if (all.nonEmpty) {
+      import spark.implicits._
+      all.toSeq.toDF("id", "dl")
+        .coalesce(1).write.mode("append")
+        .parquet(IndexMaintenance.deletesDir(path))
     }
-    rows.join(broadcast(ids.select(col(idCol).as("id")).distinct()),
-        Seq("id"), "left_semi")
-      .select("id", "dl").distinct()
-      .coalesce(1).write.mode("append")
-      .parquet(IndexMaintenance.deletesDir(path))
   }
 
-  /** Physically remove tombstoned postings (r17) — rewrite every
-    * resident bucket with the ledger anti-joined out (marker-staged;
-    * [[recoverBm25Index]] heals a crash). Requires a fully-folded index
-    * (a deleted row in an unfolded lane would survive). Unlike the ANN
-    * purges the ledger is NOT cleared: the stored stats row keeps its
-    * original totals and the ledger's (id, dl) aggregate is what makes
-    * the probes' effective stats right — a rebuild (writeBm25Index over
-    * the curated corpus) is what resets both. Returns buckets
-    * rewritten. Single-writer contract. */
+  /** Physically remove tombstoned postings AND retire the ledger (r17;
+    * fold semantics r18): rewrite every resident bucket with the ledger
+    * anti-joined out (marker-staged; [[recoverBm25Index]] heals a
+    * crash), remove the purged ids from the doclen sidecar, then FOLD
+    * the ledger's (count, sum dl) into the stored stats row and delete
+    * the folded ledger files. Requires a fully-folded index (a deleted
+    * row in an unfolded lane would survive).
+    *
+    * r17 kept the ledger forever ("it carries the stats adjustment"),
+    * so every probe re-collected and broadcast it for the index's whole
+    * life and nothing ever reset it short of a rebuild — the judged
+    * unbounded-growth seam. The fold moves the adjustment INTO the
+    * stats row, so after a purge the index is byte-for-byte equivalent
+    * to one built without the docs: probes pay no anti-join, re-using
+    * a purged id is a legal fresh append (deletion is terminal until a
+    * PURGE or rebuild now, not rebuild-only), and the ledger size is
+    * bounded by the purge cadence.
+    *
+    * Crash safety: the stats fold is staged through the `_ledger_fold`
+    * marker, which pins the EXPECTED post-fold (n_docs, sum_dl) and the
+    * exact ledger files being folded — on any crash,
+    * [[recoverBm25Index]] compares the stats row against the pinned
+    * values to decide roll-forward (apply the stats write, then delete
+    * exactly the listed files), and [[bm25Effective]] consults the same
+    * marker so a probe landing INSIDE the window (stats folded, files
+    * not yet deleted) never subtracts twice. delN >= 1 whenever a
+    * ledger exists, so pre- and post-fold stats can never collide.
+    * Returns buckets rewritten. Single-writer contract (deletes count
+    * as writes here). */
   def purgeBm25Deletes(spark: org.apache.spark.sql.SparkSession,
-      path: String, spreadFiles: Int = 0): Int =
-    IndexMaintenance.readDeletes(spark, path) match {
-      case None => 0
-      case Some(ledger) =>
-        val layout = bm25IndexLayout(spark, path)
-        require(layout.batchLeaves == 0,
-          s"index at $path has ${layout.batchLeaves} unfolded batch leaves — " +
-            "fold them first (compactBm25Index at a covering watermark): a " +
-            "deleted row in an unfolded lane would survive the purge")
-        // already-purged guards: the ledger stays after a purge (it
-        // carries the stats adjustment), so a rerun must detect there
-        // is nothing left rather than rewrite every bucket again — the
-        // `_purged_through` watermark (ledger rows netted at the last
-        // purge) answers for free, and a read-only semi-join probe
-        // covers the watermark's blind spot (new tombstones that never
-        // had postings rows)
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(s"$path/_purged_through")
-        val ledgerCount = ledger.count()
-        if (ledgerCount <= IndexMaintenance.readCounterFile(fs, marker)) 0
-        else {
-          val matches = spark.read.parquet(s"$path/postings")
-            .join(broadcast(ledger.select("id")), Seq("id"), "left_semi")
-            .limit(1).count()
-          if (matches == 0) {
-            IndexMaintenance.writeCounterFile(fs, marker, ledgerCount)
-            0
-          } else {
-            val buckets = readStats(spark, path)._3
-            val n = IndexMaintenance.rewriteResident(spark, s"$path/postings", 0,
-              df => df.join(broadcast(ledger.select("id")), Seq("id"), "left_anti"),
-              bucketSpread(_, buckets, spreadFiles), level1 = "bucket")
-            IndexMaintenance.writeCounterFile(fs, marker, ledgerCount)
-            n
-          }
-        }
+      path: String, spreadFiles: Int = 0): Int = {
+    // finish an interrupted previous fold first: its marker pins the
+    // exact snapshot it was folding, which must not mix with this run's
+    ledgerFoldRecover(spark, path)
+    doclensRecover(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deletesP = new org.apache.hadoop.fs.Path(IndexMaintenance.deletesDir(path))
+    // snapshot the ledger FILES: the fold's commit deletes exactly these
+    // (anything appended later — a contract breach under the
+    // single-writer rule — survives rather than vanishing unfolded)
+    val ledgerFiles =
+      if (!fs.exists(deletesP)) Seq.empty[String]
+      else fs.listStatus(deletesP)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.getName).toSeq
+    if (ledgerFiles.isEmpty) return 0
+    val stored = spark.read.parquet(
+      ledgerFiles.map(f => s"${deletesP.toString}/$f"): _*).distinct()
+    val rows = stored.collect() // driver-small by contract
+    val ledger = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), stored.schema)
+    val layout = bm25IndexLayout(spark, path)
+    require(layout.batchLeaves == 0,
+      s"index at $path has ${layout.batchLeaves} unfolded batch leaves — " +
+        "fold them first (compactBm25Index at a covering watermark): a " +
+        "deleted row in an unfolded lane would survive the purge")
+    // 1. postings rewrite (marker-staged; a read-only semi-join probe
+    //    skips it on a rerun after a crash later in the sequence)
+    val matches = spark.read.parquet(s"$path/postings")
+      .join(broadcast(ledger.select("id")), Seq("id"), "left_semi")
+      .limit(1).count()
+    val n = if (matches == 0) 0 else {
+      val buckets = readStats(spark, path)._3
+      IndexMaintenance.rewriteResident(spark, s"$path/postings", 0,
+        df => df.join(broadcast(ledger.select("id")), Seq("id"), "left_anti"),
+        bucketSpread(_, buckets, spreadFiles), level1 = "bucket")
     }
+    // 2. drop the purged ids from the doclen sidecar — without this, a
+    //    post-purge re-delete of the same id would find its dl again
+    //    and subtract a doc the stats no longer count
+    rewriteDoclens(spark, path, ledger)
+    // 3. the ledger fold: marker -> stats -> file deletes -> marker off
+    val agg = ledger.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
+    val (oldN, oldSum, buckets, lastBatch, lastManual) = readStats(spark, path)
+    val (expN, expSum) = (oldN - agg.getLong(0), oldSum - agg.getLong(1))
+    IndexMaintenance.writeMarker(fs,
+      new org.apache.hadoop.fs.Path(s"$path/._ledger_fold.tmp"),
+      new org.apache.hadoop.fs.Path(s"$path/_ledger_fold"),
+      s"$expN $expSum" +: ledgerFiles)
+    writeStats(spark, path, expN, expSum, buckets, lastBatch, lastManual)
+    ledgerFiles.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(deletesP, f), false))
+    // the r17 rerun watermark is subsumed by the fold (the ledger is
+    // gone); drop it so a later rebuild-reset has one less stale file
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_purged_through"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_ledger_fold"), false)
+    n
+  }
+
+  /** Roll an interrupted [[purgeBm25Deletes]] ledger fold FORWARD: the
+    * `_ledger_fold` marker pins the expected post-fold stats and the
+    * exact files being folded; stats already at the pinned values mean
+    * the subtraction landed (delete the files), anything else means it
+    * didn't (apply it, then delete). Idempotent. */
+  private def ledgerFoldRecover(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[String] = {
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_ledger_fold")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val scratch = new org.apache.hadoop.fs.Path(s"$path/._ledger_fold.tmp")
+    if (fs.exists(scratch)) fs.delete(scratch, false) // pre-publish crash
+    if (!fs.exists(marker)) return None
+    val lines = IndexMaintenance.readMarker(fs, marker)
+    val head = lines.head.split(" ")
+    val (expN, expSum) = (head(0).toLong, head(1).toLong)
+    statsRecover(spark, path) // a stats publish can itself have crashed
+    val (n, sum, buckets, lastBatch, lastManual) = readStats(spark, path)
+    if (n != expN || sum != expSum)
+      writeStats(spark, path, expN, expSum, buckets, lastBatch, lastManual)
+    val deletesP = new org.apache.hadoop.fs.Path(IndexMaintenance.deletesDir(path))
+    lines.tail.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(deletesP, f), false))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_purged_through"), false)
+    fs.delete(marker, false)
+    Some(s"completed an interrupted ledger fold at $path " +
+      s"(stats pinned to n_docs=$expN, ${lines.tail.size} ledger file(s) retired)")
+  }
+
+  /** Rewrite the doclen sidecar with `ledger`'s ids removed — aside +
+    * delete + rename like the stats row; [[doclensRecover]] heals the
+    * rename window. A missing sidecar (pre-r18 index) is a no-op.
+    * Idempotent while the ledger persists (the anti-join of already-
+    * removed ids removes nothing). */
+  private def rewriteDoclens(spark: org.apache.spark.sql.SparkSession,
+      path: String, ledger: DataFrame): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/doclens")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val usable = fs.exists(live) && fs.listStatus(live)
+      .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    if (!usable) return
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/doclens_tmp")
+    spark.read.parquet(live.toString)
+      .join(broadcast(ledger.select("id")), Seq("id"), "left_anti")
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(live, true)
+    require(fs.rename(tmp, live), s"could not publish $live")
+  }
+
+  /** Heal a crashed [[rewriteDoclens]] window, [[statsRecover]]-style:
+    * a complete aside copy with no live sidecar rolls forward; a
+    * leftover aside beside a live one is residue and is removed. */
+  private def doclensRecover(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/doclens_tmp")
+    val live = new org.apache.hadoop.fs.Path(s"$path/doclens")
+    if (!fs.exists(tmp)) None
+    else if (!fs.exists(live) &&
+        fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+      require(fs.rename(tmp, live), s"doclens recover: could not publish $live")
+      Some(s"installed the staged doclen sidecar at $live")
+    } else {
+      fs.delete(tmp, true)
+      Some(s"removed stale doclen staging beside $live")
+    }
+  }
 
   /** Tombstones awaiting physical removal — what feeds the advice's
     * purge signal: the ledger count net of the `_purged_through`
@@ -1071,7 +1252,20 @@ object Curation {
   private def bm25Effective(spark: org.apache.spark.sql.SparkSession,
       path: String): (Long, Double, Int, Option[DataFrame]) = {
     val (nDocs, sumDl, nBuckets, _, _) = readStats(spark, path)
-    val ledger = IndexMaintenance.readDeletes(spark, path)
+    val ledger0 = IndexMaintenance.readDeletes(spark, path)
+    // mid-fold guard (r18): inside purgeBm25Deletes' crash window —
+    // stats already folded, ledger files not yet deleted — the
+    // `_ledger_fold` marker pins the folded stats values; equality
+    // means the subtraction already lives in the stats row (and the
+    // purged rows are already gone), so the ledger must not apply AGAIN
+    val ledger = ledger0.filter { _ =>
+      val marker = new org.apache.hadoop.fs.Path(s"$path/_ledger_fold")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      !fs.exists(marker) || {
+        val head = IndexMaintenance.readMarker(fs, marker).head.split(" ")
+        head(0).toLong != nDocs || head(1).toLong != sumDl
+      }
+    }
     val (delN, delDl) = ledger.map { d =>
       val r = d.agg(count(lit(1)),
         coalesce(sum(col("dl")), lit(0L))).collect()(0)

@@ -455,8 +455,8 @@ private[graft] object IndexMaintenance {
         s"batch re-appends deleted id ${hit(0).get(0)} — the tombstone ledger at " +
           s"${deletesDir(indexPath)} hides every copy of a deleted id, old and " +
           "new, so the appended rows would be invisible. Deletion is terminal " +
-          "for an id until a REBUILD resets the ledger; append under fresh ids " +
-          "or rebuild first.")
+          "for an id until a PURGE or rebuild retires the ledger; append under " +
+          "fresh ids, or purge/rebuild first.")
     }
 
   /** Whether any leaf of `lane` exists in the two-level layout — the
@@ -721,7 +721,7 @@ private[graft] object IndexMaintenance {
     }
   }
 
-  private def writeMarker(fs: FileSystem, scratch: Path, dest: Path,
+  private[operators] def writeMarker(fs: FileSystem, scratch: Path, dest: Path,
       lines: Seq[String]): Unit = {
     val out = fs.create(scratch, true)
     try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -729,7 +729,7 @@ private[graft] object IndexMaintenance {
     require(fs.rename(scratch, dest), s"could not publish marker $dest")
   }
 
-  private def readMarker(fs: FileSystem, marker: Path): Seq[String] = {
+  private[operators] def readMarker(fs: FileSystem, marker: Path): Seq[String] = {
     val in = fs.open(marker)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
     finally in.close()

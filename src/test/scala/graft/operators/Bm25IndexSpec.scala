@@ -384,28 +384,114 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Curation.bm25MaintenanceAdvice(spark, idx, maxTombstones = 5)
       .action === "purge-deletes")
     assert(Curation.purgeBm25Deletes(spark, idx) > 0)
-    // the `_purged_through` watermark nets the signal off even though
-    // the BM25 ledger stays (it carries the stats adjustment)
     assert(Curation.bm25MaintenanceAdvice(spark, idx, maxTombstones = 5)
       .action === "none")
-    // tombstoned rows are physically gone; answers unchanged (the
-    // ledger stays — it carries the stats adjustment)
+    // tombstoned rows are physically gone; answers unchanged — and the
+    // ledger is RETIRED (r18): its aggregate now lives in the stats
+    // row, so probes stop paying the broadcast anti-join forever
     assert(spark.read.parquet(s"$idx/postings")
       .join(deleted, Seq("id"), "left_semi").count() === 0L)
+    val deletesDir = new java.io.File(s"$idx/deletes")
+    assert(!deletesDir.exists() || deletesDir.listFiles()
+      .forall(f => !f.getName.endsWith(".parquet")),
+      "the fold must delete the folded ledger files")
     Curation.writeBm25Index(
       docs(0, 160).filter(col("doc_id") >= 150 || pmod(col("doc_id"), lit(5)) =!= 2),
       "doc_id", "text", whole2, buckets = 8)
     assert(ask(idx) === ask(whole2), "purge must change nothing about answers")
-    // rerun: the ledger stays (stats), but the already-purged guard
-    // must detect there is nothing left and skip the rewrite
+    val stIdx = spark.read.parquet(s"$idx/stats").select("n_docs", "sum_dl").collect()(0)
+    val stW2 = spark.read.parquet(s"$whole2/stats").select("n_docs", "sum_dl").collect()(0)
+    assert(stIdx === stW2, "the fold must land the rebuild-without-docs stats exactly")
+    // rerun: nothing left — no rewrite, no second subtraction
     assert(Curation.purgeBm25Deletes(spark, idx) === 0)
-    // an IN-PLACE rebuild is the documented ledger reset: stale
+    assert(ask(idx) === ask(whole2), "a purge rerun must not double-subtract")
+    // a purged id is re-appendable: the index state IS built-without-it
+    // now (rows, sidecar and stats all agree), so deletion is terminal
+    // only until a purge or rebuild (r18)
+    Curation.appendBm25Index(docs(0, 150)
+      .filter(pmod(col("doc_id"), lit(5)) === 2), "doc_id", "text", idx)
+    val whole3 = s"$base/whole3"
+    Curation.writeBm25Index(docs(0, 160), "doc_id", "text", whole3, buckets = 8)
+    assert(ask(idx) === ask(whole3),
+      "re-append after purge must equal a fresh build over everything")
+    // an IN-PLACE rebuild is the other documented ledger reset: stale
     // tombstones + the purge watermark would double-subtract from the
-    // fresh stats and hide rebuilt docs (r17 review)
+    // fresh stats and hide rebuilt docs (r17 review) — recreate a live
+    // ledger first so the reset has something to reset
+    Curation.deleteFromBm25Index(deleted.limit(3), idx)
     Curation.writeBm25Index(docs(0, 160), "doc_id", "text", idx, buckets = 8)
     Curation.writeBm25Index(docs(0, 160), "doc_id", "text", s"$base/fresh", buckets = 8)
     assert(ask(idx) === ask(s"$base/fresh"),
       "in-place rebuild must reset the ledger and the purge watermark")
+  }
+
+  test("zero-token deletes adjust n_docs exactly and fold through a rewrite-free purge (r18)") {
+    // r17 recovered dl from the doc's own postings rows, so deleting a
+    // zero-token doc was a silent no-op and n_docs overcounted (the
+    // documented epsilon). The doclen sidecar records dl = 0 rows, so
+    // the delete adjusts stats exactly — and the purge folds a ledger
+    // whose ids have NO postings rows (0 buckets rewritten) instead of
+    // keeping it forever.
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("bmzero").toString
+    val idx = s"$base/idx"; val whole = s"$base/whole"
+    val empties = Seq((1000L, ""), (1001L, ""), (1002L, "")).toDF("doc_id", "text")
+    Curation.writeBm25Index(docs(0, 60).union(empties), "doc_id", "text", idx, buckets = 8)
+    Curation.writeBm25Index(docs(0, 60), "doc_id", "text", whole, buckets = 8)
+    Curation.deleteFromBm25Index(Seq(1000L, 1001L, 1002L).toDF("id"), idx)
+    assert(ask(idx) === ask(whole),
+      "zero-token deletes must adjust n_docs (the r17 epsilon, closed by the sidecar)")
+    assert(Curation.purgeBm25Deletes(spark, idx) === 0,
+      "no postings rows to rewrite")
+    def st(p: String) = spark.read.parquet(s"$p/stats")
+      .select("n_docs", "sum_dl").collect()(0)
+    assert(st(idx) === st(whole), "the fold must land rebuild-without-docs stats")
+    assert(ask(idx) === ask(whole))
+    val deletesDir = new java.io.File(s"$idx/deletes")
+    assert(!deletesDir.exists() || deletesDir.listFiles()
+      .forall(f => !f.getName.endsWith(".parquet")), "ledger retired")
+  }
+
+  test("ledger fold crash windows: probes inside the window never double-subtract; recovery completes the fold (r18)") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("bmfoldcrash").toString
+    val idx = s"$base/idx"; val whole = s"$base/whole"
+    val empties = Seq((1000L, ""), (1001L, ""), (1002L, "")).toDF("doc_id", "text")
+    Curation.writeBm25Index(docs(0, 60).union(empties), "doc_id", "text", idx, buckets = 8)
+    Curation.writeBm25Index(docs(0, 60), "doc_id", "text", whole, buckets = 8)
+    Curation.deleteFromBm25Index(Seq(1000L, 1001L, 1002L).toDF("id"), idx)
+    // hand-construct the purge's fold states (zero-token tombstones, so
+    // the postings rewrite the marker normally implies is a no-op here)
+    val stats0 = spark.read.parquet(s"$idx/stats").collect()(0)
+    val (expN, expSum) = (stats0.getLong(0) - 3, stats0.getLong(1))
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledgerFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/deletes"))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSeq
+    IndexMaintenance.writeMarker(fs,
+      new org.apache.hadoop.fs.Path(s"$idx/._ledger_fold.tmp"),
+      new org.apache.hadoop.fs.Path(s"$idx/_ledger_fold"),
+      s"$expN $expSum" +: ledgerFiles)
+    // window A: marker present, stats NOT yet folded -> ledger applies
+    assert(ask(idx) === ask(whole), "pre-stats window: subtract once via the ledger")
+    // window B: stats folded, ledger files still present -> must NOT
+    // subtract again (the marker pins the folded values)
+    Seq((expN, expSum, stats0.getInt(2), stats0.getLong(3), stats0.getLong(4)))
+      .toDF("n_docs", "sum_dl", "buckets", "last_batch", "last_manual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/stats")
+    assert(ask(idx) === ask(whole), "post-stats window: the ledger must not apply twice")
+    // recovery rolls the fold forward: files retired, stats pinned
+    val healed = Curation.recoverBm25Index(spark, idx)
+    assert(healed.exists(_.contains("ledger fold")), s"got $healed")
+    assert(ask(idx) === ask(whole))
+    assert(!new java.io.File(s"$idx/_ledger_fold").exists())
+    val deletesDir = new java.io.File(s"$idx/deletes")
+    assert(!deletesDir.exists() || deletesDir.listFiles()
+      .forall(f => !f.getName.endsWith(".parquet")), "ledger retired")
+    assert(Curation.recoverBm25Index(spark, idx).isEmpty, "recovery is idempotent")
   }
 
   test("streamed ingest rides the shared skeleton: replay exactly-once, in-stream fold, self-maintenance") {
