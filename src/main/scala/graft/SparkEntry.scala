@@ -1212,6 +1212,28 @@ object SparkEntry {
         e.filter(col("vec_id") < 10), "vec_id", "e", p, k = 5, nprobe = 8)
     }),
 
+    "ann_ivfpq_deleted" -> ((s, dir) => {
+      // The IVFPQ deletion twin (r18): tombstone a fifth of the corpus,
+      // probe in the exact regime (full probe + corpus-covering
+      // shortlist, the ann_ivfpq_indexed discipline) — the ledger must
+      // filter BOTH stages (codes, so tombstones stop consuming ADC
+      // shortlist budget, and the re-rank vectors), equal to brute
+      // force over the remaining corpus. Purge is spec-gated
+      // (PqIndexSpec); this puts the tombstone-probe path under the
+      // driver's oracle like its IVF and BM25 siblings.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val p = work(dir, "ann_ivfpq_deleted")
+      buildOnce(p) {
+        Pq.writePqIndex(e, "vec_id", "e", p, nlist = 8, m = 8, ksub = 128)
+        Pq.deleteFromPqIndex(
+          e.filter(pmod(col("vec_id"), lit(5)) === 2).select(col("vec_id").as("id")), p)
+      }
+      val n = e.count()
+      Pq.pqTopKIndexed(e.filter(col("vec_id") < 10), "vec_id", "e", p,
+        k = 5, nprobe = 8, refine = (n / 5 + 1).toInt)
+    }),
+
     "bm25_search_many" -> ((s, dir) => {
       // The batch-serving shape (r17): a BATCH of queries answered in
       // ONE bucket-pruned pass over the stored postings — the union of
@@ -3162,6 +3184,11 @@ object SparkEntry {
       "AS ts FROM documents),",
       "AS ts FROM documents WHERE doc_id % 7 <> 3),"),
     "ann_ivf_deleted" -> annExhaustiveOracle.replace(
+      "AS v FROM embeddings),",
+      "AS v FROM embeddings WHERE vec_id % 5 <> 2),"),
+    // same statement for the IVFPQ twin: tombstones must vanish from
+    // BOTH probe stages, equal to brute force over the remainder
+    "ann_ivfpq_deleted" -> annExhaustiveOracle.replace(
       "AS v FROM embeddings),",
       "AS v FROM embeddings WHERE vec_id % 5 <> 2),"),
     "bm25_search_many" ->
