@@ -1005,9 +1005,15 @@ object Curation {
       foldLeavesPerBucket: Int = 2, spreadFiles: Int = 0,
       maxTombstones: Long = 100000L): MaintenanceAdvice = {
     val buckets = readStats(spark, path)._3
+    val pending = pendingBm25Tombstones(spark, path)
+    // the precise fold-first signal, priced only when over threshold
+    val unfolded = pending > maxTombstones &&
+      IndexMaintenance.readDeletes(spark, path).exists(d =>
+        IndexMaintenance.tombstonesUnfolded(spark, s"$path/postings", d, "id",
+          level1 = "bucket"))
     IndexMaintenance.advise(bm25IndexLayout(spark, path), driftTripped = false,
       Similarity.residentBound(spark, buckets, maxFilesPerBucket, spreadFiles),
-      foldLeavesPerBucket, pendingBm25Tombstones(spark, path), maxTombstones)
+      foldLeavesPerBucket, pending, maxTombstones, unfolded)
   }
 
   /** DELETE documents from a stored BM25 index (r17) — tombstone-first,
@@ -1081,8 +1087,10 @@ object Curation {
     * anti-joined out (marker-staged; [[recoverBm25Index]] heals a
     * crash), remove the purged ids from the doclen sidecar, then FOLD
     * the ledger's (count, sum dl) into the stored stats row and delete
-    * the folded ledger files. Requires a fully-folded index (a deleted
-    * row in an unfolded lane would survive).
+    * the folded ledger files. Requires every TOMBSTONED row to be
+    * folded — the precise gate (r18,
+    * [[IndexMaintenance.tombstonesUnfolded]]), so a live stream's
+    * current batch no longer blocks a purge of older data.
     *
     * r17 kept the ledger forever ("it carries the stats adjustment"),
     * so every probe re-collected and broadcast it for the index's whole
@@ -1128,11 +1136,12 @@ object Curation {
     val rows = stored.collect() // driver-small by contract
     val ledger = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), stored.schema)
-    val layout = bm25IndexLayout(spark, path)
-    require(layout.batchLeaves == 0,
-      s"index at $path has ${layout.batchLeaves} unfolded batch leaves — " +
-        "fold them first (compactBm25Index at a covering watermark): a " +
-        "deleted row in an unfolded lane would survive the purge")
+    require(!IndexMaintenance.tombstonesUnfolded(
+        spark, s"$path/postings", ledger, "id", level1 = "bucket"),
+      s"index at $path has tombstoned rows in unfolded batch lanes — " +
+        "fold past them first (compactBm25Index at a covering watermark): " +
+        "a deleted row in an unfolded lane would survive the purge and " +
+        "resurface once the ledger retired")
     // 1. postings rewrite (marker-staged; a read-only semi-join probe
     //    skips it on a rerun after a crash later in the sequence)
     val matches = spark.read.parquet(s"$path/postings")

@@ -473,6 +473,38 @@ private[graft] object IndexMaintenance {
         fs.exists(new Path(c.getPath, s"ingest_batch=$lane"))
     }
 
+  /** True when some tombstoned id still has rows in an UNFOLDED
+    * (`ingest_batch >= 0`) lane of `tablePath` — the precise purge
+    * precondition (r18): the purge rewrites only the resident `-1`
+    * layer, so a tombstoned row in a batch lane would survive it and
+    * resurface once the ledger retired. r17 gated on batchLeaves == 0
+    * outright, which a LIVE stream never satisfies (its current batch
+    * is always unfolded) — so the advice's purge signal was
+    * structurally un-actionable in-stream. Cost: one FS listing plus a
+    * scan of the batch lanes ONLY (resident files are never listed into
+    * the read); free when no lanes exist. */
+  private[operators] def tombstonesUnfolded(spark: SparkSession,
+      tablePath: String, ledgerIds: DataFrame, idColInTable: String,
+      level1: String = "cell"): Boolean = {
+    val table = new Path(tablePath)
+    val fs = fsOf(spark, table)
+    val leafRels: Seq[String] = for {
+      cellDir <- fs.listStatus(table).toSeq
+      if cellDir.isDirectory && cellDir.getPath.getName.startsWith(s"$level1=")
+      leaf <- fs.listStatus(cellDir.getPath).toSeq
+      if leaf.isDirectory && leaf.getPath.getName.startsWith("ingest_batch=")
+      if leaf.getPath.getName.stripPrefix("ingest_batch=").toLong >= 0
+    } yield s"${cellDir.getPath.getName}/${leaf.getPath.getName}"
+    leafRels.nonEmpty && {
+      import org.apache.spark.sql.functions.{broadcast, col}
+      spark.read.option("basePath", tablePath)
+        .parquet(leafRels.map(r => s"$tablePath/$r"): _*)
+        .join(broadcast(ledgerIds.select(col("id").as(idColInTable))),
+          Seq(idColInTable), "left_semi")
+        .limit(1).count() > 0
+    }
+  }
+
   /** Order-independent fingerprint of a frame's distinct `id` set —
     * (count, xor of per-id hashes). Decides whether an incoming manual
     * batch IS the retry of an orphan lane (same id set) or a different
@@ -787,11 +819,17 @@ private[graft] object IndexMaintenance {
     * trade flips (SCALE.md 17d: a 210 K-id ledger adds ~0.3-0.4 s of
     * broadcast anti-join to every probe vs a 37-89 s one-time purge —
     * amortized after ~100-250 queries). Purge sits BELOW fold in the
-    * precedence because it requires a fully-folded index anyway. */
+    * precedence; `unfoldedTombstones` (r18) is the PRECISE fold-first
+    * signal — whether any tombstoned id still has rows in an unfolded
+    * lane ([[tombstonesUnfolded]], computed by the family only when
+    * pending is over threshold). r17 used batchLeaves > 0 as the proxy,
+    * which a live stream never clears (its current batch is always
+    * unfolded), so the purge advice could never fire in-stream. */
   private[operators] def advise(layout: IndexLayoutStats,
       driftTripped: Boolean, residentBound: Int,
       foldLeavesPerCell: Int, pendingTombstones: Long = 0L,
-      maxTombstones: Long = 100000L): MaintenanceAdvice = {
+      maxTombstones: Long = 100000L,
+      unfoldedTombstones: Boolean = false): MaintenanceAdvice = {
     val foldThreshold = foldLeavesPerCell.toLong * layout.cells
     if (driftTripped) MaintenanceAdvice("rebuild",
       "the drift verdict tripped — retrain on the current corpus " +
@@ -801,17 +839,17 @@ private[graft] object IndexMaintenance {
         s"$foldThreshold ($foldLeavesPerCell per cell x ${layout.cells} cells) — " +
         "every unfolded leaf is a directory every reader must list", layout)
     else if (pendingTombstones > maxTombstones)
-      // the purge REQUIRES a fully-folded index (a deleted row in an
-      // unfolded lane would survive it), so any leaves — even under the
-      // fold's own tolerance — make fold the actionable step
-      if (layout.batchLeaves > 0) MaintenanceAdvice("fold",
+      // the purge requires the TOMBSTONED rows to be folded (a deleted
+      // row in an unfolded lane would survive it) — fold first exactly
+      // when that is the case, not whenever any leaf exists
+      if (unfoldedTombstones) MaintenanceAdvice("fold",
         s"$pendingTombstones tombstoned ids await physical removal " +
-          s"(> $maxTombstones) and the purge requires a folded index — " +
-          s"fold the ${layout.batchLeaves} batch leaves first", layout)
+          s"(> $maxTombstones) and some still have rows in unfolded " +
+          "batch lanes — fold past them first", layout)
       else MaintenanceAdvice("purge-deletes",
         s"$pendingTombstones tombstoned ids await physical removal " +
           s"(> $maxTombstones) — every probe pays their broadcast " +
-          "anti-join; the index is folded, so the purge can run now", layout)
+          "anti-join; their rows are all folded, so the purge can run now", layout)
     else if (layout.maxResidentFilesPerCell > residentBound)
       MaintenanceAdvice("compact-resident",
         s"a cell carries ${layout.maxResidentFilesPerCell} resident files " +

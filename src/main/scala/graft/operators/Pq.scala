@@ -714,19 +714,23 @@ object Pq {
     * [[Similarity.purgeIvfDeletes]]'s twin: marker-staged per table
     * (codes then vectors — a crash between them is benign, the ledger
     * still hides the remaining rows and a rerun completes), then the
-    * ledger clears. Requires a fully-folded index, same reason as the
+    * ledger clears. Requires every tombstoned row folded in both
+    * tables — the precise gate (r18,
+    * [[IndexMaintenance.tombstonesUnfolded]]), same rationale as the
     * IVF twin. Returns cells rewritten per table. */
   def purgePqDeletes(spark: SparkSession, path: String,
       spreadFiles: Int = 0): (Int, Int) =
     IndexMaintenance.readDeletes(spark, path) match {
       case None => (0, 0)
       case Some(ledger) =>
-        val (codesL, vecsL) = pqIndexLayout(spark, path)
-        require(codesL.batchLeaves == 0 && vecsL.batchLeaves == 0,
-          s"index at $path has unfolded batch leaves (codes ${codesL.batchLeaves}, " +
-            s"vectors ${vecsL.batchLeaves}) — fold them first (compactPqIndex at a " +
-            "covering watermark): a deleted row in an unfolded lane would survive " +
-            "the purge and resurface once the ledger cleared")
+        require(!IndexMaintenance.tombstonesUnfolded(
+            spark, s"$path/codes", ledger, "corpus_id") &&
+          !IndexMaintenance.tombstonesUnfolded(
+            spark, s"$path/vectors", ledger, "corpus_id"),
+          s"index at $path has tombstoned rows in unfolded batch lanes — " +
+            "fold past them first (compactPqIndex at a covering watermark): " +
+            "a deleted row in an unfolded lane would survive the purge and " +
+            "resurface once the ledger cleared")
         val nlist = spark.read.parquet(s"$path/model/centroids").count().toInt
         val d = ledger.select(col("id").as("corpus_id"))
         // nothing-to-remove fast path, per table (a rerun after a crash
@@ -820,10 +824,16 @@ object Pq {
         math.max(codes.residentFiles, vectors.residentFiles),
         math.max(codes.maxResidentFilesPerCell, vectors.maxResidentFilesPerCell),
         math.max(codes.batchFiles, vectors.batchFiles))
+    val pending = IndexMaintenance.tombstoneCount(spark, path)
+    // the precise fold-first signal (either table), priced only when
+    // over threshold
+    val unfolded = pending > maxTombstones &&
+      IndexMaintenance.readDeletes(spark, path).exists(d =>
+        IndexMaintenance.tombstonesUnfolded(spark, s"$path/codes", d, "corpus_id") ||
+          IndexMaintenance.tombstonesUnfolded(spark, s"$path/vectors", d, "corpus_id"))
     IndexMaintenance.advise(worse, driftTripped,
       Similarity.residentBound(spark, nlist, maxFilesPerCell, spreadFiles),
-      foldLeavesPerCell, IndexMaintenance.tombstoneCount(spark, path),
-      maxTombstones)
+      foldLeavesPerCell, pending, maxTombstones, unfolded)
   }
 
   /** The retrain TRIGGER the drift monitor feeds: quantization health of

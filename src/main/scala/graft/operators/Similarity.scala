@@ -754,23 +754,27 @@ object Similarity {
   /** Physically remove tombstoned vectors (r17): rewrite every resident
     * cell with the ledger anti-joined out (marker-staged through the
     * fold protocol — [[recoverIvfFold]] heals a crash), then clear the
-    * ledger. Requires a FULLY-FOLDED index (no batch leaves): a deleted
-    * row still sitting in an unfolded lane would survive the rewrite
-    * and resurface once the ledger cleared. Probes stay correct the
-    * whole time — before the purge the anti-join hides the rows, after
-    * it the rows are gone; a crash between the rewrite and the ledger
-    * clear just leaves a no-op anti-join in place. Returns cells
-    * rewritten (0 = no ledger). Single-writer contract. */
+    * ledger. Requires every TOMBSTONED row to be folded — a deleted row
+    * still sitting in an unfolded lane would survive the rewrite and
+    * resurface once the ledger cleared. The gate is the precise one
+    * (r18, [[IndexMaintenance.tombstonesUnfolded]] — it checks the
+    * tombstoned ROWS, not the layout): r17 demanded zero batch leaves
+    * outright, which a live ingest stream never satisfies, so the purge
+    * could not run in-stream at all. Probes stay correct the whole time
+    * — before the purge the anti-join hides the rows, after it the rows
+    * are gone; a crash between the rewrite and the ledger clear just
+    * leaves a no-op anti-join in place. Returns cells rewritten
+    * (0 = no ledger). Single-writer contract. */
   def purgeIvfDeletes(spark: org.apache.spark.sql.SparkSession,
       path: String, spreadFiles: Int = 0): Int =
     IndexMaintenance.readDeletes(spark, path) match {
       case None => 0
       case Some(ledger) =>
-        val layout = ivfIndexLayout(spark, path)
-        require(layout.batchLeaves == 0,
-          s"index at $path has ${layout.batchLeaves} unfolded batch leaves — " +
-            "fold them first (compactIvfIndex at a covering watermark): a " +
-            "deleted row in an unfolded lane would survive the purge and " +
+        require(!IndexMaintenance.tombstonesUnfolded(
+            spark, s"$path/corpus", ledger, "corpus_id"),
+          s"index at $path has tombstoned rows in unfolded batch lanes — " +
+            "fold past them first (compactIvfIndex at a covering watermark): " +
+            "a deleted row in an unfolded lane would survive the purge and " +
             "resurface once the ledger cleared")
         val nlist = spark.read.parquet(s"$path/centroids").count().toInt
         val d = ledger.select(col("id").as("corpus_id"))
@@ -827,9 +831,14 @@ object Similarity {
       maxFilesPerCell: Int = 0, foldLeavesPerCell: Int = 2,
       spreadFiles: Int = 0, maxTombstones: Long = 100000L): MaintenanceAdvice = {
     val nlist = spark.read.parquet(s"$path/centroids").count().toInt
+    val pending = IndexMaintenance.tombstoneCount(spark, path)
+    // the precise fold-first signal, priced only when over threshold
+    val unfolded = pending > maxTombstones &&
+      IndexMaintenance.readDeletes(spark, path).exists(d =>
+        IndexMaintenance.tombstonesUnfolded(spark, s"$path/corpus", d, "corpus_id"))
     IndexMaintenance.advise(ivfIndexLayout(spark, path), driftTripped,
       residentBound(spark, nlist, maxFilesPerCell, spreadFiles), foldLeavesPerCell,
-      IndexMaintenance.tombstoneCount(spark, path), maxTombstones)
+      pending, maxTombstones, unfolded)
   }
 
   /** Deterministic recovery after a crashed [[compactIvfIndex]] /

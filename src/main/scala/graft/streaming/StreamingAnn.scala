@@ -114,10 +114,13 @@ object StreamingAnn {
     * the index's single writer, so self-healing here is safe. */
   def appendBatches(
       path: String, idCol: String, vecCol: String, compactEvery: Int,
-      onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => ())(
+      onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => (),
+      purgeWhenAdvised: Boolean = false, maxTombstones: Long = 100000L)(
       onDrift: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
-    ingest(path, idCol, vecCol, compactEvery, onAdvice) { (batch, batchId, ct) =>
-      onDrift(Similarity.ivfDriftStats(batch, idCol, vecCol, ct), batchId)
+    ingest(path, idCol, vecCol, compactEvery, onAdvice,
+        purgeWhenAdvised = purgeWhenAdvised, maxTombstones = maxTombstones) {
+      (batch, batchId, ct) =>
+        onDrift(Similarity.ivfDriftStats(batch, idCol, vecCol, ct), batchId)
     }
 
   /** [[appendBatches]] without auto-compaction (compactEvery = 0); see
@@ -152,11 +155,13 @@ object StreamingAnn {
   def appendBatchesWithRetrain(
       path: String, idCol: String, vecCol: String, compactEvery: Int = 0,
       fitDropTol: Double = 0.05,
-      onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => ())(
+      onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => (),
+      purgeWhenAdvised: Boolean = false, maxTombstones: Long = 100000L)(
       onVerdict: (RetrainVerdict, Long) => Unit): (DataFrame, Long) => Unit = {
     var refFit = Double.NaN // loaded once per stream, alongside the centroids
     @volatile var drifted = false // the advice's drift axis = the last verdict
-    ingest(path, idCol, vecCol, compactEvery, onAdvice, () => drifted) {
+    ingest(path, idCol, vecCol, compactEvery, onAdvice, () => drifted,
+        purgeWhenAdvised, maxTombstones) {
       (batch, batchId, ct) =>
         if (refFit.isNaN)
           refFit = Similarity.loadIvfDriftRef(batch.sparkSession, path)
@@ -193,10 +198,13 @@ object StreamingAnn {
     * monitoring — at-least-once on replay, key on batchId to dedup. */
   def appendPqBatches(
       path: String, idCol: String, vecCol: String, compactEvery: Int = 0,
-      onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => ())(
+      onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => (),
+      purgeWhenAdvised: Boolean = false, maxTombstones: Long = 100000L)(
       onDrift: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
-    pqIngest(path, idCol, vecCol, compactEvery, onAdvice) { (batch, batchId, cents, model) =>
-      onDrift(Pq.indexDriftStats(batch, idCol, vecCol, cents, model), batchId)
+    pqIngest(path, idCol, vecCol, compactEvery, onAdvice,
+        purgeWhenAdvised = purgeWhenAdvised, maxTombstones = maxTombstones) {
+      (batch, batchId, cents, model) =>
+        onDrift(Pq.indexDriftStats(batch, idCol, vecCol, cents, model), batchId)
     }
 
   /** [[appendPqBatches]] with the retrain loop closed in-stream —
@@ -210,11 +218,13 @@ object StreamingAnn {
   def appendPqBatchesWithRetrain(
       path: String, idCol: String, vecCol: String, compactEvery: Int = 0,
       fitDropTol: Double = 0.05, errRiseFrac: Double = 0.15,
-      onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => ())(
+      onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => (),
+      purgeWhenAdvised: Boolean = false, maxTombstones: Long = 100000L)(
       onVerdict: (PqRetrainVerdict, Long) => Unit): (DataFrame, Long) => Unit = {
     var ref: (Double, Double) = null // loaded once per stream
     @volatile var drifted = false // the advice's drift axis = the last verdict
-    pqIngest(path, idCol, vecCol, compactEvery, onAdvice, () => drifted) {
+    pqIngest(path, idCol, vecCol, compactEvery, onAdvice, () => drifted,
+        purgeWhenAdvised, maxTombstones) {
       (batch, batchId, cents, model) =>
         if (ref == null) ref = Pq.loadPqDriftRef(batch.sparkSession, path)
         // one narrow pass yields n + both drift axes; the verdict rule is
@@ -231,7 +241,8 @@ object StreamingAnn {
   private def pqIngest(
       path: String, idCol: String, vecCol: String, compactEvery: Int,
       onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => (),
-      driftTripped: () => Boolean = () => false)(
+      driftTripped: () => Boolean = () => false,
+      purgeWhenAdvised: Boolean = false, maxTombstones: Long = 100000L)(
       monitor: (DataFrame, Long, Array[Array[Double]], Pq.PqModel) => Unit): (DataFrame, Long) => Unit =
     ingestLoop[(Array[Array[Double]], Pq.PqModel)](compactEvery)(
       recover = s => Pq.recoverPqFold(s, path),
@@ -241,13 +252,18 @@ object StreamingAnn {
       monitor = (batch, batchId, m) => monitor(batch, batchId, m._1, m._2),
       compact = (s, wm) => Pq.compactPqIndex(s, path, wm),
       compactResident = s => { val (c, v) = Pq.compactPqResident(s, path); c + v },
-      advise = s => Pq.maintenanceAdvice(s, path, driftTripped()),
-      onAdvice = onAdvice)
+      advise = s => Pq.maintenanceAdvice(s, path, driftTripped(),
+        maxTombstones = maxTombstones),
+      onAdvice = onAdvice,
+      purge = if (purgeWhenAdvised)
+        Some(s => { val (c, v) = Pq.purgePqDeletes(s, path); c + v })
+      else None)
 
   private def ingest(
       path: String, idCol: String, vecCol: String, compactEvery: Int,
       onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => (),
-      driftTripped: () => Boolean = () => false)(
+      driftTripped: () => Boolean = () => false,
+      purgeWhenAdvised: Boolean = false, maxTombstones: Long = 100000L)(
       monitor: (DataFrame, Long, Array[Array[Double]]) => Unit): (DataFrame, Long) => Unit =
     ingestLoop[Array[Array[Double]]](compactEvery)(
       recover = s => Similarity.recoverIvfFold(s, path),
@@ -257,8 +273,11 @@ object StreamingAnn {
       monitor = monitor,
       compact = (s, wm) => Similarity.compactIvfIndex(s, path, wm),
       compactResident = s => Similarity.compactIvfResident(s, path),
-      advise = s => Similarity.maintenanceAdvice(s, path, driftTripped()),
-      onAdvice = onAdvice)
+      advise = s => Similarity.maintenanceAdvice(s, path, driftTripped(),
+        maxTombstones = maxTombstones),
+      onAdvice = onAdvice,
+      purge = if (purgeWhenAdvised) Some(s => Similarity.purgeIvfDeletes(s, path))
+        else None)
 
   /** The ONE ingest skeleton both index families ride — any change to
     * the ordering (recover before first append, model loaded once per
@@ -283,7 +302,17 @@ object StreamingAnn {
     * `none` after) — logged, and handed to `onAdvice` with the batch id
     * so a production monitor sees WHY the loop acted, not just that it
     * did. One layout-stats walk per maintenance point, not per batch;
-    * at-least-once on replay like the drift rows. */
+    * at-least-once on replay like the drift rows.
+    *
+    * `purge` (r18) closes the one advice signal the loop previously
+    * only REPORTED: when wired (the families' `purgeWhenAdvised` knob),
+    * the loop re-advises AFTER the fold — the purge requires the folded
+    * index the fold just produced, and the fold-first precedence means
+    * the pre-fold advice can never say purge while leaves exist — and
+    * if the verdict is `purge-deletes`, runs the family's physical
+    * purge on the ingest thread (single-writer holds, like the fold).
+    * The post-fold advice is handed to `onAdvice` too, so the monitor
+    * sees the purge-deletes transition and then its disappearance. */
   private[streaming] def ingestLoop[M](compactEvery: Int)(
       recover: org.apache.spark.sql.SparkSession => Option[String],
       load: org.apache.spark.sql.SparkSession => M,
@@ -294,7 +323,8 @@ object StreamingAnn {
       advise: org.apache.spark.sql.SparkSession => MaintenanceAdvice = _ =>
         MaintenanceAdvice("none", "no advice wired for this family",
           graft.operators.IndexLayoutStats(0, 0, -1L, 0L, 0, 0L)),
-      onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => ()): (DataFrame, Long) => Unit = {
+      onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => (),
+      purge: Option[org.apache.spark.sql.SparkSession => Int] = None): (DataFrame, Long) => Unit = {
     var loaded: Option[M] = None
     var appended = 0L
     var recovered = false
@@ -322,6 +352,18 @@ object StreamingAnn {
           if (cells > 0)
             org.slf4j.LoggerFactory.getLogger(getClass)
               .info(s"StreamingAnn: resident compaction flattened $cells over-bound cells")
+          purge.foreach { p =>
+            // re-advise on the just-folded layout: pending tombstones
+            // that redirected to `fold` above are now actionable
+            val a2 = advise(spark)
+            if (a2.action == "purge-deletes") {
+              onAdvice(a2, batchId)
+              val rewritten = p(spark)
+              org.slf4j.LoggerFactory.getLogger(getClass)
+                .info(s"StreamingAnn: advice-driven purge at batch $batchId " +
+                  s"rewrote $rewritten partitions (${a2.reason})")
+            }
+          }
         }
       }
     }

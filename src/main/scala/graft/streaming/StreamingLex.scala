@@ -31,7 +31,9 @@ object StreamingLex {
 
   def appendBatches(path: String, idCol: String, textCol: String,
       compactEvery: Int = 0,
-      onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => ())(
+      onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => (),
+      purgeWhenAdvised: Boolean = false,
+      maxTombstones: Long = 100000L)(
       onBatch: Long => Unit = _ => ()): (DataFrame, Long) => Unit =
     StreamingAnn.ingestLoop[Unit](compactEvery)(
       recover = s => Curation.recoverBm25Index(s, path),
@@ -41,6 +43,9 @@ object StreamingLex {
       monitor = (_, batchId, _) => onBatch(batchId),
       compact = (s, wm) => Curation.compactBm25Index(s, path, wm),
       compactResident = s => Curation.compactBm25Resident(s, path),
-      advise = s => Curation.bm25MaintenanceAdvice(s, path),
-      onAdvice = onAdvice)
+      advise = s => Curation.bm25MaintenanceAdvice(s, path,
+        maxTombstones = maxTombstones),
+      onAdvice = onAdvice,
+      purge = if (purgeWhenAdvised) Some(s => Curation.purgeBm25Deletes(s, path))
+        else None)
 }

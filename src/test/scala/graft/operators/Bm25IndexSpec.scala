@@ -372,9 +372,11 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((0L, Seq("spark", "vector"))).toDF("query_id", "terms"), topK = 15)
       .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
     assert(many === ask(idx).toSeq)
-    // purge refuses while batch leaves exist (a deleted row in a lane
-    // would survive), then reclaims after the fold
+    // purge refuses while a TOMBSTONED row sits in an unfolded lane (it
+    // would survive the resident rewrite), then reclaims after the fold.
+    // The gate is precise (r18): a lane with only live ids doesn't block
     Curation.appendBm25IndexIdempotent(docs(150, 160), "doc_id", "text", idx, 0L)
+    Curation.deleteFromBm25Index(Seq(155L).toDF("id"), idx)
     val e = intercept[IllegalArgumentException] {
       Curation.purgeBm25Deletes(spark, idx)
     }
@@ -396,7 +398,8 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .forall(f => !f.getName.endsWith(".parquet")),
       "the fold must delete the folded ledger files")
     Curation.writeBm25Index(
-      docs(0, 160).filter(col("doc_id") >= 150 || pmod(col("doc_id"), lit(5)) =!= 2),
+      docs(0, 160).filter((col("doc_id") >= 150 || pmod(col("doc_id"), lit(5)) =!= 2)
+        && col("doc_id") =!= 155L),
       "doc_id", "text", whole2, buckets = 8)
     assert(ask(idx) === ask(whole2), "purge must change nothing about answers")
     val stIdx = spark.read.parquet(s"$idx/stats").select("n_docs", "sum_dl").collect()(0)
@@ -409,7 +412,8 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     // now (rows, sidecar and stats all agree), so deletion is terminal
     // only until a purge or rebuild (r18)
     Curation.appendBm25Index(docs(0, 150)
-      .filter(pmod(col("doc_id"), lit(5)) === 2), "doc_id", "text", idx)
+      .filter(pmod(col("doc_id"), lit(5)) === 2).union(docs(155, 156)),
+      "doc_id", "text", idx)
     val whole3 = s"$base/whole3"
     Curation.writeBm25Index(docs(0, 160), "doc_id", "text", whole3, buckets = 8)
     assert(ask(idx) === ask(whole3),
@@ -524,5 +528,50 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val layout = Curation.bm25IndexLayout(spark, idx)
     assert(layout.maxResidentFilesPerCell <= 2 * Similarity.cellSpreadBound(spark, 4),
       s"in-stream self-maintenance must bound resident files: $layout")
+  }
+
+  test("streamed deletes: mid-stream tombstones vanish from probes; the advice-driven purge retires the ledger in-stream (r18)") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("bmstreamdel").toString
+    val idx = s"$base/idx"
+    Curation.writeBm25Index(docs(0, 100), "doc_id", "text", idx, buckets = 4)
+    val advices = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val fn = graft.streaming.StreamingLex.appendBatches(
+      idx, "doc_id", "text", compactEvery = 2,
+      onAdvice = (a, b) => advices += ((a.action, b)),
+      purgeWhenAdvised = true, maxTombstones = 3)()
+    fn(docs(100, 130), 0L)
+    // deletes land MID-STREAM: 6 resident ids + 2 from the committed
+    // (not yet folded) batch 0 — 8 pending, over the knob's 3
+    val deletedIds = Seq(5L, 15L, 25L, 35L, 45L, 55L, 105L, 106L)
+    Curation.deleteFromBm25Index(deletedIds.toDF("id"), idx)
+    def whole(hi: Long) = {
+      val p = s"$base/whole$hi"
+      Curation.writeBm25Index(
+        docs(0, hi).filter(!col("doc_id").isin(deletedIds: _*)),
+        "doc_id", "text", p, buckets = 4)
+      p
+    }
+    assert(ask(idx) === ask(whole(130)),
+      "mid-stream deletes must vanish from probes immediately (stats adjusted)")
+    // the next maintenance point: fold-first (tombstoned rows in lane
+    // 0), then the advice-driven purge — ledger retired, stats folded
+    fn(docs(130, 160), 1L)
+    assert(advices.toSeq === Seq(("fold", 1L), ("purge-deletes", 1L)),
+      s"the monitor must see the fold-first redirect then the purge transition: $advices")
+    val deletesDir = new java.io.File(s"$idx/deletes")
+    assert(!deletesDir.exists() || deletesDir.listFiles()
+      .forall(f => !f.getName.endsWith(".parquet")),
+      "the in-stream purge must retire the ledger")
+    val w160 = whole(160)
+    assert(ask(idx) === ask(w160), "answers exact after the in-stream purge")
+    def st(p: String) = spark.read.parquet(s"$p/stats")
+      .select("n_docs", "sum_dl").collect()(0)
+    assert(st(idx) === st(w160), "the fold must land rebuild-without-docs stats")
+    // later maintenance points never re-advise (or re-run) the purge
+    fn(docs(160, 190), 2L)
+    fn(docs(190, 220), 3L)
+    assert(advices.drop(2).forall(_._1 !== "purge-deletes"), s"got $advices")
   }
 }

@@ -209,9 +209,18 @@ class ResidentCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a4.action === "purge-deletes", a4.toString)
     Similarity.appendIvfIndexIdempotent(mkCorpus(5000 until 5040),
       "id", "v", idx, cents, 13L, spreadFiles = 1)
+    // r18: the fold-first redirect is PRECISE — a lane holding only
+    // LIVE ids does not block the purge (the r17 batchLeaves==0 proxy
+    // made the purge advice structurally un-actionable under a live
+    // stream, whose current batch is always unfolded)...
     val a5 = Similarity.maintenanceAdvice(spark, idx, spreadFiles = 1,
       maxTombstones = 3)
-    assert(a5.action === "fold" && a5.reason.contains("purge"), a5.toString)
+    assert(a5.action === "purge-deletes", a5.toString)
+    // ...while a TOMBSTONED row in an unfolded lane still redirects
+    Similarity.deleteFromIvfIndex(mkCorpus(5000 until 5001).select("id"), idx)
+    val a6 = Similarity.maintenanceAdvice(spark, idx, spreadFiles = 1,
+      maxTombstones = 3)
+    assert(a6.action === "fold" && a6.reason.contains("unfolded"), a6.toString)
     Similarity.compactIvfIndex(spark, idx, committedBatchId = 13L, spreadFiles = 1)
     Similarity.purgeIvfDeletes(spark, idx, spreadFiles = 1)
     assert(Similarity.maintenanceAdvice(spark, idx, spreadFiles = 1,

