@@ -1223,6 +1223,30 @@ object Curation {
     require(fs.rename(tmp, live), s"could not publish $live")
   }
 
+  /** Upgrade a pre-r18 index in place: materialize the doclen sidecar
+    * from the postings in ONE pass — exactly the pass every
+    * [[deleteFromBm25Index]] batch would otherwise pay forever. Docs
+    * with zero tokens have no postings rows, so their dl = 0 entries
+    * cannot be recovered here (their deletes keep the documented n_docs
+    * epsilon until a rebuild); every index written or appended by r18
+    * code records them natively. No-op when a sidecar already exists
+    * (returns false). Single-writer contract. */
+  def backfillBm25Doclens(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/doclens")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val usable = fs.exists(live) && fs.listStatus(live)
+      .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    if (usable) return false
+    val postingsPath = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val pfs = postingsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexMaintenance.consistentListing(pfs, postingsPath) {
+      spark.read.parquet(s"$path/postings")
+    }.select("id", "dl").distinct()
+      .write.mode("overwrite").parquet(live.toString)
+    true
+  }
+
   /** Heal a crashed [[rewriteDoclens]] window, [[statsRecover]]-style:
     * a complete aside copy with no live sidecar rolls forward; a
     * leftover aside beside a live one is residue and is removed. */

@@ -27,12 +27,14 @@ object DeleteScaleLab {
     var root = "/tmp/graft_hybridlab"
     var frac = 100L
     var k = 20
+    var instream = false
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--root" => root = args(i + 1); i += 2
         case "--frac" => frac = args(i + 1).toLong; i += 2
         case "--k" => k = args(i + 1).toInt; i += 2
+        case "--instream" => instream = true; i += 1
         case other => sys.error(s"unknown arg $other")
       }
     }
@@ -95,6 +97,81 @@ object DeleteScaleLab {
     require(aafter2 == aafter, "purge must change nothing about answers")
     println(f"""{"step":"ivf_purge","cells_rewritten":$nc,"purge_secs":$apurgeS%.1f,""" +
       f""""probe_after_purge_secs":${math.min(aPost3, aPost4)}%.2f}""")
+
+    // ---- deletes landing WHILE the ingest loop runs (r18) ----
+    // The streamed-deletes composition at rung scale: a live
+    // StreamingLex/StreamingAnn ingest with `purgeWhenAdvised` — a
+    // delete lands between triggers (targeting resident docs AND docs
+    // from a committed-but-unfolded batch), the next probe excludes the
+    // ids immediately, and the next maintenance point folds past the
+    // unfolded tombstones, re-advises purge-deletes, and physically
+    // purges on the ingest thread. Runs AFTER the batch arms, so the
+    // indexes already carry one purge's layout — realistic churn.
+    if (instream) {
+      val g = n / 100 // ~1% of the corpus per trigger
+      val textUdf = udf((id: Long) => HybridScaleLab.docText(id, 20))
+      def growDocs(b: Long) =
+        spark.range(10 * n + b * g, 10 * n + (b + 1) * g, 1, 64)
+          .select(col("id").as("doc_id"), textUdf(col("id")).as("text"))
+      val fn = graft.streaming.StreamingLex.appendBatches(
+        lexIdx, "doc_id", "text", compactEvery = 2,
+        onAdvice = (a, b) => println(
+          s"""{"step":"instream_advice","family":"bm25","batch":$b,"action":"${a.action}"}"""),
+        purgeWhenAdvised = true, maxTombstones = 1000)()
+      val (_, i1s) = t(fn(growDocs(1), 1L))
+      // mid-stream delete: resident ids + 2000 ids from the committed
+      // (not yet folded) batch 1
+      val delStream = spark.range(0, n)
+        .filter(pmod(col("id"), lit(frac * 100)) === 3)
+        .union(spark.range(10 * n + g, 10 * n + g + 2000))
+      val (_, dStreamS) = t(Curation.deleteFromBm25Index(delStream.toDF("id"), lexIdx))
+      val (inAfter, inProbeS) = t(bmProbe())
+      require(inAfter.forall(id => !(id % (frac * 100) == 3 && id < n)),
+        "mid-stream deletes must vanish from probes immediately")
+      // next trigger reaches the maintenance point: fold + in-stream purge
+      val (_, i2s) = t(fn(growDocs(2), 2L))
+      val ledgerGone = !new java.io.File(s"$lexIdx/deletes").exists() ||
+        new java.io.File(s"$lexIdx/deletes").listFiles()
+          .forall(f => !f.getName.endsWith(".parquet"))
+      // the corpus legitimately grew between probes (trigger 2 appended
+      // new docs), so the invariant here is EXCLUSION, not equality —
+      // answer-identity under purge is asserted by the batch arms above
+      val (inAfter2, inProbeS2) = t(bmProbe())
+      require(inAfter2.forall(id => !(id % (frac * 100) == 3 && id < n)),
+        "purged ids must stay gone after the in-stream purge")
+      println(f"""{"step":"bm25_instream","trigger_secs":$i1s%.1f,""" +
+        f""""delete_secs":$dStreamS%.1f,"probe_with_ledger_secs":$inProbeS%.2f,""" +
+        f""""trigger_with_purge_secs":$i2s%.1f,"ledger_retired":$ledgerGone,""" +
+        f""""probe_after_secs":$inProbeS2%.2f}""")
+
+      // the ANN twin: same composition over the IVF ingest loop
+      val vgen = udf((id: Long) => EmbedSynth.vector(id, 64, 32, 2.0))
+      def growVecs(b: Long) =
+        spark.range(10 * nv + b * g, 10 * nv + (b + 1) * g, 1, 64)
+          .select(col("id").as("vec_id"), vgen(col("id")).as("e"))
+      val afn = graft.streaming.StreamingAnn.appendBatches(
+        ivfIdx, "vec_id", "e", compactEvery = 2,
+        onAdvice = (a, b) => println(
+          s"""{"step":"instream_advice","family":"ivf","batch":$b,"action":"${a.action}"}"""),
+        purgeWhenAdvised = true, maxTombstones = 1000)((_, _) => ())
+      val (_, a1s) = t(afn(growVecs(1), 1L))
+      val adelStream = spark.range(0, nv)
+        .filter(pmod(col("id"), lit(frac * 100)) === 3)
+        .union(spark.range(10 * nv + g, 10 * nv + g + 2000))
+      val (_, adStreamS) = t(Similarity.deleteFromIvfIndex(adelStream.toDF("id"), ivfIdx))
+      val (ainAfter, ainProbeS) = t(annProbe())
+      require(ainAfter.forall(id => !(id % (frac * 100) == 3 && id < nv)),
+        "mid-stream ANN deletes must vanish from probes immediately")
+      val (_, a2s) = t(afn(growVecs(2), 2L))
+      val aLedgerGone = !new java.io.File(s"$ivfIdx/deletes").exists()
+      val (ainAfter2, ainProbeS2) = t(annProbe())
+      require(ainAfter2.forall(id => !(id % (frac * 100) == 3 && id < nv)),
+        "purged ids must stay gone after the in-stream ANN purge")
+      println(f"""{"step":"ivf_instream","trigger_secs":$a1s%.1f,""" +
+        f""""delete_secs":$adStreamS%.1f,"probe_with_ledger_secs":$ainProbeS%.2f,""" +
+        f""""trigger_with_purge_secs":$a2s%.1f,"ledger_retired":$aLedgerGone,""" +
+        f""""probe_after_secs":$ainProbeS2%.2f}""")
+    }
     spark.stop()
   }
 }

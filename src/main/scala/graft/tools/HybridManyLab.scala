@@ -1,0 +1,156 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Pq, Similarity}
+
+/** The BATCHED hybrid at rung scale (r18) — closing the 17c gap: that
+  * rung measured lexical batch serving only, while the full hybrid
+  * stack (`hybrid_search_many`) ran nowhere above sf0.01. Against the
+  * 20 M-scale indexes a prior [[HybridScaleLab]] run left on disk,
+  * answer a batch of N hybrid queries two ways and require per-query
+  * parity:
+  *
+  *  - SINGLES (the 17b serving shape): per query, one
+  *    [[Curation.bm25SearchIndexed]] pass + one single-vector
+  *    [[Similarity.ivfTopKIndexed]] probe + [[Curation.rrfFuse]] —
+  *    N snapshot-gated listings and N pruned scans per retriever;
+  *  - MANY (the batch-serving stack): ONE [[Curation.bm25SearchIndexedMany]]
+  *    pass for every lexical list (union term set → one listing, one
+  *    pruned scan, shared df), ONE multi-row [[Similarity.ivfTopKIndexed]]
+  *    probe (batched by construction — the probed-cell union becomes one
+  *    partition filter), and [[Curation.rrfFuseMany]] per-query fusion.
+  *
+  * `--pq` swaps the semantic arm to the stored IVFPQ index
+  * ([[Pq.pqTopKIndexed]], also batched by construction) — the
+  * 100 TB-storable hybrid, batch-served.
+  *
+  * Run (indexes from HybridScaleLab, same dim/noise):
+  * {{{
+  *   SPARK_DRIVER_MEM=24g sbt "runMain graft.tools.HybridManyLab \
+  *     --root /tmp/graft_hybridlab --queries 8 --nprobe 8 [--pq]"
+  * }}} */
+object HybridManyLab {
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    var root = "/tmp/graft_hybridlab"
+    var nQueries = 8
+    var nprobe = 8
+    var k = 20
+    var fuseK = 10
+    var reps = 2
+    var dim = 64
+    var noise = 2.0
+    var pq = false
+    var refine = 32
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--root" => root = args(i + 1); i += 2
+        case "--queries" => nQueries = args(i + 1).toInt; i += 2
+        case "--nprobe" => nprobe = args(i + 1).toInt; i += 2
+        case "--k" => k = args(i + 1).toInt; i += 2
+        case "--fuseK" => fuseK = args(i + 1).toInt; i += 2
+        case "--reps" => reps = args(i + 1).toInt; i += 2
+        case "--dim" => dim = args(i + 1).toInt; i += 2
+        case "--noise" => noise = args(i + 1).toDouble; i += 2
+        case "--pq" => pq = true; i += 1
+        case "--refine" => refine = args(i + 1).toInt; i += 2
+        case other => sys.error(s"unknown arg $other")
+      }
+    }
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    def t[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val lexIdx = s"$root/lexidx"
+    val semIdx = if (pq) s"$root/pqidx" else s"$root/idx"
+    // the HybridScaleLab mid-frequency band + query-vector convention
+    // (vec ids 1000*qi+7), so numbers line up with the 17b per-query rows
+    def termsFor(qi: Int): Seq[String] = {
+      val r = new scala.util.Random(9000 + qi)
+      val out = scala.collection.mutable.LinkedHashSet.empty[String]
+      while (out.size < 3) out += "w" + (200 + r.nextInt(1000))
+      out.toSeq
+    }
+    val gen = udf((id: Long) => EmbedSynth.vector(id, dim, 32, noise))
+    def qVec(qi: Int) = spark.range(1000L * qi + 7, 1000L * qi + 8)
+      .select(col("id").as("vec_id"), gen(col("id")).as("e"))
+    val qVecs = (0 until nQueries).map(qi =>
+        spark.range(1000L * qi + 7, 1000L * qi + 8).select(
+          lit(qi.toLong).as("query_id"), col("id").as("vid")))
+      .reduce(_ union _)
+      .select(col("query_id"), gen(col("vid")).as("e"))
+    val termBatch = (0 until nQueries).map(qi => (qi.toLong, termsFor(qi)))
+    val cents =
+      if (pq) null else Similarity.loadIvfCentroids(spark, s"$root/idx")
+    println(s"""{"root":"$root","queries":$nQueries,"nprobe":$nprobe,"k":$k,"pq":$pq,"reps":$reps}""")
+
+    // SINGLES: the 17b per-query stack, N times
+    def singles(): Map[Long, Seq[Long]] =
+      termBatch.map { case (qi, terms) =>
+        val lex = Curation.bm25SearchIndexed(spark, lexIdx, terms, topK = k)
+          .select(col("id"),
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("score").desc, col("id"))).as("rank"))
+          .collect()
+        val sem = (if (pq)
+            Pq.pqTopKIndexed(qVec(qi.toInt), "vec_id", "e", semIdx,
+              k = k, nprobe = nprobe, refine = refine)
+          else Similarity.ivfTopKIndexed(qVec(qi.toInt), "vec_id", "e", semIdx,
+              k = k, nprobe = nprobe, cents = cents))
+          .select(col("corpus_id").as("id"), col("rank")).collect()
+        val fused = Curation.rrfFuse(Seq(
+          lex.map(r => (r.getLong(0), r.getInt(1))).toSeq.toDF("id", "rank"),
+          sem.map(r => (r.getLong(0), r.getInt(1))).toSeq.toDF("id", "rank")),
+          topK = fuseK).collect().map(_.getLong(0)).toSeq
+        qi -> fused
+      }.toMap
+
+    // MANY: one pass per retriever for the WHOLE batch, per-query fusion
+    def many(): Map[Long, Seq[Long]] = {
+      val lex = Curation.bm25SearchIndexedMany(spark, lexIdx,
+        termBatch.toDF("query_id", "terms"), topK = k)
+        .select("query_id", "id", "rank")
+      val sem = (if (pq)
+          Pq.pqTopKIndexed(qVecs, "query_id", "e", semIdx,
+            k = k, nprobe = nprobe, refine = refine)
+        else Similarity.ivfTopKIndexed(qVecs, "query_id", "e", semIdx,
+            k = k, nprobe = nprobe, cents = cents))
+        .select(col("query_id"), col("corpus_id").as("id"), col("rank"))
+      Curation.rrfFuseMany(Seq(lex, sem), topK = fuseK)
+        .select("query_id", "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (qi, rows) => qi -> rows.map(_._2).toSeq }
+    }
+
+    // alternating min-of-N reps (cold file cache absorbed by rep 1)
+    var singleSecs = Double.MaxValue
+    var manySecs = Double.MaxValue
+    var sA: Map[Long, Seq[Long]] = null
+    var mA: Map[Long, Seq[Long]] = null
+    for (rep <- 1 to reps) {
+      val (a1, s1) = t(singles()); singleSecs = math.min(singleSecs, s1); sA = a1
+      val (a2, s2) = t(many()); manySecs = math.min(manySecs, s2); mA = a2
+      println(f"""{"rep":$rep,"singles_secs":$s1%.2f,"many_secs":$s2%.2f}""")
+    }
+    // per-query parity is REQUIRED: the batch stack must be a pure
+    // amortization, never a different answer
+    termBatch.foreach { case (qi, _) =>
+      require(sA(qi) == mA.getOrElse(qi, Nil),
+        s"fused lists diverged for query $qi: ${sA(qi)} vs ${mA.getOrElse(qi, Nil)}")
+    }
+    println(f"""{"step":"amortization","queries":$nQueries,""" +
+      f""""singles_total_secs":$singleSecs%.2f,"singles_per_query":${singleSecs / nQueries}%.2f,""" +
+      f""""many_total_secs":$manySecs%.2f,"many_per_query":${manySecs / nQueries}%.2f,""" +
+      f""""speedup":${singleSecs / manySecs}%.1f}""")
+    spark.stop()
+  }
+}

@@ -457,6 +457,31 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .forall(f => !f.getName.endsWith(".parquet")), "ledger retired")
   }
 
+  test("backfillBm25Doclens upgrades a pre-r18 index: one postings pass, then deletes ride the sidecar (r18)") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("bmbackfill").toString
+    val idx = s"$base/idx"; val whole = s"$base/whole"
+    Curation.writeBm25Index(docs(0, 120), "doc_id", "text", idx, buckets = 8)
+    // simulate a pre-r18 index: drop the sidecar the build wrote
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmr); f.delete(); ()
+    }
+    rmr(new java.io.File(s"$idx/doclens"))
+    assert(Curation.backfillBm25Doclens(spark, idx), "missing sidecar -> backfill")
+    assert(!Curation.backfillBm25Doclens(spark, idx), "present sidecar -> no-op")
+    // the backfilled sidecar equals what the build would have written
+    // (postings-visible docs only), and deletes ride it exactly
+    Curation.deleteFromBm25Index(
+      docs(0, 120).filter(pmod(col("doc_id"), lit(6)) === 1)
+        .select(col("doc_id").as("id")), idx)
+    Curation.writeBm25Index(
+      docs(0, 120).filter(pmod(col("doc_id"), lit(6)) =!= 1),
+      "doc_id", "text", whole, buckets = 8)
+    assert(ask(idx) === ask(whole),
+      "deletes off the backfilled sidecar must equal a rebuild without the docs")
+  }
+
   test("ledger fold crash windows: probes inside the window never double-subtract; recovery completes the fold (r18)") {
     val s = spark
     import s.implicits._
