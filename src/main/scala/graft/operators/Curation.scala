@@ -861,6 +861,12 @@ object Curation {
       textCol: String, path: String, batchId: Long, manual: Boolean,
       spreadFiles: Int = 0): Unit = {
     val spark = batch.sparkSession
+    // every stats-mutating write finishes an interrupted ledger fold
+    // FIRST (two fs.exists when healthy): a stats delta written inside
+    // a crashed fold's window would be erased when recovery later pins
+    // stats to the marker's snapshot (r18 review). With all write paths
+    // healing up front, the window can never contain another write.
+    ledgerFoldRecover(spark, path)
     val (oldN, oldSum, buckets, lastBatch, lastManual) = readStats(spark, path)
     // the idempotent (stream) lane lets a COMMITTED replay through: a
     // re-delivered batch whose write landed (stats watermark passed it,
@@ -916,6 +922,7 @@ object Curation {
     * markers, recovery, and single-writer contract as the ANN folds. */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
       path: String, committedBatchId: Long, spreadFiles: Int = 0): Unit = {
+    ledgerFoldRecover(spark, path) // before any stats write (r18 review)
     manualLaneRecover(spark, path)
     val buckets = readStats(spark, path)._3
     IndexMaintenance.foldCommitted(spark, s"$path/postings", committedBatchId,
@@ -948,6 +955,10 @@ object Curation {
     * after leaves lanes >= `below` detectable and un-double-countable. */
   private def manualLaneRecover(spark: org.apache.spark.sql.SparkSession,
       path: String, below: Long = Long.MaxValue): Option[String] = {
+    // this writes stats, so an interrupted ledger fold must finish first
+    // (its recovery pins stats to a snapshot that would erase the delta
+    // applied here — r18 review); idempotent and two fs.exists when clean
+    ledgerFoldRecover(spark, path)
     val (oldN, oldSum, buckets, lastBatch, lastManual) = readStats(spark, path)
     val orphanLanes = manualOrphanLanes(spark, path, lastManual).filter(_ < below)
     if (orphanLanes.isEmpty) return None
@@ -1005,10 +1016,16 @@ object Curation {
       foldLeavesPerBucket: Int = 2, spreadFiles: Int = 0,
       maxTombstones: Long = 100000L): MaintenanceAdvice = {
     val buckets = readStats(spark, path)._3
-    val pending = pendingBm25Tombstones(spark, path)
+    // one ledger read serves both signals (it materializes driver-side)
+    val ledger = IndexMaintenance.readDeletes(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pending = math.max(0L, ledger.map(_.count()).getOrElse(0L) -
+      IndexMaintenance.readCounterFile(fs,
+        new org.apache.hadoop.fs.Path(s"$path/_purged_through")))
     // the precise fold-first signal, priced only when over threshold
     val unfolded = pending > maxTombstones &&
-      IndexMaintenance.readDeletes(spark, path).exists(d =>
+      ledger.exists(d =>
         IndexMaintenance.tombstonesUnfolded(spark, s"$path/postings", d, "id",
           level1 = "bucket"))
     IndexMaintenance.advise(bm25IndexLayout(spark, path), driftTripped = false,
@@ -1040,31 +1057,39 @@ object Curation {
   def deleteFromBm25Index(ids: DataFrame, path: String,
       idCol: String = "id"): Unit = {
     val spark = ids.sparkSession
-    val batch = ids.select(col(idCol).as("id")).distinct()
+    // a delete is a WRITE: finish an interrupted ledger fold first, so
+    // this tombstone can never land inside a crashed purge's window —
+    // where recovery would pin stats to a snapshot that predates it and
+    // the probes' mid-fold guard would skip it (r18 review)
+    ledgerFoldRecover(spark, path)
+    doclensRecover(spark, path)
+    import spark.implicits._
+    // the caller's plan executes ONCE: delete batches are driver-small
+    // by contract (the ledger broadcasts), so the id set is collected
+    // up front and drives both the sidecar semi-join and the missing set
+    val batchIds = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .collect().map(_.getLong(0))
+    if (batchIds.isEmpty) return
+    val batch = batchIds.toSeq.toDF("id")
     val dlPath = new org.apache.hadoop.fs.Path(s"$path/doclens")
     val fs = dlPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // dl stays INT end to end — the type size() produces and the type
     // every r17 ledger already holds (a mixed int/long ledger dir would
     // break the plain parquet read)
-    // like readDeletes: a sidecar dir with no committed data files (a
-    // crashed first write) reads as absent, not a schema-inference brick
-    val sidecarUsable = fs.exists(dlPath) && fs.listStatus(dlPath)
-      .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val fromSidecar: Array[(Long, Int)] =
-      if (!sidecarUsable) Array.empty
+      if (!IndexMaintenance.hasCommittedData(fs, dlPath)) Array.empty
       else spark.read.parquet(dlPath.toString)
         .join(broadcast(batch), Seq("id"), "left_semi")
         .select("id", "dl").distinct()
-        .collect() // delete batches are driver-small by contract
+        .collect()
         .map(r => (r.getLong(0), r.getInt(1)))
     val covered = fromSidecar.map(_._1).toSet
-    val missing = batch.collect().map(_.getLong(0)).filterNot(covered)
+    val missing = batchIds.filterNot(covered)
     val fromPostings: Array[(Long, Int)] =
       if (missing.isEmpty) Array.empty
       else {
         val postingsPath = new org.apache.hadoop.fs.Path(s"$path/postings")
         val pfs = postingsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        import spark.implicits._
         val rows = IndexMaintenance.consistentListing(pfs, postingsPath) {
           spark.read.parquet(s"$path/postings")
         }
@@ -1075,7 +1100,6 @@ object Curation {
       }
     val all = fromSidecar ++ fromPostings
     if (all.nonEmpty) {
-      import spark.implicits._
       all.toSeq.toDF("id", "dl")
         .coalesce(1).write.mode("append")
         .parquet(IndexMaintenance.deletesDir(path))
@@ -1212,9 +1236,7 @@ object Curation {
       path: String, ledger: DataFrame): Unit = {
     val live = new org.apache.hadoop.fs.Path(s"$path/doclens")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val usable = fs.exists(live) && fs.listStatus(live)
-      .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    if (!usable) return
+    if (!IndexMaintenance.hasCommittedData(fs, live)) return
     val tmp = new org.apache.hadoop.fs.Path(s"$path/doclens_tmp")
     spark.read.parquet(live.toString)
       .join(broadcast(ledger.select("id")), Seq("id"), "left_anti")
@@ -1235,9 +1257,7 @@ object Curation {
       path: String): Boolean = {
     val live = new org.apache.hadoop.fs.Path(s"$path/doclens")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val usable = fs.exists(live) && fs.listStatus(live)
-      .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    if (usable) return false
+    if (IndexMaintenance.hasCommittedData(fs, live)) return false
     val postingsPath = new org.apache.hadoop.fs.Path(s"$path/postings")
     val pfs = postingsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     IndexMaintenance.consistentListing(pfs, postingsPath) {
@@ -1267,38 +1287,64 @@ object Curation {
     }
   }
 
-  /** Tombstones awaiting physical removal — what feeds the advice's
-    * purge signal: the ledger count net of the `_purged_through`
-    * watermark the last [[purgeBm25Deletes]] recorded. */
-  private def pendingBm25Tombstones(spark: org.apache.spark.sql.SparkSession,
-      path: String): Long = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    math.max(0L, IndexMaintenance.tombstoneCount(spark, path) -
-      IndexMaintenance.readCounterFile(fs,
-        new org.apache.hadoop.fs.Path(s"$path/_purged_through")))
-  }
-
   /** Effective corpus stats + tombstone set for the stored-postings
     * probes: the stored SUMS minus the delete ledger's aggregate, so
     * idf/avgdl match an index built without the deleted docs. */
   private def bm25Effective(spark: org.apache.spark.sql.SparkSession,
       path: String): (Long, Double, Int, Option[DataFrame]) = {
-    val (nDocs, sumDl, nBuckets, _, _) = readStats(spark, path)
-    val ledger0 = IndexMaintenance.readDeletes(spark, path)
-    // mid-fold guard (r18): inside purgeBm25Deletes' crash window —
-    // stats already folded, ledger files not yet deleted — the
-    // `_ledger_fold` marker pins the folded stats values; equality
-    // means the subtraction already lives in the stats row (and the
-    // purged rows are already gone), so the ledger must not apply AGAIN
-    val ledger = ledger0.filter { _ =>
-      val marker = new org.apache.hadoop.fs.Path(s"$path/_ledger_fold")
-      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      !fs.exists(marker) || {
-        val head = IndexMaintenance.readMarker(fs, marker).head.split(" ")
-        head(0).toLong != nDocs || head(1).toLong != sumDl
+    // OPTIMISTIC SNAPSHOT vs a concurrent purge (r18): the purge
+    // mutates three things a probe reads — the stats row, the ledger
+    // files, and the `_ledger_fold` marker — and reading them at
+    // different phases double-subtracts (new stats + still-present
+    // ledger) or overcounts (old stats + already-deleted ledger). So:
+    // sample (marker, stats) before and after the reads; equal samples
+    // prove no purge phase transitioned underneath (every phase changes
+    // one of the two), and the mid-fold guard below then decides from a
+    // consistent pair. A changed sample, a half-written marker, or a
+    // file vanishing mid-read retries — the purge that invalidated the
+    // snapshot finishes in bounded time. The same consistency the ANN
+    // probes get from consistentListing, stated over (stats, ledger).
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_ledger_fold")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // None = unreadable (vanished/half-written mid-read: retry);
+    // Some("") = absent; Some(line) = the pinned "expN expSum" head
+    def markerState(): Option[String] =
+      if (!fs.exists(marker)) Some("")
+      else scala.util.Try(
+        IndexMaintenance.readMarker(fs, marker).head).toOption
+    var attempt = 0
+    while (attempt < 5) {
+      val m0 = markerState()
+      val read = scala.util.Try {
+        val stats0 = readStats(spark, path)
+        val led = IndexMaintenance.readDeletes(spark, path)
+        val stats1 = readStats(spark, path)
+        (stats0, led, stats1)
+      }.toOption
+      val m1 = markerState()
+      (m0, read, m1) match {
+        case (Some(a), Some((s0, led, s1)), Some(b)) if a == b && s0 == s1 =>
+          val (nDocs, sumDl, nBuckets, _, _) = s0
+          // mid-fold guard: stats already at the marker's pinned values
+          // means the subtraction lives in the stats row (and the purged
+          // rows are gone) — the ledger must not apply AGAIN
+          val folded = a.nonEmpty && {
+            val head = a.split(" ")
+            head(0).toLong == nDocs && head(1).toLong == sumDl
+          }
+          return bm25EffectiveFrom(nDocs, sumDl, nBuckets,
+            if (folded) None else led, path)
+        case _ => attempt += 1
       }
     }
+    throw new IllegalStateException(
+      s"could not capture a consistent stats+ledger snapshot of $path after " +
+        "5 attempts — a purge completed inside every window. This needs " +
+        "sustained back-to-back purges; stagger maintenance or retry.")
+  }
+
+  private def bm25EffectiveFrom(nDocs: Long, sumDl: Long, nBuckets: Int,
+      ledger: Option[DataFrame], path: String): (Long, Double, Int, Option[DataFrame]) = {
     val (delN, delDl) = ledger.map { d =>
       val r = d.agg(count(lit(1)),
         coalesce(sum(col("dl")), lit(0L))).collect()(0)

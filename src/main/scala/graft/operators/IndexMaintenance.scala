@@ -383,14 +383,18 @@ private[graft] object IndexMaintenance {
     * broadcasts it), and a local frame holds no lazy file references,
     * so a concurrent purge deleting the ledger files mid-query cannot
     * fail a probe that already read it. */
+  /** Whether `dir` exists and holds at least one committed parquet data
+    * file — the shared "crashed first write reads as absent" predicate
+    * for the ledger, the doclen sidecar, and their staging dirs. */
+  private[operators] def hasCommittedData(fs: FileSystem, dir: Path): Boolean =
+    fs.exists(dir) && fs.listStatus(dir)
+      .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+
   private[operators] def readDeletes(spark: SparkSession,
       indexPath: String): Option[DataFrame] = {
     val p = new Path(deletesDir(indexPath))
     val fs = fsOf(spark, p)
-    if (!fs.exists(p)) return None
-    val hasData = fs.listStatus(p)
-      .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    if (!hasData) return None
+    if (!hasCommittedData(fs, p)) return None
     val stored = spark.read.parquet(p.toString).distinct()
     val rows = stored.collect() // driver-small by contract
     Some(spark.createDataFrame(
@@ -402,12 +406,6 @@ private[graft] object IndexMaintenance {
     fsOf(spark, p).delete(p, true)
     ()
   }
-
-  /** Ledger row count — the ANN families' pending-tombstone signal
-    * (their purge clears the ledger; BM25 keeps it and nets a purged
-    * watermark off instead). One tiny-parquet count, advice-priced. */
-  private[operators] def tombstoneCount(spark: SparkSession, indexPath: String): Long =
-    readDeletes(spark, indexPath).map(_.count()).getOrElse(0L)
 
   /** Tiny single-value counter file, published scratch+delete+rename
     * like the epoch (a reader in the gap sees the default). */

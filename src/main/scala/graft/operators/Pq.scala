@@ -824,11 +824,13 @@ object Pq {
         math.max(codes.residentFiles, vectors.residentFiles),
         math.max(codes.maxResidentFilesPerCell, vectors.maxResidentFilesPerCell),
         math.max(codes.batchFiles, vectors.batchFiles))
-    val pending = IndexMaintenance.tombstoneCount(spark, path)
+    // one ledger read serves both signals (it materializes driver-side)
+    val ledger = IndexMaintenance.readDeletes(spark, path)
+    val pending = ledger.map(_.count()).getOrElse(0L)
     // the precise fold-first signal (either table), priced only when
     // over threshold
     val unfolded = pending > maxTombstones &&
-      IndexMaintenance.readDeletes(spark, path).exists(d =>
+      ledger.exists(d =>
         IndexMaintenance.tombstonesUnfolded(spark, s"$path/codes", d, "corpus_id") ||
           IndexMaintenance.tombstonesUnfolded(spark, s"$path/vectors", d, "corpus_id"))
     IndexMaintenance.advise(worse, driftTripped,

@@ -831,10 +831,12 @@ object Similarity {
       maxFilesPerCell: Int = 0, foldLeavesPerCell: Int = 2,
       spreadFiles: Int = 0, maxTombstones: Long = 100000L): MaintenanceAdvice = {
     val nlist = spark.read.parquet(s"$path/centroids").count().toInt
-    val pending = IndexMaintenance.tombstoneCount(spark, path)
+    // one ledger read serves both signals (it materializes driver-side)
+    val ledger = IndexMaintenance.readDeletes(spark, path)
+    val pending = ledger.map(_.count()).getOrElse(0L)
     // the precise fold-first signal, priced only when over threshold
     val unfolded = pending > maxTombstones &&
-      IndexMaintenance.readDeletes(spark, path).exists(d =>
+      ledger.exists(d =>
         IndexMaintenance.tombstonesUnfolded(spark, s"$path/corpus", d, "corpus_id"))
     IndexMaintenance.advise(ivfIndexLayout(spark, path), driftTripped,
       residentBound(spark, nlist, maxFilesPerCell, spreadFiles), foldLeavesPerCell,

@@ -83,11 +83,15 @@ object HybridManyLab {
     val gen = udf((id: Long) => EmbedSynth.vector(id, dim, 32, noise))
     def qVec(qi: Int) = spark.range(1000L * qi + 7, 1000L * qi + 8)
       .select(col("id").as("vec_id"), gen(col("id")).as("e"))
-    val qVecs = (0 until nQueries).map(qi =>
-        spark.range(1000L * qi + 7, 1000L * qi + 8).select(
-          lit(qi.toLong).as("query_id"), col("id").as("vid")))
-      .reduce(_ union _)
-      .select(col("query_id"), gen(col("vid")).as("e"))
+    // the batched probe keys queries by their VEC id (1000*qi+7), same
+    // as the single arm — the probe's query_id =!= corpus_id
+    // self-exclusion must drop the SAME corpus row in both arms (keying
+    // by qi would exclude corpus ids 0..N-1 and admit the query vector
+    // itself at cosine 1.0, breaking parity — r18 review); vec id maps
+    // back to qi only at the fusion boundary
+    val qVecs = spark.range(0, nQueries)
+      .select((col("id") * 1000L + 7L).as("qvid"))
+      .select(col("qvid"), gen(col("qvid")).as("e"))
     val termBatch = (0 until nQueries).map(qi => (qi.toLong, termsFor(qi)))
     val cents =
       if (pq) null else Similarity.loadIvfCentroids(spark, s"$root/idx")
@@ -120,11 +124,13 @@ object HybridManyLab {
         termBatch.toDF("query_id", "terms"), topK = k)
         .select("query_id", "id", "rank")
       val sem = (if (pq)
-          Pq.pqTopKIndexed(qVecs, "query_id", "e", semIdx,
+          Pq.pqTopKIndexed(qVecs, "qvid", "e", semIdx,
             k = k, nprobe = nprobe, refine = refine)
-        else Similarity.ivfTopKIndexed(qVecs, "query_id", "e", semIdx,
+        else Similarity.ivfTopKIndexed(qVecs, "qvid", "e", semIdx,
             k = k, nprobe = nprobe, cents = cents))
-        .select(col("query_id"), col("corpus_id").as("id"), col("rank"))
+        // vec id -> qi at the fusion boundary (qvid = 1000*qi + 7)
+        .select(((col("query_id") - 7L) / 1000L).cast("long").as("query_id"),
+          col("corpus_id").as("id"), col("rank"))
       Curation.rrfFuseMany(Seq(lex, sem), topK = fuseK)
         .select("query_id", "id")
         .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -523,6 +523,63 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Curation.recoverBm25Index(spark, idx).isEmpty, "recovery is idempotent")
   }
 
+  test("writes landing inside a crashed fold window heal it first: no delta erased, no tombstone skipped (r18 review)") {
+    // The review's two holes: (1) a stats-writing op running inside a
+    // crashed purge's window had its delta erased when recovery later
+    // pinned stats to the marker's snapshot; (2) a tombstone appended
+    // inside the window was skipped by the probes' all-or-nothing
+    // mid-fold guard. Every write path now finishes the fold FIRST.
+    val s = spark
+    import s.implicits._
+    def windowedIndex(dir: String): String = {
+      val idx = s"$dir/idx"
+      val empties = Seq((1000L, ""), (1001L, ""), (1002L, "")).toDF("doc_id", "text")
+      Curation.writeBm25Index(docs(0, 60).union(empties), "doc_id", "text", idx, buckets = 8)
+      Curation.deleteFromBm25Index(Seq(1000L, 1001L, 1002L).toDF("id"), idx)
+      // construct the post-stats crash window by hand (zero-token
+      // tombstones: the postings rewrite the marker implies is a no-op)
+      val st = spark.read.parquet(s"$idx/stats").collect()(0)
+      val (expN, expSum) = (st.getLong(0) - 3, st.getLong(1))
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/deletes"))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.getName).toSeq
+      IndexMaintenance.writeMarker(fs,
+        new org.apache.hadoop.fs.Path(s"$idx/._ledger_fold.tmp"),
+        new org.apache.hadoop.fs.Path(s"$idx/_ledger_fold"),
+        s"$expN $expSum" +: files)
+      Seq((expN, expSum, st.getInt(2), st.getLong(3), st.getLong(4)))
+        .toDF("n_docs", "sum_dl", "buckets", "last_batch", "last_manual")
+        .coalesce(1).write.mode("overwrite").parquet(s"$idx/stats")
+      idx
+    }
+    // (1) an APPEND inside the window: delta survives recovery
+    val base1 = Files.createTempDirectory("bmwinappend").toString
+    val idx1 = windowedIndex(base1)
+    Curation.appendBm25Index(docs(60, 80), "doc_id", "text", idx1)
+    assert(!new java.io.File(s"$idx1/_ledger_fold").exists(),
+      "the append must finish the fold before writing stats")
+    assert(Curation.recoverBm25Index(spark, idx1).isEmpty)
+    val whole1 = s"$base1/whole"
+    Curation.writeBm25Index(docs(0, 80), "doc_id", "text", whole1, buckets = 8)
+    def st(p: String) = spark.read.parquet(s"$p/stats")
+      .select("n_docs", "sum_dl").collect()(0)
+    assert(st(idx1) === st(whole1), "the append's stats delta must survive")
+    assert(ask(idx1) === ask(whole1))
+    // (2) a DELETE inside the window: the fresh tombstone is honored
+    val base2 = Files.createTempDirectory("bmwindelete").toString
+    val idx2 = windowedIndex(base2)
+    Curation.deleteFromBm25Index(Seq(7L).toDF("id"), idx2)
+    assert(!new java.io.File(s"$idx2/_ledger_fold").exists(),
+      "the delete must finish the fold before appending its tombstone")
+    val whole2 = s"$base2/whole"
+    Curation.writeBm25Index(docs(0, 60).filter(col("doc_id") =!= 7L),
+      "doc_id", "text", whole2, buckets = 8)
+    assert(ask(idx2) === ask(whole2),
+      "a tombstone landing right after a crashed fold must hide its doc")
+  }
+
   test("streamed ingest rides the shared skeleton: replay exactly-once, in-stream fold, self-maintenance") {
     val base = Files.createTempDirectory("bmstream").toString
     val idx = s"$base/idx"; val whole = s"$base/whole"
