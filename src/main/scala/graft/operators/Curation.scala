@@ -1318,18 +1318,27 @@ object Curation {
       val read = scala.util.Try {
         val stats0 = readStats(spark, path)
         val led = IndexMaintenance.readDeletes(spark, path)
-        val stats1 = readStats(spark, path)
-        (stats0, led, stats1)
+        if (led.isEmpty)
+          // fast path (the ledger-free common case): any purge that
+          // emptied the ledger committed its stats fold BEFORE deleting
+          // the files, so a stats read taken AFTER the empty ledger
+          // read is already the folded row — no second sample, no
+          // marker pinning needed
+          Left(readStats(spark, path))
+        else Right((stats0, led, readStats(spark, path)))
       }.toOption
       val m1 = markerState()
-      (m0, read, m1) match {
-        case (Some(a), Some((s0, led, s1)), Some(b)) if a == b && s0 == s1 =>
+      read match {
+        case Some(Left((nDocs, sumDl, nBuckets, _, _))) =>
+          return bm25EffectiveFrom(nDocs, sumDl, nBuckets, None, path)
+        case Some(Right((s0, led, s1)))
+            if m0.isDefined && m0 == m1 && s0 == s1 =>
           val (nDocs, sumDl, nBuckets, _, _) = s0
           // mid-fold guard: stats already at the marker's pinned values
           // means the subtraction lives in the stats row (and the purged
           // rows are gone) — the ledger must not apply AGAIN
-          val folded = a.nonEmpty && {
-            val head = a.split(" ")
+          val folded = m0.get.nonEmpty && {
+            val head = m0.get.split(" ")
             head(0).toLong == nDocs && head(1).toLong == sumDl
           }
           return bm25EffectiveFrom(nDocs, sumDl, nBuckets,
