@@ -979,11 +979,44 @@ object Curation {
     * whose `-1` file count exceeds the bound (0 = 2× the derived
     * spread bound). Returns buckets compacted. */
   def compactBm25Resident(spark: org.apache.spark.sql.SparkSession,
-      path: String, maxFilesPerBucket: Int = 0, spreadFiles: Int = 0): Int = {
+      path: String, maxFilesPerBucket: Int = 0, spreadFiles: Int = 0,
+      maxDoclenFiles: Int = 64): Int = {
     val buckets = readStats(spark, path)._3
     val bound = Similarity.residentBound(spark, buckets, maxFilesPerBucket, spreadFiles)
-    IndexMaintenance.compactResident(spark, s"$path/postings", bound,
+    val n = IndexMaintenance.compactResident(spark, s"$path/postings", bound,
       bucketSpread(_, buckets, spreadFiles), level1 = "bucket")
+    consolidateDoclens(spark, path, maxDoclenFiles)
+    n
+  }
+
+  /** Bound the doclen sidecar's file accrual (r18): every append adds
+    * one small file and no fold covers the sidecar, so a long-lived
+    * stream would otherwise accrue one file per trigger forever (the
+    * delete path lists and reads them all). Rides the minor compaction
+    * — one file-count listing when healthy; over `maxFiles`, ONE narrow
+    * corpus pass (a row per doc, ~20-50× smaller than the postings)
+    * rewrites the sidecar through the same staged swap the purge uses
+    * ([[doclensRecover]] heals a crash), with `.distinct()` collapsing
+    * any replay-duplicate rows while it's at it. Returns the file count
+    * consolidated (0 = under bound). Single-writer contract. */
+  private def consolidateDoclens(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxFiles: Int): Int = {
+    require(maxFiles >= 1, s"maxDoclenFiles must be >= 1: $maxFiles")
+    val live = new org.apache.hadoop.fs.Path(s"$path/doclens")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!IndexMaintenance.hasCommittedData(fs, live)) return 0
+    val files = fs.listStatus(live)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    if (files <= maxFiles) return 0
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/doclens_tmp")
+    // output coalesced UNDER the bound, or the next check would rewrite
+    // forever (the residentBound lesson, applied to the sidecar)
+    spark.read.parquet(live.toString).distinct()
+      .coalesce(maxFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(live, true)
+    require(fs.rename(tmp, live), s"could not publish $live")
+    files
   }
 
   /** Deterministic crash recovery for the lexical index: rolls an

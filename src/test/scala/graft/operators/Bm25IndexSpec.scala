@@ -482,6 +482,37 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "deletes off the backfilled sidecar must equal a rebuild without the docs")
   }
 
+  test("doclen sidecar file accrual is bounded through the minor compaction (r18)") {
+    // every append adds one sidecar file and no fold covers the sidecar
+    // — a long stream would accrue one file per trigger forever; the
+    // minor compaction consolidates it once over the bound
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("bmdlfiles").toString
+    val idx = s"$base/idx"
+    Curation.writeBm25Index(docs(0, 50), "doc_id", "text", idx, buckets = 4)
+    for (b <- 0 until 5)
+      Curation.appendBm25IndexIdempotent(
+        docs(50 + 10 * b, 60 + 10 * b), "doc_id", "text", idx, b.toLong)
+    def dlFiles() = new java.io.File(s"$idx/doclens").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = dlFiles()
+    assert(before > 2, s"appends must have accrued sidecar files: $before")
+    Curation.compactBm25Index(spark, idx, committedBatchId = 4L)
+    Curation.compactBm25Resident(spark, idx, maxDoclenFiles = 2)
+    assert(dlFiles() <= 2, s"consolidation must land under the bound: ${dlFiles()}")
+    // idempotent: under bound, the next pass is a no-op listing
+    Curation.compactBm25Resident(spark, idx, maxDoclenFiles = 2)
+    assert(dlFiles() <= 2)
+    // the consolidated sidecar still serves deletes exactly
+    Curation.deleteFromBm25Index(Seq(55L, 77L).toDF("id"), idx)
+    val whole = s"$base/whole"
+    Curation.writeBm25Index(
+      docs(0, 100).filter(!col("doc_id").isin(55L, 77L)),
+      "doc_id", "text", whole, buckets = 4)
+    assert(ask(idx) === ask(whole))
+  }
+
   test("ledger fold crash windows: probes inside the window never double-subtract; recovery completes the fold (r18)") {
     val s = spark
     import s.implicits._
