@@ -1212,6 +1212,26 @@ object SparkEntry {
         e.filter(col("vec_id") < 10), "vec_id", "e", p, k = 5, nprobe = 8)
     }),
 
+    "ann_ivf_filtered" -> ((s, dir) => {
+      // FILTERED vector search (r18) — the production "nearest
+      // neighbors WHERE metadata predicate" shape (language filters,
+      // date ranges, source allowlists): the build stores a metadata
+      // column inline with the corpus rows (metaCols), and the probe's
+      // predicate rides INSIDE the cell-pruned parquet scan (pushdown;
+      // no corpus-sized join anywhere). Exhaustive regime -> exactly
+      // brute force over the filtered corpus, stated by DuckDB.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("category", pmod(col("vec_id"), lit(3)).cast("int"))
+      val p = work(dir, "ann_ivf_filtered")
+      buildOnce(p) {
+        Similarity.writeIvfIndex(e, "vec_id", "e", p, nlist = 8,
+          metaCols = Seq("category"))
+      }
+      Similarity.ivfTopKIndexed(e.filter(col("vec_id") < 10), "vec_id", "e", p,
+        k = 5, nprobe = 8, filter = Some(col("category") === 1))
+    }),
+
     "ann_ivfpq_deleted" -> ((s, dir) => {
       // The IVFPQ deletion twin (r18): tombstone a fifth of the corpus,
       // probe in the exact regime (full probe + corpus-covering
@@ -3191,6 +3211,10 @@ object SparkEntry {
     "ann_ivfpq_deleted" -> annExhaustiveOracle.replace(
       "AS v FROM embeddings),",
       "AS v FROM embeddings WHERE vec_id % 5 <> 2),"),
+    // filtered search = brute force over the PREDICATE-filtered corpus
+    "ann_ivf_filtered" -> annExhaustiveOracle.replace(
+      "AS v FROM embeddings),",
+      "AS v FROM embeddings WHERE vec_id % 3 = 1),"),
     "bm25_search_many" ->
       """WITH queries AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
                           FROM (VALUES (0, 'spark'), (0, 'vector'), (0, 'stream'),

@@ -358,7 +358,7 @@ object Similarity {
   def writeIvfIndex(
       corpus: DataFrame, cId: String, cVec: String, path: String,
       nlist: Int = 16, iters: Int = 8, maxSample: Int = 4096,
-      spreadFiles: Int = 0): Unit = {
+      spreadFiles: Int = 0, metaCols: Seq[String] = Nil): Unit = {
     // ONE bounded fetch serves both the trainer and the build-time drift
     // reference (the PQ twin stores one too): fit of a HELD-OUT batch
     // when the corpus allows (r15 — an in-sample reference reads
@@ -367,7 +367,7 @@ object Similarity {
     val both = firstVecsById(corpus, cId, cVec, 2 * maxSample)
     val (train, ref) = heldOutSplit(both, maxSample)
     val cents = trainIvfCentroidsFromSample(train, nlist, iters)
-    writeIvfIndexParts(corpus, cId, cVec, path, cents, ref, spreadFiles)
+    writeIvfIndexParts(corpus, cId, cVec, path, cents, ref, spreadFiles, metaCols)
   }
 
   /** The write half of [[writeIvfIndex]] against an ALREADY-trained
@@ -377,8 +377,9 @@ object Similarity {
   private def writeIvfIndexParts(
       corpus: DataFrame, cId: String, cVec: String, path: String,
       cents: Array[Array[Double]], refVecs: Array[Array[Double]],
-      spreadFiles: Int): Unit = {
+      spreadFiles: Int, metaCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
+    requireMetaCols(metaCols)
     // a build at this path is the ledger reset — stale tombstones from
     // a previous index here would hide freshly built vectors
     IndexMaintenance.clearDeletes(spark, path)
@@ -386,8 +387,12 @@ object Similarity {
     // the layout carries a second partition column, ingest_batch (-1 =
     // build-time rows), purely so streaming appends can be batchId-keyed
     // and replay-idempotent ([[appendIvfIndexIdempotent]]); readers
-    // filter on `cell` only, and the static IN-prune is unaffected
-    corpus.select(col(cId).as("corpus_id"), col(cVec).cast("array<double>").as("cv"))
+    // filter on `cell` only, and the static IN-prune is unaffected.
+    // `metaCols` (r18) are stored INLINE with every row — what makes
+    // [[ivfTopKIndexed]]'s `filter` a parquet-pushed predicate inside
+    // the pruned cells instead of a corpus-sized join at probe time
+    corpus.select(col(cId).as("corpus_id") +:
+        col(cVec).cast("array<double>").as("cv") +: metaCols.map(col): _*)
       .withColumn("cell", assignUdf(col("cv")))
       .withColumn("cn", l2norm(col("cv")))
       .withColumn("ingest_batch", lit(-1L))
@@ -451,8 +456,10 @@ object Similarity {
     val corpusPath = new org.apache.hadoop.fs.Path(s"$path/corpus")
     IndexMaintenance.requireReadConsistent(
       corpusPath.getFileSystem(spark.sparkContext.hadoopConfiguration), corpusPath)
+    // keep stored metadata columns (r18 filtered probes) — only the
+    // derived layout columns are recomputed by the rebuild
     val corpus0 = spark.read.parquet(s"$path/corpus")
-      .select(col("corpus_id"), col("cv"))
+      .drop("cn", "cell", "ingest_batch")
     // the rebuild IS the ledger reset: it starts from the
     // tombstone-filtered rows (the retrain sample included), and the
     // fresh index at newPath carries no ledger — without this filter a
@@ -464,7 +471,8 @@ object Similarity {
     val both = hashSpreadVecsById(corpus, "corpus_id", "cv", 2 * maxSample)
     val (train, ref) = heldOutSplit(both, maxSample)
     val cents = trainIvfCentroidsFromSample(train, nl, iters)
-    writeIvfIndexParts(corpus, "corpus_id", "cv", newPath, cents, ref, spreadFiles)
+    writeIvfIndexParts(corpus, "corpus_id", "cv", newPath, cents, ref, spreadFiles,
+      metaCols = corpus.columns.filterNot(Set("corpus_id", "cv")).toSeq)
   }
 
   /** The IVF retrain RULE itself — fit fell more than the tolerance
@@ -555,7 +563,8 @@ object Similarity {
     * when the caller knows no retry of them can follow (folding erases
     * the lane a retry would overwrite). */
   def appendIvfIndex(batch: DataFrame, cId: String, cVec: String, path: String,
-      cents: Array[Array[Double]], spreadFiles: Int = 0): Unit = {
+      cents: Array[Array[Double]], spreadFiles: Int = 0,
+      metaCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     requireBatchKeyedLayout(spark, path)
     IndexMaintenance.requireNotTombstoned(spark, path,
@@ -587,7 +596,7 @@ object Similarity {
             orphans.max + 1
         }
       }
-    assigned(batch, cId, cVec, cents)
+    assigned(batch, cId, cVec, cents, metaCols)
       .withColumn("ingest_batch", lit(lane))
       // bounded files per cell, not tasks × nlist
       .transform(cellSpread(_, cents.length, spreadFiles = spreadFiles))
@@ -647,7 +656,7 @@ object Similarity {
     * static-overwrite users are unaffected. */
   def appendIvfIndexIdempotent(batch: DataFrame, cId: String, cVec: String,
       path: String, cents: Array[Array[Double]], batchId: Long,
-      spreadFiles: Int = 0): Unit = {
+      spreadFiles: Int = 0, metaCols: Seq[String] = Nil): Unit = {
     require(batchId >= 0, s"batchId must be >= 0 (got $batchId): -1 marks resident rows")
     require(batchId < IndexMaintenance.ManualLaneFloor,
       s"batchId $batchId is in the manual-append lane " +
@@ -663,7 +672,7 @@ object Similarity {
     IndexMaintenance.requireNotTombstoned(batch.sparkSession, path,
       batch.select(col(cId).as("id")),
       isCommittedReplay = () => IndexMaintenance.laneExists(corpusFs, corpusT, batchId))
-    assigned(batch, cId, cVec, cents)
+    assigned(batch, cId, cVec, cents, metaCols)
       .withColumn("ingest_batch", lit(batchId))
       // bounded files per cell per batch
       .transform(cellSpread(_, cents.length, spreadFiles = spreadFiles))
@@ -885,11 +894,26 @@ object Similarity {
     IndexMaintenance.layoutStats(spark, s"$path/corpus")
 
   private def assigned(batch: DataFrame, cId: String, cVec: String,
-      cents: Array[Array[Double]]): DataFrame = {
+      cents: Array[Array[Double]], metaCols: Seq[String] = Nil): DataFrame = {
+    requireMetaCols(metaCols)
     val assignUdf = udf { (v: Seq[Double]) => nearestCell(normalize(v.toArray), cents) }
-    batch.select(col(cId).as("corpus_id"), col(cVec).cast("array<double>").as("cv"))
+    batch.select(col(cId).as("corpus_id") +:
+        col(cVec).cast("array<double>").as("cv") +: metaCols.map(col): _*)
       .withColumn("cell", assignUdf(col("cv")))
       .withColumn("cn", l2norm(col("cv")))
+  }
+
+  /** Metadata columns ride the corpus rows verbatim, so they must not
+    * collide with the layout's own columns. An index's appends must
+    * carry the SAME metaCols as its build — parquet reads resolve one
+    * file's schema, so a column present in some files and absent in
+    * others reads as null for the absent rows (a filter then silently
+    * drops them). */
+  private def requireMetaCols(metaCols: Seq[String]): Unit = {
+    val reserved = Set("corpus_id", "cv", "cn", "cell", "ingest_batch")
+    val bad = metaCols.filter(reserved)
+    require(bad.isEmpty,
+      s"metaCols collide with the index layout's columns: ${bad.mkString(", ")}")
   }
 
   /** Cell-aligned exchange for index writes, with bounded intra-cell
@@ -975,18 +999,34 @@ object Similarity {
     * with the same parameters. */
   def ivfTopKIndexed(
       queries: DataFrame, qId: String, qVec: String,
-      path: String, k: Int, nprobe: Int): DataFrame =
+      path: String, k: Int, nprobe: Int,
+      filter: Option[Column] = None): DataFrame =
     ivfTopKIndexed(queries, qId, qVec, path, k, nprobe,
-      loadIvfCentroids(queries.sparkSession, path))
+      loadIvfCentroids(queries.sparkSession, path), filter)
 
   /** [[ivfTopKIndexed]] with pre-loaded centroids — the streaming-retrieval
     * form ([[graft.streaming.StreamingAnn]] loads once per stream; each
     * trigger still re-reads only its probed CELLS of the corpus, which is
-    * the part that must stay fresh across appends). */
+    * the part that must stay fresh across appends).
+    *
+    * `filter` (r18) is FILTERED vector search — the production
+    * "nearest neighbors WHERE metadata predicate" shape (language = en,
+    * date range, source allowlist): a predicate over columns the build
+    * stored inline (`writeIvfIndex(metaCols)`), applied INSIDE the
+    * cell-pruned corpus scan — Catalyst pushes it into the parquet read
+    * (row-group pruning on the metadata column), so non-matching rows
+    * never reach the scoring join, and no corpus-sized id-set join
+    * exists anywhere. At nprobe = nlist the answer is EXACTLY brute
+    * force over the filtered corpus (oracle-gated by
+    * `ann_ivf_filtered`); at partial probe the usual IVF recall
+    * contract applies per-filtered-corpus — a highly selective filter
+    * thins candidates per probed cell, so raise nprobe with filter
+    * selectivity (the standard filtered-ANN trade). Composes with
+    * deletion: tombstones are anti-joined on top of the filter. */
   def ivfTopKIndexed(
       queries: DataFrame, qId: String, qVec: String,
       path: String, k: Int, nprobe: Int,
-      cents: Array[Array[Double]]): DataFrame = {
+      cents: Array[Array[Double]], filter: Option[Column]): DataFrame = {
     val spark = queries.sparkSession
     val corpusPath = new org.apache.hadoop.fs.Path(s"$path/corpus")
     val corpusFs = corpusPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1015,11 +1055,15 @@ object Similarity {
     val c0 = IndexMaintenance.consistentListing(corpusFs, corpusPath) {
       spark.read.parquet(s"$path/corpus")
     }.filter(col("cell").isin(probedCells.toSeq: _*))
+    // the metadata predicate rides the same scan the cell IN-filter
+    // prunes — Catalyst pushes it into the parquet read, so filtered
+    // search costs a narrower scan, not a join
+    val cf = filter.map(c0.filter).getOrElse(c0)
     // tombstoned ids vanish from answers immediately; the ledger is
     // driver-small by contract, so the anti-join broadcasts
     val c = IndexMaintenance.readDeletes(spark, path).map(d =>
-      c0.join(broadcast(d.select(col("id").as("corpus_id"))),
-        Seq("corpus_id"), "left_anti")).getOrElse(c0)
+      cf.join(broadcast(d.select(col("id").as("corpus_id"))),
+        Seq("corpus_id"), "left_anti")).getOrElse(cf)
     rankTopK(q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn"))), k)

@@ -344,6 +344,63 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(manual.getMessage.contains("tombstone"), manual.getMessage)
   }
 
+  test("filtered search: metadata predicate inside the pruned scan, exact at full probe, survives append/fold/rebuild, composes with deletion (r18)") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0L until 80L).map { i =>
+      (i, Array((i % 7).toDouble + 1, ((i * 3) % 5).toDouble, ((i * 7) % 11).toDouble),
+        (i % 3).toInt)
+    }
+    val df = vecs.toDF("id", "v", "category")
+    val idx = Files.createTempDirectory("ivffilter").toString
+    Similarity.writeIvfIndex(df.filter(col("id") < 40), "id", "v", idx,
+      nlist = 4, metaCols = Seq("category"))
+    // metadata rides every append lane too
+    val cents = Similarity.loadIvfCentroids(spark, idx)
+    Similarity.appendIvfIndexIdempotent(
+      df.filter(col("id") >= 40 && col("id") < 60), "id", "v", idx, cents,
+      batchId = 0L, metaCols = Seq("category"))
+    Similarity.appendIvfIndex(df.filter(col("id") >= 60), "id", "v", idx,
+      cents, metaCols = Seq("category"))
+    val q = df.filter(col("id") < 5).select("id", "v")
+    def probe(flt: org.apache.spark.sql.Column) =
+      Similarity.ivfTopKIndexed(q, "id", "v", idx, k = 3, nprobe = 4,
+          filter = Some(flt))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    def want(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(q, "id", "v", corpus, "id", "v", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    assert(probe(col("category") === 1) === want(df.filter(col("category") === 1)),
+      "full probe + predicate == brute force over the filtered corpus")
+    // the predicate reaches the parquet scan (pushdown, not a join)
+    val plan = Similarity.ivfTopKIndexed(q, "id", "v", idx, k = 3, nprobe = 4,
+      filter = Some(col("category") === 1)).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("category"),
+      s"metadata predicate must push into the scan:\n$plan")
+    // the fold preserves metadata
+    Similarity.compactIvfIndex(spark, idx, committedBatchId = 0L)
+    assert(probe(col("category") === 1) === want(df.filter(col("category") === 1)))
+    // composes with deletion: tombstones anti-join on top of the filter
+    Similarity.deleteFromIvfIndex(Seq(1L, 4L, 7L, 10L, 13L).toDF("id"), idx)
+    val liveCat1 = df.filter(col("category") === 1 &&
+      !col("id").isin(1L, 4L, 7L, 10L, 13L))
+    assert(probe(col("category") === 1) === want(liveCat1))
+    // a rebuild keeps the metadata columns (only layout columns recompute)
+    val rebuilt = Files.createTempDirectory("ivffilterreb").toString + "/idx"
+    Similarity.rebuildIvfIndex(spark, idx, rebuilt, nlist = 4)
+    val got = Similarity.ivfTopKIndexed(q, "id", "v", rebuilt, k = 3, nprobe = 4,
+        filter = Some(col("category") === 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    assert(got === want(liveCat1), "rebuild must preserve stored metadata")
+    // metaCols cannot shadow the layout's own columns
+    val bad = intercept[IllegalArgumentException] {
+      Similarity.writeIvfIndex(df.withColumnRenamed("category", "cell"),
+        "id", "v", Files.createTempDirectory("ivfbadmeta").toString,
+        nlist = 4, metaCols = Seq("cell"))
+    }
+    assert(bad.getMessage.contains("collide"), bad.getMessage)
+  }
+
   test("tombstoned deletes: probes skip deleted vectors; purge reclaims and clears the ledger") {
     val s = spark
     import s.implicits._
