@@ -1232,6 +1232,26 @@ object SparkEntry {
         k = 5, nprobe = 8, filter = Some(col("category") === 1))
     }),
 
+    "ann_ivfpq_filtered" -> ((s, dir) => {
+      // The IVFPQ filtered-search twin (r18): metadata stored in BOTH
+      // tables so the predicate filters the ADC stage (no shortlist
+      // budget wasted on non-matching rows) and the saturation path
+      // alike. Exhaustive regime over the filtered corpus -> exactly
+      // brute force with the predicate, stated by the same oracle.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("category", pmod(col("vec_id"), lit(3)).cast("int"))
+      val p = work(dir, "ann_ivfpq_filtered")
+      buildOnce(p) {
+        Pq.writePqIndex(e, "vec_id", "e", p, nlist = 8, m = 8, ksub = 128,
+          metaCols = Seq("category"))
+      }
+      val n = e.count()
+      Pq.pqTopKIndexed(e.filter(col("vec_id") < 10), "vec_id", "e", p,
+        k = 5, nprobe = 8, refine = (n / 5 + 1).toInt,
+        filter = Some(col("category") === 1))
+    }),
+
     "ann_ivfpq_deleted" -> ((s, dir) => {
       // The IVFPQ deletion twin (r18): tombstone a fifth of the corpus,
       // probe in the exact regime (full probe + corpus-covering
@@ -1969,9 +1989,9 @@ object SparkEntry {
       val b1 = e.filter(col("vec_id") > hi)
       // model loaded ONCE for the three appends (the streaming discipline)
       val (cents, model) = Pq.loadPqIndexModel(s, p)
-      Pq.appendPqIndexIdempotent(b0, "vec_id", "e", p, cents, model, 0L, 0)
-      Pq.appendPqIndexIdempotent(b1, "vec_id", "e", p, cents, model, 1L, 0)
-      Pq.appendPqIndexIdempotent(b1, "vec_id", "e", p, cents, model, 1L, 0) // replay
+      Pq.appendPqIndexIdempotent(b0, "vec_id", "e", p, cents, model, 0L, 0, Nil)
+      Pq.appendPqIndexIdempotent(b1, "vec_id", "e", p, cents, model, 1L, 0, Nil)
+      Pq.appendPqIndexIdempotent(b1, "vec_id", "e", p, cents, model, 1L, 0, Nil) // replay
       Pq.compactPqIndex(s, p, committedBatchId = 0L)
       val n = e.count()
       Pq.pqTopKIndexed(e.filter(col("vec_id") < 10), "vec_id", "e", p,
@@ -3213,6 +3233,9 @@ object SparkEntry {
       "AS v FROM embeddings WHERE vec_id % 5 <> 2),"),
     // filtered search = brute force over the PREDICATE-filtered corpus
     "ann_ivf_filtered" -> annExhaustiveOracle.replace(
+      "AS v FROM embeddings),",
+      "AS v FROM embeddings WHERE vec_id % 3 = 1),"),
+    "ann_ivfpq_filtered" -> annExhaustiveOracle.replace(
       "AS v FROM embeddings),",
       "AS v FROM embeddings WHERE vec_id % 3 = 1),"),
     "bm25_search_many" ->

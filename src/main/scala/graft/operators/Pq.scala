@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -542,7 +542,8 @@ object Pq {
     * either way: O(maxSample·dim), never a second corpus pass. */
   def writePqIndex(corpus: DataFrame, cId: String, cVec: String, path: String,
       nlist: Int = 16, m: Int = 8, ksub: Int = 256,
-      iters: Int = 8, maxSample: Int = 4096, spreadFiles: Int = 0): Unit = {
+      iters: Int = 8, maxSample: Int = 4096, spreadFiles: Int = 0,
+      metaCols: Seq[String] = Nil): Unit = {
     // ONE bounded fetch serves the coarse trainer, the PQ trainer, and
     // the held-out drift reference (the three samples are strictly
     // nested — train = the first maxSample by id, ref = the next); the
@@ -552,20 +553,22 @@ object Pq {
     val (train, ref) = Similarity.heldOutSplit(both, maxSample)
     val cents = Similarity.trainIvfCentroidsFromSample(train, nlist, iters)
     val model = trainPqFromSample(train, m, ksub, iters)
-    writePqIndexParts(corpus, cId, cVec, path, cents, model, ref, spreadFiles)
+    writePqIndexParts(corpus, cId, cVec, path, cents, model, ref, spreadFiles, metaCols)
   }
 
   /** The write half of [[writePqIndex]] against already-trained models
     * and reference batch — shared by build and [[rebuildPqIndex]]. */
   private def writePqIndexParts(corpus: DataFrame, cId: String, cVec: String,
       path: String, cents: Array[Array[Double]], model: PqModel,
-      refVecs: Array[Array[Double]], spreadFiles: Int): Unit = {
+      refVecs: Array[Array[Double]], spreadFiles: Int,
+      metaCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
     // a build at this path is the ledger reset — stale tombstones from
     // a previous index here would hide freshly built vectors
     IndexMaintenance.clearDeletes(spark, path)
     writeModel(spark, path, cents, model)
-    writeRows(corpus, cId, cVec, path, cents, model, "overwrite", -1L, spreadFiles)
+    writeRows(corpus, cId, cVec, path, cents, model, "overwrite", -1L, spreadFiles,
+      metaCols)
     import spark.implicits._
     indexDriftStats(
       refVecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
@@ -637,8 +640,10 @@ object Pq {
     val nl = if (nlist > 0) nlist else oldCents.length
     val mm = if (m > 0) m else oldModel.m
     val ks = if (ksub > 0) ksub else oldModel.ksub
+    // keep stored metadata columns (r18 filtered probes) — only the
+    // derived layout columns are recomputed by the rebuild
     val corpus0 = spark.read.parquet(s"$path/vectors")
-      .select(col("corpus_id"), col("cv"))
+      .drop("cn", "cell", "ingest_batch")
     // the rebuild IS the ledger reset — start from the tombstone-
     // filtered rows so deleted vectors never resurrect (r17 review)
     val corpus = IndexMaintenance.readDeletes(spark, path).map(d =>
@@ -648,7 +653,8 @@ object Pq {
     val (train, ref) = Similarity.heldOutSplit(both, maxSample)
     val cents = Similarity.trainIvfCentroidsFromSample(train, nl, iters)
     val model = trainPqFromSample(train, mm, ks, iters)
-    writePqIndexParts(corpus, "corpus_id", "cv", newPath, cents, model, ref, spreadFiles)
+    writePqIndexParts(corpus, "corpus_id", "cv", newPath, cents, model, ref,
+      spreadFiles, metaCols = corpus.columns.filterNot(Set("corpus_id", "cv")).toSeq)
   }
 
   /** Compact a streamed-into IVFPQ index — INCREMENTALLY, the
@@ -907,7 +913,10 @@ object Pq {
 
   private def writeRows(batch: DataFrame, cId: String, cVec: String, path: String,
       cents: Array[Array[Double]], model: PqModel, mode: String,
-      batchId: Long, spreadFiles: Int): Unit = {
+      batchId: Long, spreadFiles: Int, metaCols: Seq[String] = Nil): Unit = {
+    Similarity.requireMetaCols(metaCols)
+    require(!metaCols.contains("codes") && !metaCols.contains("s"),
+      "metaCols collide with the PQ layout's columns: codes/s are reserved")
     // ONE fused pass computes cell + codes + norm per row. The previous
     // shape ran two UDFs (assign, encode) plus a norm expression — each
     // UDF re-deserializing the array (per-element boxing) and
@@ -923,7 +932,12 @@ object Pq {
       while (i < raw.length) { acc += raw(i) * raw(i); i += 1 }
       (Similarity.nearestCell(x, cents), encodeNormalized(model, x), math.sqrt(acc))
     }
-    val b = batch.select(col(cId).as("corpus_id"), col(cVec).cast("array<double>").as("cv"))
+    // metaCols (r18) ride BOTH tables: the codes copy lets a filtered
+    // probe's predicate apply at the ADC stage (filtered-out rows never
+    // consume shortlist budget — the tombstone lesson), the vectors
+    // copy serves the shortlist-saturation path, which never reads codes
+    val b = batch.select(col(cId).as("corpus_id") +:
+        col(cVec).cast("array<double>").as("cv") +: metaCols.map(col): _*)
       .withColumn("s", rowUdf(col("cv")))
       // Cell-aligned exchange BEFORE the partitionBy writes: without it
       // every input task opens a file in every cell directory —
@@ -953,10 +967,10 @@ object Pq {
       w.partitionBy("cell", "ingest_batch").parquet(s"$path/$table")
     }
     try {
-      write(b.select(col("s._1").as("cell"), col("corpus_id"),
-        col("s._2").as("codes")), "codes")
-      write(b.select(col("s._1").as("cell"), col("corpus_id"), col("cv"),
-        col("s._3").as("cn")), "vectors")
+      write(b.select(col("s._1").as("cell") +: col("corpus_id") +:
+        col("s._2").as("codes") +: metaCols.map(col): _*), "codes")
+      write(b.select(col("s._1").as("cell") +: col("corpus_id") +: col("cv") +:
+        col("s._3").as("cn") +: metaCols.map(col): _*), "vectors")
     } finally b.unpersist()
   }
 
@@ -998,7 +1012,7 @@ object Pq {
     * ids must be NEW to the index. For exactly-once streaming ingest
     * use [[appendPqIndexIdempotent]]. */
   def appendPqIndex(batch: DataFrame, cId: String, cVec: String, path: String,
-      spreadFiles: Int = 0): Unit = {
+      spreadFiles: Int = 0, metaCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     requireBatchKeyedLayout(spark, path)
     IndexMaintenance.requireNotTombstoned(spark, path,
@@ -1054,7 +1068,8 @@ object Pq {
             IndexMaintenance.readManualWatermark(fs, codesT) + 1
         }
       }
-    writeRows(batch, cId, cVec, path, cents, model, "dynamic", lane, spreadFiles)
+    writeRows(batch, cId, cVec, path, cents, model, "dynamic", lane, spreadFiles,
+      metaCols)
     IndexMaintenance.writeManualWatermark(fs, codesT, lane)
   }
 
@@ -1067,9 +1082,11 @@ object Pq {
     * the missing vectors leaves, converging both tables to the
     * exactly-once state. Fold committed leaves with [[compactPqIndex]]. */
   def appendPqIndexIdempotent(batch: DataFrame, cId: String, cVec: String,
-      path: String, batchId: Long, spreadFiles: Int = 0): Unit = {
+      path: String, batchId: Long, spreadFiles: Int = 0,
+      metaCols: Seq[String] = Nil): Unit = {
     val (cents, model) = loadModel(batch.sparkSession, path)
-    appendPqIndexIdempotent(batch, cId, cVec, path, cents, model, batchId, spreadFiles)
+    appendPqIndexIdempotent(batch, cId, cVec, path, cents, model, batchId,
+      spreadFiles, metaCols)
   }
 
   /** [[appendPqIndexIdempotent]] with a pre-loaded model — the streaming
@@ -1077,7 +1094,7 @@ object Pq {
     * parquet reads per micro-batch). */
   def appendPqIndexIdempotent(batch: DataFrame, cId: String, cVec: String,
       path: String, cents: Array[Array[Double]], model: PqModel, batchId: Long,
-      spreadFiles: Int): Unit = {
+      spreadFiles: Int, metaCols: Seq[String]): Unit = {
     require(batchId >= 0, s"batchId must be >= 0 (got $batchId): -1 marks resident rows")
     require(batchId < IndexMaintenance.ManualLaneFloor,
       s"batchId $batchId is in the manual-append lane " +
@@ -1096,7 +1113,8 @@ object Pq {
       isCommittedReplay = () =>
         IndexMaintenance.laneExists(tblFs, codesTbl, batchId) ||
           IndexMaintenance.laneExists(tblFs, vecsTbl, batchId))
-    writeRows(batch, cId, cVec, path, cents, model, "dynamic", batchId, spreadFiles)
+    writeRows(batch, cId, cVec, path, cents, model, "dynamic", batchId, spreadFiles,
+      metaCols)
   }
 
   /** The drift monitor the append contract promises: quantization health
@@ -1146,7 +1164,8 @@ object Pq {
     * is 3.8×: SCALE.md r13). */
   def pqTopKIndexed(
       queries: DataFrame, qId: String, qVec: String,
-      path: String, k: Int, nprobe: Int, refine: Int = 8): DataFrame = {
+      path: String, k: Int, nprobe: Int, refine: Int = 8,
+      filter: Option[Column] = None): DataFrame = {
     require(refine >= 1, "refine must be >= 1")
     val spark = queries.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -1213,10 +1232,16 @@ object Pq {
       .map(d => broadcast(d.select(col("id").as("corpus_id"))))
     def live(df: DataFrame) = tombstones
       .map(t => df.join(t, Seq("corpus_id"), "left_anti")).getOrElse(df)
-    val codes = live(snapshotRead("codes")
-      .filter(col("cell").isin(probedCells.toSeq: _*)))
-    val vectors = live(snapshotRead("vectors")
-      .filter(col("cell").isin(probedCells.toSeq: _*)))
+    // the metadata predicate (r18 filtered search — columns stored by
+    // writePqIndex(metaCols)) applies to BOTH stages like the
+    // tombstones: at the ADC stage so filtered-out rows never consume
+    // shortlist budget, and on the vectors side so the saturation path
+    // (which never reads codes) filters too — pushdown in each scan
+    def flt(df: DataFrame) = filter.map(df.filter).getOrElse(df)
+    val codes = live(flt(snapshotRead("codes")
+      .filter(col("cell").isin(probedCells.toSeq: _*))))
+    val vectors = live(flt(snapshotRead("vectors")
+      .filter(col("cell").isin(probedCells.toSeq: _*))))
     // Shortlist-saturation skip: when k·refine covers every candidate
     // row in the probed cells, the ADC rank-and-truncate provably keeps
     // ALL of them — the whole ADC stage is a no-op — so the plan goes

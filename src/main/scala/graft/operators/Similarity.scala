@@ -909,7 +909,7 @@ object Similarity {
     * file's schema, so a column present in some files and absent in
     * others reads as null for the absent rows (a filter then silently
     * drops them). */
-  private def requireMetaCols(metaCols: Seq[String]): Unit = {
+  private[operators] def requireMetaCols(metaCols: Seq[String]): Unit = {
     val reserved = Set("corpus_id", "cv", "cn", "cell", "ingest_batch")
     val bad = metaCols.filter(reserved)
     require(bad.isEmpty,

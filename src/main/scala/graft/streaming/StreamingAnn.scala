@@ -248,7 +248,8 @@ object StreamingAnn {
       recover = s => Pq.recoverPqFold(s, path),
       load = s => Pq.loadPqIndexModel(s, path),
       append = (batch, m, batchId) => Pq.appendPqIndexIdempotent(
-        batch, idCol, vecCol, path, m._1, m._2, batchId, spreadFiles = 0),
+        batch, idCol, vecCol, path, m._1, m._2, batchId, spreadFiles = 0,
+        metaCols = Nil),
       monitor = (batch, batchId, m) => monitor(batch, batchId, m._1, m._2),
       compact = (s, wm) => Pq.compactPqIndex(s, path, wm),
       compactResident = s => { val (c, v) = Pq.compactPqResident(s, path); c + v },

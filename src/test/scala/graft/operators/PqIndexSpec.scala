@@ -443,6 +443,48 @@ class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(manual.getMessage.contains("tombstone"), manual.getMessage)
   }
 
+  test("filtered PQ search: predicate in both stages, exact at full probe, survives append/fold, composes with deletion (r18)") {
+    def batch(lo: Long, hi: Long) = {
+      val gen = udf((id: Long) => graft.tools.EmbedSynth.vector(id, 16, 4, 0.3))
+      spark.range(lo, hi).select(col("id").as("vec_id"), gen(col("id")).as("e"),
+        pmod(col("id"), lit(3)).cast("int").as("category"))
+    }
+    val path = Files.createTempDirectory("pqfilter").toString
+    Pq.writePqIndex(batch(0, 120), "vec_id", "e", path, nlist = 4, m = 4,
+      ksub = 16, metaCols = Seq("category"))
+    Pq.appendPqIndex(batch(120, 150), "vec_id", "e", path,
+      metaCols = Seq("category"))
+    Pq.appendPqIndexIdempotent(batch(150, 180), "vec_id", "e", path,
+      batchId = 0L, metaCols = Seq("category"))
+    val all = batch(0, 180)
+    val q = all.filter(col("vec_id") < 4).select("vec_id", "e")
+    def probe() = Pq.pqTopKIndexed(q, "vec_id", "e", path, k = 3, nprobe = 4,
+        refine = 80, filter = Some(col("category") === 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    def want(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(q, "vec_id", "e", corpus, "vec_id", "e", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    assert(probe() === want(all.filter(col("category") === 1)),
+      "full probe + covering refine + predicate == brute force over the filtered corpus")
+    // metadata survives the two-table fold
+    Pq.compactPqIndex(spark, path, committedBatchId = 0L)
+    assert(probe() === want(all.filter(col("category") === 1)))
+    // composes with deletion across both stages
+    val s = spark
+    import s.implicits._
+    Pq.deleteFromPqIndex(Seq(1L, 7L, 13L, 19L).toDF("id"), path)
+    val live = all.filter(col("category") === 1 && !col("vec_id").isin(1L, 7L, 13L, 19L))
+    assert(probe() === want(live))
+    // the saturation path (budget covers the pruned cells) filters too:
+    // refine = 80 -> k*refine = 240 >= 180 rows, so with a tiny
+    // SaturationCheckFloor this same call would take the skip — instead
+    // pin it explicitly through the no-ADC regime by deep refine
+    val deep = Pq.pqTopKIndexed(q, "vec_id", "e", path, k = 3, nprobe = 4,
+        refine = 1000, filter = Some(col("category") === 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    assert(deep === want(live))
+  }
+
   test("tombstoned deletes: both PQ stages skip deleted vectors; purge rewrites both tables") {
     def batch(lo: Long, hi: Long) = {
       val gen = udf((id: Long) => graft.tools.EmbedSynth.vector(id, 16, 4, 0.3))
