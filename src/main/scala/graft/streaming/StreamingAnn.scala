@@ -115,10 +115,12 @@ object StreamingAnn {
   def appendBatches(
       path: String, idCol: String, vecCol: String, compactEvery: Int,
       onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => (),
-      purgeWhenAdvised: Boolean = false, maxTombstones: Long = 100000L)(
+      purgeWhenAdvised: Boolean = false, maxTombstones: Long = 100000L,
+      metaCols: Seq[String] = Nil)(
       onDrift: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     ingest(path, idCol, vecCol, compactEvery, onAdvice,
-        purgeWhenAdvised = purgeWhenAdvised, maxTombstones = maxTombstones) {
+        purgeWhenAdvised = purgeWhenAdvised, maxTombstones = maxTombstones,
+        metaCols = metaCols) {
       (batch, batchId, ct) =>
         onDrift(Similarity.ivfDriftStats(batch, idCol, vecCol, ct), batchId)
     }
@@ -199,10 +201,12 @@ object StreamingAnn {
   def appendPqBatches(
       path: String, idCol: String, vecCol: String, compactEvery: Int = 0,
       onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => (),
-      purgeWhenAdvised: Boolean = false, maxTombstones: Long = 100000L)(
+      purgeWhenAdvised: Boolean = false, maxTombstones: Long = 100000L,
+      metaCols: Seq[String] = Nil)(
       onDrift: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     pqIngest(path, idCol, vecCol, compactEvery, onAdvice,
-        purgeWhenAdvised = purgeWhenAdvised, maxTombstones = maxTombstones) {
+        purgeWhenAdvised = purgeWhenAdvised, maxTombstones = maxTombstones,
+        metaCols = metaCols) {
       (batch, batchId, cents, model) =>
         onDrift(Pq.indexDriftStats(batch, idCol, vecCol, cents, model), batchId)
     }
@@ -242,14 +246,15 @@ object StreamingAnn {
       path: String, idCol: String, vecCol: String, compactEvery: Int,
       onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => (),
       driftTripped: () => Boolean = () => false,
-      purgeWhenAdvised: Boolean = false, maxTombstones: Long = 100000L)(
+      purgeWhenAdvised: Boolean = false, maxTombstones: Long = 100000L,
+      metaCols: Seq[String] = Nil)(
       monitor: (DataFrame, Long, Array[Array[Double]], Pq.PqModel) => Unit): (DataFrame, Long) => Unit =
     ingestLoop[(Array[Array[Double]], Pq.PqModel)](compactEvery)(
       recover = s => Pq.recoverPqFold(s, path),
       load = s => Pq.loadPqIndexModel(s, path),
       append = (batch, m, batchId) => Pq.appendPqIndexIdempotent(
         batch, idCol, vecCol, path, m._1, m._2, batchId, spreadFiles = 0,
-        metaCols = Nil),
+        metaCols = metaCols),
       monitor = (batch, batchId, m) => monitor(batch, batchId, m._1, m._2),
       compact = (s, wm) => Pq.compactPqIndex(s, path, wm),
       compactResident = s => { val (c, v) = Pq.compactPqResident(s, path); c + v },
@@ -264,13 +269,14 @@ object StreamingAnn {
       path: String, idCol: String, vecCol: String, compactEvery: Int,
       onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => (),
       driftTripped: () => Boolean = () => false,
-      purgeWhenAdvised: Boolean = false, maxTombstones: Long = 100000L)(
+      purgeWhenAdvised: Boolean = false, maxTombstones: Long = 100000L,
+      metaCols: Seq[String] = Nil)(
       monitor: (DataFrame, Long, Array[Array[Double]]) => Unit): (DataFrame, Long) => Unit =
     ingestLoop[Array[Array[Double]]](compactEvery)(
       recover = s => Similarity.recoverIvfFold(s, path),
       load = s => Similarity.loadIvfCentroids(s, path),
       append = (batch, cents, batchId) => Similarity.appendIvfIndexIdempotent(
-        batch, idCol, vecCol, path, cents, batchId),
+        batch, idCol, vecCol, path, cents, batchId, metaCols = metaCols),
       monitor = monitor,
       compact = (s, wm) => Similarity.compactIvfIndex(s, path, wm),
       compactResident = s => Similarity.compactIvfResident(s, path),

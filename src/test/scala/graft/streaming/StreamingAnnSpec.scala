@@ -190,6 +190,35 @@ class StreamingAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(advices.drop(2).forall(_._1 !== "purge-deletes"), s"got $advices")
   }
 
+  test("streamed ingest carries metadata columns: filtered probes see streamed rows (r18)") {
+    // the filtered-search composition end to end: a build with metaCols,
+    // a stream appending batches that carry the same metadata, and a
+    // predicate probe that must retrieve streamed rows by their metadata
+    val base = Files.createTempDirectory("sannmeta").toString
+    val s = spark
+    import s.implicits._
+    def vec(i: Long) = Seq((i % 7).toDouble + 1, ((i * 3) % 5).toDouble,
+      ((i * 7) % 11).toDouble)
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, vec(i), (i % 3).toInt)).toDF("id", "v", "category")
+    val idx = s"$base/idx"
+    Similarity.writeIvfIndex(batch(0, 60), "id", "v", idx, nlist = 4,
+      metaCols = Seq("category"))
+    val ingest = StreamingAnn.appendBatches(idx, "id", "v", compactEvery = 2,
+      metaCols = Seq("category"))((_, _) => ())
+    ingest(batch(60, 90), 0L)
+    ingest(batch(90, 120), 1L) // maintenance point: fold preserves metadata
+    val q = batch(0, 3).select("id", "v")
+    val got = Similarity.ivfTopKIndexed(q, "id", "v", idx, k = 4, nprobe = 4,
+        filter = Some(col("category") === 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    val want = Similarity.bruteForceTopK(q, "id", "v",
+        batch(0, 120).filter(col("category") === 1), "id", "v", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    assert(got === want,
+      "filtered probe over build + streamed + folded rows must equal brute force")
+  }
+
   test("exactly-once ingest: replaying a batchId leaves the index state unchanged") {
     // foreachBatch re-delivers a batch id after a crash between the
     // append and the checkpoint commit; the batchId-keyed dynamic
