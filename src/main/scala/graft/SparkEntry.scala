@@ -1411,6 +1411,60 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    "bm25_search_allowed" -> ((s, dir) => {
+      // FILTERED lexical retrieval (r18): an allowlist restricts the
+      // CANDIDATES while df/idf/avgdl stay corpus-global — the Lucene
+      // filter-query contract ("search this tenant's documents, ranked
+      // by the whole corpus's statistics"; contrast bm25_search_deleted,
+      // where deletion removes docs from the stats too). The oracle
+      // replays the same BM25 formula with the predicate applied at the
+      // ranking stage only.
+      val p = work(dir, "bm25_search_allowed")
+      buildOnce(p) {
+        Curation.writeBm25Index(t(s, dir, "documents"), "doc_id", "text", p, buckets = 16)
+      }
+      val allowed = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(3)) === 1).select(col("doc_id").as("id"))
+      Curation.bm25SearchIndexed(s, p, Seq("spark", "vector", "stream"),
+          topK = 10, allowed = Some(allowed))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    "hybrid_search_filtered" -> ((s, dir) => {
+      // The FILTERED hybrid (r18): both retrievers answer under the
+      // same access scope — the lexical list via the allowlist
+      // (corpus-global stats, restricted candidates) and the semantic
+      // list via the stored-metadata predicate pushed into the index
+      // scan — fused by RRF. Exact regime on both sides, so DuckDB
+      // replays the whole filtered stack end to end.
+      val lexIdx = work(dir, "hybrid_search_filtered_lex")
+      buildOnce(lexIdx) {
+        Curation.writeBm25Index(t(s, dir, "documents"), "doc_id", "text", lexIdx, buckets = 16)
+      }
+      val allowed = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(3)) === 1).select(col("doc_id").as("id"))
+      val lex = Curation.bm25SearchIndexed(s, lexIdx,
+          Seq("spark", "vector", "stream"), topK = 20, allowed = Some(allowed))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("id"))))
+        .select("id", "rank")
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("category", pmod(col("vec_id"), lit(3)).cast("int"))
+      val p = work(dir, "hybrid_search_filtered_sem")
+      buildOnce(p) {
+        Similarity.writeIvfIndex(e, "vec_id", "e", p, nlist = 8,
+          metaCols = Seq("category"))
+      }
+      val sem = Similarity.ivfTopKIndexed(
+          e.filter(col("vec_id") === 0).select("vec_id", "e"), "vec_id", "e", p,
+          k = 20, nprobe = 8, filter = Some(col("category") === 1))
+        .select(col("corpus_id").as("id"), col("rank"))
+      Curation.rrfFuse(Seq(lex, sem), topK = 10)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "hybrid_search_many" -> ((s, dir) => {
       // The batch-serving retrieval STACK (r17): a batch of hybrid
       // queries through bm25SearchIndexedMany (one pruned pass for all
@@ -3238,6 +3292,17 @@ object SparkEntry {
     "ann_ivfpq_filtered" -> annExhaustiveOracle.replace(
       "AS v FROM embeddings),",
       "AS v FROM embeddings WHERE vec_id % 3 = 1),"),
+    // the allowlist restricts RANKING only — df/idf/avgdl stay global
+    "bm25_search_allowed" -> bm25SearchOracle.replace(
+      "FROM contrib GROUP BY doc_id",
+      "FROM contrib WHERE doc_id % 3 = 1 GROUP BY doc_id"),
+    // the filtered hybrid: allowlist at the lexical ranking stage,
+    // corpus predicate on the semantic side, same RRF on top
+    "hybrid_search_filtered" -> hybridRrfOracle
+      .replace("FROM bm_scored ORDER BY score DESC, doc_id LIMIT 20",
+        "FROM bm_scored WHERE doc_id % 3 = 1 ORDER BY score DESC, doc_id LIMIT 20")
+      .replace("AS v FROM embeddings),",
+        "AS v FROM embeddings WHERE vec_id % 3 = 1),"),
     "bm25_search_many" ->
       """WITH queries AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
                           FROM (VALUES (0, 'spark'), (0, 'vector'), (0, 'stream'),

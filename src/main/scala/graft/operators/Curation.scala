@@ -1412,7 +1412,8 @@ object Curation {
     * contributes once — [[bm25Search]] callers pass term SETS). */
   def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession,
       path: String, queryTerms: Seq[String], topK: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      allowed: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     require(queryTerms.nonEmpty, "need at least one query term")
     // ONE query through the batch path — the listing, pruning, formula,
@@ -1421,7 +1422,7 @@ object Curation {
     // batch's (query_id, rank) order at one query IS (score desc, id)
     bm25SearchIndexedMany(spark, path,
       Seq((0L, queryTerms)).toDF("query_id", "terms"),
-      topK = topK, k1 = k1, b = b)
+      topK = topK, k1 = k1, b = b, allowed = allowed)
       .drop("query_id", "rank")
   }
 
@@ -1447,7 +1448,8 @@ object Curation {
   def bm25SearchIndexedMany(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, qId: String = "query_id",
       qTerms: String = "terms", topK: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      allowed: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val (nDocs, avgdl, nBuckets, tombstones) = bm25Effective(spark, path)
     val qt = queries.select(col(qId).as("query_id"),
@@ -1465,7 +1467,17 @@ object Curation {
     // tombstoned docs leave tf AND df, so scores equal a rebuilt index
     val tf = tombstones.map(t => tf0.join(t, Seq("id"), "left_anti")).getOrElse(tf0)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfreq), "term")
+    // FILTERED retrieval (r18): `allowed` restricts the CANDIDATES while
+    // df/idf/avgdl stay corpus-global — the Lucene filter-query contract
+    // (a tenant's search ranks their docs by the whole corpus's term
+    // statistics; contrast deletion above, which removes docs from the
+    // stats too). The allowlist is serving-sized by contract (a user's
+    // corpus, an access scope — it broadcasts); corpus-sized predicates
+    // belong on the semantic side's stored metadata (`metaCols`).
+    val tfA = allowed.map(a =>
+        tf.join(broadcast(a.select(col(a.columns.head).as("id"))), Seq("id"), "left_semi"))
+      .getOrElse(tf)
+    tfA.join(broadcast(dfreq), "term")
       .join(broadcast(qt), "term") // fan out per query that asked for the term
       .withColumn("idf",
         log((lit(nDocs) - col("df") + lit(0.5d)) / (col("df") + lit(0.5d)) + lit(1.0d)))

@@ -158,12 +158,13 @@ object StreamingAnn {
       path: String, idCol: String, vecCol: String, compactEvery: Int = 0,
       fitDropTol: Double = 0.05,
       onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => (),
-      purgeWhenAdvised: Boolean = false, maxTombstones: Long = 100000L)(
+      purgeWhenAdvised: Boolean = false, maxTombstones: Long = 100000L,
+      metaCols: Seq[String] = Nil)(
       onVerdict: (RetrainVerdict, Long) => Unit): (DataFrame, Long) => Unit = {
     var refFit = Double.NaN // loaded once per stream, alongside the centroids
     @volatile var drifted = false // the advice's drift axis = the last verdict
     ingest(path, idCol, vecCol, compactEvery, onAdvice, () => drifted,
-        purgeWhenAdvised, maxTombstones) {
+        purgeWhenAdvised, maxTombstones, metaCols) {
       (batch, batchId, ct) =>
         if (refFit.isNaN)
           refFit = Similarity.loadIvfDriftRef(batch.sparkSession, path)
@@ -223,12 +224,13 @@ object StreamingAnn {
       path: String, idCol: String, vecCol: String, compactEvery: Int = 0,
       fitDropTol: Double = 0.05, errRiseFrac: Double = 0.15,
       onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => (),
-      purgeWhenAdvised: Boolean = false, maxTombstones: Long = 100000L)(
+      purgeWhenAdvised: Boolean = false, maxTombstones: Long = 100000L,
+      metaCols: Seq[String] = Nil)(
       onVerdict: (PqRetrainVerdict, Long) => Unit): (DataFrame, Long) => Unit = {
     var ref: (Double, Double) = null // loaded once per stream
     @volatile var drifted = false // the advice's drift axis = the last verdict
     pqIngest(path, idCol, vecCol, compactEvery, onAdvice, () => drifted,
-        purgeWhenAdvised, maxTombstones) {
+        purgeWhenAdvised, maxTombstones, metaCols) {
       (batch, batchId, cents, model) =>
         if (ref == null) ref = Pq.loadPqDriftRef(batch.sparkSession, path)
         // one narrow pass yields n + both drift axes; the verdict rule is

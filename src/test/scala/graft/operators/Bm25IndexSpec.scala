@@ -482,6 +482,45 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "deletes off the backfilled sidecar must equal a rebuild without the docs")
   }
 
+  test("allowlist-filtered search: candidates restricted, stats stay corpus-global (r18)") {
+    // the Lucene filter-query contract, distinct from deletion: an
+    // allowlist changes WHICH docs rank, never HOW they score — idf and
+    // avgdl stay the whole corpus's (a tenant's search is ranked by
+    // global term statistics, not as if the rest of the corpus vanished)
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("bmallow").toString
+    val idx = s"$base/idx"
+    Curation.writeBm25Index(docs(0, 120), "doc_id", "text", idx, buckets = 8)
+    val allowed = (0L until 120L).filter(_ % 3 == 1).toDF("id")
+    val got = Curation.bm25SearchIndexed(spark, idx, Seq("spark", "vector"),
+        topK = 15, allowed = Some(allowed))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty && got.forall(_._1 % 3 == 1),
+      "every answer must satisfy the allowlist")
+    // same SCORES as the unrestricted ranking, just restricted candidates
+    val global = Curation.bm25SearchIndexed(spark, idx, Seq("spark", "vector"),
+        topK = 1000)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    got.foreach { case (id, score, hits) =>
+      assert(global(id) == ((score, hits)),
+        s"allowlist must not change doc $id's score (global stats contract)")
+    }
+    // ... which is NOT the deletion contract: an index BUILT over only
+    // the allowed docs scores differently (idf/avgdl shrink with it)
+    val whole = s"$base/whole"
+    Curation.writeBm25Index(docs(0, 120).filter(pmod(col("doc_id"), lit(3)) === 1),
+      "doc_id", "text", whole, buckets = 8)
+    assert(ask(whole, Seq("spark", "vector")).map(_._2).toSet != got.map(_._2).toSet,
+      "allowlist scores must be global-stats, not built-over-allowed-only")
+    // the batch form applies the same allowlist per query
+    val many = Curation.bm25SearchIndexedMany(spark, idx,
+        Seq((0L, Seq("spark", "vector"))).toDF("query_id", "terms"),
+        topK = 15, allowed = Some(allowed))
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(many === got)
+  }
+
   test("doclen sidecar file accrual is bounded through the minor compaction (r18)") {
     // every append adds one sidecar file and no fold covers the sidecar
     // — a long stream would accrue one file per trigger forever; the
