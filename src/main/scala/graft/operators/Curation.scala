@@ -1008,14 +1008,9 @@ object Curation {
     val files = fs.listStatus(live)
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     if (files <= maxFiles) return 0
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/doclens_tmp")
     // output coalesced UNDER the bound, or the next check would rewrite
     // forever (the residentBound lesson, applied to the sidecar)
-    spark.read.parquet(live.toString).distinct()
-      .coalesce(maxFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(live, true)
-    require(fs.rename(tmp, live), s"could not publish $live")
+    swapDoclens(spark, path)(_.distinct().coalesce(maxFiles))
     files
   }
 
@@ -1266,13 +1261,22 @@ object Curation {
     * Idempotent while the ledger persists (the anti-join of already-
     * removed ids removes nothing). */
   private def rewriteDoclens(spark: org.apache.spark.sql.SparkSession,
-      path: String, ledger: DataFrame): Unit = {
+      path: String, ledger: DataFrame): Unit =
+    swapDoclens(spark, path)(
+      _.join(broadcast(ledger.select("id")), Seq("id"), "left_anti"))
+
+  /** The ONE doclen-sidecar staged swap (aside + delete + rename —
+    * [[doclensRecover]] heals the window) shared by the purge's
+    * anti-join rewrite and the accrual consolidation, so the
+    * crash-sensitive protocol lives in a single place. No-op on a
+    * missing/empty sidecar. */
+  private def swapDoclens(spark: org.apache.spark.sql.SparkSession,
+      path: String)(transform: DataFrame => DataFrame): Unit = {
     val live = new org.apache.hadoop.fs.Path(s"$path/doclens")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!IndexMaintenance.hasCommittedData(fs, live)) return
     val tmp = new org.apache.hadoop.fs.Path(s"$path/doclens_tmp")
-    spark.read.parquet(live.toString)
-      .join(broadcast(ledger.select("id")), Seq("id"), "left_anti")
+    transform(spark.read.parquet(live.toString))
       .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(live, true)
     require(fs.rename(tmp, live), s"could not publish $live")
@@ -1347,24 +1351,30 @@ object Curation {
         IndexMaintenance.readMarker(fs, marker).head).toOption
     var attempt = 0
     while (attempt < 5) {
-      val m0 = markerState()
       val read = scala.util.Try {
-        val stats0 = readStats(spark, path)
-        val led = IndexMaintenance.readDeletes(spark, path)
-        if (led.isEmpty)
-          // fast path (the ledger-free common case): any purge that
-          // emptied the ledger committed its stats fold BEFORE deleting
-          // the files, so a stats read taken AFTER the empty ledger
-          // read is already the folded row — no second sample, no
-          // marker pinning needed
+        if (IndexMaintenance.readDeletes(spark, path).isEmpty)
+          // fast path (the ledger-free common case, ONE stats read + one
+          // ledger listing): any purge that emptied the ledger committed
+          // its stats fold BEFORE deleting the files, so a stats read
+          // taken AFTER the empty ledger read is already the folded row
+          // — no snapshot sampling, no marker pinning needed
           Left(readStats(spark, path))
-        else Right((stats0, led, readStats(spark, path)))
+        else {
+          // a ledger exists: full snapshot — (marker, stats) sampled on
+          // both sides of a FRESH ledger read (the probe above is not
+          // stats-bracketed, so it cannot be used here)
+          val m0 = markerState()
+          val s0 = readStats(spark, path)
+          val led = IndexMaintenance.readDeletes(spark, path)
+          val s1 = readStats(spark, path)
+          val m1 = markerState()
+          Right((m0, s0, led, s1, m1))
+        }
       }.toOption
-      val m1 = markerState()
       read match {
         case Some(Left((nDocs, sumDl, nBuckets, _, _))) =>
           return bm25EffectiveFrom(nDocs, sumDl, nBuckets, None, path)
-        case Some(Right((s0, led, s1)))
+        case Some(Right((m0, s0, led, s1, m1)))
             if m0.isDefined && m0 == m1 && s0 == s1 =>
           val (nDocs, sumDl, nBuckets, _, _) = s0
           // mid-fold guard: stats already at the marker's pinned values
@@ -1474,9 +1484,13 @@ object Curation {
     // stats too). The allowlist is serving-sized by contract (a user's
     // corpus, an access scope — it broadcasts); corpus-sized predicates
     // belong on the semantic side's stored metadata (`metaCols`).
-    val tfA = allowed.map(a =>
-        tf.join(broadcast(a.select(col(a.columns.head).as("id"))), Seq("id"), "left_semi"))
-      .getOrElse(tf)
+    val tfA = allowed.map { a =>
+      // single-column by contract: a positional pick from a wider frame
+      // would silently join on the wrong column (r18 review)
+      require(a.columns.length == 1,
+        s"allowed must be a single id column frame, got [${a.columns.mkString(", ")}]")
+      tf.join(broadcast(a.select(col(a.columns.head).as("id"))), Seq("id"), "left_semi")
+    }.getOrElse(tf)
     tfA.join(broadcast(dfreq), "term")
       .join(broadcast(qt), "term") // fan out per query that asked for the term
       .withColumn("idf",

@@ -503,6 +503,45 @@ private[graft] object IndexMaintenance {
     }
   }
 
+  /** The index's metadata-column CONTRACT file (r18 review): the build
+    * records its `metaCols` at `<index>/_meta_cols` and every append
+    * must match it — a mismatched append would land rows whose missing
+    * metadata reads as NULL under the union schema, and a filtered
+    * probe would then silently drop them (incomplete answers, no
+    * error). A missing file reads as Nil (pre-r18 index, or a meta-less
+    * build), so meta-less appends to old indexes pass unchanged while
+    * an append that ADDS metadata to a meta-less index refuses with the
+    * rebuild remedy. One tiny file read per append. */
+  private def metaColsFile(indexRoot: Path) = new Path(indexRoot, "_meta_cols")
+
+  private[operators] def writeMetaColsFile(fs: FileSystem, indexRoot: String,
+      metaCols: Seq[String]): Unit = {
+    val f = metaColsFile(new Path(indexRoot))
+    fs.delete(f, false)
+    if (metaCols.nonEmpty)
+      writeMarker(fs, new Path(indexRoot, "._meta_cols.tmp"), f, metaCols)
+  }
+
+  private[operators] def readMetaColsFile(fs: FileSystem,
+      indexRoot: String): Seq[String] = {
+    val f = metaColsFile(new Path(indexRoot))
+    if (!fs.exists(f)) Nil
+    else scala.util.Try(readMarker(fs, f).map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+  }
+
+  private[operators] def requireSameMetaCols(spark: SparkSession,
+      indexRoot: String, metaCols: Seq[String]): Unit = {
+    val fs = fsOf(spark, new Path(indexRoot))
+    val stored = readMetaColsFile(fs, indexRoot)
+    require(stored.sorted == metaCols.sorted,
+      s"index at $indexRoot was built with metaCols [${stored.mkString(", ")}] " +
+        s"but this append carries [${metaCols.mkString(", ")}] — rows with " +
+        "missing metadata read as NULL under the union schema and filtered " +
+        "probes would silently drop them. Append with the build's metaCols, " +
+        "or rebuild the index with the new column set.")
+  }
+
   /** Order-independent fingerprint of a frame's distinct `id` set —
     * (count, xor of per-id hashes). Decides whether an incoming manual
     * batch IS the retry of an orphan lane (same id set) or a different

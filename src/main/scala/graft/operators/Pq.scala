@@ -563,9 +563,19 @@ object Pq {
       refVecs: Array[Array[Double]], spreadFiles: Int,
       metaCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
+    // validate metaCols BEFORE any destructive step — the ledger clear
+    // and model overwrite below must not run for a build writeRows will
+    // reject (r18 review: a rejected build would otherwise resurrect
+    // tombstoned vectors and pair old rows with a new model)
+    Similarity.requireMetaCols(metaCols)
+    requirePqMetaCols(metaCols)
     // a build at this path is the ledger reset — stale tombstones from
     // a previous index here would hide freshly built vectors
     IndexMaintenance.clearDeletes(spark, path)
+    // ... and records the metadata contract every append must match
+    IndexMaintenance.writeMetaColsFile(
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration), path, metaCols)
     writeModel(spark, path, cents, model)
     writeRows(corpus, cId, cVec, path, cents, model, "overwrite", -1L, spreadFiles,
       metaCols)
@@ -915,8 +925,7 @@ object Pq {
       cents: Array[Array[Double]], model: PqModel, mode: String,
       batchId: Long, spreadFiles: Int, metaCols: Seq[String] = Nil): Unit = {
     Similarity.requireMetaCols(metaCols)
-    require(!metaCols.contains("codes") && !metaCols.contains("s"),
-      "metaCols collide with the PQ layout's columns: codes/s are reserved")
+    requirePqMetaCols(metaCols)
     // ONE fused pass computes cell + codes + norm per row. The previous
     // shape ran two UDFs (assign, encode) plus a norm expression — each
     // UDF re-deserializing the array (per-element boxing) and
@@ -974,6 +983,10 @@ object Pq {
     } finally b.unpersist()
   }
 
+  private def requirePqMetaCols(metaCols: Seq[String]): Unit =
+    require(!metaCols.contains("codes") && !metaCols.contains("s"),
+      "metaCols collide with the PQ layout's columns: codes/s are reserved")
+
   /** r15 changed the stored layout from `partitionBy(cell)` to
     * `partitionBy(cell, ingest_batch)` (for replay-idempotent streaming
     * appends + incremental compaction). Appending the two-level layout
@@ -1015,6 +1028,7 @@ object Pq {
       spreadFiles: Int = 0, metaCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     requireBatchKeyedLayout(spark, path)
+    IndexMaintenance.requireSameMetaCols(spark, path, metaCols)
     IndexMaintenance.requireNotTombstoned(spark, path,
       batch.select(col(cId).as("id")))
     val (cents, model) = loadModel(spark, path)
@@ -1100,6 +1114,7 @@ object Pq {
       s"batchId $batchId is in the manual-append lane " +
         s"(>= ${IndexMaintenance.ManualLaneFloor}); that lane belongs to appendPqIndex")
     requireBatchKeyedLayout(batch.sparkSession, path)
+    IndexMaintenance.requireSameMetaCols(batch.sparkSession, path, metaCols)
     // a re-delivered batch whose write (even partially: codes land
     // first) committed is a harmless self-overwrite — the ledger hides
     // its rows in BOTH probe stages; without the escape, deleting an id

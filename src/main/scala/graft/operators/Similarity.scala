@@ -379,10 +379,14 @@ object Similarity {
       cents: Array[Array[Double]], refVecs: Array[Array[Double]],
       spreadFiles: Int, metaCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
-    requireMetaCols(metaCols)
+    requireMetaCols(metaCols) // validate BEFORE any destructive step
     // a build at this path is the ledger reset — stale tombstones from
     // a previous index here would hide freshly built vectors
     IndexMaintenance.clearDeletes(spark, path)
+    // ... and records the metadata contract every append must match
+    IndexMaintenance.writeMetaColsFile(
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration), path, metaCols)
     val assignUdf = udf { (v: Seq[Double]) => nearestCell(normalize(v.toArray), cents) }
     // the layout carries a second partition column, ingest_batch (-1 =
     // build-time rows), purely so streaming appends can be batchId-keyed
@@ -567,6 +571,7 @@ object Similarity {
       metaCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     requireBatchKeyedLayout(spark, path)
+    IndexMaintenance.requireSameMetaCols(spark, path, metaCols)
     IndexMaintenance.requireNotTombstoned(spark, path,
       batch.select(col(cId).as("id")))
     val table = new org.apache.hadoop.fs.Path(s"$path/corpus")
@@ -662,6 +667,7 @@ object Similarity {
       s"batchId $batchId is in the manual-append lane " +
         s"(>= ${IndexMaintenance.ManualLaneFloor}); that lane belongs to appendIvfIndex")
     requireBatchKeyedLayout(batch.sparkSession, path)
+    IndexMaintenance.requireSameMetaCols(batch.sparkSession, path, metaCols)
     // a re-delivered batch whose write committed is a harmless
     // self-overwrite (the ledger already hides its rows) — without the
     // escape, deleting an id from an uncheckpointed batch would throw on

@@ -399,6 +399,13 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
         nlist = 4, metaCols = Seq("cell"))
     }
     assert(bad.getMessage.contains("collide"), bad.getMessage)
+    // an append whose metaCols don't match the build's refuses loudly —
+    // its rows' missing metadata would read as NULL under the union
+    // schema and filtered probes would silently drop them (r18 review)
+    val mm = intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndex(df.select("id", "v"), "id", "v", idx, cents)
+    }
+    assert(mm.getMessage.contains("metaCols"), mm.getMessage)
   }
 
   test("tombstoned deletes: probes skip deleted vectors; purge reclaims and clears the ledger") {
