@@ -1009,8 +1009,12 @@ object Curation {
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     if (files <= maxFiles) return 0
     // output coalesced UNDER the bound, or the next check would rewrite
-    // forever (the residentBound lesson, applied to the sidecar)
-    swapDoclens(spark, path)(_.distinct().coalesce(maxFiles))
+    // forever (the residentBound lesson, applied to the sidecar).
+    // One row per id (max dl), not distinct: a retried append whose
+    // text changed leaves differing dl rows for one doc (r19 — the
+    // pick the delete path makes, applied at consolidation too)
+    swapDoclens(spark, path)(
+      _.groupBy("id").agg(max(col("dl")).as("dl")).coalesce(maxFiles))
     files
   }
 
@@ -1048,7 +1052,8 @@ object Curation {
     val ledger = IndexMaintenance.readDeletes(spark, path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val pending = math.max(0L, ledger.map(_.count()).getOrElse(0L) -
+    val pending = math.max(0L, ledger.map(
+        _.select("id").distinct().count()).getOrElse(0L) -
       IndexMaintenance.readCounterFile(fs,
         new org.apache.hadoop.fs.Path(s"$path/_purged_through")))
     // the precise fold-first signal, priced only when over threshold
@@ -1094,25 +1099,57 @@ object Curation {
     import spark.implicits._
     // the caller's plan executes ONCE: delete batches are driver-small
     // by contract (the ledger broadcasts), so the id set is collected
-    // up front and drives both the sidecar semi-join and the missing set
-    val batchIds = ids.select(col(idCol).cast("long").as("id")).distinct()
-      .collect().map(_.getLong(0))
+    // up front and drives both the sidecar semi-join and the missing
+    // set. The cast to the ledger's long id type is VALIDATED, not
+    // trusted (r18 advice): a value the cast nulls out would otherwise
+    // silently no-op the delete (or NPE downstream) — refuse loudly so
+    // a non-numeric id column is a caller error, never a lost tombstone.
+    // try_cast, not cast: under ANSI mode a plain cast throws Spark's
+    // generic CAST_INVALID_INPUT mid-collect; try_cast nulls in both
+    // modes, so the require below owns the message either way.
+    val rawRows = ids.select(col(idCol).as("orig"))
+      .withColumn("id", col("orig").try_cast(
+        org.apache.spark.sql.types.LongType)).distinct().collect()
+    val bad = rawRows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    require(bad.isEmpty,
+      s"deleteFromBm25Index: id column '$idCol' has value(s) not castable to " +
+        s"the index's long id type (e.g. '${bad.head.get(0)}') — the cast " +
+        "would null them out and the delete would silently miss those docs. " +
+        "Pass the index's numeric ids.")
+    val batchIds = rawRows.filter(!_.isNullAt(1)).map(_.getLong(1)).distinct
     if (batchIds.isEmpty) return
-    val batch = batchIds.toSeq.toDF("id")
+    // ids ALREADY tombstoned append nothing: the ledger stays id-unique
+    // by construction, so its (count, sum dl) aggregate counts each
+    // deleted doc exactly once — a re-delete (or a crash-retry whose
+    // first attempt landed) can never double-subtract from the stats
+    // fold (r18 advice)
+    val alreadyDeleted: Set[Long] =
+      IndexMaintenance.readDeletes(spark, path) match {
+        case Some(d) => d.select(col("id").cast("long")).collect()
+          .map(_.getLong(0)).toSet
+        case None => Set.empty
+      }
+    val freshIds = batchIds.filterNot(alreadyDeleted)
+    if (freshIds.isEmpty) return
+    val batch = freshIds.toSeq.toDF("id")
     val dlPath = new org.apache.hadoop.fs.Path(s"$path/doclens")
     val fs = dlPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // dl stays INT end to end — the type size() produces and the type
     // every r17 ledger already holds (a mixed int/long ledger dir would
-    // break the plain parquet read)
+    // break the plain parquet read). One row per id (max dl) rather
+    // than distinct over (id, dl): a manual-lane retry whose text
+    // changed leaves two differing dl rows in the sidecar for one doc,
+    // and ledgering both would double-subtract it from n_docs (r18
+    // advice).
     val fromSidecar: Array[(Long, Int)] =
       if (!IndexMaintenance.hasCommittedData(fs, dlPath)) Array.empty
       else spark.read.parquet(dlPath.toString)
         .join(broadcast(batch), Seq("id"), "left_semi")
-        .select("id", "dl").distinct()
+        .groupBy("id").agg(max(col("dl")).as("dl"))
         .collect()
         .map(r => (r.getLong(0), r.getInt(1)))
     val covered = fromSidecar.map(_._1).toSet
-    val missing = batchIds.filterNot(covered)
+    val missing = freshIds.filterNot(covered)
     val fromPostings: Array[(Long, Int)] =
       if (missing.isEmpty) Array.empty
       else {
@@ -1122,7 +1159,7 @@ object Curation {
           spark.read.parquet(s"$path/postings")
         }
         rows.join(broadcast(missing.toSeq.toDF("id")), Seq("id"), "left_semi")
-          .select("id", "dl").distinct()
+          .groupBy("id").agg(max(col("dl")).as("dl"))
           .collect()
           .map(r => (r.getLong(0), r.getInt(1)))
       }
@@ -1210,9 +1247,9 @@ object Curation {
     //    and subtract a doc the stats no longer count
     rewriteDoclens(spark, path, ledger)
     // 3. the ledger fold: marker -> stats -> file deletes -> marker off
-    val agg = ledger.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
+    val (delN, delDl) = ledgerAgg(ledger)
     val (oldN, oldSum, buckets, lastBatch, lastManual) = readStats(spark, path)
-    val (expN, expSum) = (oldN - agg.getLong(0), oldSum - agg.getLong(1))
+    val (expN, expSum) = (oldN - delN, oldSum - delDl)
     IndexMaintenance.writeMarker(fs,
       new org.apache.hadoop.fs.Path(s"$path/._ledger_fold.tmp"),
       new org.apache.hadoop.fs.Path(s"$path/_ledger_fold"),
@@ -1253,6 +1290,18 @@ object Curation {
     fs.delete(marker, false)
     Some(s"completed an interrupted ledger fold at $path " +
       s"(stats pinned to n_docs=$expN, ${lines.tail.size} ledger file(s) retired)")
+  }
+
+  /** The ledger's (deleted docs, deleted dl) aggregate, ONE row per id:
+    * [[deleteFromBm25Index]] keeps the ledger id-unique by construction
+    * (r19), but a ledger written before that fix can hold two differing
+    * (id, dl) rows for one doc (a retried manual append whose text
+    * changed between attempts) — counting both would subtract the doc
+    * from n_docs twice. max(dl) is the deterministic pick. */
+  private def ledgerAgg(ledger: DataFrame): (Long, Long) = {
+    val r = ledger.groupBy("id").agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
+    (r.getLong(0), r.getLong(1))
   }
 
   /** Rewrite the doclen sidecar with `ledger`'s ids removed — aside +
@@ -1349,8 +1398,19 @@ object Curation {
       if (!fs.exists(marker)) Some("")
       else scala.util.Try(
         IndexMaintenance.readMarker(fs, marker).head).toOption
+    // the ledger FILE set — the second axis the append-movement rule
+    // below needs: a fold deletes ledger files, an append never touches
+    // them, so an identical listing on both sides of the window rules
+    // the fold out even while the stats row moves
+    val deletesP = new org.apache.hadoop.fs.Path(IndexMaintenance.deletesDir(path))
+    val dFs = deletesP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ledgerFileSet(): Set[String] =
+      if (!dFs.exists(deletesP)) Set.empty
+      else dFs.listStatus(deletesP)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.getName).toSet
     var attempt = 0
-    while (attempt < 5) {
+    while (attempt < 6) {
       val read = scala.util.Try {
         if (IndexMaintenance.readDeletes(spark, path).isEmpty)
           // fast path (the ledger-free common case, ONE stats read + one
@@ -1360,21 +1420,24 @@ object Curation {
           // — no snapshot sampling, no marker pinning needed
           Left(readStats(spark, path))
         else {
-          // a ledger exists: full snapshot — (marker, stats) sampled on
-          // both sides of a FRESH ledger read (the probe above is not
-          // stats-bracketed, so it cannot be used here)
+          // a ledger exists: full snapshot — (marker, ledger files,
+          // stats) sampled on both sides of a FRESH ledger read (the
+          // probe above is not stats-bracketed, so it cannot be used
+          // here)
           val m0 = markerState()
+          val l0 = ledgerFileSet()
           val s0 = readStats(spark, path)
           val led = IndexMaintenance.readDeletes(spark, path)
           val s1 = readStats(spark, path)
+          val l1 = ledgerFileSet()
           val m1 = markerState()
-          Right((m0, s0, led, s1, m1))
+          Right((m0, s0, led, s1, m1, l0, l1))
         }
       }.toOption
       read match {
         case Some(Left((nDocs, sumDl, nBuckets, _, _))) =>
           return bm25EffectiveFrom(nDocs, sumDl, nBuckets, None, path)
-        case Some(Right((m0, s0, led, s1, m1)))
+        case Some(Right((m0, s0, led, s1, m1, _, _)))
             if m0.isDefined && m0 == m1 && s0 == s1 =>
           val (nDocs, sumDl, nBuckets, _, _) = s0
           // mid-fold guard: stats already at the marker's pinned values
@@ -1386,22 +1449,39 @@ object Curation {
           }
           return bm25EffectiveFrom(nDocs, sumDl, nBuckets,
             if (folded) None else led, path)
-        case _ => attempt += 1
+        case Some(Right((m0, _, led, s1, m1, l0, l1)))
+            if m0.contains("") && m1.contains("") && l0 == l1 =>
+          // APPEND-ONLY movement (r18 advice): the stats row moved
+          // between the samples, but the marker was absent on BOTH
+          // sides and the ledger file set is IDENTICAL — a purge cannot
+          // have transitioned in the window (its fold phase creates the
+          // marker and then deletes ledger files; a whole purge fitting
+          // inside the window would still change the listing). What
+          // moved is plain ingest traffic rewriting the stats row —
+          // r18 treated that as a failed snapshot and a read-only probe
+          // could throw under sustained concurrent appends. Appends
+          // never write the ledger, so the LATER stats row paired with
+          // the ledger read is a consistent (stats, ledger) view.
+          val (nDocs, sumDl, nBuckets, _, _) = s1
+          return bm25EffectiveFrom(nDocs, sumDl, nBuckets, led, path)
+        case _ =>
+          attempt += 1
+          // bounded backoff (20/40/80/160/320 ms): a live fold's
+          // marker window is sub-second — give it room to pass instead
+          // of burning all attempts inside one window
+          if (attempt < 6) Thread.sleep(20L << (attempt - 1))
       }
     }
     throw new IllegalStateException(
       s"could not capture a consistent stats+ledger snapshot of $path after " +
-        "5 attempts — a purge completed inside every window. This needs " +
-        "sustained back-to-back purges; stagger maintenance or retry.")
+        "6 attempts with backoff — a purge phase transitioned inside every " +
+        "window. This needs sustained back-to-back purges; stagger " +
+        "maintenance or retry.")
   }
 
   private def bm25EffectiveFrom(nDocs: Long, sumDl: Long, nBuckets: Int,
       ledger: Option[DataFrame], path: String): (Long, Double, Int, Option[DataFrame]) = {
-    val (delN, delDl) = ledger.map { d =>
-      val r = d.agg(count(lit(1)),
-        coalesce(sum(col("dl")), lit(0L))).collect()(0)
-      (r.getLong(0), r.getLong(1))
-    }.getOrElse((0L, 0L))
+    val (delN, delDl) = ledger.map(ledgerAgg).getOrElse((0L, 0L))
     val nEff = nDocs - delN
     require(nEff > 0, s"index at $path has no live documents " +
       s"(n_docs $nDocs, deleted $delN) — avgdl is undefined; rebuild with " +

@@ -486,6 +486,11 @@ private[graft] object IndexMaintenance {
       level1: String = "cell"): Boolean = {
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
+    // a missing table dir has no lanes at all (the laneExists guard,
+    // r18 advice): verdict false, not FileNotFoundException — callers
+    // probing a mid-maintenance or freshly-reset index get a clean
+    // answer and the purge's own table reads stay the loud failure
+    if (!fs.exists(table)) return false
     val leafRels: Seq[String] = for {
       cellDir <- fs.listStatus(table).toSeq
       if cellDir.isDirectory && cellDir.getPath.getName.startsWith(s"$level1=")

@@ -726,4 +726,98 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     fn(docs(190, 220), 3L)
     assert(advices.drop(2).forall(_._1 !== "purge-deletes"), s"got $advices")
   }
+
+  test("delete id hygiene: a non-castable id refuses loudly; differing-dl sidecar dupes and re-deletes ledger each doc ONCE (r19)") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("bmledg").toString
+    val idx = s"$base/idx"
+    Curation.writeBm25Index(docs(0, 100), "doc_id", "text", idx, buckets = 4)
+    // 1. an id the long cast nulls out is a caller error, not a silent
+    //    no-op delete (r18 advice: the cast regression)
+    val e = intercept[IllegalArgumentException] {
+      Curation.deleteFromBm25Index(
+        Seq("7", "not-a-number").toDF("id"), idx)
+    }
+    assert(e.getMessage.contains("castable"), e.getMessage)
+    assert(!new java.io.File(s"$idx/deletes").exists(),
+      "a refused delete must append nothing")
+    // ... while numeric strings still cast and delete fine
+    Curation.deleteFromBm25Index(Seq("7").toDF("id"), idx)
+    // 2. plant the advice scenario: a second sidecar row for doc 11
+    //    with a DIFFERENT dl (a retried manual append whose text
+    //    changed). distinct() can't collapse it; the delete must still
+    //    ledger doc 11 exactly once.
+    // (planted BELOW the true dl: the deterministic max-pick then
+    // lands the true value — what the fix guarantees regardless is one
+    // ledger row per doc; with two conflicting dl claims the dl itself
+    // is only as good as the pick)
+    val dl11 = spark.read.parquet(s"$idx/doclens")
+      .filter(col("id") === 11L).select("dl").collect()(0).getInt(0)
+    Seq((11L, dl11 - 3)).toDF("id", "dl")
+      .coalesce(1).write.mode("append").parquet(s"$idx/doclens")
+    Curation.deleteFromBm25Index(Seq(11L).toDF("id"), idx)
+    // 3. re-deleting already-tombstoned ids appends nothing — the
+    //    ledger stays id-unique (no double-subtraction at the fold)
+    Curation.deleteFromBm25Index(Seq(7L, 11L, 23L).toDF("id"), idx)
+    Curation.deleteFromBm25Index(Seq(11L).toDF("id"), idx)
+    val ledger = spark.read.parquet(s"$idx/deletes")
+    assert(ledger.count() === ledger.select("id").distinct().count(),
+      "the ledger must hold one row per deleted id")
+    assert(ledger.select("id").distinct().count() === 3L)
+    // 4. probes AND the stats fold both price each doc once: the purged
+    //    index must equal a build without the three docs exactly
+    val whole = s"$base/whole"
+    Curation.writeBm25Index(
+      docs(0, 100).filter(!col("doc_id").isin(7L, 11L, 23L)),
+      "doc_id", "text", whole, buckets = 4)
+    assert(ask(idx) === ask(whole), "pre-purge probes must price each doc once")
+    assert(Curation.purgeBm25Deletes(spark, idx) > 0)
+    assert(ask(idx) === ask(whole), "the fold must subtract each doc once")
+    def st(p: String) = spark.read.parquet(s"$p/stats")
+      .select("n_docs", "sum_dl").collect()(0)
+    assert(st(idx) === st(whole),
+      "folded stats must equal rebuild-without-docs despite the dup sidecar row")
+  }
+
+  test("read-only probes return under sustained concurrent appends with a live ledger (r19 — append movement is not a purge race)") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("bmrace").toString
+    val idx = s"$base/idx"
+    Curation.writeBm25Index(docs(0, 80), "doc_id", "text", idx, buckets = 4)
+    // a live ledger forces every probe through the full snapshot path
+    Curation.deleteFromBm25Index(Seq(3L).toDF("id"), idx)
+    // ingest thread: 25 keyed appends, each rewriting the stats row —
+    // exactly the movement r18's snapshot loop misread as a purge race
+    @volatile var ingestErr: Option[Throwable] = None
+    val ingest = new Thread(() => {
+      try {
+        (0 until 25).foreach { i =>
+          Curation.appendBm25IndexIdempotent(
+            docs(80 + i * 5, 85 + i * 5), "doc_id", "text", idx, i.toLong)
+        }
+      } catch { case t: Throwable => ingestErr = Some(t) }
+    })
+    ingest.start()
+    try {
+      // probe continuously while the stats row churns: every probe must
+      // RETURN (top-k may differ run to run as docs arrive — only the
+      // no-throw contract is pinned; r18 could throw the 5-attempt
+      // IllegalStateException here)
+      while (ingest.isAlive) {
+        val got = Curation.bm25SearchIndexed(spark, idx,
+          Seq("spark", "vector"), topK = 5).collect()
+        assert(got.nonEmpty)
+      }
+    } finally ingest.join()
+    assert(ingestErr.isEmpty, s"ingest thread failed: $ingestErr")
+    // quiesced: answers equal a fresh build over the same docs minus
+    // the tombstone (the race never corrupted stats)
+    val whole = s"$base/whole"
+    Curation.writeBm25Index(
+      docs(0, 205).filter(col("doc_id") =!= 3L), "doc_id", "text",
+      whole, buckets = 4)
+    assert(ask(idx) === ask(whole))
+  }
 }

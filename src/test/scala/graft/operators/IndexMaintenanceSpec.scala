@@ -504,4 +504,13 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally IndexMaintenance.afterGateHook = None
     assert(ran2 && got2 === 7 && IndexMaintenance.listingRetries.get() >= 1)
   }
+
+  test("tombstonesUnfolded on a missing table dir is a clean false, not FileNotFoundException (r19)") {
+    val s = spark
+    import s.implicits._
+    val gone = java.nio.file.Files.createTempDirectory("tsu").toString + "/never-written"
+    assert(!IndexMaintenance.tombstonesUnfolded(spark, gone,
+      Seq(1L, 2L).toDF("id"), "corpus_id"),
+      "a table dir that does not exist has no unfolded lanes")
+  }
 }
