@@ -1252,6 +1252,50 @@ object SparkEntry {
         filter = Some(col("category") === 1))
     }),
 
+    "ann_ivf_backfilled" -> ((s, dir) => {
+      // The metadata UPGRADE path (r19): the index is built WITHOUT
+      // metaCols — the pre-r18 shape — then backfillMetaCols joins the
+      // category column onto the stored rows in place (one id-keyed
+      // join + republish, not the re-train/re-assign rebuild). The
+      // filtered probe must then answer exactly like an index BUILT
+      // with the metadata: same predicate, same brute-force oracle as
+      // ann_ivf_filtered.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val p = work(dir, "ann_ivf_backfilled")
+      buildOnce(p) {
+        Similarity.writeIvfIndex(e, "vec_id", "e", p, nlist = 8)
+        Similarity.backfillMetaCols(s, p,
+          e.select(col("vec_id"),
+            pmod(col("vec_id"), lit(3)).cast("int").as("category")),
+          idCol = "vec_id", metaCols = Seq("category"))
+      }
+      Similarity.ivfTopKIndexed(e.filter(col("vec_id") < 10), "vec_id", "e", p,
+        k = 5, nprobe = 8, filter = Some(col("category") === 1))
+    }),
+
+    "ann_ivfpq_backfilled" -> ((s, dir) => {
+      // The IVFPQ upgrade twin (r19): backfillMetaCols rewrites BOTH
+      // stored tables (codes for the ADC stage, vectors for the
+      // saturation path) from one metadata join — the remedy that
+      // replaces the full re-encode. Exact regime over the filtered
+      // corpus, same oracle as ann_ivfpq_filtered.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val p = work(dir, "ann_ivfpq_backfilled")
+      buildOnce(p) {
+        Pq.writePqIndex(e, "vec_id", "e", p, nlist = 8, m = 8, ksub = 128)
+        Pq.backfillMetaCols(s, p,
+          e.select(col("vec_id"),
+            pmod(col("vec_id"), lit(3)).cast("int").as("category")),
+          idCol = "vec_id", metaCols = Seq("category"))
+      }
+      val n = e.count()
+      Pq.pqTopKIndexed(e.filter(col("vec_id") < 10), "vec_id", "e", p,
+        k = 5, nprobe = 8, refine = (n / 5 + 1).toInt,
+        filter = Some(col("category") === 1))
+    }),
+
     "ann_ivfpq_deleted" -> ((s, dir) => {
       // The IVFPQ deletion twin (r18): tombstone a fifth of the corpus,
       // probe in the exact regime (full probe + corpus-covering
@@ -3290,6 +3334,14 @@ object SparkEntry {
       "AS v FROM embeddings),",
       "AS v FROM embeddings WHERE vec_id % 3 = 1),"),
     "ann_ivfpq_filtered" -> annExhaustiveOracle.replace(
+      "AS v FROM embeddings),",
+      "AS v FROM embeddings WHERE vec_id % 3 = 1),"),
+    // the backfilled indexes must answer exactly like ones BUILT with
+    // the metadata — the same filtered brute-force statements
+    "ann_ivf_backfilled" -> annExhaustiveOracle.replace(
+      "AS v FROM embeddings),",
+      "AS v FROM embeddings WHERE vec_id % 3 = 1),"),
+    "ann_ivfpq_backfilled" -> annExhaustiveOracle.replace(
       "AS v FROM embeddings),",
       "AS v FROM embeddings WHERE vec_id % 3 = 1),"),
     // the allowlist restricts RANKING only — df/idf/avgdl stay global

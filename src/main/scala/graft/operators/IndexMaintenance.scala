@@ -547,6 +547,80 @@ private[graft] object IndexMaintenance {
         "or rebuild the index with the new column set.")
   }
 
+  /** The shared table rewrite behind the metadata UPGRADE path (r19,
+    * `backfillMetaCols`): join `meta`'s columns onto every row of ONE
+    * index table and republish it — the column-join remedy for a
+    * pre-metadata index, where the only alternative was a full rebuild
+    * (for PQ a complete re-encode, 160 s at the 20 M rung for what is
+    * one id-keyed join). The join SHUFFLES — the metadata frame is
+    * corpus-sized (one row per doc), never broadcast.
+    *
+    * Protocol: validate, write the joined table ASIDE
+    * (`<table>_backfill`, `_SUCCESS`-gated), then delete-live + rename
+    * — the doclen sidecar's swap shape. Crash windows heal at the next
+    * call (or any family recover): a COMPLETE aside with no live table
+    * rolls forward; anything else beside a live table is residue and is
+    * removed. The epoch bumps after the publish so gated readers see
+    * the mutation. A table already carrying every requested column
+    * returns false untouched — what makes the two-table PQ backfill
+    * resumable after a crash between its tables. Offline maintenance
+    * under the single-writer contract (stop streams first; a reader in
+    * the sub-second delete→rename window fails loudly and retries, the
+    * writeStats adjudication).
+    *
+    * Coverage is enforced over LIVE rows only: every non-tombstoned row
+    * must have a meta match — a missing match would land NULL metadata
+    * that filtered probes silently drop, the exact seam the
+    * `_meta_cols` contract exists to close. Tombstoned rows take meta
+    * when present and NULL otherwise (they are ledger-hidden and the
+    * purge removes them). */
+  private[operators] def backfillTableMetaCols(spark: SparkSession,
+      indexRoot: String, table: String, meta: org.apache.spark.sql.DataFrame,
+      joinCol: String, metaCols: Seq[String]): Boolean = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val live = new Path(s"$indexRoot/$table")
+    val fs = fsOf(spark, live)
+    val aside = new Path(s"$indexRoot/${table}_backfill")
+    if (fs.exists(aside)) {
+      if (!fs.exists(live) && fs.exists(new Path(aside, "_SUCCESS"))) {
+        require(fs.rename(aside, live), s"backfill recover: could not publish $live")
+        bumpEpoch(fs, live)
+        invalidateGuards(live.toString)
+      } else fs.delete(aside, true)
+    }
+    require(fs.exists(live), s"no $table table at $indexRoot — nothing to backfill")
+    requireReadConsistent(fs, live)
+    val current = spark.read.parquet(live.toString)
+    if (metaCols.forall(current.columns.contains)) return false
+    val overlap = metaCols.filter(current.columns.contains)
+    require(overlap.isEmpty,
+      s"$table at $indexRoot already carries ${overlap.mkString(", ")} but not " +
+        s"the full requested set — a partial overlap cannot be joined cleanly; " +
+        "backfill the missing columns alone")
+    // live-row coverage: one NARROW id-column pass + join, before any
+    // destructive step
+    val ledgerIds = readDeletes(spark, indexRoot)
+      .map(d => broadcast(d.select(col("id").as(joinCol))))
+    val liveIds = ledgerIds.foldLeft(current.select(joinCol))(
+      (d, l) => d.join(l, Seq(joinCol), "left_anti"))
+    val uncovered = liveIds
+      .join(meta.select(joinCol), Seq(joinCol), "left_anti")
+      .limit(3).collect()
+    require(uncovered.isEmpty,
+      s"metadata frame does not cover every live row of $table at $indexRoot " +
+        s"(e.g. id ${uncovered.head.get(0)}) — uncovered rows would land NULL " +
+        "metadata and filtered probes would silently drop them. Cover every " +
+        "live id (tombstoned ids are exempt).")
+    current.join(meta, Seq(joinCol), "left")
+      .write.mode("overwrite").partitionBy("cell", "ingest_batch")
+      .parquet(aside.toString)
+    fs.delete(live, true)
+    require(fs.rename(aside, live), s"could not publish backfilled $live")
+    bumpEpoch(fs, live)
+    invalidateGuards(live.toString)
+    true
+  }
+
   /** Order-independent fingerprint of a frame's distinct `id` set —
     * (count, xor of per-id hashes). Decides whether an incoming manual
     * batch IS the retry of an orphan lane (same id set) or a different

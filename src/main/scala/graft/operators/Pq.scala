@@ -715,6 +715,49 @@ object Pq {
     (one("codes"), one("vectors"))
   }
 
+  /** Backfill METADATA columns onto a stored IVFPQ index (r19) —
+    * [[Similarity.backfillMetaCols]]'s twin over BOTH tables: the r18
+    * design stores metaCols in codes (so the ADC stage filters and
+    * non-matching rows never consume shortlist budget) AND vectors (so
+    * the saturation path, which never reads codes, filters too), so
+    * the upgrade joins the same metadata into both. Each table's
+    * rewrite is independently resumable — a crash between them reruns
+    * to completion, the already-backfilled table returning untouched.
+    * Everything else (one row per id, live-row coverage, contract-file
+    * update, tombstones, single-writer) as the IVF twin. The id-keyed
+    * column join replaces the full rebuild — for PQ a complete
+    * re-ENCODE (160 s at the 20 M rung, SCALE.md 18a) for what is two
+    * joins. */
+  def backfillMetaCols(spark: SparkSession, path: String, meta: DataFrame,
+      idCol: String = "id", metaCols: Seq[String]): Boolean = {
+    require(metaCols.nonEmpty, "pass the metadata columns to backfill")
+    Similarity.requireMetaCols(metaCols)
+    requirePqMetaCols(metaCols)
+    requireBatchKeyedLayout(spark, path)
+    require(meta.columns.contains(idCol) && metaCols.forall(meta.columns.contains),
+      s"metadata frame must carry '$idCol' and ${metaCols.mkString(", ")}; " +
+        s"got ${meta.columns.mkString(", ")}")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stored = IndexMaintenance.readMetaColsFile(fs, path)
+    val clash = metaCols.intersect(stored)
+    require(clash.isEmpty,
+      s"index at $path already stores metaCols [${clash.mkString(", ")}] — " +
+        "backfill only ADDS columns; rebuild to change existing ones")
+    val m = meta.select(col(idCol).as("corpus_id") +: metaCols.map(col): _*)
+    val mAgg = m.agg(count(lit(1)), count_distinct(col("corpus_id"))).collect()(0)
+    require(mAgg.getLong(0) == mAgg.getLong(1),
+      s"metadata frame must hold ONE row per id: ${mAgg.getLong(0)} rows over " +
+        s"${mAgg.getLong(1)} distinct ids — a duplicated id would multiply " +
+        "index rows through the join")
+    val didCodes = IndexMaintenance.backfillTableMetaCols(
+      spark, path, "codes", m, "corpus_id", metaCols)
+    val didVecs = IndexMaintenance.backfillTableMetaCols(
+      spark, path, "vectors", m, "corpus_id", metaCols)
+    IndexMaintenance.writeMetaColsFile(fs, path, stored ++ metaCols)
+    didCodes || didVecs
+  }
+
   /** DELETE vectors from a stored IVFPQ index (r17) —
     * [[Similarity.deleteFromIvfIndex]]'s twin: one tiny ledger append;
     * every [[pqTopKIndexed]] probe anti-joins the ledger out of BOTH

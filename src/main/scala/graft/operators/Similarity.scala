@@ -479,6 +479,47 @@ object Similarity {
       metaCols = corpus.columns.filterNot(Set("corpus_id", "cv")).toSeq)
   }
 
+  /** Backfill METADATA columns onto a stored IVF index (r19) — the
+    * upgrade path for filtered search ([[ivfTopKIndexed]]'s `filter`)
+    * on an index built BEFORE metaCols existed, or one that needs a
+    * new predicate column: one id-keyed column join + corpus republish
+    * instead of the full rebuild (re-train + re-assign) that was the
+    * only remedy before. `meta` holds ONE row per id covering every
+    * live row (both enforced loudly — a missing row would land NULL
+    * metadata that filtered probes silently drop); new columns ADD to
+    * any already-stored set; the `_meta_cols` contract updates so
+    * appends must carry the union from here on. Crash-recoverable
+    * (rerun completes — [[IndexMaintenance.backfillTableMetaCols]]),
+    * tombstones respected (rows keep riding the ledger; coverage is
+    * live-rows-only). Returns true when rows were rewritten. Offline
+    * maintenance under the single-writer contract. */
+  def backfillMetaCols(spark: org.apache.spark.sql.SparkSession,
+      path: String, meta: DataFrame, idCol: String = "id",
+      metaCols: Seq[String]): Boolean = {
+    require(metaCols.nonEmpty, "pass the metadata columns to backfill")
+    requireMetaCols(metaCols)
+    require(meta.columns.contains(idCol) && metaCols.forall(meta.columns.contains),
+      s"metadata frame must carry '$idCol' and ${metaCols.mkString(", ")}; " +
+        s"got ${meta.columns.mkString(", ")}")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stored = IndexMaintenance.readMetaColsFile(fs, path)
+    val clash = metaCols.intersect(stored)
+    require(clash.isEmpty,
+      s"index at $path already stores metaCols [${clash.mkString(", ")}] — " +
+        "backfill only ADDS columns; rebuild to change existing ones")
+    val m = meta.select(col(idCol).as("corpus_id") +: metaCols.map(col): _*)
+    val mAgg = m.agg(count(lit(1)), count_distinct(col("corpus_id"))).collect()(0)
+    require(mAgg.getLong(0) == mAgg.getLong(1),
+      s"metadata frame must hold ONE row per id: ${mAgg.getLong(0)} rows over " +
+        s"${mAgg.getLong(1)} distinct ids — a duplicated id would multiply " +
+        "corpus rows through the join")
+    val did = IndexMaintenance.backfillTableMetaCols(
+      spark, path, "corpus", m, "corpus_id", metaCols)
+    IndexMaintenance.writeMetaColsFile(fs, path, stored ++ metaCols)
+    did
+  }
+
   /** The IVF retrain RULE itself — fit fell more than the tolerance
     * below the build-time reference — factored to one place so the
     * operator's [[shouldRetrain]] and the streaming ingest's per-batch

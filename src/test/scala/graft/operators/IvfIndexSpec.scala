@@ -452,4 +452,91 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(probe() === want)
     assert(Similarity.purgeIvfDeletes(spark, idx) === 0, "no ledger, no-op")
   }
+
+  test("backfillMetaCols: a meta-less index gains filtered search in place — guards, appends, tombstones, crash roll-forward (r19)") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0L until 80L).map { i =>
+      (i, Array((i % 7).toDouble + 1, ((i * 3) % 5).toDouble, ((i * 7) % 11).toDouble),
+        (i % 3).toInt)
+    }
+    val df = vecs.toDF("id", "v", "category")
+    val idx = Files.createTempDirectory("ivfbackfill").toString
+    // the pre-r18 shape: built and appended WITHOUT metadata, plus a
+    // tombstone — the exact index the upgrade path exists for
+    Similarity.writeIvfIndex(df.filter(col("id") < 40).select("id", "v"),
+      "id", "v", idx, nlist = 4)
+    val cents = Similarity.loadIvfCentroids(spark, idx)
+    Similarity.appendIvfIndexIdempotent(
+      df.filter(col("id") >= 40 && col("id") < 60).select("id", "v"),
+      "id", "v", idx, cents, batchId = 0L)
+    Similarity.deleteFromIvfIndex(Seq(2L, 5L).toDF("id"), idx)
+    val q = df.filter(col("id") < 5).select("id", "v")
+    def want(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(q, "id", "v", corpus, "id", "v", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    def probe(flt: org.apache.spark.sql.Column) =
+      Similarity.ivfTopKIndexed(q, "id", "v", idx, k = 3, nprobe = 4,
+          filter = Some(flt))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    // guards fire BEFORE any rewrite: a duplicated meta id would
+    // multiply corpus rows through the join; an uncovered LIVE id would
+    // land NULL metadata that filtered probes silently drop
+    val meta = df.filter(col("id") < 60).select("id", "category")
+    val eDup = intercept[IllegalArgumentException] {
+      Similarity.backfillMetaCols(spark, idx,
+        meta.union(meta.limit(1)), metaCols = Seq("category"))
+    }
+    assert(eDup.getMessage.contains("ONE row per id"), eDup.getMessage)
+    val eCov = intercept[IllegalArgumentException] {
+      Similarity.backfillMetaCols(spark, idx,
+        meta.filter(col("id") =!= 7L), metaCols = Seq("category"))
+    }
+    assert(eCov.getMessage.contains("cover"), eCov.getMessage)
+    // ... but TOMBSTONED ids are exempt from coverage (ledger-hidden;
+    // the purge removes them): meta without ids 2 and 5 backfills fine
+    assert(Similarity.backfillMetaCols(spark, idx,
+      meta.filter(!col("id").isin(2L, 5L)), metaCols = Seq("category")))
+    val live = df.filter(!col("id").isin(2L, 5L) && col("id") < 60)
+    assert(probe(col("category") === 1) === want(live.filter(col("category") === 1)),
+      "backfilled index must answer exactly like one built with the metadata")
+    // the contract file now governs appends: meta-less refuses, with
+    // metadata lands and stays exact
+    val mm = intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndex(df.filter(col("id") >= 60).select("id", "v"),
+        "id", "v", idx, cents)
+    }
+    assert(mm.getMessage.contains("metaCols"), mm.getMessage)
+    Similarity.appendIvfIndex(df.filter(col("id") >= 60), "id", "v", idx,
+      cents, metaCols = Seq("category"))
+    val live80 = df.filter(!col("id").isin(2L, 5L))
+    assert(probe(col("category") === 1) === want(live80.filter(col("category") === 1)))
+    // backfill only ADDS columns — re-backfilling a stored one refuses
+    val eAgain = intercept[IllegalArgumentException] {
+      Similarity.backfillMetaCols(spark, idx,
+        df.select("id", "category"), metaCols = Seq("category"))
+    }
+    assert(eAgain.getMessage.contains("already stores"), eAgain.getMessage)
+    // a SECOND column backfills on top; both predicates compose
+    assert(Similarity.backfillMetaCols(spark, idx,
+      df.filter(!col("id").isin(2L, 5L))
+        .select(col("id"), (col("id") % 2).cast("int").as("parity")),
+      metaCols = Seq("parity")))
+    assert(probe(col("category") === 1 && col("parity") === 0) ===
+      want(live80.filter(col("category") === 1 && col("id") % 2 === 0)))
+    // crash roll-forward: the aside table complete, the live dir gone
+    // (killed between delete and rename) — the next backfill publishes
+    // it at entry, then proceeds with its own join
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$idx/corpus"),
+      new org.apache.hadoop.fs.Path(s"$idx/corpus_backfill")))
+    assert(Similarity.backfillMetaCols(spark, idx,
+      df.filter(!col("id").isin(2L, 5L))
+        .select(col("id"), (col("id") % 5).cast("int").as("bucket5")),
+      metaCols = Seq("bucket5")))
+    assert(probe(col("category") === 1 && col("bucket5") === 1) ===
+      want(live80.filter(col("category") === 1 && col("id") % 5 === 1)),
+      "roll-forward must recover the published table before the new join")
+  }
 }

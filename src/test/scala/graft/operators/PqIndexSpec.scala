@@ -515,4 +515,66 @@ class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!new java.io.File(s"$path/deletes").exists())
     assert(probe() === want, "purge must change nothing about answers")
   }
+
+  test("backfillMetaCols rewrites BOTH tables from one join; a crash between them resumes to completion (r19)") {
+    val s = spark
+    import s.implicits._
+    def batch(lo: Long, hi: Long) = {
+      val gen = udf((id: Long) => graft.tools.EmbedSynth.vector(id, 16, 4, 0.3))
+      spark.range(lo, hi).select(col("id").as("vec_id"), gen(col("id")).as("e"))
+    }
+    val path = Files.createTempDirectory("pqbackfill").toString
+    // meta-less build + lane + tombstone: the pre-r18 shape
+    Pq.writePqIndex(batch(0, 120), "vec_id", "e", path, nlist = 4, m = 4, ksub = 16)
+    Pq.appendPqIndexIdempotent(batch(120, 150), "vec_id", "e", path, batchId = 0L)
+    Pq.deleteFromPqIndex(Seq(9L, 33L).toDF("id"), path)
+    val meta = spark.range(150).filter(!col("id").isin(9L, 33L))
+      .select(col("id").as("vec_id"), pmod(col("id"), lit(3)).cast("int").as("category"))
+    assert(Pq.backfillMetaCols(spark, path, meta, idCol = "vec_id",
+      metaCols = Seq("category")))
+    val all = batch(0, 150).withColumn("category", pmod(col("vec_id"), lit(3)).cast("int"))
+    val live = all.filter(col("category") === 1 && !col("vec_id").isin(9L, 33L))
+    val q = all.filter(col("vec_id") < 4).select("vec_id", "e")
+    def probe() = Pq.pqTopKIndexed(q, "vec_id", "e", path, k = 3, nprobe = 4,
+        refine = 60, filter = Some(col("category") === 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    def want(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(q, "vec_id", "e", corpus, "vec_id", "e", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    assert(probe() === want(live),
+      "backfilled PQ index must answer exactly like one built with the metadata")
+    // both tables really carry the column (codes for the ADC stage,
+    // vectors for the saturation path)
+    assert(spark.read.parquet(s"$path/codes").columns.contains("category"))
+    assert(spark.read.parquet(s"$path/vectors").columns.contains("category"))
+    // resumability: a second index crashes AFTER the codes rewrite —
+    // simulated by backfilling codes alone — and the family call then
+    // completes only the missing table
+    val path2 = Files.createTempDirectory("pqbackfill2").toString
+    Pq.writePqIndex(batch(0, 120), "vec_id", "e", path2, nlist = 4, m = 4, ksub = 16)
+    val m2 = spark.range(120)
+      .select(col("id").as("corpus_id"), pmod(col("id"), lit(3)).cast("int").as("category"))
+    assert(IndexMaintenance.backfillTableMetaCols(spark, path2, "codes",
+      m2, "corpus_id", Seq("category")))
+    assert(!spark.read.parquet(s"$path2/vectors").columns.contains("category"))
+    // the rerun: codes untouched (already carries the column), vectors
+    // completed, contract file written — filtered probes exact
+    assert(Pq.backfillMetaCols(spark, path2,
+      m2.withColumnRenamed("corpus_id", "vec_id"), idCol = "vec_id",
+      metaCols = Seq("category")))
+    val all2 = batch(0, 120).withColumn("category", pmod(col("vec_id"), lit(3)).cast("int"))
+    val q2 = all2.filter(col("vec_id") < 4).select("vec_id", "e")
+    val got2 = Pq.pqTopKIndexed(q2, "vec_id", "e", path2, k = 3, nprobe = 4,
+        refine = 60, filter = Some(col("category") === 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    val want2 = Similarity.bruteForceTopK(q2, "vec_id", "e",
+        all2.filter(col("category") === 1), "vec_id", "e", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    assert(got2 === want2, "resumed backfill must complete the second table")
+    // the contract now governs appends on the upgraded index
+    val mm = intercept[IllegalArgumentException] {
+      Pq.appendPqIndex(batch(120, 130), "vec_id", "e", path2)
+    }
+    assert(mm.getMessage.contains("metaCols"), mm.getMessage)
+  }
 }
