@@ -1219,25 +1219,23 @@ object Pq {
     * A budget k·refine that covers every probed candidate skips the ADC
     * stage outright (shortlist saturation — see the note in the body);
     * the answer is provably unchanged (spec-pinned at 2 M rows the cut
-    * is 3.8×: SCALE.md r13). */
+    * is 3.8×: SCALE.md r13).
+    *
+    * `minCandidates` (r19) is [[Similarity.ivfTopKIndexed]]'s
+    * nprobe-widening contract, applied to the CODES census: when > 0,
+    * nprobe doubles until every query's probed cells hold at least this
+    * many filtered, non-tombstoned candidates (or every cell is probed)
+    * — the guard against a selective `filter` silently thinning the ADC
+    * shortlist. Each attempt is one narrow count over the pruned codes;
+    * see the IVF twin's doc for cost and tuning. */
   def pqTopKIndexed(
       queries: DataFrame, qId: String, qVec: String,
       path: String, k: Int, nprobe: Int, refine: Int = 8,
-      filter: Option[Column] = None): DataFrame = {
+      filter: Option[Column] = None, minCandidates: Int = 0): DataFrame = {
     require(refine >= 1, "refine must be >= 1")
     val spark = queries.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val (cents, model) = loadModel(spark, path)
-    val np = math.min(nprobe, cents.length)
-    val probeUdf = udf { (v: Seq[Double]) =>
-      val x = Similarity.normalize(v.toArray)
-      val scored = Array.tabulate(cents.length) { c =>
-        var acc = 0.0d; var j = 0
-        while (j < x.length) { acc += x(j) * cents(c)(j); j += 1 }
-        (acc, c)
-      }
-      scored.sortBy(-_._1).take(np).map(_._2)
-    }
     val lutUdf = udf { (v: Seq[Double]) =>
       val x = Similarity.normalize(v.toArray)
       require(x.length == model.dim,
@@ -1257,19 +1255,6 @@ object Pq {
       }
       lut
     }
-    // same load-bearing exchange as ivfPqTopK: materialize each query
-    // row's lut ONCE (codegen otherwise re-evaluates it per candidate
-    // inside the join's match loop when the codes side broadcasts) and
-    // spread the ADC stage across partitions even when the caller's
-    // query frame arrives as one
-    val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("qv"))
-      .withColumn("cell", explode(probeUdf(col("qv"))))
-      .withColumn("lut", lutUdf(col("qv")))
-      .select("query_id", "cell", "lut")
-      .repartition(col("query_id"), col("cell"))
-    // literal IN on the partition column -> static directory pruning on
-    // both index scans (same discipline as ivfTopKIndexed)
-    val probedCells = q.select("cell").distinct().collect().map(_.getInt(0))
     // each table's file listing is captured under the snapshot gate
     // (marker + epoch validated on both sides, retry on a concurrent
     // maintenance window — see Similarity.ivfTopKIndexed): a folded
@@ -1296,8 +1281,51 @@ object Pq {
     // shortlist budget, and on the vectors side so the saturation path
     // (which never reads codes) filters too — pushdown in each scan
     def flt(df: DataFrame) = filter.map(df.filter).getOrElse(df)
-    val codes = live(flt(snapshotRead("codes")
-      .filter(col("cell").isin(probedCells.toSeq: _*))))
+    // the probe frame + filtered live codes at one nprobe setting —
+    // built per widening attempt and once for the final plan. Same
+    // load-bearing exchange as ivfPqTopK: materialize each query row's
+    // lut ONCE (codegen otherwise re-evaluates it per candidate inside
+    // the join's match loop when the codes side broadcasts) and spread
+    // the ADC stage across partitions even when the caller's query
+    // frame arrives as one.
+    def at(np: Int): (DataFrame, DataFrame) = {
+      val probeUdf = udf { (v: Seq[Double]) =>
+        val x = Similarity.normalize(v.toArray)
+        val scored = Array.tabulate(cents.length) { c =>
+          var acc = 0.0d; var j = 0
+          while (j < x.length) { acc += x(j) * cents(c)(j); j += 1 }
+          (acc, c)
+        }
+        scored.sortBy(-_._1).take(np).map(_._2)
+      }
+      val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("qv"))
+        .withColumn("cell", explode(probeUdf(col("qv"))))
+        .withColumn("lut", lutUdf(col("qv")))
+        .select("query_id", "cell", "lut")
+        .repartition(col("query_id"), col("cell"))
+      // literal IN on the partition column -> static directory pruning
+      // on both index scans (same discipline as ivfTopKIndexed)
+      val probedCells = q.select("cell").distinct().collect().map(_.getInt(0))
+      (q, live(flt(snapshotRead("codes")
+        .filter(col("cell").isin(probedCells.toSeq: _*)))))
+    }
+    var np = math.min(math.max(nprobe, 1), cents.length)
+    if (minCandidates > 0) {
+      val nq = queries.select(col(qId)).distinct().count()
+      var done = false
+      while (!done) {
+        val (q, c) = at(np)
+        val per = q.select("query_id", "cell")
+          .join(c.groupBy("cell").agg(count(lit(1)).as("n")), Seq("cell"))
+          .groupBy("query_id").agg(sum(col("n")).as("n"))
+          .select("n").collect().map(_.getLong(0))
+        val minGot = if (per.length < nq || per.isEmpty) 0L else per.min
+        if (minGot >= minCandidates || np >= cents.length) done = true
+        else np = math.min(cents.length, np * 2)
+      }
+    }
+    val (q, codes) = at(np)
+    val probedCells = q.select("cell").distinct().collect().map(_.getInt(0))
     val vectors = live(flt(snapshotRead("vectors")
       .filter(col("cell").isin(probedCells.toSeq: _*))))
     // Shortlist-saturation skip: when k·refine covers every candidate

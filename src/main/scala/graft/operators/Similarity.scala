@@ -1047,9 +1047,10 @@ object Similarity {
   def ivfTopKIndexed(
       queries: DataFrame, qId: String, qVec: String,
       path: String, k: Int, nprobe: Int,
-      filter: Option[Column] = None): DataFrame =
+      filter: Option[Column] = None,
+      minCandidates: Int = 0): DataFrame =
     ivfTopKIndexed(queries, qId, qVec, path, k, nprobe,
-      loadIvfCentroids(queries.sparkSession, path), filter)
+      loadIvfCentroids(queries.sparkSession, path), filter, minCandidates)
 
   /** [[ivfTopKIndexed]] with pre-loaded centroids — the streaming-retrieval
     * form ([[graft.streaming.StreamingAnn]] loads once per stream; each
@@ -1067,50 +1068,90 @@ object Similarity {
     * force over the filtered corpus (oracle-gated by
     * `ann_ivf_filtered`); at partial probe the usual IVF recall
     * contract applies per-filtered-corpus — a highly selective filter
-    * thins candidates per probed cell, so raise nprobe with filter
-    * selectivity (the standard filtered-ANN trade). Composes with
-    * deletion: tombstones are anti-joined on top of the filter. */
+    * thins candidates per probed cell (the standard filtered-ANN
+    * trade). Composes with deletion: tombstones are anti-joined on top
+    * of the filter.
+    *
+    * `minCandidates` (r19) ENCODES the nprobe-widening remedy: when
+    * > 0, the probe checks how many filtered (and non-tombstoned)
+    * candidates each query's probed cells actually hold, and DOUBLES
+    * nprobe until every query sees at least this many or every cell is
+    * probed — the guard against a selective predicate silently thinning
+    * shortlists at a fixed nprobe (a 1 %-selective filter at nprobe 8
+    * returns confidently wrong top-k with no signal otherwise; the
+    * FilterScaleLab recall sweep in SCALE.md quantifies the cliff).
+    * Each widening attempt costs one NARROW count over the pruned
+    * cells — paid only when minCandidates > 0, and bounded by the
+    * doubling (total pruned-scan work < 2× the final attempt's).
+    * `minCandidates = k` guarantees k-deep answers; raise it toward
+    * 10-30× k when recall@k matters more than latency. Counts include
+    * a query's own row when it is part of the corpus (the self-match
+    * is excluded from ANSWERS, not from the census — a one-row
+    * overcount at most). */
   def ivfTopKIndexed(
       queries: DataFrame, qId: String, qVec: String,
       path: String, k: Int, nprobe: Int,
-      cents: Array[Array[Double]], filter: Option[Column]): DataFrame = {
+      cents: Array[Array[Double]], filter: Option[Column],
+      minCandidates: Int): DataFrame = {
     val spark = queries.sparkSession
     val corpusPath = new org.apache.hadoop.fs.Path(s"$path/corpus")
     val corpusFs = corpusPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val np = math.min(nprobe, cents.length)
-    val probeUdf = udf { (v: Seq[Double]) =>
-      val x = normalize(v.toArray)
-      val scored = Array.tabulate(cents.length)(c => (dotStrict(x, cents(c)), c))
-      scored.sortBy(-_._1).take(np).map(_._2)
-    }
-    // no persist: the query side is small by contract (it's the probe set,
-    // not the corpus), so recomputing the probe UDF once for the cell list
-    // and once in the join is cheaper than leaking a session cache entry
-    val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("qv"))
-      .withColumn("cell", explode(probeUdf(col("qv"))))
-      .withColumn("qn", l2norm(col("qv")))
-    // literal IN on the partition column -> static directory pruning
-    val probedCells = q.select("cell").distinct().collect().map(_.getInt(0))
-    // spark.read.parquet lists the table's files EAGERLY here, and that
-    // captured listing is what the scan executes against — so taking it
-    // through the snapshot gate (marker + epoch validated on both sides,
-    // retry on overlap; a live fold's marker window just delays it)
-    // guarantees a folded batch is never visible twice, even when a fold
-    // runs concurrently with this probe. Remaining anomaly is loud-only:
-    // a file deleted after the snapshot fails the task with
-    // FileNotFoundException — retry the query.
-    val c0 = IndexMaintenance.consistentListing(corpusFs, corpusPath) {
-      spark.read.parquet(s"$path/corpus")
-    }.filter(col("cell").isin(probedCells.toSeq: _*))
-    // the metadata predicate rides the same scan the cell IN-filter
-    // prunes — Catalyst pushes it into the parquet read, so filtered
-    // search costs a narrower scan, not a join
-    val cf = filter.map(c0.filter).getOrElse(c0)
     // tombstoned ids vanish from answers immediately; the ledger is
     // driver-small by contract, so the anti-join broadcasts
-    val c = IndexMaintenance.readDeletes(spark, path).map(d =>
-      cf.join(broadcast(d.select(col("id").as("corpus_id"))),
-        Seq("corpus_id"), "left_anti")).getOrElse(cf)
+    val tombstones = IndexMaintenance.readDeletes(spark, path)
+      .map(d => broadcast(d.select(col("id").as("corpus_id"))))
+    // the probe frame + candidate frame at one nprobe setting — built
+    // per widening attempt (the probe UDF closes over np) and once for
+    // the final scoring join. No persist: the query side is small by
+    // contract (it's the probe set, not the corpus), so recomputing the
+    // probe UDF once for the cell list and once in the join is cheaper
+    // than leaking a session cache entry.
+    def at(np: Int): (DataFrame, DataFrame) = {
+      val probeUdf = udf { (v: Seq[Double]) =>
+        val x = normalize(v.toArray)
+        val scored = Array.tabulate(cents.length)(c => (dotStrict(x, cents(c)), c))
+        scored.sortBy(-_._1).take(np).map(_._2)
+      }
+      val q = queries.select(col(qId).as("query_id"), col(qVec).cast("array<double>").as("qv"))
+        .withColumn("cell", explode(probeUdf(col("qv"))))
+        .withColumn("qn", l2norm(col("qv")))
+      // literal IN on the partition column -> static directory pruning
+      val probedCells = q.select("cell").distinct().collect().map(_.getInt(0))
+      // spark.read.parquet lists the table's files EAGERLY here, and that
+      // captured listing is what the scan executes against — so taking it
+      // through the snapshot gate (marker + epoch validated on both sides,
+      // retry on overlap; a live fold's marker window just delays it)
+      // guarantees a folded batch is never visible twice, even when a fold
+      // runs concurrently with this probe. Remaining anomaly is loud-only:
+      // a file deleted after the snapshot fails the task with
+      // FileNotFoundException — retry the query.
+      val c0 = IndexMaintenance.consistentListing(corpusFs, corpusPath) {
+        spark.read.parquet(s"$path/corpus")
+      }.filter(col("cell").isin(probedCells.toSeq: _*))
+      // the metadata predicate rides the same scan the cell IN-filter
+      // prunes — Catalyst pushes it into the parquet read, so filtered
+      // search costs a narrower scan, not a join
+      val cf = filter.map(c0.filter).getOrElse(c0)
+      (q, tombstones.map(t => cf.join(t, Seq("corpus_id"), "left_anti")).getOrElse(cf))
+    }
+    var np = math.min(math.max(nprobe, 1), cents.length)
+    if (minCandidates > 0) {
+      val nq = queries.select(col(qId)).distinct().count()
+      var done = false
+      while (!done) {
+        val (q, c) = at(np)
+        // narrow census: per-cell candidate counts joined back onto the
+        // tiny (query_id, cell) frame — never the scoring join
+        val per = q.select("query_id", "cell")
+          .join(c.groupBy("cell").agg(count(lit(1)).as("n")), Seq("cell"))
+          .groupBy("query_id").agg(sum(col("n")).as("n"))
+          .select("n").collect().map(_.getLong(0))
+        val minGot = if (per.length < nq) 0L else if (per.isEmpty) 0L else per.min
+        if (minGot >= minCandidates || np >= cents.length) done = true
+        else np = math.min(cents.length, np * 2)
+      }
+    }
+    val (q, c) = at(np)
     rankTopK(q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn"))), k)

@@ -58,7 +58,7 @@ object StreamingAnn {
       // the index read entirely instead of planning a no-op scan
       if (!batch.isEmpty)
         sink(Similarity.ivfTopKIndexed(batch, qId, qVec, path, k, nprobe,
-          cents(batch), filter = None), batchId)
+          cents(batch), filter = None, minCandidates = 0), batchId)
     }
   }
 

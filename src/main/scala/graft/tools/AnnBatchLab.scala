@@ -78,7 +78,7 @@ object AnnBatchLab {
       val nq = q.count()
       val (rBf, tBf) = t(Similarity.bruteForceTopK(q, "vec_id", "e", e, "vec_id", "e", k).count())
       val (rIvf, tIvf) = t(Similarity.ivfTopKIndexed(
-        q, "vec_id", "e", ivfPath, k, nprobe, cents, filter = None).count())
+        q, "vec_id", "e", ivfPath, k, nprobe, cents, filter = None, minCandidates = 0).count())
       val (rPq, tPq) = t(Pq.pqTopKIndexed(q, "vec_id", "e", pqPath, k, nprobe, refine = 8).count())
       println(f"batch=$nq%5d  brute=$tBf%7.1f s (${tBf * 1000 / nq}%7.1f ms/q, rows=$rBf)  " +
         f"ivf=$tIvf%7.1f s (${tIvf * 1000 / nq}%7.1f ms/q, rows=$rIvf)  " +

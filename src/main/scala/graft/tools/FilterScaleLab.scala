@@ -78,7 +78,7 @@ object FilterScaleLab {
     val flt = Some(col("category") === 1)
     // pushdown is structural, assert it once outside the timed loop
     val plan = Similarity.ivfTopKIndexed(vecs(7, 8).select("vec_id", "e"),
-        "vec_id", "e", idx, k = k, nprobe = nprobe, cents = cents, filter = flt)
+        "vec_id", "e", idx, k = k, nprobe = nprobe, cents = cents, filter = flt, minCandidates = 0)
       .queryExecution.executedPlan.toString
     require(plan.contains("PushedFilters: [") && plan.contains("category"),
       s"metadata predicate must push into the index scan:\n$plan")
@@ -92,9 +92,9 @@ object FilterScaleLab {
     var filRows: Array[org.apache.spark.sql.Row] = null
     for (_ <- 1 to 2) {
       val (_, s1) = t(Similarity.ivfTopKIndexed(q, "vec_id", "e", idx,
-        k = k, nprobe = nprobe, cents = cents, filter = None).count())
+        k = k, nprobe = nprobe, cents = cents, filter = None, minCandidates = 0).count())
       val (r2, s2) = t(Similarity.ivfTopKIndexed(q, "vec_id", "e", idx,
-        k = k, nprobe = nprobe, cents = cents, filter = flt).collect())
+        k = k, nprobe = nprobe, cents = cents, filter = flt, minCandidates = 0).collect())
       unf = math.min(unf, s1); fil = math.min(fil, s2); filRows = r2
       println(f"""{"rep":"probe","unfiltered_secs":$s1%.2f,"filtered_secs":$s2%.2f}""")
     }
@@ -107,7 +107,7 @@ object FilterScaleLab {
     for (qi <- 0 until 2) {
       val qv = vecs(1000L * qi + 7, 1000L * qi + 8).select("vec_id", "e")
       val (got, fullS) = t(Similarity.ivfTopKIndexed(qv, "vec_id", "e", idx,
-          k = k, nprobe = nlist, cents = cents, filter = flt)
+          k = k, nprobe = nlist, cents = cents, filter = flt, minCandidates = 0)
         .collect().map(r => (r.getLong(1), r.getInt(3))).sortBy(_._2).toSeq)
       val (want, bfS) = t(Similarity.bruteForceTopK(qv, "vec_id", "e",
           vecs(0, n).filter(col("category") === 1), "vec_id", "e", k = k)

@@ -109,7 +109,7 @@ object HybridManyLab {
             Pq.pqTopKIndexed(qVec(qi.toInt), "vec_id", "e", semIdx,
               k = k, nprobe = nprobe, refine = refine)
           else Similarity.ivfTopKIndexed(qVec(qi.toInt), "vec_id", "e", semIdx,
-              k = k, nprobe = nprobe, cents = cents, filter = None))
+              k = k, nprobe = nprobe, cents = cents, filter = None, minCandidates = 0))
           .select(col("corpus_id").as("id"), col("rank")).collect()
         val fused = Curation.rrfFuse(Seq(
           lex.map(r => (r.getLong(0), r.getInt(1))).toSeq.toDF("id", "rank"),
@@ -127,7 +127,7 @@ object HybridManyLab {
           Pq.pqTopKIndexed(qVecs, "qvid", "e", semIdx,
             k = k, nprobe = nprobe, refine = refine)
         else Similarity.ivfTopKIndexed(qVecs, "qvid", "e", semIdx,
-            k = k, nprobe = nprobe, cents = cents, filter = None))
+            k = k, nprobe = nprobe, cents = cents, filter = None, minCandidates = 0))
         // vec id -> qi at the fusion boundary (qvid = 1000*qi + 7)
         .select(((col("query_id") - 7L) / 1000L).cast("long").as("query_id"),
           col("corpus_id").as("id"), col("rank"))

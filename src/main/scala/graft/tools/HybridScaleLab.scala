@@ -175,7 +175,7 @@ object HybridScaleLab {
       .queryExecution.executedPlan.toString
     println(s"""{"step":"plan","bm25_broadcast":${bmPlan.contains("BroadcastHashJoin")}}""")
     val probePlan = Similarity.ivfTopKIndexed(vecs(0, 1), "vec_id", "e", idx,
-      k = k, nprobe = nprobe, cents = cents, filter = None)
+      k = k, nprobe = nprobe, cents = cents, filter = None, minCandidates = 0)
       .queryExecution.executedPlan.toString
     println(s"""{"step":"plan","probe_partition_pruned":${probePlan.contains("PartitionFilters: [cell")}}""")
 
@@ -197,7 +197,7 @@ object HybridScaleLab {
           Curation.bm25SearchIndexed(spark, lexIdx, terms, topK = k), "id")
           .collect())
         val (ann, annS) = t(Similarity.ivfTopKIndexed(
-          qVec, "vec_id", "e", idx, k = k, nprobe = nprobe, cents = cents, filter = None)
+          qVec, "vec_id", "e", idx, k = k, nprobe = nprobe, cents = cents, filter = None, minCandidates = 0)
           .select(col("corpus_id").as("id"), col("rank")).collect())
         println(f"""{"step":"retrievers","query":$qi,"bm25_indexed_secs":$bmS%.1f,""" +
           f""""bm25_scan_secs":$bmScanS%.1f,"probe_secs":$annS%.1f}""")

@@ -539,4 +539,51 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       want(live80.filter(col("category") === 1 && col("id") % 5 === 1)),
       "roll-forward must recover the published table before the new join")
   }
+
+  test("minCandidates auto-widens nprobe under a selective filter: a query whose probed cell holds no matches still gets full answers (r19)") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0L until 100L).map { i =>
+      (i, Array((i % 7).toDouble + 1, ((i * 3) % 5).toDouble, ((i * 7) % 11).toDouble))
+    }
+    val df = vecs.toDF("id", "v")
+    val idx = Files.createTempDirectory("ivfwiden").toString
+    Similarity.writeIvfIndex(df, "id", "v", idx, nlist = 4)
+    // construct the silent-degradation scenario DETERMINISTICALLY: mark
+    // exactly the rows of one stored cell as category 1, then query
+    // with a DIFFERENT cell's centroid — at nprobe=1 the probed cell
+    // holds zero matching candidates
+    val byCell = spark.read.parquet(s"$idx/corpus").select("corpus_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val c0 = byCell.map(_._2).groupBy(identity).view.mapValues(_.length)
+      .toSeq.maxBy(_._2)._1 // the fullest cell carries the rare category
+    val rare = byCell.filter(_._2 == c0).map(_._1).toSet
+    assert(Similarity.backfillMetaCols(spark, idx,
+      df.select(col("id"),
+        when(col("id").isin(rare.toSeq: _*), 1).otherwise(0).cast("int").as("category")),
+      metaCols = Seq("category")))
+    val cents = Similarity.loadIvfCentroids(spark, idx)
+    val c1 = (0 until cents.length).find(_ != c0).get
+    val q = Seq((999L, cents(c1).toSeq)).toDF("id", "v") // cell c1's own centroid
+    def probe(minCand: Int) =
+      Similarity.ivfTopKIndexed(q, "id", "v", idx, k = 3, nprobe = 1,
+          filter = Some(col("category") === 1), minCandidates = minCand)
+        .collect().map(r => (r.getLong(1), r.getInt(3))).sorted.toSeq
+    // the r18 behavior this feature exists to fix: fixed nprobe=1 probes
+    // cell c1 only, which holds NO category-1 rows — zero answers, no
+    // error (the silent thin-shortlist failure)
+    assert(probe(0) === Seq.empty,
+      s"nprobe=1 from cell $c1's centroid must see no category-1 (cell $c0) rows")
+    // minCandidates=k doubles nprobe until the rare cell is probed:
+    // answers == brute force over the filtered corpus
+    val want = Similarity.bruteForceTopK(q, "id", "v",
+        df.filter(col("id").isin(rare.toSeq: _*)), "id", "v", k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).sorted.toSeq
+    assert(probe(3) === want,
+      "minCandidates must widen the probe until the filtered corpus is reachable")
+    // a predicate matching NOTHING terminates (widen caps at nlist) and
+    // returns empty rather than looping
+    assert(Similarity.ivfTopKIndexed(q, "id", "v", idx, k = 3, nprobe = 1,
+      filter = Some(col("category") === 9), minCandidates = 3).count() === 0L)
+  }
 }

@@ -577,4 +577,39 @@ class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(mm.getMessage.contains("metaCols"), mm.getMessage)
   }
+
+  test("minCandidates auto-widens the PQ probe under a selective filter (r19)") {
+    val s = spark
+    import s.implicits._
+    val df = synth(200, 16)
+    val path = Files.createTempDirectory("pqwiden").toString
+    Pq.writePqIndex(df, "vec_id", "e", path, nlist = 4, m = 4, ksub = 16)
+    // deterministic thin-shortlist scenario, the IVF spec's shape: the
+    // rare category lives in exactly one stored cell; the query sits at
+    // a different cell's centroid
+    val byCell = spark.read.parquet(s"$path/codes").select("corpus_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val c0 = byCell.map(_._2).groupBy(identity).view.mapValues(_.length)
+      .toSeq.maxBy(_._2)._1
+    val rare = byCell.filter(_._2 == c0).map(_._1).toSet
+    assert(Pq.backfillMetaCols(spark, path,
+      df.select(col("vec_id"),
+        when(col("vec_id").isin(rare.toSeq: _*), 1).otherwise(0).cast("int").as("category")),
+      idCol = "vec_id", metaCols = Seq("category")))
+    val cents = spark.read.parquet(s"$path/model/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    val c1 = (0 until cents.length).find(_ != c0).get
+    val q = Seq((999L, cents(c1).toSeq)).toDF("vec_id", "e")
+    def probe(minCand: Int) =
+      Pq.pqTopKIndexed(q, "vec_id", "e", path, k = 3, nprobe = 1, refine = 100,
+          filter = Some(col("category") === 1), minCandidates = minCand)
+        .collect().map(r => (r.getLong(1), r.getInt(3))).sorted.toSeq
+    assert(probe(0) === Seq.empty,
+      s"nprobe=1 from cell $c1's centroid must see no category-1 (cell $c0) rows")
+    val want = Similarity.bruteForceTopK(q, "vec_id", "e",
+        df.filter(col("vec_id").isin(rare.toSeq: _*)), "vec_id", "e", k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).sorted.toSeq
+    assert(probe(3) === want,
+      "minCandidates must widen the PQ probe until the filtered corpus is reachable")
+  }
 }
