@@ -1474,6 +1474,27 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    "bm25_search_filtered" -> ((s, dir) => {
+      // STORED-metadata lexical filtering (r19) — the corpus-sized
+      // predicate form the r18 allowlist could not serve ("language =
+      // en" would need a corpus-sized id frame): the build stores the
+      // metadata on the postings rows, and the probe's predicate rides
+      // the pruned scan's CANDIDATE branch while df/idf/avgdl stay
+      // corpus-global (same Lucene filter-query contract as `allowed`,
+      // same oracle shape — the predicate applies at the ranking stage
+      // only).
+      val p = work(dir, "bm25_search_filtered")
+      buildOnce(p) {
+        Curation.writeBm25Index(
+          t(s, dir, "documents")
+            .withColumn("category", pmod(col("doc_id"), lit(3)).cast("int")),
+          "doc_id", "text", p, buckets = 16, metaCols = Seq("category"))
+      }
+      Curation.bm25SearchIndexed(s, p, Seq("spark", "vector", "stream"),
+          topK = 10, filter = Some(col("category") === 1))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "hybrid_search_filtered" -> ((s, dir) => {
       // The FILTERED hybrid (r18): both retrievers answer under the
       // same access scope — the lexical list via the allowlist
@@ -1538,6 +1559,46 @@ object SparkEntry {
       val sem = Similarity.ivfTopKIndexed(
           e.filter(col("vec_id").isin(0L, 1L, 2L)), "vec_id", "e", semIdx,
           k = 20, nprobe = 8)
+        .select(col("query_id"), col("corpus_id").as("id"), col("rank"))
+      Curation.rrfFuseMany(Seq(lex, sem), topK = 10)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    "hybrid_search_filtered_many" -> ((s, dir) => {
+      // BATCHED + FILTERED serving (r19): the r17 batch stack under the
+      // r18 access scope — the whole query batch pays ONE allowlisted
+      // pruned lexical pass (candidates restricted, stats corpus-
+      // global) and ONE metadata-filtered cell-pruned semantic probe
+      // (predicate pushed into the scan), fused per query by RRF. Full
+      // probe keeps the semantic side exact, so DuckDB replays the
+      // filtered batch end to end.
+      val e2 = s
+      import e2.implicits._
+      val lexIdx = work(dir, "hybrid_search_filtered_many_lex")
+      buildOnce(lexIdx) {
+        Curation.writeBm25Index(t(s, dir, "documents"), "doc_id", "text", lexIdx, buckets = 16)
+      }
+      val qs = Seq(
+        (0L, Seq("spark", "vector", "stream")),
+        (1L, Seq("data", "batch", "zzmissingterm")),
+        (2L, Seq("query", "spark"))).toDF("query_id", "terms")
+      val allowed = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(3)) === 1).select(col("doc_id").as("id"))
+      val lex = Curation.bm25SearchIndexedMany(s, lexIdx, qs, topK = 20,
+          allowed = Some(allowed))
+        .select(col("query_id"), col("id"), col("rank"))
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("category", pmod(col("vec_id"), lit(3)).cast("int"))
+      val semIdx = work(dir, "hybrid_search_filtered_many_sem")
+      buildOnce(semIdx) {
+        Similarity.writeIvfIndex(e, "vec_id", "e", semIdx, nlist = 8,
+          metaCols = Seq("category"))
+      }
+      val sem = Similarity.ivfTopKIndexed(
+          e.filter(col("vec_id").isin(0L, 1L, 2L)).select("vec_id", "e"),
+          "vec_id", "e", semIdx, k = 20, nprobe = 8,
+          filter = Some(col("category") === 1))
         .select(col("query_id"), col("corpus_id").as("id"), col("rank"))
       Curation.rrfFuseMany(Seq(lex, sem), topK = 10)
         .withColumnRenamed("id", "doc_id")
@@ -2355,6 +2416,53 @@ object SparkEntry {
                         FROM allc GROUP BY id)
          SELECT id AS doc_id, rrf_score, n_lists
          FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10"""
+
+  private val hybridManyRrfOracle =
+      """WITH queries AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+                          FROM (VALUES (0, 'spark'), (0, 'vector'), (0, 'stream'),
+                                       (1, 'data'), (1, 'batch'), (1, 'zzmissingterm'),
+                                       (2, 'query'), (2, 'spark')) AS v(query_id, term)),
+              toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts FROM documents),
+              dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+              stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, term, count(*) AS tf
+                     FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
+                     WHERE term IN (SELECT term FROM queries) GROUP BY 1, 2),
+              dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              contrib AS (SELECT q.query_id, tf.doc_id,
+                                 ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                                   * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS c
+                          FROM tf JOIN dfc USING (term) JOIN queries q USING (term)
+                          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+              bm_scored AS (SELECT query_id, doc_id, round(sum(c), 4) AS score
+                            FROM contrib GROUP BY 1, 2),
+              bm_ranked AS (SELECT query_id, doc_id AS id,
+                                   row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rank
+                            FROM bm_scored),
+              bm AS (SELECT * FROM bm_ranked WHERE rank <= 20),
+              q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings WHERE vec_id IN (0, 1, 2)),
+              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              ann_scored AS (SELECT q.query_id, c.vec_id AS id,
+                                    list_cosine_similarity(q.v, c.v) AS cos
+                             FROM q CROSS JOIN c WHERE q.query_id <> c.vec_id),
+              ann_ranked AS (SELECT query_id, id,
+                                    row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, id) AS rank
+                             FROM ann_scored),
+              ann AS (SELECT * FROM ann_ranked WHERE rank <= 20),
+              allc AS (SELECT query_id, id, 1.0 / (60 + rank) AS c FROM bm
+                       UNION ALL
+                       SELECT query_id, id, 1.0 / (60 + rank) FROM ann),
+              fused AS (SELECT query_id, id, round(sum(c), 6) AS rrf_score,
+                               count(*) AS n_lists
+                        FROM allc GROUP BY 1, 2),
+              top AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rrf_score DESC, id) AS fr FROM fused)
+         SELECT query_id, id AS doc_id, rrf_score, n_lists
+         FROM top WHERE fr <= 10 ORDER BY query_id, rrf_score DESC, doc_id"""
+
 
   /** The BM25 oracle both the scan path (`bm25_search`) and the stored-
     * postings path (`bm25_search_indexed`) validate against — one
@@ -3348,6 +3456,12 @@ object SparkEntry {
     "bm25_search_allowed" -> bm25SearchOracle.replace(
       "FROM contrib GROUP BY doc_id",
       "FROM contrib WHERE doc_id % 3 = 1 GROUP BY doc_id"),
+    // the stored-metadata predicate obeys the SAME contract — candidates
+    // restricted at the ranking stage, stats corpus-global — so the
+    // allowlist's oracle states it verbatim
+    "bm25_search_filtered" -> bm25SearchOracle.replace(
+      "FROM contrib GROUP BY doc_id",
+      "FROM contrib WHERE doc_id % 3 = 1 GROUP BY doc_id"),
     // the filtered hybrid: allowlist at the lexical ranking stage,
     // corpus predicate on the semantic side, same RRF on top
     "hybrid_search_filtered" -> hybridRrfOracle
@@ -3407,52 +3521,18 @@ object SparkEntry {
     // in this regime — the production stack under the same replay
     "hybrid_search_stored" -> hybridRrfOracle,
     "hybrid_search_pq" -> hybridRrfOracle,
-    "hybrid_search_many" ->
-      """WITH queries AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
-                          FROM (VALUES (0, 'spark'), (0, 'vector'), (0, 'stream'),
-                                       (1, 'data'), (1, 'batch'), (1, 'zzmissingterm'),
-                                       (2, 'query'), (2, 'spark')) AS v(query_id, term)),
-              toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts FROM documents),
-              dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
-              stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-              tf AS (SELECT doc_id, term, count(*) AS tf
-                     FROM (SELECT doc_id, unnest(ts) AS term FROM toks)
-                     WHERE term IN (SELECT term FROM queries) GROUP BY 1, 2),
-              dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-              contrib AS (SELECT q.query_id, tf.doc_id,
-                                 ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                                   * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS c
-                          FROM tf JOIN dfc USING (term) JOIN queries q USING (term)
-                          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
-              bm_scored AS (SELECT query_id, doc_id, round(sum(c), 4) AS score
-                            FROM contrib GROUP BY 1, 2),
-              bm_ranked AS (SELECT query_id, doc_id AS id,
-                                   row_number() OVER (PARTITION BY query_id
-                                     ORDER BY score DESC, doc_id) AS rank
-                            FROM bm_scored),
-              bm AS (SELECT * FROM bm_ranked WHERE rank <= 20),
-              q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
-                    FROM embeddings WHERE vec_id IN (0, 1, 2)),
-              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-              ann_scored AS (SELECT q.query_id, c.vec_id AS id,
-                                    list_cosine_similarity(q.v, c.v) AS cos
-                             FROM q CROSS JOIN c WHERE q.query_id <> c.vec_id),
-              ann_ranked AS (SELECT query_id, id,
-                                    row_number() OVER (PARTITION BY query_id
-                                      ORDER BY cos DESC, id) AS rank
-                             FROM ann_scored),
-              ann AS (SELECT * FROM ann_ranked WHERE rank <= 20),
-              allc AS (SELECT query_id, id, 1.0 / (60 + rank) AS c FROM bm
-                       UNION ALL
-                       SELECT query_id, id, 1.0 / (60 + rank) FROM ann),
-              fused AS (SELECT query_id, id, round(sum(c), 6) AS rrf_score,
-                               count(*) AS n_lists
-                        FROM allc GROUP BY 1, 2),
-              top AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                                  ORDER BY rrf_score DESC, id) AS fr FROM fused)
-         SELECT query_id, id AS doc_id, rrf_score, n_lists
-         FROM top WHERE fr <= 10 ORDER BY query_id, rrf_score DESC, doc_id""",
+    "hybrid_search_many" -> hybridManyRrfOracle,
 
+    // the batched filtered stack: the same three-query replay with the
+    // allowlist applied at the lexical RANKING stage (stats corpus-
+    // global) and the metadata predicate on the semantic corpus
+    "hybrid_search_filtered_many" -> hybridManyRrfOracle
+      .replace("FROM contrib GROUP BY 1, 2),",
+        "FROM contrib WHERE doc_id % 3 = 1 GROUP BY 1, 2),")
+      .replace("AS v FROM embeddings),",
+        "AS v FROM embeddings WHERE vec_id % 3 = 1),"),
+
+    
     "repetition_stats" ->
       """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
               g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),

@@ -627,8 +627,10 @@ object Curation {
     * volumes, so the salt bounds the biggest bucket's write without
     * scattering small buckets across many files. */
   def writeBm25Index(df: DataFrame, idCol: String, textCol: String,
-      path: String, buckets: Int = 64, spreadFiles: Int = 0): Unit = {
+      path: String, buckets: Int = 64, spreadFiles: Int = 0,
+      metaCols: Seq[String] = Nil): Unit = {
     require(buckets > 0, s"buckets must be positive: $buckets")
+    requireBm25MetaCols(metaCols) // validate BEFORE any destructive step
     val spark = df.sparkSession
     // a build at this path IS the documented ledger reset: stale
     // tombstones (and the purge watermark / a half-finished fold) from
@@ -641,12 +643,15 @@ object Curation {
       Seq("_purged_through", "_ledger_fold", "._ledger_fold.tmp")
         .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(s"$path/$f"), false))
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/doclens_tmp"), true)
+      // the metadata contract every append must match (the ANN
+      // families' `_meta_cols` discipline, r19 on the lexical index)
+      IndexMaintenance.writeMetaColsFile(fs, path, metaCols)
     }
     // one tokenize pass feeds both the postings write and the stats agg
-    val toks = tokenized(df, idCol, textCol)
+    val toks = tokenized(df, idCol, textCol, metaCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      bucketSpread(postingsOf(toks, buckets), buckets, spreadFiles)
+      bucketSpread(postingsOf(toks, buckets, metaCols), buckets, spreadFiles)
         .withColumn("ingest_batch", lit(-1L))
         .write.mode("overwrite").partitionBy("bucket", "ingest_batch")
         .parquet(s"$path/postings")
@@ -688,13 +693,31 @@ object Curation {
     * stream id could reach the floor. */
   private[operators] val ManualLaneFloor = IndexMaintenance.ManualLaneFloor
 
-  private def tokenized(df: DataFrame, idCol: String, textCol: String) =
-    df.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+  private def tokenized(df: DataFrame, idCol: String, textCol: String,
+      metaCols: Seq[String] = Nil) =
+    df.select(col(idCol).as("id") +: tokens(col(textCol)).as("ts") +:
+      metaCols.map(col): _*)
 
-  private def postingsOf(toks: DataFrame, buckets: Int) = toks
-    .select(col("id"), size(col("ts")).as("dl"), explode(col("ts")).as("term"))
-    .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
+  // metaCols ride the (id, term) rows verbatim — functionally dependent
+  // on id, so the extra groupBy keys change nothing about tf
+  private def postingsOf(toks: DataFrame, buckets: Int,
+      metaCols: Seq[String] = Nil) = toks
+    .select(col("id") +: size(col("ts")).as("dl") +:
+      explode(col("ts")).as("term") +: metaCols.map(col): _*)
+    .groupBy(("id" +: "dl" +: "term" +: metaCols).map(col): _*)
+    .agg(count(lit(1)).as("tf"))
     .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets)).cast("int"))
+
+  /** Metadata columns on the POSTINGS rows (r19) — what makes
+    * [[bm25SearchIndexedMany]]'s `filter` a predicate over the pruned
+    * scan instead of a materialized id-set join: they must not collide
+    * with the layout's own columns (`ts` is the tokenize intermediate). */
+  private def requireBm25MetaCols(metaCols: Seq[String]): Unit = {
+    val reserved = Set("id", "dl", "term", "tf", "bucket", "ingest_batch", "ts")
+    val bad = metaCols.filter(reserved)
+    require(bad.isEmpty,
+      s"metaCols collide with the lexical index layout's columns: ${bad.mkString(", ")}")
+  }
 
   /** Bucket-aligned exchange with bounded intra-bucket fan-out — the
     * lexical [[Similarity.cellSpread]]. `spreadFiles > 0` PINS the
@@ -795,7 +818,7 @@ object Curation {
     * Cost on the healthy path: one FS walk; the fingerprint passes run
     * only when an orphan exists. */
   def appendBm25Index(batch: DataFrame, idCol: String, textCol: String,
-      path: String, spreadFiles: Int = 0): Unit = {
+      path: String, spreadFiles: Int = 0, metaCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     bm25LayoutGuard.require(spark, s"$path/postings", level1 = "bucket")
     val lastManual = readStats(spark, path)._5
@@ -830,7 +853,7 @@ object Curation {
         }
       }
     appendBm25Parts(batch, idCol, textCol, path, batchId = lane, manual = true,
-      spreadFiles = spreadFiles)
+      spreadFiles = spreadFiles, metaCols = metaCols)
   }
 
   private def idSetFingerprint(ids: DataFrame): (Long, Long) =
@@ -849,18 +872,25 @@ object Curation {
     * applies exactly the missing delta). Ids must stay below
     * [[ManualLaneFloor]] — that lane belongs to [[appendBm25Index]]. */
   def appendBm25IndexIdempotent(batch: DataFrame, idCol: String,
-      textCol: String, path: String, batchId: Long, spreadFiles: Int = 0): Unit = {
+      textCol: String, path: String, batchId: Long, spreadFiles: Int = 0,
+      metaCols: Seq[String] = Nil): Unit = {
     require(batchId >= 0, s"batchId must be >= 0 (got $batchId): -1 marks resident rows")
     require(batchId < ManualLaneFloor,
       s"batchId $batchId is in the manual-append lane (>= $ManualLaneFloor)")
     bm25LayoutGuard.require(batch.sparkSession, s"$path/postings", level1 = "bucket")
-    appendBm25Parts(batch, idCol, textCol, path, batchId, manual = false, spreadFiles)
+    appendBm25Parts(batch, idCol, textCol, path, batchId, manual = false,
+      spreadFiles, metaCols)
   }
 
   private def appendBm25Parts(batch: DataFrame, idCol: String,
       textCol: String, path: String, batchId: Long, manual: Boolean,
-      spreadFiles: Int = 0): Unit = {
+      spreadFiles: Int = 0, metaCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
+    requireBm25MetaCols(metaCols)
+    // the contract file refuses a mismatched append up front — its rows'
+    // missing metadata would read as NULL under the union schema and a
+    // filtered probe would silently drop them (the ANN discipline, r19)
+    IndexMaintenance.requireSameMetaCols(spark, path, metaCols)
     // every stats-mutating write finishes an interrupted ledger fold
     // FIRST (two fs.exists when healthy): a stats delta written inside
     // a crashed fold's window would be erased when recovery later pins
@@ -882,12 +912,12 @@ object Curation {
         IndexMaintenance.laneExists(postingsFs, postingsT, batchId, level1 = "bucket")))
     // one tokenize pass feeds the empty-check, the postings write, and
     // the stats delta
-    val toks = tokenized(batch, idCol, textCol)
+    val toks = tokenized(batch, idCol, textCol, metaCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val t = toks.agg(count(lit(1)).as("n"), sum(size(col("ts"))).as("s")).collect()(0)
       if (t.getLong(0) == 0) return // empty batch: nothing to append
-      bucketSpread(postingsOf(toks, buckets), buckets, spreadFiles)
+      bucketSpread(postingsOf(toks, buckets, metaCols), buckets, spreadFiles)
         .withColumn("ingest_batch", lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -1503,7 +1533,8 @@ object Curation {
   def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession,
       path: String, queryTerms: Seq[String], topK: Int = 10,
       k1: Double = 1.2, b: Double = 0.75,
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None,
+      filter: Option[Column] = None): DataFrame = {
     import spark.implicits._
     require(queryTerms.nonEmpty, "need at least one query term")
     // ONE query through the batch path — the listing, pruning, formula,
@@ -1512,7 +1543,7 @@ object Curation {
     // batch's (query_id, rank) order at one query IS (score desc, id)
     bm25SearchIndexedMany(spark, path,
       Seq((0L, queryTerms)).toDF("query_id", "terms"),
-      topK = topK, k1 = k1, b = b, allowed = allowed)
+      topK = topK, k1 = k1, b = b, allowed = allowed, filter = filter)
       .drop("query_id", "rank")
   }
 
@@ -1539,7 +1570,8 @@ object Curation {
       path: String, queries: DataFrame, qId: String = "query_id",
       qTerms: String = "terms", topK: Int = 10,
       k1: Double = 1.2, b: Double = 0.75,
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None,
+      filter: Option[Column] = None): DataFrame = {
     import spark.implicits._
     val (nDocs, avgdl, nBuckets, tombstones) = bm25Effective(spark, path)
     val qt = queries.select(col(qId).as("query_id"),
@@ -1571,7 +1603,18 @@ object Curation {
         s"allowed must be a single id column frame, got [${a.columns.mkString(", ")}]")
       tf.join(broadcast(a.select(col(a.columns.head).as("id"))), Seq("id"), "left_semi")
     }.getOrElse(tf)
-    tfA.join(broadcast(dfreq), "term")
+    // `filter` (r19) is the CORPUS-SIZED predicate form of the same
+    // contract, over metadata columns the build stored on the postings
+    // rows (`writeBm25Index(metaCols)`): it restricts the CANDIDATES —
+    // applied after `dfreq`, so df/idf/avgdl stay corpus-global exactly
+    // like `allowed` — but as a pushdown-able predicate on the pruned
+    // scan rather than a materialized id set, so "language = en" never
+    // builds a corpus-sized frame anywhere. The df branch reads the
+    // unfiltered pruned rows (corpus-global df is the semantic, not an
+    // implementation accident); the candidate branch's scan carries the
+    // predicate. Composes with `allowed` (both restrict candidates).
+    val tfF = filter.map(tfA.filter).getOrElse(tfA)
+    tfF.join(broadcast(dfreq), "term")
       .join(broadcast(qt), "term") // fan out per query that asked for the term
       .withColumn("idf",
         log((lit(nDocs) - col("df") + lit(0.5d)) / (col("df") + lit(0.5d)) + lit(1.0d)))

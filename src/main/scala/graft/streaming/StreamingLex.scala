@@ -33,13 +33,15 @@ object StreamingLex {
       compactEvery: Int = 0,
       onAdvice: (MaintenanceAdvice, Long) => Unit = (_, _) => (),
       purgeWhenAdvised: Boolean = false,
-      maxTombstones: Long = 100000L)(
+      maxTombstones: Long = 100000L,
+      metaCols: Seq[String] = Nil)(
       onBatch: Long => Unit = _ => ()): (DataFrame, Long) => Unit =
     StreamingAnn.ingestLoop[Unit](compactEvery)(
       recover = s => Curation.recoverBm25Index(s, path),
       load = _ => (),
       append = (batch, _, batchId) =>
-        Curation.appendBm25IndexIdempotent(batch, idCol, textCol, path, batchId),
+        Curation.appendBm25IndexIdempotent(batch, idCol, textCol, path, batchId,
+          metaCols = metaCols),
       monitor = (_, batchId, _) => onBatch(batchId),
       compact = (s, wm) => Curation.compactBm25Index(s, path, wm),
       compactResident = s => Curation.compactBm25Resident(s, path),

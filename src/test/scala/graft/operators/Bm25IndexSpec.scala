@@ -780,6 +780,70 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "folded stats must equal rebuild-without-docs despite the dup sidecar row")
   }
 
+  test("stored-metadata filtered search: candidates restricted via the postings rows, stats corpus-global, survives append/fold/purge (r19)") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("bmmeta").toString
+    val idx = s"$base/idx"
+    def cat(d: DataFrame) = d.withColumn("category",
+      pmod(col("doc_id"), lit(3)).cast("int"))
+    Curation.writeBm25Index(cat(docs(0, 100)), "doc_id", "text", idx,
+      buckets = 8, metaCols = Seq("category"))
+    // metadata rides every append lane; a meta-less append refuses
+    // (missing values would read as NULL and filtered probes would
+    // silently drop the lane's docs)
+    Curation.appendBm25IndexIdempotent(cat(docs(100, 130)), "doc_id", "text",
+      idx, 0L, metaCols = Seq("category"))
+    Curation.appendBm25Index(cat(docs(130, 150)), "doc_id", "text", idx,
+      metaCols = Seq("category"))
+    val mm = intercept[IllegalArgumentException] {
+      Curation.appendBm25Index(docs(150, 160), "doc_id", "text", idx)
+    }
+    assert(mm.getMessage.contains("metaCols"), mm.getMessage)
+    def probe() = Curation.bm25SearchIndexed(spark, idx,
+        Seq("spark", "vector"), topK = 15, filter = Some(col("category") === 1))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    // the CONTRACT: candidates restricted, stats corpus-global — i.e.
+    // exactly the allowlist's answers for the same predicate's id set
+    def wantAllowed() = Curation.bm25SearchIndexed(spark, idx,
+        Seq("spark", "vector"), topK = 15,
+        allowed = Some((0L until 150L).filter(_ % 3 == 1).toDF("id")))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(probe() === wantAllowed(),
+      "stored-metadata filtering must equal the allowlist for the same id set")
+    assert(probe().forall(_._1 % 3 == 1), "every answer satisfies the predicate")
+    // ... and every answer's score equals its UNFILTERED score (the
+    // corpus-global-stats statement, spec-distinct from deletion)
+    val unf = Curation.bm25SearchIndexed(spark, idx, Seq("spark", "vector"),
+        topK = 150).collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(probe().forall { case (id, score, _) => unf(id) == score },
+      "filtering must not move scores — df/idf/avgdl stay corpus-global")
+    // the predicate reaches the candidate branch's parquet scan
+    val plan = Curation.bm25SearchIndexed(spark, idx, Seq("spark", "vector"),
+        topK = 15, filter = Some(col("category") === 1))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("category"), s"predicate must appear in the plan:\n$plan")
+    // composes with allowed (both restrict candidates) and deletion
+    val both = Curation.bm25SearchIndexed(spark, idx, Seq("spark", "vector"),
+        topK = 15, allowed = Some((0L until 75L).toDF("id")),
+        filter = Some(col("category") === 1))
+      .collect().map(r => r.getLong(0)).toSeq
+    assert(both.nonEmpty && both.forall(id => id < 75 && id % 3 == 1))
+    // metadata survives the fold and the purge's resident rewrite
+    Curation.compactBm25Index(spark, idx, committedBatchId = 0L)
+    assert(probe() === wantAllowed())
+    Curation.deleteFromBm25Index(Seq(1L, 7L).toDF("id"), idx)
+    assert(Curation.purgeBm25Deletes(spark, idx) > 0)
+    assert(probe().forall { case (id, _, _) => id != 1L && id != 7L })
+    assert(probe() === wantAllowed(), "post-purge probes keep the contract")
+    // reserved names refuse at build
+    val bad = intercept[IllegalArgumentException] {
+      Curation.writeBm25Index(docs(0, 10).withColumn("dl", lit(1)),
+        "doc_id", "text", s"$base/bad", buckets = 4, metaCols = Seq("dl"))
+    }
+    assert(bad.getMessage.contains("collide"), bad.getMessage)
+  }
+
   test("read-only probes return under sustained concurrent appends with a live ledger (r19 — append movement is not a purge race)") {
     val s = spark
     import s.implicits._
