@@ -1076,7 +1076,8 @@ object Curation {
   def bm25MaintenanceAdvice(spark: org.apache.spark.sql.SparkSession,
       path: String, maxFilesPerBucket: Int = 0,
       foldLeavesPerBucket: Int = 2, spreadFiles: Int = 0,
-      maxTombstones: Long = 100000L): MaintenanceAdvice = {
+      maxTombstones: Long = 100000L,
+      maxDoclenFiles: Int = 64): MaintenanceAdvice = {
     val buckets = readStats(spark, path)._3
     // one ledger read serves both signals (it materializes driver-side)
     val ledger = IndexMaintenance.readDeletes(spark, path)
@@ -1091,9 +1092,39 @@ object Curation {
       ledger.exists(d =>
         IndexMaintenance.tombstonesUnfolded(spark, s"$path/postings", d, "id",
           level1 = "bucket"))
-    IndexMaintenance.advise(bm25IndexLayout(spark, path), driftTripped = false,
+    val base = IndexMaintenance.advise(bm25IndexLayout(spark, path),
+      driftTripped = false,
       Similarity.residentBound(spark, buckets, maxFilesPerBucket, spreadFiles),
       foldLeavesPerBucket, pending, maxTombstones, unfolded)
+    // DOCLEN-SIDECAR accrual (r19): every append lands one small file
+    // and no fold covers the sidecar, so a long-lived ingest grows it
+    // one file per trigger forever unless something consolidates — a
+    // cost the delete path pays (it lists and reads every file). The
+    // advice now tracks it at the compact-resident tier (the action
+    // whose implementation, [[compactBm25Resident]], consolidates the
+    // sidecar), so an operator following advice — or the streaming
+    // loop's self-maintenance — bounds it without knowing the knob.
+    // One file-count listing; lower-priority signals never mask fold/
+    // purge verdicts.
+    val doclenFiles = bm25DoclenFileCount(spark, path)
+    if (base.action == "none" && doclenFiles > maxDoclenFiles)
+      MaintenanceAdvice("compact-resident",
+        s"the doclen sidecar holds $doclenFiles files (> $maxDoclenFiles) — " +
+          "append accrual; compactBm25Resident consolidates it in one " +
+          "narrow pass", base.layout)
+    else base
+  }
+
+  /** Data files in the doclen sidecar — the accrual metric
+    * [[bm25MaintenanceAdvice]] tracks (one FS listing; 0 = no sidecar,
+    * a pre-r18 index). */
+  def bm25DoclenFileCount(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/doclens")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!IndexMaintenance.hasCommittedData(fs, live)) 0
+    else fs.listStatus(live)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
   }
 
   /** DELETE documents from a stored BM25 index (r17) — tombstone-first,

@@ -537,9 +537,20 @@ class Bm25IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count(_.getName.endsWith(".parquet"))
     val before = dlFiles()
     assert(before > 2, s"appends must have accrued sidecar files: $before")
+    assert(Curation.bm25DoclenFileCount(spark, idx) === before)
     Curation.compactBm25Index(spark, idx, committedBatchId = 4L)
+    // the ADVICE tracks the accrual (r19): over the bound it points at
+    // compact-resident — the action that consolidates — without masking
+    // higher-priority verdicts; under the bound it stays quiet
+    val a = Curation.bm25MaintenanceAdvice(spark, idx, maxDoclenFiles = 2)
+    assert(a.action === "compact-resident" && a.reason.contains("doclen"),
+      s"${a.action}: ${a.reason}")
+    assert(Curation.bm25MaintenanceAdvice(spark, idx).action === "none",
+      "the default bound (64) must not trip on 6 files")
     Curation.compactBm25Resident(spark, idx, maxDoclenFiles = 2)
     assert(dlFiles() <= 2, s"consolidation must land under the bound: ${dlFiles()}")
+    assert(Curation.bm25MaintenanceAdvice(spark, idx, maxDoclenFiles = 2)
+      .action === "none", "acting on the advice must clear it")
     // idempotent: under bound, the next pass is a no-op listing
     Curation.compactBm25Resident(spark, idx, maxDoclenFiles = 2)
     assert(dlFiles() <= 2)
