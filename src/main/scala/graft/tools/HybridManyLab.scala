@@ -43,6 +43,7 @@ object HybridManyLab {
     var noise = 2.0
     var pq = false
     var refine = 32
+    var filtered = false
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -56,6 +57,7 @@ object HybridManyLab {
         case "--noise" => noise = args(i + 1).toDouble; i += 2
         case "--pq" => pq = true; i += 1
         case "--refine" => refine = args(i + 1).toInt; i += 2
+        case "--filtered" => filtered = true; i += 1
         case other => sys.error(s"unknown arg $other")
       }
     }
@@ -70,7 +72,7 @@ object HybridManyLab {
     def t[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
-    val lexIdx = s"$root/lexidx"
+    val lexIdx = if (filtered) s"$root/lexidx_meta" else s"$root/lexidx"
     val semIdx = if (pq) s"$root/pqidx" else s"$root/idx"
     // the HybridScaleLab mid-frequency band + query-vector convention
     // (vec ids 1000*qi+7), so numbers line up with the 17b per-query rows
@@ -95,21 +97,57 @@ object HybridManyLab {
     val termBatch = (0 until nQueries).map(qi => (qi.toLong, termsFor(qi)))
     val cents =
       if (pq) null else Similarity.loadIvfCentroids(spark, s"$root/idx")
-    println(s"""{"root":"$root","queries":$nQueries,"nprobe":$nprobe,"k":$k,"pq":$pq,"reps":$reps}""")
+    println(s"""{"root":"$root","queries":$nQueries,"nprobe":$nprobe,"k":$k,"pq":$pq,"filtered":$filtered,"reps":$reps}""")
+
+    // --filtered (r19): both retrievers answer under the same access
+    // scope — the semantic index's stored `category` predicate (pushed
+    // into the pruned scan) and the lexical index's stored-metadata
+    // `filter` (candidates restricted, stats corpus-global). The lab
+    // PROVISIONS what the stored indexes lack, measuring both upgrade
+    // paths at the 20 M rung: backfillMetaCols on the semantic index
+    // (the one-join alternative to a rebuild) and a metaCols'd lexical
+    // build beside the plain one.
+    val semFilter = if (filtered) Some(col("category") === 1) else None
+    if (filtered) {
+      val semTbl = if (pq) "codes" else "corpus"
+      if (!spark.read.parquet(s"$semIdx/$semTbl").columns.contains("category")) {
+        // meta from the table's OWN ids (category is id-derived), so
+        // coverage holds whatever prior lab runs deleted or purged
+        val meta = spark.read.parquet(s"$semIdx/$semTbl")
+          .select(col("corpus_id").as("vec_id")).distinct()
+          .select(col("vec_id"),
+            pmod(col("vec_id"), lit(4)).cast("int").as("category"))
+        val (_, bfS) = t(
+          if (pq) Pq.backfillMetaCols(spark, semIdx, meta, idCol = "vec_id",
+            metaCols = Seq("category"))
+          else Similarity.backfillMetaCols(spark, semIdx, meta, idCol = "vec_id",
+            metaCols = Seq("category")))
+        println(f"""{"step":"backfill_sem_meta","pq":$pq,"secs":$bfS%.1f}""")
+      }
+      if (!new java.io.File(s"$lexIdx/stats").exists()) {
+        val docsMeta = spark.read.parquet(s"$root/docs")
+          .withColumn("category", pmod(col("doc_id"), lit(4)).cast("int"))
+        val (_, lexS) = t(Curation.writeBm25Index(docsMeta, "doc_id", "text",
+          lexIdx, buckets = 256, metaCols = Seq("category")))
+        println(f"""{"step":"bm25_meta_build","secs":$lexS%.1f}""")
+      }
+    }
 
     // SINGLES: the 17b per-query stack, N times
     def singles(): Map[Long, Seq[Long]] =
       termBatch.map { case (qi, terms) =>
-        val lex = Curation.bm25SearchIndexed(spark, lexIdx, terms, topK = k)
+        val lex = Curation.bm25SearchIndexed(spark, lexIdx, terms, topK = k,
+            filter = semFilter)
           .select(col("id"),
             row_number().over(org.apache.spark.sql.expressions.Window
               .orderBy(col("score").desc, col("id"))).as("rank"))
           .collect()
         val sem = (if (pq)
             Pq.pqTopKIndexed(qVec(qi.toInt), "vec_id", "e", semIdx,
-              k = k, nprobe = nprobe, refine = refine)
+              k = k, nprobe = nprobe, refine = refine, filter = semFilter)
           else Similarity.ivfTopKIndexed(qVec(qi.toInt), "vec_id", "e", semIdx,
-              k = k, nprobe = nprobe, cents = cents, filter = None, minCandidates = 0))
+              k = k, nprobe = nprobe, cents = cents, filter = semFilter,
+              minCandidates = 0))
           .select(col("corpus_id").as("id"), col("rank")).collect()
         val fused = Curation.rrfFuse(Seq(
           lex.map(r => (r.getLong(0), r.getInt(1))).toSeq.toDF("id", "rank"),
@@ -121,13 +159,14 @@ object HybridManyLab {
     // MANY: one pass per retriever for the WHOLE batch, per-query fusion
     def many(): Map[Long, Seq[Long]] = {
       val lex = Curation.bm25SearchIndexedMany(spark, lexIdx,
-        termBatch.toDF("query_id", "terms"), topK = k)
+        termBatch.toDF("query_id", "terms"), topK = k, filter = semFilter)
         .select("query_id", "id", "rank")
       val sem = (if (pq)
           Pq.pqTopKIndexed(qVecs, "qvid", "e", semIdx,
-            k = k, nprobe = nprobe, refine = refine)
+            k = k, nprobe = nprobe, refine = refine, filter = semFilter)
         else Similarity.ivfTopKIndexed(qVecs, "qvid", "e", semIdx,
-            k = k, nprobe = nprobe, cents = cents, filter = None, minCandidates = 0))
+            k = k, nprobe = nprobe, cents = cents, filter = semFilter,
+            minCandidates = 0))
         // vec id -> qi at the fusion boundary (qvid = 1000*qi + 7)
         .select(((col("query_id") - 7L) / 1000L).cast("long").as("query_id"),
           col("corpus_id").as("id"), col("rank"))
@@ -153,7 +192,7 @@ object HybridManyLab {
       require(sA(qi) == mA.getOrElse(qi, Nil),
         s"fused lists diverged for query $qi: ${sA(qi)} vs ${mA.getOrElse(qi, Nil)}")
     }
-    println(f"""{"step":"amortization","queries":$nQueries,""" +
+    println(f"""{"step":"amortization","filtered":$filtered,"queries":$nQueries,""" +
       f""""singles_total_secs":$singleSecs%.2f,"singles_per_query":${singleSecs / nQueries}%.2f,""" +
       f""""many_total_secs":$manySecs%.2f,"many_per_query":${manySecs / nQueries}%.2f,""" +
       f""""speedup":${singleSecs / manySecs}%.1f}""")
