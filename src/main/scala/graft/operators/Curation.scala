@@ -1358,11 +1358,23 @@ object Curation {
     * (r19), but a ledger written before that fix can hold two differing
     * (id, dl) rows for one doc (a retried manual append whose text
     * changed between attempts) — counting both would subtract the doc
-    * from n_docs twice. max(dl) is the deterministic pick. */
+    * from n_docs twice. max(dl) is the deterministic pick.
+    *
+    * Computed in DRIVER memory: the ledger is driver-small by contract
+    * and arrives as a local relation ([[IndexMaintenance.readDeletes]]
+    * collects), so a Spark groupBy here costs a full shuffle stage per
+    * probe for rows already sitting on the driver — measured as part of
+    * the with-ledger probe tax at 21 M (19c). */
   private def ledgerAgg(ledger: DataFrame): (Long, Long) = {
-    val r = ledger.groupBy("id").agg(max(col("dl")).as("dl"))
-      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
-    (r.getLong(0), r.getLong(1))
+    val best = scala.collection.mutable.HashMap.empty[Long, Int]
+    ledger.select("id", "dl").collect().foreach { r =>
+      val id = r.getLong(0); val dl = r.getInt(1)
+      best.get(id) match {
+        case Some(c) if c >= dl => ()
+        case _ => best.update(id, dl)
+      }
+    }
+    (best.size.toLong, best.valuesIterator.foldLeft(0L)(_ + _))
   }
 
   /** Rewrite the doclen sidecar with `ledger`'s ids removed — aside +
@@ -1473,18 +1485,22 @@ object Curation {
     var attempt = 0
     while (attempt < 6) {
       val read = scala.util.Try {
-        if (IndexMaintenance.readDeletes(spark, path).isEmpty)
+        if (ledgerFileSet().isEmpty)
           // fast path (the ledger-free common case, ONE stats read + one
           // ledger listing): any purge that emptied the ledger committed
           // its stats fold BEFORE deleting the files, so a stats read
-          // taken AFTER the empty ledger read is already the folded row
-          // — no snapshot sampling, no marker pinning needed
+          // taken AFTER the empty ledger listing is already the folded
+          // row — no snapshot sampling, no marker pinning needed
           Left(readStats(spark, path))
         else {
           // a ledger exists: full snapshot — (marker, ledger files,
-          // stats) sampled on both sides of a FRESH ledger read (the
-          // probe above is not stats-bracketed, so it cannot be used
-          // here)
+          // stats) sampled on both sides of ONE ledger read. r18 read
+          // the ledger TWICE here (an emptiness pre-read plus the
+          // bracketed read) — each is a parquet read + distinct +
+          // driver collect, and the pair was most of the measured
+          // with-ledger probe tax at 21 M (19c); the file-set listing
+          // above decides emptiness for free, and an emptied-between
+          // race just lands in the Right branch with led = None.
           val m0 = markerState()
           val l0 = ledgerFileSet()
           val s0 = readStats(spark, path)
@@ -1492,7 +1508,8 @@ object Curation {
           val s1 = readStats(spark, path)
           val l1 = ledgerFileSet()
           val m1 = markerState()
-          Right((m0, s0, led, s1, m1, l0, l1))
+          if (led.isEmpty) Left(s1) // raced an emptying purge: s1 is post-fold
+          else Right((m0, s0, led, s1, m1, l0, l1))
         }
       }.toOption
       read match {

@@ -744,18 +744,32 @@ object Pq {
     require(clash.isEmpty,
       s"index at $path already stores metaCols [${clash.mkString(", ")}] — " +
         "backfill only ADDS columns; rebuild to change existing ones")
-    val m = meta.select(col(idCol).as("corpus_id") +: metaCols.map(col): _*)
-    val mAgg = m.agg(count(lit(1)), count_distinct(col("corpus_id"))).collect()(0)
-    require(mAgg.getLong(0) == mAgg.getLong(1),
-      s"metadata frame must hold ONE row per id: ${mAgg.getLong(0)} rows over " +
-        s"${mAgg.getLong(1)} distinct ids — a duplicated id would multiply " +
-        "index rows through the join")
-    val didCodes = IndexMaintenance.backfillTableMetaCols(
-      spark, path, "codes", m, "corpus_id", metaCols)
-    val didVecs = IndexMaintenance.backfillTableMetaCols(
-      spark, path, "vectors", m, "corpus_id", metaCols)
-    IndexMaintenance.writeMetaColsFile(fs, path, stored ++ metaCols)
-    didCodes || didVecs
+    // STAGE the metadata once before anything moves: a caller's meta
+    // frame may be DERIVED from the index's own tables (ids read from
+    // codes — the natural provenance for an id-keyed upgrade), and the
+    // codes swap would invalidate that plan's captured file listing
+    // mid-upgrade — the vectors rewrite then dies on FileNotFound
+    // (observed at the 20 M rung). The staging write executes the
+    // caller's plan exactly once; both rewrites read the staged copy.
+    // One narrow corpus-sized write, negligible vs the table rewrites;
+    // stale staging from a crash is overwritten by the rerun.
+    val scratch = new org.apache.hadoop.fs.Path(s"$path/_backfill_meta")
+    meta.select(col(idCol).as("corpus_id") +: metaCols.map(col): _*)
+      .write.mode("overwrite").parquet(scratch.toString)
+    try {
+      val m = spark.read.parquet(scratch.toString)
+      val mAgg = m.agg(count(lit(1)), count_distinct(col("corpus_id"))).collect()(0)
+      require(mAgg.getLong(0) == mAgg.getLong(1),
+        s"metadata frame must hold ONE row per id: ${mAgg.getLong(0)} rows over " +
+          s"${mAgg.getLong(1)} distinct ids — a duplicated id would multiply " +
+          "index rows through the join")
+      val didCodes = IndexMaintenance.backfillTableMetaCols(
+        spark, path, "codes", m, "corpus_id", metaCols)
+      val didVecs = IndexMaintenance.backfillTableMetaCols(
+        spark, path, "vectors", m, "corpus_id", metaCols)
+      IndexMaintenance.writeMetaColsFile(fs, path, stored ++ metaCols)
+      didCodes || didVecs
+    } finally { fs.delete(scratch, true); () }
   }
 
   /** DELETE vectors from a stored IVFPQ index (r17) —

@@ -110,7 +110,11 @@ object HybridManyLab {
     val semFilter = if (filtered) Some(col("category") === 1) else None
     if (filtered) {
       val semTbl = if (pq) "codes" else "corpus"
-      if (!spark.read.parquet(s"$semIdx/$semTbl").columns.contains("category")) {
+      // key on the CONTRACT file, not a table schema peek: the PQ
+      // backfill is resumable per table, so a crash between its two
+      // tables leaves codes carrying the column with no contract —
+      // rerunning backfillMetaCols completes exactly the missing table
+      if (!new java.io.File(s"$semIdx/_meta_cols").exists()) {
         // meta from the table's OWN ids (category is id-derived), so
         // coverage holds whatever prior lab runs deleted or purged
         val meta = spark.read.parquet(s"$semIdx/$semTbl")

@@ -576,6 +576,23 @@ class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       Pq.appendPqIndex(batch(120, 130), "vec_id", "e", path2)
     }
     assert(mm.getMessage.contains("metaCols"), mm.getMessage)
+    // meta DERIVED from the index's own tables — the natural id-keyed
+    // provenance: without the staging write, the codes swap would
+    // invalidate the meta plan's captured file listing and the vectors
+    // rewrite would die on FileNotFound (observed at the 20 M rung)
+    val path3 = Files.createTempDirectory("pqbackfill3").toString
+    Pq.writePqIndex(batch(0, 120), "vec_id", "e", path3, nlist = 4, m = 4, ksub = 16)
+    val selfMeta = spark.read.parquet(s"$path3/codes")
+      .select(col("corpus_id").as("vec_id")).distinct()
+      .withColumn("category", pmod(col("vec_id"), lit(3)).cast("int"))
+    assert(Pq.backfillMetaCols(spark, path3, selfMeta, idCol = "vec_id",
+      metaCols = Seq("category")))
+    assert(!new java.io.File(s"$path3/_backfill_meta").exists(),
+      "the staging copy must be cleaned up")
+    val got3 = Pq.pqTopKIndexed(q2, "vec_id", "e", path3, k = 3, nprobe = 4,
+        refine = 60, filter = Some(col("category") === 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    assert(got3 === want2, "self-derived meta must backfill both tables")
   }
 
   test("minCandidates auto-widens the PQ probe under a selective filter (r19)") {
