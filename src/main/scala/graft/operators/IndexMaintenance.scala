@@ -621,6 +621,69 @@ private[graft] object IndexMaintenance {
     true
   }
 
+  /** The FAMILY half of the metadata upgrade (r19 review): validation,
+    * staging, contract update and the per-table rewrites, shared by
+    * [[Similarity.backfillMetaCols]] and [[Pq.backfillMetaCols]] so the
+    * contract checks cannot drift between families.
+    *
+    * Ordering is deliberate:
+    *  1. STAGE the caller's meta frame to `<index>/_backfill_meta` and
+    *     validate one-row-per-id on the staged copy — the caller's plan
+    *     executes exactly ONCE (a meta frame derived from the index's
+    *     own tables would otherwise die when the first table swap
+    *     invalidates its captured listing — observed at 20 M; and a
+    *     non-deterministic frame could pass validation on one execution
+    *     yet join different rows on another);
+    *  2. write `_meta_cols` (the union) BEFORE the table rewrites: a
+    *     crash between rewrite and contract write would otherwise let a
+    *     meta-less append PASS the contract and land rows whose new
+    *     metadata reads as NULL — silently dropped by filtered probes,
+    *     the exact seam the contract exists to close. Contract-first
+    *     makes every post-crash failure LOUD instead: appends must
+    *     carry the union, and the rerun completes the rewrites. A
+    *     clash with stored columns is therefore legal exactly when it
+    *     is our own interrupted upgrade — some table still missing the
+    *     clashed columns — and refused otherwise.
+    * Table rewrites are per-table resumable ([[backfillTableMetaCols]]
+    * skips a table already carrying every column). */
+  private[operators] def backfillMetaColsFamily(spark: SparkSession,
+      path: String, meta: org.apache.spark.sql.DataFrame, idCol: String,
+      metaCols: Seq[String], tables: Seq[String]): Boolean = {
+    import org.apache.spark.sql.functions.{col, count, count_distinct, lit}
+    require(metaCols.nonEmpty, "pass the metadata columns to backfill")
+    require(meta.columns.contains(idCol) && metaCols.forall(meta.columns.contains),
+      s"metadata frame must carry '$idCol' and ${metaCols.mkString(", ")}; " +
+        s"got ${meta.columns.mkString(", ")}")
+    val fs = fsOf(spark, new Path(path))
+    val stored = readMetaColsFile(fs, path)
+    val clash = metaCols.intersect(stored)
+    if (clash.nonEmpty) {
+      val unfinished = tables.exists { t =>
+        val cols = scala.util.Try(
+          spark.read.parquet(s"$path/$t").columns.toSet).getOrElse(Set.empty)
+        !clash.forall(cols.contains)
+      }
+      require(unfinished,
+        s"index at $path already stores metaCols [${clash.mkString(", ")}] — " +
+          "backfill only ADDS columns; rebuild to change existing ones")
+    }
+    val scratch = new Path(s"$path/_backfill_meta")
+    meta.select(col(idCol).as("corpus_id") +: metaCols.map(col): _*)
+      .write.mode("overwrite").parquet(scratch.toString)
+    try {
+      val m = spark.read.parquet(scratch.toString)
+      val mAgg = m.agg(count(lit(1)), count_distinct(col("corpus_id"))).collect()(0)
+      require(mAgg.getLong(0) == mAgg.getLong(1),
+        s"metadata frame must hold ONE row per id: ${mAgg.getLong(0)} rows over " +
+          s"${mAgg.getLong(1)} distinct ids — a duplicated id would multiply " +
+          "index rows through the join")
+      writeMetaColsFile(fs, path, (stored ++ metaCols).distinct)
+      tables.map(t =>
+        backfillTableMetaCols(spark, path, t, m, "corpus_id", metaCols))
+        .reduce(_ || _)
+    } finally { fs.delete(scratch, true); () }
+  }
+
   /** Order-independent fingerprint of a frame's distinct `id` set —
     * (count, xor of per-id hashes). Decides whether an incoming manual
     * batch IS the retry of an orphan lane (same id set) or a different

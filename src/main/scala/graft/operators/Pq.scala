@@ -730,46 +730,11 @@ object Pq {
     * joins. */
   def backfillMetaCols(spark: SparkSession, path: String, meta: DataFrame,
       idCol: String = "id", metaCols: Seq[String]): Boolean = {
-    require(metaCols.nonEmpty, "pass the metadata columns to backfill")
     Similarity.requireMetaCols(metaCols)
     requirePqMetaCols(metaCols)
     requireBatchKeyedLayout(spark, path)
-    require(meta.columns.contains(idCol) && metaCols.forall(meta.columns.contains),
-      s"metadata frame must carry '$idCol' and ${metaCols.mkString(", ")}; " +
-        s"got ${meta.columns.mkString(", ")}")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stored = IndexMaintenance.readMetaColsFile(fs, path)
-    val clash = metaCols.intersect(stored)
-    require(clash.isEmpty,
-      s"index at $path already stores metaCols [${clash.mkString(", ")}] — " +
-        "backfill only ADDS columns; rebuild to change existing ones")
-    // STAGE the metadata once before anything moves: a caller's meta
-    // frame may be DERIVED from the index's own tables (ids read from
-    // codes — the natural provenance for an id-keyed upgrade), and the
-    // codes swap would invalidate that plan's captured file listing
-    // mid-upgrade — the vectors rewrite then dies on FileNotFound
-    // (observed at the 20 M rung). The staging write executes the
-    // caller's plan exactly once; both rewrites read the staged copy.
-    // One narrow corpus-sized write, negligible vs the table rewrites;
-    // stale staging from a crash is overwritten by the rerun.
-    val scratch = new org.apache.hadoop.fs.Path(s"$path/_backfill_meta")
-    meta.select(col(idCol).as("corpus_id") +: metaCols.map(col): _*)
-      .write.mode("overwrite").parquet(scratch.toString)
-    try {
-      val m = spark.read.parquet(scratch.toString)
-      val mAgg = m.agg(count(lit(1)), count_distinct(col("corpus_id"))).collect()(0)
-      require(mAgg.getLong(0) == mAgg.getLong(1),
-        s"metadata frame must hold ONE row per id: ${mAgg.getLong(0)} rows over " +
-          s"${mAgg.getLong(1)} distinct ids — a duplicated id would multiply " +
-          "index rows through the join")
-      val didCodes = IndexMaintenance.backfillTableMetaCols(
-        spark, path, "codes", m, "corpus_id", metaCols)
-      val didVecs = IndexMaintenance.backfillTableMetaCols(
-        spark, path, "vectors", m, "corpus_id", metaCols)
-      IndexMaintenance.writeMetaColsFile(fs, path, stored ++ metaCols)
-      didCodes || didVecs
-    } finally { fs.delete(scratch, true); () }
+    IndexMaintenance.backfillMetaColsFamily(spark, path, meta, idCol,
+      metaCols, tables = Seq("codes", "vectors"))
   }
 
   /** DELETE vectors from a stored IVFPQ index (r17) —
@@ -1302,7 +1267,7 @@ object Pq {
     // the join's match loop when the codes side broadcasts) and spread
     // the ADC stage across partitions even when the caller's query
     // frame arrives as one.
-    def at(np: Int): (DataFrame, DataFrame) = {
+    def at(np: Int): (DataFrame, DataFrame, Array[Int]) = {
       val probeUdf = udf { (v: Seq[Double]) =>
         val x = Similarity.normalize(v.toArray)
         val scored = Array.tabulate(cents.length) { c =>
@@ -1318,28 +1283,34 @@ object Pq {
         .select("query_id", "cell", "lut")
         .repartition(col("query_id"), col("cell"))
       // literal IN on the partition column -> static directory pruning
-      // on both index scans (same discipline as ivfTopKIndexed)
+      // on both index scans (same discipline as ivfTopKIndexed); the
+      // collected cell set is RETURNED so the vectors scan and the
+      // census reuse it instead of re-running the probe plan (r19
+      // review — the duplicate collect was one extra Spark job on
+      // every probe)
       val probedCells = q.select("cell").distinct().collect().map(_.getInt(0))
       (q, live(flt(snapshotRead("codes")
-        .filter(col("cell").isin(probedCells.toSeq: _*)))))
+        .filter(col("cell").isin(probedCells.toSeq: _*)))), probedCells)
     }
     var np = math.min(math.max(nprobe, 1), cents.length)
+    var cur = at(np)
     if (minCandidates > 0) {
       val nq = queries.select(col(qId)).distinct().count()
       var done = false
       while (!done) {
-        val (q, c) = at(np)
+        val (q, c, _) = cur
         val per = q.select("query_id", "cell")
           .join(c.groupBy("cell").agg(count(lit(1)).as("n")), Seq("cell"))
           .groupBy("query_id").agg(sum(col("n")).as("n"))
           .select("n").collect().map(_.getLong(0))
         val minGot = if (per.length < nq || per.isEmpty) 0L else per.min
-        if (minGot >= minCandidates || np >= cents.length) done = true
-        else np = math.min(cents.length, np * 2)
+        // + 1: the census can include a corpus-member query's own row,
+        // which the answers exclude (the IVF twin's allowance)
+        if (minGot >= minCandidates.toLong + 1 || np >= cents.length) done = true
+        else { np = math.min(cents.length, np * 2); cur = at(np) }
       }
     }
-    val (q, codes) = at(np)
-    val probedCells = q.select("cell").distinct().collect().map(_.getInt(0))
+    val (q, codes, probedCells) = cur
     val vectors = live(flt(snapshotRead("vectors")
       .filter(col("cell").isin(probedCells.toSeq: _*))))
     // Shortlist-saturation skip: when k·refine covers every candidate

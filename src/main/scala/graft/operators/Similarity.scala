@@ -496,28 +496,9 @@ object Similarity {
   def backfillMetaCols(spark: org.apache.spark.sql.SparkSession,
       path: String, meta: DataFrame, idCol: String = "id",
       metaCols: Seq[String]): Boolean = {
-    require(metaCols.nonEmpty, "pass the metadata columns to backfill")
     requireMetaCols(metaCols)
-    require(meta.columns.contains(idCol) && metaCols.forall(meta.columns.contains),
-      s"metadata frame must carry '$idCol' and ${metaCols.mkString(", ")}; " +
-        s"got ${meta.columns.mkString(", ")}")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stored = IndexMaintenance.readMetaColsFile(fs, path)
-    val clash = metaCols.intersect(stored)
-    require(clash.isEmpty,
-      s"index at $path already stores metaCols [${clash.mkString(", ")}] — " +
-        "backfill only ADDS columns; rebuild to change existing ones")
-    val m = meta.select(col(idCol).as("corpus_id") +: metaCols.map(col): _*)
-    val mAgg = m.agg(count(lit(1)), count_distinct(col("corpus_id"))).collect()(0)
-    require(mAgg.getLong(0) == mAgg.getLong(1),
-      s"metadata frame must hold ONE row per id: ${mAgg.getLong(0)} rows over " +
-        s"${mAgg.getLong(1)} distinct ids — a duplicated id would multiply " +
-        "corpus rows through the join")
-    val did = IndexMaintenance.backfillTableMetaCols(
-      spark, path, "corpus", m, "corpus_id", metaCols)
-    IndexMaintenance.writeMetaColsFile(fs, path, stored ++ metaCols)
-    did
+    IndexMaintenance.backfillMetaColsFamily(spark, path, meta, idCol,
+      metaCols, tables = Seq("corpus"))
   }
 
   /** The IVF retrain RULE itself — fit fell more than the tolerance
@@ -1083,11 +1064,10 @@ object Similarity {
     * Each widening attempt costs one NARROW count over the pruned
     * cells — paid only when minCandidates > 0, and bounded by the
     * doubling (total pruned-scan work < 2× the final attempt's).
-    * `minCandidates = k` guarantees k-deep answers; raise it toward
-    * 10-30× k when recall@k matters more than latency. Counts include
-    * a query's own row when it is part of the corpus (the self-match
-    * is excluded from ANSWERS, not from the census — a one-row
-    * overcount at most). */
+    * `minCandidates = k` guarantees k-deep answers (the census allows
+    * for one self-match, so a corpus-member query cannot come up one
+    * short); raise it toward 10-30× k when recall@k matters more than
+    * latency. */
   def ivfTopKIndexed(
       queries: DataFrame, qId: String, qVec: String,
       path: String, k: Int, nprobe: Int,
@@ -1135,23 +1115,31 @@ object Similarity {
       (q, tombstones.map(t => cf.join(t, Seq("corpus_id"), "left_anti")).getOrElse(cf))
     }
     var np = math.min(math.max(nprobe, 1), cents.length)
+    var cur = at(np)
     if (minCandidates > 0) {
       val nq = queries.select(col(qId)).distinct().count()
       var done = false
       while (!done) {
-        val (q, c) = at(np)
+        val (q, c) = cur
         // narrow census: per-cell candidate counts joined back onto the
-        // tiny (query_id, cell) frame — never the scoring join
+        // tiny (query_id, cell) frame — never the scoring join. The
+        // threshold allows for ONE self-match (the census cannot cheaply
+        // exclude a corpus-member query's own row, but the answers do —
+        // without the allowance, "minCandidates = k" could stop one
+        // short and return k-1 answers with no signal); the cost is at
+        // most one unnecessary doubling in exact-boundary corpora.
         val per = q.select("query_id", "cell")
           .join(c.groupBy("cell").agg(count(lit(1)).as("n")), Seq("cell"))
           .groupBy("query_id").agg(sum(col("n")).as("n"))
           .select("n").collect().map(_.getLong(0))
         val minGot = if (per.length < nq) 0L else if (per.isEmpty) 0L else per.min
-        if (minGot >= minCandidates || np >= cents.length) done = true
-        else np = math.min(cents.length, np * 2)
+        if (minGot >= minCandidates.toLong + 1 || np >= cents.length) done = true
+        else { np = math.min(cents.length, np * 2); cur = at(np) }
       }
     }
-    val (q, c) = at(np)
+    // the final loop iteration's frames ARE the scoring inputs — no
+    // rebuilt probe plan, no second probedCells collect (r19 review)
+    val (q, c) = cur
     rankTopK(q.join(c, Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn"))), k)

@@ -538,6 +538,25 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(probe(col("category") === 1 && col("bucket5") === 1) ===
       want(live80.filter(col("category") === 1 && col("id") % 5 === 1)),
       "roll-forward must recover the published table before the new join")
+    // the OTHER crash window (r19 review): the contract advances BEFORE
+    // the table rewrites, so a crash can leave `_meta_cols` naming a
+    // column the rows don't carry — that state must RESUME (the clash
+    // check recognizes its own interrupted upgrade), while re-adding a
+    // column the rows DO carry still refuses
+    IndexMaintenance.writeMetaColsFile(fs, idx,
+      Seq("category", "parity", "bucket5", "region"))
+    assert(Similarity.backfillMetaCols(spark, idx,
+      df.filter(!col("id").isin(2L, 5L))
+        .select(col("id"), (col("id") % 7).cast("int").as("region")),
+      metaCols = Seq("region")), "contract-ahead state must resume")
+    assert(probe(col("region") === 1) ===
+      want(live80.filter(col("id") % 7 === 1)))
+    val eRe = intercept[IllegalArgumentException] {
+      Similarity.backfillMetaCols(spark, idx,
+        df.select(col("id"), (col("id") % 7).cast("int").as("region")),
+        metaCols = Seq("region"))
+    }
+    assert(eRe.getMessage.contains("already stores"), eRe.getMessage)
   }
 
   test("minCandidates auto-widens nprobe under a selective filter: a query whose probed cell holds no matches still gets full answers (r19)") {
