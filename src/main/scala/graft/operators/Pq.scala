@@ -1305,9 +1305,17 @@ object Pq {
           .select("n").collect().map(_.getLong(0))
         val minGot = if (per.length < nq || per.isEmpty) 0L else per.min
         // + 1: the census can include a corpus-member query's own row,
-        // which the answers exclude (the IVF twin's allowance)
+        // which the answers exclude; proportional jump with a doubling
+        // floor — the IVF twin's shape (see its widening note)
         if (minGot >= minCandidates.toLong + 1 || np >= cents.length) done = true
-        else { np = math.min(cents.length, np * 2); cur = at(np) }
+        else {
+          val want = (minCandidates.toLong + 1) * 2
+          val scaled = if (minGot <= 0) cents.length.toLong
+            else math.min(cents.length.toLong,
+              np.toLong * want / math.max(1L, minGot))
+          np = math.min(cents.length.toLong, math.max(np.toLong * 2, scaled)).toInt
+          cur = at(np)
+        }
       }
     }
     val (q, codes, probedCells) = cur

@@ -1055,8 +1055,9 @@ object Similarity {
     *
     * `minCandidates` (r19) ENCODES the nprobe-widening remedy: when
     * > 0, the probe checks how many filtered (and non-tombstoned)
-    * candidates each query's probed cells actually hold, and DOUBLES
-    * nprobe until every query sees at least this many or every cell is
+    * candidates each query's probed cells actually hold, and WIDENS
+    * nprobe (proportionally to the shortfall, doubling at minimum)
+    * until every query sees at least this many or every cell is
     * probed — the guard against a selective predicate silently thinning
     * shortlists at a fixed nprobe (a 1 %-selective filter at nprobe 8
     * returns confidently wrong top-k with no signal otherwise; the
@@ -1134,7 +1135,21 @@ object Similarity {
           .select("n").collect().map(_.getLong(0))
         val minGot = if (per.length < nq) 0L else if (per.isEmpty) 0L else per.min
         if (minGot >= minCandidates.toLong + 1 || np >= cents.length) done = true
-        else { np = math.min(cents.length, np * 2); cur = at(np) }
+        else {
+          // PROPORTIONAL jump, not blind doubling (r19 review of the
+          // 19d ultra-selective arm, which paid 5 census ladders from
+          // nprobe 8): candidate density per probed cell is roughly
+          // uniform, so scale the probe set by the shortfall ratio
+          // with 2× headroom for uneven cells, floored at a doubling;
+          // zero candidates seen means the density is unknowable —
+          // go straight to the full probe and let one census decide
+          val want = (minCandidates.toLong + 1) * 2
+          val scaled = if (minGot <= 0) cents.length.toLong
+            else math.min(cents.length.toLong,
+              np.toLong * want / math.max(1L, minGot))
+          np = math.min(cents.length.toLong, math.max(np.toLong * 2, scaled)).toInt
+          cur = at(np)
+        }
       }
     }
     // the final loop iteration's frames ARE the scoring inputs — no
