@@ -27,6 +27,18 @@ object SparkEntry {
   private def work(dir: String, q: String): String =
     s"/tmp/graft_work/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$q"
 
+  /** Scale-adaptive write fan-out for the roundtrip queries (r19 opt,
+    * guide §2/§6): the historical `repartition(8)` capped the encode —
+    * compression is the CPU cost of every roundtrip write — at 8 of N
+    * cores, a constant tuned for neither local mode nor a cluster.
+    * `defaultParallelism` tracks the session's actual core count (the
+    * driver benches at two core counts; both now use all they have) and
+    * on a real cluster becomes the executor-core total, which is exactly
+    * how a production write sizes itself. Results are unchanged: every
+    * consumer aggregates (or the oracle sorts), and part-count only
+    * shapes the directory. */
+  private def par(s: SparkSession): Int = s.sparkContext.defaultParallelism
+
   /** Run `build` the FIRST time `key` is seen in this JVM, skip after —
     * for queries that build an index and then probe it. Verify runs each
     * query once per JVM, so correctness always exercises a fresh build;
@@ -53,7 +65,7 @@ object SparkEntry {
 
   private def xlsxRoundtrip(s: SparkSession, dir: String, q: String): DataFrame = {
     val p = work(dir, q)
-    li4(s, dir).repartition(8).write.mode("overwrite")
+    li4(s, dir).repartition(par(s)).write.mode("overwrite")
       .format("xlsx").option("header", "true").save(p)
     s.read.format("xlsx").option("header", "true").load(p)
   }
@@ -390,7 +402,7 @@ object SparkEntry {
     // reassemble it — results must equal a directory-of-parts roundtrip.
     "xlsx_single_file" -> ((s, dir) => {
       val p = work(dir, "xlsx_single_file") + "/book.xlsx"
-      li4(s, dir).repartition(8).write.mode("overwrite")
+      li4(s, dir).repartition(par(s)).write.mode("overwrite")
         .format("xlsx").option("header", "true")
         .option("singleFile", "true").save(p)
       s.read.format("xlsx").option("header", "true").load(p)
@@ -462,7 +474,7 @@ object SparkEntry {
 
     "csv_roundtrip" -> ((s, dir) => {
       val p = work(dir, "csv_roundtrip")
-      li4(s, dir).repartition(8).write.mode("overwrite")
+      li4(s, dir).repartition(par(s)).write.mode("overwrite")
         .option("header", "true").option("sep", ";").option("compression", "gzip")
         .csv(p)
       s.read.schema("l_orderkey BIGINT, l_quantity DOUBLE, l_returnflag STRING, l_shipdate TIMESTAMP")
@@ -509,7 +521,7 @@ object SparkEntry {
     "csv_single_file" -> ((s, dir) => {
       val p = work(dir, "csv_single_file") + "/data.csv.gz"
       graft.sources.csv.CsvSingleFile.write(
-        li4(s, dir).repartition(8), p,
+        li4(s, dir).repartition(par(s)), p,
         Map("header" -> "true", "sep" -> ";", "compression" -> "gzip"))
       s.read.schema("l_orderkey BIGINT, l_quantity DOUBLE, l_returnflag STRING, l_shipdate TIMESTAMP")
         .option("header", "true").option("sep", ";").csv(p)
@@ -528,10 +540,22 @@ object SparkEntry {
     "csv_single_file_bz2" -> ((s, dir) => {
       val p = work(dir, "csv_single_file_bz2") + "/data.csv.bz2"
       graft.sources.csv.CsvSingleFile.write(
-        li4(s, dir).repartition(8), p,
+        li4(s, dir).repartition(par(s)), p,
         Map("header" -> "true", "compression" -> "bzip2"))
+      // Splittable-read fan-out (r19 opt, guide §6): the FileScan path
+      // floors splits at `files.openCostInBytes` (4 MB), so a few-MB bz2
+      // file decompressed on ONE task — 2.7 s of the query's wall at
+      // sf0.1 (StageLab). textFile's explicit minPartitions hands the
+      // SplittableCompressionCodec the parallelism directly (readers
+      // resync on the 48-bit block magic), scale-adaptively; at cluster
+      // scale a 100 GB bz2 splits the same way. The header option on a
+      // Dataset[String] drops the header line wherever it appears —
+      // same rows, same aggregate.
+      import s.implicits._
+      val lines = s.createDataset(
+        s.sparkContext.textFile(p, minPartitions = par(s)))
       s.read.schema("l_orderkey BIGINT, l_quantity DOUBLE, l_returnflag STRING, l_shipdate TIMESTAMP")
-        .option("header", "true").csv(p)
+        .option("header", "true").csv(lines)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("l_quantity")), 2).as("sum_qty"),
@@ -1700,7 +1724,7 @@ object SparkEntry {
       // aggregate via Spark's native ORC source (vectorized scan,
       // predicate pushdown — same planner surface as parquet).
       val p = work(dir, "orc_roundtrip")
-      li4(s, dir).repartition(8).write.mode("overwrite")
+      li4(s, dir).repartition(par(s)).write.mode("overwrite")
         .option("compression", "zlib").orc(p)
       s.read.orc(p)
         .groupBy(col("l_returnflag"))
@@ -1849,7 +1873,7 @@ object SparkEntry {
       // most training-data pipelines actually ship. Timestamps survive as
       // ISO-8601 strings parsed back under an explicit schema.
       val p = work(dir, "jsonl_roundtrip")
-      li4(s, dir).repartition(8).write.mode("overwrite")
+      li4(s, dir).repartition(par(s)).write.mode("overwrite")
         .option("compression", "gzip").json(p)
       s.read.schema("l_orderkey BIGINT, l_quantity DOUBLE, l_returnflag STRING, l_shipdate TIMESTAMP")
         .json(p)

@@ -510,10 +510,24 @@ object Curation {
   def charLmScore(df: DataFrame, idCol: String, textCol: String,
       smoothing: Int = 32): DataFrame = {
     val d = Dedup.spread(df)
-    val tri = d.select(col(idCol).as("id"),
-      explode(charGrams(col(textCol), 3)).as("g"))
+    // r19 opt (guide §1.2 "don't compute things twice"): the trigram
+    // explode is the expensive pass (one row per character), and the
+    // original plan ran it TWICE (count subtree + scoring probe) plus a
+    // third full bigram explode. Pin the exploded trigram table — both
+    // counts and the scoring pass read the cache — and derive the bigram
+    // counts from it instead of re-exploding the text: every bigram
+    // occurrence at position i ≤ L−2 is the prefix of the trigram at i,
+    // and the one remaining occurrence per document is its FINAL bigram
+    // (position L−1), restored from a cheap last-2-chars projection
+    // (substring(text, −2, 2); documents of length 2 contribute exactly
+    // this row, matching charGrams(k=2) on them). Counts are identical
+    // to the direct bigram explode by that position bijection.
+    val tri = Dedup.pin(d.select(col(idCol).as("id"),
+      explode(charGrams(col(textCol), 3)).as("g")))
     val triCounts = tri.groupBy("g").agg(count(lit(1)).as("c3"))
-    val biCounts = d.select(explode(charGrams(col(textCol), 2)).as("b"))
+    val biCounts = tri.select(substring(col("g"), 1, 2).as("b"))
+      .unionAll(d.filter(length(col(textCol)) >= 2)
+        .select(substring(col(textCol), -2, 2).as("b")))
       .groupBy("b").agg(count(lit(1)).as("c2"))
     tri.join(broadcast(triCounts), "g")
       .withColumn("b", substring(col("g"), 1, 2))
@@ -1780,9 +1794,18 @@ object Curation {
   def dsirWeights(
       corpus: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String,
-      vocab: Int = 4096, smoothing: Double = 1.0): DataFrame =
-    dsirScore(corpus, idCol, textCol,
-      trainDsirModel(corpus, textCol, target, targetTextCol, vocab, smoothing))
+      vocab: Int = 4096, smoothing: Double = 1.0): DataFrame = {
+    // r19 opt (guide §1.2): training's q-side pass and the scoring pass
+    // both explode the SAME corpus bigrams — pinned, the tokenize +
+    // explode runs once and the q-count aggregate reads the cache the
+    // scoring join reads. Identical arithmetic either way.
+    val grams = Dedup.pin(Dedup.spread(corpus)
+      .select(col(idCol).as("id"),
+        explode(bigramOccurrences(col(textCol))).as("g")))
+    dsirScoreGrams(grams,
+      trainDsirModelGrams(grams.select(col("g")),
+        target, targetTextCol, vocab, smoothing))
+  }
 
   /** The trained DSIR artifact: vocab log ratios + the OOV ratio — the
     * persistable, broadcastable model ([[Bpe.Model]] discipline: train
@@ -1808,10 +1831,22 @@ object Curation {
   def trainDsirModel(
       corpus: DataFrame, textCol: String,
       target: DataFrame, targetTextCol: String,
-      vocab: Int = 4096, smoothing: Double = 1.0): DsirModel = {
+      vocab: Int = 4096, smoothing: Double = 1.0): DsirModel =
+    trainDsirModelGrams(
+      Dedup.spread(corpus)
+        .select(explode(bigramOccurrences(col(textCol))).as("g")),
+      target, targetTextCol, vocab, smoothing)
+
+  /** [[trainDsirModel]] over a pre-exploded raw-corpus gram column `g`
+    * (one row per bigram occurrence) — lets [[dsirWeights]] share one
+    * pinned explode between training's q-pass and the scoring pass. */
+  private def trainDsirModelGrams(
+      qGramRows: DataFrame,
+      target: DataFrame, targetTextCol: String,
+      vocab: Int, smoothing: Double): DsirModel = {
     require(vocab > 0, "vocab must be positive")
     require(smoothing > 0, "smoothing must be positive (0 gives -inf off-support)")
-    val spark = corpus.sparkSession
+    val spark = qGramRows.sparkSession
     import spark.implicits._
     val tCounts = Dedup.pin(Dedup.spread(target)
       .select(explode(bigramOccurrences(col(targetTextCol))).as("g"))
@@ -1830,8 +1865,7 @@ object Curation {
     // the aggregate is ≤ vocab+1 rows, so collecting it is bounded
     val inVocab = broadcast(vocabRows.map(_._1).toSeq.toDF("g")
       .withColumn("inv", lit(true)))
-    val qRows: Map[String, Long] = Dedup.spread(corpus)
-      .select(explode(bigramOccurrences(col(textCol))).as("g"))
+    val qRows: Map[String, Long] = qGramRows
       .join(inVocab, Seq("g"), "left")
       .groupBy(when(col("inv"), col("g")).otherwise(lit("\u0000")).as("g"))
       .agg(count(lit(1)).as("nq"))
@@ -1854,12 +1888,18 @@ object Curation {
     * half: ONE exploded pass, broadcast ratio join, per-doc combinable
     * sum. Returns (id, n_grams, logw). */
   def dsirScore(df: DataFrame, idCol: String, textCol: String,
-      model: DsirModel): DataFrame = {
-    val spark = df.sparkSession
+      model: DsirModel): DataFrame =
+    dsirScoreGrams(Dedup.spread(df)
+      .select(col(idCol).as("id"),
+        explode(bigramOccurrences(col(textCol))).as("g")), model)
+
+  /** [[dsirScore]] over pre-exploded (id, g) bigram-occurrence rows —
+    * the shared-explode half of [[dsirWeights]]. */
+  private def dsirScoreGrams(grams: DataFrame, model: DsirModel): DataFrame = {
+    val spark = grams.sparkSession
     import spark.implicits._
     val ratio = model.ratios.toDF("g", "lr")
-    Dedup.spread(df)
-      .select(col(idCol).as("id"), explode(bigramOccurrences(col(textCol))).as("g"))
+    grams
       .join(broadcast(ratio), Seq("g"), "left")
       .groupBy("id")
       .agg(count(lit(1)).as("n_grams"),

@@ -185,10 +185,15 @@ object Dedup {
       "need a boilerplate cut: maxDfFrac > 0 (corpus-relative, default) or explicit maxDf > 0")
     val hash = udf((s: String) =>
       java.lang.Long.valueOf(graft.functions.GraftFunctions.fnv1a64(s)))
-    val lines = spread(df).select(col(idCol).as("id"),
+    // r19 opt (guide §1.2): `lines` feeds three consumers (the df count,
+    // the n_docs scalar, the anti-join) — unpinned, the split + posexplode
+    // + hash UDF ran once per consumer. Pinned, the explode runs once and
+    // the narrow (id, pos, line, h) rows are the materialize-don't-rescan
+    // trade every Dedup intermediate already makes.
+    val lines = pin(spread(df).select(col(idCol).as("id"),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "line")))
-      .withColumn("h", hash(col("line")))
+      .withColumn("h", hash(col("line"))))
     val dfs = lines.select("id", "h").distinct()
       .groupBy("h").agg(count(lit(1)).as("df"))
     // Relative cut: the doc count is computed inside the plan (one-row
@@ -803,13 +808,46 @@ object Dedup {
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .trackedPersist()
-    var labels = edges.groupBy(col("src").as("id"))
+    // r19 opt (guide §2.2/§2.4): size the iteration's shuffles to the
+    // EDGE COUNT, not the session's shuffle-partition constant. Each
+    // round is three exchanges over 16-byte (node, label) rows, and the
+    // checkpoint pins whatever partition count the round planned with —
+    // AQE cannot re-coalesce a checkpointed layout, so at bench scale
+    // every round dragged 32-64 near-empty tasks per stage (measured:
+    // most of neardup_survivors' wall was stage scheduling, StageLab
+    // r19). ~2 M edges per partition ≈ 32 MB rows — the guide's
+    // 100 MB-1 GB post-shuffle band after join fan-out — and the count
+    // is free: it materializes the edge cache the first round would
+    // have materialized anyway. The conf is scoped to the loop (the
+    // actions below all run inside it) and restored after; label values
+    // are partitioning-independent, so answers are unchanged.
+    val nEdges = edges.count()
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val savedShuffle = spark.conf.get(shuffleKey)
+    val ccParts = math.max(1L, math.min(nEdges / 2000000L + 1L,
+      spark.sparkContext.defaultParallelism.toLong * 4L)).toInt
+    spark.conf.set(shuffleKey, ccParts.toString)
+    try {
+    // The edge cache inherits the PAIR pipeline's partitioning (at bench
+    // scale a 64-partition union), and every round's propagate join
+    // streams over it — re-laying it out once at ccParts keeps each
+    // round's scan task count proportional to the data too. coalesce is
+    // a narrow re-read of the already-materialized cache, not a shuffle.
+    val edgesCc =
+      if (edges.rdd.getNumPartitions <= ccParts) edges
+      else {
+        val e = edges.coalesce(ccParts).trackedPersist()
+        e.count()
+        edges.unpersist(blocking = false)
+        e
+      }
+    var labels = edgesCc.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("component"))
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
       // propagate: my new label = min(my label, labels of my neighbors)
-      val viaNeighbor = edges
+      val viaNeighbor = edgesCc
         .join(labels.withColumnRenamed("id", "dst_id"), col("dst") === col("dst_id"))
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("n_comp"))
@@ -833,7 +871,7 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
+    edgesCc.unpersist()
     if (!converged) {
       // result unusable; leave nothing behind (the whole per-call dir)
       for (f <- fs) {
@@ -845,6 +883,7 @@ object Dedup {
           "raise maxIters; refusing to return split components")
     }
     labels
+    } finally spark.conf.set(shuffleKey, savedShuffle)
   }
 
   /** Survivors after near-dup removal: every id in `df` minus non-minimal
