@@ -578,7 +578,13 @@ object Curation {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val toks = Dedup.spread(df).select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+    // r19 opt (guide §1.2): the token arrays feed BOTH the corpus stats
+    // pass and the tf build — pinned, the regexp tokenization (the
+    // operator's dominant per-row cost) runs once instead of twice; the
+    // cached arrays are the same materialized intermediate the stored
+    // postings index keeps permanently.
+    val toks = Dedup.pin(Dedup.spread(df)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("ts")))
     val dl = toks.select(col("id"), size(col("ts")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     // dl is functionally dependent on id, so carrying it through the tf

@@ -540,11 +540,17 @@ object Dedup {
         (reps, Some(members))
       } else (spread(df).select(col(idCol).as("id"), col(textCol).as("text")), None)
     val withFp = input.select(col("id"), sim(col("text")).as("fp"))
+    // r19 opt (guide §1.2): banded feeds BOTH sides of the chunk
+    // self-join — unpinned, the simhash fingerprint UDF ran once per
+    // side. Pinned, it runs once and both sides read the cache (the
+    // join itself stays whatever the planner picks — AQE broadcasts it
+    // at bench scale).
     val banded = withFp.select(col("id"), col("fp"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"), shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL)).as("val"))
       }: _*)).as("cb"))
       .select(col("id"), col("fp"), col("cb.chunk"), col("cb.val"))
+      .trackedPersist()
     val l = banded.select(col("chunk"), col("val"), col("id").as("id_a"), col("fp").as("fp_a"))
     val r = banded.select(col("chunk"), col("val"), col("id").as("id_b"), col("fp").as("fp_b"))
     val repPairs = l.join(r, Seq("chunk", "val"))
