@@ -188,9 +188,15 @@ object Bench {
         org.apache.spark.sql.functions.lit(1))).collect()
     val r1 = time3(readOne(split = false))
     val rs = time3(readOne(split = true))
+    // Key ORDER inside the tput object (r20): the stitched series — the
+    // one throughput the r19 verdict flagged for clean re-measure — and
+    // the row count go LAST, so that the fragment of the meta line that
+    // survives inside the driver artifact's 2000-char tail window (after
+    // the full-width named contract line below claims most of it) still
+    // shows them. JSON object order is semantically free; no key is
+    // renamed or removed.
     val tput =
       f""""xlsx_write_1core_rows_per_sec":${nRows / w1}%.0f,""" +
-      f""""xlsx_write_1file_stitched_rows_per_sec":${nRows / ws}%.0f,""" +
       f""""xlsx_write_parallel_repl${csvRepl}_rows_per_sec":${nBig / wp}%.0f,""" +
       f""""xlsx_read_parallel_repl${csvRepl}_rows_per_sec":${nBig / rd}%.0f,""" +
       f""""xlsx_read_1file_unsplit_rows_per_sec":${nRows / r1}%.0f,""" +
@@ -198,6 +204,7 @@ object Bench {
       f""""csv_write_1core_rows_per_sec":${nRows / c1}%.0f,""" +
       f""""csv_write_1file_stitched_repl${csvRepl}_rows_per_sec":${nBig / cs}%.0f,""" +
       f""""csv_write_parallel_repl${csvRepl}_rows_per_sec":${nBig / cw}%.0f,""" +
+      f""""xlsx_write_1file_stitched_rows_per_sec":${nRows / ws}%.0f,""" +
       f""""throughput_rows":$nRows"""
 
     val qs = (results.map { case (k, v) => "\"" + k + f"\":$v%.3f" } ++
@@ -225,6 +232,30 @@ object Bench {
     println(s"""{"bench":"warm_ms","keys":"graft.SparkEntry.benchQueries","n":${results.size},"v":[${results.map(r => ms(r._2)).mkString(",")}]}""")
     println(s"""{"bench":"cold_ms","keys":"graft.Bench.coldList","n":${colds.size},"v":[${colds.map(c => ms(c._2)).mkString(",")}]}""")
     println(f"""{"bench":"meta","metric":"total_headline_sec","value":$total%.3f,"unit":"sec","sf":"$sfDir","load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"idle_wait_s":$idleWaitS%.0f,"host_cpus":$ncpu,"tput":{$tput}}""")
+    // Driver-parseable contract line, printed LAST (r20 harness fix, the
+    // r19 verdict's #1 item): the driver artifact keeps only the final
+    // ~2000 chars of output and parses the last JSON line it finds there,
+    // so the r15 anonymous-array trailer left PERF blind (per_query {},
+    // n_common 0, geomean null, empty scaling block — the names lived
+    // only in the committed source). This line carries every warm query
+    // NAMED, plus the load sentinels, and is sized to FIT the window:
+    // 76 named warm keys ≈ 1.68 K + wrapper ≈ 1.86 K, under the ~1.92 K
+    // available after sbt's trailing "[success]" line. If a bad box
+    // phase inflates values past the budget, precision degrades 3 → 2
+    // decimals (10 ms resolution — well under this box's measured
+    // run-to-run variance) rather than overflowing the window. The
+    // cold/throughput keys stay on the full first line and the trailer
+    // lines above — nothing is removed or renamed, this line is ADDED.
+    def fmtQ(v: Double, dp: Int): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%." + dp + "f", Double.box(v))
+    def contractLine(dp: Int): String = {
+      val named = results.map { case (k, v) => "\"" + k + "\":" + fmtQ(v, dp) }
+        .mkString(",")
+      f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","queries":{$named},"sf":"$sfDir","load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"idle_wait_s":$idleWaitS%.0f,"host_cpus":$ncpu}"""
+    }
+    val c3 = contractLine(3)
+    println(if (c3.length <= 1880) c3 else contractLine(2))
     spark.stop()
   }
 }

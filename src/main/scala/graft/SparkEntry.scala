@@ -548,9 +548,13 @@ object SparkEntry {
       // sf0.1 (StageLab). textFile's explicit minPartitions hands the
       // SplittableCompressionCodec the parallelism directly (readers
       // resync on the 48-bit block magic), scale-adaptively; at cluster
-      // scale a 100 GB bz2 splits the same way. The header option on a
-      // Dataset[String] drops the header line wherever it appears —
-      // same rows, same aggregate.
+      // scale a 100 GB bz2 splits the same way. CAVEAT before copying
+      // this pattern: header=true on a Dataset[String] drops EVERY line
+      // exactly equal to the first line, corpus-wide (Spark's
+      // filterHeaderLine), not just the leading header. Safe here — li4's
+      // numeric fields can never serialize to the header string — but a
+      // silent data-loss hazard on string-typed data where a row could
+      // equal the header. Same rows, same aggregate for this query.
       import s.implicits._
       val lines = s.createDataset(
         s.sparkContext.textFile(p, minPartitions = par(s)))

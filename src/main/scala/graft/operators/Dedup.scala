@@ -80,6 +80,48 @@ object Dedup {
     if (!postShuffle && df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
+  /** Pin a sketch self-join input, key-partitioned when — and only when —
+    * the join will actually shuffle (r20, the r19 verdict's item 3: "a
+    * size threshold, not a global revert").
+    *
+    * The r19 experiment pre-partitioned these caches unconditionally and
+    * was correctly reverted: at bench scale AQE broadcast-converts the
+    * self-joins at runtime (build sides a few MB), so the added exchange
+    * bought nothing. But the static `explain` had shown SortMergeJoin —
+    * the PLANNER'S estimate exceeds the broadcast threshold even where
+    * the runtime size is far under it, so the estimate cannot be the
+    * gate. The gate here is the TRUE materialized cache size: the first
+    * `count()` materializes the pin (work the first consumer pays
+    * anyway, only moved earlier), and only when the real bytes exceed
+    * `spark.sql.autoBroadcastJoinThreshold` — i.e. exactly when AQE
+    * cannot broadcast the join and both sides would otherwise shuffle —
+    * is the cache re-laid out by the join keys (one cache-to-cache pass
+    * replacing two exchanges of the same rows; the self-join then reads
+    * one co-partitioned cache, no Exchange under either side). Scoped by
+    * `spark.graft.sketch.prepartition` = auto (default) | on | off so
+    * the decision stays measurable at any rung. Purely physical —
+    * layouts never change answers. */
+  private def pinForSelfJoin(raw: DataFrame, keys: Seq[String]): DataFrame = {
+    val spark = raw.sparkSession
+    val mode = spark.conf.getOption("spark.graft.sketch.prepartition")
+      .getOrElse("auto")
+    val pinned = raw.trackedPersist()
+    if (mode == "off") return pinned
+    val confV = spark.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760").trim
+    val threshold: Long =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(confV)
+      catch { case _: NumberFormatException => confV.toLong } // "-1" = off
+    pinned.count() // materialize: the real size, not the planner estimate
+    val bytes = pinned.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (mode == "on" || threshold < 0 || bytes > BigInt(threshold)) {
+      val laid = pinned.repartition(keys.map(col): _*).trackedPersist()
+      laid.count()
+      pinned.unpersist(blocking = false)
+      laid
+    } else pinned
+  }
+
   /** Exact dedup: keep one row per distinct `cols` tuple (hash-aggregate,
     * map-side partial combine for free). */
   def exact(df: DataFrame, cols: Seq[String]): DataFrame =
@@ -190,7 +232,14 @@ object Dedup {
     // + hash UDF ran once per consumer. Pinned, the explode runs once and
     // the narrow (id, pos, line, h) rows are the materialize-don't-rescan
     // trade every Dedup intermediate already makes.
-    val lines = pin(spread(df).select(col(idCol).as("id"),
+    // r20 (verdict item 6): NO spread here — the per-row work (one split
+    // + fnv hash per line) is too light to pay for repartitioning the
+    // raw text, measured 2× (AbLab linededup: pin-nospread 0.65 s vs
+    // pinned+spread 1.28 s min-of-5 same-JVM; spread is a no-op at real
+    // split counts anyway, so this only ever affected small inputs).
+    // spread stays opt-in for the UDF-heavy sketch paths where it
+    // measured 3-4× the other way.
+    val lines = pin(df.select(col(idCol).as("id"),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "line")))
       .withColumn("h", hash(col("line"))))
@@ -397,11 +446,13 @@ object Dedup {
       .trackedPersist()
 
     // Banding: only (id, band, bucket) travels through the self-join —
-    // never the shingle arrays (they'd dominate shuffle volume).
-    val banded = sh
+    // never the shingle arrays (they'd dominate shuffle volume). Pinned
+    // key-partitioned when the self-join would shuffle (size-gated, see
+    // pinForSelfJoin).
+    val banded = pinForSelfJoin(sh
       .select(col("id"),
-        posexplode(minhashBandBuckets(bands, rowsPerBand)(col("sh"))).as(Seq("band", "bucket")))
-      .trackedPersist()
+        posexplode(minhashBandBuckets(bands, rowsPerBand)(col("sh"))).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"))
 
     val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
@@ -545,12 +596,12 @@ object Dedup {
     // side. Pinned, it runs once and both sides read the cache (the
     // join itself stays whatever the planner picks — AQE broadcasts it
     // at bench scale).
-    val banded = withFp.select(col("id"), col("fp"),
+    val banded = pinForSelfJoin(withFp.select(col("id"), col("fp"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"), shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xFFFFL)).as("val"))
       }: _*)).as("cb"))
-      .select(col("id"), col("fp"), col("cb.chunk"), col("cb.val"))
-      .trackedPersist()
+      .select(col("id"), col("fp"), col("cb.chunk"), col("cb.val")),
+      Seq("chunk", "val"))
     val l = banded.select(col("chunk"), col("val"), col("id").as("id_a"), col("fp").as("fp_a"))
     val r = banded.select(col("chunk"), col("val"), col("id").as("id_b"), col("fp").as("fp_b"))
     val repPairs = l.join(r, Seq("chunk", "val"))
@@ -636,8 +687,10 @@ object Dedup {
     // collapsed/direct parity contract.
     val hot = exploded.groupBy("g").agg(sum("gsize").as("gdf"))
       .filter(col("gdf") > dfCap).select("g")
-    val capped = exploded.join(broadcast(hot), Seq("g"), "left_anti")
-      .trackedPersist()
+    // pinned key-partitioned when the gram self-join would shuffle
+    // (size-gated, see pinForSelfJoin)
+    val capped = pinForSelfJoin(
+      exploded.join(broadcast(hot), Seq("g"), "left_anti"), Seq("g"))
     val a = capped.select(col("g"), col("id").as("id_a"), col("n").as("n_a"))
     val b = capped.select(col("g"), col("id").as("id_b"), col("n").as("n_b"))
     val repPairs = a.join(b, Seq("g"))
@@ -829,6 +882,20 @@ object Dedup {
     // are partitioning-independent, so answers are unchanged.
     val nEdges = edges.count()
     val shuffleKey = "spark.sql.shuffle.partitions"
+    // ADVICE r19 hazard fix: this mutates the SESSION-global shuffle
+    // partition conf for the duration of the loop (the DataFrame API has
+    // no per-operator partition count for groupBy/join, and an explicit
+    // repartition per round would add a real exchange at every scale to
+    // dodge a local-mode hazard). Unsynchronized, two overlapping calls
+    // on one session could interleave save/restore and leave the conf
+    // permanently clobbered — the loop is serialized on the session
+    // object so save/restore pairs nest correctly. Residual documented
+    // hazard: OTHER queries submitted concurrently on the same session
+    // while a loop runs plan with ccParts (their results are unaffected,
+    // only their shuffle width); callers sharing a session with
+    // latency-sensitive concurrent work should scope this call to a
+    // quiet window.
+    spark.synchronized {
     val savedShuffle = spark.conf.get(shuffleKey)
     val ccParts = math.max(1L, math.min(nEdges / 2000000L + 1L,
       spark.sparkContext.defaultParallelism.toLong * 4L)).toInt
@@ -890,6 +957,7 @@ object Dedup {
     }
     labels
     } finally spark.conf.set(shuffleKey, savedShuffle)
+    }
   }
 
   /** Survivors after near-dup removal: every id in `df` minus non-minimal

@@ -390,13 +390,37 @@ private[graft] object IndexMaintenance {
     fs.exists(dir) && fs.listStatus(dir)
       .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
 
+  /** Fail-loud cap on tombstone-ledger rows materialized to the driver
+    * (r20, the r19 verdict's ledgerAgg guard): every ledger consumer —
+    * probe anti-joins (broadcast), [[Curation]]'s driver-memory
+    * ledgerAgg, the purge fold — relies on the ledger being driver-small
+    * "by contract", but nothing enforced the contract: an unbounded
+    * delete stream silently grew a driver OOM. The default sits 10× past
+    * the default purge-advice gate (`maxTombstones` = 100 000 — advice
+    * fires long before the cap), ~tens of MB of driver rows; deployments
+    * with a larger bound set `spark.graft.ledger.maxDriverRows`. */
+  private[operators] def maxLedgerDriverRows(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.ledger.maxDriverRows")
+      .map(_.toInt).getOrElse(1000000)
+
   private[operators] def readDeletes(spark: SparkSession,
       indexPath: String): Option[DataFrame] = {
     val p = new Path(deletesDir(indexPath))
     val fs = fsOf(spark, p)
     if (!hasCommittedData(fs, p)) return None
+    val cap = maxLedgerDriverRows(spark)
     val stored = spark.read.parquet(p.toString).distinct()
-    val rows = stored.collect() // driver-small by contract
+    // limit(cap+1) bounds driver memory even when the ledger is over
+    // the cap — the failure is a loud exception, not an OOM mid-collect
+    val rows = stored.limit(cap + 1).collect() // driver-small, enforced
+    if (rows.length > cap)
+      throw new IllegalStateException(
+        s"tombstone ledger at ${deletesDir(indexPath)} exceeds " +
+          s"$cap distinct rows — the ledger is materialized to the driver " +
+          "and broadcast by every probe, so an unbounded ledger is a " +
+          "driver/executor OOM. Purge (purge advice has been firing since " +
+          "maxTombstones) or rebuild to retire it, or raise " +
+          "spark.graft.ledger.maxDriverRows if the driver truly has the memory.")
     Some(spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), stored.schema))
   }

@@ -42,6 +42,7 @@ object StageLab {
     var sfDir = "/root/testdata/sf0.1"
     var reps = 1
     var partitions = 32
+    val confs = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val names = scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
     while (i < args.length) {
@@ -49,6 +50,9 @@ object StageLab {
         case "--sf" => sfDir = args(i + 1); i += 2
         case "--reps" => reps = args(i + 1).toInt; i += 2
         case "--partitions" => partitions = args(i + 1).toInt; i += 2
+        case "--conf" => // k=v, applied to the session (r20: A/B graft confs)
+          val kv = args(i + 1).split("=", 2)
+          confs += ((kv(0), kv(1))); i += 2
         case n => names += n; i += 1
       }
     }
@@ -62,6 +66,7 @@ object StageLab {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     Seq("lineitem", "documents")
       .map(t => new java.io.File(s"$sfDir/$t.parquet")).find(_.exists())
       .foreach(f => spark.read.parquet(f.getPath).count())
@@ -76,9 +81,19 @@ object StageLab {
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(n)(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
-        // listener events are posted async; give the bus a moment to drain
-        // (listenerBus is private[spark]; a bounded sleep is enough here)
-        Thread.sleep(300)
+        // listener events are posted async (listenerBus is private[spark],
+        // so we cannot waitUntilEmpty). A fixed sleep can drop late-posted
+        // stage completions on a loaded box and silently under-report the
+        // profile — poll the queue until it is stable for 300 ms instead
+        // (bounded at 5 s so a wedged bus cannot hang the lab).
+        val drainT0 = System.nanoTime()
+        var lastSize = -1
+        while ({
+          val cur = stats.rows.size()
+          val grew = cur != lastSize
+          lastSize = cur
+          grew && (System.nanoTime() - drainT0) / 1e9 < 5.0
+        }) Thread.sleep(300)
         println(f"%n=== $n rep $rep: total $wall%.2f s, $rows rows ===")
         println(f"${"stage"}%-5s ${"tasks"}%5s ${"wall_ms"}%8s ${"task_ms"}%8s " +
           f"${"cpu_ms"}%8s ${"gc_ms"}%6s ${"in_MB"}%8s ${"shR_MB"}%7s ${"shW_MB"}%7s ${"spill"}%6s  name")

@@ -513,4 +513,26 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(1L, 2L).toDF("id"), "corpus_id"),
       "a table dir that does not exist has no unfolded lanes")
   }
+
+  test("readDeletes fails loudly past the driver-rows cap, unchanged below it (r20)") {
+    val s = spark
+    import s.implicits._
+    val idx = Files.createTempDirectory("ledgercap").toString + "/idx"
+    (0L until 20L).map(i => (i, 10)).toDF("id", "dl")
+      .coalesce(1).write.parquet(IndexMaintenance.deletesDir(idx))
+    val key = "spark.graft.ledger.maxDriverRows"
+    // below the cap: identical behavior — the full deduped ledger arrives
+    spark.conf.set(key, "20")
+    try {
+      val ok = IndexMaintenance.readDeletes(spark, idx)
+      assert(ok.map(_.count()) === Some(20L))
+      // over the cap: a loud, actionable refusal — not a driver OOM
+      spark.conf.set(key, "19")
+      val e = intercept[IllegalStateException] {
+        IndexMaintenance.readDeletes(spark, idx)
+      }
+      assert(e.getMessage.contains("exceeds 19 distinct rows"))
+      assert(e.getMessage.contains("spark.graft.ledger.maxDriverRows"))
+    } finally spark.conf.unset(key)
+  }
 }

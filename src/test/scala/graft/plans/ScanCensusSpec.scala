@@ -49,11 +49,13 @@ class ScanCensusSpec extends AnyFunSuite with BeforeAndAfterAll {
     c
   }
 
-  test("dsir_weights: final plan reads the pinned gram explode, no corpus rescan") {
-    // r19 opt: training's q-pass and the scoring pass share one pinned
-    // bigram explode, so the final action reads the cache (the file scan
-    // happened once, during the shared pin's materialization)
-    assert(census("dsir_weights") === ((0, 1, 0)))
+  test("dsir_weights: scoring is exactly ONE corpus scan (two-pass contract, r20)") {
+    // r20 re-adjudication: the r19 shared-explode pin is removed (A/B: it
+    // saved nothing and materialized corpus-multiple rows at scale). The
+    // operator's documented shape is one MODEL pass (a bounded collect
+    // during construction) + one SCORING pass — the final action must
+    // read the corpus exactly once, with no cache and no second scan.
+    assert(census("dsir_weights") === ((1, 0, 0)))
   }
 
   test("nb_classify: five file scans + three cache hits, as audited") {
