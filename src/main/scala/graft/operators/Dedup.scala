@@ -80,31 +80,41 @@ object Dedup {
     if (!postShuffle && df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
-  /** Pin a sketch self-join input, key-partitioned when — and only when —
-    * the join will actually shuffle (r20, the r19 verdict's item 3: "a
-    * size threshold, not a global revert").
+  /** Pin a sketch self-join input, optionally key-partitioned — the r20
+    * rung adjudication of the r19 verdict's item 3 ("a size threshold,
+    * not a global revert"), MEASURED and decided: **off by default**.
     *
     * The r19 experiment pre-partitioned these caches unconditionally and
-    * was correctly reverted: at bench scale AQE broadcast-converts the
-    * self-joins at runtime (build sides a few MB), so the added exchange
-    * bought nothing. But the static `explain` had shown SortMergeJoin —
-    * the PLANNER'S estimate exceeds the broadcast threshold even where
-    * the runtime size is far under it, so the estimate cannot be the
-    * gate. The gate here is the TRUE materialized cache size: the first
-    * `count()` materializes the pin (work the first consumer pays
-    * anyway, only moved earlier), and only when the real bytes exceed
-    * `spark.sql.autoBroadcastJoinThreshold` — i.e. exactly when AQE
-    * cannot broadcast the join and both sides would otherwise shuffle —
-    * is the cache re-laid out by the join keys (one cache-to-cache pass
-    * replacing two exchanges of the same rows; the self-join then reads
-    * one co-partitioned cache, no Exchange under either side). Scoped by
-    * `spark.graft.sketch.prepartition` = auto (default) | on | off so
-    * the decision stays measurable at any rung. Purely physical —
-    * layouts never change answers. */
+    * was reverted: at bench scale AQE broadcast-converts the self-joins
+    * at runtime, so the added exchange bought nothing (the static
+    * `explain` had shown SortMergeJoin — the planner estimate exceeds
+    * the broadcast threshold even where the runtime size is far under
+    * it, so estimates cannot be the gate). This hook re-ran the
+    * experiment in the regime the revert had not tested, gated on the
+    * TRUE materialized cache size (the first `count()` materializes the
+    * pin — work the first consumer pays anyway — and re-layout fires
+    * only when real bytes exceed `spark.sql.autoBroadcastJoinThreshold`,
+    * i.e. exactly when the join cannot broadcast). At the sf1 rung
+    * (50 K docs, 1.05 M answer pairs) the gate fires and the executed
+    * plan shows precisely the intended shape — SortMergeJoin reading
+    * ONE key-partitioned cache, no Exchange under either side
+    * (plans/r20/dedup_ngram_jaccard_sf1_*.txt) — and it still LOSES on
+    * wall: ngram 3.17→3.82 s, simhash 1.63→1.81 s, minhash 3.07→2.92 s
+    * (StageLab min-of-2 per arm, same session). The removed join
+    * exchange costs less than the extra cache-to-cache pass plus what
+    * the g-clustered layout does to the downstream pair aggregate's
+    * map-side combine (its exchange grew 44.2→61.5 MB: pair rows for
+    * one (id_a,id_b) spread across gram partitions instead of
+    * pre-combining). So the default stays the persist-only r19 form;
+    * `spark.graft.sketch.prepartition` = off (default) | auto
+    * (size-gated) | on keeps the decision re-measurable at any rung —
+    * at replica-density scale the r11 adjudications (broadcastVerify,
+    * df-cap) govern the verify tail, not this layout. Purely physical;
+    * layouts never change answers (sf1 row parity asserted in-run). */
   private def pinForSelfJoin(raw: DataFrame, keys: Seq[String]): DataFrame = {
     val spark = raw.sparkSession
     val mode = spark.conf.getOption("spark.graft.sketch.prepartition")
-      .getOrElse("auto")
+      .getOrElse("off")
     val pinned = raw.trackedPersist()
     if (mode == "off") return pinned
     val confV = spark.conf

@@ -19,7 +19,20 @@ import org.apache.spark.sql.SparkSession
 object Plans {
   def main(args0: Array[String]): Unit = {
     val executed = args0.contains("--executed")
-    val args = args0.filterNot(_ == "--executed")
+    // --conf k=v pairs applied to the session (r20: A/B graft confs)
+    val confs = args0.sliding(2).collect {
+      case Array("--conf", kv) => val p = kv.split("=", 2); (p(0), p(1))
+    }.toSeq
+    val args = {
+      val a = scala.collection.mutable.ArrayBuffer[String]()
+      var skip = false
+      for (x <- args0) {
+        if (skip) skip = false
+        else if (x == "--conf") skip = true
+        else if (x != "--executed") a += x
+      }
+      a.toArray
+    }
     val names = if (args.nonEmpty) args.toSeq
       else Seq("project_filter", "join_broadcast", "agg_groupby", "xlsx_roundtrip",
         "xlsx_scan_filtered", "semantic_dedup_ivf",
@@ -40,6 +53,7 @@ object Plans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     names.foreach { n =>
       println(s"\n========== $n ==========")
