@@ -254,8 +254,14 @@ object Bench {
         .mkString(",")
       f"""{"metric":"total_headline_sec","value":$total%.3f,"unit":"sec","queries":{$named},"sf":"$sfDir","load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"idle_wait_s":$idleWaitS%.0f,"host_cpus":$ncpu}"""
     }
-    val c3 = contractLine(3)
-    println(if (c3.length <= 1880) c3 else contractLine(2))
+    // precision ladder 3 → 2 → 1 decimals: one degradation step was not
+    // enough headroom if a degraded run (or future added queries) pushes
+    // values to 4+ integer digits; at 1 decimal a 76-key line fits until
+    // every query averages >999.9 s. The last rung prints regardless —
+    // a too-long line is still recoverable from the full first line in
+    // the sbt log, an unprinted one is not.
+    println(Seq(3, 2, 1).map(contractLine)
+      .find(_.length <= 1880).getOrElse(contractLine(1)))
     spark.stop()
   }
 }

@@ -1100,7 +1100,7 @@ object Curation {
       maxDoclenFiles: Int = 64): MaintenanceAdvice = {
     val buckets = readStats(spark, path)._3
     // one ledger read serves both signals (it materializes driver-side)
-    val ledger = IndexMaintenance.readDeletes(spark, path)
+    val ledger = IndexMaintenance.readDeletes(spark, path, enforceCap = false)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val pending = math.max(0L, ledger.map(
@@ -1303,7 +1303,12 @@ object Curation {
     if (ledgerFiles.isEmpty) return 0
     val stored = spark.read.parquet(
       ledgerFiles.map(f => s"${deletesP.toString}/$f"): _*).distinct()
-    val rows = stored.collect() // driver-small by contract
+    // deliberately UNCAPPED (r20): the purge is the REMEDIATION the
+    // r20 ledger cap's exception directs operators to — capping it too
+    // would wedge an over-cap index with no exit (the same reason the
+    // readDeletes remediation paths pass enforceCap = false). A purge
+    // is a one-shot operator action over the exact snapshot it retires.
+    val rows = stored.collect()
     val ledger = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), stored.schema)
     require(!IndexMaintenance.tombstonesUnfolded(

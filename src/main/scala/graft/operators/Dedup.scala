@@ -41,6 +41,18 @@ object Dedup {
     * span scrub shares this registry so one `unpersistAll` drains both). */
   private[graft] def pin(df: DataFrame): DataFrame = df.trackedPersist()
 
+  /** Per-session lock for [[connectedComponents]]' scoped shuffle-conf
+    * mutation — weakly keyed so a retired session's entry is collectable. */
+  private val ccLocks =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, Object]())
+  private def ccConfLock(s: org.apache.spark.sql.SparkSession): Object =
+    ccLocks.synchronized {
+      val cur = ccLocks.get(s)
+      if (cur != null) cur
+      else { val o = new Object; ccLocks.put(s, o); o }
+    }
+
   /** Release every intermediate this object pinned for `spark`. Call AFTER
     * the consuming action (count/write/collect) — the returned frames are
     * lazy and recompute from scratch if drained early. Unpersist is
@@ -116,7 +128,10 @@ object Dedup {
     val mode = spark.conf.getOption("spark.graft.sketch.prepartition")
       .getOrElse("off")
     val pinned = raw.trackedPersist()
-    if (mode == "off") return pinned
+    // only the exact opt-in strings activate the hook: a typo ("Off",
+    // "false") must fall back to the measured default, not silently buy
+    // an extra cache pass and re-layout exchange
+    if (mode != "auto" && mode != "on") return pinned
     val confV = spark.conf
       .get("spark.sql.autoBroadcastJoinThreshold", "10485760").trim
     val threshold: Long =
@@ -898,14 +913,16 @@ object Dedup {
     // repartition per round would add a real exchange at every scale to
     // dodge a local-mode hazard). Unsynchronized, two overlapping calls
     // on one session could interleave save/restore and leave the conf
-    // permanently clobbered — the loop is serialized on the session
-    // object so save/restore pairs nest correctly. Residual documented
-    // hazard: OTHER queries submitted concurrently on the same session
-    // while a loop runs plan with ccParts (their results are unaffected,
-    // only their shuffle width); callers sharing a session with
-    // latency-sensitive concurrent work should scope this call to a
-    // quiet window.
-    spark.synchronized {
+    // permanently clobbered — the loop is serialized on a PRIVATE
+    // per-session lock (not the session's own monitor, which Scala also
+    // takes for the session's lazy-val initialization — hijacking it
+    // would block unrelated threads for the whole loop) so save/restore
+    // pairs nest correctly. Residual documented hazard: OTHER queries
+    // submitted concurrently on the same session while a loop runs plan
+    // with ccParts (their results are unaffected, only their shuffle
+    // width); callers sharing a session with latency-sensitive
+    // concurrent work should scope this call to a quiet window.
+    ccConfLock(spark).synchronized {
     val savedShuffle = spark.conf.get(shuffleKey)
     val ccParts = math.max(1L, math.min(nEdges / 2000000L + 1L,
       spark.sparkContext.defaultParallelism.toLong * 4L)).toInt

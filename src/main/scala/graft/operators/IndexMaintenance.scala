@@ -403,13 +403,24 @@ private[graft] object IndexMaintenance {
     spark.conf.getOption("spark.graft.ledger.maxDriverRows")
       .map(_.toInt).getOrElse(1000000)
 
+  /** `enforceCap = false` is reserved for the REMEDIATION paths — purge,
+    * rebuild, maintenance advice, fold preconditions: the cap's whole
+    * point is that probes and appends fail loudly and direct the
+    * operator to purge, so the purge (and the advice that recommends
+    * it) must still be able to read an over-cap ledger; capping them
+    * too would wedge the index with no exit short of a conf override.
+    * A remediation read is a deliberate one-shot operator action, and
+    * the r18 fold/purge protocol bounds how often it runs. */
   private[operators] def readDeletes(spark: SparkSession,
-      indexPath: String): Option[DataFrame] = {
+      indexPath: String, enforceCap: Boolean = true): Option[DataFrame] = {
     val p = new Path(deletesDir(indexPath))
     val fs = fsOf(spark, p)
     if (!hasCommittedData(fs, p)) return None
     val cap = maxLedgerDriverRows(spark)
     val stored = spark.read.parquet(p.toString).distinct()
+    if (!enforceCap)
+      return Some(spark.createDataFrame(
+        java.util.Arrays.asList(stored.collect(): _*), stored.schema))
     // limit(cap+1) bounds driver memory even when the ledger is over
     // the cap — the failure is a loud exception, not an OOM mid-collect
     val rows = stored.limit(cap + 1).collect() // driver-small, enforced

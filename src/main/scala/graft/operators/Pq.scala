@@ -656,7 +656,7 @@ object Pq {
       .drop("cn", "cell", "ingest_batch")
     // the rebuild IS the ledger reset — start from the tombstone-
     // filtered rows so deleted vectors never resurrect (r17 review)
-    val corpus = IndexMaintenance.readDeletes(spark, path).map(d =>
+    val corpus = IndexMaintenance.readDeletes(spark, path, enforceCap = false).map(d =>
       corpus0.join(broadcast(d.select(col("id").as("corpus_id"))),
         Seq("corpus_id"), "left_anti")).getOrElse(corpus0)
     val both = Similarity.hashSpreadVecsById(corpus, "corpus_id", "cv", 2 * maxSample)
@@ -758,7 +758,7 @@ object Pq {
     * IVF twin. Returns cells rewritten per table. */
   def purgePqDeletes(spark: SparkSession, path: String,
       spreadFiles: Int = 0): (Int, Int) =
-    IndexMaintenance.readDeletes(spark, path) match {
+    IndexMaintenance.readDeletes(spark, path, enforceCap = false) match {
       case None => (0, 0)
       case Some(ledger) =>
         require(!IndexMaintenance.tombstonesUnfolded(
@@ -863,7 +863,7 @@ object Pq {
         math.max(codes.maxResidentFilesPerCell, vectors.maxResidentFilesPerCell),
         math.max(codes.batchFiles, vectors.batchFiles))
     // one ledger read serves both signals (it materializes driver-side)
-    val ledger = IndexMaintenance.readDeletes(spark, path)
+    val ledger = IndexMaintenance.readDeletes(spark, path, enforceCap = false)
     val pending = ledger.map(_.count()).getOrElse(0L)
     // the precise fold-first signal (either table), priced only when
     // over threshold

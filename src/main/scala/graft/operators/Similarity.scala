@@ -468,7 +468,7 @@ object Similarity {
     // tombstone-filtered rows (the retrain sample included), and the
     // fresh index at newPath carries no ledger — without this filter a
     // rebuild would silently resurrect every deleted vector (r17 review)
-    val corpus = IndexMaintenance.readDeletes(spark, path).map(d =>
+    val corpus = IndexMaintenance.readDeletes(spark, path, enforceCap = false).map(d =>
       corpus0.join(broadcast(d.select(col("id").as("corpus_id"))),
         Seq("corpus_id"), "left_anti")).getOrElse(corpus0)
     val nl = if (nlist > 0) nlist else loadIvfCentroids(spark, path).length
@@ -804,7 +804,7 @@ object Similarity {
     * (0 = no ledger). Single-writer contract. */
   def purgeIvfDeletes(spark: org.apache.spark.sql.SparkSession,
       path: String, spreadFiles: Int = 0): Int =
-    IndexMaintenance.readDeletes(spark, path) match {
+    IndexMaintenance.readDeletes(spark, path, enforceCap = false) match {
       case None => 0
       case Some(ledger) =>
         require(!IndexMaintenance.tombstonesUnfolded(
@@ -869,7 +869,7 @@ object Similarity {
       spreadFiles: Int = 0, maxTombstones: Long = 100000L): MaintenanceAdvice = {
     val nlist = spark.read.parquet(s"$path/centroids").count().toInt
     // one ledger read serves both signals (it materializes driver-side)
-    val ledger = IndexMaintenance.readDeletes(spark, path)
+    val ledger = IndexMaintenance.readDeletes(spark, path, enforceCap = false)
     val pending = ledger.map(_.count()).getOrElse(0L)
     // the precise fold-first signal, priced only when over threshold
     val unfolded = pending > maxTombstones &&

@@ -147,12 +147,16 @@ object AbLab {
           count(lit(1)).as("n_grams"))
     }
 
+    // NOTE (r20 outcome): production charLmScore is now the
+    // spread+recompute form — the "prod" arm measures the same plan as
+    // "old-spread" (they should tie; a gap = spread() drifted). The two
+    // pin arms keep the REMOVED r19 candidates reproducible inline.
     if (in("lm")) bench("charLmScore")(
       "old-3explode" -> (() => lmOld(docs)),
       "old-spread" -> (() => lmOld(docs.repartition(32))),
-      "pin-string" -> (() => lmStringPin(docs)),
-      "pin-narrow" -> (() => lmNarrowPin(docs)),
-      "prod" -> (() => Curation.charLmScore(docs, "doc_id", "text")))
+      "pin-string(r19,removed)" -> (() => lmStringPin(docs)),
+      "pin-narrow(removed)" -> (() => lmNarrowPin(docs)),
+      "prod(=old-spread)" -> (() => Curation.charLmScore(docs, "doc_id", "text")))
 
     // r20 (verdict item 6): spread() is work-blind — lineDedup's per-row
     // work (split + fnv hash) is too light to pay for the repartition
@@ -181,20 +185,32 @@ object AbLab {
     }
 
     // r20 (verdict item 2, second shape): is the dsir shared-explode pin
-    // worth its corpus-multiple width? old-2pass = the r18 form (train
-    // q-pass and scoring pass each tokenize+explode the corpus; no pin).
+    // worth its corpus-multiple width? Measured: two-pass 1.92 s vs r19
+    // pinned 2.01 s min-of-5 — pin REMOVED from production. Since that
+    // removal, production dsirWeights IS the two-pass composition, so
+    // these arms measure the same plan and should tie (a gap = the
+    // delegation drifted); the r19 pinned form no longer exists to copy
+    // inline (it needed the private *Grams internals) — its record
+    // lives in OPTIMIZATION_r20.md and /tmp logs of the deciding run.
     if (in("dsir")) bench("dsirWeights")(
-      "old-2pass" -> (() => Curation.dsirScore(docs, "doc_id", "text",
+      "twopass-inline" -> (() => Curation.dsirScore(docs, "doc_id", "text",
         Curation.trainDsirModel(docs, "text",
           docs.filter(col("doc_id") % 7 === 0), "text", vocab = 512))),
-      "prod-pinned" -> (() => Curation.dsirWeights(docs, "doc_id", "text",
+      "prod(=twopass)" -> (() => Curation.dsirWeights(docs, "doc_id", "text",
         docs.filter(col("doc_id") % 7 === 0), "text", vocab = 512)))
 
+    // NOTE (r20 outcome): production lineDedup dropped the spread and
+    // kept the pin — the "prod" arm now measures the same plan as
+    // "pin-nospread" (they should tie); "pinned+spread(r19)" keeps the
+    // replaced r19 shape reproducible via an explicit pre-repartition.
     if (in("linededup")) bench("lineDedup")(
       "old-1part" -> (() => lineDedupOld(docs)),
       "old-spread" -> (() => lineDedupOld(docs.repartition(32))),
       "pin-nospread" -> (() => lineDedupPinNoSpread(docs)),
-      "new-pinned" -> (() => Dedup.lineDedup(docs, "doc_id", "text", sep = " ", maxDfFrac = 0.78)))
+      "pinned+spread(r19)" -> (() => Dedup.lineDedup(docs.repartition(32),
+        "doc_id", "text", sep = " ", maxDfFrac = 0.78)),
+      "prod(=pin-nospread)" -> (() => Dedup.lineDedup(docs, "doc_id", "text",
+        sep = " ", maxDfFrac = 0.78)))
 
     spark.stop()
   }

@@ -123,6 +123,15 @@ object HybridLedgerLab {
     println(s"""{"root":"$root","n_docs":$n,"queries":$nQueries,"frac":$frac,"nprobe":$nprobe}""")
 
     val (clean, cleanS) = probePhase("clean")
+    // every query must have answers BEFORE the deletion phases, or the
+    // later top-1/Map lookups would die as bare NoSuchElementExceptions
+    // instead of something attributable
+    termBatch.foreach { case (qi, _) =>
+      require(clean.get(qi).exists(_.nonEmpty),
+        s"query $qi: empty fused list on the CLEAN index — check the " +
+          "filtered provisioning (category coverage) before reading any " +
+          "ledger numbers from this run")
+    }
     // delete 1/frac of the corpus PLUS each query's fused top-1, so the
     // ledger demonstrably changes answers
     val top1 = clean.toSeq.sortBy(_._1).map(_._2.head)
@@ -136,9 +145,10 @@ object HybridLedgerLab {
     val (ledger, ledgerS) = probePhase("with_ledger")
     val delSet = delIds.collect().map(_.getLong(0)).toSet
     termBatch.foreach { case (qi, _) =>
-      require(ledger(qi).forall(id => !delSet.contains(id)),
+      val l = ledger.getOrElse(qi, Nil) // empty = legal (top of list tombstoned)
+      require(l.forall(id => !delSet.contains(id)),
         s"query $qi: a deleted id survives in the fused list")
-      require(ledger(qi) != clean(qi),
+      require(l != clean(qi),
         s"query $qi: fused list unchanged although its top-1 was deleted")
     }
 
@@ -149,7 +159,7 @@ object HybridLedgerLab {
 
     val (purged, purgedS) = probePhase("post_purge")
     termBatch.foreach { case (qi, _) =>
-      require(purged(qi) == ledger(qi),
+      require(purged.getOrElse(qi, Nil) == ledger.getOrElse(qi, Nil),
         s"query $qi: purge changed the fused answer")
     }
 

@@ -19,17 +19,23 @@ import org.apache.spark.sql.SparkSession
 object Plans {
   def main(args0: Array[String]): Unit = {
     val executed = args0.contains("--executed")
-    // --conf k=v pairs applied to the session (r20: A/B graft confs)
-    val confs = args0.sliding(2).collect {
-      case Array("--conf", kv) => val p = kv.split("=", 2); (p(0), p(1))
-    }.toSeq
+    // --conf k=v pairs applied to the session (r20: A/B graft confs);
+    // ONE parse pass so a malformed or dangling --conf fails with usage
+    // instead of silently running the A/B with the conf unset
+    val confs = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val args = {
       val a = scala.collection.mutable.ArrayBuffer[String]()
-      var skip = false
-      for (x <- args0) {
-        if (skip) skip = false
-        else if (x == "--conf") skip = true
-        else if (x != "--executed") a += x
+      var i = 0
+      while (i < args0.length) {
+        args0(i) match {
+          case "--conf" =>
+            require(i + 1 < args0.length, "usage: --conf key=value")
+            val p = args0(i + 1).split("=", 2)
+            require(p.length == 2, s"usage: --conf key=value (got '${args0(i + 1)}')")
+            confs += ((p(0), p(1))); i += 2
+          case "--executed" => i += 1
+          case x => a += x; i += 1
+        }
       }
       a.toArray
     }

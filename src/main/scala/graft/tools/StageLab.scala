@@ -51,7 +51,9 @@ object StageLab {
         case "--reps" => reps = args(i + 1).toInt; i += 2
         case "--partitions" => partitions = args(i + 1).toInt; i += 2
         case "--conf" => // k=v, applied to the session (r20: A/B graft confs)
+          require(i + 1 < args.length, "usage: --conf key=value")
           val kv = args(i + 1).split("=", 2)
+          require(kv.length == 2, s"usage: --conf key=value (got '${args(i + 1)}')")
           confs += ((kv(0), kv(1))); i += 2
         case n => names += n; i += 1
       }

@@ -533,6 +533,10 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       assert(e.getMessage.contains("exceeds 19 distinct rows"))
       assert(e.getMessage.contains("spark.graft.ledger.maxDriverRows"))
+      // the REMEDIATION paths (purge/rebuild/advice) read uncapped — an
+      // over-cap ledger must not wedge the index against its own fix
+      assert(IndexMaintenance.readDeletes(spark, idx, enforceCap = false)
+        .map(_.count()) === Some(20L))
     } finally spark.conf.unset(key)
   }
 }
